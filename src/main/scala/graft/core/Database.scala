@@ -1,0 +1,205 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The results database: an append-only, Parquet-backed, `_run_id`-
+  * partitioned table replacing the reference's single rewritten pickle
+  * (ref psweep.py:36,1401-1407,1487-1488; deliberate deviation SURVEY §4.3
+  * — the representation changes, the semantics don't).
+  *
+  * Scale design:
+  *   - appends write only the new run's partition; old data is never
+  *     touched except on pset-schema growth, where the hash column must be
+  *     recomputed (ref psweep.py:690-710) — a single distributed rewrite;
+  *   - counters come from a column-pruned `agg(max)` scan (Parquet footer
+  *     stats, no data read);
+  *   - dedup against the database broadcasts the (small) incoming hash set
+  *     and semi-joins the database's hash column — one column-pruned pass,
+  *     no driver-side materialization of database hashes.
+  */
+class Database(val spark: SparkSession, val calcDir: String,
+               val basename: String = "database") {
+
+  val dbPath: String = s"$calcDir/$basename"
+
+  def exists: Boolean = Fs.exists(dbPath) && Fs.listNames(dbPath).nonEmpty
+
+  /** Read the database; schemas of all appended runs are unioned
+    * (missing columns read as null — the Parquet analog of the
+    * reference's NA-fill on append, ref psweep.py:707-709). */
+  def read(): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dbPath)
+
+  def readOpt(): Option[DataFrame] = if (exists) Some(read()) else None
+
+  /** `(max _pset_seq, max _run_seq)`, or (-1, -1) on an empty database
+    * (ref psweep.py:1409-1415). */
+  def counters(): (Long, Long) = readOpt() match {
+    case None => (-1L, -1L)
+    case Some(df) =>
+      val r = df.agg(
+        max(col("_pset_seq")).cast(LongType),
+        max(col("_run_seq")).cast(LongType)).head()
+      (if (r.isNullAt(0)) -1L else r.getLong(0),
+       if (r.isNullAt(1)) -1L else r.getLong(1))
+  }
+
+  /** Which of `values` already exist in database column `colName`?
+    * One column-pruned scan; the small side is broadcast
+    * (the J1 dedup anti-join and the `_pset_id` collision re-check,
+    * ref psweep.py:1068-1081,1442-1446). */
+  def existingAmong(colName: String, values: Seq[String]): Set[String] =
+    readOpt() match {
+      case None => Set.empty
+      case Some(df) =>
+        if (!df.columns.contains(colName)) Set.empty
+        else {
+          import spark.implicits._
+          val small = values.distinct.toDF(colName)
+          df.select(colName)
+            .join(broadcast(small), Seq(colName), "left_semi")
+            .distinct().collect().map(_.getString(0)).toSet
+        }
+    }
+
+  /** Append new rows (one run) as a new `_run_id` partition. */
+  def append(df: DataFrame): Unit =
+    df.write.mode("append").partitionBy("_run_id").parquet(dbPath)
+
+  /** Distributed rewrite recomputing `_pset_hash` over the grown pset
+    * column set — triggered only when the pset schema actually grows,
+    * same condition as the reference (ref psweep.py:690-710), where it is
+    * an O(N) driver-side Python loop; here one `withColumn` pass. New
+    * columns appear as nulls via mergeSchema; shared columns whose type
+    * widened are cast. */
+  def rehashWith(extraPsetCols: Map[String, DataType],
+                 casts: Map[String, DataType]): Unit = {
+    var df = read()
+    casts.foreach { case (c, t) => df = df.withColumn(c, col(c).cast(t)) }
+    extraPsetCols.foreach { case (c, t) =>
+      if (!df.columns.contains(c)) df = df.withColumn(c, lit(null).cast(t))
+    }
+    val rehashed = df.withColumn("_pset_hash", PsetHash.expr(df.columns.toSeq))
+    val tmp = s"$dbPath.__rewrite_tmp"
+    Fs.delete(tmp)
+    rehashed.write.mode("overwrite").partitionBy("_run_id").parquet(tmp)
+    val old = s"$dbPath.__old"
+    Fs.delete(old)
+    Fs.rename(dbPath, old)
+    Fs.rename(tmp, dbPath)
+    Fs.delete(old)
+  }
+
+  /** Backup the whole calc dir to `calc.bak_<stamp>_run_id_<id>` before a
+    * mutating run (ref psweep.py:1417-1427). */
+  def backup(): Option[String] = {
+    if (!exists) return None
+    val stampRow = read().agg(max(col("_time_utc")), first(col("_run_id")))
+      .head()
+    val stamp =
+      if (stampRow.isNullAt(0)) "empty"
+      else stampRow.getTimestamp(0).toInstant.toString.replace(":", "-")
+    val lastRun = if (stampRow.isNullAt(1)) "none" else stampRow.getString(1)
+    val dst = s"$calcDir.bak_${stamp}_run_id_$lastRun"
+    require(!Fs.exists(dst), s"backup destination exists: $dst")
+    Fs.copyDir(calcDir, dst)
+    Some(dst)
+  }
+
+  /** JSON export of the database (the `psweep-db2json` sink, ref
+    * bin/psweep-db2json:48-51): records orient, ISO timestamps. */
+  def writeJson(outPath: String): Unit =
+    read().coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+      .write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .json(outPath)
+}
+
+object Database {
+
+  def apply(spark: SparkSession, calcDir: String,
+            basename: String = "database"): Database =
+    new Database(spark, calcDir, basename)
+
+  /** Fuse boolean filter columns with and/or/xor and apply
+    * (ref psweep.py:622-679 `df_filter_conds`). */
+  def dfFilterConds(df: DataFrame, conds: Seq[Column],
+                    op: String = "and"): DataFrame = {
+    if (conds.isEmpty) return df
+    val fused = op match {
+      case "and" => conds.reduce(_ && _)
+      case "or" => conds.reduce(_ || _)
+      case "xor" => conds.reduce(_ =!= _)
+      case other => throw new IllegalArgumentException(
+        s"op must be and|or|xor, got $other")
+    }
+    df.filter(fused)
+  }
+
+  /** Kind-projection of a DataFrame (ref psweep.py:877-898). */
+  def selectKind(df: DataFrame, kind: ColKind.Value): DataFrame = {
+    val cols = ColKind.filterCols(df.columns.toSeq, kind)
+    df.select(cols.map(col): _*)
+  }
+
+  /** Extract psets (pset-kind columns, nulls preserved) from a database
+    * slice, such that re-running them reproduces the stored hashes
+    * (ref psweep.py:755-795 `df_extract_params`; round-trip invariant of
+    * tests/test_all.py:1440-1473). Driver-side by design: extracted params
+    * seed a new sweep, which is driver-built. */
+  def extractParams(df: DataFrame): Seq[Map[String, Any]] = {
+    val slice = selectKind(df, ColKind.Pset)
+    val names = slice.columns
+    slice.collect().toSeq.map { r =>
+      names.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
+    }
+  }
+
+  /** Single row for a `_pset_id`; asserts uniqueness
+    * (ref psweep.py:798-850). */
+  def extractRow(df: DataFrame, psetId: String): Row = {
+    val rows = df.filter(col("_pset_id") === psetId).collect()
+    require(rows.length == 1,
+      s"expected exactly 1 row for _pset_id=$psetId, got ${rows.length}")
+    rows(0)
+  }
+
+  /** The pset (parameter map) of one stored row. */
+  def extractPset(df: DataFrame, psetId: String): Map[String, Any] = {
+    val slice = df.filter(col("_pset_id") === psetId)
+    val params = extractParams(slice)
+    require(params.size == 1,
+      s"expected exactly 1 row for _pset_id=$psetId, got ${params.size}")
+    params.head
+  }
+
+  /** Consistency check between the database's `_pset_id`s and the per-pset
+    * artifact dirs on disk (ref psweep.py:273-297): two anti-joins, fully
+    * distributed (artifact listings can be large at scale). */
+  def checkCalcDir(spark: SparkSession, calcDir: String, df: DataFrame,
+                   basename: String = "database")
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val uuidRe = "^([0-9a-f]+-){4}[0-9a-f]+$"
+    val disk = Fs.listNames(calcDir)
+      .filter(_.matches(uuidRe)).toDF("_pset_id")
+    val dbIds = df.select("_pset_id")
+    val dbNotDisk = dbIds.join(disk, Seq("_pset_id"), "left_anti").distinct()
+    val diskNotDb = disk.join(dbIds, Seq("_pset_id"), "left_anti").distinct()
+    (dbNotDisk, diskNotDb)
+  }
+
+  /** Sorted-column display projection (ref psweep.py:515-619 `df_print`:
+    * column names always sorted, prefix cols hidden by default). */
+  def printableDF(df: DataFrame, prefixCols: Boolean = false,
+                  cols: Seq[String] = Seq.empty,
+                  skipCols: Seq[String] = Seq.empty): DataFrame = {
+    val base =
+      if (cols.nonEmpty) cols
+      else df.columns.toSeq.filter(c => prefixCols || !ColKind.isPrefix(c))
+    val chosen = base.filterNot(skipCols.contains).sorted
+    df.select(chosen.map(col): _*)
+  }
+}
