@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+
+/** The reference's own operator surface (SURVEY §2 [core] rows) exposed as
+  * driver-verifiable queries: grid constructors, canonical hash, kind
+  * projection, and the full sweep pipeline (run / incremental+dedup /
+  * simulate / failure capture / log capture). Each query's DuckDB oracle
+  * reconstructs the same relation in ANSI SQL (VALUES / range), so the
+  * correctness gate covers the [core] operators too, not only the
+  * delegated relational surface.
+  *
+  * Sweep queries execute in a fresh temp calcDir on every call — results
+  * depend only on params + function, never on prior state; the
+  * non-deterministic bookkeeping (uuids, timestamps, host) is projected
+  * away, exactly the deterministic slice the reference's own tests assert
+  * (ref tests/test_all.py:170-231).
+  */
+object Core {
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-q-").toString
+
+  private val f10: Map[String, Any] => Map[String, Any] =
+    p => Map("result_" -> p("a").asInstanceOf[Long] * 10.0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G1: plist
+    "q_plist" -> ((s, _) =>
+      ValueSchema.toDF(s, Grid.plist("a", 1 to 4)).orderBy(col("a"))),
+
+    // G2: pgrid cross product (F2)
+    "q_pgrid" -> ((s, _) =>
+      ValueSchema.toDF(s, Grid.pgrid(
+        Grid.plist("param_a", Seq(1, 2, 3)),
+        Grid.plist("param_b", Seq("xx", "yy"))))
+        .orderBy(col("param_a"), col("param_b"))),
+
+    // G3/G4/J3: zip-linked plists crossed with a third (F3)
+    "q_pgrid_zip" -> ((s, _) =>
+      ValueSchema.toDF(s, Grid.pgridZ(
+        Seq(Grid.plist("a", Seq(1, 2)), Grid.plist("c", Seq(11, 22))),
+        Seq(Grid.plist("d", Seq(66, 77, 88, 99)))))
+        .orderBy(col("a"), col("d"))),
+
+    // G5: stargrid with center dedup (F4)
+    "q_stargrid" -> ((s, _) =>
+      ValueSchema.toDF(s, Grid.stargrid(
+        Map[String, Any]("a" -> 1, "b" -> 77),
+        Seq(Grid.plist("a", Seq(1, 2, 3)), Grid.plist("b", Seq(77, 88, 99)))))
+        .orderBy(col("a"), col("b"))),
+
+    // G7: generalized logspace
+    "q_logspace" -> ((s, _) =>
+      ValueSchema.toDF(s,
+        Grid.logspace(1.0, 100.0, 5).map(v => Map[String, Any]("x" -> v)))
+        .orderBy(col("x"))),
+
+    // G8: intspace
+    "q_intspace" -> ((s, _) =>
+      ValueSchema.toDF(s,
+        Grid.intspace(1, 20, 5).map(v => Map[String, Any]("n" -> v)))
+        .orderBy(col("n"))),
+
+    // G10: flatten_dict
+    "q_flatten_dict" -> ((s, _) =>
+      ValueSchema.toDF(s, Seq(Grid.flattenDict(Map[String, Any]("a" -> 1,
+        "b" -> Map("c" -> 2, "d" -> Map("e" -> 3))))))
+        .select(col("a"), col("b_c"), col("b_d_e"))),
+
+    // §2.9: canonical hash via the Catalyst expression (golden-pinned)
+    "q_pset_hash" -> ((s, _) => {
+      val df = ValueSchema.toDF(s, Seq(
+        Map[String, Any]("case" -> "t1", "a" -> 1L, "b" -> "xx"),
+        Map[String, Any]("case" -> "t2", "a" -> 2L, "b" -> "yy")))
+      // "case" is pset-kind but must not join the hashed set here; hash
+      // exactly {a, b} by passing the columns explicitly.
+      df.select(col("case"),
+        PsetHashExpressionHelper.hashOf(Seq("a", "b")).as("h"))
+        .orderBy(col("case"))
+    }),
+
+    // P2: column-kind projection
+    "q_filter_cols" -> ((s, _) => {
+      val df = ValueSchema.toDF(s, Seq(
+        Map[String, Any]("_p" -> 1, "a" -> 2, "r_" -> 3),
+        Map[String, Any]("_p" -> 4, "a" -> 5, "r_" -> 6)))
+      Database.selectKind(df, ColKind.Pset).orderBy(col("a"))
+    }),
+
+    // E1-E9: one full sweep with failure capture (F1+F6)
+    "q_run_sweep" -> ((s, _) => {
+      val calc = freshDir()
+      val fn: Map[String, Any] => Map[String, Any] = p => {
+        val a = p("a").asInstanceOf[Long]
+        if (a % 3 == 0) throw new RuntimeException(s"boom $a")
+        Map("result_" -> a * 10.0)
+      }
+      val out = Study(s, StudyConfig(calcDir = calc, failSafe = true))
+        .run(fn, Grid.plist("a", 0 until 10))
+      out.db.select(col("a"), col("result_"), col("_failed"),
+        col("_pset_seq"), col("_run_seq"))
+        .orderBy(col("a"))
+    }),
+
+    // incremental extension + skip_dups + schema-evolution rehash (F5)
+    "q_run_incremental" -> ((s, _) => {
+      val calc = freshDir()
+      val study = Study(s, StudyConfig(calcDir = calc, skipDups = true))
+      study.run(f10, Grid.plist("a", Seq(1, 2)))
+      val out2 = study.run(f10, Grid.pgrid(
+        Grid.plist("a", Seq(1, 2, 3)), Grid.plist("b", Seq(10))))
+      out2.db.select(col("a"), col("b"), col("result_"), col("_run_seq"))
+        .orderBy(col("a"), asc_nulls_first("b"))
+    }),
+
+    // E6: log capture into the _logs column (F7)
+    "q_run_logs" -> ((s, _) => {
+      val calc = freshDir()
+      val loud: Map[String, Any] => Map[String, Any] = p => {
+        println(s"pset a=${p("a")}")
+        Map("result_" -> 1.0)
+      }
+      val out = Study(s, StudyConfig(calcDir = calc, captureLogs = "db"))
+        .run(loud, Grid.plist("a", Seq(1, 2, 3)))
+      out.db.select(col("a"), col("_logs")).orderBy(col("a"))
+    }),
+
+    // S13: simulate — pipeline runs, function skipped
+    "q_run_simulate" -> ((s, _) => {
+      val calc = freshDir()
+      val out = Study(s, StudyConfig(calcDir = calc, simulate = true))
+        .run(f10, Grid.plist("a", Seq(1, 2)))
+      out.db.select(col("a"), col("_run_seq"), col("_pset_seq"))
+        .orderBy(col("a"))
+    }),
+
+    // S11/J4: calc-dir consistency scan as two anti-joins
+    "q_check_calc_dir" -> ((s, _) => {
+      val calc = freshDir()
+      val idOnDisk = "00000000-0000-4000-8000-000000000001"
+      val idBoth = "00000000-0000-4000-8000-000000000002"
+      val idDbOnly = "00000000-0000-4000-8000-000000000003"
+      Fs.mkdirs(s"$calc/$idOnDisk")
+      Fs.mkdirs(s"$calc/$idBoth")
+      val db = ValueSchema.toDF(s, Seq(
+        Map[String, Any]("_pset_id" -> idBoth),
+        Map[String, Any]("_pset_id" -> idDbOnly)))
+      val (dbNotDisk, diskNotDb) = Database.checkCalcDir(s, calc, db)
+      dbNotDisk.withColumn("side", lit("db_not_disk"))
+        .unionByName(diskNotDb.withColumn("side", lit("disk_not_db")))
+        .orderBy(col("side"), col("_pset_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_plist" ->
+      "SELECT CAST(a AS BIGINT) AS a FROM range(1, 5) t(a) ORDER BY a",
+
+    "q_pgrid" ->
+      """SELECT CAST(a AS BIGINT) AS param_a, b AS param_b
+        |FROM range(1, 4) t(a)
+        |CROSS JOIN (VALUES ('xx'), ('yy')) u(b)
+        |ORDER BY param_a, param_b""".stripMargin,
+
+    "q_pgrid_zip" ->
+      """SELECT CAST(a AS BIGINT) AS a, CAST(c AS BIGINT) AS c,
+        |       CAST(d AS BIGINT) AS d
+        |FROM (VALUES (1, 11), (2, 22)) t(a, c)
+        |CROSS JOIN (VALUES (66), (77), (88), (99)) u(d)
+        |ORDER BY a, d""".stripMargin,
+
+    "q_stargrid" ->
+      """SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+        |FROM (VALUES (1, 77), (2, 77), (3, 77), (1, 88), (1, 99)) t(a, b)
+        |ORDER BY a, b""".stripMargin,
+
+    "q_logspace" ->
+      """SELECT CAST(x AS DOUBLE) AS x FROM (VALUES
+        |  (CAST(1.0 AS DOUBLE)), (CAST(3.1622776601683795 AS DOUBLE)),
+        |  (CAST(10.0 AS DOUBLE)), (CAST(31.622776601683793 AS DOUBLE)),
+        |  (CAST(100.0 AS DOUBLE))) t(x)
+        |ORDER BY x""".stripMargin,
+
+    "q_intspace" ->
+      """SELECT CAST(n AS BIGINT) AS n
+        |FROM (VALUES (1), (6), (10), (15), (20)) t(n) ORDER BY n""".stripMargin,
+
+    "q_flatten_dict" ->
+      """SELECT CAST(1 AS BIGINT) AS a, CAST(2 AS BIGINT) AS b_c,
+        |       CAST(3 AS BIGINT) AS b_d_e""".stripMargin,
+
+    "q_pset_hash" ->
+      """SELECT * FROM (VALUES
+        |  ('t1', '7aa972c7d703b159df332e05a51e5a45060ccffd'),
+        |  ('t2', 'c80d285ec311e3a09d76b88e26cf57070c0ce2ec')) t("case", h)
+        |ORDER BY "case"""".stripMargin,
+
+    "q_filter_cols" ->
+      """SELECT CAST(a AS BIGINT) AS a FROM (VALUES (2), (5)) t(a)
+        |ORDER BY a""".stripMargin,
+
+    "q_run_sweep" ->
+      """SELECT CAST(a AS BIGINT) AS a,
+        |  CASE WHEN a % 3 <> 0 THEN CAST(a * 10.0 AS DOUBLE) END AS result_,
+        |  a % 3 = 0 AS "_failed",
+        |  CAST(a AS BIGINT) AS "_pset_seq",
+        |  CAST(0 AS BIGINT) AS "_run_seq"
+        |FROM range(0, 10) t(a) ORDER BY a""".stripMargin,
+
+    "q_run_incremental" ->
+      """SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(a * 10.0 AS DOUBLE) AS result_,
+        |  CAST(r AS BIGINT) AS "_run_seq"
+        |FROM (VALUES (1, NULL, 0), (2, NULL, 0),
+        |             (1, 10, 1), (2, 10, 1), (3, 10, 1)) t(a, b, r)
+        |ORDER BY a, b NULLS FIRST""".stripMargin,
+
+    "q_run_logs" ->
+      """SELECT CAST(a AS BIGINT) AS a,
+        |  'pset a=' || a || chr(10) AS "_logs"
+        |FROM range(1, 4) t(a) ORDER BY a""".stripMargin,
+
+    "q_run_simulate" ->
+      """SELECT CAST(a AS BIGINT) AS a, CAST(0 AS BIGINT) AS "_run_seq",
+        |  CAST(a - 1 AS BIGINT) AS "_pset_seq"
+        |FROM range(1, 3) t(a) ORDER BY a""".stripMargin,
+
+    "q_check_calc_dir" ->
+      """SELECT id AS "_pset_id", side FROM (VALUES
+        |  ('00000000-0000-4000-8000-000000000003', 'db_not_disk'),
+        |  ('00000000-0000-4000-8000-000000000001', 'disk_not_db')) t(id, side)
+        |ORDER BY side, id""".stripMargin
+  )
+}
+
+/** Small helper so queries can hash an explicit column subset. */
+object PsetHashExpressionHelper {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftshim.shim
+
+  def hashOf(cols: Seq[String]): Column =
+    shim.column(PsetHashExpression(
+      shim.expression(struct(cols.sorted.map(col): _*))))
+}

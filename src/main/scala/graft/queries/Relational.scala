@@ -1,0 +1,341 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Database
+
+/** The delegated relational surface (SURVEY §2 rows marked [delegated]):
+  * the filtering / projection / join / aggregation / set-op / window /
+  * sort queries psweep hands to pandas and this engine serves natively
+  * with Spark SQL, exercised over the driver's TPC-H-ish tables.
+  *
+  * Cross-engine determinism conventions (DuckDB oracle parity):
+  *   - every query ends in a total ORDER BY;
+  *   - double aggregates round to cents with pure double arithmetic
+  *     (`floor(x*100 + 0.5)` — engine-native `round` differs between
+  *     engines on half-cases), accumulate as exact longs, divide once;
+  *   - averages are exact-sum / count (one double division), never
+  *     engine-native avg(double).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries nanosecond Parquet timestamps, which Spark
+    * rejects by default; read `ts` as nano-longs and convert to micros
+    * (truncation — same as DuckDB's ns->us handling). */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Exact cross-engine sum of a double expression: round to cents with
+    * pure double arithmetic (`floor(x*100 + 0.5)` — identical IEEE ops in
+    * every engine, unlike engine-native `round`), accumulate as exact
+    * longs, divide once at the end. */
+  private def dsum(c: Column): Column =
+    (sum(floor(c * 100 + lit(0.5)).cast("long")).cast("double") / lit(100.0))
+
+  private def davg(c: Column): Column =
+    (sum(floor(c * 100 + lit(0.5)).cast("long")).cast("double") / lit(100.0) /
+      count(lit(1)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P8: boolean predicate filter + projection (pushed to parquet)
+    "q_filter_proj" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+          col("l_quantity") < 25 && col("l_discount") > 0.02)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // P1: df_filter_conds fused masks — (A and B) xor C
+    "q_filter_conds_xor" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Database.dfFilterConds(li,
+        Seq(col("l_quantity") > 30 && col("l_discount") < 0.05,
+          col("l_extendedprice") > 30000), "xor")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // A6/A7: grouped aggregation (the TPC-H Q1 shape)
+    "q_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // J5-style multi-way join with broadcast dims (TPC-H Q5 shape)
+    "q_join_stars" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = broadcast(t(s, dir, "customer"))
+      val nation = broadcast(t(s, dir, "nation"))
+      val region = broadcast(t(s, dir, "region"))
+      orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // left_semi: customers having a big order (EXISTS)
+    "q_join_semi" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+      customer.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // left_anti: customers with no orders at all (NOT EXISTS) — the J1
+    // dedup anti-join shape on relational data
+    "q_join_anti" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J2/A2: dedup keeping first — one row per orderkey, lowest linenumber
+    "q_dedup_first" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_partkey"), col("l_suppkey"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // window functions: rank within group + running sum
+    "q_window_rank" -> ((s, dir) => {
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("order_rank", row_number().over(byCust))
+        .withColumn("running_spend",
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+            .over(byCust.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double") / lit(100.0))
+        .filter(col("o_custkey") < 20)
+        .select(col("o_custkey"), col("o_orderkey"), col("order_rank"),
+          col("running_spend"))
+        .orderBy(col("o_custkey"), col("order_rank"))
+    }),
+
+    // E8: union of two slices (append semantics)
+    "q_union_slices" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val b = o.filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      a.unionByName(b)
+        .groupBy().agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(col("n"), col("total"))
+    }),
+
+    // set ops: custkeys ordering in 1994 but not in 1995 (EXCEPT)
+    "q_except_years" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val y94 = o.filter(year(col("o_orderdate")) === 1994)
+        .select(col("o_custkey")).distinct()
+      val y95 = o.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey")).distinct()
+      y94.except(y95).orderBy(col("o_custkey"))
+    }),
+
+    // sort + limit: top 10 orders, deterministic tiebreak
+    "q_top_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10)
+    }),
+
+    // distinct projection
+    "q_distinct" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // G2 relational analog: small cross join
+    "q_cross_small" -> ((s, dir) => {
+      val r = t(s, dir, "region").select(col("r_name"))
+      val n = t(s, dir, "nation").select(col("n_name"))
+      r.crossJoin(n).orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // time bucketing over the events table (batch form of the streaming
+    // tumbling-window aggregate)
+    "q_events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // JSON extraction from the events props column
+    "q_events_json" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A1/A3-style: per-group max + latest-partition filter
+    "q_latest_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val latest = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_date"))
+      o.join(latest, Seq("o_custkey"))
+        .filter(col("o_orderdate") === col("last_date"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_filter_proj" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+        |  AND l_quantity < 25 AND l_discount > 0.02
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_conds_xor" ->
+      """SELECT l_orderkey, l_linenumber
+        |FROM lineitem
+        |WHERE ((l_quantity > 30 AND l_discount < 0.05) <> (l_extendedprice > 30000))
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+        |  CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_stars" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_dedup_first" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey, l_suppkey) AS rn
+        |  FROM lineitem) WHERE rn = 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER w AS order_rank,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 100.0 AS running_spend
+        |FROM orders
+        |WHERE o_custkey < 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_rank""".stripMargin,
+
+    "q_union_slices" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+        |)""".stripMargin,
+
+    "q_except_years" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_top_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_cross_small" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT event_type, SUM(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_latest_orders" ->
+      """SELECT o_orderstatus, COUNT(*) AS n
+        |FROM orders o
+        |JOIN (SELECT o_custkey, MAX(o_orderdate) AS last_date
+        |      FROM orders GROUP BY o_custkey) m
+        |  ON o.o_custkey = m.o_custkey AND o.o_orderdate = m.last_date
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
+  )
+}
