@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, Text}
+
+/** The training-data pipeline operators (dedup / similarity / multimodal /
+  * text analysis) exposed as driver-verifiable queries over the documents
+  * and embeddings tables. SQL-expressible ones carry DuckDB oracles;
+  * hash-based ones (MinHash/SimHash/LSH — engine hash functions are not
+  * portable) are rows-only here and cross-verified against their exact
+  * counterparts in the ScalaTest suite instead.
+  */
+object TrainingData {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private val stop = Seq("the", "a", "data", "value")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // text statistics: tokens / chars / vocabulary richness / mean token len
+    "q_doc_stats" -> ((s, dir) => {
+      docs(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          Text.charCount(col("text")).as("n_chars"),
+          Text.typeTokenRatio(col("text")).as("ttr"),
+          Text.meanTokenLen(col("text")).as("mean_tok_len"),
+          Text.stopwordRatio(col("text"), stop).as("stop_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // composite quality score + threshold filter
+    "q_doc_quality" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.7)
+        .orderBy(col("doc_id"))
+    }),
+
+    // stopword-profile language id, aggregated
+    "q_doc_langid" -> ((s, dir) => {
+      docs(s, dir)
+        .select(Text.langId(col("text")).as("pred_lang"))
+        .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("pred_lang"))
+    }),
+
+    // canonical-text fingerprint (exact-dedup key)
+    "q_doc_fingerprint" -> ((s, dir) => {
+      docs(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact duplicate groups (empty at SFs without injected dups — still
+    // verified: oracle is empty too)
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir)).orderBy(col("fp"))),
+
+    // corpus-level dedup statistics (non-empty at every SF)
+    "q_dedup_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      Dedup.exactDedup(d)
+        .agg(count(lit(1)).as("n_unique"))
+        .withColumn("n_total", lit(n))
+        .select(col("n_total"), col("n_unique"))
+    }),
+
+    // near-dup pairs by exact 3-gram Jaccard via shingle inverted index
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.5)
+        .withColumn("jaccard", floor(col("jaccard") * 1e6) / 1e6)
+        .orderBy(col("id1"), col("id2"))),
+
+    // MinHash + LSH banding, verified with exact Jaccard (rows-only here;
+    // recall vs q_dedup_ngram asserted in DedupSpec)
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), n = 3, numHashes = 64,
+        bands = 16, threshold = 0.5)
+        .withColumn("jaccard", floor(col("jaccard") * 1e6) / 1e6)
+        .orderBy(col("id1"), col("id2"))),
+
+    // SimHash near-dup candidates (rows-only)
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))),
+
+    // brute-force exact top-5 cosine neighbors for 3 query vectors
+    "q_embed_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      Similarity.bruteForceTopK(e, q, k = 5)
+        .withColumn("score", floor(col("score") * 1e4) / 1e4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // embedding-cosine near-dup pairs above threshold
+    "q_embed_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(emb(s, dir).filter(col("vec_id") < 300), 0.4)
+        .withColumn("score", floor(col("score") * 1e4) / 1e4)
+        .orderBy(col("id1"), col("id2"))),
+
+    // LSH-bucketed approximate top-k (rows-only; recall vs brute force
+    // asserted in SimilaritySpec)
+    "q_embed_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      Similarity.lshTopK(e, q, k = 5)
+        .withColumn("score", floor(col("score") * 1e4) / 1e4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // multimodal asset metadata (payload stays columnar-pruned away)
+    "q_multimodal_meta" -> ((s, dir) => {
+      Multimodal.toAssets(docs(s, dir)).filter(col("asset_id") < 50)
+        .select(col("asset_id"), col("meta.modality"), col("meta.byte_len"))
+        .orderBy(col("asset_id"))
+    }),
+
+    // batched stub decode + feature extraction (rows-only: checksum and
+    // histogram are engine-side definitions)
+    "q_multimodal_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+        Multimodal.toAssets(docs(s, dir).filter(col("doc_id") < 50)))
+        .orderBy(col("asset_id"))
+    }),
+
+    // frame-sampling stub over byte payloads (rows-only)
+    "q_multimodal_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.toAssets(docs(s, dir).filter(col("doc_id") < 10)),
+        frameSize = 64, stride = 2)
+        .orderBy(col("asset_id"), col("frame_idx"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_doc_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS l
+        |           FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  len(l) AS n_tokens,
+        |  length(text) AS n_chars,
+        |  CAST(len(list_distinct(l)) AS DOUBLE) / CAST(len(l) AS DOUBLE) AS ttr,
+        |  CAST(length(text) - len(l) + 1 AS DOUBLE) / CAST(len(l) AS DOUBLE)
+        |    AS mean_tok_len,
+        |  CAST(len(list_filter(l, x -> x IN ('the', 'a', 'data', 'value')))
+        |       AS DOUBLE) / CAST(len(l) AS DOUBLE) AS stop_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_doc_quality" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS l
+        |           FROM documents),
+        |q AS (SELECT doc_id,
+        |  (least(CAST(len(l) AS DOUBLE) / 64.0, 1.0) * 0.5) +
+        |  ((CAST(len(list_distinct(l)) AS DOUBLE) / CAST(len(l) AS DOUBLE)) * 0.5)
+        |    AS quality
+        |FROM t)
+        |SELECT doc_id, quality FROM q WHERE quality >= 0.7
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_langid" ->
+      """WITH t AS (SELECT string_split_regex(text, '\s+') AS l FROM documents),
+        |s AS (SELECT
+        |  len(list_filter(l, x -> x IN ('the', 'a', 'of', 'and'))) AS s_en,
+        |  len(list_filter(l, x -> x IN ('der', 'und', 'nicht'))) AS s_de,
+        |  len(list_filter(l, x -> x IN ('el', 'los', 'que'))) AS s_es
+        |FROM t),
+        |p AS (SELECT CASE
+        |  WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |  WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+        |  WHEN s_es > 0 THEN 'es'
+        |  ELSE 'unknown' END AS pred_lang FROM s)
+        |SELECT pred_lang, COUNT(*) AS n FROM p GROUP BY pred_lang
+        |ORDER BY pred_lang""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  COUNT(*) AS n, MIN(doc_id) AS keep_id,
+        |  list(doc_id ORDER BY doc_id) AS member_ids
+        |FROM documents
+        |GROUP BY 1 HAVING COUNT(*) > 1
+        |ORDER BY fp""".stripMargin,
+
+    "q_dedup_stats" ->
+      """SELECT COUNT(*) AS n_total,
+        |  COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+        |    AS n_unique
+        |FROM documents""".stripMargin,
+
+    "q_dedup_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        |  FROM toks WHERE len(t) >= 3
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+        |  WHERE len(shingles) > 0
+        |), pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter,
+        |         ANY_VALUE(a.n) AS n1, ANY_VALUE(b.n) AS n2
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id1, id2,
+        |  floor(CAST(inter AS DOUBLE) / (n1 + n2 - inter) * 1e6) / 1e6 AS jaccard
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q_embed_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding, q.qv) AS raw
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, raw,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY raw DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, floor(raw * 1e4) / 1e4 AS score,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_pairs" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  floor(list_cosine_similarity(a.embedding, b.embedding) * 1e4) / 1e4
+        |    AS score
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 300 AND b.vec_id < 300
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS asset_id, 'image' AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |FROM documents WHERE doc_id < 50 ORDER BY asset_id""".stripMargin
+  )
+}

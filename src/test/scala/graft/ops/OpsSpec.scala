@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-verification of the hash-based training-data operators against
+  * their exact counterparts (the in-repo analog of the driver's oracle for
+  * the non-SQL-expressible ops), plus determinism checks.
+  */
+class OpsSpec extends AnyFunSuite {
+  import graft.SparkSpec.spark
+
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("minhash-LSH recall vs exact n-gram Jaccard at threshold 0.5") {
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 3, 64, 16, 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain near-dups at 0.5")
+    // LSH output is verified with exact Jaccard, so no false positives...
+    assert(lsh.subsetOf(exact))
+    // ...and banding 64/16 (b=16, r=4 -> ~(1-(1-s^4)^16)) makes missing a
+    // 0.5-Jaccard pair unlikely; require high recall on this corpus
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("simhash: identical texts collide, near-dups are close") {
+    val fp = docs.limit(1).select(Text.tokens(col("text")).as("t"))
+      .select(Dedup.simhash64(col("t")).as("f1"),
+        Dedup.simhash64(col("t")).as("f2")).head()
+    assert(fp.getLong(0) == fp.getLong(1))
+    // pairs found by simhash banding at hamming<=3 share high jaccard
+    val pairs = Dedup.simhashPairs(docs, 3).collect()
+    assert(pairs.nonEmpty)
+  }
+
+  test("exact dedup keeps one row per fingerprint") {
+    val d = Dedup.exactDedup(docs)
+    assert(d.count() ==
+      docs.select(Text.fingerprint(col("text"))).distinct().count())
+  }
+
+  test("LSH ANN finds planted near-duplicates (the regime LSH serves)") {
+    // This corpus's true neighbors are only ~0.4 cosine — random-hyperplane
+    // LSH rightly can't bucket those together. Plant genuine near-dups
+    // (tiny perturbations, cos > 0.99) and require LSH to find them.
+    import scala.jdk.CollectionConverters._
+    val base = emb.filter(col("vec_id") < 3).collect()
+    val planted = base.flatMap { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1)
+      (1 to 3).map { j =>
+        org.apache.spark.sql.Row(10000L + id * 10 + j,
+          v.toSeq.zipWithIndex.map { case (x, i) =>
+            x + (if (i == j) 0.001f else 0f) }, r.getInt(2))
+      }
+    }
+    val plantedDF = spark.createDataFrame(planted.toSeq.asJava, emb.schema)
+    val corpus = emb.unionByName(plantedDF)
+    val q = emb.filter(col("vec_id") < 3)
+    val ann = Similarity.lshTopK(corpus, q, 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 3L).flatMap(id =>
+      (1 to 3).map(j => (id, 10000L + id * 10 + j))).toSet
+    val recall = ann.intersect(expected).size.toDouble / expected.size
+    assert(recall >= 0.8, s"planted-neighbor recall $recall")
+  }
+
+  test("cosine is symmetric and self-similarity is 1") {
+    val one = emb.filter(col("vec_id") === 0)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .head().getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-9)
+  }
+
+  test("multimodal features are deterministic and complete") {
+    val assets = Multimodal.toAssets(docs.filter(col("doc_id") < 20))
+    val f1 = Multimodal.extractFeatures(assets).orderBy("asset_id").collect()
+    val f2 = Multimodal.extractFeatures(assets).orderBy("asset_id").collect()
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.length == 20)
+    // histogram sums to byte_len
+    f1.foreach { r =>
+      assert(r.getAs[Seq[Long]]("histogram").sum == r.getAs[Long]("byte_len"))
+    }
+  }
+
+  test("frame sampling covers the payload with the right stride") {
+    val assets = Multimodal.toAssets(docs.filter(col("doc_id") === 0))
+    val frames = Multimodal.sampleFrames(assets, 64, 2).collect()
+    val nChars = docs.filter(col("doc_id") === 0)
+      .select(length(col("text"))).head().getInt(0)
+    val nChunks = (nChars + 63) / 64
+    assert(frames.length == (nChunks + 1) / 2)
+  }
+
+  test("langId prefers en on this corpus; quality in [0,1]") {
+    val preds = docs.select(Text.langId(col("text")).as("p"))
+      .groupBy("p").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(preds.getOrElse("en", 0L) > preds.values.sum / 2)
+    val q = docs.select(Text.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).head()
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+  }
+}
