@@ -138,6 +138,20 @@ object Core {
         .orderBy(col("a"))
     }),
 
+    // B1: template rendering (jinja + dollar modes) over a grid
+    "q_template_render" -> ((s, _) => {
+      val params = Grid.pgrid(Grid.plist("param_a", Seq(1, 2, 3)),
+        Grid.plist("param_b", Seq("xx", "yy")))
+      val rows = params.map { p =>
+        p ++ Map[String, Any](
+          "jinja_" -> graft.batch.Batch.FileTemplate.render(
+            "a={{ param_a }} b={{ param_b }}", p, "jinja"),
+          "dollar_" -> graft.batch.Batch.FileTemplate.render(
+            "a=$param_a b=${param_b}", p, "dollar"))
+      }
+      ValueSchema.toDF(s, rows).orderBy(col("param_a"), col("param_b"))
+    }),
+
     // S11/J4: calc-dir consistency scan as two anti-joins
     "q_check_calc_dir" -> ((s, _) => {
       val calc = freshDir()
@@ -228,6 +242,14 @@ object Core {
       """SELECT CAST(a AS BIGINT) AS a, CAST(0 AS BIGINT) AS "_run_seq",
         |  CAST(a - 1 AS BIGINT) AS "_pset_seq"
         |FROM range(1, 3) t(a) ORDER BY a""".stripMargin,
+
+    "q_template_render" ->
+      """SELECT CAST(a AS BIGINT) AS param_a, b AS param_b,
+        |  'a=' || a || ' b=' || b AS jinja_,
+        |  'a=' || a || ' b=' || b AS dollar_
+        |FROM range(1, 4) t(a)
+        |CROSS JOIN (VALUES ('xx'), ('yy')) u(b)
+        |ORDER BY param_a, param_b""".stripMargin,
 
     "q_check_calc_dir" ->
       """SELECT id AS "_pset_id", side FROM (VALUES

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surfaces of the engine.
+  *
+  * The reference wishes for "a thread that periodically checks and collects
+  * results into a global df" over its tmpsave side-outputs
+  * (ref psweep.py:1190-1194) — here that niche is a first-class streaming
+  * query over the tmpsave sink directory: each finished pset appears as one
+  * JSON file (crash-resilient task checkpoint, SURVEY §2 S6), and the
+  * monitor folds them into live per-run progress without touching the main
+  * database.
+  *
+  * [[eventsWindowed]] is the standard watermarked tumbling-window
+  * aggregation over an event stream — the streaming twin of the batch
+  * `q_events_hourly` query.
+  */
+object Monitor {
+
+  /** Minimal schema every tmpsave checkpoint carries (user result columns
+    * are ignored by the monitor). */
+  val tmpsaveSchema: StructType = StructType(Seq(
+    StructField("_run_id", StringType),
+    StructField("_pset_id", StringType),
+    StructField("_pset_seq", LongType),
+    StructField("_pset_runtime", DoubleType)))
+
+  /** Per-run progress stream over `calcDir/tmpsave/<runId>/<psetId>.json`
+    * files: (run_id, n_done, mean_runtime). */
+  def tmpsaveProgress(spark: SparkSession, calcDir: String): DataFrame =
+    spark.readStream
+      .schema(tmpsaveSchema)
+      .option("maxFilesPerTrigger", "1000")
+      .json(s"$calcDir/tmpsave/*/")
+      .withColumn("run_id",
+        regexp_extract(input_file_name(), "tmpsave/([^/]+)/", 1))
+      .groupBy(col("run_id"))
+      .agg(count(lit(1)).as("n_done"),
+        avg(col("_pset_runtime")).as("mean_runtime"))
+
+  /** Start the progress monitor into an in-memory table. */
+  def startProgress(spark: SparkSession, calcDir: String,
+                    queryName: String = "graft_progress"): StreamingQuery =
+    tmpsaveProgress(spark, calcDir).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
+  /** Watermarked tumbling-window aggregation over a timestamped event
+    * stream: (window, event_type, n, value_sum). */
+  def eventsWindowed(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+}
