@@ -115,6 +115,18 @@ class Database(val spark: SparkSession, val calcDir: String,
       .write.mode("overwrite")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
       .json(outPath)
+
+  /** Read a JSON-format database back (the S3 alternate format,
+    * ref psweep.py:454-512). JSON is the lossy format — ints widen to
+    * long, timestamps need the schema to round-trip (mirrors the
+    * reference's documented JSON type-loss caveats,
+    * ref tests/test_all.py:357-363). */
+  def readJson(path: String,
+               schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
 }
 
 object Database {

@@ -141,6 +141,7 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
     // 3.1-9: identity assignment — fresh run id; collision-checked pset ids
     // (ref psweep.py:1441-1450).
     val runId = UUID.randomUUID().toString
+    if (cfg.git) Git.noteRun(runId)
     var psetIds = keptIdx.map(_ => UUID.randomUUID().toString)
     var colliding = db.existingAmong("_pset_id", psetIds)
     while (colliding.nonEmpty) {

@@ -114,8 +114,10 @@ object ValueSchema {
     case (b: Array[Byte], BinaryType) => b
     case (m: scala.collection.Map[_, _], st: StructType) =>
       val mm = m.map { case (k, vv) => k.toString -> vv }
-      Row.fromSeq(st.fields.toSeq.map(f =>
-        mm.get(f.name).map(normalize(_, f.dataType)).orNull))
+      // schema-carrying Row: the canonical hash encoder needs field names
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        st.fields.toSeq.map(f =>
+          mm.get(f.name).map(normalize(_, f.dataType)).orNull).toArray, st)
     case (s: Iterable[_], ArrayType(et, _)) => s.toSeq.map(normalize(_, et))
     case (a: Array[_], ArrayType(et, _)) => a.toSeq.map(normalize(_, et))
     case (other, t) =>

@@ -1,0 +1,87 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DatabaseSpec extends AnyFunSuite {
+  import graft.SparkSpec.{spark, tmpDir}
+
+  private def mkDb(): (Database, String) = {
+    val calc = tmpDir("graft-dbspec-")
+    Study(spark, calc).run(
+      p => Map("r_" -> p("a").asInstanceOf[Long] * 2.0),
+      Grid.plist("a", Seq(1, 2, 3)))
+    (Database(spark, calc), calc)
+  }
+
+  test("printableDF: sorted columns, prefix hidden by default (P3)") {
+    val (db, _) = mkDb()
+    val p = Database.printableDF(db.read())
+    assert(p.columns.toSeq == Seq("a", "r_"))
+    val withPrefix = Database.printableDF(db.read(), prefixCols = true)
+    assert(withPrefix.columns.toSeq == withPrefix.columns.toSeq.sorted)
+    assert(withPrefix.columns.contains("_pset_hash"))
+    val skip = Database.printableDF(db.read(), skipCols = Seq("r_"))
+    assert(skip.columns.toSeq == Seq("a"))
+  }
+
+  test("extractRow/extractPset: point lookup asserts uniqueness (P6)") {
+    val (db, _) = mkDb()
+    val id = db.read().filter(col("a") === 2).select("_pset_id")
+      .head().getString(0)
+    val row = Database.extractRow(db.read(), id)
+    assert(row.getAs[Long]("a") == 2L)
+    val pset = Database.extractPset(db.read(), id)
+    assert(pset == Map("a" -> 2L))
+    intercept[IllegalArgumentException] {
+      Database.extractRow(db.read(), "no-such-id")
+    }
+  }
+
+  test("existingAmong: dedup membership via semi-join (J1)") {
+    val (db, _) = mkDb()
+    val hashes = db.read().select("_pset_hash").collect().map(_.getString(0))
+    val found = db.existingAmong("_pset_hash", hashes.take(2).toSeq :+ "nope")
+    assert(found == hashes.take(2).toSet)
+    assert(db.existingAmong("no_such_col", Seq("x")).isEmpty)
+  }
+
+  test("dfFilterConds: and/or/xor fusion (P1)") {
+    val (db, _) = mkDb()
+    val d = db.read()
+    assert(Database.dfFilterConds(d,
+      Seq(col("a") > 1, col("a") < 3), "and").count() == 1)
+    assert(Database.dfFilterConds(d,
+      Seq(col("a") === 1, col("a") === 3), "or").count() == 2)
+    assert(Database.dfFilterConds(d,
+      Seq(col("a") > 1, col("a") < 3), "xor").count() == 2)
+    intercept[IllegalArgumentException] {
+      Database.dfFilterConds(d, Seq(col("a") > 1), "nand")
+    }
+  }
+
+  test("counters on empty database") {
+    val db = Database(spark, tmpDir("graft-empty-"))
+    assert(!db.exists)
+    assert(db.counters() == (-1L, -1L))
+    assert(db.existingAmong("_pset_hash", Seq("x")).isEmpty)
+  }
+
+  test("git integration: auto-commit before, run-id commit after (E10)") {
+    val root = tmpDir("graft-git-")
+    import scala.sys.process._
+    Process(Seq("git", "init", "-q"), new java.io.File(root)).!
+    Process(Seq("git", "config", "user.email", "t@t"), new java.io.File(root)).!
+    Process(Seq("git", "config", "user.name", "t"), new java.io.File(root)).!
+    Fs.writeString(s"$root/untracked.txt", "dirty")
+    Study(spark, StudyConfig(calcDir = root, git = true))
+      .run(p => Map("r_" -> 1.0), Grid.plist("a", Seq(1)))
+    val log = Process(Seq("git", "log", "--oneline"),
+      new java.io.File(root)).!!
+    assert(log.contains("graft: auto commit"))
+    assert(log.contains("graft: run_id="))
+    val status = Process(Seq("git", "status", "--porcelain"),
+      new java.io.File(root)).!!
+    assert(status.trim.isEmpty, s"work tree should be clean: $status")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Physical-plan quality gates: these assert the *shape* of the plans that
+  * matters at 100 TB — filters reaching the parquet scan, column pruning,
+  * broadcast joins for small dimensions, partial aggregation — so a
+  * regression that silently turns a broadcast join into a shuffle join or
+  * widens a scan fails CI, not the cluster bill.
+  */
+class PlanSpec extends AnyFunSuite {
+  import graft.SparkSpec.spark
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q_filter_proj: predicates push to the parquet scan, schema pruned") {
+    val p = plan("q_filter_proj")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThan(l_shipdate") || p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("LessThan(l_quantity"))
+    // only the 5 referenced columns are read, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(readSchema.split(",").length <= 5, readSchema)
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_partkey"))
+  }
+
+  test("q_agg_pricing: partial aggregation before the exchange") {
+    val p = plan("q_agg_pricing")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0)
+    // two HashAggregates (partial + final) around one Exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(p.contains("Exchange"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q_join_stars: dimension joins are broadcast, no shuffle join") {
+    val p = plan("q_join_stars")
+    // three dimension joins, all broadcast, none shuffle-based
+    assert("BroadcastHashJoin Inner".r.findAllIn(p).length == 3, p)
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("ShuffledHashJoin"))
+  }
+
+  test("q_join_semi / q_join_anti plan as semi/anti hash joins") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("dedup anti-join in the sweep pipeline is column-pruned") {
+    // the skip-dups semi-join reads only _pset_hash from the database
+    val calc = graft.SparkSpec.tmpDir("graft-plan-")
+    val study = graft.core.Study(spark,
+      graft.core.StudyConfig(calcDir = calc, skipDups = true))
+    study.run(p => Map("r_" -> 1.0), graft.core.Grid.plist("a", Seq(1, 2)))
+    val db = study.database.read()
+    val pruned = db.select("_pset_hash")
+    val p = pruned.queryExecution.explainString(FormattedMode)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(readSchema.contains("_pset_hash"))
+    assert(!readSchema.contains("r_"), readSchema)
+  }
+
+  test("q_dedup_ngram: count-table joins stay broadcast under AQE") {
+    val df = SparkEntry.queries("q_dedup_ngram")(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin") || p.contains("Exchange"))
+  }
+
+  test("whole-stage codegen spans the relational hot paths") {
+    val df = SparkEntry.queries("q_agg_pricing")(spark, sf)
+    df.collect() // let AQE finalize
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p) // codegen'd stage markers, e.g. *(2) HashAggregate
+  }
+}
