@@ -138,6 +138,21 @@ object Core {
         .orderBy(col("a"))
     }),
 
+    // A7: repeat-same-params pattern — run the same grid twice (no
+    // skip_dups), then aggregate per _pset_hash ("sample more data for
+    // the same psets", ref manual.md:473-495)
+    "q_run_repeat" -> ((s, _) => {
+      val calc = freshDir()
+      val study = Study(s, StudyConfig(calcDir = calc))
+      study.run(f10, Grid.plist("a", Seq(1, 2, 3)))
+      val out = study.run(f10, Grid.plist("a", Seq(1, 2, 3)))
+      out.db.groupBy(col("_pset_hash"))
+        .agg(min(col("a")).as("a"), count(lit(1)).as("n_samples"),
+          avg(col("result_")).as("avg_result"))
+        .select(col("a"), col("n_samples"), col("avg_result"))
+        .orderBy(col("a"))
+    }),
+
     // B1: template rendering (jinja + dollar modes) over a grid
     "q_template_render" -> ((s, _) => {
       val params = Grid.pgrid(Grid.plist("param_a", Seq(1, 2, 3)),
@@ -242,6 +257,11 @@ object Core {
       """SELECT CAST(a AS BIGINT) AS a, CAST(0 AS BIGINT) AS "_run_seq",
         |  CAST(a - 1 AS BIGINT) AS "_pset_seq"
         |FROM range(1, 3) t(a) ORDER BY a""".stripMargin,
+
+    "q_run_repeat" ->
+      """SELECT CAST(a AS BIGINT) AS a, CAST(2 AS BIGINT) AS n_samples,
+        |  CAST(a * 10.0 AS DOUBLE) AS avg_result
+        |FROM range(1, 4) t(a) ORDER BY a""".stripMargin,
 
     "q_template_render" ->
       """SELECT CAST(a AS BIGINT) AS param_a, b AS param_b,
