@@ -74,6 +74,21 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
 
   def database: Database = Database(spark, effCalcDir, cfg.databaseBasename)
 
+  /** The repeat-failed pattern as first-class API (ref manual.md:891-944,
+    * examples/repeat_failed.py): extract the psets of failed rows and
+    * re-run them — their hashes equal the failed originals, so with
+    * `skipDups` the successful rows are never recomputed. */
+  def repeatFailed(func: Pset => Pset): RunOutput = {
+    val db = database.read()
+    require(db.columns.contains("_failed"),
+      "no _failed column — run with failSafe=true first")
+    val failed = Database.extractParams(
+      db.filter(org.apache.spark.sql.functions.col("_failed")))
+    // the failed rows' hashes are already in the database, so the rerun
+    // must not dedup against them — recomputation is the point
+    new Study(spark, cfg.copy(skipDups = false)).run(func, failed)
+  }
+
   /** Run `func` over `params`; returns the updated database. */
   def run(func: Pset => Pset, params: Seq[Pset]): RunOutput = {
     // 3.1-3: simulate sandbox — copy the database (only) aside and work

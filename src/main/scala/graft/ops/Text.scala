@@ -66,8 +66,86 @@ object Text {
   }
 
   /** Canonical-text fingerprint: lowercase, collapse whitespace, trim,
-    * md5 — the exact-dedup key (rolling-hash shingle fingerprints live in
-    * [[Dedup]]). */
+    * md5 — the exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Winnowing document fingerprint (the rolling-hash scheme of
+    * Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003): rolling hash over character k-grams,
+    * keep the minimum hash of every window of `w` consecutive k-grams
+    * (rightmost on ties), distinct. Two documents sharing any sufficiently
+    * long substring share fingerprint hashes — robust to edits in a way
+    * the whole-document md5 is not. */
+  def winnowingFingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
+    org.apache.spark.sql.graftshim.shim.column(
+      WinnowFingerprint(
+        org.apache.spark.sql.graftshim.shim.expression(text), k, w))
+}
+
+/** One-pass winnowing fingerprint expression: canonicalize (lowercase,
+  * collapse whitespace), polynomial rolling hash over char k-grams,
+  * window minima, distinct sorted output (`array<long>`).
+  */
+case class WinnowFingerprint(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    k: Int, w: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
+
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  private val B = 1000000007L
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString.toLowerCase.replaceAll("\\s+", " ").trim
+    if (s.length < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    // rolling polynomial hash of each k-gram
+    var pow = 1L
+    (1 until k).foreach(_ => pow = pow * B)
+    val n = s.length - k + 1
+    val hs = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - s.charAt(i - 1) * pow) * B + s.charAt(i + k - 1)
+      hs(i) = h
+      i += 1
+    }
+    // winnowing: min of each window of w hashes, rightmost wins ties;
+    // a text shorter than one window contributes its single minimum
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val lastStart = math.max(0, n - w)
+    var start = 0
+    while (start <= lastStart) {
+      val end = math.min(start + w, n)
+      var minIdx = start
+      var j = start + 1
+      while (j < end) {
+        if (hs(j) <= hs(minIdx)) minIdx = j
+        j += 1
+      }
+      sel.add(hs(minIdx))
+      start += 1
+    }
+    val arr = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var idx = 0
+    while (it.hasNext) { arr(idx) = it.next().longValue(); idx += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
 }

@@ -116,15 +116,18 @@ object Relational {
         .orderBy(col("c_custkey"))
     }),
 
-    // J2/A2: dedup keeping first — one row per orderkey, lowest linenumber
+    // J2/A2: dedup keeping first — one row per orderkey, lowest
+    // (linenumber, ...) tiebreak. min_by over an ordering struct instead
+    // of a row_number window: partially aggregatable (map-side combine),
+    // so no per-group sort and the shuffle carries one row per key.
     "q_dedup_first" -> ((s, dir) => {
-      val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_linenumber"), col("l_quantity"),
-          col("l_extendedprice"), col("l_partkey"), col("l_suppkey"))
+      val ord = struct(col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_partkey"), col("l_suppkey"))
       t(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .groupBy(col("l_orderkey"))
+        .agg(min_by(struct(col("l_linenumber"), col("l_quantity")), ord)
+          .as("f"))
+        .select(col("l_orderkey"), col("f.l_linenumber"), col("f.l_quantity"))
         .orderBy(col("l_orderkey"))
     }),
 
@@ -204,6 +207,27 @@ object Relational {
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
         .orderBy(col("event_type"))
+    }),
+
+    // sessionization over the event stream (gap > 30 min starts a new
+    // session) — the batch form of stateful session windows
+    "q_events_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .filter(col("user_id") < 20)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
     }),
 
     // A1/A3-style: per-group max + latest-partition filter
@@ -328,6 +352,28 @@ object Relational {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id < 20
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "q_latest_orders" ->
       """SELECT o_orderstatus, COUNT(*) AS n

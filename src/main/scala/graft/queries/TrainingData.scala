@@ -58,6 +58,16 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // winnowing rolling-hash fingerprints (rows-only: polynomial hash is
+    // engine-defined; overlap behavior asserted in OpsSpec)
+    "q_doc_winnow" -> ((s, dir) => {
+      docs(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          Text.winnowingFingerprint(col("text")).as("fp_hashes"))
+        .withColumn("n_hashes", size(col("fp_hashes")))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact duplicate groups (empty at SFs without injected dups — still
     // verified: oracle is empty too)
     "q_dedup_exact" -> ((s, dir) =>

@@ -99,6 +99,49 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.length == (nChunks + 1) / 2)
   }
 
+  test("winnowing fingerprint: near-dups overlap, distinct docs don't") {
+    val fp = docs.select(col("doc_id"),
+      Text.winnowingFingerprint(col("text")).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // the corpus' highest-jaccard pair shares most fingerprint hashes
+    val topPair = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .orderBy(col("jaccard").desc).head()
+    val (a, b) = (topPair.getLong(0), topPair.getLong(1))
+    val overlap = fp(a).intersect(fp(b)).size.toDouble /
+      math.min(fp(a).size, fp(b).size)
+    assert(overlap >= 0.5, s"near-dup winnow overlap $overlap")
+    // two unrelated docs share few
+    val u = fp(0L).intersect(fp(1L)).size.toDouble / math.min(fp(0L).size, fp(1L).size)
+    assert(u < overlap)
+    // determinism
+    val fp2 = docs.select(Text.winnowingFingerprint(col("text")).as("f"))
+      .collect().map(_.getSeq[Long](0))
+    val fp3 = docs.select(Text.winnowingFingerprint(col("text")).as("f"))
+      .collect().map(_.getSeq[Long](0))
+    assert(fp2.toSeq == fp3.toSeq)
+  }
+
+  test("repeatFailed reruns only failed psets with matching hashes") {
+    import graft.core._
+    val calc = graft.SparkSpec.tmpDir("graft-repeat-")
+    val flaky: Map[String, Any] => Map[String, Any] = p => {
+      val a = p("a").asInstanceOf[Long]
+      if (a % 2 == 0) throw new RuntimeException("flaky")
+      Map("result_" -> a * 1.0)
+    }
+    val cfg = StudyConfig(calcDir = calc, failSafe = true, skipDups = true)
+    val study = Study(spark, cfg)
+    study.run(flaky, Grid.plist("a", 0 until 6))
+    // second attempt succeeds
+    val fixed: Map[String, Any] => Map[String, Any] =
+      p => Map("result_" -> p("a").asInstanceOf[Long] * 1.0)
+    val out = study.repeatFailed(fixed)
+    assert(out.executed == 3) // a = 0, 2, 4 rerun (hashes matched _failed rows)
+    val db = out.db
+    assert(db.count() == 9)
+    assert(db.filter(col("_failed") === false).count() == 6)
+  }
+
   test("langId prefers en on this corpus; quality in [0,1]") {
     val preds = docs.select(Text.langId(col("text")).as("p"))
       .groupBy("p").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
