@@ -103,6 +103,95 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
   }
 
+  /** Score of a vector column against one literal centroid (dot product —
+    * centroids are normalized, so this ranks like cosine). */
+  private def centroidDot(v: Column, c: Array[Double]): Column =
+    aggregate(zip_with(v, array(c.map(lit): _*),
+      (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-centroid id by maximum dot product (deterministic: ties take
+    * the higher centroid id via lexicographic struct comparison). */
+  def assignCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    greatest(centroids.zipWithIndex.map { case (c, i) =>
+      struct(centroidDot(v, c).as("score"), lit(i).as("cid"))
+    }: _*).getField("cid")
+
+  /** Deterministic mini k-means (Lloyd) for the IVF coarse quantizer:
+    * centroids seed from the `k` lowest-id vectors, each iteration assigns
+    * by dot product and recomputes per-dimension means (rounded to 1e-6 so
+    * distributed summation order cannot leak into the result). One Spark
+    * job per iteration; the corpus is scanned, never collected. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 5,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[Array[Double]] = {
+    def normalize(c: Array[Double]): Array[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(x => math.floor(x / n * 1e6) / 1e6)
+    }
+    var centroids = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
+    (0 until iters).foreach { _ =>
+      val assigned = corpus.select(col(vecCol).as("v"),
+        assignCentroid(col(vecCol), centroids).as("cid"))
+      val dims = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val byCid = dims.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { i =>
+        byCid.get(i) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val c = new Array[Double](dim)
+            rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+            normalize(c)
+          case None => centroids(i) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** IVF approximate top-k: the corpus is assigned once to `k` coarse
+    * centroids (the inverted file); each query probes its `nprobe` nearest
+    * lists and ranks candidates by exact cosine. The scan computes
+    * `numCentroids` dot products per row and the candidate join touches
+    * only the probed lists — the other scale path next to [[lshTopK]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numCentroids: Int = 8, nprobe: Int = 2, iters: Int = 3,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val centroids = kmeansCentroids(corpus, numCentroids, iters, idCol, vecCol)
+    val bucketed = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      assignCentroid(col(vecCol), centroids).as("cid"))
+    // probe lists per query, computed driver-side (queries are small)
+    val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .collect()
+    val probes = qRows.flatMap { r =>
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      centroids.zipWithIndex
+        .map { case (c, i) => (c.zip(qv).map { case (a, b) => a * b }.sum, i) }
+        .sortBy { case (s, i) => (-s, i) }
+        .take(nprobe)
+        .map { case (_, cid) => (r.getLong(0), cid) }
+    }
+    import corpus.sparkSession.implicits._
+    val probeDF = broadcast(probes.toSeq.toDF("query_id", "cid"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    bucketed.join(probeDF, Seq("cid"))
+      .join(q, Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
   /** Cosine near-duplicate pairs above a threshold among a (sub)corpus —
     * embedding-based dedup. Brute force within the given frame; pair it
     * with [[lshTopK]]-style bucketing for full-corpus scale. */

@@ -127,6 +127,16 @@ object TrainingData {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-bucketed approximate top-k (rows-only; recall vs brute force
+    // asserted in OpsSpec)
+    "q_embed_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      Similarity.ivfTopK(e, q, k = 5)
+        .withColumn("score", floor(col("score") * 1e4) / 1e4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // multimodal asset metadata (payload stays columnar-pruned away)
     "q_multimodal_meta" -> ((s, dir) => {
       Multimodal.toAssets(docs(s, dir)).filter(col("asset_id") < 50)

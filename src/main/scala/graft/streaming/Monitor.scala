@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming surfaces of the engine.
@@ -59,4 +59,47 @@ object Monitor {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class OpenSession(start: Long, last: Long, n: Long, sum: Double)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long,
+                           value_sum: Double)
+
+  /** Stateful streaming sessionization via `flatMapGroupsWithState` — the
+    * streaming twin of the batch `q_events_sessionize` query: per-user
+    * custom state folds events into an open session; a gap larger than
+    * `gapSeconds` closes and emits it. The closing event of a session is
+    * only observable once a later event (or state timeout) arrives —
+    * standard session-window semantics. */
+  def sessionizeStream(events: Dataset[SessionEvent],
+                       gapSeconds: Long = 1800): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[SessionEvent],
+         state: GroupState[OpenSession]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            open match {
+              case Some(s) if t - s.last <= gapSeconds * 1000 =>
+                open = Some(OpenSession(s.start, t, s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                closed += ClosedSession(userId,
+                  new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+                  s.n, s.sum)
+                open = Some(OpenSession(t, t, 1, e.value))
+              case None =>
+                open = Some(OpenSession(t, t, 1, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
 }

@@ -71,6 +71,20 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"planted-neighbor recall $recall")
   }
 
+  test("IVF ANN: decent recall vs brute force with nprobe=4 of 8 lists") {
+    val q = emb.filter(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(emb, q, 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, 5, numCentroids = 8, nprobe = 4)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    // probing half the lists on a weakly-clustered corpus: moderate bar
+    assert(recall >= 0.4, s"IVF recall $recall")
+    assert(ivf.size == 15)
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val one = emb.filter(col("vec_id") === 0)
       .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))

@@ -25,6 +25,59 @@ class MonitorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming sessionization closes sessions across batches") {
+    val dir = tmpDir("graft-sess-")
+    import spark.implicits._
+    def write(name: String, rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("user_id", "ts_s", "value")
+        .withColumn("ts", org.apache.spark.sql.functions.col("ts_s")
+          .cast("timestamp"))
+        .select("user_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    // batch 1: user 1 has two sessions (the 2nd still open at batch end)
+    write("b1", Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-01 00:10:00", 2.0),
+      (1L, "2024-01-01 02:00:00", 5.0)))
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("value", DoubleType))))
+      .parquet(s"$dir/in").as[Monitor.SessionEvent]
+    val q = Monitor.sessionizeStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("sess_test").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.sql("SELECT * FROM sess_test").collect()
+      assert(afterB1.length == 1) // first session closed by the 02:00 event
+      assert(afterB1.head.getAs[Long]("n_events") == 2)
+      assert(afterB1.head.getAs[Double]("value_sum") == 3.0)
+      // batch 2: a much later event closes the open session
+      write("b2", Seq((1L, "2024-01-01 05:00:00", 9.0)))
+      q.processAllAvailable()
+      val afterB2 = spark.sql(
+        "SELECT * FROM sess_test ORDER BY session_start").collect()
+      assert(afterB2.length == 2)
+      assert(afterB2(1).getAs[Long]("n_events") == 1)
+      assert(afterB2(1).getAs[Double]("value_sum") == 5.0)
+    } finally q.stop()
+  }
+
+  test("SQL registration: custom expressions callable from spark.sql") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT pset_hash(named_struct('a', CAST(1 AS BIGINT), 'b', 'xx')) AS h,
+        |  word_shingles('a b c d', 3) AS sh,
+        |  simhash64(array('x', 'y')) AS sim,
+        |  size(winnow_fingerprint('hello world hello world', 8, 4)) AS nw
+        |""".stripMargin).head()
+    assert(r.getAs[String]("h") ==
+      graft.core.PsetHash.hash(Map[String, Any]("a" -> 1L, "b" -> "xx")))
+    assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(r.getAs[Int]("nw") > 0)
+  }
+
   test("watermarked windowed aggregation over a file stream of events") {
     val dir = tmpDir("graft-events-")
     import spark.implicits._
