@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-preceding) join — an operator Spark lacks as a
+  * built-in, composed from existing operators per the preference order
+  * (compose > custom plan): tag and union both sides, sort within each
+  * key partition by (time, side), and carry the last-seen right-side
+  * payload forward with `last(..., ignoreNulls)`.
+  *
+  * Scale shape: ONE shuffle of `|left| + |right|` rows on the key (the
+  * same cost as any keyed window), no range-explosion cross product, no
+  * per-key driver loops; skewed keys are subject to the same salting
+  * guards as any window (see [[Skew]]). This is the standard distributed
+  * as-of technique and why a custom `SparkStrategy` isn't warranted.
+  */
+object AsOf {
+
+  /** For each left row, attach the latest right row with
+    * `rightTime <= leftTime` within the same `key` (left join semantics:
+    * unmatched left rows keep nulls).
+    *
+    * `rightCols` are the right-side payload columns to carry; they appear
+    * in the output as `asof_<name>`. The right side must be unique per
+    * (key, time) — pre-aggregate if needed (ties at equal time are
+    * matched, mirroring ASOF semantics of `l.time >= r.time`). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftOut = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r0 = right.select(
+      (col(key) +: col(rightTime).as("__t") +:
+        rightCols.map(c => col(c).as(s"asof_$c"))): _*)
+      .withColumn("__side", lit(0))
+    val lAligned = l.select(
+      (col(key) +: col("__t") +: col("__side") +:
+        leftOut.filterNot(_ == key).map(col) ++:
+        rightCols.map(c => lit(null).cast(
+          r0.schema(s"asof_$c").dataType).as(s"asof_$c"))): _*)
+    val rAligned = r0.select(
+      (col(key) +: col("__t") +: col("__side") +:
+        leftOut.filterNot(_ == key).map(c =>
+          lit(null).cast(l.schema(c).dataType).as(c)) ++:
+        rightCols.map(c => col(s"asof_$c"))): _*)
+    // right rows sort before left rows at equal time, so an exact-time
+    // match is visible to the left row
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carriedCols = rightCols.map(c =>
+      last(col(s"asof_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))
+    val carriedTime =
+      last(when(col("__side") === 0, col("__t")), ignoreNulls = true)
+        .over(w).as("asof_time")
+    lAligned.unionByName(rAligned)
+      .select((col(key) +: col("__side") +:
+        leftOut.filterNot(_ == key).map(col)) ++
+        carriedCols :+ carriedTime: _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+}

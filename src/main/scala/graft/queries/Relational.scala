@@ -230,6 +230,23 @@ object Relational {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // as-of join: each purchase joined to the user's latest preceding
+    // click (composed union+window as-of, oracle = DuckDB ASOF JOIN)
+    "q_events_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      graft.ops.AsOf.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+        Seq("click_value"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("asof_click_value").as("last_click_value"),
+          col("asof_time").as("last_click_ts"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // A1/A3-style: per-group max + latest-partition filter
     "q_latest_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -374,6 +391,24 @@ object Relational {
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_events_asof" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |         event_type, value
+        |  FROM events
+        |), purchases AS (
+        |  SELECT user_id, event_id, ts, value FROM ev
+        |  WHERE event_type = 'purchase'
+        |), clicks AS (
+        |  SELECT user_id, ts, max_by(value, event_id) AS click_value
+        |  FROM ev WHERE event_type = 'click' GROUP BY user_id, ts
+        |)
+        |SELECT l.user_id, l.event_id, l.ts,
+        |       r.click_value AS last_click_value, r.ts AS last_click_ts
+        |FROM purchases l ASOF LEFT JOIN clicks r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
 
     "q_latest_orders" ->
       """SELECT o_orderstatus, COUNT(*) AS n
