@@ -14,9 +14,10 @@ object Bench {
     * training-data ops (dedup, similarity, text). */
   val headline: Seq[String] = Seq(
     "q_agg_pricing", "q_join_stars", "q_filter_proj", "q_window_rank",
-    "q_dedup_first", "q_events_hourly",
+    "q_dedup_first", "q_events_hourly", "q_events_sessionize",
+    "q_events_asof",
     "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
-    "q_embed_topk", "q_doc_quality", "q_doc_langid",
+    "q_embed_topk", "q_embed_ivf", "q_doc_quality", "q_doc_langid",
     "q_run_sweep")
 
   def main(args: Array[String]): Unit = {

@@ -41,6 +41,12 @@ object ValueSchema {
         .map { case (k, vv) => StructField(k.toString, inferType(vv), nullable = true) }
         .sortBy(_.name)
       StructType(fields)
+    case r: Row if r.schema != null =>
+      // extracted params round-trip: stored struct cells come back as
+      // schema-carrying Rows (ref round-trip invariant,
+      // tests/test_all.py:1440-1473)
+      StructType(r.schema.fields.map(f =>
+        StructField(f.name, f.dataType, nullable = true)).sortBy(_.name))
     case s: Iterable[_] =>
       val et = s.foldLeft(NullType: DataType)((acc, e) => merge(acc, inferType(e)))
       ArrayType(if (et == NullType) StringType else et, containsNull = true)
@@ -118,6 +124,12 @@ object ValueSchema {
       new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
         st.fields.toSeq.map(f =>
           mm.get(f.name).map(normalize(_, f.dataType)).orNull).toArray, st)
+    case (r: Row, st: StructType) if r.schema != null =>
+      val byName = r.schema.fieldNames.zipWithIndex.toMap
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        st.fields.toSeq.map(f => byName.get(f.name)
+          .filterNot(r.isNullAt)
+          .map(i => normalize(r.get(i), f.dataType)).orNull).toArray, st)
     case (s: Iterable[_], ArrayType(et, _)) => s.toSeq.map(normalize(_, et))
     case (a: Array[_], ArrayType(et, _)) => a.toSeq.map(normalize(_, et))
     case (other, t) =>

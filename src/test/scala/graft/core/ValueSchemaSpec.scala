@@ -86,6 +86,23 @@ class ValueSchemaSpec extends AnyFunSuite {
     assert(exprHash == driverHash)
   }
 
+  test("extracted params with array/struct cells re-run with equal hashes") {
+    val calc = graft.SparkSpec.tmpDir("graft-rt-")
+    val params = Seq(
+      Map[String, Any]("a" -> 1, "arr" -> Seq(1, 2),
+        "cfg" -> Map("lr" -> 0.1, "opt" -> "sgd")),
+      Map[String, Any]("a" -> 2, "arr" -> Seq(3),
+        "cfg" -> Map("lr" -> 0.2, "opt" -> "adam")))
+    val study = Study(spark, StudyConfig(calcDir = calc, skipDups = true))
+    val out1 = study.run(p => Map("r_" -> 1.0), params)
+    val extracted = Database.extractParams(out1.db)
+    assert(extracted.size == 2)
+    // re-running the extracted params dedups everything: hashes identical
+    val out2 = study.run(p => Map("r_" -> 2.0), extracted)
+    assert(out2.executed == 0)
+    assert(out2.db.count() == 2)
+  }
+
   test("JSON db format round-trip with schema (S3, F12)") {
     val calc = graft.SparkSpec.tmpDir("graft-json-")
     val out = Study(spark, calc).run(
