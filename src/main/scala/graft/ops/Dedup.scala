@@ -81,10 +81,13 @@ object Dedup {
     }
     // hot path carries only (id, s): intersection sizes via a count-only
     // aggregate; per-doc shingle counts join back afterwards against the
-    // (corpus-cardinality, not pair-cardinality) count table
-    val inter = ex.select(col("id").as("id1"), col("s"))
-      .join(ex.select(col("id").as("id2"), col("s")), Seq("s"))
-      .filter(col("id1") < col("id2"))
+    // (corpus-cardinality, not pair-cardinality) count table. The self-join
+    // aliases one identical subplan so the scan/exchange is planned once
+    // and reused for the other side.
+    val inter = ex.alias("a")
+      .join(ex.alias("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"))
     val counts = docs.select(col(idCol).as("id"),
@@ -129,13 +132,15 @@ object Dedup {
       val slice = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64((lit(b) +: slice): _*).as("bh"))
     }
+    // self-join over one aliased subplan: the signature aggregation and
+    // its exchange are computed once and reused for the other side
     val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bh"))
-    val l = buckets.select(col("band"), col("bh"), col("id").as("id1"))
-    val r = buckets.select(col("band"), col("bh"), col("id").as("id2"))
-    val candIds = l.join(r, Seq("band", "bh"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val candIds = buckets.alias("l")
+      .join(buckets.alias("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .dropDuplicates("id1", "id2")
     // exact verification: re-shingle only candidate docs
     def shFor(side: String): DataFrame =

@@ -59,19 +59,19 @@ class NgramProfile extends AnyFunSuite {
         (col("n1") + col("n2") - col("inter")))
         .filter(col("jaccard") >= 0.5).collect().length
     }
-    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-    time("jaccard+filter, constraint propagation OFF") {
-      grouped.withColumn("jaccard", col("inter").cast("double") /
-        (col("n1") + col("n2") - col("inter")))
-        .filter(col("jaccard") >= 0.5).count()
-    }
-    spark.conf.set("spark.sql.constraintPropagation.enabled", "true")
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    time("jaccard+filter, ANSI OFF") {
-      grouped.withColumn("jaccard", col("inter").cast("double") /
-        (col("n1") + col("n2") - col("inter")))
-        .filter(col("jaccard") >= 0.5).count()
-    }
-    spark.conf.set("spark.sql.ansi.enabled", "true")
+    val full = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+    time("full ngram pairs") { full.count() }
+    val p = full.queryExecution.executedPlan.toString
+    println("[prof] ngram exchanges=" +
+      "Exchange hash".r.findAllIn(p).length +
+      " reused=" + "ReusedExchange".r.findAllIn(p).length +
+      " scans=" + "Scan parquet".r.findAllIn(p).length)
+    val mh = Dedup.minhashLshPairs(docs, 3, 64, 16, 0.5)
+    time("full minhash pairs") { mh.count() }
+    val p2 = mh.queryExecution.executedPlan.toString
+    println("[prof] minhash exchanges=" +
+      "Exchange hash".r.findAllIn(p2).length +
+      " reused=" + "ReusedExchange".r.findAllIn(p2).length +
+      " scans=" + "Scan parquet".r.findAllIn(p2).length)
   }
 }
