@@ -53,15 +53,7 @@ class Database(val spark: SparkSession, val calcDir: String,
   def existingAmong(colName: String, values: Seq[String]): Set[String] =
     readOpt() match {
       case None => Set.empty
-      case Some(df) =>
-        if (!df.columns.contains(colName)) Set.empty
-        else {
-          import spark.implicits._
-          val small = values.distinct.toDF(colName)
-          df.select(colName)
-            .join(broadcast(small), Seq(colName), "left_semi")
-            .distinct().collect().map(_.getString(0)).toSet
-        }
+      case Some(df) => Database.existingAmong(df, colName, values)
     }
 
   /** Append new rows (one run) as a new `_run_id` partition. */
@@ -134,6 +126,18 @@ object Database {
   def apply(spark: SparkSession, calcDir: String,
             basename: String = "database"): Database =
     new Database(spark, calcDir, basename)
+
+  /** Which of `values` already exist in `df`'s column `colName` — one
+    * column-pruned pass, broadcast small side (the J1 dedup shape). */
+  def existingAmong(df: DataFrame, colName: String,
+                    values: Seq[String]): Set[String] = {
+    if (!df.columns.contains(colName)) return Set.empty
+    import df.sparkSession.implicits._
+    val small = values.distinct.toDF(colName)
+    df.select(colName)
+      .join(broadcast(small), Seq(colName), "left_semi")
+      .distinct().collect().map(_.getString(0)).toSet
+  }
 
   /** Fuse boolean filter columns with and/or/xor and apply
     * (ref psweep.py:622-679 `df_filter_conds`). */

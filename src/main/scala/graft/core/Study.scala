@@ -90,7 +90,18 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
   }
 
   /** Run `func` over `params`; returns the updated database. */
-  def run(func: Pset => Pset, params: Seq[Pset]): RunOutput = {
+  def run(func: Pset => Pset, params: Seq[Pset]): RunOutput =
+    run(func, params, None)
+
+  /** Interactive form (ref psweep.py `run(df=...)`,
+    * tests/test_all.py:496-531): when `baseDf` is given, it replaces the
+    * on-disk database as the base relation — counters, dedup, schema
+    * evolution, and the returned union all derive from it, and a `save`
+    * overwrites the database with base ∪ new (the disk content is
+    * ignored, as in the reference). An empty DataFrame counts as "no
+    * base". */
+  def run(func: Pset => Pset, params: Seq[Pset],
+          baseDf: Option[DataFrame]): RunOutput = {
     // 3.1-3: simulate sandbox — copy the database (only) aside and work
     // there (ref psweep.py:1279-1292,1396-1400).
     if (cfg.simulate) {
@@ -103,13 +114,13 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
     if (cfg.git) Git.enter(cfg.calcDir)
     val db = database
     val out =
-      try runInner(func, params, db)
+      try runInner(func, params, db, baseDf.filter(_.columns.nonEmpty))
       finally if (cfg.git) Git.exit(cfg.calcDir)
     out
   }
 
   private def runInner(func: Pset => Pset, params: Seq[Pset],
-                       db: Database): RunOutput = {
+                       db: Database, baseDf: Option[DataFrame]): RunOutput = {
     // 3.1-1: param normalization ("wash") + hashing over the washed values.
     val paramSchema = ValueSchema.infer(params)
     val badBook = paramSchema.fieldNames.filter(n =>
@@ -119,8 +130,18 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
     val norm = params.map(p => Study.normalizeFull(p, paramSchema))
     val hashes = norm.map(PsetHash.hash(_))
 
-    // 3.1-4/5: load-or-create + counter recovery.
-    val (maxPsetSeq, maxRunSeq) = db.counters()
+    // 3.1-4/5: load-or-create + counter recovery (from the in-memory base
+    // when one is given, else from disk).
+    var base: Option[DataFrame] = baseDf.orElse(db.readOpt())
+    val (maxPsetSeq, maxRunSeq) = base match {
+      case None => (-1L, -1L)
+      case Some(bdf) =>
+        import org.apache.spark.sql.functions.{col, max}
+        val r = bdf.agg(max(col("_pset_seq")).cast(LongType),
+          max(col("_run_seq")).cast(LongType)).head()
+        (if (r.isNullAt(0)) -1L else r.getLong(0),
+         if (r.isNullAt(1)) -1L else r.getLong(1))
+    }
 
     // 3.1-6: backup before mutating (ref psweep.py:1417-1427).
     if (cfg.backup) db.backup()
@@ -128,8 +149,8 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
     // 3.1-8a: pset-schema evolution — if the pset column set grows, the
     // whole database is rehashed over the union set (null-filled new cols
     // participate in the hash; ref psweep.py:690-710, F5 semantics).
-    if (db.exists) {
-      val dbSchema = db.read().schema
+    base.foreach { bdf =>
+      val dbSchema = bdf.schema
       val dbPsetCols = ColKind.filterCols(dbSchema.fieldNames.toSeq, ColKind.Pset)
       val newPsetFields = paramSchema.fields.toSeq
         .filter(f => ColKind.isPset(f.name))
@@ -140,17 +161,33 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
             "cast params explicitly (hash identity is type-sensitive)")
       }
       val extra = newPsetFields.filterNot(f => dbPsetCols.contains(f.name))
-      if (extra.nonEmpty)
-        db.rehashWith(extra.map(f => f.name -> f.dataType).toMap, Map.empty)
+      if (extra.nonEmpty) {
+        if (baseDf.isEmpty) {
+          // disk-backed: one distributed rewrite, then re-read
+          db.rehashWith(extra.map(f => f.name -> f.dataType).toMap, Map.empty)
+          base = Some(db.read())
+        } else {
+          // in-memory: add null columns + recompute the hash column
+          import org.apache.spark.sql.functions.{col, lit}
+          var g = bdf
+          extra.foreach(f =>
+            g = g.withColumn(f.name, lit(null).cast(f.dataType)))
+          base = Some(g.withColumn("_pset_hash",
+            PsetHash.expr(g.columns.toSeq)))
+        }
+      }
     }
 
     // 3.1-8b: skip_dups — drop incoming psets whose hash already exists
     // (ref psweep.py:1432-1439).
     val dupHashes: Set[String] =
-      if (cfg.skipDups) db.existingAmong("_pset_hash", hashes) else Set.empty
+      if (cfg.skipDups)
+        base.map(Database.existingAmong(_, "_pset_hash", hashes))
+          .getOrElse(Set.empty)
+      else Set.empty
     val keptIdx = norm.indices.filter(i => !dupHashes.contains(hashes(i)))
     if (keptIdx.isEmpty)
-      return RunOutput(db.readOpt().getOrElse(ValueSchema.toDF(spark, Seq.empty)),
+      return RunOutput(base.getOrElse(ValueSchema.toDF(spark, Seq.empty)),
         "none", 0L)
 
     // 3.1-9: identity assignment — fresh run id; collision-checked pset ids
@@ -158,11 +195,13 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
     val runId = UUID.randomUUID().toString
     if (cfg.git) Git.noteRun(runId)
     var psetIds = keptIdx.map(_ => UUID.randomUUID().toString)
-    var colliding = db.existingAmong("_pset_id", psetIds)
+    def collisions(ids: Seq[String]): Set[String] =
+      base.map(Database.existingAmong(_, "_pset_id", ids)).getOrElse(Set.empty)
+    var colliding = collisions(psetIds)
     while (colliding.nonEmpty) {
       psetIds = psetIds.map(id =>
         if (colliding.contains(id)) UUID.randomUUID().toString else id)
-      colliding = db.existingAmong("_pset_id", psetIds)
+      colliding = collisions(psetIds)
     }
     val runSeq = maxRunSeq + 1
     val work: Seq[Map[String, Any]] = keptIdx.zipWithIndex.map {
@@ -197,13 +236,29 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
         m.get(f.name).map(ValueSchema.normalize(_, f.dataType)).orNull)))
       val newDF = spark.createDataFrame(rowRdd, schema)
 
-      // 3.1-11/12: append (replaces the reference's read-modify-rewrite of
-      // the whole pickle — only the new run's partition is written).
+      // 3.1-11/12: persist. Disk-backed: append only the new run's
+      // partition (replaces the reference's read-modify-rewrite of the
+      // whole pickle). In-memory base: the union overwrites the database
+      // (the reference ignores disk content when df is passed).
       if (cfg.save) {
-        db.append(newDF)
-        RunOutput(db.read(), runId, keptIdx.size.toLong)
+        baseDf match {
+          case None =>
+            db.append(newDF)
+            RunOutput(db.read(), runId, keptIdx.size.toLong)
+          case Some(_) =>
+            val union = base match {
+              case Some(old) => old.unionByName(newDF, allowMissingColumns = true)
+              case None => newDF
+            }
+            val tmp = s"${db.dbPath}.__interactive_tmp"
+            Fs.delete(tmp)
+            union.write.mode("overwrite").partitionBy("_run_id").parquet(tmp)
+            Fs.delete(db.dbPath)
+            Fs.rename(tmp, db.dbPath)
+            RunOutput(db.read(), runId, keptIdx.size.toLong)
+        }
       } else {
-        val merged = db.readOpt() match {
+        val merged = base match {
           case Some(old) => old.unionByName(newDF, allowMissingColumns = true)
           case None => newDF
         }

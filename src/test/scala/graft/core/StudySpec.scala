@@ -179,6 +179,35 @@ class StudySpec extends AnyFunSuite {
     assert(bakDb.count() == 1)
   }
 
+  test("interactive df mode (ref tests/test_all.py:496-531)") {
+    val calc = tmpDir("graft-interactive-")
+    val study = Study(spark, StudyConfig(calcDir = calc, save = false))
+    val params = Grid.plist("a", Seq(1, 2, 3, 4))
+    // save=false: nothing on disk
+    val df1 = study.run(f1, params).db
+    assert(!Fs.exists(s"$calc/database"))
+    assert(df1.count() == 4)
+    // empty df counts as "no base"
+    val df1b = study.run(f1, params, Some(spark.emptyDataFrame)).db
+    assert(df1b.count() == 4)
+    assert(df1b.agg(org.apache.spark.sql.functions.max("_run_seq"))
+      .head().getLong(0) == 0L)
+    // extend in memory: counters continue from the base, hashes repeat
+    val df2 = study.run(f1, params, Some(df1)).db
+    assert(!Fs.exists(s"$calc/database"))
+    assert(df2.count() == 8)
+    assert(df2.select("_pset_hash").distinct().count() == 4)
+    assert(df2.agg(org.apache.spark.sql.functions.max("_pset_seq"))
+      .head().getLong(0) == 7L)
+    assert(df2.agg(org.apache.spark.sql.functions.max("_run_seq"))
+      .head().getLong(0) == 1L)
+    // now save: disk content == base ∪ new
+    val saver = Study(spark, StudyConfig(calcDir = calc))
+    val df2disk = saver.run(f1, params, Some(df1)).db
+    assert(df2disk.count() == 8)
+    assert(Study(spark, calc).database.read().count() == 8)
+  }
+
   test("type conflict on shared column is rejected") {
     val calc = tmpDir("graft-typeconflict-")
     val study = Study(spark, calc)
