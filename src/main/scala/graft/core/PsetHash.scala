@@ -5,7 +5,6 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
 import org.apache.spark.sql.functions.struct
 import org.apache.spark.sql.graftshim.shim
@@ -151,20 +150,31 @@ object PsetHash {
 /** Deterministic Catalyst expression computing the canonical pset hash of a
   * struct value. Name filtering (prefix/postfix exclusion) happens in
   * [[PsetHash.expr]] when the input struct is built; this expression hashes
-  * every field it is given. CodegenFallback is acceptable: the hash is
-  * computed once per row at append time, not in analytical scan hot paths.
+  * every field it is given. Codegen emits a reference-object call (not
+  * CodegenFallback, which would disqualify the containing stage from
+  * whole-stage codegen).
   */
 case class PsetHashExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "pset_hash"
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): UTF8String = {
     val sb = new StringBuilder
     encode(sb, input, child.dataType)
     UTF8String.fromString(PsetHash.sha1Hex(sb.toString))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("psetHash", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   /** Catalyst-value twin of [[PsetHash.encodeAny]]. */

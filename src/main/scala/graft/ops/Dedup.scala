@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.shim
@@ -193,7 +192,7 @@ object Dedup {
   * per element inside the lambda).
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
 
@@ -209,7 +208,10 @@ case class WordShingles(child: Expression, n: Int)
         s"word_shingles requires string, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(input: Any): org.apache.spark.sql.catalyst.util.ArrayData = {
     val toks = input.toString.split("\\s+")
     val out = new java.util.LinkedHashSet[String]()
     var i = 0
@@ -235,6 +237,18 @@ case class WordShingles(child: Expression, n: Int)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  // a reference-object call instead of CodegenFallback: the expression
+  // stays inside whole-stage codegen (fallback would disqualify the
+  // entire scan stage)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -245,7 +259,7 @@ case class WordShingles(child: Expression, n: Int)
   * is the fingerprint.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -259,7 +273,9 @@ case class SimHash64(child: Expression)
         s"simhash64 requires array<string>, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): java.lang.Long = {
     val arr = input.asInstanceOf[ArrayData]
     val votes = new Array[Int](64)
     var i = 0
@@ -284,6 +300,15 @@ case class SimHash64(child: Expression)
       b += 1
     }
     java.lang.Long.valueOf(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

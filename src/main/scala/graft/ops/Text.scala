@@ -90,8 +90,7 @@ object Text {
 case class WinnowFingerprint(
     child: org.apache.spark.sql.catalyst.expressions.Expression,
     k: Int, w: Int)
-  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
 
@@ -102,7 +101,9 @@ case class WinnowFingerprint(
 
   private val B = 1000000007L
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = compute(input)
+
+  def compute(input: Any): org.apache.spark.sql.catalyst.util.ArrayData = {
     val s = input.toString.toLowerCase.replaceAll("\\s+", " ").trim
     if (s.length < k)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -143,6 +144,14 @@ case class WinnowFingerprint(
     var idx = 0
     while (it.hasNext) { arr(idx) = it.next().longValue(); idx += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(
