@@ -63,7 +63,6 @@ object Multimodal {
     * context per partition (the real-world pattern — codec/model init is
     * amortized across the batch, not paid per row). */
   def extractFeatures(assets: DataFrame): DataFrame = {
-    val spark = assets.sparkSession
     val rows = assets.select(col("asset_id"), col("payload"))
     implicit val enc = RowEncoder.encoderFor(featureSchema)
     rows.mapPartitions { it =>

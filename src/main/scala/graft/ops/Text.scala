@@ -65,6 +65,18 @@ object Text {
       .otherwise("unknown")
   }
 
+  /** Corpus vocabulary statistics: per token, total occurrences and
+    * document frequency — the TF-IDF building block. One explode + one
+    * partial-aggregatable groupBy; at 100 TB the exchange carries one row
+    * per (partition, token), not per occurrence. */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("id")).as("doc_freq"))
+
   /** Canonical-text fingerprint: lowercase, collapse whitespace, trim,
     * md5 — the exact-dedup key. */
   def fingerprint(text: Column): Column =

@@ -58,6 +58,13 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus vocabulary: top-30 tokens by occurrences with doc frequency
+    "q_doc_vocab" -> ((s, dir) => {
+      Text.vocabulary(docs(s, dir))
+        .orderBy(col("occurrences").desc, col("token"))
+        .limit(30)
+    }),
+
     // winnowing rolling-hash fingerprints (rows-only: polynomial hash is
     // engine-defined; overlap behavior asserted in OpsSpec)
     "q_doc_winnow" -> ((s, dir) => {
@@ -200,6 +207,18 @@ object TrainingData {
         |  ELSE 'unknown' END AS pred_lang FROM s)
         |SELECT pred_lang, COUNT(*) AS n FROM p GROUP BY pred_lang
         |ORDER BY pred_lang""".stripMargin,
+
+    "q_doc_vocab" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents
+        |)
+        |SELECT token, COUNT(*) AS occurrences,
+        |  COUNT(DISTINCT doc_id) AS doc_freq
+        |FROM ex
+        |GROUP BY token
+        |ORDER BY occurrences DESC, token
+        |LIMIT 30""".stripMargin,
 
     "q_doc_fingerprint" ->
       """SELECT doc_id,
