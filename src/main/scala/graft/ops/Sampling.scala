@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and dataset splitting for
+  * training-data pipelines.
+  *
+  * Everything keys off `md5(key)` compared lexicographically against a hex
+  * threshold — no `rand()`, so samples are reproducible across runs,
+  * retried tasks, engines, and cluster sizes (the properties a 100 TB
+  * pipeline actually needs from a sampler), and the whole operator family
+  * is expressible in ANSI SQL for oracle verification. Threshold
+  * granularity is 4 hex digits (1/65536).
+  */
+object Sampling {
+
+  private def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
+    f"${math.round(fraction * 65536).min(65536).toInt}%04x"
+  }
+
+  /** The unit-interval position of a key: first 4 hex chars of its md5.
+    * Lexicographic comparison of lowercase hex == numeric comparison. */
+  def hashPosition(key: Column): Column = substring(md5(key.cast("string")), 1, 4)
+
+  /** Keep ~`fraction` of rows, chosen by key hash (same key -> same
+    * decision, always). */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(hashPosition(key) < lit(hexThreshold(fraction)))
+
+  /** Per-stratum fractions (e.g. downsample dominant languages): strata
+    * not listed keep everything. */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+                           fractions: Map[String, Double]): DataFrame = {
+    val keep = fractions.foldLeft(lit(true)) { case (acc, (s, f)) =>
+      when(stratum === s, hashPosition(key) < lit(hexThreshold(f)))
+        .otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
+  /** Split assignment column from cumulative hash ranges, e.g.
+    * `splits = Seq("train" -> 0.8, "test" -> 0.1, "val" -> 0.1)`.
+    * Key on a GROUP column (source, author, url-domain) to make the split
+    * leakage-safe: every row of a group lands in the same part. */
+  def splitColumn(key: Column, splits: Seq[(String, Double)]): Column = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val pos = hashPosition(key)
+    val cums = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    splits.zip(cums).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), cum), otherwise) =>
+        when(pos < lit(hexThreshold(cum)), name).otherwise(otherwise)
+    }
+  }
+}

@@ -58,6 +58,24 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic hash sampling: ~25% of docs by id hash
+    "q_doc_sample" -> ((s, dir) => {
+      graft.ops.Sampling.hashSample(docs(s, dir), col("doc_id"), 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // leakage-safe train/test/val split keyed on the source group
+    "q_doc_split" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("split", graft.ops.Sampling.splitColumn(col("source"),
+          Seq("train" -> 0.8, "test" -> 0.1, "val" -> 0.1)))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("split"))
+    }),
+
     // corpus vocabulary: top-30 tokens by occurrences with doc frequency
     "q_doc_vocab" -> ((s, dir) => {
       Text.vocabulary(docs(s, dir))
@@ -207,6 +225,23 @@ object TrainingData {
         |  ELSE 'unknown' END AS pred_lang FROM s)
         |SELECT pred_lang, COUNT(*) AS n FROM p GROUP BY pred_lang
         |ORDER BY pred_lang""".stripMargin,
+
+    "q_doc_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_split" ->
+      """WITH assigned AS (
+        |  SELECT source,
+        |    CASE WHEN substr(md5(source), 1, 4) < 'cccd' THEN 'train'
+        |         WHEN substr(md5(source), 1, 4) < 'e666' THEN 'test'
+        |         ELSE 'val' END AS split
+        |  FROM documents
+        |)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM assigned GROUP BY split ORDER BY split""".stripMargin,
 
     "q_doc_vocab" ->
       """WITH ex AS (

@@ -156,6 +156,36 @@ class OpsSpec extends AnyFunSuite {
     assert(db.filter(col("_failed") === false).count() == 6)
   }
 
+  test("hash sampling: deterministic, near-target rate, leakage-safe split") {
+    import graft.ops.Sampling
+    val s1 = Sampling.hashSample(docs, col("doc_id"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(docs, col("doc_id"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // reproducible
+    val n = docs.count().toDouble
+    assert(math.abs(s1.size / n - 0.25) < 0.08, s"rate ${s1.size / n}")
+    // nested fractions: a 10% sample is a subset of the 25% sample
+    val s3 = Sampling.hashSample(docs, col("doc_id"), 0.10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s1))
+    // group split: every source maps to exactly one split
+    val split = docs.withColumn("split", Sampling.splitColumn(col("source"),
+      Seq("train" -> 0.8, "test" -> 0.1, "val" -> 0.1)))
+    val perSource = split.groupBy("source")
+      .agg(countDistinct(col("split")).as("k")).collect()
+    assert(perSource.forall(_.getLong(1) == 1L))
+    // stratified: en downsampled, others untouched
+    val strat = Sampling.stratifiedHashSample(docs, col("doc_id"),
+      col("lang"), Map("en" -> 0.1))
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stratLang = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stratLang("en") < byLang("en") / 2)
+    (byLang.keySet - "en").foreach(l => assert(stratLang(l) == byLang(l)))
+  }
+
   test("langId prefers en on this corpus; quality in [0,1]") {
     val preds = docs.select(Text.langId(col("text")).as("p"))
       .groupBy("p").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
