@@ -65,6 +65,16 @@ object Text {
       .otherwise("unknown")
   }
 
+  /** Intra-document repetition ratio (the C4/Gopher-style quality signal):
+    * 1 - distinct n-grams / total n-grams. 0 for texts shorter than one
+    * n-gram; approaches 1 for heavily repeated boilerplate. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val total = size(tokens(text)) - lit(n - 1)
+    when(total <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(Dedup.shingles(text, n)).cast("double") /
+        total.cast("double"))
+  }
+
   /** Corpus vocabulary statistics: per token, total occurrences and
     * document frequency — the TF-IDF building block. One explode + one
     * partial-aggregatable groupBy; at 100 TB the exchange carries one row

@@ -58,6 +58,24 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // intra-document repetition ratio (quality signal)
+    "q_doc_repetition" -> ((s, dir) => {
+      docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          Text.repetitionRatio(col("text"), 3).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // benchmark decontamination: corpus docs sharing >= 5 3-gram shingles
+    // with the "benchmark" slice (doc_id < 20)
+    "q_doc_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Contamination.report(
+        d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+        n = 3, minShared = 5)
+        .orderBy(col("id"))
+    }),
+
     // deterministic hash sampling: ~25% of docs by id hash
     "q_doc_sample" -> ((s, dir) => {
       graft.ops.Sampling.hashSample(docs(s, dir), col("doc_id"), 0.25)
@@ -225,6 +243,39 @@ object TrainingData {
         |  ELSE 'unknown' END AS pred_lang FROM s)
         |SELECT pred_lang, COUNT(*) AS n FROM p GROUP BY pred_lang
         |ORDER BY pred_lang""".stripMargin,
+
+    "q_doc_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS l
+        |  FROM documents WHERE doc_id < 100
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN len(l) - 2 <= 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(list_transform(
+        |           generate_series(1, len(l) - 2),
+        |           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS DOUBLE)
+        |         / CAST(len(l) - 2 AS DOUBLE)
+        |  END AS rep_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_doc_contamination" ->
+      """WITH csh AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |        FROM documents WHERE doc_id >= 20) q WHERE len(t) >= 3
+        |), bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |  FROM (SELECT string_split_regex(text, '\s+') AS t
+        |        FROM documents WHERE doc_id < 20) q WHERE len(t) >= 3
+        |)
+        |SELECT id, COUNT(*) AS shared_shingles
+        |FROM csh WHERE s IN (SELECT s FROM bsh)
+        |GROUP BY id HAVING COUNT(*) >= 5
+        |ORDER BY id""".stripMargin,
 
     "q_doc_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -186,6 +186,40 @@ class OpsSpec extends AnyFunSuite {
     (byLang.keySet - "en").foreach(l => assert(stratLang(l) == byLang(l)))
   }
 
+  test("sequence packing: bins respect the budget, cover all docs, deterministic") {
+    import graft.ops.Packing
+    val packed = Packing.packSequences(docs, maxTokens = 300,
+      numPartitions = 4).collect()
+    val maxTok = packed.map(_.getLong(3)).max
+    // every multi-doc bin fits; oversized singletons allowed
+    packed.filter(_.getLong(2) > 1).foreach(b => assert(b.getLong(3) <= 300))
+    assert(maxTok <= 300 ||
+      packed.filter(_.getLong(3) > 300).forall(_.getLong(2) == 1))
+    // exactly-once coverage
+    val ids = packed.flatMap(_.getSeq[Long](1))
+    assert(ids.length == docs.count())
+    assert(ids.distinct.length == ids.length)
+    // determinism
+    val again = Packing.packSequences(docs, 300, 4).collect()
+    assert(packed.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+    // packing efficiency: mean fill of multi-doc bins above half budget
+    val multi = packed.filter(_.getLong(2) > 1)
+    assert(multi.map(_.getLong(3)).sum.toDouble / (multi.length * 300) > 0.5)
+  }
+
+  test("decontaminate removes exactly the reported docs") {
+    import graft.ops.Contamination
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val bench = docs.filter(col("doc_id") < 20)
+    val report = Contamination.report(corpus, bench, 3, 5)
+    val clean = Contamination.decontaminate(corpus, bench, 3, 5)
+    assert(clean.count() == corpus.count() - report.count())
+    val cleanIds = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    val badIds = report.select("id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds.intersect(badIds).isEmpty)
+  }
+
   test("langId prefers en on this corpus; quality in [0,1]") {
     val preds = docs.select(Text.langId(col("text")).as("p"))
       .groupBy("p").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
