@@ -16,6 +16,15 @@ object Text {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword-boundary token count: letter runs, digit runs, and
+    * single non-alphanumeric marks count separately (the pre-tokenization
+    * split of GPT-style BPE, minus byte-level details). The pattern is
+    * deliberately RE2/Java-portable. */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
   def charCount(text: Column): Column = length(text)
 
   /** Distinct-token / token ratio — a vocabulary-richness quality signal. */

@@ -31,7 +31,8 @@ object TrainingData {
           Text.charCount(col("text")).as("n_chars"),
           Text.typeTokenRatio(col("text")).as("ttr"),
           Text.meanTokenLen(col("text")).as("mean_tok_len"),
-          Text.stopwordRatio(col("text"), stop).as("stop_ratio"))
+          Text.stopwordRatio(col("text"), stop).as("stop_ratio"),
+          Text.bpeTokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
 
@@ -215,7 +216,9 @@ object TrainingData {
         |  CAST(length(text) - len(l) + 1 AS DOUBLE) / CAST(len(l) AS DOUBLE)
         |    AS mean_tok_len,
         |  CAST(len(list_filter(l, x -> x IN ('the', 'a', 'data', 'value')))
-        |       AS DOUBLE) / CAST(len(l) AS DOUBLE) AS stop_ratio
+        |       AS DOUBLE) / CAST(len(l) AS DOUBLE) AS stop_ratio,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS n_bpe_tokens
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_doc_quality" ->
