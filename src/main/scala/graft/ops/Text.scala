@@ -96,6 +96,32 @@ object Text {
       .agg(count(lit(1)).as("occurrences"),
         countDistinct(col("id")).as("doc_freq"))
 
+  /** Per-document top-k TF-IDF terms: tf = in-doc occurrences,
+    * idf = ln(N/df). Two partial-aggregatable groupBys plus one join of
+    * the (vocabulary-sized) df table — at corpus scale the vocabulary is
+    * orders of magnitude smaller than the corpus and broadcasts.
+    * Ranking uses the 1e-6-rounded score (+ term tiebreak) so ordering is
+    * reproducible across engines regardless of libm ulp differences. */
+  def tfIdfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val n = docs.count()
+    val ex = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = ex.groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = ex.select(col("id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .withColumn("score",
+        floor(col("tf") * log(lit(n.toDouble) / col("df")) * 1e6) / 1e6)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("token"), col("score"), col("rank"))
+  }
+
   /** Canonical-text fingerprint: lowercase, collapse whitespace, trim,
     * md5 — the exact-dedup key. */
   def fingerprint(text: Column): Column =

@@ -95,6 +95,13 @@ object TrainingData {
         .orderBy(col("split"))
     }),
 
+    // per-document top-3 TF-IDF terms (rounded-score ranking)
+    "q_doc_tfidf" -> ((s, dir) => {
+      Text.tfIdfTopTerms(docs(s, dir), k = 3)
+        .filter(col("id") < 30)
+        .orderBy(col("id"), col("rank"))
+    }),
+
     // corpus vocabulary: top-30 tokens by occurrences with doc frequency
     "q_doc_vocab" -> ((s, dir) => {
       Text.vocabulary(docs(s, dir))
@@ -296,6 +303,30 @@ object TrainingData {
         |SELECT split, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT source) AS n_sources
         |FROM assigned GROUP BY split ORDER BY split""".stripMargin,
+
+    "q_doc_tfidf" ->
+      """WITH ex AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT id, token, COUNT(*) AS tf FROM ex GROUP BY id, token
+        |), dfreq AS (
+        |  SELECT token, COUNT(DISTINCT id) AS df FROM ex GROUP BY token
+        |), n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.id, tf.token,
+        |    floor(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) * 1e6) / 1e6
+        |      AS score
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT id, token, score,
+        |    ROW_NUMBER() OVER (PARTITION BY id
+        |                       ORDER BY score DESC, token) AS rank
+        |  FROM scored
+        |)
+        |SELECT id, token, score, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3 AND id < 30
+        |ORDER BY id, rank""".stripMargin,
 
     "q_doc_vocab" ->
       """WITH ex AS (
