@@ -18,6 +18,7 @@ object Bench {
     "q_events_asof",
     "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
     "q_embed_topk", "q_embed_ivf", "q_doc_quality", "q_doc_langid",
+    "q_doc_tfidf", "q_doc_contamination",
     "q_run_sweep")
 
   def main(args: Array[String]): Unit = {

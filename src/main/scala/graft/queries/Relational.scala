@@ -247,6 +247,18 @@ object Relational {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // exact interpolated percentiles per event type
+    "q_events_quantiles" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.25)").as("p25"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.75)").as("p75"),
+          expr("percentile(value, 0.95)").as("p95"))
+        .orderBy(col("event_type"))
+    }),
+
     // A1/A3-style: per-group max + latest-partition filter
     "q_latest_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -409,6 +421,16 @@ object Relational {
         |FROM purchases l ASOF LEFT JOIN clicks r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.user_id, l.event_id""".stripMargin,
+
+    "q_events_quantiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.25) AS p25,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.75) AS p75,
+        |  quantile_cont(value, 0.95) AS p95
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_latest_orders" ->
       """SELECT o_orderstatus, COUNT(*) AS n
