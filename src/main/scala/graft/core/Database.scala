@@ -108,6 +108,26 @@ class Database(val spark: SparkSession, val calcDir: String,
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
       .json(outPath)
 
+  /** Compact the database's many small append files (an append-only store
+    * accumulates one file set per run; at high run counts the scan's
+    * file-listing and task-launch overhead dominates) down to ~one file
+    * per `_run_id` partition. Atomic: rewrite to a temp dir, then swap.
+    * Values, schema, and partitioning are unchanged. */
+  def compact(numPartitions: Int = 0): Unit = {
+    if (!exists) return
+    val runs = read().select("_run_id").distinct().count().toInt
+    val n = if (numPartitions > 0) numPartitions else math.max(1, runs)
+    val df = read().repartition(n, col("_run_id"))
+    val tmp = s"$dbPath.__compact_tmp"
+    Fs.delete(tmp)
+    df.write.mode("overwrite").partitionBy("_run_id").parquet(tmp)
+    val old = s"$dbPath.__old"
+    Fs.delete(old)
+    Fs.rename(dbPath, old)
+    Fs.rename(tmp, dbPath)
+    Fs.delete(old)
+  }
+
   /** Read a JSON-format database back (the S3 alternate format,
     * ref psweep.py:454-512). JSON is the lossy format — ints widen to
     * long, timestamps need the schema to round-trip (mirrors the

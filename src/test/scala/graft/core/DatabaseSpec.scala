@@ -60,6 +60,32 @@ class DatabaseSpec extends AnyFunSuite {
     }
   }
 
+  test("compact: fewer files, identical content, hashes intact") {
+    val calc = tmpDir("graft-compact-")
+    val study = Study(spark, StudyConfig(calcDir = calc, poolsize = Some(4)))
+    (1 to 4).foreach(i =>
+      study.run(p => Map("r_" -> 1.0),
+        Grid.plist("a", (i * 10) until (i * 10 + 8))))
+    val db = Database(spark, calc)
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(db.dbPath))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val before = db.read().orderBy("_pset_seq").collect()
+    val filesBefore = parquetFiles()
+    db.compact()
+    val after = db.read().orderBy("_pset_seq").collect()
+    assert(parquetFiles() < filesBefore)
+    assert(parquetFiles() == 4) // one per run
+    assert(before.map(_.toString).toSeq == after.map(_.toString).toSeq)
+  }
+
+  test("driver contract: entry() smoke (rows > 0)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("counters on empty database") {
     val db = Database(spark, tmpDir("graft-empty-"))
     assert(!db.exists)
