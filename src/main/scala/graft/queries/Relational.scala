@@ -259,6 +259,43 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // rollup: subtotals per (status, priority), per status, grand total —
+    // grouping-set machinery the reference has no analog for
+    "q_rollup_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    }),
+
+    // pivot-style conditional aggregation (engine-portable form)
+    "q_pivot_status" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // per-user lag features over the event stream (ML feature generation):
+    // previous event's value/type and seconds since it
+    "q_events_lag_features" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .filter(col("user_id") < 10)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("gap_seconds",
+          (col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("prev_type"), col("prev_value"), col("gap_seconds"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // A1/A3-style: per-group max + latest-partition filter
     "q_latest_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -431,6 +468,31 @@ object Relational {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_events_lag_features" ->
+      """SELECT user_id, event_id, event_type,
+        |  lag(event_type) OVER w AS prev_type,
+        |  lag(value) OVER w AS prev_value,
+        |  CAST(floor(epoch(ts)) AS BIGINT)
+        |    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_seconds
+        |FROM events WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_latest_orders" ->
       """SELECT o_orderstatus, COUNT(*) AS n
