@@ -127,7 +127,9 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
       Study.bookkeepingCols.contains(n))
     require(badBook.isEmpty,
       s"params must not contain bookkeeping columns: ${badBook.mkString(", ")}")
-    val norm = params.map(p => Study.normalizeFull(p, paramSchema))
+    // Vectors: the work-builder below indexes positionally, which is
+    // O(n^2) on a List at large sweep sizes
+    val norm = params.toVector.map(p => Study.normalizeFull(p, paramSchema))
     val hashes = norm.map(PsetHash.hash(_))
 
     // 3.1-4/5: load-or-create + counter recovery (from the in-memory base
@@ -294,6 +296,12 @@ object Study {
       f.name -> pset.get(f.name).map(ValueSchema.normalize(_, f.dataType)).orNull
     }.toMap
 
+  /** Hostname resolved once per executor JVM — `InetAddress.getLocalHost`
+    * can hit the resolver and must not run per row. */
+  @transient private lazy val cachedHostName: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Throwable => "unknown" }
+
   private[core] def mergeKeyTypes(a: Map[String, DataType],
                                   b: Map[String, DataType]): Map[String, DataType] =
     (a.keySet ++ b.keySet).map { k =>
@@ -330,9 +338,7 @@ object Study {
                                ctx: TaskCtx): Map[String, Any] = {
     val psetId = pset("_pset_id").toString
     val started = java.sql.Timestamp.from(java.time.Instant.now())
-    val host =
-      try java.net.InetAddress.getLocalHost.getHostName
-      catch { case _: Throwable => "unknown" }
+    val host = cachedHostName
     if (ctx.verbose) println(s"[graft] pset $psetId: $pset")
     val t0 = System.nanoTime()
 
