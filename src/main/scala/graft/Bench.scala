@@ -40,11 +40,16 @@ object Bench {
       try { SparkEntry.queries(name)(spark, sfDir).count(); () }
       catch { case _: Throwable => () }
     }
-    val results = qs.map { name =>
+    // min of two timed passes (the reference's own benchmark pattern:
+    // min(timeit.repeat(...)), ref examples/benchmark_shell_command.py)
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count(); () }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = qs.map { name =>
+      name -> math.min(timeOnce(name), timeOnce(name))
     }
     val qJson = results
       .map { case (k, v) => "\"" + k + f"\":$v%.4f" }

@@ -48,6 +48,41 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup against a persisted fingerprint index — the
+    * engine's incremental-sweep ethos applied to corpus ingestion: each
+    * batch dedups against (and extends) a tiny fingerprint table instead
+    * of rescanning all previously ingested text. Returns the surviving
+    * (index-new and batch-first) rows; the index at `indexPath` grows by
+    * exactly their fingerprints. */
+  def incrementalExactDedup(batch: DataFrame, indexPath: String,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val spark = batch.sparkSession
+    val withFp = batch.withColumn("__fp", Text.fingerprint(col(textCol)))
+    val existing: Option[DataFrame] =
+      if (graft.core.Fs.exists(indexPath) &&
+        graft.core.Fs.listNames(indexPath).nonEmpty)
+        Some(spark.read.parquet(indexPath))
+      else None
+    val newVsIndex = existing match {
+      case Some(idx) =>
+        withFp.join(idx.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      case None => withFp
+    }
+    // in-batch dedup: keep the lowest id per fingerprint
+    val keep = newVsIndex.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+    // localCheckpoint cuts the lineage BEFORE the index append: the
+    // survivors' plan reads the index path we are about to write to, and a
+    // lazy recomputation after the append would see its own output and
+    // anti-join everything away (self-referential read-append)
+    val survivors = newVsIndex
+      .join(keep, Seq("__fp", idCol), "left_semi")
+      .localCheckpoint(true)
+    survivors.select(col("__fp").as("fp")).distinct()
+      .write.mode("append").parquet(indexPath)
+    survivors.drop("__fp")
+  }
+
   /** Distinct word n-gram shingles of a text column — a single-pass custom
     * expression. The composed-builtins form
     * (`transform(sequence(...), i -> concat_ws(element_at(split(text)...)))`)

@@ -38,6 +38,20 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
   }
 
+  test("incremental exact dedup across batches via the fingerprint index") {
+    val idx = graft.SparkSpec.tmpDir("graft-idx-") + "/fp_index"
+    val b1 = docs.filter(col("doc_id") < 100)
+    val s1 = Dedup.incrementalExactDedup(b1, idx)
+    assert(s1.count() == 100) // corpus has no exact dups at sf0.01
+    // second batch: 50 already-seen docs + 50 new ones
+    val b2 = docs.filter(col("doc_id") >= 50 && col("doc_id") < 150)
+    val s2 = Dedup.incrementalExactDedup(b2, idx)
+    val ids2 = s2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == (100L until 150L).toSet, s"got ${ids2.size}")
+    // the index grew to 150 fingerprints
+    assert(graft.SparkSpec.spark.read.parquet(idx).distinct().count() == 150)
+  }
+
   test("exact dedup keeps one row per fingerprint") {
     val d = Dedup.exactDedup(docs)
     assert(d.count() ==
