@@ -77,6 +77,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("Exchange"))
   }
 
+  test("custom expressions cooperate with the optimizer: constant folding") {
+    import org.apache.spark.sql.functions._
+    // a pset_hash over literals folds to a literal at optimization time —
+    // deterministic + foldable custom expressions get Catalyst rewrites
+    // for free (SURVEY §4.1: mark deterministic, no custom Rule needed)
+    val df = spark.range(1)
+      .select(graft.queries.PsetHashExpressionHelper
+        .hashOf(Seq.empty).as("h")) // hash of empty struct
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains(graft.core.PsetHash.emptyHash), optimized)
+    assert(!optimized.toLowerCase.contains("pset_hash"), optimized)
+  }
+
   test("whole-stage codegen spans the relational hot paths") {
     val df = SparkEntry.queries("q_agg_pricing")(spark, sf)
     df.collect() // let AQE finalize
