@@ -86,6 +86,24 @@ class DatabaseSpec extends AnyFunSuite {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  test("source breadth: db round-trips through ORC and CSV") {
+    val (db, calc) = mkDb()
+    val full = db.read()
+    // ORC: full-fidelity columnar alternative
+    full.write.mode("overwrite").orc(s"$calc/db_orc")
+    val orc = spark.read.orc(s"$calc/db_orc")
+    assert(orc.orderBy("_pset_seq").collect().map(_.toString).toSeq ==
+      full.orderBy("_pset_seq").collect().map(_.toString).toSeq)
+    // CSV: lossy text format — needs explicit schema + timestamp format
+    val csvCols = full.select("a", "r_", "_pset_hash", "_pset_seq")
+    csvCols.write.mode("overwrite").option("header", "true")
+      .csv(s"$calc/db_csv")
+    val csv = spark.read.option("header", "true")
+      .schema(csvCols.schema).csv(s"$calc/db_csv")
+    assert(csv.orderBy("_pset_seq").collect().map(_.toString).toSeq ==
+      csvCols.orderBy("_pset_seq").collect().map(_.toString).toSeq)
+  }
+
   test("counters on empty database") {
     val db = Database(spark, tmpDir("graft-empty-"))
     assert(!db.exists)
