@@ -103,6 +103,26 @@ class ValueSchemaSpec extends AnyFunSuite {
     assert(out2.db.count() == 2)
   }
 
+  test("date/timestamp/binary params sweep end-to-end with stable hashes") {
+    val calc = graft.SparkSpec.tmpDir("graft-types-")
+    val d1 = java.time.LocalDate.parse("2024-03-01")
+    val ts = java.time.Instant.parse("2024-03-01T10:00:00Z")
+    val params = Seq(
+      Map[String, Any]("day" -> d1, "at" -> ts, "blob" -> Array[Byte](1, 2, 3)),
+      Map[String, Any]("day" -> d1.plusDays(1), "at" -> ts,
+        "blob" -> Array[Byte](4, 5)))
+    val study = Study(spark, StudyConfig(calcDir = calc, skipDups = true))
+    val out = study.run(p => Map("r_" -> 1.0), params)
+    assert(out.executed == 2)
+    val row = out.db.orderBy("_pset_seq").head()
+    assert(row.getAs[java.sql.Date]("day").toLocalDate == d1)
+    assert(row.getAs[java.sql.Timestamp]("at").toInstant == ts)
+    assert(row.getAs[Array[Byte]]("blob").toSeq == Seq[Byte](1, 2, 3))
+    // identical params dedup across a fresh JVM-independent hash path
+    val out2 = study.run(p => Map("r_" -> 2.0), params)
+    assert(out2.executed == 0)
+  }
+
   test("JSON db format round-trip with schema (S3, F12)") {
     val calc = graft.SparkSpec.tmpDir("graft-json-")
     val out = Study(spark, calc).run(
