@@ -13,8 +13,9 @@ import graft.core.{Fs, RunOutput, Study, StudyConfig}
   */
 object Batch {
 
-  /** Text template with `{{ var }}` ("jinja" mode) or `$var` / `${var}`
-    * ("dollar" mode) substitution. Missing placeholders error (strict —
+  /** Text template with `{{ var }}` ("jinja" mode) or dollar-prefixed
+    * (`$var` or brace-wrapped) "dollar" mode substitution. Missing
+    * placeholders error (strict —
     * ref psweep.py:1541 StrictUndefined; tests/test_all.py:1315-1326).
     * Only variable substitution is supported: the reference's own
     * templates use nothing else (ref examples/batch_templates/templates/
