@@ -36,8 +36,17 @@ final class TypedStudy(val study: Study) {
     // relative to any real user function)
     val pClass = pEnc.clsTag.runtimeClass
     val untypedFunc: Map[String, Any] => Map[String, Any] = { m =>
-      val ctor = pClass.getConstructors.head
-      val args = pNames.map(n => m(n).asInstanceOf[AnyRef]).toArray
+      // the primary constructor is the (unique) one whose arity matches
+      // the encoder's field list — getConstructors.head is unordered
+      val ctor = pClass.getConstructors
+        .find(_.getParameterCount == pNames.length)
+        .getOrElse(throw new IllegalArgumentException(
+          s"${pClass.getName}: no ${pNames.length}-arg constructor"))
+      // engine normalization widens numerics to Long/Double; narrow each
+      // value back to the declared parameter type so Int/Float/Short
+      // fields reconstruct instead of throwing argument-type-mismatch
+      val args = pNames.zip(ctor.getParameterTypes.toSeq)
+        .map { case (n, t) => TypedStudy.coerce(m(n), t) }.toArray
       val p = ctor.newInstance(args: _*).asInstanceOf[P]
       val r = func(p)
       rNames.zip(r.productIterator.toSeq).toMap
@@ -49,6 +58,27 @@ final class TypedStudy(val study: Study) {
 }
 
 object TypedStudy {
+
+  /** Narrow an engine-normalized value (Long/Double/…) to the declared
+    * constructor parameter type; non-numeric values pass through. */
+  private[core] def coerce(v: Any, t: Class[_]): AnyRef = v match {
+    case n: java.lang.Number =>
+      if (t == java.lang.Integer.TYPE || t == classOf[java.lang.Integer])
+        Int.box(n.intValue())
+      else if (t == java.lang.Long.TYPE || t == classOf[java.lang.Long])
+        Long.box(n.longValue())
+      else if (t == java.lang.Short.TYPE || t == classOf[java.lang.Short])
+        Short.box(n.shortValue())
+      else if (t == java.lang.Byte.TYPE || t == classOf[java.lang.Byte])
+        Byte.box(n.byteValue())
+      else if (t == java.lang.Float.TYPE || t == classOf[java.lang.Float])
+        Float.box(n.floatValue())
+      else if (t == java.lang.Double.TYPE || t == classOf[java.lang.Double])
+        Double.box(n.doubleValue())
+      else n.asInstanceOf[AnyRef]
+    case other => other.asInstanceOf[AnyRef]
+  }
+
   def apply(spark: org.apache.spark.sql.SparkSession, calcDir: String): TypedStudy =
     new TypedStudy(Study(spark, calcDir))
 

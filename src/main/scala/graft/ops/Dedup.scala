@@ -92,11 +92,43 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     shim.column(WordShingles(shim.expression(text), n))
 
+  /** Exact-Jaccard verification of candidate pairs: re-shingles only the
+    * candidate docs (semi-join on the small candidate id set) and scores
+    * each pair over the FULL shingle sets — shared by the capped n-gram
+    * path and MinHash LSH, so every reported jaccard is exact regardless
+    * of how candidates were generated. */
+  private def verifyJaccard(docs: DataFrame, candIds: DataFrame, n: Int,
+                            threshold: Double, textCol: String,
+                            idCol: String): DataFrame = {
+    def shFor(side: String): DataFrame =
+      docs.join(broadcast(candIds.select(col(side).as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+        .select(col(idCol).as(side),
+          shingles(col(textCol), n).as(s"sh_$side"))
+    candIds
+      .join(shFor("id1"), Seq("id1"))
+      .join(shFor("id2"), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("sh_id1"), col("sh_id2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_id1")) + size(col("sh_id2")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Near-duplicate pairs by exact n-gram Jaccard, with candidate
     * generation through a shingle inverted index (equi-join on shingle).
-    * `maxShingleFreq` drops ubiquitous shingles from the index (stopword
-    * runs) — the standard skew guard; exactness is preserved for pairs
-    * that share at least one rarer shingle.
+    *
+    * `maxShingleFreq` caps the inverted index: shingles occurring in more
+    * than `cap` docs (stopword runs, boilerplate) are dropped from
+    * CANDIDATE GENERATION only — a fixed cap bounds the per-shingle join
+    * fan-out at `cap^2/2` pairs independent of corpus size, which is what
+    * keeps the self-join sub-quadratic on boilerplate-heavy corpora.
+    * Candidates are then verified with exact Jaccard over the FULL
+    * shingle sets ([[verifyJaccard]]), so reported scores are never
+    * underestimated. Contract: a pair is reported iff its exact Jaccard
+    * >= threshold AND the docs share at least one shingle with corpus
+    * frequency <= cap; pairs whose entire overlap is hot shingles are
+    * missed by construction (a pair of pure-boilerplate docs).
     * Output: (id1, id2, jaccard) with id1 < id2, jaccard >= threshold. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         textCol: String = "text", idCol: String = "doc_id",
@@ -106,35 +138,46 @@ object Dedup {
     // tokenizer
     val ex0 = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("s"))
-    val ex = maxShingleFreq match {
+    maxShingleFreq match {
       case Some(cap) =>
         val rare = ex0.groupBy("s").agg(count(lit(1)).as("freq"))
           .filter(col("freq") <= cap).select("s")
-        ex0.join(rare, Seq("s"), "left_semi")
-      case None => ex0
+        val ex = ex0.join(rare, Seq("s"), "left_semi")
+        val candIds = ex.alias("a")
+          .join(ex.alias("b"),
+            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2"))
+          .dropDuplicates("id1", "id2")
+        verifyJaccard(docs, candIds, n, threshold, textCol, idCol)
+      case None =>
+        // uncapped: the index holds every shingle, so intersection sizes
+        // can come straight off a count-only aggregate — no re-shingle
+        // pass needed. Hot path carries only (id, s); per-doc shingle
+        // counts join back against the (corpus-cardinality, not
+        // pair-cardinality) count table. The self-join aliases one
+        // identical subplan so the scan/exchange is planned once and
+        // reused for the other side.
+        val inter = ex0.alias("a")
+          .join(ex0.alias("b"),
+            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2"))
+          .groupBy(col("id1"), col("id2"))
+          .agg(count(lit(1)).as("inter"))
+        val counts = docs.select(col(idCol).as("id"),
+          size(shingles(col(textCol), n)).as("nsh"))
+        // no broadcast hint: AQE broadcasts the count table while it fits
+        // and falls back to a shuffle join at corpus sizes where it doesn't
+        inter
+          .join(counts.select(col("id").as("id1"), col("nsh").as("n1")),
+            Seq("id1"))
+          .join(counts.select(col("id").as("id2"), col("nsh").as("n2")),
+            Seq("id2"))
+          .withColumn("jaccard",
+            col("inter").cast("double") /
+              (col("n1") + col("n2") - col("inter")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id1"), col("id2"), col("jaccard"))
     }
-    // hot path carries only (id, s): intersection sizes via a count-only
-    // aggregate; per-doc shingle counts join back afterwards against the
-    // (corpus-cardinality, not pair-cardinality) count table. The self-join
-    // aliases one identical subplan so the scan/exchange is planned once
-    // and reused for the other side.
-    val inter = ex.alias("a")
-      .join(ex.alias("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).as("inter"))
-    val counts = docs.select(col(idCol).as("id"),
-      size(shingles(col(textCol), n)).as("nsh"))
-    // no broadcast hint: AQE broadcasts the count table while it fits and
-    // falls back to a shuffle join at corpus sizes where it doesn't
-    inter
-      .join(counts.select(col("id").as("id1"), col("nsh").as("n1")), Seq("id1"))
-      .join(counts.select(col("id").as("id2"), col("nsh").as("n2")), Seq("id2"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   /** MinHash + LSH banding near-dup detection:
@@ -176,20 +219,7 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .dropDuplicates("id1", "id2")
-    // exact verification: re-shingle only candidate docs
-    def shFor(side: String): DataFrame =
-      docs.join(broadcast(candIds.select(col(side).as(idCol)).distinct()),
-        Seq(idCol), "left_semi")
-        .select(col(idCol).as(side),
-          shingles(col(textCol), n).as(s"sh_$side"))
-    candIds
-      .join(shFor("id1"), Seq("id1"))
-      .join(shFor("id2"), Seq("id2"))
-      .withColumn("inter", size(array_intersect(col("sh_id1"), col("sh_id2"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_id1")) + size(col("sh_id2")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    verifyJaccard(docs, candIds, n, threshold, textCol, idCol)
   }
 
   /** 64-bit SimHash of the token array (Column form). */
@@ -201,6 +231,11 @@ object Dedup {
     * then exact popcount verification. */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // four 16-bit chunks guarantee candidate completeness only up to
+    // Hamming distance 3 (pigeonhole: d<=3 differing bits cannot touch
+    // all 4 chunks); beyond that candidates would silently go missing
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for 4-chunk banding, got $maxHamming")
     val fp = docs.select(col(idCol).as("id"),
       simhash64(Text.tokens(col(textCol))).as("f"))
     val chunks = fp.select(col("id"), col("f"), explode(array(

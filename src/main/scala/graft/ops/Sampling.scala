@@ -17,25 +17,40 @@ object Sampling {
 
   private def hexThreshold(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
-    f"${math.round(fraction * 65536).min(65536).toInt}%04x"
+    // clamp to the largest 4-digit threshold: rounding to 65536 would
+    // format as the 5-char "10000", which compares lexicographically
+    // BELOW almost every 4-char hash and silently kept ~1/16 of rows
+    f"${math.round(fraction * 65536).min(65535).toInt}%04x"
   }
+
+  /** True iff `fraction` rounds to keep-everything at the 1/65536
+    * threshold granularity (>= 65535.5/65536): such fractions must keep
+    * every row exactly, not hash-filter. */
+  private def keepsAll(fraction: Double): Boolean =
+    math.round(fraction * 65536) >= 65536
 
   /** The unit-interval position of a key: first 4 hex chars of its md5.
     * Lexicographic comparison of lowercase hex == numeric comparison. */
   def hashPosition(key: Column): Column = substring(md5(key.cast("string")), 1, 4)
 
+  /** The keep-decision predicate for one fraction (keep-all / drop-all
+    * short-circuited so boundary fractions are exact, not hash-rounded). */
+  private def keepPredicate(key: Column, fraction: Double): Column =
+    if (keepsAll(fraction)) lit(true)
+    else if (fraction <= 0.0) lit(false)
+    else hashPosition(key) < lit(hexThreshold(fraction))
+
   /** Keep ~`fraction` of rows, chosen by key hash (same key -> same
     * decision, always). */
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
-    df.filter(hashPosition(key) < lit(hexThreshold(fraction)))
+    df.filter(keepPredicate(key, fraction))
 
   /** Per-stratum fractions (e.g. downsample dominant languages): strata
     * not listed keep everything. */
   def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
                            fractions: Map[String, Double]): DataFrame = {
     val keep = fractions.foldLeft(lit(true)) { case (acc, (s, f)) =>
-      when(stratum === s, hashPosition(key) < lit(hexThreshold(f)))
-        .otherwise(acc)
+      when(stratum === s, keepPredicate(key, f)).otherwise(acc)
     }
     df.filter(keep)
   }
@@ -51,7 +66,11 @@ object Sampling {
     val cums = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
     splits.zip(cums).init.foldRight(lit(splits.last._1)) {
       case (((name, _), cum), otherwise) =>
-        when(pos < lit(hexThreshold(cum)), name).otherwise(otherwise)
+        // keepsAll guards degenerate zero-weight tails: a cumulative 1.0
+        // boundary must capture every hash, including "ffff"
+        val below =
+          if (keepsAll(cum)) lit(true) else pos < lit(hexThreshold(cum))
+        when(below, name).otherwise(otherwise)
     }
   }
 }

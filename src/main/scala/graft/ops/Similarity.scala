@@ -84,14 +84,27 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 8, radius: Int = 1,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val hp = hyperplanes(64, planes)
+              vecCol: String = "embedding",
+              dim: Int = -1): DataFrame = {
+    // hyperplanes must match the embedding dimension: a mismatch would
+    // null-pad every zip_with dot product and silently collapse all
+    // signatures into one bucket. Infer from the data (one-row job) when
+    // not supplied, and fail fast per row on ragged dimensions.
+    val d =
+      if (dim > 0) dim
+      else corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val hp = hyperplanes(d, planes)
+    val dimOk = coalesce(assert_true(size(col("v")) === d,
+      lit(s"embedding dimension != $d")), lit(true))
     val bucketed = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
       lshSignature(col(vecCol), hp).as("sig"))
+      .filter(dimOk)
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(probeSignatures(lshSignature(col(vecCol), hp), planes, radius))
-          .as("sig")))
+          .as("sig"))
+        .filter(coalesce(assert_true(size(col("qv")) === d,
+          lit(s"query embedding dimension != $d")), lit(true))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     bucketed.join(q, Seq("sig"))
@@ -192,18 +205,74 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
   }
 
-  /** Cosine near-duplicate pairs above a threshold among a (sub)corpus —
-    * embedding-based dedup. Brute force within the given frame; pair it
-    * with [[lshTopK]]-style bucketing for full-corpus scale. */
+  /** Cosine near-duplicate pairs above a threshold — embedding-based
+    * dedup with EXACT results (recall 1.0) and no cartesian product.
+    *
+    * Metric-blocking design: vectors are assigned to `numCentroids`
+    * k-means cells; per cell we record the maximum angle of any member to
+    * its centroid (the cell's angular radius). By the spherical triangle
+    * inequality, `angle(a,b) >= angle(cA,cB) - rA - rB`, so any cell pair
+    * whose centroid angle minus both radii exceeds `acos(threshold)`
+    * provably contains no qualifying pair and is pruned driver-side
+    * (`numCentroids^2` checks on collected radii — tiny). The surviving
+    * cell pairs drive an equi-join on cell ids: a BroadcastHashJoin
+    * against the (small) cell-pair list, then a shuffled equi-join on the
+    * cell key — never a CartesianProduct / BroadcastNestedLoopJoin node.
+    *
+    * Scale: work is the sum of |A|x|B| over surviving cell pairs; with
+    * clustered real-world embeddings and high thresholds most cell pairs
+    * prune away, and `numCentroids` tunes the block granularity. Uniform
+    * data at low thresholds degrades gracefully toward blocked all-pairs
+    * — the information-theoretic floor for an exact answer — while
+    * keeping shuffle-partitionable equi-join shape (AQE handles cell
+    * skew). Zero-norm vectors have no direction (cosine undefined/null)
+    * and are excluded, matching the `>= threshold` filter semantics. */
   def cosinePairs(corpus: DataFrame, threshold: Double,
+                  numCentroids: Int = 8, iters: Int = 3,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-    val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("v2"))
-    a.crossJoin(b)
-      .filter(col("id1") < col("id2"))
-      .withColumn("score", cosine(col("v1"), col("v2")))
+    val centroids = kmeansCentroids(corpus, numCentroids, iters, idCol, vecCol)
+    val norm = sqrt(aggregate(col("v"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val best = greatest(centroids.zipWithIndex.map { case (c, i) =>
+      struct(centroidDot(col("v"), c).as("score"), lit(i).as("cid"))
+    }: _*)
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(norm > 0)
+      .select(col("id"), col("v"), best.getField("cid").as("cid"),
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          best.getField("score") / norm))).as("ang"))
+    // per-cell angular radius: numCentroids rows collected to the driver
+    val radii = assigned.groupBy(col("cid")).agg(max(col("ang")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val maxAngle = math.acos(threshold)
+    def centroidAngle(i: Int, j: Int): Double = {
+      val d = centroids(i).zip(centroids(j)).map { case (a, b) => a * b }.sum
+      val ni = math.sqrt(centroids(i).map(x => x * x).sum)
+      val nj = math.sqrt(centroids(j).map(x => x * x).sum)
+      if (ni == 0 || nj == 0) 0.0
+      else math.acos(math.max(-1.0, math.min(1.0, d / (ni * nj))))
+    }
+    val survivors = for {
+      i <- centroids.indices
+      j <- centroids.indices if i <= j
+      ri <- radii.get(i)
+      rj <- radii.get(j)
+      if centroidAngle(i, j) - ri - rj <= maxAngle + 1e-9
+    } yield (i, j)
+    import corpus.sparkSession.implicits._
+    val cellPairs = broadcast(survivors.toDF("cid1", "cid2"))
+    val a = assigned.select(col("id").as("ida"), col("v").as("va"),
+      col("cid").as("cid1"))
+    val b = assigned.select(col("id").as("idb"), col("v").as("vb"),
+      col("cid").as("cid2"))
+    a.join(cellPairs, Seq("cid1"))
+      .join(b, Seq("cid2"))
+      .filter(col("cid1") =!= col("cid2") || col("ida") < col("idb"))
+      .withColumn("score", cosine(col("va"), col("vb")))
       .filter(col("score") >= threshold)
-      .select(col("id1"), col("id2"), col("score"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"), col("score"))
   }
 }

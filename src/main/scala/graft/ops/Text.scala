@@ -97,26 +97,38 @@ object Text {
         countDistinct(col("id")).as("doc_freq"))
 
   /** Per-document top-k TF-IDF terms: tf = in-doc occurrences,
-    * idf = ln(N/df). Two partial-aggregatable groupBys plus one join of
-    * the (vocabulary-sized) df table — at corpus scale the vocabulary is
-    * orders of magnitude smaller than the corpus and broadcasts.
-    * Ranking uses the 1e-6-rounded score (+ term tiebreak) so ordering is
-    * reproducible across engines regardless of libm ulp differences. */
+    * idf = ln(N/df). Single-pass: the tf aggregate feeds BOTH the df
+    * table (tf rows are already distinct (id, token), so df is a reissue
+    * of the same exchange, reused by Spark's ReuseExchange) AND the
+    * corpus size N (a one-row countDistinct branch cross-joined back as a
+    * broadcast) — no separate `docs.count()` action, so the corpus is
+    * scanned once per call instead of twice. Pass `numDocs` to pin N
+    * externally; when derived, N counts documents with at least one
+    * token (identical for any corpus without null/token-less texts).
+    * At corpus scale the vocabulary is orders of magnitude smaller than
+    * the corpus and broadcasts. Ranking uses the 1e-6-rounded score
+    * (+ term tiebreak) so ordering is reproducible across engines
+    * regardless of libm ulp differences. */
   def tfIdfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int,
                     textCol: String = "text",
-                    idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
-    val n = docs.count()
+                    idCol: String = "doc_id",
+                    numDocs: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val ex = docs.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("token"))
     val tf = ex.groupBy(col("id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = ex.select(col("id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val base = tf.join(df, Seq("token"))
+    val withN = numDocs match {
+      case Some(v) => base.withColumn("n", lit(v))
+      case None =>
+        base.crossJoin(broadcast(tf.agg(countDistinct(col("id")).as("n"))))
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("score").desc, col("token"))
-    tf.join(df, Seq("token"))
+    withN
       .withColumn("score",
-        floor(col("tf") * log(lit(n.toDouble) / col("df")) * 1e6) / 1e6)
+        floor(col("tf") * log(col("n").cast("double") / col("df")) * 1e6) / 1e6)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id"), col("token"), col("score"), col("rank"))

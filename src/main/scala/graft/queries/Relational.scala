@@ -413,7 +413,7 @@ object Relational {
         |ORDER BY hour, event_type""".stripMargin,
 
     "q_events_json" ->
-      """SELECT event_type, SUM(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+      """SELECT event_type, CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
         |  COUNT(*) AS n
         |FROM events
         |GROUP BY event_type

@@ -5,6 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 case class TP(a: Long, b: String)
 case class TR(result_ : Double, tag_ : String)
+case class TPNarrow(i: Int, f: Float, s: Short, d: Double, b: String)
 
 class TypedStudySpec extends AnyFunSuite {
   import graft.SparkSpec.{spark, tmpDir}
@@ -28,6 +29,20 @@ class TypedStudySpec extends AnyFunSuite {
     val h = PsetHash.hash(Map[String, Any]("a" -> 1L, "b" -> "x"))
     assert(db.filter(col("a") === 1).select("_pset_hash")
       .head().getString(0) == h)
+  }
+
+  test("typed sweep reconstructs narrowed numeric fields (Int/Float/Short)") {
+    // engine normalization widens to Long/Double; task-side ctor rebuild
+    // must narrow back (round-1 bug: argument-type-mismatch for Int)
+    val calc = tmpDir("graft-typed3-")
+    val params = Seq(TPNarrow(1, 0.5f, 2, 3.0, "x"),
+      TPNarrow(4, 1.5f, 5, 6.0, "y"))
+    val out = TypedStudy(spark, calc).run[TPNarrow, TR](
+      p => TR(p.i + p.f + p.s + p.d, p.b), params)
+    assert(out.executed == 2)
+    val r = out.db.orderBy("i").collect()
+      .map(_.getAs[Double]("result_")).toSeq
+    assert(r == Seq(1 + 0.5 + 2 + 3.0, 4 + 1.5 + 5 + 6.0))
   }
 
   test("typed sweep interops with untyped dedup") {

@@ -28,6 +28,54 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("ngram cap: capped candidates + full-set verify == uncapped exact") {
+    def pairs(cap: Option[Int]) =
+      Dedup.ngramJaccardPairs(docs, 3, 0.5, maxShingleFreq = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.floor(r.getDouble(2) * 1e6) / 1e6)).toSet
+    val exact = pairs(None)
+    val capped = pairs(Some(500))
+    assert(exact.nonEmpty)
+    assert(capped == exact,
+      s"missed=${(exact -- capped).take(5)} extra=${(capped -- exact).take(5)}")
+  }
+
+  test("ngram cap: Jaccard is over FULL shingle sets, not the capped index") {
+    // two docs share a hot boilerplate shingle + rare overlap; with the
+    // cap excluding the hot shingle from candidate generation, the score
+    // must still count it (round-1 bug: inter used the capped index ->
+    // underestimated jaccard 3/7 here, below the 0.5 threshold)
+    import graft.SparkSpec.spark.implicits._
+    val d = (Seq(
+      (1L, "the quick brown unique alpha beta gamma"),
+      (2L, "the quick brown unique alpha beta delta")) ++
+      (3L to 6L).map(i => (i, s"the quick brown filler$i x$i y$i z$i")))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(d, 3, 0.5, maxShingleFreq = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 1)
+    assert(got.head._1 == 1L && got.head._2 == 2L)
+    assert(math.abs(got.head._3 - 4.0 / 6.0) < 1e-9, got.head.toString)
+  }
+
+  test("cosinePairs (cell-blocked) is exact: recall 1.0 vs brute force") {
+    // brute-force all-pairs baseline, computed inline (test-only shape)
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val bf = a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("score", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("score") >= 0.4)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.cosinePairs(emb, 0.4)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.nonEmpty, "corpus should contain pairs above 0.4")
+    assert(blocked == bf,
+      s"missed=${(bf -- blocked).take(5)} extra=${(blocked -- bf).take(5)}")
+  }
+
   test("simhash: identical texts collide, near-dups are close") {
     val fp = docs.limit(1).select(Text.tokens(col("text")).as("t"))
       .select(Dedup.simhash64(col("t")).as("f1"),
@@ -198,6 +246,13 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stratLang("en") < byLang("en") / 2)
     (byLang.keySet - "en").foreach(l => assert(stratLang(l) == byLang(l)))
+    // boundary fractions are exact, not hash-rounded (round-1 bug:
+    // fraction=1.0 formatted a 5-char threshold and kept ~1/16 of rows)
+    assert(Sampling.hashSample(docs, col("doc_id"), 1.0).count() == n.toLong)
+    assert(Sampling.hashSample(docs, col("doc_id"), 0.0).count() == 0L)
+    val strat1 = Sampling.stratifiedHashSample(docs, col("doc_id"),
+      col("lang"), Map("en" -> 1.0))
+    assert(strat1.count() == n.toLong)
   }
 
   test("sequence packing: bins respect the budget, cover all docs, deterministic") {

@@ -77,6 +77,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("Exchange"))
   }
 
+  test("q_embed_pairs: no cartesian product / nested-loop join") {
+    // exact cosine pair mining must run as cell-pruned equi-joins; a
+    // CartesianProduct or BroadcastNestedLoopJoin here is the O(n^2)
+    // shuffle shape that killed the round-1 design
+    val p = plan("q_embed_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("custom expressions cooperate with the optimizer: constant folding") {
     import org.apache.spark.sql.functions._
     // a pset_hash over literals folds to a literal at optimization time —
