@@ -24,13 +24,69 @@ class Database(val spark: SparkSession, val calcDir: String,
 
   val dbPath: String = s"$calcDir/$basename"
 
-  def exists: Boolean = Fs.exists(dbPath) && Fs.listNames(dbPath).nonEmpty
+  /** Single-writer lock file. The database supports ONE writer at a time
+    * (same contract as the reference's pickle database); the lock turns a
+    * silent race into a loud error. */
+  val lockPath: String = s"$dbPath.__lock"
+
+  private val oldPath: String = s"$dbPath.__old"
+
+  def exists: Boolean = {
+    recover()
+    Fs.exists(dbPath) && Fs.listNames(dbPath).nonEmpty
+  }
+
+  /** Recover from a crash mid-swap ([[swapIn]] windows): a crash between
+    * the two renames leaves the data under `.__old` — restore it; a crash
+    * after the second rename leaves a stale `.__old` next to a complete
+    * db — drop it. Idempotent and cheap (two existence checks), called on
+    * every read path. */
+  def recover(): Unit = {
+    if (Fs.exists(oldPath)) {
+      if (!Fs.exists(dbPath)) Fs.rename(oldPath, dbPath)
+      else Fs.delete(oldPath)
+    }
+  }
+
+  /** Run `f` holding the database's single-writer lock. Concurrent
+    * mutators fail fast with the holder's identity instead of corrupting
+    * the store. A crashed holder leaves a stale lock: remove `lockPath`
+    * manually after confirming the writer is gone (recovery of a crashed
+    * SWAP itself is automatic via [[recover]]). */
+  def withWriteLock[A](f: => A): A = {
+    val info = s"pid=${ProcessHandle.current().pid()} " +
+      s"acquired=${java.time.Instant.now()}"
+    if (!Fs.createExclusive(lockPath, info)) {
+      val holder =
+        try Fs.readString(lockPath) catch { case _: Exception => "unknown" }
+      throw new IllegalStateException(
+        s"database $dbPath is locked by another writer ($holder); " +
+          "the store is single-writer. If that process crashed, delete " +
+          s"$lockPath and re-run.")
+    }
+    try f finally Fs.delete(lockPath)
+  }
+
+  /** Swap a fully-written replacement directory into place. Never
+    * delete-then-rename on the live path: the previous state is parked at
+    * `.__old` until the new data is in place, so every crash point leaves
+    * either the old or the new complete state recoverable ([[recover]]).
+    */
+  private[core] def swapIn(tmp: String): Unit = {
+    recover()
+    Fs.delete(oldPath)
+    if (Fs.exists(dbPath)) Fs.rename(dbPath, oldPath)
+    Fs.rename(tmp, dbPath)
+    Fs.delete(oldPath)
+  }
 
   /** Read the database; schemas of all appended runs are unioned
     * (missing columns read as null — the Parquet analog of the
     * reference's NA-fill on append, ref psweep.py:707-709). */
-  def read(): DataFrame =
+  def read(): DataFrame = {
+    recover()
     spark.read.option("mergeSchema", "true").parquet(dbPath)
+  }
 
   def readOpt(): Option[DataFrame] = if (exists) Some(read()) else None
 
@@ -57,8 +113,9 @@ class Database(val spark: SparkSession, val calcDir: String,
     }
 
   /** Append new rows (one run) as a new `_run_id` partition. */
-  def append(df: DataFrame): Unit =
+  def append(df: DataFrame): Unit = withWriteLock {
     df.write.mode("append").partitionBy("_run_id").parquet(dbPath)
+  }
 
   /** Distributed rewrite recomputing `_pset_hash` over the grown pset
     * column set — triggered only when the pset schema actually grows,
@@ -74,14 +131,12 @@ class Database(val spark: SparkSession, val calcDir: String,
       if (!df.columns.contains(c)) df = df.withColumn(c, lit(null).cast(t))
     }
     val rehashed = df.withColumn("_pset_hash", PsetHash.expr(df.columns.toSeq))
-    val tmp = s"$dbPath.__rewrite_tmp"
-    Fs.delete(tmp)
-    rehashed.write.mode("overwrite").partitionBy("_run_id").parquet(tmp)
-    val old = s"$dbPath.__old"
-    Fs.delete(old)
-    Fs.rename(dbPath, old)
-    Fs.rename(tmp, dbPath)
-    Fs.delete(old)
+    withWriteLock {
+      val tmp = s"$dbPath.__rewrite_tmp"
+      Fs.delete(tmp)
+      rehashed.write.mode("overwrite").partitionBy("_run_id").parquet(tmp)
+      swapIn(tmp)
+    }
   }
 
   /** Backup the whole calc dir to `calc.bak_<stamp>_run_id_<id>` before a
@@ -118,14 +173,12 @@ class Database(val spark: SparkSession, val calcDir: String,
     val runs = read().select("_run_id").distinct().count().toInt
     val n = if (numPartitions > 0) numPartitions else math.max(1, runs)
     val df = read().repartition(n, col("_run_id"))
-    val tmp = s"$dbPath.__compact_tmp"
-    Fs.delete(tmp)
-    df.write.mode("overwrite").partitionBy("_run_id").parquet(tmp)
-    val old = s"$dbPath.__old"
-    Fs.delete(old)
-    Fs.rename(dbPath, old)
-    Fs.rename(tmp, dbPath)
-    Fs.delete(old)
+    withWriteLock {
+      val tmp = s"$dbPath.__compact_tmp"
+      Fs.delete(tmp)
+      df.write.mode("overwrite").partitionBy("_run_id").parquet(tmp)
+      swapIn(tmp)
+    }
   }
 
   /** Read a JSON-format database back (the S3 alternate format,

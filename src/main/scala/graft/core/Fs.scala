@@ -37,6 +37,24 @@ object Fs {
     ()
   }
 
+  /** Atomically create a file, failing if it already exists — the
+    * single-writer lock primitive (`create(overwrite=false)` is atomic on
+    * local FS and HDFS; object stores without atomic create degrade to
+    * best-effort, same caveat as every FS-lock scheme). */
+  def createExclusive(path: String, content: String): Boolean = {
+    val f = fs(path)
+    val p = new Path(path)
+    if (p.getParent != null) f.mkdirs(p.getParent)
+    try {
+      val out = f.create(p, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: java.io.IOException => false
+    }
+  }
+
   def rename(src: String, dst: String): Unit = {
     require(fs(src).rename(new Path(src), new Path(dst)),
       s"rename failed: $src -> $dst")

@@ -124,6 +124,9 @@ object PsetHash {
       }
       sb.append(']')
     case a: Array[_] => encodeAny(sb, a.toSeq)
+    case c: Complex =>
+      // same bytes as the normalized struct cell: d{ im=…, re=… }
+      encodeAny(sb, Map("re" -> c.re, "im" -> c.im))
     case p: Product if p.getClass.getName.startsWith("scala.Tuple") =>
       encodeAny(sb, p.productIterator.toSeq)
     case r: org.apache.spark.sql.Row =>

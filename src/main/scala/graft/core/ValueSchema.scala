@@ -36,6 +36,7 @@ object ValueSchema {
     case _: java.sql.Timestamp | _: java.time.Instant => TimestampType
     case _: java.sql.Date | _: java.time.LocalDate => DateType
     case _: Array[Byte] => BinaryType
+    case _: Complex => Complex.structType
     case m: scala.collection.Map[_, _] =>
       val fields = m.toSeq
         .map { case (k, vv) => StructField(k.toString, inferType(vv), nullable = true) }
@@ -118,6 +119,14 @@ object ValueSchema {
     case (d: java.sql.Date, DateType) => d
     case (d: java.time.LocalDate, DateType) => java.sql.Date.valueOf(d)
     case (b: Array[Byte], BinaryType) => b
+    case (c: Complex, st: StructType) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        st.fields.toSeq.map(f => f.name match {
+          case "re" => Double.box(c.re)
+          case "im" => Double.box(c.im)
+          case other => throw new IllegalArgumentException(
+            s"cannot place Complex into struct field $other")
+        }).toArray, st)
     case (m: scala.collection.Map[_, _], st: StructType) =>
       val mm = m.map { case (k, vv) => k.toString -> vv }
       // schema-carrying Row: the canonical hash encoder needs field names

@@ -78,9 +78,15 @@ object Core {
         Map[String, Any]("case" -> "t2", "a" -> 2L, "b" -> "yy")))
       // "case" is pset-kind but must not join the hashed set here; hash
       // exactly {a, b} by passing the columns explicitly.
-      df.select(col("case"),
+      val base = df.select(col("case"),
         PsetHashExpressionHelper.hashOf(Seq("a", "b")).as("h"))
-        .orderBy(col("case"))
+      // complex params store as struct(re, im) (SURVEY §1.2) and hash
+      // through the same canonical struct encoding — golden-pinned
+      val cdf = ValueSchema.toDF(s, Seq(
+        Map[String, Any]("case" -> "t3", "c" -> Complex(1.0, 3.0))))
+      val complexRow = cdf.select(col("case"),
+        PsetHashExpressionHelper.hashOf(Seq("c")).as("h"))
+      base.unionByName(complexRow).orderBy(col("case"))
     }),
 
     // P2: column-kind projection
@@ -225,7 +231,8 @@ object Core {
     "q_pset_hash" ->
       """SELECT * FROM (VALUES
         |  ('t1', '7aa972c7d703b159df332e05a51e5a45060ccffd'),
-        |  ('t2', 'c80d285ec311e3a09d76b88e26cf57070c0ce2ec')) t("case", h)
+        |  ('t2', 'c80d285ec311e3a09d76b88e26cf57070c0ce2ec'),
+        |  ('t3', '28ef50f25f7cf1226c89bc36b4343e8cc4b659fd')) t("case", h)
         |ORDER BY "case"""".stripMargin,
 
     "q_filter_cols" ->

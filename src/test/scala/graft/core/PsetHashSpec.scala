@@ -51,6 +51,20 @@ class PsetHashSpec extends AnyFunSuite {
       "d{s1:a=i1,s1:b=d{s1:c=i2,s1:d=a[i1,i2,s1:a]}}"))
   }
 
+  test("complex values hash as their struct(re, im) encoding, golden-pinned") {
+    // ref exercises complex(1.0, 3.0) in the hash/extract matrices
+    // (tests/test_all.py:679-687, 1370-1380); the engine's canonical
+    // encoding treats it exactly like the normalized struct cell
+    val h = PsetHash.hash(Map[String, Any]("c" -> Complex(1.0, 3.0)))
+    val reBits = java.lang.Double.doubleToLongBits(1.0)
+    val imBits = java.lang.Double.doubleToLongBits(3.0)
+    assert(h == PsetHash.sha1Hex(s"d{s1:c=d{s2:im=f$imBits,s2:re=f$reBits}}"))
+    // driver twin == stored-row recompute: hashing the normalized Row
+    // gives the same digest as hashing the raw Complex
+    val norm = ValueSchema.normalize(Complex(1.0, 3.0), Complex.structType)
+    assert(PsetHash.hash(Map[String, Any]("c" -> norm)) == h)
+  }
+
   test("property: permutation invariance on random flat psets") {
     val kv: Gen[(String, Any)] = for {
       k <- Gen.identifier.suchThat(s =>

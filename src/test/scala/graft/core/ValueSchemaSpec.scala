@@ -53,6 +53,26 @@ class ValueSchemaSpec extends AnyFunSuite {
     assert(row.getDouble(0) == 1.0 && row.getDouble(1) == -2.0)
   }
 
+  test("first-class Complex: inference, normalization, extraction, merge " +
+      "(ref tests/test_all.py:679-687, 1370-1380)") {
+    assert(ValueSchema.inferType(Complex(1.0, 3.0)) == Complex.structType)
+    // Complex and the equivalent re/im map infer the same struct and can
+    // mix in one column
+    assert(ValueSchema.merge(
+      ValueSchema.inferType(Complex(1.0, 3.0)),
+      ValueSchema.inferType(Map("re" -> 0.5, "im" -> 0.0)))
+      == Complex.structType)
+    val df = ValueSchema.toDF(spark, Seq(
+      Map[String, Any]("k" -> 1L, "z" -> Complex(1.0, 3.0)),
+      Map[String, Any]("k" -> 2L, "z" -> Map("re" -> 0.5, "im" -> -0.25))))
+    val rows = df.orderBy("k").select("z.re", "z.im").collect()
+    assert(rows(0).getDouble(0) == 1.0 && rows(0).getDouble(1) == 3.0)
+    assert(rows(1).getDouble(0) == 0.5 && rows(1).getDouble(1) == -0.25)
+    // extraction round-trip: the stored struct cell reads back as Complex
+    val cell = df.orderBy("k").select("z").head().get(0)
+    assert(Complex.fromAny(cell) == Complex(1.0, 3.0))
+  }
+
   test("toDF round-trips arrays, nested structs, timestamps, nulls (F12)") {
     val ts = java.sql.Timestamp.from(
       java.time.Instant.parse("2024-06-01T12:00:00Z"))
