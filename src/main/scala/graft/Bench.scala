@@ -19,7 +19,11 @@ object Bench {
     "q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash",
     "q_embed_topk", "q_embed_ivf", "q_doc_quality", "q_doc_langid",
     "q_doc_tfidf", "q_doc_contamination",
-    "q_run_sweep")
+    "q_run_sweep",
+    // round 2 additions (kept after the stable 18 for round-over-round
+    // comparability): exact cell-blocked cosine pair mining and the
+    // winnowing fingerprint explode
+    "q_embed_pairs", "q_doc_winnow")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

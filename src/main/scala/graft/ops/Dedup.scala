@@ -143,12 +143,36 @@ object Dedup {
         val rare = ex0.groupBy("s").agg(count(lit(1)).as("freq"))
           .filter(col("freq") <= cap).select("s")
         val ex = ex0.join(rare, Seq("s"), "left_semi")
-        val candIds = ex.alias("a")
+        // capped-index intersection counts: same cheap count-only
+        // aggregate as the uncapped path, just over the skew-bounded
+        // index (the self-join fan-out per shingle is <= cap^2/2)
+        val interCapped = ex.alias("a")
           .join(ex.alias("b"),
             col("a.s") === col("b.s") && col("a.id") < col("b.id"))
           .select(col("a.id").as("id1"), col("b.id").as("id2"))
-          .dropDuplicates("id1", "id2")
-        verifyJaccard(docs, candIds, n, threshold, textCol, idCol)
+          .groupBy(col("id1"), col("id2"))
+          .agg(count(lit(1)).as("interc"))
+        // per-doc totals and hot-shingle counts (nhot = shingles the cap
+        // removed from the index)
+        val counts = docs.select(col(idCol).as("id"),
+          size(shingles(col(textCol), n)).as("nsh"))
+        val rareCounts = ex.groupBy(col("id")).agg(count(lit(1)).as("nrare"))
+        val cnt = counts.join(rareCounts, Seq("id"), "left")
+          .na.fill(0, Seq("nrare"))
+          .withColumn("nhot", col("nsh") - col("nrare"))
+        // sound prune: full intersection <= interc + min(h1, h2), and
+        // J >= t  <=>  inter >= t/(1+t) * (n1+n2); only survivors pay
+        // the exact full-set verification (typically ~= the true pairs)
+        val cand = interCapped
+          .join(cnt.select(col("id").as("id1"), col("nsh").as("n1"),
+            col("nhot").as("h1")), Seq("id1"))
+          .join(cnt.select(col("id").as("id2"), col("nsh").as("n2"),
+            col("nhot").as("h2")), Seq("id2"))
+          .filter((col("interc") + least(col("h1"), col("h2")))
+            .cast("double") >=
+            lit(threshold / (1 + threshold)) * (col("n1") + col("n2")))
+          .select(col("id1"), col("id2"))
+        verifyJaccard(docs, cand, n, threshold, textCol, idCol)
       case None =>
         // uncapped: the index holds every shingle, so intersection sizes
         // can come straight off a count-only aggregate — no re-shingle

@@ -97,18 +97,23 @@ object Text {
         countDistinct(col("id")).as("doc_freq"))
 
   /** Per-document top-k TF-IDF terms: tf = in-doc occurrences,
-    * idf = ln(N/df). Single-pass: the tf aggregate feeds BOTH the df
-    * table (tf rows are already distinct (id, token), so df is a reissue
-    * of the same exchange, reused by Spark's ReuseExchange) AND the
-    * corpus size N (a one-row countDistinct branch cross-joined back as a
-    * broadcast) — no separate `docs.count()` action, so the corpus is
-    * scanned once per call instead of twice. Pass `numDocs` to pin N
-    * externally; when derived, N counts documents with at least one
-    * token (identical for any corpus without null/token-less texts).
-    * At corpus scale the vocabulary is orders of magnitude smaller than
-    * the corpus and broadcasts. Ranking uses the 1e-6-rounded score
-    * (+ term tiebreak) so ordering is reproducible across engines
-    * regardless of libm ulp differences. */
+    * idf = ln(N/df).
+    *
+    * N policy (the round-1 design ran a hidden `docs.count()` action —
+    * a surprise extra evaluation of the upstream frame): pass `numDocs`
+    * when the caller can supply N cheaply (for a parquet-backed corpus,
+    * `count()` is served from footer metadata — no data scan), giving
+    * two tokenize passes (tf and df) and nothing else. With `numDocs`
+    * omitted the function stays action-free and derives N inside the
+    * plan (a one-row countDistinct branch cross-joined back as a
+    * broadcast); that branch costs a third tokenize pass at execution —
+    * correct for ad-hoc frames, but prefer the parameter at scale. The
+    * derived N counts documents with at least one token (identical for
+    * any corpus without null/token-less texts). At corpus scale the
+    * vocabulary is orders of magnitude smaller than the corpus and
+    * broadcasts. Ranking uses the 1e-6-rounded score (+ term tiebreak)
+    * so ordering is reproducible across engines regardless of libm ulp
+    * differences. */
   def tfIdfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int,
                     textCol: String = "text",
                     idCol: String = "doc_id",

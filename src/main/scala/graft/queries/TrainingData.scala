@@ -97,7 +97,11 @@ object TrainingData {
 
     // per-document top-3 TF-IDF terms (rounded-score ranking)
     "q_doc_tfidf" -> ((s, dir) => {
-      Text.tfIdfTopTerms(docs(s, dir), k = 3)
+      // N passed explicitly: count() on the parquet table is served from
+      // footer metadata (no data scan), so the query tokenizes the corpus
+      // exactly twice (tf + df) — the minimal shape for TF-IDF
+      val d = docs(s, dir)
+      Text.tfIdfTopTerms(d, k = 3, numDocs = Some(d.count()))
         .filter(col("id") < 30)
         .orderBy(col("id"), col("rank"))
     }),

@@ -13,6 +13,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * quadratically in duplication density, the textbook reason exact
   * all-pair verification cannot be the scale path and LSH candidates
   * must gate it.
+  *
+  * Round 2 (local[32], capped flagship config): minhash 5.3x, capped
+  * ngram 34x — the replication fixture makes every doc a 10-way dup
+  * group, so TRUE pair output grows ~45x regardless of method; the
+  * hot-shingle cap guards boilerplate skew (bounded per-shingle join
+  * fan-out), not genuine dup density, which only the minhash path
+  * escapes. Both stay under the x40 blowup ceiling.
   */
 class ScaleUpExperiment extends AnyFunSuite {
   import graft.SparkSpec.spark
@@ -32,8 +39,13 @@ class ScaleUpExperiment extends AnyFunSuite {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     base.cache().count()
-    val t1n = time(Dedup.ngramJaccardPairs(base, 3, 0.5).count())
-    val t10n = time(Dedup.ngramJaccardPairs(big, 3, 0.5).count())
+    // flagship config: hot-shingle cap on (the skew guard q_dedup_ngram
+    // ships with), candidates pruned by the interc + min(h1,h2) bound
+    val cap = Some(500)
+    val t1n = time(Dedup.ngramJaccardPairs(base, 3, 0.5,
+      maxShingleFreq = cap).count())
+    val t10n = time(Dedup.ngramJaccardPairs(big, 3, 0.5,
+      maxShingleFreq = cap).count())
     val t1m = time(Dedup.minhashLshPairs(base, 3, 64, 16, 0.5).count())
     val t10m = time(Dedup.minhashLshPairs(big, 3, 64, 16, 0.5).count())
     println(f"[scaleup] ngram 1x=$t1n%.1fs 10x=$t10n%.1fs ratio=${t10n / t1n}%.1f")
