@@ -43,6 +43,34 @@ object Db2Table {
   }
 }
 
+/** `pull <remoteStudyDir> <localStudyDir> [-n]` — fetch the calc dir from
+  * a shared/remote filesystem location, honoring `excl_pull` /
+  * `rsync.exclude` rule files in the local study dir
+  * (ref bin/psweep-pull). `-n` = dry run. */
+object Pull {
+  def main(args: Array[String]): Unit = {
+    val dry = args.contains("-n")
+    val pos = args.filterNot(_.startsWith("-"))
+    val copied = graft.core.Sync.pull(pos(0), pos(1), dryRun = dry)
+    val verb = if (dry) "would copy" else "copied"
+    copied.foreach(p => println(s"  $verb: $p"))
+    println(s"$verb ${copied.size} files")
+  }
+}
+
+/** `push <localStudyDir> <remoteStudyDir> [-n]` — mirror of [[Pull]] with
+  * `excl_push` rules (ref bin/psweep-push). */
+object Push {
+  def main(args: Array[String]): Unit = {
+    val dry = args.contains("-n")
+    val pos = args.filterNot(_.startsWith("-"))
+    val copied = graft.core.Sync.push(pos(0), pos(1), dryRun = dry)
+    val verb = if (dry) "would copy" else "copied"
+    copied.foreach(p => println(s"  $verb: $p"))
+    println(s"$verb ${copied.size} files")
+  }
+}
+
 /** `checkdir <calcDir>` — database vs artifact-dir consistency
   * (ref cli.py:8-24). */
 object CheckDir {

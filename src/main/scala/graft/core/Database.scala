@@ -280,15 +280,36 @@ object Database {
     (dbNotDisk, diskNotDb)
   }
 
-  /** Sorted-column display projection (ref psweep.py:515-619 `df_print`:
-    * column names always sorted, prefix cols hidden by default). */
+  /** Sorted-column display projection with the full `df_print` option
+    * matrix (ref psweep.py:515-619): column names always sorted, prefix
+    * cols hidden by default; `cols` selects explicitly and unions the
+    * prefix set when `prefixCols` is also given; `skipCols` subtracts
+    * (mutually exclusive with `cols`, like the reference); `index`
+    * prepends a display ordinal in the frame's current order (an extra
+    * zipWithIndex pass — display helper, not a pipeline operator). */
   def printableDF(df: DataFrame, prefixCols: Boolean = false,
                   cols: Seq[String] = Seq.empty,
-                  skipCols: Seq[String] = Seq.empty): DataFrame = {
-    val base =
-      if (cols.nonEmpty) cols
-      else df.columns.toSeq.filter(c => prefixCols || !ColKind.isPrefix(c))
-    val chosen = base.filterNot(skipCols.contains).sorted
-    df.select(chosen.map(col): _*)
+                  skipCols: Seq[String] = Seq.empty,
+                  index: Boolean = false): DataFrame = {
+    require(cols.isEmpty || skipCols.isEmpty, "Use either skipCols or cols")
+    val prefixSet = df.columns.filter(ColKind.isPrefix).toSet
+    val disp =
+      if (cols.nonEmpty)
+        cols.toSet | (if (prefixCols) prefixSet else Set.empty[String])
+      else
+        (df.columns.toSet --
+          (if (prefixCols) Set.empty[String] else prefixSet)) -- skipCols.toSet
+    val chosen = disp.toSeq.sorted
+    val proj = df.select(chosen.map(col): _*)
+    if (!index) proj
+    else {
+      val schema = StructType(
+        StructField("index", LongType, nullable = false) +:
+          proj.schema.fields)
+      val rdd = proj.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(i +: r.toSeq)
+      }
+      proj.sparkSession.createDataFrame(rdd, schema)
+    }
   }
 }

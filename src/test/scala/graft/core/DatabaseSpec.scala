@@ -23,6 +23,21 @@ class DatabaseSpec extends AnyFunSuite {
     assert(withPrefix.columns.contains("_pset_hash"))
     val skip = Database.printableDF(db.read(), skipCols = Seq("r_"))
     assert(skip.columns.toSeq == Seq("a"))
+    // ref df_print matrix (psweep.py:560-601): cols + prefixCols unions
+    // the prefix set; cols and skipCols are mutually exclusive; index
+    // prepends a display ordinal in current order
+    val colsPlus = Database.printableDF(db.read(), prefixCols = true,
+      cols = Seq("a"))
+    assert(colsPlus.columns.contains("a") &&
+      colsPlus.columns.contains("_pset_hash") &&
+      !colsPlus.columns.contains("r_"))
+    intercept[IllegalArgumentException] {
+      Database.printableDF(db.read(), cols = Seq("a"), skipCols = Seq("r_"))
+    }
+    val idx = Database.printableDF(db.read().orderBy("a"), index = true)
+    assert(idx.columns.head == "index")
+    val rows = idx.collect()
+    assert(rows.map(_.getLong(0)).toSeq == rows.indices.map(_.toLong))
   }
 
   test("extractRow/extractPset: point lookup asserts uniqueness (P6)") {

@@ -133,6 +133,35 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"planted-neighbor recall $recall")
   }
 
+  test("lshTopK infers the embedding dimension (round-1 bug: fixed 64)") {
+    import graft.SparkSpec.spark.implicits._
+    // 8-dim corpus with a planted near-duplicate of vector 0
+    val base = (0 until 8).map(i => math.sin(i * 1.7).toFloat).toArray
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 40L).map { i =>
+      val v =
+        if (i == 1L) base.map(x => x + 0.01f)
+        else if (i == 0L) base
+        else Array.fill(8)(rnd.nextGaussian().toFloat)
+      (i, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 0L)
+    // with hyperplanes matching dim=8 (inferred), the planted neighbor is
+    // found; the round-1 fixed-64 hyperplanes nulled every signature
+    val top = Similarity.lshTopK(corpus, q, k = 3, planes = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(top.contains(1L), s"planted 8-dim neighbor missed: $top")
+    // ragged dimensions fail fast instead of silently degrading
+    val ragged = corpus.withColumn("embedding",
+      when(col("vec_id") === 5L, slice(col("embedding"), 1, 4))
+        .otherwise(col("embedding")))
+    val e = intercept[Exception] {
+      Similarity.lshTopK(ragged, q, k = 3, planes = 4).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("IVF ANN: decent recall vs brute force with nprobe=4 of 8 lists") {
     val q = emb.filter(col("vec_id") < 3)
     val bf = Similarity.bruteForceTopK(emb, q, 5)
