@@ -140,9 +140,14 @@ object Dedup {
       explode(shingles(col(textCol), n)).as("s"))
     maxShingleFreq match {
       case Some(cap) =>
-        val rare = ex0.groupBy("s").agg(count(lit(1)).as("freq"))
-          .filter(col("freq") <= cap).select("s")
-        val ex = ex0.join(rare, Seq("s"), "left_semi")
+        // the HOT set (freq > cap) is by construction tiny — at most
+        // |index|/cap distinct values, in practice a handful of
+        // boilerplate shingles — so the index is filtered with an
+        // anti-join against the small side (AQE broadcasts it), never a
+        // semi-join against the corpus-vocabulary-sized rare set
+        val hot = ex0.groupBy("s").agg(count(lit(1)).as("freq"))
+          .filter(col("freq") > cap).select("s")
+        val ex = ex0.join(hot, Seq("s"), "left_anti")
         // capped-index intersection counts: same cheap count-only
         // aggregate as the uncapped path, just over the skew-bounded
         // index (the self-join fan-out per shingle is <= cap^2/2)
@@ -153,26 +158,39 @@ object Dedup {
           .groupBy(col("id1"), col("id2"))
           .agg(count(lit(1)).as("interc"))
         // per-doc totals and hot-shingle counts (nhot = shingles the cap
-        // removed from the index)
+        // removed from the index), counted against the tiny hot set
         val counts = docs.select(col(idCol).as("id"),
           size(shingles(col(textCol), n)).as("nsh"))
-        val rareCounts = ex.groupBy(col("id")).agg(count(lit(1)).as("nrare"))
-        val cnt = counts.join(rareCounts, Seq("id"), "left")
-          .na.fill(0, Seq("nrare"))
-          .withColumn("nhot", col("nsh") - col("nrare"))
-        // sound prune: full intersection <= interc + min(h1, h2), and
-        // J >= t  <=>  inter >= t/(1+t) * (n1+n2); only survivors pay
-        // the exact full-set verification (typically ~= the true pairs)
-        val cand = interCapped
+        val hotCounts = ex0.join(hot, Seq("s"), "left_semi")
+          .groupBy(col("id")).agg(count(lit(1)).as("nhot"))
+        val cnt = counts.join(hotCounts, Seq("id"), "left")
+          .na.fill(0, Seq("nhot"))
+        val scored = interCapped
           .join(cnt.select(col("id").as("id1"), col("nsh").as("n1"),
             col("nhot").as("h1")), Seq("id1"))
           .join(cnt.select(col("id").as("id2"), col("nsh").as("n2"),
             col("nhot").as("h2")), Seq("id2"))
+        // pairs of docs with NO hot shingles at all: the capped index
+        // holds their full shingle sets, so interc is already the exact
+        // intersection — score directly, no re-shingle pass (on typical
+        // corpora the cap removes few shingles, so this is most pairs)
+        val exactFromCounts = scored
+          .filter(col("h1") === 0 && col("h2") === 0)
+          .withColumn("jaccard", col("interc").cast("double") /
+            (col("n1") + col("n2") - col("interc")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id1"), col("id2"), col("jaccard"))
+        // hot-involved pairs: sound prune (full intersection <= interc +
+        // min(h1, h2); J >= t <=> inter >= t/(1+t) * (n1+n2)), then only
+        // survivors pay the exact full-set verification
+        val cand = scored
+          .filter(col("h1") > 0 || col("h2") > 0)
           .filter((col("interc") + least(col("h1"), col("h2")))
             .cast("double") >=
             lit(threshold / (1 + threshold)) * (col("n1") + col("n2")))
           .select(col("id1"), col("id2"))
-        verifyJaccard(docs, cand, n, threshold, textCol, idCol)
+        exactFromCounts.unionByName(
+          verifyJaccard(docs, cand, n, threshold, textCol, idCol))
       case None =>
         // uncapped: the index holds every shingle, so intersection sizes
         // can come straight off a count-only aggregate — no re-shingle

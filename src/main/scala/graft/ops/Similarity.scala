@@ -230,8 +230,18 @@ object Similarity {
   def cosinePairs(corpus: DataFrame, threshold: Double,
                   numCentroids: Int = 8, iters: Int = 3,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
-    val centroids = kmeansCentroids(corpus, numCentroids, iters, idCol, vecCol)
+                  vecCol: String = "embedding",
+                  trainFraction: Double = 1.0): DataFrame = {
+    // centroid TRAINING may run on a deterministic hash sample (each
+    // k-means iteration scans its input; at corpus scale train on ~1e4
+    // vectors, not 100 TB). Exactness is unaffected: the pruning bound
+    // uses cell radii computed over the FULL corpus below, and the
+    // triangle inequality is sound for ANY centroid set — sampling only
+    // modulates pruning strength.
+    val trainSet =
+      if (trainFraction >= 1.0) corpus
+      else Sampling.hashSample(corpus, col(idCol), trainFraction)
+    val centroids = kmeansCentroids(trainSet, numCentroids, iters, idCol, vecCol)
     val norm = sqrt(aggregate(col("v"), lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
     val best = greatest(centroids.zipWithIndex.map { case (c, i) =>

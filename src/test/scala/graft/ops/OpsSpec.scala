@@ -74,6 +74,12 @@ class OpsSpec extends AnyFunSuite {
     assert(bf.nonEmpty, "corpus should contain pairs above 0.4")
     assert(blocked == bf,
       s"missed=${(bf -- blocked).take(5)} extra=${(blocked -- bf).take(5)}")
+    // sampled centroid training (the 100 TB path) stays exact: radii are
+    // full-corpus, so pruning remains sound for any centroid set
+    val sampled = Similarity.cosinePairs(emb, 0.4, trainFraction = 0.2)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sampled == bf)
   }
 
   test("simhash: identical texts collide, near-dups are close") {
