@@ -294,6 +294,58 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming"))
   }
+
+  /** Connected components over near-duplicate pairs: every doc appearing
+    * in `pairs` gets a `cluster_id` = the smallest doc id in its
+    * component — the step that turns PAIR output (ngram / minhash /
+    * simhash / cosine) into dedup decisions (keep one survivor per
+    * cluster).
+    *
+    * Distributed min-label propagation: each round joins current labels
+    * across edges and takes the per-node minimum — one equi-join shuffle
+    * per round, converging in O(component diameter) rounds (near-dup
+    * clusters are shallow: diameter is small even for large clusters).
+    * Labels are `localCheckpoint`ed per round so the plan does not grow
+    * with iterations and nothing accumulates on the driver; the only
+    * driver value is the per-round convergence count. Output:
+    * (doc_id, cluster_id), one row per doc that appears in any pair. */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr"))
+        .select(col("src").as("id"), col("nbr"))
+      val upd = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
+        .localCheckpoint(true)
+      changed = upd.filter(col("next") < col("label")).count()
+      labels = upd.select(col("id"), col("next").as("label"))
+      iter += 1
+    }
+    require(changed == 0,
+      s"label propagation did not converge in $maxIters rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Keep one survivor per near-dup cluster: every doc except the
+    * cluster-canonical one (smallest id) is dropped; docs in no pair pass
+    * through untouched. One anti-join against the (pair-cardinality,
+    * corpus-small) non-canonical id set. */
+  def keepClusterCanonical(docs: DataFrame, pairs: DataFrame,
+                           idCol: String = "doc_id"): DataFrame = {
+    val drop = duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
 }
 
 /** Distinct word n-gram shingles of a string in one pass: whitespace

@@ -163,6 +163,15 @@ object TrainingData {
         .withColumn("jaccard", floor(col("jaccard") * 1e6) / 1e6)
         .orderBy(col("id1"), col("id2"))),
 
+    // near-dup clusters: pair output -> connected components (the step
+    // that turns pairs into per-cluster dedup decisions); oracle is the
+    // transitive closure of the same exact pair set via recursive CTE
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.ngramJaccardPairs(docs(s, dir), n = 3, threshold = 0.5,
+          maxShingleFreq = Some(500)))
+        .orderBy(col("doc_id"))),
+
     // SimHash near-dup candidates (rows-only)
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
@@ -232,12 +241,11 @@ object TrainingData {
     })
   )
 
-  /** Exact 3-gram Jaccard pairs at threshold 0.5 — the shared oracle for
-    * q_dedup_ngram (capped candidates + exact verify) and q_dedup_minhash
-    * (LSH candidates + exact verify): both must reproduce the exact
-    * answer on this corpus. */
-  private val ngramJaccardOracleSql: String =
-    """WITH toks AS (
+  /** Shared CTE chain producing exact 3-gram Jaccard pairs at threshold
+    * 0.5 (`qual`), composed into the ngram/minhash oracle and the
+    * recursive-CTE cluster oracle. */
+  private val ngramPairCtes: String =
+    """toks AS (
       |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
       |), sh AS (
       |  SELECT doc_id, list_distinct(list_transform(
@@ -252,12 +260,38 @@ object TrainingData {
       |         ANY_VALUE(a.n) AS n1, ANY_VALUE(b.n) AS n2
       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
-      |)
-      |SELECT id1, id2,
-      |  floor(CAST(inter AS DOUBLE) / (n1 + n2 - inter) * 1e6) / 1e6 AS jaccard
-      |FROM pairs
-      |WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5
-      |ORDER BY id1, id2""".stripMargin
+      |), qual AS (
+      |  SELECT id1, id2,
+      |    floor(CAST(inter AS DOUBLE) / (n1 + n2 - inter) * 1e6) / 1e6
+      |      AS jaccard
+      |  FROM pairs
+      |  WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5
+      |)""".stripMargin
+
+  /** Exact 3-gram Jaccard pairs at threshold 0.5 — the shared oracle for
+    * q_dedup_ngram (capped candidates + exact verify) and q_dedup_minhash
+    * (LSH candidates + exact verify): both must reproduce the exact
+    * answer on this corpus. */
+  private val ngramJaccardOracleSql: String =
+    s"WITH $ngramPairCtes\n" +
+      "SELECT id1, id2, jaccard FROM qual ORDER BY id1, id2"
+
+  /** Connected components over the exact pair set, via transitive closure
+    * (recursive CTE) — component id = smallest doc id reachable. */
+  private val clusterOracleSql: String =
+    s"WITH RECURSIVE $ngramPairCtes,\n" +
+      """edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM qual
+        |  UNION
+        |  SELECT id2, id1 FROM qual
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a
+        |ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_doc_stats" ->
@@ -413,6 +447,8 @@ object TrainingData {
     // oracle applies (OpsSpec pins the recall; a banding regression that
     // drops a pair now fails the driver hash check, not just rows-only)
     "q_dedup_minhash" -> ngramJaccardOracleSql,
+
+    "q_dedup_clusters" -> clusterOracleSql,
 
     "q_embed_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

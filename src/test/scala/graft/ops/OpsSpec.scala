@@ -59,6 +59,42 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got.head._3 - 4.0 / 6.0) < 1e-9, got.head.toString)
   }
 
+  test("duplicateClusters: components match a driver union-find; " +
+      "canonical survivor kept") {
+    import graft.SparkSpec.spark.implicits._
+    // chain 1-2-3 (transitive through 2), pair 10-11, triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id1", "id2")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // survivors: one per cluster, docs outside any pair untouched
+    val d = (1L to 25L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val kept = Dedup.keepClusterCanonical(d, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 25L).toSet -- Set(2L, 3L, 11L, 21L, 22L))
+    // corpus-level: clusters over real ngram pairs agree with a driver
+    // union-find on the collected pair list
+    val realPairs = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+    val edges = realPairs.select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val real = Dedup.duplicateClusters(realPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(real == expect)
+  }
+
   test("cosinePairs (cell-blocked) is exact: recall 1.0 vs brute force") {
     // brute-force all-pairs baseline, computed inline (test-only shape)
     val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
