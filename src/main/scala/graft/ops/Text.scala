@@ -139,6 +139,58 @@ object Text {
       .select(col("id"), col("token"), col("score"), col("rank"))
   }
 
+  /** PII patterns, applied in order (SSN before phone so the narrower
+    * pattern wins; email before IPv4 so domains never half-match). All
+    * patterns are RE2/Java-portable — no lookarounds — so redaction is
+    * reproducible across engines and expressible in the SQL oracle. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("SSN", "\\b\\d{3}-\\d{2}-\\d{4}\\b"),
+    ("EMAIL", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("PHONE", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"),
+    ("IP", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"))
+
+  /** Redact PII spans to `<KIND>` placeholders — the pre-training scrub
+    * pass. Pure per-row regexp chain: codegen'd, no shuffle, linear scan
+    * at any corpus size. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (kind, p)) =>
+      regexp_replace(c, p, s"<$kind>")
+    }
+
+  /** Count of PII matches per kind before redaction (audit signal). */
+  def piiCount(text: Column): Column =
+    piiPatterns.map { case (_, p) =>
+      size(regexp_extract_all(text, lit(p), lit(0)))
+    }.reduce(_ + _)
+
+  /** Remove boilerplate lines: a line occurring in at least `minDocs`
+    * DISTINCT documents (headers, footers, nav chrome — the
+    * Gopher/RefinedWeb repeated-line rule) is dropped from every doc;
+    * remaining lines keep their order. Dataflow: one posexplode of the
+    * line table, a partial-aggregatable line→doc-frequency count, an
+    * anti-join of the (small) hot-line set, and one regroup by doc — two
+    * keyed shuffles at corpus scale, line payloads never carried through
+    * the frequency aggregate.
+    * Output: (idCol, textCol) with the filtered text. Docs whose every
+    * line is boilerplate come back with an empty string. */
+  def removeBoilerplateLines(docs: org.apache.spark.sql.DataFrame,
+                             minDocs: Int, sep: String = "\n",
+                             textCol: String = "text",
+                             idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val hot = lines.groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs).select("line")
+    lines.join(hot, Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(array_sort(collect_list(struct(col("pos"), col("line"))))
+        .getField("line"), sep).as("kept"))
+      .join(docs.select(col(idCol)), Seq(idCol), "right")
+      .select(col(idCol), coalesce(col("kept"), lit("")).as(textCol))
+  }
+
   /** Canonical-text fingerprint: lowercase, collapse whitespace, trim,
     * md5 — the exact-dedup key. */
   def fingerprint(text: Column): Column =

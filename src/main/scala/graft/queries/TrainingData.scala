@@ -124,6 +124,39 @@ object TrainingData {
         .orderBy(col("doc_id"), col("fp_hash"))
     }),
 
+    // PII scrub: the corpus carries no natural PII, so the query injects
+    // deterministic spans (email/phone/IP/SSN derived from doc_id) —
+    // identically in the oracle SQL — then redacts and audits them
+    "q_doc_redact" -> ((s, dir) => {
+      val dirty = docs(s, dir).filter(col("doc_id") < 40)
+        .withColumn("dirty", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-6789 from 10.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".7 ssn 123-45-6789")))
+      dirty
+        .withColumn("redacted", Text.redactPii(col("dirty")))
+        .select(col("doc_id"),
+          Text.piiCount(col("dirty")).as("n_pii"),
+          expr("right(redacted, 120)").as("tail_redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // repeated-line (boilerplate) removal: inject a shared header/footer
+    // around every doc (mirrored in the oracle), drop lines occurring in
+    // >= 100 distinct docs, keep per-doc line order
+    "q_doc_lines" -> ((s, dir) => {
+      val aug = docs(s, dir).withColumn("text",
+        concat(lit("SHARED HEADER|"), col("text"),
+          lit("|COPYRIGHT FOOTER|unique tail "),
+          col("doc_id").cast("string")))
+      Text.removeBoilerplateLines(aug, minDocs = 100, sep = "|")
+        .filter(col("doc_id") < 30)
+        .orderBy(col("doc_id"))
+    }),
+
     // exact duplicate groups (empty at SFs without injected dups — still
     // verified: oracle is empty too)
     "q_dedup_exact" -> ((s, dir) =>
@@ -449,6 +482,55 @@ object TrainingData {
     "q_dedup_minhash" -> ngramJaccardOracleSql,
 
     "q_dedup_clusters" -> clusterOracleSql,
+
+    "q_doc_redact" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or 555-'
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |      || '-6789 from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.7 ssn 123-45-6789' AS d
+        |  FROM documents WHERE doc_id < 40
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(d, '\b\d{3}-\d{2}-\d{4}\b'))
+        |   + len(regexp_extract_all(d,
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   + len(regexp_extract_all(d, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+        |   + len(regexp_extract_all(d,
+        |       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER)
+        |    AS n_pii,
+        |  right(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(d,
+        |      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        |    , 120) AS tail_redacted
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+
+    "q_doc_lines" ->
+      """WITH aug AS (
+        |  SELECT doc_id, 'SHARED HEADER|' || text || '|COPYRIGHT FOOTER|'
+        |    || 'unique tail ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents
+        |), lines AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, '|')) AS line,
+        |    unnest(generate_series(1, len(string_split(t, '|')))) AS pos
+        |  FROM aug
+        |), hot AS (
+        |  SELECT line FROM lines GROUP BY line
+        |  HAVING COUNT(DISTINCT doc_id) >= 100
+        |), kept AS (
+        |  SELECT doc_id, string_agg(line, '|' ORDER BY pos) AS text
+        |  FROM lines WHERE line NOT IN (SELECT line FROM hot)
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(k.text, '') AS text
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        |WHERE d.doc_id < 30 ORDER BY d.doc_id""".stripMargin,
 
     "q_embed_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -70,4 +70,36 @@ class TextEdgeSpec extends AnyFunSuite {
     assert(sp.select("p").distinct().collect()
       .map(_.getString(0)).toSet.subsetOf(Set("a", "b")))
   }
+
+  test("redactPii: every kind redacted, clean text untouched, counts audit") {
+    val r = Seq(
+      "mail me at jane.doe+x@sub.example.org now",
+      "call 555-123-4567 or 555.123.4567",
+      "host 192.168.0.1 ssn 123-45-6789",
+      "nothing sensitive here 12345"
+    ).toDF("t")
+      .select(col("t"), Text.redactPii(col("t")).as("r"),
+        Text.piiCount(col("t")).as("n"))
+      .collect()
+    assert(r(0).getString(1) == "mail me at <EMAIL> now")
+    assert(r(0).getInt(2) == 1)
+    assert(r(1).getString(1) == "call <PHONE> or <PHONE>")
+    assert(r(1).getInt(2) == 2)
+    assert(r(2).getString(1) == "host <IP> ssn <SSN>")
+    assert(r(2).getInt(2) == 2)
+    assert(r(3).getString(1) == r(3).getString(0) && r(3).getInt(2) == 0)
+  }
+
+  test("removeBoilerplateLines: hot lines dropped, order kept, " +
+      "all-boilerplate docs become empty") {
+    val d = Seq(
+      (1L, "HEAD\nalpha\nFOOT"),
+      (2L, "HEAD\nbeta\ngamma\nFOOT"),
+      (3L, "HEAD\nFOOT"),
+      (4L, "HEAD\ndelta\nFOOT")).toDF("doc_id", "text")
+    val out = Text.removeBoilerplateLines(d, minDocs = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "alpha"), (2L, "beta\ngamma"),
+      (3L, ""), (4L, "delta")))
+  }
 }
