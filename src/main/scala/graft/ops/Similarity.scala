@@ -280,7 +280,11 @@ object Similarity {
     a.join(cellPairs, Seq("cid1"))
       .join(b, Seq("cid2"))
       .filter(col("cid1") =!= col("cid2") || col("ida") < col("idb"))
-      .withColumn("score", cosine(col("va"), col("vb")))
+      // explode(array(...)) is a Generator: the threshold predicate
+      // cannot be pushed back into the join condition through it, so the
+      // cosine is evaluated ONCE per candidate instead of twice
+      // (condition + projection — the CollapseProject/pushdown trap)
+      .withColumn("score", explode(array(cosine(col("va"), col("vb")))))
       .filter(col("score") >= threshold)
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"), col("score"))
