@@ -238,23 +238,9 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
                       threshold: Double, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val ex = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("s"))
-    val sig = ex.groupBy(col("id")).agg(
-      min(xxhash64(col("s"), lit(0))).as("mh0"),
-      (1 until numHashes).map(i =>
-        min(xxhash64(col("s"), lit(i))).as(s"mh$i")): _*)
-    // band hash = xxhash64 of the band's minhash slice + band index
-    val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64((lit(b) +: slice): _*).as("bh"))
-    }
-    // self-join over one aliased subplan: the signature aggregation and
-    // its exchange are computed once and reused for the other side
-    val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val buckets = bandTable(
+      minhashSignatures(docs, n, numHashes, textCol, idCol),
+      numHashes, bands)
     val candIds = buckets.alias("l")
       .join(buckets.alias("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
@@ -262,6 +248,108 @@ object Dedup {
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .dropDuplicates("id1", "id2")
     verifyJaccard(docs, candIds, n, threshold, textCol, idCol)
+  }
+
+  /** MinHash signature table (id, mh0..mh{numHashes-1}): one groupBy(id)
+    * with `numHashes` partial `min(xxhash64(s, i))` aggregates — the
+    * exchange carries `numHashes` longs per doc regardless of doc size.
+    * Signatures as COLUMNS (not an array) so parquet stats and the band
+    * reconstruction expressions line up across sessions. */
+  private[ops] def minhashSignatures(docs: DataFrame, n: Int, numHashes: Int,
+                                     textCol: String,
+                                     idCol: String): DataFrame = {
+    val ex = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("s"))
+    ex.groupBy(col("id")).agg(
+      min(xxhash64(col("s"), lit(0))).as("mh0"),
+      (1 until numHashes).map(i =>
+        min(xxhash64(col("s"), lit(i))).as(s"mh$i")): _*)
+  }
+
+  /** LSH band table (id, band, bh) from a signature table: band hash =
+    * xxhash64 of the band's minhash slice + band index. Deterministic
+    * given (numHashes, bands), so band tables built in different sessions
+    * (e.g. a persisted index vs a new batch) join correctly. */
+  private[ops] def bandTable(sig: DataFrame, numHashes: Int,
+                             bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64((lit(b) +: slice): _*).as("bh"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Incremental NEAR-dup dedup across batches: the near-dup analog of
+    * [[incrementalExactDedup]]. A parquet signature index at `indexPath`
+    * persists (id, mh0..mh{numHashes-1}); each batch
+    *
+    *   1. drops batch docs whose estimated Jaccard against any indexed
+    *      doc reaches `threshold` — candidates from the band join of the
+    *      batch's band table vs the index's (both reconstructed by the
+    *      same deterministic expressions), estimate = fraction of equal
+    *      minhash components (the standard unbiased estimator; the index
+    *      keeps no text, so cross-batch verification is estimation, NOT
+    *      exact — in-batch pairs, where text is at hand, stay exact);
+    *   2. among surviving batch docs, runs exact [[minhashLshPairs]] +
+    *      [[keepClusterCanonical]] (smallest id per near-dup cluster);
+    *   3. appends the kept docs' signatures to the index (lineage cut
+    *      before the self-referential append, as in the exact variant).
+    *
+    * Returns the kept batch rows. Scale shape: the index is only ever
+    * touched by (a) a band-key equi-join and (b) one partitioned append —
+    * no rewrite, no driver materialization. */
+  def incrementalMinhashDedup(batch: DataFrame, indexPath: String,
+                              n: Int = 3, numHashes: Int = 64,
+                              bands: Int = 16, threshold: Double = 0.5,
+                              textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame = {
+    val spark = batch.sparkSession
+    val sig = minhashSignatures(batch, n, numHashes, textCol, idCol)
+      .localCheckpoint(true)
+    val mhCols = (0 until numHashes).map(i => s"mh$i")
+    val dupOfIndex: DataFrame = {
+      val existing =
+        if (graft.core.Fs.exists(indexPath) &&
+          graft.core.Fs.listNames(indexPath).nonEmpty)
+          Some(spark.read.parquet(indexPath)) else None
+      existing match {
+        case None => sig.select(col("id")).limit(0)
+        case Some(idx) =>
+          val bBands = bandTable(sig, numHashes, bands)
+          val iBands = bandTable(idx, numHashes, bands)
+          val cand = bBands.alias("b")
+            .join(iBands.alias("i"),
+              col("b.band") === col("i.band") && col("b.bh") === col("i.bh"))
+            .select(col("b.id").as("bid"), col("i.id").as("iid"))
+            .dropDuplicates("bid", "iid")
+          val bSig = sig.select((col("id").as("bid") +:
+            mhCols.map(c => col(c).as(s"b_$c"))): _*)
+          val iSig = idx.select((col("id").as("iid") +:
+            mhCols.map(c => col(c).as(s"i_$c"))): _*)
+          val matches = mhCols.map(c =>
+            when(col(s"b_$c") === col(s"i_$c"), 1).otherwise(0))
+            .reduce(_ + _)
+          cand.join(bSig, Seq("bid")).join(iSig, Seq("iid"))
+            .withColumn("est",
+              matches.cast("double") / lit(numHashes.toDouble))
+            .filter(col("est") >= threshold)
+            .select(col("bid").as("id")).distinct()
+      }
+    }
+    val fresh = batch.join(
+      broadcast(dupOfIndex.select(col("id").as(idCol))), Seq(idCol),
+      "left_anti")
+    val kept = keepClusterCanonical(fresh,
+      minhashLshPairs(fresh, n, numHashes, bands, threshold, textCol, idCol),
+      idCol).localCheckpoint(true)
+    val keptSig = sig.join(
+      kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .localCheckpoint(true) // cut lineage before the self-referential append
+    keptSig.write.mode("append").parquet(indexPath)
+    kept
   }
 
   /** 64-bit SimHash of the token array (Column form). */

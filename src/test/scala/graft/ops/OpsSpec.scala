@@ -142,6 +142,33 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.SparkSpec.spark.read.parquet(idx).distinct().count() == 150)
   }
 
+  test("incremental NEAR-dup dedup: re-submitted docs drop via the " +
+      "signature index; index grows by kept docs only") {
+    val idx = graft.SparkSpec.tmpDir("graft-mhidx-") + "/mh_index"
+    val b1 = docs.filter(col("doc_id") < 100)
+    val kept1 = Dedup.incrementalMinhashDedup(b1, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept1.nonEmpty && kept1.subsetOf((0L until 100L).toSet))
+    // in-batch near-dup clusters keep exactly their canonical member
+    val pairs1 = Dedup.minhashLshPairs(b1, 3, 64, 16, 0.5)
+    val nonCanon = Dedup.duplicateClusters(pairs1)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept1 == (0L until 100L).toSet -- nonCanon)
+    // batch 2 overlaps: every batch-1 KEPT doc re-submits with an
+    // identical signature (estimated jaccard 1.0) and must drop
+    val b2 = docs.filter(col("doc_id") >= 50 && col("doc_id") < 150)
+    val kept2 = Dedup.incrementalMinhashDedup(b2, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2.intersect(kept1).isEmpty,
+      s"re-kept: ${kept2.intersect(kept1).take(5)}")
+    assert(kept2.exists(_ >= 100L), "brand-new docs should survive")
+    // the index holds exactly the kept signatures
+    val idxIds = graft.SparkSpec.spark.read.parquet(idx)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(idxIds == kept1 ++ kept2)
+  }
+
   test("exact dedup keeps one row per fingerprint") {
     val d = Dedup.exactDedup(docs)
     assert(d.count() ==
