@@ -1,0 +1,85 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** The full training-data curation funnel, end to end on the bundled
+  * corpus — the pipeline a 100 TB pretraining run would execute, each
+  * stage one of the engine's operators:
+  *
+  *   quality/language gate → PII scrub → exact dedup → near-dup
+  *   clustering (MinHash-LSH pairs → connected components → canonical
+  *   survivors) → benchmark decontamination → leakage-safe split →
+  *   sequence packing
+  *
+  * Run: `sbt "runMain graft.examples.TrainingDataDemo [sfDir]"`.
+  */
+object TrainingDataDemo {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-training-data-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n0 = docs.count()
+
+    // 1. quality + language gate (cheap per-row scalars, shuffle-free)
+    val gated = docs
+      .withColumn("lang", Text.langId(col("text")))
+      .withColumn("q", Text.qualityScore(col("text")))
+      .filter(col("lang") === "en" && col("q") >= 0.3)
+    val n1 = gated.count()
+
+    // 2. PII scrub (per-row regexp chain)
+    val clean = gated.withColumn("text", Text.redactPii(col("text")))
+
+    // 3. exact dedup (hash-groupBy keep-first)
+    val exact = Dedup.exactDedup(clean)
+    val n2 = exact.count()
+
+    // 4. near-dup removal: MinHash-LSH pairs -> connected components ->
+    //    one canonical survivor per cluster
+    val pairs = Dedup.minhashLshPairs(exact, n = 3, numHashes = 64,
+      bands = 16, threshold = 0.5)
+    val survivors = Dedup.keepClusterCanonical(exact, pairs)
+    val n3 = survivors.count()
+
+    // 5. benchmark decontamination (docs sharing 8-gram spans with a
+    //    held-out eval set are dropped; eval set faked from the corpus
+    //    tail so the demo is self-contained)
+    val benchmark = docs.orderBy(col("doc_id").desc).limit(5)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val decon = Contamination.decontaminate(survivors, benchmark,
+      n = 8, minShared = 1)
+    val n4 = decon.count()
+
+    // 6. leakage-safe split: every doc of a source lands in one part
+    val split = decon.withColumn("part", Sampling.splitColumn(col("source"),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
+    val bySplit = split.groupBy("part").count().orderBy("part").collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
+
+    // 7. pack the train part into fixed token budgets
+    val packed = Packing.packSequences(
+      split.filter(col("part") === "train"), maxTokens = 2048)
+    val nBins = packed.select("bin_id").distinct().count()
+
+    println(s"corpus:           $n0 docs")
+    println(s"quality/lang gate: $n1 kept")
+    println(s"exact dedup:       $n2 kept")
+    println(s"near-dup clusters: $n3 kept")
+    println(s"decontamination:   $n4 kept")
+    println(s"splits:            $bySplit")
+    println(s"packing:           $nBins bins of <= 2048 tokens")
+    require(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4,
+      "funnel must be monotone")
+    require(n4 > 0, "pipeline should keep something")
+    spark.stop()
+    println("training-data demo OK")
+  }
+}
