@@ -127,6 +127,9 @@ object PsetHash {
     case c: Complex =>
       // same bytes as the normalized struct cell: d{ im=…, re=… }
       encodeAny(sb, Map("re" -> c.re, "im" -> c.im))
+    case d: Dyn =>
+      // same bytes as the normalized struct cell: d{ json=…, tag=… }
+      encodeAny(sb, Map("json" -> d.json, "tag" -> d.tag))
     case p: Product if p.getClass.getName.startsWith("scala.Tuple") =>
       encodeAny(sb, p.productIterator.toSeq)
     case r: org.apache.spark.sql.Row =>

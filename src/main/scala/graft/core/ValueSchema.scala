@@ -37,6 +37,7 @@ object ValueSchema {
     case _: java.sql.Date | _: java.time.LocalDate => DateType
     case _: Array[Byte] => BinaryType
     case _: Complex => Complex.structType
+    case _: Dyn => Dyn.structType
     case m: scala.collection.Map[_, _] =>
       val fields = m.toSeq
         .map { case (k, vv) => StructField(k.toString, inferType(vv), nullable = true) }
@@ -77,8 +78,9 @@ object ValueSchema {
     case _ =>
       throw new IllegalArgumentException(
         s"mixed-type column: cannot reconcile $a with $b " +
-          "(the engine rejects heterogeneous columns at ingest; " +
-          "encode dynamic values explicitly, e.g. as JSON strings)")
+          "(the engine rejects heterogeneous columns at ingest; wrap the " +
+          "column's values in graft.core.Dyn(...) to store it as a " +
+          "tagged dynamic column, SURVEY §7.4.1)")
   }
 
   /** Union schema over a pset list: union of keys (first-appearance order),
@@ -119,6 +121,9 @@ object ValueSchema {
     case (d: java.sql.Date, DateType) => d
     case (d: java.time.LocalDate, DateType) => java.sql.Date.valueOf(d)
     case (b: Array[Byte], BinaryType) => b
+    case (d: Dyn, st: StructType) if st == Dyn.structType =>
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](d.json, d.tag), st)
     case (c: Complex, st: StructType) =>
       new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
         st.fields.toSeq.map(f => f.name match {

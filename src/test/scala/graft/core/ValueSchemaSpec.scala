@@ -73,6 +73,38 @@ class ValueSchemaSpec extends AnyFunSuite {
     assert(Complex.fromAny(cell) == Complex(1.0, 3.0))
   }
 
+  test("Dyn: the mixed-column escape hatch (SURVEY §7.4.1; " +
+      "ref tests/test_all.py:690-704 object-dtype plist)") {
+    // the reference sweeps [1, "3", None, 1.23, [..]] in ONE column; the
+    // engine stores it as tagged JSON when wrapped in Dyn
+    val mixed = Seq[Any](1L, "3", null, 1.23, Seq(1L, 2L),
+      Map("a" -> 1L, "b" -> Seq("x", "y")))
+    val psets = mixed.zipWithIndex.map { case (v, i) =>
+      Map[String, Any]("k" -> i.toLong, "stuff" -> Dyn(v))
+    }
+    val df = ValueSchema.toDF(spark, psets)
+    assert(df.schema("stuff").dataType == Dyn.structType)
+    val rows = df.orderBy("k").select("stuff").collect()
+    // tags distinguish the kinds; decode round-trips the value domain
+    assert(rows.map(_.getStruct(0).getAs[String]("tag")).toSeq ==
+      Seq("int", "str", "null", "float", "list", "dict"))
+    assert(mixed.zip(rows).forall { case (v, r) =>
+      Dyn.decode(r.getStruct(0)) == v
+    })
+    // hashes: type-sensitive (int 1 != str "1"), stable through the
+    // normalized struct cell
+    val h1 = PsetHash.hash(Map[String, Any]("s" -> Dyn(1L)))
+    val h2 = PsetHash.hash(Map[String, Any]("s" -> Dyn("1")))
+    assert(h1 != h2)
+    val norm = ValueSchema.normalize(Dyn(1L), Dyn.structType)
+    assert(PsetHash.hash(Map[String, Any]("s" -> norm)) == h1)
+    // an unwrapped mixed column still rejects, pointing at Dyn
+    val e = intercept[IllegalArgumentException] {
+      ValueSchema.infer(Seq(Map("x" -> 1), Map("x" -> "s")))
+    }
+    assert(e.getMessage.contains("Dyn"))
+  }
+
   test("toDF round-trips arrays, nested structs, timestamps, nulls (F12)") {
     val ts = java.sql.Timestamp.from(
       java.time.Instant.parse("2024-06-01T12:00:00Z"))
