@@ -40,9 +40,16 @@ class Database(val spark: SparkSession, val calcDir: String,
     * the two renames leaves the data under `.__old` — restore it; a crash
     * after the second rename leaves a stale `.__old` next to a complete
     * db — drop it. Idempotent and cheap (two existence checks), called on
-    * every read path. */
+    * every read path.
+    *
+    * A LIVE lock suppresses recovery: `.__old` + lock means a writer is
+    * mid-swap right now, and a concurrent reader restoring `.__old`
+    * between the writer's two renames would make the writer's final
+    * rename land on an occupied path. After a CRASH the lock is stale by
+    * definition — delete it (per [[withWriteLock]]'s error message) and
+    * the next read restores the parked state. */
   def recover(): Unit = {
-    if (Fs.exists(oldPath)) {
+    if (Fs.exists(oldPath) && !Fs.exists(lockPath)) {
       if (!Fs.exists(dbPath)) Fs.rename(oldPath, dbPath)
       else Fs.delete(oldPath)
     }

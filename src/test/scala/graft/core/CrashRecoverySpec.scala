@@ -40,6 +40,20 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(!Fs.exists(s"${db.dbPath}.__old"))
   }
 
+  test("a live lock suppresses reader-side recovery (mid-swap race)") {
+    val db = seeded()
+    // writer mid-swap: data parked at .__old, lock held
+    Fs.rename(db.dbPath, s"${db.dbPath}.__old")
+    assert(Fs.createExclusive(db.lockPath, "pid=1 acquired=test"))
+    db.recover() // must NOT restore — the writer owns the window
+    assert(!Fs.exists(db.dbPath))
+    assert(Fs.exists(s"${db.dbPath}.__old"))
+    // writer crashed: the stale lock is removed, recovery proceeds
+    Fs.delete(db.lockPath)
+    assert(db.exists)
+    assert(db.read().count() == 5)
+  }
+
   test("second writer fails fast on the lock, with holder identity") {
     val db = seeded()
     assert(Fs.createExclusive(db.lockPath, "pid=9999 acquired=test"))
