@@ -114,9 +114,11 @@ object TrainingData {
     }),
 
     // winnowing rolling-hash fingerprints, exploded to one (doc_id, hash)
-    // row each so the driver can sort/hash the output (rows-only: the
-    // polynomial hash is engine-defined; overlap behavior asserted in
-    // OpsSpec)
+    // row each so the driver can sort/hash the output. The polynomial
+    // hash (B=1000000007 mod 2^64 over the canonicalized text) is plain
+    // arithmetic, so the oracle recomputes it in DuckDB — signed-long
+    // window minima and all (the fixture slice is ASCII, making Java
+    // charAt and DuckDB codepoint indexing coincide)
     "q_doc_winnow" -> ((s, dir) => {
       docs(s, dir).filter(col("doc_id") < 20)
         .select(col("doc_id"),
@@ -254,8 +256,9 @@ object TrainingData {
 
     // batched stub decode + feature extraction; the histogram array is
     // exploded to (bucket, bucket_count) rows so the driver can sort and
-    // hash the output (rows-only: checksum and histogram are engine-side
-    // definitions)
+    // hash the output. The stub checksum ((acc*31+byte) mod 2^63) and
+    // byte%16 histogram are portable arithmetic, so the oracle recomputes
+    // them in DuckDB from the same UTF-8 payload bytes (hex + list_reduce)
     "q_multimodal_features" -> ((s, dir) => {
       Multimodal.extractFeatures(
         Multimodal.toAssets(docs(s, dir).filter(col("doc_id") < 50)))
@@ -265,7 +268,8 @@ object TrainingData {
         .orderBy(col("asset_id"), col("bucket"))
     }),
 
-    // frame-sampling stub over byte payloads (rows-only)
+    // frame-sampling stub over byte payloads; same portable checksum per
+    // 64-byte chunk, every 2nd chunk — the oracle slices the byte list
     "q_multimodal_frames" -> ((s, dir) => {
       Multimodal.sampleFrames(
         Multimodal.toAssets(docs(s, dir).filter(col("doc_id") < 10)),
@@ -558,9 +562,115 @@ object TrainingData {
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |ORDER BY id1, id2""".stripMargin,
 
+    // Mirrors Text.winnowingFingerprint (k=8, w=4): canonicalize
+    // (lower, collapse \s+, trim), polynomial k-gram hash
+    // h = (h*1000000007 + char) mod 2^64 in HUGEINT, convert to signed
+    // BIGINT (Java long semantics) BEFORE the window minima — the engine
+    // compares signed longs — then distinct. Valid on the ASCII fixture
+    // slice where Java charAt == DuckDB codepoints.
+    "q_doc_winnow" ->
+      """WITH c AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |  FROM documents WHERE doc_id < 20
+        |), d AS (
+        |  SELECT doc_id, s, length(s) AS ln FROM c WHERE length(s) >= 8
+        |), h AS (
+        |  SELECT doc_id, ln - 7 AS n,
+        |    list_transform(
+        |      list_transform(range(1, ln - 7 + 1), i ->
+        |        list_reduce(
+        |          list_prepend(CAST(0 AS HUGEINT),
+        |            list_transform(range(CAST(i AS INT), CAST(i + 8 AS INT)),
+        |              j -> CAST(unicode(substr(s, CAST(j AS INT), 1)) AS HUGEINT))),
+        |          (acc, ch) -> (acc * 1000000007 + ch)
+        |                       % CAST('18446744073709551616' AS HUGEINT))),
+        |      hv -> CAST(CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+        |                 THEN hv - CAST('18446744073709551616' AS HUGEINT)
+        |                 ELSE hv END AS BIGINT)) AS hs
+        |  FROM d
+        |), w AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, greatest(n - 4, 0) + 1),
+        |      st -> list_min(list_slice(hs, CAST(st + 1 AS INT),
+        |                                CAST(least(st + 4, n) AS INT))))) AS fps
+        |  FROM h
+        |)
+        |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp_hash
+        |FROM w ORDER BY doc_id, fp_hash""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id AS asset_id, 'image' AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
-        |FROM documents WHERE doc_id < 50 ORDER BY asset_id""".stripMargin
+        |FROM documents WHERE doc_id < 50 ORDER BY asset_id""".stripMargin,
+
+    // Mirrors Multimodal.decodeStub exactly: UTF-8 payload bytes
+    // recovered via hex(), checksum (acc*31+b) mod 2^63 in HUGEINT,
+    // byte%16 histogram with zero buckets kept via the range(16) grid.
+    "q_multimodal_features" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id, encode(text) AS payload
+        |  FROM documents WHERE doc_id < 50
+        |), b AS (
+        |  SELECT asset_id, octet_length(payload) AS blen, hex(payload) AS hx
+        |  FROM a
+        |), bytes AS (
+        |  SELECT asset_id, blen,
+        |    list_transform(range(1, blen + 1),
+        |      i -> CAST(strpos('0123456789ABCDEF',
+        |                       substr(hx, CAST(2*i-1 AS INT), 1)) - 1
+        |             AS HUGEINT) * 16
+        |           + (strpos('0123456789ABCDEF',
+        |                     substr(hx, CAST(2*i AS INT), 1)) - 1)) AS bl,
+        |    lower(substr(hx, 1, 16)) AS head_hex
+        |  FROM b
+        |), feat AS (
+        |  SELECT asset_id, CAST(blen AS BIGINT) AS byte_len,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), bl),
+        |      (acc, x) -> (acc*31 + x) % CAST('9223372036854775808' AS HUGEINT))
+        |      AS BIGINT) AS checksum,
+        |    head_hex, bl
+        |  FROM bytes
+        |), hb AS (
+        |  SELECT asset_id, CAST(x % 16 AS BIGINT) AS bucket, count(*) AS cnt
+        |  FROM (SELECT asset_id, unnest(bl) AS x FROM feat) GROUP BY 1, 2
+        |)
+        |SELECT f.asset_id, f.byte_len, f.checksum, f.head_hex,
+        |       CAST(g.range AS INT) AS bucket,
+        |       CAST(COALESCE(hb.cnt, 0) AS BIGINT) AS bucket_count
+        |FROM feat f CROSS JOIN range(16) g
+        |LEFT JOIN hb ON hb.asset_id = f.asset_id AND hb.bucket = g.range
+        |ORDER BY f.asset_id, bucket""".stripMargin,
+
+    // Mirrors Multimodal.sampleFrames: 64-byte chunks, every 2nd chunk,
+    // same (acc*31+b) mod 2^63 checksum over each chunk's byte slice.
+    "q_multimodal_frames" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id, encode(text) AS payload
+        |  FROM documents WHERE doc_id < 10
+        |), b AS (
+        |  SELECT asset_id, octet_length(payload) AS blen, hex(payload) AS hx
+        |  FROM a
+        |), bytes AS (
+        |  SELECT asset_id, blen,
+        |    list_transform(range(1, blen + 1),
+        |      i -> CAST(strpos('0123456789ABCDEF',
+        |                       substr(hx, CAST(2*i-1 AS INT), 1)) - 1
+        |             AS HUGEINT) * 16
+        |           + (strpos('0123456789ABCDEF',
+        |                     substr(hx, CAST(2*i AS INT), 1)) - 1)) AS bl
+        |  FROM b
+        |), fx AS (
+        |  SELECT asset_id, blen, bl,
+        |    unnest(range(0, CAST(ceil(blen / 64.0) AS BIGINT), 2)) AS frame_idx
+        |  FROM bytes
+        |)
+        |SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_slice(bl, CAST(frame_idx*64 + 1 AS INT),
+        |                 CAST(least((frame_idx+1)*64, blen) AS INT))),
+        |    (acc, x) -> (acc*31 + x) % CAST('9223372036854775808' AS HUGEINT))
+        |    AS BIGINT) AS frame_checksum
+        |FROM fx
+        |ORDER BY asset_id, frame_idx""".stripMargin
   )
 }
