@@ -506,9 +506,13 @@ case class WordShingles(child: Expression, n: Int)
 }
 
 /** Deterministic 64-bit SimHash over an array of string tokens: each token
-  * hashes to 64 bits (two seeded MurmurHash3 halves — stdlib, stable across
-  * JVMs); bit positions vote +1/-1 weighted by occurrence; the sign vector
-  * is the fingerprint.
+  * hashes to 64 bits via a polynomial hash over its UTF-8 bytes
+  * (B=1000000007, natural mod-2^64 wraparound) passed through the
+  * MurmurHash3 64-bit finalizer (fmix64) for bit diffusion; bit positions
+  * vote +1/-1 weighted by occurrence; the sign vector is the fingerprint.
+  * The hash is plain integer arithmetic — stable across JVMs AND
+  * reproducible in any engine with 128-bit integers, which is what lets
+  * the driver's DuckDB oracle check q_dedup_simhash exactly.
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
@@ -534,9 +538,13 @@ case class SimHash64(child: Expression)
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
         val bytes = arr.getUTF8String(i).getBytes
-        val lo = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x9747b28c)
-        val hi = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x5bd1e995)
-        val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+        var p = 0L
+        var j = 0
+        while (j < bytes.length) {
+          p = p * 1000000007L + (bytes(j) & 0xff)
+          j += 1
+        }
+        val h = SimHash64.fmix64(p)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -565,4 +573,16 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+object SimHash64 {
+  /** MurmurHash3's 64-bit finalizer: xor-shift / multiply diffusion,
+    * pure mod-2^64 arithmetic (portable to any 128-bit-capable engine). */
+  def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL
+    x ^= (x >>> 33); x *= 0xc4ceb9fe1a85ec53L
+    x ^= (x >>> 33)
+    x
+  }
 }

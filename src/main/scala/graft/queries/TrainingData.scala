@@ -207,7 +207,10 @@ object TrainingData {
           maxShingleFreq = Some(500)))
         .orderBy(col("doc_id"))),
 
-    // SimHash near-dup candidates (rows-only)
+    // SimHash near-dup candidates. The token hash (polynomial over UTF-8
+    // bytes + fmix64 finalizer) is portable arithmetic, so the oracle
+    // rebuilds the full 64-bit signatures in DuckDB and checks the pair
+    // set exactly
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
         .orderBy(col("id1"), col("id2"))),
@@ -560,6 +563,73 @@ object TrainingData {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 300 AND b.vec_id < 300
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
+
+    // Mirrors Dedup.simhash64 exactly: per-token polynomial hash over
+    // UTF-8 bytes mod 2^64, fmix64 finalizer (xor-shift-33 = // 2^33 on
+    // the unsigned domain; mulmod 2^64 split into 32-bit halves so the
+    // 128-bit intermediate never overflows HUGEINT), per-bit +-1 votes,
+    // signed 64-bit signature, then the exact hamming<=3 pair set. The
+    // oracle does the quadratic all-pairs join (fine at oracle scale);
+    // the engine's banded candidate generation must reproduce it exactly.
+    "q_dedup_simhash" ->
+      """WITH RECURSIVE pow2(b, p) AS (
+        |  SELECT 0, CAST(1 AS HUGEINT)
+        |  UNION ALL SELECT b + 1, p * 2 FROM pow2 WHERE b < 63
+        |), toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents
+        |), ph AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(range(1, octet_length(encode(tok)) + 1),
+        |        i -> CAST(strpos('0123456789ABCDEF',
+        |                         substr(hex(encode(tok)), CAST(2*i-1 AS INT), 1)) - 1
+        |               AS HUGEINT) * 16
+        |             + (strpos('0123456789ABCDEF',
+        |                       substr(hex(encode(tok)), CAST(2*i AS INT), 1)) - 1))),
+        |      (acc, x) -> (acc * 1000000007 + x)
+        |                  % CAST('18446744073709551616' AS HUGEINT)) AS p
+        |  FROM toks
+        |), fm1 AS (
+        |  SELECT doc_id, xor(p, p // 8589934592) AS x FROM ph
+        |), fm1m AS (
+        |  SELECT doc_id,
+        |    (((x // 4294967296) * CAST('18397679294719823053' AS HUGEINT))
+        |       % 4294967296 * 4294967296
+        |     + (x % 4294967296) * CAST('18397679294719823053' AS HUGEINT))
+        |    % CAST('18446744073709551616' AS HUGEINT) AS x
+        |  FROM fm1
+        |), fm2 AS (
+        |  SELECT doc_id, xor(x, x // 8589934592) AS x FROM fm1m
+        |), fm2m AS (
+        |  SELECT doc_id,
+        |    (((x // 4294967296) * CAST('14181476777654086739' AS HUGEINT))
+        |       % 4294967296 * 4294967296
+        |     + (x % 4294967296) * CAST('14181476777654086739' AS HUGEINT))
+        |    % CAST('18446744073709551616' AS HUGEINT) AS x
+        |  FROM fm2
+        |), th AS (
+        |  SELECT doc_id, xor(x, x // 8589934592) AS h FROM fm2m
+        |), votes AS (
+        |  SELECT doc_id, b, p,
+        |    SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th CROSS JOIN pow2 GROUP BY doc_id, b, p
+        |), sigs AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN vote > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS sig_u
+        |  FROM votes GROUP BY doc_id
+        |), fp AS (
+        |  SELECT doc_id AS id,
+        |    CAST(CASE WHEN sig_u >= CAST('9223372036854775808' AS HUGEINT)
+        |         THEN sig_u - CAST('18446744073709551616' AS HUGEINT)
+        |         ELSE sig_u END AS BIGINT) AS f
+        |  FROM sigs
+        |)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.id < b.id
+        |WHERE bit_count(xor(a.f, b.f)) <= 3
         |ORDER BY id1, id2""".stripMargin,
 
     // Mirrors Text.winnowingFingerprint (k=8, w=4): canonicalize

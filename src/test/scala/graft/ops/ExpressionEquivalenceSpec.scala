@@ -46,9 +46,8 @@ class ExpressionEquivalenceSpec extends AnyFunSuite {
       val votes = new Array[Int](64)
       r.getString(0).split("\\s+").foreach { tok =>
         val bytes = tok.getBytes("UTF-8")
-        val lo = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x9747b28c)
-        val hi = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x5bd1e995)
-        val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+        val p = bytes.foldLeft(0L)((acc, b) => acc * 1000000007L + (b & 0xff))
+        val h = SimHash64.fmix64(p)
         (0 until 64).foreach(b =>
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
       }
