@@ -51,11 +51,19 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
   }
 
-  /** Deterministic pseudo-random unit-ish hyperplanes (fixed seed). */
-  def hyperplanes(dim: Int, planes: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
-  }
+  /** Deterministic pseudo-random hyperplanes (fixed seed): component
+    * (p, i) = fmix64(seed + p*dim + i) mapped to a uniform in [-1, 1).
+    * The top 53 bits over 2^53 is a dyadic rational, so the double is
+    * EXACT and any engine with 128-bit integer arithmetic reproduces the
+    * planes bit-for-bit — which is what lets the driver's DuckDB oracle
+    * check q_embed_ann end-to-end (signatures, probes, and ranking).
+    * Uniform (not Gaussian) components keep sign-of-dot LSH symmetric,
+    * which is all the banding needs; the recall spec pins quality. */
+  def hyperplanes(dim: Int, planes: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(planes)(p => Array.tabulate(dim) { i =>
+      val h = SimHash64.fmix64(seed + p.toLong * dim + i)
+      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    })
 
   /** Random-hyperplane signature of a vector column: bit i = sign of
     * dot(v, plane_i). Composed from codegen'd array expressions. */

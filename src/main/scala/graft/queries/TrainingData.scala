@@ -230,7 +230,10 @@ object TrainingData {
         .withColumn("score", floor(col("score") * 1e4) / 1e4)
         .orderBy(col("id1"), col("id2"))),
 
-    // LSH-bucketed approximate top-k (rows-only; recall vs brute force
+    // LSH-bucketed approximate top-k. Hyperplanes are fmix64-derived
+    // dyadic rationals — bit-exact in any engine — so the oracle rebuilds
+    // signatures, Hamming-1 probes, and the candidate ranking in DuckDB
+    // and checks the full result (recall vs brute force additionally
     // asserted in SimilaritySpec)
     "q_embed_ann" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -551,6 +554,78 @@ object TrainingData {
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |                       ORDER BY raw DESC, vec_id) AS rank
         |  FROM scored)
+        |SELECT query_id, vec_id, floor(raw * 1e4) / 1e4 AS score,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Mirrors Similarity.lshTopK (planes=8, radius=1, seed=42) exactly:
+    // hyperplane (p,i) = fmix64(42 + p*64 + i) top-53-bits / 2^53 * 2 - 1
+    // (a dyadic rational — exact in both engines); dot products fold
+    // left-to-right like Spark's aggregate() so signature signs agree
+    // bit-for-bit; probes = own bucket + 8 Hamming-1 buckets; candidates
+    // ranked by exact cosine.
+    "q_embed_ann" ->
+      """WITH keys AS (
+        |  SELECT p.range AS p, i.range AS i,
+        |    CAST(42 + p.range * 64 + i.range AS HUGEINT) AS x
+        |  FROM range(8) p CROSS JOIN range(64) i
+        |), f1 AS (
+        |  SELECT p, i, xor(x, x // 8589934592) AS x FROM keys
+        |), f1m AS (
+        |  SELECT p, i,
+        |    (((x // 4294967296) * CAST('18397679294719823053' AS HUGEINT))
+        |       % 4294967296 * 4294967296
+        |     + (x % 4294967296) * CAST('18397679294719823053' AS HUGEINT))
+        |    % CAST('18446744073709551616' AS HUGEINT) AS x
+        |  FROM f1
+        |), f2 AS (
+        |  SELECT p, i, xor(x, x // 8589934592) AS x FROM f1m
+        |), f2m AS (
+        |  SELECT p, i,
+        |    (((x // 4294967296) * CAST('14181476777654086739' AS HUGEINT))
+        |       % 4294967296 * 4294967296
+        |     + (x % 4294967296) * CAST('14181476777654086739' AS HUGEINT))
+        |    % CAST('18446744073709551616' AS HUGEINT) AS x
+        |  FROM f2
+        |), hp AS (
+        |  SELECT p,
+        |    list(CAST(xor(x, x // 8589934592) // 2048 AS DOUBLE)
+        |         / 9007199254740992.0 * 2 - 1 ORDER BY i) AS vals
+        |  FROM f2m GROUP BY p
+        |), dots AS (
+        |  SELECT e.vec_id, hp.p,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |      j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE)
+        |           * vals[CAST(j AS INT)])),
+        |      (acc, x) -> acc + x) AS dot
+        |  FROM embeddings e CROSS JOIN hp
+        |), sigs AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+        |  FROM dots GROUP BY vec_id
+        |), probes AS (
+        |  SELECT s.vec_id AS query_id,
+        |    unnest(list_prepend(s.sig,
+        |      list_transform(range(0, 8),
+        |        i -> xor(s.sig, CAST(1 AS BIGINT) << i)))) AS psig
+        |  FROM sigs s WHERE s.vec_id IN (0, 1, 2)
+        |), cand AS (
+        |  SELECT DISTINCT p.query_id, c.vec_id
+        |  FROM probes p JOIN sigs c ON c.sig = p.psig
+        |  WHERE c.vec_id <> p.query_id
+        |), scored AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    list_cosine_similarity(ce.embedding, qe.embedding) AS raw
+        |  FROM cand
+        |  JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, raw,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY raw DESC, vec_id) AS rank
+        |  FROM scored
+        |)
         |SELECT query_id, vec_id, floor(raw * 1e4) / 1e4 AS score,
         |  CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5
