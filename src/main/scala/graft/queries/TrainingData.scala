@@ -7,10 +7,12 @@ import graft.ops.{Dedup, Multimodal, Similarity, Text}
 
 /** The training-data pipeline operators (dedup / similarity / multimodal /
   * text analysis) exposed as driver-verifiable queries over the documents
-  * and embeddings tables. SQL-expressible ones carry DuckDB oracles;
-  * hash-based ones (MinHash/SimHash/LSH — engine hash functions are not
-  * portable) are rows-only here and cross-verified against their exact
-  * counterparts in the ScalaTest suite instead.
+  * and embeddings tables. EVERY query here carries a DuckDB oracle: the
+  * engine's hash functions (winnowing polynomial, SimHash token hash, LSH
+  * hyperplanes, stub decoders) are deliberately portable integer/dyadic
+  * arithmetic, so the oracle recomputes them exactly — the approximate
+  * operators are additionally cross-verified against their exact
+  * counterparts (recall bounds) in the ScalaTest suite.
   */
 object TrainingData {
 
@@ -614,6 +616,143 @@ object TrainingData {
         |  SELECT DISTINCT p.query_id, c.vec_id
         |  FROM probes p JOIN sigs c ON c.sig = p.psig
         |  WHERE c.vec_id <> p.query_id
+        |), scored AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    list_cosine_similarity(ce.embedding, qe.embedding) AS raw
+        |  FROM cand
+        |  JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, raw,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY raw DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, vec_id, floor(raw * 1e4) / 1e4 AS score,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Mirrors Similarity.ivfTopK (numCentroids=8, nprobe=2, iters=3)
+    // exactly: seed centroids = 8 lowest-id vectors, three unrolled Lloyd
+    // iterations (assign by left-to-right-fold dot, ties to HIGHER cid;
+    // per-dimension means floor-rounded at 1e-6 after normalization — the
+    // rounding that makes centroids identical across engines), then the
+    // inverted-file probe (ties to LOWER cid, matching the driver-side
+    // sortBy) and exact cosine ranking.
+    "q_embed_ivf" ->
+      """WITH seedraw AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+        |), seedn AS (
+        |  SELECT cid, raw,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(raw, x -> x * x)),
+        |      (a, b) -> a + b)) AS n
+        |  FROM seedraw
+        |), cents0 AS (
+        |  SELECT cid, CASE WHEN n = 0 THEN raw
+        |    ELSE list_transform(raw, x -> floor(x / n * 1e6) / 1e6) END AS vals
+        |  FROM seedn
+        |),
+        |s1 AS (
+        |  SELECT e.vec_id, c.cid, list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) AS score
+        |  FROM embeddings e CROSS JOIN cents0 c
+        |), a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY score DESC, cid DESC) AS rn
+        |    FROM s1) WHERE rn = 1
+        |), m1 AS (
+        |  SELECT a.cid, p.range AS pos,
+        |    AVG(CAST(e.embedding[CAST(p.range + 1 AS INT)] AS DOUBLE)) AS m
+        |  FROM a1 a JOIN embeddings e USING (vec_id)
+        |  CROSS JOIN range(64) p
+        |  GROUP BY 1, 2
+        |), mv1 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS raw,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(list(m ORDER BY pos), x -> x * x)), (a, b) -> a + b)) AS n
+        |  FROM m1 GROUP BY cid
+        |), cents1 AS (
+        |  SELECT c0.cid,
+        |    COALESCE(CASE WHEN mv.n = 0 THEN mv.raw
+        |      ELSE list_transform(mv.raw, x -> floor(x / mv.n * 1e6) / 1e6) END,
+        |      c0.vals) AS vals
+        |  FROM cents0 c0 LEFT JOIN mv1 mv USING (cid)
+        |),
+        |s2 AS (
+        |  SELECT e.vec_id, c.cid, list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) AS score
+        |  FROM embeddings e CROSS JOIN cents1 c
+        |), a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY score DESC, cid DESC) AS rn
+        |    FROM s2) WHERE rn = 1
+        |), m2 AS (
+        |  SELECT a.cid, p.range AS pos,
+        |    AVG(CAST(e.embedding[CAST(p.range + 1 AS INT)] AS DOUBLE)) AS m
+        |  FROM a2 a JOIN embeddings e USING (vec_id)
+        |  CROSS JOIN range(64) p
+        |  GROUP BY 1, 2
+        |), mv2 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS raw,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(list(m ORDER BY pos), x -> x * x)), (a, b) -> a + b)) AS n
+        |  FROM m2 GROUP BY cid
+        |), cents2 AS (
+        |  SELECT c0.cid,
+        |    COALESCE(CASE WHEN mv.n = 0 THEN mv.raw
+        |      ELSE list_transform(mv.raw, x -> floor(x / mv.n * 1e6) / 1e6) END,
+        |      c0.vals) AS vals
+        |  FROM cents1 c0 LEFT JOIN mv2 mv USING (cid)
+        |),
+        |s3 AS (
+        |  SELECT e.vec_id, c.cid, list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) AS score
+        |  FROM embeddings e CROSS JOIN cents2 c
+        |), a3 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY score DESC, cid DESC) AS rn
+        |    FROM s3) WHERE rn = 1
+        |), m3 AS (
+        |  SELECT a.cid, p.range AS pos,
+        |    AVG(CAST(e.embedding[CAST(p.range + 1 AS INT)] AS DOUBLE)) AS m
+        |  FROM a3 a JOIN embeddings e USING (vec_id)
+        |  CROSS JOIN range(64) p
+        |  GROUP BY 1, 2
+        |), mv3 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS raw,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(list(m ORDER BY pos), x -> x * x)), (a, b) -> a + b)) AS n
+        |  FROM m3 GROUP BY cid
+        |), cents3 AS (
+        |  SELECT c0.cid,
+        |    COALESCE(CASE WHEN mv.n = 0 THEN mv.raw
+        |      ELSE list_transform(mv.raw, x -> floor(x / mv.n * 1e6) / 1e6) END,
+        |      c0.vals) AS vals
+        |  FROM cents2 c0 LEFT JOIN mv3 mv USING (cid)
+        |),
+        |bucketed AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) DESC, c.cid DESC) AS rn
+        |    FROM embeddings e CROSS JOIN cents3 c) WHERE rn = 1
+        |), probes AS (
+        |  SELECT query_id, cid FROM (
+        |    SELECT q.vec_id AS query_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(q.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) DESC, c.cid ASC) AS rn
+        |    FROM embeddings q CROSS JOIN cents3 c
+        |    WHERE q.vec_id IN (0, 1, 2)) WHERE rn <= 2
+        |), cand AS (
+        |  SELECT p.query_id, b.vec_id
+        |  FROM probes p JOIN bucketed b USING (cid)
+        |  WHERE b.vec_id <> p.query_id
         |), scored AS (
         |  SELECT cand.query_id, cand.vec_id,
         |    list_cosine_similarity(ce.embedding, qe.embedding) AS raw
