@@ -24,6 +24,10 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Unique memory-sink names for repeated q_stream_sessionize runs
+    * within one session (Bench runs every query twice). */
+  private val streamQueryId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** The events table carries nanosecond Parquet timestamps, which Spark
     * rejects by default; read `ts` as nano-longs and convert to micros
     * (truncation — same as DuckDB's ns->us handling). */
@@ -228,6 +232,39 @@ object Relational {
         .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // STREAMING sessionization, driver-runnable: the same events flow
+    // through Structured Streaming (file source -> flatMapGroupsWithState
+    // -> memory sink) under Trigger.AvailableNow, which drains the input
+    // and stops. Only CLOSED sessions are emitted — each user's final
+    // session is still open when the stream ends — so the oracle is the
+    // batch gaps-and-islands query minus every user's last session.
+    // Event values are floored to whole cents BEFORE the stateful sum,
+    // making the double accumulation exact in any fold order.
+    "q_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file stream source wants a directory: stream the sf dir,
+      // glob-filtered down to the events table
+      val ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"),
+          expr("timestamp_micros(ts div 1000)").as("ts"),
+          floor(col("value") * 100 + lit(0.5)).as("value"))
+        .as[graft.streaming.Monitor.SessionEvent]
+      val name = s"graft_stream_sessions_${streamQueryId.incrementAndGet()}"
+      val q = graft.streaming.Monitor.sessionizeStream(ev).writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("value_sum").cast("long").as("value_cents"))
+        .orderBy(col("user_id"), col("session_start"))
     }),
 
     // as-of join: each purchase joined to the user's latest preceding
@@ -440,6 +477,36 @@ object Relational {
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // The streaming result = batch sessionization MINUS each user's last
+    // session (still open when AvailableNow drains the input). Cent
+    // flooring per event before the sum mirrors the stream exactly.
+    "q_stream_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id < 20
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM marked
+        |), agg AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events,
+        |    MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS value_cents,
+        |    MAX(session_id) OVER (PARTITION BY user_id) AS max_sid
+        |  FROM sessions GROUP BY user_id, session_id
+        |)
+        |SELECT user_id, session_start, session_end, n_events, value_cents
+        |FROM agg WHERE session_id < max_sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_events_asof" ->
       """WITH ev AS (

@@ -60,11 +60,23 @@ object Monitor {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
 
-  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  // Instants, not java.sql.Timestamps: the encoder keeps microsecond
+  // precision (Timestamp.getTime would truncate to millis and diverge
+  // from the batch sessionize query on sub-ms event times). State holds
+  // epoch MICROS.
+  case class SessionEvent(user_id: Long, ts: java.time.Instant, value: Double)
   case class OpenSession(start: Long, last: Long, n: Long, sum: Double)
-  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
-                           session_end: java.sql.Timestamp, n_events: Long,
+  case class ClosedSession(user_id: Long, session_start: java.time.Instant,
+                           session_end: java.time.Instant, n_events: Long,
                            value_sum: Double)
+
+  private def micros(t: java.time.Instant): Long =
+    Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
+      t.getNano / 1000L)
+
+  private def instant(us: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000L)
 
   /** Stateful streaming sessionization via `flatMapGroupsWithState` — the
     * streaming twin of the batch `q_events_sessionize` query: per-user
@@ -81,18 +93,17 @@ object Monitor {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, it: Iterator[SessionEvent],
          state: GroupState[OpenSession]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.value))
           var open = state.getOption
           val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = micros(e.ts)
             open match {
-              case Some(s) if t - s.last <= gapSeconds * 1000 =>
+              case Some(s) if t - s.last <= gapSeconds * 1000000L =>
                 open = Some(OpenSession(s.start, t, s.n + 1, s.sum + e.value))
               case Some(s) =>
                 closed += ClosedSession(userId,
-                  new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
-                  s.n, s.sum)
+                  instant(s.start), instant(s.last), s.n, s.sum)
                 open = Some(OpenSession(t, t, 1, e.value))
               case None =>
                 open = Some(OpenSession(t, t, 1, e.value))
