@@ -136,10 +136,18 @@ object Dedup {
     // explode straight out of the scan: the generator materializes each
     // shingle as a real attribute, so nothing downstream re-runs the
     // tokenizer
-    val ex0 = docs.select(col(idCol).as("id"),
+    val ex0raw = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), n)).as("s"))
     maxShingleFreq match {
       case Some(cap) =>
+        // the capped path reads the exploded index from FOUR branches
+        // (hot-set agg, hot counts, and both sides of the candidate
+        // self-join); without materialization each branch re-scans and
+        // re-shingles the whole corpus — Catalyst cannot reuse the
+        // exchanges because the branches project different columns.
+        // One eager localCheckpoint trades local-disk blocks (same order
+        // as the shuffle this index feeds anyway) for 3 corpus passes.
+        val ex0 = ex0raw.localCheckpoint(true)
         // the HOT set (freq > cap) is by construction tiny — at most
         // |index|/cap distinct values, in practice a handful of
         // boilerplate shingles — so the index is filtered with an
@@ -165,11 +173,15 @@ object Dedup {
           .groupBy(col("id")).agg(count(lit(1)).as("nhot"))
         val cnt = counts.join(hotCounts, Seq("id"), "left")
           .na.fill(0, Seq("nhot"))
-        val scored = interCapped
+        // materialized once: both the exact-from-counts branch and the
+        // hot-pair candidate branch (which verifyJaccard reads three
+        // times) consume it, and it is pair-cardinality-small
+        val scored0 = interCapped
           .join(cnt.select(col("id").as("id1"), col("nsh").as("n1"),
             col("nhot").as("h1")), Seq("id1"))
           .join(cnt.select(col("id").as("id2"), col("nsh").as("n2"),
             col("nhot").as("h2")), Seq("id2"))
+        val scored = scored0.localCheckpoint(true)
         // pairs of docs with NO hot shingles at all: the capped index
         // holds their full shingle sets, so interc is already the exact
         // intersection — score directly, no re-shingle pass (on typical
@@ -199,8 +211,8 @@ object Dedup {
         // pair-cardinality) count table. The self-join aliases one
         // identical subplan so the scan/exchange is planned once and
         // reused for the other side.
-        val inter = ex0.alias("a")
-          .join(ex0.alias("b"),
+        val inter = ex0raw.alias("a")
+          .join(ex0raw.alias("b"),
             col("a.s") === col("b.s") && col("a.id") < col("b.id"))
           .select(col("a.id").as("id1"), col("b.id").as("id2"))
           .groupBy(col("id1"), col("id2"))
@@ -241,12 +253,17 @@ object Dedup {
     val buckets = bandTable(
       minhashSignatures(docs, n, numHashes, textCol, idCol),
       numHashes, bands)
+    // materialized once: verifyJaccard reads the candidate set three
+    // times (two broadcast id sets + the join spine), and each lazy read
+    // would otherwise re-run the signature aggregation over the whole
+    // corpus. The set itself is pair-cardinality-small.
     val candIds = buckets.alias("l")
       .join(buckets.alias("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"))
       .dropDuplicates("id1", "id2")
+      .localCheckpoint(true)
     verifyJaccard(docs, candIds, n, threshold, textCol, idCol)
   }
 

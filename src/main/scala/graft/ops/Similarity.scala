@@ -255,12 +255,16 @@ object Similarity {
     val best = greatest(centroids.zipWithIndex.map { case (c, i) =>
       struct(centroidDot(col("v"), c).as("score"), lit(i).as("cid"))
     }: _*)
+    // materialized once: the radii action, and both sides of the cell
+    // self-join, would otherwise each recompute the numCentroids dot
+    // products per row
     val assigned = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(norm > 0)
       .select(col("id"), col("v"), best.getField("cid").as("cid"),
         acos(least(lit(1.0), greatest(lit(-1.0),
           best.getField("score") / norm))).as("ang"))
+      .localCheckpoint(true)
     // per-cell angular radius: numCentroids rows collected to the driver
     val radii = assigned.groupBy(col("cid")).agg(max(col("ang")).as("r"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
