@@ -267,6 +267,31 @@ object Relational {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // STREAMING tumbling-window aggregation, driver-runnable: the
+    // watermarked windowed count/sum drained under AvailableNow in
+    // complete mode (every window emits once input is exhausted), so the
+    // oracle is the plain batch per-hour aggregate. Cent flooring per
+    // event keeps the double sum exact in any order.
+    "q_stream_windowed" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).as("value"))
+      val name = s"graft_stream_windows_${streamQueryId.incrementAndGet()}"
+      val q = graft.streaming.Monitor.eventsWindowed(ev).writeStream
+        .outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("value_sum").cast("long").as("value_cents"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // as-of join: each purchase joined to the user's latest preceding
     // click (composed union+window as-of, oracle = DuckDB ASOF JOIN)
     "q_events_asof" -> ((s, dir) => {
@@ -507,6 +532,17 @@ object Relational {
         |SELECT user_id, session_start, session_end, n_events, value_cents
         |FROM agg WHERE session_id < max_sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // Complete-mode AvailableNow drain == plain batch hourly aggregate
+    // (the watermark only bounds state on unbounded streams).
+    "q_stream_windowed" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "q_events_asof" ->
       """WITH ev AS (
