@@ -166,9 +166,12 @@ object Dedup {
           .groupBy(col("id1"), col("id2"))
           .agg(count(lit(1)).as("interc"))
         // per-doc totals and hot-shingle counts (nhot = shingles the cap
-        // removed from the index), counted against the tiny hot set
-        val counts = docs.select(col(idCol).as("id"),
-          size(shingles(col(textCol), n)).as("nsh"))
+        // removed from the index), counted against the tiny hot set.
+        // Shingles are DISTINCT per doc, so the total is a row count over
+        // the materialized index — no second corpus shingle pass. Docs
+        // with zero shingles drop out, which is fine: they can never
+        // appear in a candidate pair.
+        val counts = ex0.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
         val hotCounts = ex0.join(hot, Seq("s"), "left_semi")
           .groupBy(col("id")).agg(count(lit(1)).as("nhot"))
         val cnt = counts.join(hotCounts, Seq("id"), "left")
