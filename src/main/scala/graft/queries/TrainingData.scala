@@ -176,6 +176,25 @@ object TrainingData {
         .select(col("n_total"), col("n_unique"))
     }),
 
+    // incremental exact dedup across two batches via the persisted
+    // fingerprint index: batch 1 = even doc_ids; batch 2 = odd doc_ids
+    // plus re-crawled copies of every 6th doc under shifted ids. The
+    // copies must be dropped by the INDEX (their originals are in batch
+    // 1), which is what distinguishes this from in-batch dedup; oracle =
+    // keep-first by (batch, doc_id) per fingerprint
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val b1 = d.filter(col("doc_id") % 2 === 0)
+      val dups = b1.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val b2 = d.filter(col("doc_id") % 2 === 1).unionByName(dups)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-incdx-").toString
+      val s1 = Dedup.incrementalExactDedup(b1, idx)
+      val s2 = Dedup.incrementalExactDedup(b2, idx)
+      s1.unionByName(s2).select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // near-dup pairs by exact 3-gram Jaccard via shingle inverted index.
     // The hot-shingle cap (500 docs) bounds candidate fan-out per shingle
     // — the skew guard that keeps this sub-quadratic on boilerplate-heavy
@@ -470,6 +489,27 @@ object TrainingData {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
+
+    // First-batch-wins across batches, lowest id within a batch — the
+    // incremental index's keep rule, replayed over the reconstructed
+    // two-batch union.
+    "q_dedup_incremental" ->
+      """WITH all_rows AS (
+        |  SELECT doc_id, text, 0 AS batch FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, 1 FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, 1 FROM documents WHERE doc_id % 2 = 1
+        |), keyed AS (
+        |  SELECT doc_id, batch,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM all_rows
+        |)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY batch, doc_id) AS rn
+        |  FROM keyed)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
