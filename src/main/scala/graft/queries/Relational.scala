@@ -84,6 +84,21 @@ object Relational {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // explicit two-phase salted aggregation (ops.Skew): l_returnflag has
+    // only 3 values over the whole table — the pathological-key shape.
+    // Salting must be output-transparent, so the oracle is the plain
+    // GROUP BY; quantities floored to cents pre-aggregation for an exact
+    // cross-engine sum
+    "q_skew_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("qty_cents",
+        floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))
+      graft.ops.Skew.saltedAgg(li, Seq("l_returnflag"), n = 8,
+        saltSource = Seq("l_orderkey"),
+        aggs = Seq("qty_cents" -> "sum", "l_orderkey" -> "count",
+          "l_extendedprice" -> "max"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // J5-style multi-way join with broadcast dims (TPC-H Q5 shape)
     "q_join_stars" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
@@ -384,6 +399,15 @@ object Relational {
         |FROM lineitem
         |WHERE ((l_quantity > 30 AND l_discount < 0.05) <> (l_extendedprice > 30000))
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_skew_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_cents,
+        |  COUNT(l_orderkey) AS count_l_orderkey,
+        |  MAX(l_extendedprice) AS max_l_extendedprice
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
