@@ -99,6 +99,24 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
+    // salted equi-join (ops.Skew): big side salted deterministically,
+    // small side replicated n times — must be join-transparent, so the
+    // oracle is the plain inner join
+    "q_skew_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.ops.Skew.saltedJoin(li, ord, "l_orderkey", n = 8,
+        saltSource = Seq("l_linenumber"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))
+            .as("qty_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // J5-style multi-way join with broadcast dims (TPC-H Q5 shape)
     "q_join_stars" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
@@ -399,6 +417,16 @@ object Relational {
         |FROM lineitem
         |WHERE ((l_quantity > 30 AND l_discount < 0.05) <> (l_extendedprice > 30000))
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT o.o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS qty_cents
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY o.o_orderstatus
+        |ORDER BY o.o_orderstatus""".stripMargin,
 
     "q_skew_agg" ->
       """SELECT l_returnflag,
