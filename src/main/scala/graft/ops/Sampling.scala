@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling and dataset splitting for
@@ -53,6 +54,57 @@ object Sampling {
       when(stratum === s, keepPredicate(key, f)).otherwise(acc)
     }
     df.filter(keep)
+  }
+
+  /** Keep at most `k` rows per group, chosen deterministically by hash
+    * position (ties broken by the key itself) — the per-host / per-source
+    * cap of a crawl pipeline. The constant-limit rank filter plans as a
+    * WindowGroupLimit: every map partition prunes to its local k rows per
+    * group BEFORE the exchange, so a hot group (one host owning 1e8 pages
+    * of a 100 TB crawl) ships `k * numPartitions` rows through the
+    * shuffle, never the whole group. */
+  def capPerGroup(df: DataFrame, group: Column, key: Column, k: Int): DataFrame = {
+    require(k > 0, "cap must be positive")
+    val w = Window.partitionBy(group).orderBy(hashPosition(key), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Exact-count mixture resampling: re-weight a multi-source corpus to an
+    * integer target mixture (e.g. web:5, wiki:3, books:2) by keeping the
+    * largest total N such that every listed stratum can supply its share,
+    * then taking each stratum's hash-first `weight*N/W` rows. All the
+    * count arithmetic is integer floor division, so the selected counts —
+    * and, via the hash ordering, the selected ROWS — are exactly
+    * reproducible in any engine. Strata not listed in `weights` are
+    * dropped.
+    *
+    * Scale: one count aggregate (collects one row per stratum) plus one
+    * rank-per-stratum window; the per-stratum total order is the price of
+    * exact counts. For approximate mixtures where a global rank is too
+    * expensive, use [[stratifiedHashSample]] with precomputed fractions —
+    * same hash, no sort. */
+  def mixtureByCount(df: DataFrame, stratum: Column, key: Column,
+                     weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    val totalW = weights.values.sum
+    val counts = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // largest N with floor(w_s*N/W) <= count_s for all s: each stratum
+    // can supply at most count_s*W/w_s total, the corpus supplies the min
+    val n = weights.map { case (s, w) =>
+      counts.getOrElse(s, 0L) * totalW / w
+    }.min
+    val lim = weights.map { case (s, w) => s -> w * n / totalW }
+    val rankW = Window.partitionBy(stratum).orderBy(hashPosition(key), key)
+    val limCol = lim.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+      when(stratum === s, lit(k)).otherwise(acc)
+    }
+    df.withColumn("__rn", row_number().over(rankW))
+      .filter(col("__rn") <= limCol)
+      .drop("__rn")
   }
 
   /** Split assignment column from cumulative hash ranges, e.g.

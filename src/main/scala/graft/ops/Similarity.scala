@@ -301,4 +301,24 @@ object Similarity {
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"), col("score"))
   }
+
+  /** SemDeDup-shaped embedding near-dup removal: exact cosine pairs above
+    * `threshold` from the metric-blocked [[cosinePairs]] (equi-join shape,
+    * never a cartesian), connected components over the pair graph, and one
+    * survivor — the smallest id — kept per semantic cluster. Vectors in no
+    * qualifying pair pass through untouched. Output: the deduplicated
+    * corpus, input schema preserved.
+    *
+    * Cluster-then-drop (rather than drop-any-paired-row) keeps exactly one
+    * representative per *transitive* near-dup set, so chains a-b-c where
+    * only adjacent pairs qualify still collapse to one doc — the semantics
+    * a dedup stage needs to be idempotent. */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    numCentroids: Int = 8, iters: Int = 3,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    trainFraction: Double = 1.0): DataFrame = {
+    val pairs = cosinePairs(corpus, threshold, numCentroids, iters,
+      idCol, vecCol, trainFraction)
+    Dedup.keepClusterCanonical(corpus, pairs, idCol)
+  }
 }

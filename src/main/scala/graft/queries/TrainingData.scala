@@ -86,6 +86,25 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source cap: at most 5 hash-first docs per source (the per-host
+    // cap of a crawl pipeline; WindowGroupLimit prunes before the shuffle)
+    "q_doc_hostcap" -> ((s, dir) => {
+      graft.ops.Sampling.capPerGroup(docs(s, dir), col("source"),
+        col("doc_id"), k = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact-count mixture resampling to a 5:3:2 target over three sources
+    // (integer arithmetic end-to-end, so the oracle reproduces the exact
+    // row set)
+    "q_doc_mixture" -> ((s, dir) => {
+      graft.ops.Sampling.mixtureByCount(docs(s, dir), col("source"),
+        col("doc_id"), Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // leakage-safe train/test/val split keyed on the source group
     "q_doc_split" -> ((s, dir) => {
       docs(s, dir)
@@ -250,6 +269,13 @@ object TrainingData {
       Similarity.cosinePairs(emb(s, dir).filter(col("vec_id") < 300), 0.4)
         .withColumn("score", floor(col("score") * 1e4) / 1e4)
         .orderBy(col("id1"), col("id2"))),
+
+    // SemDeDup-shaped embedding dedup: cosine pairs -> connected
+    // components -> keep the smallest-id survivor per semantic cluster
+    "q_embed_semdedup" -> ((s, dir) =>
+      Similarity.semanticDedup(emb(s, dir).filter(col("vec_id") < 300), 0.4)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))),
 
     // LSH-bucketed approximate top-k. Hyperplanes are fmix64-derived
     // dyadic rationals — bit-exact in any engine — so the oracle rebuilds
@@ -436,6 +462,40 @@ object TrainingData {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_hostcap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id)
+        |      AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+
+    // integer floor division (//) mirrors the engine's Long arithmetic
+    // exactly: N = min over strata of cnt*W/w, per-stratum limit = w*N/W
+    "q_doc_mixture" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS cnt FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY source
+        |), nn AS (
+        |  SELECT MIN(cnt * 10 // CASE source WHEN 'src0' THEN 5
+        |    WHEN 'src1' THEN 3 ELSE 2 END) AS n
+        |  FROM c
+        |), lim AS (
+        |  SELECT source,
+        |    (CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3 ELSE 2 END)
+        |      * n // 10 AS k
+        |  FROM c, nn
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id)
+        |      AS rn
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.source FROM r JOIN lim ON r.source = lim.source
+        |WHERE r.rn <= lim.k ORDER BY r.doc_id""".stripMargin,
 
     "q_doc_split" ->
       """WITH assigned AS (
@@ -818,6 +878,30 @@ object TrainingData {
         |WHERE a.vec_id < 300 AND b.vec_id < 300
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |ORDER BY id1, id2""".stripMargin,
+
+    // same pair set as q_embed_pairs, closed transitively (recursive CTE)
+    // and reduced to the min-id survivor per component
+    "q_embed_semdedup" ->
+      """WITH RECURSIVE qual AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 300 AND b.vec_id < 300
+        |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |), edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM qual
+        |  UNION
+        |  SELECT id2, id1 FROM qual
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |), drop_ids AS (
+        |  SELECT a AS vec_id FROM reach GROUP BY a HAVING MIN(b) < a
+        |)
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |WHERE e.vec_id < 300
+        |  AND e.vec_id NOT IN (SELECT vec_id FROM drop_ids)
+        |ORDER BY e.vec_id""".stripMargin,
 
     // Mirrors Dedup.simhash64 exactly: per-token polynomial hash over
     // UTF-8 bytes mod 2^64, fmix64 finalizer (xor-shift-33 = // 2^33 on

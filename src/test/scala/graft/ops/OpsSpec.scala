@@ -353,6 +353,73 @@ class OpsSpec extends AnyFunSuite {
     assert(strat1.count() == n.toLong)
   }
 
+  test("capPerGroup: at most k per group, deterministic, identity when k >= group size") {
+    val capped = Sampling.capPerGroup(docs, col("source"), col("doc_id"), 5)
+    val perGroup = capped.groupBy("source").count().collect()
+    assert(perGroup.forall(_.getLong(1) <= 5L))
+    // every source with >= 5 docs is capped to exactly 5 (selection, not loss)
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perGroup.foreach(r =>
+      assert(r.getLong(1) == math.min(5L, sizes(r.getString(0)))))
+    // deterministic: same rows both runs
+    val ids1 = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.capPerGroup(docs, col("source"), col("doc_id"), 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // a cap above every group size keeps everything
+    assert(Sampling.capPerGroup(docs, col("source"), col("doc_id"), 10000)
+      .count() == docs.count())
+  }
+
+  test("mixtureByCount: exact integer targets, determinism, absent stratum drops all") {
+    val w = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L)
+    val mixed = Sampling.mixtureByCount(docs, col("source"), col("doc_id"), w)
+    val got = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // recompute the contract driver-side
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalW = w.values.sum
+    val n = w.map { case (s, ws) => counts.getOrElse(s, 0L) * totalW / ws }.min
+    w.foreach { case (s, ws) =>
+      assert(got.getOrElse(s, 0L) == ws * n / totalW, s"stratum $s") }
+    // only listed strata survive
+    assert(got.keySet.subsetOf(w.keySet))
+    // deterministic row selection
+    val ids1 = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.mixtureByCount(docs, col("source"), col("doc_id"), w)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // a weighted stratum with no rows caps the whole mixture at zero
+    assert(Sampling.mixtureByCount(docs, col("source"), col("doc_id"),
+      w + ("no_such_source" -> 1L)).count() == 0L)
+  }
+
+  test("semanticDedup: one survivor per cosine component, singletons untouched") {
+    val slice = emb.filter(col("vec_id") < 300)
+    val kept = Similarity.semanticDedup(slice, 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pairs = Similarity.cosinePairs(slice, 0.4)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "slice should contain near-dups at 0.4")
+    // union-find ground truth over the pair graph
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val survivors = paired.groupBy(find).values.map(_.min).toSet
+    val all = slice.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (all -- paired) ++ survivors)
+  }
+
   test("sequence packing: bins respect the budget, cover all docs, deterministic") {
     import graft.ops.Packing
     val packed = Packing.packSequences(docs, maxTokens = 300,

@@ -106,4 +106,15 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), p) // codegen'd stage markers, e.g. *(2) HashAggregate
   }
+
+  test("q_doc_hostcap: per-group cap plans as WindowGroupLimit before the shuffle") {
+    // the constant-limit rank filter must push a partial per-partition
+    // group limit below the exchange: a hot host then ships k rows per
+    // map partition instead of its whole group
+    val p = plan("q_doc_hostcap")
+    assert(p.contains("WindowGroupLimit"), p)
+    val firstLimit = p.indexOf("WindowGroupLimit")
+    assert(p.indexOf("WindowGroupLimit", firstLimit + 1) > 0,
+      "expected both Partial and Final WindowGroupLimit nodes")
+  }
 }
