@@ -21,9 +21,11 @@ object Bench {
     "q_doc_tfidf", "q_doc_contamination",
     "q_run_sweep",
     // round 2 additions (kept after the stable 18 for round-over-round
-    // comparability): exact cell-blocked cosine pair mining and the
-    // winnowing fingerprint explode
-    "q_embed_pairs", "q_doc_winnow")
+    // comparability): exact cell-blocked cosine pair mining, the
+    // winnowing fingerprint explode, per-source caps, exact-count
+    // mixture resampling, and semantic embedding dedup
+    "q_embed_pairs", "q_doc_winnow",
+    "q_doc_hostcap", "q_doc_mixture", "q_embed_semdedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -107,6 +107,16 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic training-order shuffle position: a portable sort key
+    * derived from `md5(epoch ":" key)`, so each epoch is an independent,
+    * reproducible permutation of the corpus — no `rand()`, no state.
+    * `ORDER BY` this column is Spark's standard range-partitioned global
+    * sort (sample → range boundaries → one shuffle), which is exactly how
+    * an epoch's training shards should be laid out; rows with equal hash
+    * fall back to key order, so the permutation is total. */
+  def shufflePosition(key: Column, epoch: Int): Column =
+    md5(concat_ws(":", lit(epoch), key.cast("string")))
+
   /** Split assignment column from cumulative hash ranges, e.g.
     * `splits = Seq("train" -> 0.8, "test" -> 0.1, "val" -> 0.1)`.
     * Key on a GROUP column (source, author, url-domain) to make the split

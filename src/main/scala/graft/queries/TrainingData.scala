@@ -105,6 +105,26 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // first 20 docs of the epoch-1 training order (deterministic
+    // per-epoch permutation; ORDER BY = range-partitioned global sort)
+    "q_doc_shuffle" -> ((s, dir) => {
+      val pos = graft.ops.Sampling.shufflePosition(col("doc_id"), epoch = 1)
+      docs(s, dir).select(col("doc_id"), pos.as("pos"))
+        .orderBy(col("pos"), col("doc_id")).limit(20)
+    }),
+
+    // token-length histogram over BPE-ish token counts (bucket width 25)
+    "q_doc_length_hist" -> ((s, dir) => {
+      docs(s, dir)
+        .select(graft.ops.Text.bpeTokenCount(col("text")).as("n_tok"))
+        .withColumn("bucket", floor(col("n_tok") / lit(25)).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tok")).cast("long").as("min_tok"),
+          max(col("n_tok")).cast("long").as("max_tok"))
+        .orderBy(col("bucket"))
+    }),
+
     // leakage-safe train/test/val split keyed on the source group
     "q_doc_split" -> ((s, dir) => {
       docs(s, dir)
@@ -496,6 +516,20 @@ object TrainingData {
         |)
         |SELECT r.doc_id, r.source FROM r JOIN lim ON r.source = lim.source
         |WHERE r.rn <= lim.k ORDER BY r.doc_id""".stripMargin,
+
+    "q_doc_shuffle" ->
+      """SELECT doc_id,
+        |  md5(CAST(1 AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS pos
+        |FROM documents ORDER BY pos, doc_id LIMIT 20""".stripMargin,
+
+    "q_doc_length_hist" ->
+      """WITH t AS (
+        |  SELECT len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok
+        |  FROM documents)
+        |SELECT n_tok // 25 AS bucket, COUNT(*) AS n_docs,
+        |  MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_doc_split" ->
       """WITH assigned AS (
