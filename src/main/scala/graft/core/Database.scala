@@ -170,6 +170,112 @@ class Database(val spark: SparkSession, val calcDir: String,
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
       .json(outPath)
 
+  /** pandas-orient JSON DOCUMENT export (ref psweep.py:454-474
+    * `df_to_json` with pandas `orient` kwarg; default "records" =
+    * PANDAS_DEFAULT_ORIENT, ref psweep.py:31). All five orients are
+    * single-document formats — the whole table is one JSON value — so
+    * they are inherently driver-materialized; the explicit `maxRows`
+    * guard turns a misuse at scale into a loud error. The 100 TB path
+    * stays [[writeJson]]'s distributed line-delimited records. Values
+    * follow [[Fs.toJson]]'s rules (ISO instants, null for NaN/Inf — the
+    * analog of the reference's `double_precision=15, date_format="iso"`
+    * defaults). */
+  def writeJsonDoc(outPath: String, orient: String = "records",
+                   maxRows: Long = 1L << 20): Unit = {
+    val df = read()
+    val n = df.count()
+    require(n <= maxRows,
+      s"writeJsonDoc is a driver-side document export: $n rows > maxRows=" +
+        s"$maxRows; use writeJson (distributed records) for large tables")
+    val names = df.columns.toSeq
+    val rows = df.collect().toSeq
+    def cell(r: Row, i: Int): String = Fs.toJson(r.get(i))
+    def rowObj(r: Row): String =
+      names.indices.map(i => Fs.jsonString(names(i)) + ":" + cell(r, i))
+        .mkString("{", ",", "}")
+    def rowArr(r: Row): String =
+      names.indices.map(cell(r, _)).mkString("[", ",", "]")
+    val doc = orient match {
+      case "records" => rows.map(rowObj).mkString("[", ",", "]")
+      case "values" => rows.map(rowArr).mkString("[", ",", "]")
+      case "split" =>
+        "{\"columns\":" + names.map(Fs.jsonString).mkString("[", ",", "]") +
+          ",\"index\":" + rows.indices.map(_.toString)
+            .mkString("[", ",", "]") +
+          ",\"data\":" + rows.map(rowArr).mkString("[", ",", "]") + "}"
+      case "index" =>
+        rows.zipWithIndex
+          .map { case (r, i) => Fs.jsonString(i.toString) + ":" + rowObj(r) }
+          .mkString("{", ",", "}")
+      case "columns" =>
+        names.indices.map { i =>
+          Fs.jsonString(names(i)) + ":" + rows.zipWithIndex
+            .map { case (r, j) => Fs.jsonString(j.toString) + ":" + cell(r, i) }
+            .mkString("{", ",", "}")
+        }.mkString("{", ",", "}")
+      case other => throw new IllegalArgumentException(
+        s"unknown orient: $other (records|split|index|columns|values)")
+    }
+    Fs.writeString(outPath, doc)
+  }
+
+  /** Read back any [[writeJsonDoc]] orient (ref psweep.py:494-512
+    * `df_read` fmt="json" with orient). The document is re-shaped
+    * driver-side into record objects and parsed by Spark's JSON reader,
+    * so the type-loss matrix — ints widen to long, timestamps need
+    * `schema` to round-trip — is identical for every orient
+    * (JsonRoundTripSpec / JsonDocOrientSpec pin it). `values` orient has
+    * no column names; pandas-style positional names "0".."N" apply. */
+  def readJsonDoc(path: String, orient: String = "records",
+                  schema: Option[StructType] = None): DataFrame = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import scala.jdk.CollectionConverters._
+    val root = new ObjectMapper().readTree(Fs.readString(path))
+    def obj(fields: Seq[(String, JsonNode)]): String =
+      fields.map { case (k, v) => Fs.jsonString(k) + ":" + v.toString }
+        .mkString("{", ",", "}")
+    val records: Seq[String] = orient match {
+      case "records" => root.elements().asScala.map(_.toString).toSeq
+      case "values" =>
+        // no names in the document: take them positionally from `schema`
+        // when given, else pandas-style positional labels "0".."N"
+        val colNames = schema.map(_.fieldNames.toSeq)
+        root.elements().asScala.map { arr =>
+          val vals = arr.elements().asScala.toSeq
+          obj(colNames match {
+            case Some(ns) => ns.zip(vals)
+            case None => vals.zipWithIndex
+              .map { case (v, i) => i.toString -> v }
+          })
+        }.toSeq
+      case "split" =>
+        val cols = root.get("columns").elements().asScala
+          .map(_.asText).toSeq
+        root.get("data").elements().asScala.map(arr =>
+          obj(cols.zip(arr.elements().asScala.toSeq))).toSeq
+      case "index" =>
+        root.properties().asScala.toSeq.map(e => e.getValue.toString)
+      case "columns" =>
+        // transpose {col -> {label -> v}} back to one object per label,
+        // preserving first-seen label order
+        val byLabel =
+          new java.util.LinkedHashMap[String, List[(String, JsonNode)]]()
+        root.properties().asScala.foreach { colEntry =>
+          colEntry.getValue.properties().asScala.foreach { cellEntry =>
+            val prev = byLabel.getOrDefault(cellEntry.getKey, Nil)
+            byLabel.put(cellEntry.getKey,
+              prev :+ (colEntry.getKey -> cellEntry.getValue))
+          }
+        }
+        byLabel.values().asScala.map(obj).toSeq
+      case other => throw new IllegalArgumentException(
+        s"unknown orient: $other (records|split|index|columns|values)")
+    }
+    import spark.implicits._
+    val ds = spark.createDataset(records)
+    schema.fold(spark.read.json(ds))(s => spark.read.schema(s).json(ds))
+  }
+
   /** Compact the database's many small append files (an append-only store
     * accumulates one file set per run; at high run counts the scan's
     * file-listing and task-launch overhead dominates) down to ~one file

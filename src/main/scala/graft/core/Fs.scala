@@ -106,6 +106,10 @@ object Fs {
         .map { case (k, vv) => jsonString(k) + ":" + toJson(vv) }
         .mkString("{", ",", "}")
     case s: Iterable[_] => s.map(toJson).mkString("[", ",", "]")
+    // base64, matching Spark's JSON binary convention (so a
+    // schema-carrying JSON read restores BinaryType)
+    case b: Array[Byte] =>
+      jsonString(java.util.Base64.getEncoder.encodeToString(b))
     case a: Array[_] => toJson(a.toSeq)
     case r: org.apache.spark.sql.Row =>
       toJson(r.schema.fieldNames.zipWithIndex
