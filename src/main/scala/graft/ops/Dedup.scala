@@ -418,8 +418,12 @@ object Dedup {
     * driver value is the per-round convergence count. Output:
     * (doc_id, cluster_id), one row per doc that appears in any pair. */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // materialized once: every propagation round joins against `edges`,
+    // and without the lineage cut each round would re-run the WHOLE
+    // upstream pair-mining plan (shingling / k-means / candidate joins)
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
