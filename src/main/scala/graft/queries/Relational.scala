@@ -300,6 +300,28 @@ object Relational {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // STREAMING exact dedup over continuous document ingestion: one
+    // surviving row per fingerprint (which embeds the source, so the
+    // per-source unique count is independent of micro-batch arrival
+    // order — what makes a batch-parity oracle possible).
+    "q_stream_dedup" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docsStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .withColumn("fp", md5(concat_ws(":", col("source"), col("text"))))
+      val name = s"graft_stream_dedup_${streamQueryId.incrementAndGet()}"
+      val q = graft.streaming.Monitor.dedupStream(docsStream, Seq("fp"))
+        .writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_unique"))
+        .orderBy(col("source"))
+    }),
+
     // STREAMING tumbling-window aggregation, driver-runnable: the
     // watermarked windowed count/sum drained under AvailableNow in
     // complete mode (every window emits once input is exhausted), so the
@@ -584,6 +606,13 @@ object Relational {
         |SELECT user_id, session_start, session_end, n_events, value_cents
         |FROM agg WHERE session_id < max_sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // Exactly one survivor per fingerprint regardless of arrival order,
+    // so the streaming drain == batch COUNT(DISTINCT fp) per source.
+    "q_stream_dedup" ->
+      """SELECT source,
+        |  COUNT(DISTINCT md5(source || ':' || text)) AS n_unique
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // Complete-mode AvailableNow drain == plain batch hourly aggregate
     // (the watermark only bounds state on unbounded streams).

@@ -60,6 +60,24 @@ object Monitor {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
 
+  /** Streaming exact dedup for continuous ingestion: drops rows whose
+    * `keyCols` combination was already seen. State is the seen-key set,
+    * hash-partitioned across executors by Spark's streaming dedup
+    * operator (RocksDB-backed state store at scale). With `watermark` =
+    * (eventTimeCol, delay), `dropDuplicatesWithinWatermark` bounds the
+    * state: keys older than the watermark are evicted, so a re-crawl
+    * arriving later than `delay` re-emits — the documented
+    * bounded-state/exactness tradeoff of every streaming dedup. Without
+    * it, state grows with the distinct-key count (exact forever). */
+  def dedupStream(docs: DataFrame, keyCols: Seq[String],
+                  watermark: Option[(String, String)] = None): DataFrame =
+    watermark match {
+      case Some((tsCol, delay)) =>
+        docs.withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark(keyCols)
+      case None => docs.dropDuplicates(keyCols)
+    }
+
   // Instants, not java.sql.Timestamps: the encoder keeps microsecond
   // precision (Timestamp.getTime would truncate to millis and diverge
   // from the batch sessionize query on sub-ms event times). State holds
