@@ -155,6 +155,32 @@ object Dedup {
         // semi-join against the corpus-vocabulary-sized rare set
         val hot = ex0.groupBy("s").agg(count(lit(1)).as("freq"))
           .filter(col("freq") > cap).select("s")
+        // clean-corpus short-circuit: when the cap removes NOTHING (the
+        // common case away from boilerplate-heavy crawls), index counts
+        // are already exact intersections — skip the anti-join, the
+        // hot-count joins, the second checkpoint, and the re-shingle
+        // verify branch entirely. The decision costs one partial-agg
+        // action over the materialized local index blocks, amortized by
+        // the passes it skips; the hot agg re-runs only on the dirty
+        // path, where it is dwarfed by the work it bounds.
+        if (hot.isEmpty) {
+          val inter = ex0.alias("a")
+            .join(ex0.alias("b"),
+              col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+            .select(col("a.id").as("id1"), col("b.id").as("id2"))
+            .groupBy(col("id1"), col("id2"))
+            .agg(count(lit(1)).as("interc"))
+          val counts = ex0.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+          return inter
+            .join(counts.select(col("id").as("id1"), col("nsh").as("n1")),
+              Seq("id1"))
+            .join(counts.select(col("id").as("id2"), col("nsh").as("n2")),
+              Seq("id2"))
+            .withColumn("jaccard", col("interc").cast("double") /
+              (col("n1") + col("n2") - col("interc")))
+            .filter(col("jaccard") >= threshold)
+            .select(col("id1"), col("id2"), col("jaccard"))
+        }
         val ex = ex0.join(hot, Seq("s"), "left_anti")
         // capped-index intersection counts: same cheap count-only
         // aggregate as the uncapped path, just over the skew-bounded
