@@ -86,6 +86,29 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // END-TO-END training-data funnel as ONE oracle-checked query:
+    // quality gate -> near-dup dedup (pair mining + connected components
+    // + canonical survivor) -> leakage-safe split -> per-part stats.
+    // Every stage is the real operator; the oracle replays the whole
+    // funnel in SQL (gate formula, pair CTEs over the gated corpus,
+    // recursive-CTE closure, hash split).
+    "q_doc_funnel" -> ((s, dir) => {
+      val gated = docs(s, dir)
+        .filter(graft.ops.Text.qualityScore(col("text")) >= 0.6)
+      val pairs = Dedup.ngramJaccardPairs(gated, n = 3, threshold = 0.5,
+        maxShingleFreq = Some(500))
+      val kept = Dedup.keepClusterCanonical(gated, pairs)
+      kept
+        .withColumn("part", graft.ops.Sampling.splitColumn(col("source"),
+          Seq("train" -> 0.8, "test" -> 0.1, "val" -> 0.1)))
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(graft.ops.Text.tokenCount(col("text")).cast("long"))
+            .as("tok_total"))
+        .orderBy(col("part"))
+    }),
+
     // per-source cap: at most 5 hash-first docs per source (the per-host
     // cap of a crawl pipeline; WindowGroupLimit prunes before the shuffle)
     "q_doc_hostcap" -> ((s, dir) => {
@@ -354,9 +377,9 @@ object TrainingData {
   /** Shared CTE chain producing exact 3-gram Jaccard pairs at threshold
     * 0.5 (`qual`), composed into the ngram/minhash oracle and the
     * recursive-CTE cluster oracle. */
-  private val ngramPairCtes: String =
-    """toks AS (
-      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+  private def ngramPairCtes(src: String = "documents"): String =
+    s"""toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM $src
       |), sh AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, len(t) - 2),
@@ -383,13 +406,13 @@ object TrainingData {
     * (LSH candidates + exact verify): both must reproduce the exact
     * answer on this corpus. */
   private val ngramJaccardOracleSql: String =
-    s"WITH $ngramPairCtes\n" +
+    s"WITH ${ngramPairCtes()}\n" +
       "SELECT id1, id2, jaccard FROM qual ORDER BY id1, id2"
 
   /** Connected components over the exact pair set, via transitive closure
     * (recursive CTE) — component id = smallest doc id reachable. */
   private val clusterOracleSql: String =
-    s"WITH RECURSIVE $ngramPairCtes,\n" +
+    s"WITH RECURSIVE ${ngramPairCtes()},\n" +
       """edges AS (
         |  SELECT id1 AS a, id2 AS b FROM qual
         |  UNION
@@ -403,7 +426,51 @@ object TrainingData {
         |FROM reach GROUP BY a
         |ORDER BY doc_id""".stripMargin
 
+  /** The whole training-data funnel replayed in SQL: the quality-gate
+    * formula scopes a `gated` corpus, the shared pair CTEs mine near-dup
+    * pairs over it, the recursive closure picks min-id survivors, and the
+    * md5-range split assigns parts. */
+  private val funnelOracleSql: String =
+    s"""WITH RECURSIVE gated AS (
+      |  SELECT doc_id, text, source FROM (
+      |    SELECT doc_id, text, source,
+      |      (least(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE)
+      |         / 64.0, 1.0) * 0.5) +
+      |      ((CAST(len(list_distinct(string_split_regex(text, '\\s+')))
+      |          AS DOUBLE)
+      |        / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE))
+      |        * 0.5) AS q
+      |    FROM documents) t
+      |  WHERE q >= 0.6
+      |), ${ngramPairCtes("gated")},
+      |edges AS (
+      |  SELECT id1 AS a, id2 AS b FROM qual
+      |  UNION
+      |  SELECT id2, id1 FROM qual
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |), drop_ids AS (
+      |  SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) < a
+      |), kept AS (
+      |  SELECT * FROM gated
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
+      |), assigned AS (
+      |  SELECT *,
+      |    CASE WHEN substr(md5(source), 1, 4) < 'cccd' THEN 'train'
+      |         WHEN substr(md5(source), 1, 4) < 'e666' THEN 'test'
+      |         ELSE 'val' END AS part
+      |  FROM kept
+      |)
+      |SELECT part, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+      |  CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+      |    AS tok_total
+      |FROM assigned GROUP BY part ORDER BY part""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_doc_funnel" -> funnelOracleSql,
+
     "q_doc_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(text, '\s+') AS l
         |           FROM documents WHERE doc_id < 50)
