@@ -25,7 +25,9 @@ object Bench {
     // winnowing fingerprint explode, per-source caps, exact-count
     // mixture resampling, and semantic embedding dedup
     "q_embed_pairs", "q_doc_winnow",
-    "q_doc_hostcap", "q_doc_mixture", "q_embed_semdedup")
+    "q_doc_hostcap", "q_doc_mixture", "q_embed_semdedup",
+    // the end-to-end funnel: gate -> near-dup dedup -> split -> stats
+    "q_doc_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -66,7 +66,11 @@ object Sampling {
   def capPerGroup(df: DataFrame, group: Column, key: Column, k: Int): DataFrame = {
     require(k > 0, "cap must be positive")
     val w = Window.partitionBy(group).orderBy(hashPosition(key), key)
-    df.withColumn("__rn", row_number().over(w))
+    // null keys drop, like everywhere else in this family — rank is
+    // never null, and a null hash position would sort FIRST and steal a
+    // cap slot from every real row in its group
+    df.filter(key.isNotNull)
+      .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
@@ -90,7 +94,10 @@ object Sampling {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixture weights must be positive")
     val totalW = weights.values.sum
-    val counts = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+    // supply counts over SELECTABLE rows only (null keys drop below, so
+    // counting them would set targets the rank filter cannot fill)
+    val counts = df.filter(key.isNotNull)
+      .groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // largest N with floor(w_s*N/W) <= count_s for all s: each stratum
     // can supply at most count_s*W/w_s total, the corpus supplies the min
@@ -102,7 +109,10 @@ object Sampling {
     val limCol = lim.foldLeft(lit(0L)) { case (acc, (s, k)) =>
       when(stratum === s, lit(k)).otherwise(acc)
     }
-    df.withColumn("__rn", row_number().over(rankW))
+    // null keys drop (rank would otherwise admit them hash-first); null
+    // strata never match a weight entry, so limCol stays 0 for them
+    df.filter(key.isNotNull)
+      .withColumn("__rn", row_number().over(rankW))
       .filter(col("__rn") <= limCol)
       .drop("__rn")
   }

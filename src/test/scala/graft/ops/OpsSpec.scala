@@ -396,6 +396,24 @@ class OpsSpec extends AnyFunSuite {
       w + ("no_such_source" -> 1L)).count() == 0L)
   }
 
+  test("sampling ops drop null keys/strata instead of crashing or leaking them") {
+    import spark.implicits._
+    val withNulls = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "a"), (null, "a"), (3L, null))
+      .toDF("id", "grp")
+    // null key: hash position is null -> every keep predicate is null ->
+    // filtered; null group forms its own window partition but its null
+    // key still drops it
+    assert(Sampling.hashSample(withNulls, col("id"), 0.9999)
+      .filter(col("id").isNull).count() == 0L)
+    assert(Sampling.capPerGroup(withNulls, col("grp"), col("id"), 5)
+      .filter(col("id").isNull).count() == 0L)
+    // null stratum matches no weight entry -> dropped by the mixture
+    val m = Sampling.mixtureByCount(withNulls.filter(col("id").isNotNull),
+      col("grp"), col("id"), Map("a" -> 1L))
+    assert(m.select("grp").collect().forall(_.getString(0) == "a"))
+  }
+
   test("semanticDedup: one survivor per cosine component, singletons untouched") {
     val slice = emb.filter(col("vec_id") < 300)
     val kept = Similarity.semanticDedup(slice, 0.4)
