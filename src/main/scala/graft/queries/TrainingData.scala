@@ -109,6 +109,14 @@ object TrainingData {
         .orderBy(col("part"))
     }),
 
+    // concat-and-chunk sequence assembly in epoch-1 order: the engine's
+    // two-phase distributed prefix sum must equal the oracle's naive
+    // global window cumsum exactly
+    "q_doc_pack" -> ((s, dir) =>
+      graft.ops.Packing.concatChunks(docs(s, dir), maxTokens = 2048,
+        graft.ops.Sampling.shufflePosition(col("doc_id"), epoch = 1))
+        .orderBy(col("doc_id"))),
+
     // per-source cap: at most 5 hash-first docs per source (the per-host
     // cap of a crawl pipeline; WindowGroupLimit prunes before the shuffle)
     "q_doc_hostcap" -> ((s, dir) => {
@@ -549,6 +557,24 @@ object TrainingData {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |ORDER BY doc_id""".stripMargin,
+
+    // the naive global cumulative window — identical by construction to
+    // the engine's bucketed two-phase prefix sum
+    "q_doc_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok,
+        |    md5('1:' || CAST(doc_id AS VARCHAR)) AS pos
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |    SUM(n_tok) OVER (ORDER BY pos, doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS start
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tok, CAST(start // 2048 AS BIGINT) AS seq_id,
+        |  CAST(start % 2048 AS BIGINT) AS seq_off
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_doc_hostcap" ->
       """SELECT doc_id, source FROM (

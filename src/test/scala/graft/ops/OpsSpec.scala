@@ -460,6 +460,33 @@ class OpsSpec extends AnyFunSuite {
     assert(multi.map(_.getLong(3)).sum.toDouble / (multi.length * 300) > 0.5)
   }
 
+  test("concatChunks: bucketed prefix sum == naive global cumsum; chunk invariants") {
+    val pos = Sampling.shufflePosition(col("doc_id"), epoch = 1)
+    val got = Packing.concatChunks(docs, 2048, pos)
+      .orderBy("doc_id").collect()
+    // naive reference: one global window (fine at spec scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pos"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = docs.select(col("doc_id"), pos.as("pos"),
+      Text.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("start", sum("n_tok").over(w) - col("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("start div 2048L").as("seq_id"),
+        (col("start") % 2048).as("seq_off"))
+      .orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq)
+    // the layout is gapless: total tokens == last start + last n_tok
+    val byStart = got.sortBy(r => (r.getLong(2), r.getLong(3)))
+    val totalTok = got.map(_.getLong(1)).sum
+    val last = byStart.last
+    assert(last.getLong(2) * 2048 + last.getLong(3) + last.getLong(1)
+      == totalTok)
+    // every offset fits its sequence
+    assert(got.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 2048))
+  }
+
   test("decontaminate removes exactly the reported docs") {
     import graft.ops.Contamination
     val corpus = docs.filter(col("doc_id") >= 20)
