@@ -364,6 +364,27 @@ object Relational {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // attribution via binned interval join: clicks in each purchase's
+    // trailing 30-minute window (equi-join on (user, bin) + exact
+    // containment — never a nested-loop range join)
+    "q_events_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("click_cents"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) - lit(1800000000L)).as("w_start"),
+          unix_micros(col("ts")).as("w_end"))
+      graft.ops.RangeJoin.intervalJoin(clicks, purchases,
+        "t", "w_start", "w_end", binWidth = 1800000000L,
+        keys = Seq("user_id"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("click_cents")).as("click_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // exact interpolated percentiles per event type
     "q_events_quantiles" -> ((s, dir) => {
       events(s, dir)
@@ -624,6 +645,26 @@ object Relational {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // plain inequality join: the binned equi-join must reproduce it
+    "q_events_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, user_id,
+        |         event_type, value
+        |  FROM events
+        |), clicks AS (
+        |  SELECT user_id, t,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS click_cents
+        |  FROM ev WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT user_id, event_id, t - 1800000000 AS w_start, t AS w_end
+        |  FROM ev WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, COUNT(*) AS n_clicks,
+        |  CAST(SUM(c.click_cents) AS BIGINT) AS click_cents
+        |FROM clicks c JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.t BETWEEN p.w_start AND p.w_end
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
 
     "q_events_asof" ->
       """WITH ev AS (

@@ -487,6 +487,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 2048))
   }
 
+  test("intervalJoin == naive theta-join for every bin width, incl. straddles") {
+    import spark.implicits._
+    val points = Seq((1L, 5L), (1L, 10L), (1L, 25L), (2L, 10L), (2L, 300L))
+      .toDF("k", "t")
+    val intervals = Seq((1L, 0L, 9L, "a"), (1L, 10L, 30L, "b"),
+      (1L, 8L, 12L, "c"), (2L, 5L, 10L, "d"))
+      .toDF("k", "lo", "hi", "tag")
+    val want = points.join(intervals, Seq("k"))
+      .filter(col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("k", "t", "tag").collect().map(_.toString).sorted.toSeq
+    for (bw <- Seq(1L, 3L, 7L, 100L)) {
+      val got = RangeJoin.intervalJoin(points, intervals, "t", "lo", "hi",
+        binWidth = bw, keys = Seq("k"))
+        .select("k", "t", "tag").collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"binWidth=$bw")
+    }
+  }
+
   test("decontaminate removes exactly the reported docs") {
     import graft.ops.Contamination
     val corpus = docs.filter(col("doc_id") >= 20)

@@ -107,6 +107,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*("), p) // codegen'd stage markers, e.g. *(2) HashAggregate
   }
 
+  test("q_events_attribution: binned interval join is an equi-join, not nested-loop") {
+    val p = plan("q_events_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_doc_hostcap: per-group cap plans as WindowGroupLimit before the shuffle") {
     // the constant-limit rank filter must push a partial per-partition
     // group limit below the exchange: a hot host then ships k rows per
