@@ -444,14 +444,26 @@ object Dedup {
     * driver value is the per-round convergence count. Output:
     * (doc_id, cluster_id), one row per doc that appears in any pair. */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    // materialized once: every propagation round joins against `edges`,
-    // and without the lineage cut each round would re-run the WHOLE
-    // upstream pair-mining plan (shingling / k-means / candidate joins)
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // materialized ONCE, as the undirected pair list: every propagation
+    // round joins against `edges`, and without the lineage cut each round
+    // would re-run the WHOLE upstream pair-mining plan (shingling /
+    // k-means / candidate joins). A generator fans the row out to both
+    // edge directions AFTER the checkpoint — the previous
+    // `select.union(select)` shape evaluated the pair-mining plan twice
+    // (one per union branch), doubling the most expensive stage
+    val p = pairs.select(col("id1"), col("id2")).localCheckpoint(true)
+    val edges = p.select(explode(array(
+      struct(col("id1").as("src"), col("id2").as("dst")),
+      struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // the first propagation round is fused into initialization: every
+    // node starts at min(self, min neighbor). Near-dup clusters are
+    // usually cliques, for which this IS the fixed point — the loop then
+    // runs exactly one confirmation round
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("src").as("id"),
+        least(col("src"), col("nbr")).as("label"))
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
