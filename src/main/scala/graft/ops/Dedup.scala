@@ -27,16 +27,30 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, ArrayType}
 object Dedup {
 
   /** Exact duplicate groups by canonical fingerprint: one row per
-    * duplicated content hash with the kept (minimum) id, the dropped
-    * count, and member ids. */
+    * duplicated content hash with the kept (minimum) id, the exact member
+    * count, and the first `maxMembers` member ids (by id order).
+    *
+    * The cap is enforced BEFORE the collect — a rank window limits which
+    * ids enter the `collect_list` aggregation buffer — so a degenerate
+    * group (10^7 empty docs sharing one fingerprint) yields a bounded row
+    * and bounded executor memory, not one giant array. `n` stays exact.
+    * The window and the aggregate share the `fp` hash partitioning: one
+    * shuffle total. */
   def exactGroups(docs: DataFrame, textCol: String = "text",
-                  idCol: String = "doc_id"): DataFrame =
+                  idCol: String = "doc_id",
+                  maxMembers: Int = 10000): DataFrame = {
+    require(maxMembers > 0, "maxMembers must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col(idCol))
     docs
       .select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+      .withColumn("__rn", row_number().over(w))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"),
-        sort_array(collect_list(col(idCol))).as("member_ids"))
+        sort_array(collect_list(when(col("__rn") <= maxMembers, col(idCol))))
+          .as("member_ids"))
       .filter(col("n") > 1)
+  }
 
   /** Distinct-keeper: one surviving row per canonical fingerprint (the
     * scalable `dropDuplicates` with an explicit deterministic keep rule). */

@@ -21,16 +21,37 @@ object RangeJoin {
     * `keys` plus the bin. `pointCol`/`startCol`/`endCol` are integral
     * (e.g. epoch micros — convert timestamps with `unix_micros` first;
     * integral `div` keeps the binning exact where double division could
-    * misround). Choose `binWidth` near the typical interval length: each
-    * interval fans out into len/binWidth + 1 bin rows. Intervals are
-    * closed ([start, end]); callers wanting half-open subtract 1 from
-    * `endCol`. */
+    * misround). Intervals are closed ([start, end]); callers wanting
+    * half-open subtract 1 from `endCol`.
+    *
+    * Sizing rule: choose `binWidth` near the TYPICAL interval length —
+    * each interval fans out into `len/binWidth + 1` bin rows, so a width
+    * far below the interval lengths multiplies the exploded side by that
+    * ratio (the adversarial case: 1 ms bins on year-long intervals =
+    * 3e10 rows per interval). The fan-out is guarded at runtime: any
+    * interval that would explode into more than `maxBinsPerInterval`
+    * bins fails the job with a message naming the offending width, before
+    * the explode materializes the rows — a mis-sized 100 TB job dies in
+    * seconds, not after shuffling petabytes. Intervals with
+    * `end < start` are dropped up front (an unsatisfiable BETWEEN matches
+    * nothing; left in, Spark's `sequence` would count DOWN and explode
+    * them into spurious bins). */
   def intervalJoin(points: DataFrame, intervals: DataFrame,
                    pointCol: String, startCol: String, endCol: String,
-                   binWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+                   binWidth: Long, keys: Seq[String] = Nil,
+                   maxBinsPerInterval: Long = 65536L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val p = points.withColumn("__bin", expr(s"$pointCol div ${binWidth}L"))
-    val i = intervals.withColumn("__bin",
+    val nBins =
+      expr(s"$endCol div ${binWidth}L") - expr(s"$startCol div ${binWidth}L") + 1L
+    val fanOutOk = coalesce(assert_true(nBins <= maxBinsPerInterval,
+      concat(lit(s"intervalJoin: interval spans "), nBins.cast("string"),
+        lit(s" bins of width $binWidth (> maxBinsPerInterval=" +
+          s"$maxBinsPerInterval); raise binWidth toward the typical " +
+          "interval length or raise maxBinsPerInterval"))), lit(true))
+    val i = intervals.filter(expr(s"$endCol >= $startCol"))
+      .filter(fanOutOk).withColumn("__bin",
       explode(sequence(expr(s"$startCol div ${binWidth}L"),
         expr(s"$endCol div ${binWidth}L"))))
     p.join(i, keys :+ "__bin", "inner")

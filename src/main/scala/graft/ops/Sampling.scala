@@ -84,21 +84,36 @@ object Sampling {
     * reproducible in any engine. Strata not listed in `weights` are
     * dropped.
     *
-    * Scale: one count aggregate (collects one row per stratum) plus one
+    * Scale: one count aggregate (collects one row per LISTED stratum —
+    * bounded by `weights.size`, never the corpus's stratum domain) plus one
     * rank-per-stratum window; the per-stratum total order is the price of
     * exact counts. For approximate mixtures where a global rank is too
     * expensive, use [[stratifiedHashSample]] with precomputed fractions —
     * same hash, no sort. */
+  /** Per-stratum selectable-row counts for the LISTED strata only — the
+    * driver-side table [[mixtureByCount]] sizes its targets from. Package-
+    * private so the spec can pin the collected cardinality to
+    * `listed.size`, not the corpus's stratum domain. */
+  private[ops] def supplyCounts(df: DataFrame, stratum: Column, key: Column,
+                                listed: Set[String]): Map[String, Long] =
+    df.filter(key.isNotNull)
+      .filter(stratum.isin(listed.toSeq: _*))
+      .groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   def mixtureByCount(df: DataFrame, stratum: Column, key: Column,
                      weights: Map[String, Long]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixture weights must be positive")
     val totalW = weights.values.sum
     // supply counts over SELECTABLE rows only (null keys drop below, so
-    // counting them would set targets the rank filter cannot fill)
-    val counts = df.filter(key.isNotNull)
-      .groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // counting them would set targets the rank filter cannot fill). The
+    // aggregate is restricted to the strata actually named in `weights`
+    // BEFORE collecting: the rank filter ignores unlisted strata anyway,
+    // and without the filter this would pull one row per distinct stratum
+    // value in the corpus — driver OOM when the stratum is e.g. url-host
+    // on a crawl. Collected rows are bounded by |weights|.
+    val counts = supplyCounts(df, stratum, key, weights.keySet)
     // largest N with floor(w_s*N/W) <= count_s for all s: each stratum
     // can supply at most count_s*W/w_s total, the corpus supplies the min
     val n = weights.map { case (s, w) =>

@@ -698,10 +698,13 @@ object TrainingData {
         |  FROM keyed)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // list_slice mirrors exactGroups' maxMembers=10000 member cap (no
+    // group in this corpus is near the cap, so the slice is an identity
+    // here — it documents the contract)
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |  COUNT(*) AS n, MIN(doc_id) AS keep_id,
-        |  list(doc_id ORDER BY doc_id) AS member_ids
+        |  list_slice(list(doc_id ORDER BY doc_id), 1, 10000) AS member_ids
         |FROM documents
         |GROUP BY 1 HAVING COUNT(*) > 1
         |ORDER BY fp""".stripMargin,

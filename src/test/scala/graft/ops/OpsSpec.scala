@@ -175,6 +175,23 @@ class OpsSpec extends AnyFunSuite {
       docs.select(Text.fingerprint(col("text"))).distinct().count())
   }
 
+  test("exactGroups: degenerate mega-group gets a capped member list, exact count") {
+    import spark.implicits._
+    // 10^4 identical (empty-ish) docs sharing one fingerprint + 2 distinct
+    val mega = spark.range(0, 10000)
+      .select(col("id").as("doc_id"), lit("").as("text"))
+      .unionByName(Seq((100001L, "alpha"), (100002L, "beta"))
+        .toDF("doc_id", "text"))
+    val g = Dedup.exactGroups(mega, maxMembers = 100).collect()
+    assert(g.length == 1) // only the mega-group is duplicated
+    val row = g.head
+    assert(row.getAs[Long]("n") == 10000L) // count stays exact
+    val members = row.getSeq[Long](row.fieldIndex("member_ids"))
+    assert(members.length == 100, "member list capped")
+    assert(members == (0L until 100L), "first maxMembers ids, sorted")
+    assert(row.getAs[Long]("keep_id") == 0L)
+  }
+
   test("LSH ANN finds planted near-duplicates (the regime LSH serves)") {
     // This corpus's true neighbors are only ~0.4 cosine — random-hyperplane
     // LSH rightly can't bucket those together. Plant genuine near-dups
@@ -396,6 +413,31 @@ class OpsSpec extends AnyFunSuite {
       w + ("no_such_source" -> 1L)).count() == 0L)
   }
 
+  test("mixtureByCount: driver collect bounded by |weights|, not stratum domain") {
+    import spark.implicits._
+    // crawl-shaped fixture: 50k distinct url-host strata, 3 listed weights
+    val crawl = spark.range(0, 50000)
+      .select(col("id"),
+        concat(lit("host-"), col("id") % 50000).as("host"))
+      .withColumn("host",
+        when(col("id") < 60, lit("wiki"))
+          .when(col("id") < 120, lit("web"))
+          .when(col("id") < 180, lit("books"))
+          .otherwise(col("host")))
+    val w = Map("wiki" -> 1L, "web" -> 1L, "books" -> 1L)
+    // the supply-count aggregate collects one row per LISTED stratum —
+    // the unlisted 49k+ host values never reach the driver
+    val counts = Sampling.supplyCounts(
+      crawl.toDF(), col("host"), col("id"), w.keySet)
+    assert(counts.size == w.size, s"collected ${counts.size} rows")
+    assert(counts.keySet == w.keySet)
+    // and the mixture itself stays correct on the same fixture
+    val mixed = Sampling.mixtureByCount(crawl.toDF(), col("host"), col("id"), w)
+    assert(mixed.select("host").distinct().collect()
+      .map(_.getString(0)).toSet == w.keySet)
+    assert(mixed.count() == 180L)
+  }
+
   test("sampling ops drop null keys/strata instead of crashing or leaking them") {
     import spark.implicits._
     val withNulls = Seq[(java.lang.Long, String)](
@@ -485,6 +527,33 @@ class OpsSpec extends AnyFunSuite {
       == totalTok)
     // every offset fits its sequence
     assert(got.forall(r => r.getLong(3) >= 0 && r.getLong(3) < 2048))
+    // the result is invariant to bucket granularity (prefix-bucket order
+    // is consistent with pos order at ANY prefix length)
+    for (chars <- Seq(2, 3, 4)) {
+      val alt = Packing.concatChunks(docs, 2048, pos, bucketChars = chars)
+        .orderBy("doc_id").collect()
+      assert(alt.toSeq == want.toSeq, s"bucketChars=$chars")
+    }
+  }
+
+  test("concatChunks: bucket count derives from parallelism, tracks cluster size") {
+    // local[32] (x32 buckets/core) -> 3 hex chars = 4096 buckets; a
+    // 1000-executor/8000-core cluster -> the 65536 ceiling; tiny local
+    // runs floor at 256 - the round-3 fixed value is now the MINIMUM
+    assert(Packing.deriveBucketChars(1) == 2)
+    assert(Packing.deriveBucketChars(8) == 2)
+    assert(Packing.deriveBucketChars(32) == 3)
+    assert(Packing.deriveBucketChars(512) == 4)
+    assert(Packing.deriveBucketChars(8000) == 4)
+    // phase-2 parallelism tracks the configured bucket count: with a
+    // hash-dispersed key the corpus spreads over (nearly) min(n, 16^chars)
+    // distinct window partitions, past the old 256-task ceiling
+    val pos3 = Sampling.shufflePosition(col("doc_id"), epoch = 1)
+    val distinctBuckets = docs
+      .select(substring(pos3, 1, 3).as("b")).distinct().count()
+    val n = docs.count()
+    assert(distinctBuckets > 256,
+      s"3-char buckets must exceed the old 256 ceiling (got $distinctBuckets of $n docs)")
   }
 
   test("intervalJoin == naive theta-join for every bin width, incl. straddles") {
@@ -503,6 +572,29 @@ class OpsSpec extends AnyFunSuite {
         .select("k", "t", "tag").collect().map(_.toString).sorted.toSeq
       assert(got == want, s"binWidth=$bw")
     }
+  }
+
+  test("intervalJoin: fan-out guard kills adversarial bin widths; end<start drops") {
+    import spark.implicits._
+    val points = Seq((1L, 500L)).toDF("k", "t")
+    // a year-long interval at 1-unit bins: 31e6 bin rows per interval —
+    // the guard must fail the job BEFORE the explode materializes them
+    val longIval = Seq((1L, 0L, 31536000L, "yr")).toDF("k", "lo", "hi", "tag")
+    val ex = intercept[Exception] {
+      RangeJoin.intervalJoin(points, longIval, "t", "lo", "hi",
+        binWidth = 1L, keys = Seq("k"), maxBinsPerInterval = 1000L).count()
+    }
+    assert(ex.getMessage != null || ex.getCause != null)
+    // same data passes once binWidth respects the sizing rule
+    assert(RangeJoin.intervalJoin(points, longIval, "t", "lo", "hi",
+      binWidth = 1000000L, keys = Seq("k"),
+      maxBinsPerInterval = 1000L).count() == 1L)
+    // end < start: unsatisfiable BETWEEN -> dropped, never exploded into
+    // Spark's descending sequence
+    val backwards = Seq((1L, 31536000L, 0L, "neg")).toDF("k", "lo", "hi", "tag")
+    assert(RangeJoin.intervalJoin(points, backwards, "t", "lo", "hi",
+      binWidth = 1L, keys = Seq("k"), maxBinsPerInterval = 1000L)
+      .count() == 0L)
   }
 
   test("decontaminate removes exactly the reported docs") {
