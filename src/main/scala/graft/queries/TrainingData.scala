@@ -315,16 +315,19 @@ object TrainingData {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // embedding-cosine near-dup pairs above threshold
+    // embedding-cosine near-dup pairs above threshold, over the FULL
+    // embeddings table (the round-3 vec_id<300 oracle-feasibility cap is
+    // gone: the all-pairs DuckDB oracle is fine at verify SF, and the
+    // driver signal now exercises the cell blocking at full cardinality)
     "q_embed_pairs" -> ((s, dir) =>
-      Similarity.cosinePairs(emb(s, dir).filter(col("vec_id") < 300), 0.4)
+      Similarity.cosinePairs(emb(s, dir), 0.4)
         .withColumn("score", floor(col("score") * 1e4) / 1e4)
         .orderBy(col("id1"), col("id2"))),
 
     // SemDeDup-shaped embedding dedup: cosine pairs -> connected
     // components -> keep the smallest-id survivor per semantic cluster
     "q_embed_semdedup" -> ((s, dir) =>
-      Similarity.semanticDedup(emb(s, dir).filter(col("vec_id") < 300), 0.4)
+      Similarity.semanticDedup(emb(s, dir), 0.4)
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))),
 
@@ -341,12 +344,24 @@ object TrainingData {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVF-bucketed approximate top-k (rows-only; recall vs brute force
-    // asserted in OpsSpec)
+    // ANN-candidate cosine pair mining (the opt-in recall<1 scale path
+    // past cosinePairs' exactness): LSH buckets + Hamming<=2 multi-probe
+    // generate candidates, exact cosine verifies each. The oracle
+    // rebuilds the bit-exact signatures and the same hamming<=2
+    // candidate set in DuckDB (recall floor vs exact pairs in OpsSpec)
+    "q_embed_annpairs" -> ((s, dir) =>
+      Similarity.annCosinePairs(emb(s, dir), 0.4, radius = 2)
+        .withColumn("score", floor(col("score") * 1e4) / 1e4)
+        .orderBy(col("id1"), col("id2"))),
+
+    // IVF-bucketed approximate top-k; the coarse quantizer trains on the
+    // md5 < '8000' half-sample (the 100 TB shape: Lloyd scans a sample,
+    // assignment covers the corpus), and the oracle reproduces the same
+    // sampled seed set + iterations (recall vs brute force in OpsSpec)
     "q_embed_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
-      Similarity.ivfTopK(e, q, k = 5)
+      Similarity.ivfTopK(e, q, k = 5, trainFraction = 0.5)
         .withColumn("score", floor(col("score") * 1e4) / 1e4)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -475,6 +490,52 @@ object TrainingData {
       |  CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
       |    AS tok_total
       |FROM assigned GROUP BY part ORDER BY part""".stripMargin
+
+  /** Shared oracle prefix: rebuilds Similarity.hyperplanes (fmix64 on
+    * HUGEINT, split 32-bit mulmods so the 128-bit intermediates never
+    * overflow) and the 8-plane LSH signatures bit-for-bit in DuckDB.
+    * Ends with the `sigs(vec_id, sig)` CTE; consumers append further
+    * CTEs with a leading ", name AS (" or go straight to SELECT. */
+  private val lshSigCte: String =
+    """WITH keys AS (
+      |  SELECT p.range AS p, i.range AS i,
+      |    CAST(42 + p.range * 64 + i.range AS HUGEINT) AS x
+      |  FROM range(8) p CROSS JOIN range(64) i
+      |), f1 AS (
+      |  SELECT p, i, xor(x, x // 8589934592) AS x FROM keys
+      |), f1m AS (
+      |  SELECT p, i,
+      |    (((x // 4294967296) * CAST('18397679294719823053' AS HUGEINT))
+      |       % 4294967296 * 4294967296
+      |     + (x % 4294967296) * CAST('18397679294719823053' AS HUGEINT))
+      |    % CAST('18446744073709551616' AS HUGEINT) AS x
+      |  FROM f1
+      |), f2 AS (
+      |  SELECT p, i, xor(x, x // 8589934592) AS x FROM f1m
+      |), f2m AS (
+      |  SELECT p, i,
+      |    (((x // 4294967296) * CAST('14181476777654086739' AS HUGEINT))
+      |       % 4294967296 * 4294967296
+      |     + (x % 4294967296) * CAST('14181476777654086739' AS HUGEINT))
+      |    % CAST('18446744073709551616' AS HUGEINT) AS x
+      |  FROM f2
+      |), hp AS (
+      |  SELECT p,
+      |    list(CAST(xor(x, x // 8589934592) // 2048 AS DOUBLE)
+      |         / 9007199254740992.0 * 2 - 1 ORDER BY i) AS vals
+      |  FROM f2m GROUP BY p
+      |), dots AS (
+      |  SELECT e.vec_id, hp.p,
+      |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+      |      j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE)
+      |           * vals[CAST(j AS INT)])),
+      |      (acc, x) -> acc + x) AS dot
+      |  FROM embeddings e CROSS JOIN hp
+      |), sigs AS (
+      |  SELECT vec_id,
+      |    SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
+      |  FROM dots GROUP BY vec_id
+      |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_doc_funnel" -> funnelOracleSql,
@@ -797,46 +858,8 @@ object TrainingData {
     // left-to-right like Spark's aggregate() so signature signs agree
     // bit-for-bit; probes = own bucket + 8 Hamming-1 buckets; candidates
     // ranked by exact cosine.
-    "q_embed_ann" ->
-      """WITH keys AS (
-        |  SELECT p.range AS p, i.range AS i,
-        |    CAST(42 + p.range * 64 + i.range AS HUGEINT) AS x
-        |  FROM range(8) p CROSS JOIN range(64) i
-        |), f1 AS (
-        |  SELECT p, i, xor(x, x // 8589934592) AS x FROM keys
-        |), f1m AS (
-        |  SELECT p, i,
-        |    (((x // 4294967296) * CAST('18397679294719823053' AS HUGEINT))
-        |       % 4294967296 * 4294967296
-        |     + (x % 4294967296) * CAST('18397679294719823053' AS HUGEINT))
-        |    % CAST('18446744073709551616' AS HUGEINT) AS x
-        |  FROM f1
-        |), f2 AS (
-        |  SELECT p, i, xor(x, x // 8589934592) AS x FROM f1m
-        |), f2m AS (
-        |  SELECT p, i,
-        |    (((x // 4294967296) * CAST('14181476777654086739' AS HUGEINT))
-        |       % 4294967296 * 4294967296
-        |     + (x % 4294967296) * CAST('14181476777654086739' AS HUGEINT))
-        |    % CAST('18446744073709551616' AS HUGEINT) AS x
-        |  FROM f2
-        |), hp AS (
-        |  SELECT p,
-        |    list(CAST(xor(x, x // 8589934592) // 2048 AS DOUBLE)
-        |         / 9007199254740992.0 * 2 - 1 ORDER BY i) AS vals
-        |  FROM f2m GROUP BY p
-        |), dots AS (
-        |  SELECT e.vec_id, hp.p,
-        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-        |      j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE)
-        |           * vals[CAST(j AS INT)])),
-        |      (acc, x) -> acc + x) AS dot
-        |  FROM embeddings e CROSS JOIN hp
-        |), sigs AS (
-        |  SELECT vec_id,
-        |    SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
-        |  FROM dots GROUP BY vec_id
-        |), probes AS (
+    "q_embed_ann" -> (lshSigCte +
+      """, probes AS (
         |  SELECT s.vec_id AS query_id,
         |    unnest(list_prepend(s.sig,
         |      list_transform(range(0, 8),
@@ -861,20 +884,42 @@ object TrainingData {
         |SELECT query_id, vec_id, floor(raw * 1e4) / 1e4 AS score,
         |  CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""".stripMargin),
 
-    // Mirrors Similarity.ivfTopK (numCentroids=8, nprobe=2, iters=3)
-    // exactly: seed centroids = 8 lowest-id vectors, three unrolled Lloyd
-    // iterations (assign by left-to-right-fold dot, ties to HIGHER cid;
-    // per-dimension means floor-rounded at 1e-6 after normalization — the
-    // rounding that makes centroids identical across engines), then the
-    // inverted-file probe (ties to LOWER cid, matching the driver-side
-    // sortBy) and exact cosine ranking.
+    // Mirrors Similarity.annCosinePairs (planes=8, radius=2): candidate
+    // pairs are signature pairs within Hamming distance 2 (bit_count of
+    // the xor — exactly the multi-probe coverage), each verified by
+    // exact cosine at the same threshold.
+    "q_embed_annpairs" -> (lshSigCte +
+      """
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  floor(list_cosine_similarity(ea.embedding, eb.embedding) * 1e4)
+        |    / 1e4 AS score
+        |FROM sigs a JOIN sigs b
+        |  ON a.vec_id < b.vec_id AND bit_count(xor(a.sig, b.sig)) <= 2
+        |JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4
+        |ORDER BY id1, id2""".stripMargin),
+
+    // Mirrors Similarity.ivfTopK (numCentroids=8, nprobe=2, iters=3,
+    // trainFraction=0.5) exactly: the TRAIN set is the deterministic
+    // md5-threshold half-sample (same predicate as Sampling.hashSample),
+    // seed centroids = its 8 lowest-id vectors, three unrolled Lloyd
+    // iterations over the train set (assign by left-to-right-fold dot,
+    // ties to HIGHER cid; per-dimension means floor-rounded at 1e-6 after
+    // normalization — the rounding that makes centroids identical across
+    // engines), then the inverted-file probe over the FULL corpus (ties
+    // to LOWER cid, matching the driver-side sortBy) and exact cosine
+    // ranking.
     "q_embed_ivf" ->
-      """WITH seedraw AS (
+      """WITH train AS (
+        |  SELECT * FROM embeddings
+        |  WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '8000'
+        |), seedraw AS (
         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw
-        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+        |  FROM (SELECT * FROM train ORDER BY vec_id LIMIT 8)
         |), seedn AS (
         |  SELECT cid, raw,
         |    sqrt(list_reduce(list_prepend(0.0, list_transform(raw, x -> x * x)),
@@ -887,7 +932,7 @@ object TrainingData {
         |),
         |s1 AS (
         |  SELECT e.vec_id, c.cid, list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) AS score
-        |  FROM embeddings e CROSS JOIN cents0 c
+        |  FROM train e CROSS JOIN cents0 c
         |), a1 AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT vec_id, cid,
@@ -914,7 +959,7 @@ object TrainingData {
         |),
         |s2 AS (
         |  SELECT e.vec_id, c.cid, list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) AS score
-        |  FROM embeddings e CROSS JOIN cents1 c
+        |  FROM train e CROSS JOIN cents1 c
         |), a2 AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT vec_id, cid,
@@ -941,7 +986,7 @@ object TrainingData {
         |),
         |s3 AS (
         |  SELECT e.vec_id, c.cid, list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) AS score
-        |  FROM embeddings e CROSS JOIN cents2 c
+        |  FROM train e CROSS JOIN cents2 c
         |), a3 AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT vec_id, cid,
@@ -1005,8 +1050,7 @@ object TrainingData {
         |  floor(list_cosine_similarity(a.embedding, b.embedding) * 1e4) / 1e4
         |    AS score
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE a.vec_id < 300 AND b.vec_id < 300
-        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |ORDER BY id1, id2""".stripMargin,
 
     // same pair set as q_embed_pairs, closed transitively (recursive CTE)
@@ -1015,8 +1059,7 @@ object TrainingData {
       """WITH RECURSIVE qual AS (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE a.vec_id < 300 AND b.vec_id < 300
-        |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |), edges AS (
         |  SELECT id1 AS a, id2 AS b FROM qual
         |  UNION
@@ -1029,8 +1072,7 @@ object TrainingData {
         |  SELECT a AS vec_id FROM reach GROUP BY a HAVING MIN(b) < a
         |)
         |SELECT e.vec_id, e.label FROM embeddings e
-        |WHERE e.vec_id < 300
-        |  AND e.vec_id NOT IN (SELECT vec_id FROM drop_ids)
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM drop_ids)
         |ORDER BY e.vec_id""".stripMargin,
 
     // Mirrors Dedup.simhash64 exactly: per-token polynomial hash over

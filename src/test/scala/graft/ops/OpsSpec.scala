@@ -248,6 +248,73 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("lshTopK multi-probe radius 2 reaches Hamming-2 buckets radius 1 cannot") {
+    val hp = Similarity.hyperplanes(64, 8)
+    val sigs = emb.select(col("vec_id"),
+      Similarity.lshSignature(col("embedding"), hp).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // any corpus pair whose signatures differ in exactly 2 bits
+    val pair = (for {
+      (i, si) <- sigs.toSeq.sortBy(_._1); (j, sj) <- sigs.toSeq.sortBy(_._1)
+      if i < j && ham(si, sj) == 2
+    } yield (i, j)).headOption
+    assert(pair.nonEmpty, "fixture has no Hamming-2 signature pair")
+    val (qi, ti) = pair.get
+    val q = emb.filter(col("vec_id") === qi)
+    // k > corpus so presence == candidacy (no rank cutoff)
+    def found(radius: Int) = Similarity.lshTopK(emb, q, k = 5000,
+      radius = radius).select("vec_id").collect().map(_.getLong(0)).toSet
+    val r1 = found(1)
+    val r2 = found(2)
+    assert(!r1.contains(ti), "radius-1 probes must not reach Hamming-2")
+    assert(r2.contains(ti), "radius-2 probes must reach Hamming-2")
+    assert(r1.subsetOf(r2), "probe sets nest: radius 2 covers radius 1")
+  }
+
+  test("annCosinePairs: exact-verified subset of cosinePairs, high recall on near-dups") {
+    import scala.jdk.CollectionConverters._
+    // plant near-dup clusters (cos > 0.99) — the regime LSH candidates
+    // serve; the base corpus's ~0.4 neighbors are out of scope here
+    val base = emb.filter(col("vec_id") < 3).collect()
+    val planted = base.flatMap { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1)
+      (1 to 3).map { j =>
+        org.apache.spark.sql.Row(10000L + id * 10 + j,
+          v.toSeq.zipWithIndex.map { case (x, i) =>
+            x + (if (i == j) 0.001f else 0f) }, r.getInt(2))
+      }
+    }
+    val corpus = emb.unionByName(
+      spark.createDataFrame(planted.toSeq.asJava, emb.schema))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.cosinePairs(corpus, 0.99))
+    assert(exact.nonEmpty, "planted near-dups must produce exact pairs")
+    val ann = pairSet(Similarity.annCosinePairs(corpus, 0.99, radius = 2))
+    // precision 1.0 by construction: every candidate is exact-verified
+    assert(ann.subsetOf(exact), "ann pairs must be exact-verified")
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ann recall $recall on planted near-dups")
+  }
+
+  test("cosinePairs: hot-cell guard fails loudly; cell count derives from corpus") {
+    // one cell of the 500-vector corpus necessarily exceeds a cap of 10
+    val ex = intercept[IllegalStateException] {
+      Similarity.cosinePairs(emb, 0.4, numCentroids = 8, maxCellSize = 10)
+    }
+    assert(ex.getMessage.contains("annCosinePairs"))
+    // derived blocking tracks corpus size instead of freezing at 8
+    assert(Similarity.deriveCells(300L, 100000L) == 8)
+    assert(Similarity.deriveCells(1000000L, 100000L) == 10)
+    assert(Similarity.deriveCells(1000000000L, 100000L) == 64)
+    // a negative cap disables the guard: same corpus, tiny cells, runs
+    assert(Similarity.cosinePairs(emb.filter(col("vec_id") < 50), 0.4,
+      numCentroids = 8, maxCellSize = -1L).count() >= 0L)
+  }
+
   test("IVF ANN: decent recall vs brute force with nprobe=4 of 8 lists") {
     val q = emb.filter(col("vec_id") < 3)
     val bf = Similarity.bruteForceTopK(emb, q, 5)
