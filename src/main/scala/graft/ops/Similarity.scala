@@ -19,16 +19,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two float-array columns, computed in double with
-    * a fixed left-to-right accumulation order (reproducible everywhere). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) =>
-      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+    * a fixed left-to-right accumulation order (reproducible everywhere).
+    * Backed by the codegen'd [[VectorExprs.CosineSim]] — numerically
+    * identical to the `aggregate(zip_with(...))` formulation it replaced
+    * (ExpressionEquivalenceSpec pins bit-equality), but one JIT'd loop
+    * instead of ~3*dim interpreted lambda calls per pair. */
+  def cosine(a: Column, b: Column): Column = VectorExprs.cosine(a, b)
 
   /** Exact top-k cosine neighbors for each query vector (brute force —
     * the correctness baseline and the small-query-set workhorse).
@@ -66,13 +62,10 @@ object Similarity {
     })
 
   /** Random-hyperplane signature of a vector column: bit i = sign of
-    * dot(v, plane_i). Composed from codegen'd array expressions. */
+    * dot(v, plane_i), each dot one codegen'd constant-weight loop. */
   def lshSignature(v: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(v, planeLit, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(VectorExprs.dotConst(v, p) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -139,8 +132,7 @@ object Similarity {
   /** Score of a vector column against one literal centroid (dot product —
     * centroids are normalized, so this ranks like cosine). */
   private def centroidDot(v: Column, c: Array[Double]): Column =
-    aggregate(zip_with(v, array(c.map(lit): _*),
-      (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+    VectorExprs.dotConst(v, c)
 
   /** Nearest-centroid id by maximum dot product (deterministic: ties take
     * the higher centroid id via lexicographic struct comparison). */
@@ -295,8 +287,7 @@ object Similarity {
       if (trainFraction >= 1.0) corpus
       else Sampling.hashSample(corpus, col(idCol), trainFraction)
     val centroids = kmeansCentroids(trainSet, cells, iters, idCol, vecCol)
-    val norm = sqrt(aggregate(col("v"), lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val norm = sqrt(VectorExprs.dot(col("v"), col("v")))
     val best = greatest(centroids.zipWithIndex.map { case (c, i) =>
       struct(centroidDot(col("v"), c).as("score"), lit(i).as("cid"))
     }: _*)

@@ -84,6 +84,57 @@ class ExpressionEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("CosineSim/Dot/DotConst == aggregate(zip_with(...)) bit-for-bit") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    // the HOF formulations these expressions replaced (left-to-right
+    // double accumulation) — results must be EXACTLY equal, not within
+    // epsilon, because the DuckDB oracles pin the old values
+    def hofCosine(a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column) = {
+      val dot = aggregate(zip_with(a, b, (x, y) =>
+        x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+      val na = sqrt(aggregate(a, lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double")))
+      val nb = sqrt(aggregate(b, lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double")))
+      dot / (na * nb)
+    }
+    val pairs = emb.select(col("vec_id").as("ida"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("idb"),
+        col("embedding").as("vb")))
+      .filter(col("ida") < col("idb"))
+    val cos = pairs.select(
+      Similarity.cosine(col("va"), col("vb")).as("fast"),
+      hofCosine(col("va"), col("vb")).as("slow")).collect()
+    assert(cos.nonEmpty)
+    cos.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // dot-with-constant vs zip_with against the literal array
+    val plane = Similarity.hyperplanes(64, 1).head
+    val planeLit = array(plane.map(lit): _*)
+    val dots = emb.select(
+      VectorExprs.dotConst(col("embedding"), plane).as("fast"),
+      aggregate(zip_with(col("embedding"), planeLit,
+        (x, y) => x.cast("double") * y), lit(0.0),
+        (acc, x) => acc + x).as("slow")).collect()
+    dots.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // self-dot (norm path)
+    val norms = emb.select(
+      VectorExprs.dot(col("embedding"), col("embedding")).as("fast"),
+      aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")).as("slow"))
+      .collect()
+    norms.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // null/ragged semantics match zip_with's null padding
+    import graft.SparkSpec.spark.implicits._
+    val ragged = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+    assert(ragged.select(Similarity.cosine(col("a"), col("b"))).head()
+      .isNullAt(0))
+    assert(ragged.select(VectorExprs.dotConst(col("a"), plane)).head()
+      .isNullAt(0))
+  }
+
   test("PsetHash expression == driver twin on corpus-derived rows") {
     val rows = docs.limit(50)
       .select(col("doc_id"), col("lang"), col("n_chars"))

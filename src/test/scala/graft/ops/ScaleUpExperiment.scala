@@ -58,4 +58,80 @@ class ScaleUpExperiment extends AnyFunSuite {
     assert(t10n / math.max(t1n, 0.5) < 40, s"ngram scale-up ratio too high")
     assert(t10m / math.max(t1m, 0.5) < 40, s"minhash scale-up ratio too high")
   }
+
+  // Round 4: every op with driver-side state rides the scale harness —
+  // this experiment family is what caught round 1's O(n^2) driver bug.
+  test("driver-state ops (concatChunks, mixture, intervalJoin, cosinePairs) scale ~linearly") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow (~3 min): opt in with GRAFT_SCALEUP=1 sbt test")
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text").cache()
+    val big = (0 until 10).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(8).cache()
+    base.count(); big.count()
+
+    // concatChunks: driver state = one row per bucket (bounded by 16^chars)
+    val posB = Sampling.shufflePosition(col("doc_id"), 1)
+    val t1c = time(Packing.concatChunks(base, 2048, posB).count())
+    val t10c = time(Packing.concatChunks(big, 2048, posB).count())
+    println(f"[scaleup] concatChunks 1x=$t1c%.1fs 10x=$t10c%.1fs ratio=${t10c / t1c}%.1f")
+    assert(t10c / math.max(t1c, 0.5) < 25, "concatChunks scale-up ratio too high")
+
+    // mixtureByCount on a HIGH-CARDINALITY stratum (one distinct host per
+    // ~3 docs): driver state must stay |weights|, not |strata|
+    def withHost(df: org.apache.spark.sql.DataFrame) = df.withColumn("host",
+      when(col("doc_id") % 7 === 0, lit("wiki"))
+        .when(col("doc_id") % 7 === 1, lit("web"))
+        .otherwise(concat(lit("h"), (col("doc_id") / 3).cast("long"))))
+    val w = Map("wiki" -> 2L, "web" -> 1L)
+    val t1x = time(Sampling.mixtureByCount(withHost(base), col("host"),
+      col("doc_id"), w).count())
+    val t10x = time(Sampling.mixtureByCount(withHost(big), col("host"),
+      col("doc_id"), w).count())
+    println(f"[scaleup] mixture 1x=$t1x%.1fs 10x=$t10x%.1fs ratio=${t10x / t1x}%.1f")
+    assert(t10x / math.max(t1x, 0.5) < 25, "mixture scale-up ratio too high")
+    base.unpersist(); big.unpersist()
+
+    // intervalJoin: bin fan-out is len/binWidth+1 per interval; 10x rows
+    // at fixed width must scale ~linearly (equi-join, never BNLJ)
+    def ij(n: Long) = {
+      val pts = spark.range(n).select((col("id") % 997).as("k"),
+        (col("id") * 13 % (n * 10)).as("t"))
+      val ivs = spark.range(n / 10).select((col("id") % 997).as("k"),
+        (col("id") * 131 % (n * 10)).as("lo"))
+        .withColumn("hi", col("lo") + 500)
+      RangeJoin.intervalJoin(pts, ivs, "t", "lo", "hi",
+        binWidth = 500L, keys = Seq("k")).count()
+    }
+    val t1i = time(ij(100000L))
+    val t10i = time(ij(1000000L))
+    println(f"[scaleup] intervalJoin 1x=$t1i%.1fs 10x=$t10i%.1fs ratio=${t10i / t1i}%.1f")
+    assert(t10i / math.max(t1i, 0.5) < 25, "intervalJoin scale-up ratio too high")
+
+    // cosinePairs: derived cell blocking must keep candidate work
+    // sub-quadratic on a 10x corpus (targetCellSize chosen so the cell
+    // count actually scales: 2k vecs -> 8 cells, 20k -> 20)
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding").cache()
+    val bigEmb = (0 until 10).map(i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(8).cache()
+    emb.count(); bigEmb.count()
+    val t1p = time(Similarity.cosinePairs(emb, 0.8,
+      targetCellSize = 1000L).count())
+    val t10p = time(Similarity.cosinePairs(bigEmb, 0.8,
+      targetCellSize = 1000L).count())
+    println(f"[scaleup] cosinePairs 1x=$t1p%.1fs 10x=$t10p%.1fs ratio=${t10p / t1p}%.1f")
+    emb.unpersist(); bigEmb.unpersist()
+    // 10x rows = 100x all-pairs work; sub-quadratic blocking must land
+    // far under that (replication makes every vector a 10-way exact dup,
+    // so true pair OUTPUT alone grows ~45x - ceiling sits between)
+    assert(t10p / math.max(t1p, 0.5) < 60, "cosinePairs scale-up ratio too high")
+  }
 }
