@@ -348,6 +348,29 @@ object Similarity {
         greatest(col("ida"), col("idb")).as("id2"), col("score"))
   }
 
+  /** Per-vector symmetric int8 quantization scale: `max|x| / 127`. At
+    * 100 TB the embedding column IS the storage/shuffle bill — int8 cuts
+    * it 4x for ~0.1% cosine error (OpsSpec pins the fidelity floor).
+    * Engine-portable: one float max, negate/compare in float, a single
+    * double division — no accumulation order to disagree on. */
+  def quantScale(v: Column): Column =
+    greatest(array_max(v), -array_min(v)).cast("double") / lit(127.0)
+
+  /** Quantize to `array<tinyint>`: `floor(x/scale + 0.5)` (plain floor in
+    * both engines — no round-half-to-even ambiguity); a zero scale (the
+    * all-zeros vector) quantizes to zeros. Pass `scale` as a MATERIALIZED
+    * column ([[quantScale]] via withColumn), not an inline expression —
+    * a captured expression re-evaluates inside the per-element lambda. */
+  def quantize(v: Column, scale: Column): Column =
+    transform(v, x =>
+      when(scale === 0.0, lit(0))
+        .otherwise(floor(x.cast("double") / scale + lit(0.5)))
+        .cast("tinyint"))
+
+  /** Reconstruct `array<double>` from int8 codes: `q * scale`. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
   /** Cell count for [[cosinePairs]]' metric blocking, derived from corpus
     * size: one cell per `targetCellSize` vectors, clamped to [8, 64] (64
     * = the literal-centroid assignment's codegen ceiling). */

@@ -196,6 +196,39 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Global paragraph-level exact dedup (the CCNet-style granularity
+    * between [[removeBoilerplateLines]]' frequency rule and whole-doc
+    * dedup): each canonical paragraph fingerprint keeps its FIRST
+    * corpus-wide occurrence — ordered by (doc id, position) — and every
+    * later copy is dropped from its document; surviving paragraphs keep
+    * their order. Whitespace-only paragraphs are document structure, not
+    * content, and are kept everywhere.
+    *
+    * Dataflow: one posexplode, a rank window partitioned by the 16-byte
+    * paragraph fingerprint (the only wide key), one regroup by doc —
+    * two keyed shuffles at any corpus size, exactly the
+    * [[removeBoilerplateLines]] shape plus the keep-first rank. Docs
+    * whose every paragraph is a later copy come back with empty text. */
+  def dedupParagraphsGlobal(docs: org.apache.spark.sql.DataFrame,
+                            sep: String = "\n",
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val paras = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fingerprint(col("para")))
+      .orderBy(col(idCol), col("pos"))
+    paras
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || trim(col("para")) === "")
+      .groupBy(col(idCol))
+      .agg(array_join(array_sort(collect_list(struct(col("pos"), col("para"))))
+        .getField("para"), sep).as("kept"))
+      .join(docs.select(col(idCol)), Seq(idCol), "right")
+      .select(col(idCol), coalesce(col("kept"), lit("")).as(textCol))
+  }
+
   /** Winnowing document fingerprint (the rolling-hash scheme of
     * Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
     * Fingerprinting", SIGMOD 2003): rolling hash over character k-grams,

@@ -231,6 +231,19 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // global paragraph-level dedup: a shared promo block is planted in
+    // every doc (5 variants); each variant survives only in its first
+    // (doc_id, pos) occurrence corpus-wide, unique tails stay everywhere
+    "q_doc_par_dedup" -> ((s, dir) => {
+      val aug = docs(s, dir).withColumn("text",
+        concat(col("text"), lit("|PROMO BLOCK "),
+          (col("doc_id") % 5).cast("string"),
+          lit("|tail "), col("doc_id").cast("string")))
+      Text.dedupParagraphsGlobal(aug, sep = "|")
+        .filter(col("doc_id") < 40)
+        .orderBy(col("doc_id"))
+    }),
+
     // exact duplicate groups (empty at SFs without injected dups — still
     // verified: oracle is empty too)
     "q_dedup_exact" -> ((s, dir) =>
@@ -342,6 +355,21 @@ object TrainingData {
       Similarity.lshTopK(e, q, k = 5)
         .withColumn("score", floor(col("score") * 1e4) / 1e4)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // per-vector int8 quantization (4x embedding storage/shuffle at
+    // corpus scale): scale + codes exploded to rows so the driver can
+    // hash-compare arrays; arithmetic is engine-exact (float max, one
+    // double division, plain floor)
+    "q_embed_quantize" -> ((s, dir) => {
+      val e = emb(s, dir)
+        .withColumn("scale", Similarity.quantScale(col("embedding")))
+      e.select(col("vec_id"), col("scale"),
+        posexplode(Similarity.quantize(col("embedding"), col("scale")))
+          .as(Seq("pos", "qv")))
+        .select(col("vec_id"), col("pos"), col("qv").cast("int").as("qv"),
+          col("scale"))
+        .orderBy(col("vec_id"), col("pos"))
     }),
 
     // ANN-candidate cosine pair mining (the opt-in recall<1 scale path
@@ -758,6 +786,53 @@ object TrainingData {
         |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY batch, doc_id) AS rn
         |  FROM keyed)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Text.dedupParagraphsGlobal: keep-first by (doc_id, pos)
+    // per canonical paragraph fingerprint, whitespace-only paragraphs
+    // kept everywhere, reassembly in position order.
+    "q_doc_par_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || '|PROMO BLOCK '
+        |    || CAST(doc_id % 5 AS VARCHAR)
+        |    || '|tail ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents
+        |), paras AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, '|')) AS para,
+        |    unnest(generate_series(1, len(string_split(t, '|')))) AS pos
+        |  FROM aug
+        |), ranked AS (
+        |  SELECT doc_id, pos, para,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g')))
+        |      ORDER BY doc_id, pos) AS rn
+        |  FROM paras
+        |), kept AS (
+        |  SELECT doc_id, string_agg(para, '|' ORDER BY pos) AS text
+        |  FROM ranked WHERE rn = 1 OR trim(para) = ''
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(k.text, '') AS text
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        |WHERE d.doc_id < 40 ORDER BY d.doc_id""".stripMargin,
+
+    // Mirrors Similarity.quantScale/quantize: float max-abs, one double
+    // division, plain floor(x/s + 0.5) — all engine-exact, so scale and
+    // codes compare raw (no rounding shim needed).
+    "q_embed_quantize" ->
+      """WITH scaled AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(greatest(list_max(embedding), -list_min(embedding))
+        |         AS DOUBLE) / 127 AS scale
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, p.range AS pos,
+        |  CAST(CASE WHEN scale = 0 THEN 0
+        |    ELSE floor(CAST(embedding[CAST(p.range + 1 AS INT)] AS DOUBLE)
+        |               / scale + 0.5) END AS INTEGER) AS qv,
+        |  scale
+        |FROM scaled CROSS JOIN range(64) p
+        |ORDER BY vec_id, pos""".stripMargin,
 
     // list_slice mirrors exactGroups' maxMembers=10000 member cap (no
     // group in this corpus is near the cap, so the slice is an identity

@@ -664,6 +664,54 @@ class OpsSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("dedupParagraphsGlobal: keep-first corpus-wide, order preserved, blanks kept") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "alpha|SHARED|beta"),
+      (2L, "SHARED|gamma||delta"), // SHARED is a later copy; blank kept
+      (3L, "shared|epsilon"), // canonicalization: case-insensitive copy
+      (4L, "SHARED")) // nothing left after dedup -> empty text
+      .toDF("doc_id", "text")
+    val out = Text.dedupParagraphsGlobal(fixture, sep = "|")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha|SHARED|beta") // first occurrence survives
+    assert(out(2L) == "gamma||delta")
+    assert(out(3L) == "epsilon")
+    assert(out(4L) == "")
+    // idempotent: a second pass changes nothing
+    val again = Text.dedupParagraphsGlobal(
+      Seq((1L, out(1L)), (2L, out(2L)), (3L, out(3L)), (4L, out(4L)))
+        .toDF("doc_id", "text"), sep = "|")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
+
+  test("int8 quantization: codes bounded, roundtrip cosine fidelity, zero-vector safe") {
+    import spark.implicits._
+    val scaled = emb.withColumn("scale",
+      Similarity.quantScale(col("embedding")))
+      .withColumn("q", Similarity.quantize(col("embedding"), col("scale")))
+    // codes live in the int8 range by construction
+    val bounds = scaled.select(
+      array_max(col("q")).as("hi"), array_min(col("q")).as("lo"))
+      .agg(max("hi"), min("lo")).head()
+    assert(bounds.getByte(0) <= 127 && bounds.getByte(1) >= -128)
+    // reconstruction preserves direction: cosine(dequantized, original)
+    // >= 0.999 for every corpus vector (the fidelity a 4x storage cut
+    // must clear to be usable for similarity work)
+    val worst = scaled.select(Similarity.cosine(
+      Similarity.dequantize(col("q"), col("scale")),
+      col("embedding")).as("c"))
+      .agg(min("c")).head().getDouble(0)
+    assert(worst >= 0.999, s"worst roundtrip cosine $worst")
+    // the all-zeros vector quantizes to zeros instead of dividing by zero
+    val z = Seq((0L, Seq.fill(8)(0f))).toDF("vec_id", "embedding")
+      .withColumn("scale", Similarity.quantScale(col("embedding")))
+      .withColumn("q", Similarity.quantize(col("embedding"), col("scale")))
+      .select(array_max(col("q")), array_min(col("q"))).head()
+    assert(z.getByte(0) == 0 && z.getByte(1) == 0)
+  }
+
   test("decontaminate removes exactly the reported docs") {
     import graft.ops.Contamination
     val corpus = docs.filter(col("doc_id") >= 20)
