@@ -398,6 +398,19 @@ object Similarity {
     Dedup.keepClusterCanonical(corpus, pairs, idCol)
   }
 
+  /** [[semanticDedup]] with ANN candidates: [[annCosinePairs]] feeds the
+    * same cluster-then-drop machinery. Missed pairs (recall < 1) mean
+    * extra survivors, never lost documents — the safe failure direction
+    * for a dedup stage — and the regime note on [[annCosinePairs]]
+    * applies: use at near-dup thresholds (~0.9+). */
+  def semanticDedupAnn(corpus: DataFrame, threshold: Double,
+                       planes: Int = 8, radius: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val pairs = annCosinePairs(corpus, threshold, planes, radius, idCol, vecCol)
+    Dedup.keepClusterCanonical(corpus, pairs, idCol)
+  }
+
   /** Approximate cosine near-dup pairs: LSH signature buckets generate
     * candidates (multi-probe on one side covers all pairs within
     * `radius` signature bits), exact cosine verifies every emitted pair —

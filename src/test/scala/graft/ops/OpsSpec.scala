@@ -298,6 +298,14 @@ class OpsSpec extends AnyFunSuite {
     assert(ann.subsetOf(exact), "ann pairs must be exact-verified")
     val recall = ann.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"ann recall $recall on planted near-dups")
+    // dedup fails SAFE: missed edges make clusters finer, and the min of
+    // an exact cluster is the min of any subcluster containing it, so
+    // ANN survivors are a superset of exact survivors — never lost docs
+    def survivors(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exactKept = survivors(Similarity.semanticDedup(corpus, 0.99))
+    val annKept = survivors(Similarity.semanticDedupAnn(corpus, 0.99))
+    assert(exactKept.subsetOf(annKept), "ann dedup must never drop extra docs")
   }
 
   test("cosinePairs: hot-cell guard fails loudly; cell count derives from corpus") {
