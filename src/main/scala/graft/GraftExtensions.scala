@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.core.PsetHashExpression
-import graft.ops.{SimHash64, WinnowFingerprint, WordShingles}
+import graft.ops.{SimHash64, VectorExprs, WinnowFingerprint, WordShingles}
 
 /** SQL registration of the engine's custom Catalyst expressions, so every
   * operator is usable from `spark.sql(...)` as well as the Scala API:
@@ -14,6 +14,8 @@ import graft.ops.{SimHash64, WinnowFingerprint, WordShingles}
   *   word_shingles(text, n)            distinct word n-grams
   *   simhash64(tokens)                 64-bit SimHash fingerprint
   *   winnow_fingerprint(text, k, w)    winnowing rolling-hash fingerprint
+  *   cosine_sim(a, b)                  one-pass cosine over vector arrays
+  *   vec_dot(a, b)                     dot product over vector arrays
   *
   * Two entry points: `--conf spark.sql.extensions=graft.GraftExtensions`
   * at session build time (the standard extension mechanism), or
@@ -51,7 +53,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "winnow_fingerprint"),
       (args: Seq[Expression]) => WinnowFingerprint(args.head,
         if (args.length > 1) intArg(args(1), "k") else 8,
-        if (args.length > 2) intArg(args(2), "w") else 4)))
+        if (args.length > 2) intArg(args(2), "w") else 4)),
+    ("cosine_sim",
+      new ExpressionInfo(classOf[VectorExprs.CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => VectorExprs.CosineSim(args(0), args(1))),
+    ("vec_dot",
+      new ExpressionInfo(classOf[VectorExprs.Dot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VectorExprs.Dot(args(0), args(1))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

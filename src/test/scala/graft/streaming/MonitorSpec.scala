@@ -120,6 +120,14 @@ class MonitorSpec extends AnyFunSuite {
       graft.core.PsetHash.hash(Map[String, Any]("a" -> 1L, "b" -> "xx")))
     assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
     assert(r.getAs[Int]("nw") > 0)
+    val v = spark.sql(
+      """SELECT cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+        |                  array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c,
+        |  vec_dot(array(CAST(2 AS DOUBLE), CAST(3 AS DOUBLE)),
+        |          array(CAST(4 AS DOUBLE), CAST(5 AS DOUBLE))) AS d
+        |""".stripMargin).head()
+    assert(math.abs(v.getDouble(0) - 1.0) < 1e-12)
+    assert(v.getDouble(1) == 23.0)
   }
 
   test("watermarked windowed aggregation over a file stream of events") {
