@@ -142,6 +142,25 @@ object Sampling {
   def shufflePosition(key: Column, epoch: Int): Column =
     md5(concat_ws(":", lit(epoch), key.cast("string")))
 
+  /** Write the corpus as epoch-shuffled training shards: rows take their
+    * epoch's [[shufflePosition]], range-partition into `numShards` files
+    * whose WITHIN-shard and ACROSS-shard order is the epoch permutation —
+    * a trainer streaming shard 0, 1, 2... reads the exact global order,
+    * and any shard subset is a valid stratified slice of the epoch.
+    * `repartitionByRange` is Spark's sampled range partitioner (one
+    * shuffle); the per-shard sort is the write-side sort, no extra
+    * exchange. Deterministic given (key, epoch) — re-running a failed
+    * write produces byte-identical shard contents. */
+  def writeEpochShards(df: DataFrame, path: String, key: Column,
+                       epoch: Int, numShards: Int): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    df.withColumn("__pos", shufflePosition(key, epoch))
+      .repartitionByRange(numShards, col("__pos"))
+      .sortWithinPartitions(col("__pos"))
+      .drop("__pos")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Split assignment column from cumulative hash ranges, e.g.
     * `splits = Seq("train" -> 0.8, "test" -> 0.1, "val" -> 0.1)`.
     * Key on a GROUP column (source, author, url-domain) to make the split

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, Text}
+import graft.ops.{Dedup, Multimodal, Profile, Similarity, Text}
 
 /** The training-data pipeline operators (dedup / similarity / multimodal /
   * text analysis) exposed as driver-verifiable queries over the documents
@@ -230,6 +230,14 @@ object TrainingData {
         .filter(col("doc_id") < 30)
         .orderBy(col("doc_id"))
     }),
+
+    // ingest-validation column profile: one aggregation pass (EXPAND
+    // plan for the multi-distinct), exact counts, native-typed min/max
+    // rendered as strings
+    "q_doc_profile" -> ((s, dir) =>
+      Profile.columnStats(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy(col("col_name"))),
 
     // global paragraph-level dedup: a shared promo block is planted in
     // every doc (5 variants); each variant survives only in its first
@@ -786,6 +794,19 @@ object TrainingData {
         |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY batch, doc_id) AS rn
         |  FROM keyed)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Profile.columnStats: COUNT(*) - COUNT(col) for nulls (both
+    // engines type it BIGINT; SUM(CASE) would be HUGEINT in DuckDB),
+    // min/max in native type rendered as VARCHAR.
+    "q_doc_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_s,
+           |  CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM documents""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
 
     // Mirrors Text.dedupParagraphsGlobal: keep-first by (doc_id, pos)
     // per canonical paragraph fingerprint, whitespace-only paragraphs

@@ -672,6 +672,62 @@ class OpsSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("columnStats: exact per-column profile in one aggregation pass") {
+    import spark.implicits._
+    val fixture = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (2L, null), (null, "a"))
+      .toDF("id", "s")
+    val prof = Profile.columnStats(fixture, Seq("id", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val idRow = prof("id")
+    assert(idRow.getLong(1) == 4L) // n
+    assert(idRow.getLong(2) == 1L) // n_nulls
+    assert(idRow.getLong(3) == 2L) // n_distinct
+    assert(idRow.getString(4) == "1" && idRow.getString(5) == "2")
+    val sRow = prof("s")
+    assert(sRow.getLong(2) == 1L && sRow.getLong(3) == 2L)
+    assert(sRow.getString(4) == "a" && sRow.getString(5) == "b")
+    // numeric min/max computed in native type, not lexicographically
+    val numeric = Profile.columnStats(
+      Seq(9L, 10L, 100L).toDF("v"), Seq("v"))
+      .head()
+    assert(numeric.getString(4) == "9" && numeric.getString(5) == "100")
+  }
+
+  test("writeEpochShards: shard files laid out in epoch order, deterministic") {
+    val dir = graft.SparkSpec.tmpDir("graft-shards-")
+    Sampling.writeEpochShards(docs, s"$dir/ep1", col("doc_id"),
+      epoch = 1, numShards = 4)
+    val files = new java.io.File(s"$dir/ep1").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(files.length == 4, s"expected 4 shards, got ${files.length}")
+    // reading shards in file order reproduces the epoch permutation
+    import spark.implicits._
+    val inOrder = files.flatMap { f =>
+      spark.read.parquet(f.getPath).select("doc_id")
+        .collect().map(_.getLong(0))
+    }.toSeq
+    val want = docs.orderBy(Sampling.shufflePosition(col("doc_id"), 1))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(inOrder == want, "shard-order read != epoch permutation")
+    // deterministic rewrite: same epoch -> same layout
+    Sampling.writeEpochShards(docs, s"$dir/ep1b", col("doc_id"),
+      epoch = 1, numShards = 4)
+    val again = new java.io.File(s"$dir/ep1b").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .flatMap(f => spark.read.parquet(f.getPath).select("doc_id")
+        .collect().map(_.getLong(0))).toSeq
+    assert(again == inOrder)
+    // a different epoch is a different permutation
+    Sampling.writeEpochShards(docs, s"$dir/ep2", col("doc_id"),
+      epoch = 2, numShards = 4)
+    val ep2 = new java.io.File(s"$dir/ep2").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .flatMap(f => spark.read.parquet(f.getPath).select("doc_id")
+        .collect().map(_.getLong(0))).toSeq
+    assert(ep2 != inOrder && ep2.sorted == inOrder.sorted)
+  }
+
   test("dedupParagraphsGlobal: keep-first corpus-wide, order preserved, blanks kept") {
     import spark.implicits._
     val fixture = Seq(
