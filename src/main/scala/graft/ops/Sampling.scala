@@ -132,6 +132,53 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Token-budget mixture resampling — [[mixtureByCount]] with the
+    * mixture measured in TOKENS, which is what a pretraining recipe
+    * actually specifies ("web 60% of tokens, code 25%, books 15%").
+    * Keeps, per listed stratum, its hash-first documents while the
+    * stratum's cumulative token count stays within `floor(w_s*T/W)`,
+    * where T is the largest total token budget every stratum can supply.
+    * All arithmetic is integer (sums, floor division, a cumulative-sum
+    * comparison), so the selected ROW SET is exactly reproducible in any
+    * engine. A document is kept iff its whole token count fits the
+    * remaining budget — budgets never split a document. Strata not
+    * listed in `weights` are dropped; null keys and null/negative token
+    * counts drop.
+    *
+    * Scale shape: one partial-aggregatable sum per LISTED stratum
+    * (driver collect bounded by |weights|), then one rank-free
+    * cumulative window per stratum — the same single keyed shuffle as
+    * [[mixtureByCount]]; the per-stratum total order is the price of an
+    * exact budget. */
+  def mixtureByTokens(df: DataFrame, stratum: Column, key: Column,
+                      tokens: Column, weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    val totalW = weights.values.sum
+    val tok = tokens.cast("long")
+    val selectable = df.filter(key.isNotNull)
+      .filter(tok.isNotNull && tok > 0L)
+      .filter(stratum.isin(weights.keySet.toSeq: _*))
+    val supply = selectable
+      .groupBy(stratum.as("__s")).agg(sum(tok).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // largest T with floor(w_s*T/W) <= supply_s for all s (same floor
+    // inversion as mixtureByCount, over token totals)
+    val t = weights.map { case (s, w) =>
+      supply.getOrElse(s, 0L) * totalW / w
+    }.min
+    val lim = weights.map { case (s, w) => s -> w * t / totalW }
+    val cumW = Window.partitionBy(stratum).orderBy(hashPosition(key), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val limCol = lim.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+      when(stratum === s, lit(k)).otherwise(acc)
+    }
+    selectable
+      .withColumn("__cum", sum(tok).over(cumW))
+      .filter(col("__cum") <= limCol)
+      .drop("__cum")
+  }
+
   /** Deterministic training-order shuffle position: a portable sort key
     * derived from `md5(epoch ":" key)`, so each epoch is an independent,
     * reproducible permutation of the corpus — no `rand()`, no state.

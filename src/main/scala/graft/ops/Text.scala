@@ -84,6 +84,56 @@ object Text {
         total.cast("double"))
   }
 
+  /** The Gopher quality-rule stopword list (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * Table A1 heuristics — public). */
+  val gopherStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Number of `#` characters plus `...` runs — the Gopher "symbol"
+    * signals, counted with plain length arithmetic (no regex) so any
+    * engine reproduces them exactly. */
+  def symbolCount(text: Column): Column =
+    (length(text) - length(replace(text, lit("#"), lit("")))) +
+      (length(text) - length(replace(text, lit("..."), lit("")))) / lit(3)
+
+  /** Tokens containing at least one ASCII letter. */
+  def alphaWordCount(text: Column): Column =
+    size(filter(tokens(text), x => x.rlike("[A-Za-z]")))
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = gopherStop): Column =
+    size(filter(tokens(text), x => x.isin(stopwords: _*)))
+
+  /** Gopher-style quality rule flags, one boolean per rule. Every
+    * comparison is integer arithmetic (ratios are cross-multiplied:
+    * `symbols/words <= 0.1` becomes `10*symbols <= words`), so the rule
+    * set is bit-reproducible in ANSI SQL — no float thresholds to
+    * disagree on. Rules (Gopher Table A1, the subset meaningful without
+    * markup): word count in [minWords, maxWords]; mean word length in
+    * [3, 10] chars; symbol-to-word ratio <= 0.1; >= 80% of words contain
+    * a letter; >= 2 stopwords present. */
+  def gopherRules(text: Column, minWords: Int = 50,
+                  maxWords: Int = 100000): Seq[(String, Column)] = {
+    val n = tokenCount(text).cast("long")
+    val chars = length(text).cast("long")
+    // sum of token lengths = chars - (n-1) separators, as in meanTokenLen
+    val tokChars = chars - n + lit(1L)
+    Seq(
+      "rule_words" -> (n >= minWords && n <= maxWords),
+      "rule_mean_len" -> (tokChars >= n * 3L && tokChars <= n * 10L),
+      "rule_symbol" -> (symbolCount(text).cast("long") * 10L <= n),
+      "rule_alpha" -> (alphaWordCount(text).cast("long") * 10L >= n * 8L),
+      "rule_stop" -> (stopwordCount(text).cast("long") >= 2L))
+  }
+
+  /** Conjunction of all [[gopherRules]] — the document-level keep
+    * decision of a Gopher-style quality gate. Per-row codegen'd
+    * predicate: pushes into the scan filter, no shuffle, linear at any
+    * corpus size. */
+  def gopherKeep(text: Column, minWords: Int = 50,
+                 maxWords: Int = 100000): Column =
+    gopherRules(text, minWords, maxWords).map(_._2).reduce(_ && _)
+
   /** Corpus vocabulary statistics: per token, total occurrences and
     * document frequency — the TF-IDF building block. One explode + one
     * partial-aggregatable groupBy; at 100 TB the exchange carries one row
@@ -195,6 +245,22 @@ object Text {
     * md5 — the exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Aggressive canonicalization for fuzzy-exact dedup (the CCNet/ccnet
+    * normalization discipline): lowercase, strip everything but letters,
+    * digits and whitespace, collapse whitespace runs, trim. Catches
+    * reformatting duplicates — case changes, punctuation edits, spacing —
+    * that [[fingerprint]]'s whitespace-only canonicalization misses,
+    * while staying a per-row codegen'd regex chain (no shuffle; the
+    * dedup itself is the usual 16-byte-digest groupBy). Both regexes are
+    * RE2-portable, so the oracle replays the exact pipeline. */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** [[normalizeForDedup]] folded to the 16-byte dedup key. */
+  def normalizedFingerprint(text: Column): Column =
+    md5(normalizeForDedup(text))
 
   /** Global paragraph-level exact dedup (the CCNet-style granularity
     * between [[removeBoilerplateLines]]' frequency rule and whole-doc

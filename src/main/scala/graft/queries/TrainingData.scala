@@ -46,6 +46,58 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style quality rule gate, aggregated to per-rule failure
+    // counts over the whole corpus. The synthetic corpus never trips the
+    // symbol/alpha rules, so deterministic noise is injected (mirrored in
+    // the oracle, the q_doc_redact discipline): '#' runs for doc_id%7,
+    // digit-word runs for doc_id%11 — every rule decides something.
+    "q_doc_gopher" -> ((s, dir) => {
+      val aug = docs(s, dir).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" # # # # # # # #"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" 42 42 42 42 42 42 42 42 42 42 42 42 42 42 42"))
+            .otherwise(lit(""))))
+      val rules = Text.gopherRules(col("text"), minWords = 20)
+      val failCounts = rules.map { case (name, c) =>
+        sum(when(!c, 1L).otherwise(0L)).as(name.replace("rule_", "fail_"))
+      }
+      val aggs =
+        sum(when(Text.gopherKeep(col("text"), minWords = 20), 1L)
+          .otherwise(0L)).as("n_keep") +: failCounts
+      aug.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    }),
+
+    // normalization-powered fuzzy-exact dedup: every doc gets a mangled
+    // twin (case flip, junk punctuation, whitespace noise; id offset by
+    // 1e8) that normalizeForDedup must fold onto the same fingerprint —
+    // output is the group table for the first 25 keepers, md5 hex and all
+    "q_doc_normalize" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val mangled = base.select(
+        (col("doc_id") + 100000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" !! ")).as("text"))
+      base.unionByName(mangled)
+        .groupBy(Text.normalizedFingerprint(col("text")).as("norm_fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .filter(col("keeper") < 25)
+        .select(col("keeper"), col("norm_fp"), col("n_copies"))
+        .orderBy(col("keeper"))
+    }),
+
+    // token-budget mixture resampling to a 6:3:1 TOKEN mixture over three
+    // sources (integer arithmetic end-to-end: supply sums, floor-division
+    // budget inversion, cumulative-sum cutoff — the oracle replays the
+    // exact row set)
+    "q_doc_token_mixture" -> ((s, dir) => {
+      graft.ops.Sampling.mixtureByTokens(docs(s, dir), col("source"),
+        col("doc_id"), Text.tokenCount(col("text")),
+        Map("src0" -> 6L, "src1" -> 3L, "src2" -> 1L))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // stopword-profile language id, aggregated
     "q_doc_langid" -> ((s, dir) => {
       docs(s, dir)
@@ -600,6 +652,85 @@ object TrainingData {
         |    AS quality
         |FROM t)
         |SELECT doc_id, quality FROM q WHERE quality >= 0.7
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_gopher" ->
+      """WITH aug AS (
+        |  SELECT text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' # # # # # # # #' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' 42 42 42 42 42 42 42 42 42 42 42 42 42 42 42'
+        |         ELSE '' END AS text
+        |  FROM documents
+        |), t AS (
+        |  SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS sym,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x IN ('the','be','to','of','and','that','have','with')))
+        |      AS BIGINT) AS stop
+        |  FROM aug
+        |), r AS (
+        |  SELECT (n >= 20 AND n <= 100000) AS r_words,
+        |    (chars - n + 1 >= 3 * n AND chars - n + 1 <= 10 * n) AS r_mean,
+        |    (sym * 10 <= n) AS r_sym,
+        |    (alpha * 10 >= n * 8) AS r_alpha,
+        |    (stop >= 2) AS r_stop
+        |  FROM t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  COUNT(*) FILTER (WHERE r_words AND r_mean AND r_sym AND r_alpha
+        |    AND r_stop) AS n_keep,
+        |  COUNT(*) FILTER (WHERE NOT r_words) AS fail_words,
+        |  COUNT(*) FILTER (WHERE NOT r_mean) AS fail_mean_len,
+        |  COUNT(*) FILTER (WHERE NOT r_sym) AS fail_symbol,
+        |  COUNT(*) FILTER (WHERE NOT r_alpha) AS fail_alpha,
+        |  COUNT(*) FILTER (WHERE NOT r_stop) AS fail_stop
+        |FROM r""".stripMargin,
+
+    "q_doc_normalize" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, '  ' || upper(text) || ' !! '
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
+        |    AS norm_fp
+        |  FROM aug)
+        |SELECT min(doc_id) AS keeper, norm_fp, COUNT(*) AS n_copies
+        |FROM n GROUP BY norm_fp HAVING min(doc_id) < 25
+        |ORDER BY keeper""".stripMargin,
+
+    "q_doc_token_mixture" ->
+      """WITH sel AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2')
+        |), sup AS (
+        |  SELECT source, SUM(tok) AS t FROM sel GROUP BY source
+        |), tt AS (
+        |  SELECT MIN(CASE source WHEN 'src0' THEN t * 10 // 6
+        |                         WHEN 'src1' THEN t * 10 // 3
+        |                         ELSE t * 10 // 1 END) AS t
+        |  FROM sup
+        |), lim AS (
+        |  SELECT 6 * t // 10 AS l0, 3 * t // 10 AS l1, 1 * t // 10 AS l2
+        |  FROM tt
+        |), c AS (
+        |  SELECT doc_id, source,
+        |    SUM(tok) OVER (PARTITION BY source
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sel)
+        |SELECT doc_id, source FROM c, lim
+        |WHERE cum <= CASE source WHEN 'src0' THEN l0
+        |                         WHEN 'src1' THEN l1 ELSE l2 END
         |ORDER BY doc_id""".stripMargin,
 
     "q_doc_langid" ->

@@ -796,4 +796,82 @@ class OpsSpec extends AnyFunSuite {
       .agg(min("q"), max("q")).head()
     assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
   }
+
+  test("mixtureByTokens: prefix-by-hash selection equals the integer-" +
+    "arithmetic reference; budgets never split a document") {
+    val w = Map("src0" -> 6L, "src1" -> 3L, "src2" -> 1L)
+    val kept = Sampling.mixtureByTokens(docs, col("source"), col("doc_id"),
+      Text.tokenCount(col("text")), w)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs
+      .select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).cast("long").as("tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def hashPos(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).map(b => f"${b & 0xff}%02x").mkString
+    val totalW = w.values.sum
+    val supply = all.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val t = w.map { case (s, ww) => supply.getOrElse(s, 0L) * totalW / ww }.min
+    val lim = w.map { case (s, ww) => s -> ww * t / totalW }
+    val expected = w.keySet.flatMap { s =>
+      val rows = all.filter(_._2 == s).sortBy(r => (hashPos(r._1), r._1))
+      // cumsum is monotone (tok > 0), so "inclusive cumsum <= budget" is
+      // a prefix: the first doc that would overflow ends the stratum
+      val cums = rows.scanLeft(0L)(_ + _._3).tail
+      rows.zip(cums).takeWhile(_._2 <= lim(s)).map(_._1._1)
+    }
+    assert(kept == expected)
+    // maximality: each stratum's next hash-ordered doc would overflow
+    w.keySet.foreach { s =>
+      val rows = all.filter(_._2 == s).sortBy(r => (hashPos(r._1), r._1))
+      val keptTok = rows.filter(r => kept(r._1)).map(_._3).sum
+      rows.find(r => !kept(r._1)).foreach { next =>
+        assert(keptTok + next._3 > lim(s), s"stratum $s not maximal")
+      }
+    }
+  }
+
+  test("normalizeForDedup folds case/punct/whitespace variants; distinct " +
+    "texts stay apart") {
+    import graft.SparkSpec.spark.implicits._
+    val v = Seq(
+      (1L, "Hello, World!  This is   a Test."),
+      (2L, "hello world this is a test"),
+      (3L, "HELLO   world — this is a test!!!"),
+      (4L, "a different document entirely")).toDF("id", "text")
+    val fps = v.select(col("id"), Text.normalizedFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(2L) == fps(3L))
+    assert(fps(4L) != fps(1L))
+  }
+
+  test("gopher rules: each crafted violation trips exactly its rule; " +
+    "clean text passes the gate") {
+    import graft.SparkSpec.spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and that was " +
+      "all of it with more to come here now"
+    val cases = Seq(
+      ("good", good),
+      ("short", "the of and"),
+      ("symbols", good + " # # # # # # # # # # # #"),
+      ("nonalpha", "1 22 333 4 55 666 7 88 999 10 11 12 13 14 15"),
+      ("nostop", "alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu")).toDF("name", "text")
+    val flagCols = Text.gopherRules(col("text"), minWords = 10)
+      .map { case (n, c) => c.as(n) }
+    val rows = cases.select(
+      (col("name") +: Text.gopherKeep(col("text"), minWords = 10).as("keep")
+        +: flagCols): _*)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6))).toMap
+    // tuple = (keep, words, mean_len, symbol, alpha, stop)
+    assert(rows("good") == ((true, true, true, true, true, true)))
+    assert(!rows("short")._2 && !rows("short")._1)
+    assert(!rows("symbols")._4 && !rows("symbols")._1)
+    assert(!rows("nonalpha")._5 && !rows("nonalpha")._1)
+    assert(!rows("nostop")._6 && !rows("nostop")._1)
+  }
 }

@@ -123,4 +123,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.indexOf("WindowGroupLimit", firstLimit + 1) > 0,
       "expected both Partial and Final WindowGroupLimit nodes")
   }
+
+  test("q_doc_gopher: single aggregation pass, no join, partial agg " +
+    "before the exchange") {
+    // the whole rule gate is per-row codegen'd arithmetic feeding ONE
+    // global aggregate: any join or second exchange means a rule started
+    // shuffling the corpus
+    val p = plan("q_doc_gopher")
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    // tree lines render as "Exchange (n)"; the detail section's
+    // "(n) Exchange" must not double-count
+    assert("Exchange \\(".r.findAllIn(p).length <= 1, p)
+  }
+
+  test("q_doc_token_mixture: one keyed shuffle for the budget window, " +
+    "no join") {
+    // supply totals collect driver-side (bounded by |weights|); the
+    // selection itself must be a single hash-partitioned window over the
+    // stratum key — a join here would mean the budget table got shuffled
+    // back through the corpus
+    val p = plan("q_doc_token_mixture")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
 }
