@@ -48,7 +48,11 @@ object Bench {
     // correctness-green but bench-invisible
     "q_embed_ann", "q_embed_annpairs", "q_dedup_clusters",
     "q_events_attribution", "q_doc_pack", "q_stream_dedup",
-    "q_doc_par_dedup", "q_embed_quantize", "q_doc_profile")
+    "q_doc_par_dedup", "q_embed_quantize", "q_doc_profile",
+    // round-4 late additions: quality gate, fuzzy-exact normalization
+    // dedup, token-budget mixture, semantic contamination
+    "q_doc_gopher", "q_doc_normalize", "q_doc_token_mixture",
+    "q_embed_contamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

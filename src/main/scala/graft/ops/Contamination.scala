@@ -38,4 +38,34 @@ object Contamination {
       .select(col("id").as(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** Embedding-space contamination: corpus items whose embedding is
+    * within cosine `threshold` of ANY benchmark item — the semantic
+    * complement of the n-gram [[report]] (catches paraphrased benchmark
+    * leakage that shares no shingle). The benchmark side broadcasts (eval
+    * sets are thousands of rows), so the plan is one corpus scan against
+    * a broadcast build with the codegen'd [[VectorExprs.cosine]] — no
+    * shuffle of the corpus, the [[Similarity.bruteKnn]] discipline.
+    * Output: (id, n_hits, max_cos) for items with at least one hit. */
+  def semanticReport(corpus: DataFrame, benchmark: DataFrame,
+                     threshold: Double, vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    val b = broadcast(benchmark.select(col(vecCol).as("__bv")))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .crossJoin(b)
+      .withColumn("__cos", VectorExprs.cosine(col("__v"), col("__bv")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("__cos")).as("max_cos"))
+  }
+
+  /** Drop semantically contaminated items from the corpus. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: Double,
+                            vecCol: String = "embedding",
+                            idCol: String = "vec_id"): DataFrame = {
+    val bad = semanticReport(corpus, benchmark, threshold, vecCol, idCol)
+      .select(col("id").as(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
 }

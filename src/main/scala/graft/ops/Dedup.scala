@@ -447,17 +447,25 @@ object Dedup {
     * in `pairs` gets a `cluster_id` = the smallest doc id in its
     * component — the step that turns PAIR output (ngram / minhash /
     * simhash / cosine) into dedup decisions (keep one survivor per
-    * cluster).
+    * cluster). Output: (doc_id, cluster_id), one row per doc that
+    * appears in any pair.
     *
-    * Distributed min-label propagation: each round joins current labels
-    * across edges and takes the per-node minimum — one equi-join shuffle
-    * per round, converging in O(component diameter) rounds (near-dup
-    * clusters are shallow: diameter is small even for large clusters).
+    * Strategy is picked from the MATERIALIZED edge count, the AQE
+    * broadcast-threshold discipline: the pair table is the dedup
+    * *report* — near-dup pairs are a small fraction of any sane corpus,
+    * so it routinely fits the driver even when the corpus is 100 TB.
+    * At or under `driverEdgeThreshold` long-id edges (default 2M pairs =
+    * 32 MB) a driver union-find labels the graph in milliseconds; above
+    * it (or for non-long ids), distributed min-label propagation: each
+    * round joins current labels across edges and takes the per-node
+    * minimum — one equi-join shuffle per round, converging in
+    * O(component diameter) rounds (near-dup clusters are shallow).
     * Labels are `localCheckpoint`ed per round so the plan does not grow
-    * with iterations and nothing accumulates on the driver; the only
-    * driver value is the per-round convergence count. Output:
-    * (doc_id, cluster_id), one row per doc that appears in any pair. */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    * with iterations; the only driver value is the per-round convergence
+    * count. The two paths are result-identical (OpsSpec pins both
+    * against a reference union-find). */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25,
+                        driverEdgeThreshold: Long = 2000000L): DataFrame = {
     // materialized ONCE, as the undirected pair list: every propagation
     // round joins against `edges`, and without the lineage cut each round
     // would re-run the WHOLE upstream pair-mining plan (shingling /
@@ -466,6 +474,11 @@ object Dedup {
     // `select.union(select)` shape evaluated the pair-mining plan twice
     // (one per union branch), doubling the most expensive stage
     val p = pairs.select(col("id1"), col("id2")).localCheckpoint(true)
+    val longIds = p.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    // count is served from the checkpointed blocks — no recompute
+    if (longIds && p.count() <= driverEdgeThreshold)
+      return driverUnionFind(p)
     val edges = p.select(explode(array(
       struct(col("id1").as("src"), col("id2").as("dst")),
       struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
@@ -497,6 +510,35 @@ object Dedup {
     require(changed == 0,
       s"label propagation did not converge in $maxIters rounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Driver-side union-find over a checkpointed (id1, id2) edge table —
+    * the small-graph fast path of [[duplicateClusters]]. Union-by-min
+    * (the larger root is linked under the smaller) makes every root the
+    * minimum id of its component, exactly the distributed path's label.
+    * Collected volume is bounded by the caller's edge threshold. */
+  private def driverUnionFind(p: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    p.collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val labels = parent.keysIterator
+      .map(id => (id, find(id))).toSeq.sortBy(_._1)
+    val spark = p.sparkSession
+    import spark.implicits._
+    labels.toDF("doc_id", "cluster_id")
   }
 
   /** Keep one survivor per near-dup cluster: every doc except the

@@ -404,6 +404,19 @@ object TrainingData {
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))),
 
+    // embedding-space benchmark contamination: vec_id < 100 is the "eval
+    // set", the rest the corpus; any corpus vector within cosine 0.42 of
+    // a benchmark vector is reported (threshold chosen with >= 3e-4
+    // margin to the nearest pair at both verify SFs — far above float
+    // accumulation noise)
+    "q_embed_contamination" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.ops.Contamination.semanticReport(
+        e.filter(col("vec_id") >= 100), e.filter(col("vec_id") < 100), 0.42)
+        .withColumn("max_cos", floor(col("max_cos") * 1e4) / 1e4)
+        .orderBy(col("id"))
+    }),
+
     // LSH-bucketed approximate top-k. Hyperplanes are fmix64-derived
     // dyadic rationals — bit-exact in any engine — so the oracle rebuilds
     // signatures, Hamming-1 probes, and the candidate ranking in DuckDB
@@ -1279,6 +1292,17 @@ object TrainingData {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |ORDER BY id1, id2""".stripMargin,
+
+    "q_embed_contamination" ->
+      """WITH bench AS (
+        |  SELECT embedding AS bv FROM embeddings WHERE vec_id < 100
+        |), hits AS (
+        |  SELECT e.vec_id AS id,
+        |    list_cosine_similarity(e.embedding, b.bv) AS c
+        |  FROM embeddings e CROSS JOIN bench b WHERE e.vec_id >= 100)
+        |SELECT id, COUNT(*) AS n_hits, floor(MAX(c) * 1e4) / 1e4 AS max_cos
+        |FROM hits WHERE c >= 0.42
+        |GROUP BY id ORDER BY id""".stripMargin,
 
     // same pair set as q_embed_pairs, closed transitively (recursive CTE)
     // and reduced to the min-id survivor per component

@@ -93,6 +93,12 @@ class OpsSpec extends AnyFunSuite {
     val real = Dedup.duplicateClusters(realPairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(real == expect)
+    // both strategies are result-identical: force the DISTRIBUTED
+    // propagation path (threshold 0) and the driver fast path (default)
+    val distributed = Dedup.duplicateClusters(realPairs,
+      driverEdgeThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == expect)
   }
 
   test("cosinePairs (cell-blocked) is exact: recall 1.0 vs brute force") {
@@ -786,6 +792,33 @@ class OpsSpec extends AnyFunSuite {
     val cleanIds = clean.select("doc_id").collect().map(_.getLong(0)).toSet
     val badIds = report.select("id").collect().map(_.getLong(0)).toSet
     assert(cleanIds.intersect(badIds).isEmpty)
+  }
+
+  test("semanticDecontaminate removes exactly the reported vectors; " +
+    "report matches a brute-force cosine check") {
+    import graft.ops.Contamination
+    val corpus = emb.filter(col("vec_id") >= 100)
+    val bench = emb.filter(col("vec_id") < 100)
+    val report = Contamination.semanticReport(corpus, bench, 0.42)
+    val clean = Contamination.semanticDecontaminate(corpus, bench, 0.42)
+    assert(clean.count() == corpus.count() - report.count())
+    val badIds = report.select("id").collect().map(_.getLong(0)).toSet
+    val cleanIds = clean.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds.intersect(badIds).isEmpty)
+    // brute-force reference: every reported id really has a >= t hit
+    val bv = bench.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val hits = corpus.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .filter { case (_, v) =>
+        bv.exists { b =>
+          val dot = v.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+          val na = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+          val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+          dot / (na * nb) >= 0.42
+        }
+      }.map(_._1).toSet
+    assert(badIds == hits)
   }
 
   test("langId prefers en on this corpus; quality in [0,1]") {
