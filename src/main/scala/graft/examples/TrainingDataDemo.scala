@@ -9,10 +9,10 @@ import graft.ops._
   * corpus — the pipeline a 100 TB pretraining run would execute, each
   * stage one of the engine's operators:
   *
-  *   quality/language gate → PII scrub → exact dedup → near-dup
+  *   quality/language/Gopher gate → PII scrub → exact dedup → near-dup
   *   clustering (MinHash-LSH pairs → connected components → canonical
-  *   survivors) → benchmark decontamination → leakage-safe split →
-  *   sequence packing
+  *   survivors) → benchmark decontamination → token-budget mixture →
+  *   leakage-safe split → sequence packing → epoch-shuffled shards
   *
   * Run: `sbt "runMain graft.examples.TrainingDataDemo [sfDir]"`.
   */
@@ -28,11 +28,14 @@ object TrainingDataDemo {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val n0 = docs.count()
 
-    // 1. quality + language gate (cheap per-row scalars, shuffle-free)
+    // 1. quality + language gate (cheap per-row scalars, shuffle-free):
+    //    composite score, language id, and the Gopher rule set — all
+    //    codegen'd predicates that push into the scan
     val gated = docs
       .withColumn("lang", Text.langId(col("text")))
       .withColumn("q", Text.qualityScore(col("text")))
       .filter(col("lang") === "en" && col("q") >= 0.3)
+      .filter(Text.gopherKeep(col("text"), minWords = 10))
     val n1 = gated.count()
 
     // 2. PII scrub (per-row regexp chain)
@@ -58,8 +61,21 @@ object TrainingDataDemo {
       n = 8, minShared = 1)
     val n4 = decon.count()
 
+    // 5b. token-budget mixture: group the 20 sources into three domains
+    //     (a stand-in for web/books/code) and rebalance to a 3:2:1 TOKEN
+    //     mixture — what a pretraining recipe actually specifies.
+    //     Strata not listed in the weights would drop: the stratum must
+    //     cover the corpus you mean to keep.
+    val domain = concat(lit("d"),
+      (substring(col("source"), 4, 10).cast("int") % 3).cast("string"))
+    val mixed = Sampling.mixtureByTokens(
+      decon.withColumn("domain", domain), col("domain"),
+      col("doc_id"), Text.tokenCount(col("text")),
+      Map("d0" -> 3L, "d1" -> 2L, "d2" -> 1L)).drop("domain")
+    val n5 = mixed.count()
+
     // 6. leakage-safe split: every doc of a source lands in one part
-    val split = decon.withColumn("part", Sampling.splitColumn(col("source"),
+    val split = mixed.withColumn("part", Sampling.splitColumn(col("source"),
       Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
     val bySplit = split.groupBy("part").count().orderBy("part").collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
@@ -69,16 +85,27 @@ object TrainingDataDemo {
       split.filter(col("part") === "train"), maxTokens = 2048)
     val nBins = packed.select("bin_id").distinct().count()
 
+    // 8. epoch-shuffled training shards: deterministic per-epoch
+    //    permutation, range-partitioned so shard order IS epoch order
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft-demo-shards").toString
+    Sampling.writeEpochShards(split.filter(col("part") === "train"),
+      shardDir, col("doc_id"), epoch = 1, numShards = 4)
+    val nShardFiles = new java.io.File(shardDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+
     println(s"corpus:           $n0 docs")
-    println(s"quality/lang gate: $n1 kept")
+    println(s"quality/lang/gopher gate: $n1 kept")
     println(s"exact dedup:       $n2 kept")
     println(s"near-dup clusters: $n3 kept")
     println(s"decontamination:   $n4 kept")
+    println(s"token mixture:     $n5 kept (3:2:1 tokens over domains)")
     println(s"splits:            $bySplit")
     println(s"packing:           $nBins bins of <= 2048 tokens")
-    require(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4,
+    println(s"epoch shards:      $nShardFiles files at $shardDir")
+    require(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4 && n4 >= n5,
       "funnel must be monotone")
-    require(n4 > 0, "pipeline should keep something")
+    require(n5 > 0, "pipeline should keep something")
     spark.stop()
     println("training-data demo OK")
   }
