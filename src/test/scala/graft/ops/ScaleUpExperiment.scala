@@ -95,7 +95,29 @@ class ScaleUpExperiment extends AnyFunSuite {
       col("doc_id"), w).count())
     println(f"[scaleup] mixture 1x=$t1x%.1fs 10x=$t10x%.1fs ratio=${t10x / t1x}%.1f")
     assert(t10x / math.max(t1x, 0.5) < 25, "mixture scale-up ratio too high")
+
+    // mixtureByTokens: same |weights|-bounded driver contract, plus a
+    // token cumsum window — must track mixtureByCount's scaling
+    val t1t = time(Sampling.mixtureByTokens(withHost(base), col("host"),
+      col("doc_id"), Text.tokenCount(col("text")), w).count())
+    val t10t = time(Sampling.mixtureByTokens(withHost(big), col("host"),
+      col("doc_id"), Text.tokenCount(col("text")), w).count())
+    println(f"[scaleup] tokMixture 1x=$t1t%.1fs 10x=$t10t%.1fs ratio=${t10t / t1t}%.1f")
+    assert(t10t / math.max(t1t, 0.5) < 25, "mixtureByTokens scale-up ratio too high")
     base.unpersist(); big.unpersist()
+
+    // duplicateClusters DISTRIBUTED path (threshold 0 forces label
+    // propagation): star components of 5 (diameter 2, the near-dup
+    // shape), 10x edges must scale ~linearly — one equi-join per round
+    def clusters(n: Long) = {
+      val es = spark.range(n).filter(col("id") % 5 =!= 0)
+        .select((col("id") - (col("id") % 5)).as("id1"), col("id").as("id2"))
+      Dedup.duplicateClusters(es, driverEdgeThreshold = 0L).count()
+    }
+    val t1u = time(clusters(200000L))
+    val t10u = time(clusters(2000000L))
+    println(f"[scaleup] clustersDist 1x=$t1u%.1fs 10x=$t10u%.1fs ratio=${t10u / t1u}%.1f")
+    assert(t10u / math.max(t1u, 0.5) < 25, "distributed clustering scale-up ratio too high")
 
     // intervalJoin: bin fan-out is len/binWidth+1 per interval; 10x rows
     // at fixed width must scale ~linearly (equi-join, never BNLJ)
