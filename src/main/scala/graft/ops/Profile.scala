@@ -18,16 +18,26 @@ object Profile {
 
   /** (col_name, n, n_nulls, n_distinct, min_s, max_s) per listed column.
     * Min/max are computed in the column's native type and then rendered
-    * as strings (casting first would compare "10" < "9"). Distinct
-    * counts are EXACT — for a quick look at ultra-high-cardinality
-    * columns prefer `approx_count_distinct` interactively; the exact
-    * count is what a validation gate needs to assert id uniqueness. */
-  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * as strings (casting first would compare "10" < "9").
+    *
+    * Distinct counting: EXACT by default — what a validation gate needs
+    * to assert id uniqueness — but exact multi-`countDistinct` plans via
+    * EXPAND, which multiplies every input row by the number of profiled
+    * columns before the exchange. Fine for a gate run; for routine
+    * profiling of a 100 TB ingest pass `approx = true`: HyperLogLog++
+    * sketches (`approx_count_distinct`, `rsd` relative error) are plain
+    * partial aggregates — no EXPAND, the scan shuffles one sketch per
+    * (partition, column) regardless of cardinality. */
+  def columnStats(df: DataFrame, cols: Seq[String],
+                  approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
+    def distinctAgg(c: String): Column =
+      if (approx) approx_count_distinct(col(c), rsd)
+      else countDistinct(col(c))
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: cols.flatMap { c =>
       Seq(
         (count(lit(1)) - count(col(c))).as(s"__${c}__nulls"),
-        countDistinct(col(c)).as(s"__${c}__distinct"),
+        distinctAgg(c).as(s"__${c}__distinct"),
         min(col(c)).cast("string").as(s"__${c}__min"),
         max(col(c)).cast("string").as(s"__${c}__max"))
     }

@@ -794,6 +794,23 @@ class OpsSpec extends AnyFunSuite {
     assert(cleanIds.intersect(badIds).isEmpty)
   }
 
+  test("columnStats approx mode: no EXPAND in the plan, estimates " +
+    "within the sketch error of exact") {
+    val cols = Seq("doc_id", "lang", "source")
+    val exact = Profile.columnStats(docs, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val est = Profile.columnStats(docs, cols, approx = true)
+    val plan = est.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    assert(Profile.columnStats(docs, cols).queryExecution.executedPlan
+      .toString.contains("Expand"), "exact multi-distinct should EXPAND")
+    est.collect().map(r => r.getString(0) -> r.getLong(3)).foreach {
+      case (c, n) =>
+        val e = exact(c).toDouble
+        assert(math.abs(n - e) / e <= 0.15, s"$c: approx $n vs exact $e")
+    }
+  }
+
   test("semanticDecontaminate removes exactly the reported vectors; " +
     "report matches a brute-force cosine check") {
     import graft.ops.Contamination
