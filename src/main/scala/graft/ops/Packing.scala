@@ -26,8 +26,8 @@ object Packing {
     StructField("total_tokens", LongType)))
 
   /** Pack documents into token-budget bins. A single document larger than
-    * `maxTokens` gets its own bin (callers chunk oversized docs upstream).
-    * Output: (bin_id, doc_ids, n_docs, total_tokens). */
+    * `maxTokens` gets its own bin (chunk oversized docs upstream with
+    * [[chunkOversized]]). Output: (bin_id, doc_ids, n_docs, total_tokens). */
   def packSequences(docs: DataFrame, maxTokens: Long,
                     numPartitions: Int = 0,
                     textCol: String = "text",
@@ -60,6 +60,37 @@ object Packing {
       flush()
       bins.iterator
     }
+  }
+
+  /** Sliding-window chunking for oversized documents — the upstream
+    * companion [[packSequences]]' "callers chunk oversized docs" contract
+    * refers to. Documents longer than `maxTokens` whitespace tokens split
+    * into windows of `maxTokens` advancing by `maxTokens - overlap`
+    * (consecutive chunks share `overlap` tokens, the long-context
+    * pretraining / RAG-indexing discipline); shorter documents pass
+    * through as their single chunk 0.
+    *
+    * Per-row array arithmetic (tokenize once, `slice` per window) inside
+    * whole-stage codegen — no shuffle, no UDF, linear at any corpus
+    * size, and the whole transform is expressible in ANSI SQL for oracle
+    * verification. Output: (idCol, chunk_idx, chunk). */
+  def chunkOversized(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val toks = Text.tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = when(n <= maxTokens, lit(1)).otherwise(
+      ceil((n - lit(overlap)).cast("double") / stride).cast("int"))
+    docs.select(col(idCol), toks.as("__t"), nChunks.as("__c"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), col("__c") - 1),
+        i => array_join(
+          slice(col("__t"), i * stride + 1, lit(maxTokens)), " ")))
+        .as(Seq("chunk_idx", "chunk")))
   }
 
   /** GPT-style concat-and-chunk sequence assembly: documents are laid out

@@ -161,6 +161,16 @@ object TrainingData {
         .orderBy(col("part"))
     }),
 
+    // sliding-window chunking: 40-token windows advancing by 32 (overlap
+    // 8) — docs over 40 tokens split, the rest pass through as chunk 0
+    "q_doc_chunk" -> ((s, dir) =>
+      graft.ops.Packing.chunkOversized(docs(s, dir).filter(col("doc_id") < 30),
+        maxTokens = 40, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"),
+          graft.ops.Text.tokenCount(col("chunk")).as("n_tok"),
+          md5(col("chunk")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // concat-and-chunk sequence assembly in epoch-1 order: the engine's
     // two-phase distributed prefix sum must equal the oracle's naive
     // global window cumsum exactly
@@ -798,6 +808,26 @@ object TrainingData {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS l
+        |  FROM documents WHERE doc_id < 30
+        |), par AS (
+        |  SELECT doc_id, l, len(l) AS n,
+        |    CASE WHEN len(l) <= 40 THEN 1
+        |         ELSE CAST(ceil((len(l) - 8) / 32.0) AS INT) END AS c
+        |  FROM t)
+        |, ex AS (
+        |  SELECT doc_id, l, n, unnest(generate_series(1, c)) AS i
+        |  FROM par)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+        |  CAST(least(40, n - (i - 1) * 32) AS INT) AS n_tok,
+        |  md5(array_to_string(
+        |    l[(i - 1) * 32 + 1 : least((i - 1) * 32 + 40, n)], ' '))
+        |    AS chunk_fp
+        |FROM ex
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // the naive global cumulative window — identical by construction to
     // the engine's bucketed two-phase prefix sum

@@ -794,6 +794,31 @@ class OpsSpec extends AnyFunSuite {
     assert(cleanIds.intersect(badIds).isEmpty)
   }
 
+  test("chunkOversized: windows cover every token, consecutive chunks " +
+    "share exactly `overlap`, short docs pass through") {
+    val chunks = Packing.chunkOversized(docs, maxTokens = 40, overlap = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val toks = text.split("\\s+").toSeq
+      val got = chunks(id).map(_.split("\\s+").toSeq)
+      if (toks.length <= 40) assert(got == Seq(toks), s"doc $id")
+      else {
+        // stride-32 reassembly: chunk 0 + tails of the rest == original
+        val rebuilt = got.head ++ got.tail.flatMap(_.drop(8))
+        assert(rebuilt == toks, s"doc $id reassembly")
+        got.sliding(2).foreach {
+          case Seq(a, b) => assert(a.takeRight(8) == b.take(8),
+            s"doc $id overlap")
+          case _ =>
+        }
+        assert(got.forall(_.length <= 40), s"doc $id window size")
+      }
+    }
+  }
+
   test("columnStats approx mode: no EXPAND in the plan, estimates " +
     "within the sketch error of exact") {
     val cols = Seq("doc_id", "lang", "source")
