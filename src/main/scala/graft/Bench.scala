@@ -86,7 +86,9 @@ object Bench {
       while (go) {
         times += timeOnce(name)
         val sorted = times.sorted
-        val stable = times.size >= minRuns &&
+        // a single run can never corroborate itself — require two
+        // samples before reading sorted(1), whatever minRuns says
+        val stable = times.size >= minRuns && times.size >= 2 &&
           (sorted(1) - sorted(0)) / sorted(0) <= 0.05
         go = !stable && times.size < maxRuns
       }

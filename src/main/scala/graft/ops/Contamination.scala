@@ -50,8 +50,14 @@ object Contamination {
   def semanticReport(corpus: DataFrame, benchmark: DataFrame,
                      threshold: Double, vecCol: String = "embedding",
                      idCol: String = "vec_id"): DataFrame = {
-    val b = broadcast(benchmark.select(col(vecCol).as("__bv")))
+    // zero-norm vectors have no direction: cosine would be 0/0 = NaN,
+    // which Spark orders ABOVE every number — one all-zero benchmark
+    // vector would otherwise flag the whole corpus (NaN >= t is true).
+    // Same guard as cosinePairs/annCosinePairs, on both sides.
+    val b = broadcast(benchmark.select(col(vecCol).as("__bv"))
+      .filter(VectorExprs.dot(col("__bv"), col("__bv")) > 0))
     corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .filter(VectorExprs.dot(col("__v"), col("__v")) > 0)
       .crossJoin(b)
       .withColumn("__cos", VectorExprs.cosine(col("__v"), col("__bv")))
       .filter(col("__cos") >= threshold)

@@ -75,6 +75,17 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Per-stratum selectable-row counts for the LISTED strata only — the
+    * driver-side table [[mixtureByCount]] sizes its targets from. Package-
+    * private so the spec can pin the collected cardinality to
+    * `listed.size`, not the corpus's stratum domain. */
+  private[ops] def supplyCounts(df: DataFrame, stratum: Column, key: Column,
+                                listed: Set[String]): Map[String, Long] =
+    df.filter(key.isNotNull)
+      .filter(stratum.isin(listed.toSeq: _*))
+      .groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Exact-count mixture resampling: re-weight a multi-source corpus to an
     * integer target mixture (e.g. web:5, wiki:3, books:2) by keeping the
     * largest total N such that every listed stratum can supply its share,
@@ -90,17 +101,6 @@ object Sampling {
     * exact counts. For approximate mixtures where a global rank is too
     * expensive, use [[stratifiedHashSample]] with precomputed fractions —
     * same hash, no sort. */
-  /** Per-stratum selectable-row counts for the LISTED strata only — the
-    * driver-side table [[mixtureByCount]] sizes its targets from. Package-
-    * private so the spec can pin the collected cardinality to
-    * `listed.size`, not the corpus's stratum domain. */
-  private[ops] def supplyCounts(df: DataFrame, stratum: Column, key: Column,
-                                listed: Set[String]): Map[String, Long] =
-    df.filter(key.isNotNull)
-      .filter(stratum.isin(listed.toSeq: _*))
-      .groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-
   def mixtureByCount(df: DataFrame, stratum: Column, key: Column,
                      weights: Map[String, Long]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
@@ -140,10 +140,14 @@ object Sampling {
     * where T is the largest total token budget every stratum can supply.
     * All arithmetic is integer (sums, floor division, a cumulative-sum
     * comparison), so the selected ROW SET is exactly reproducible in any
-    * engine. A document is kept iff its whole token count fits the
-    * remaining budget — budgets never split a document. Strata not
-    * listed in `weights` are dropped; null keys and null/negative token
-    * counts drop.
+    * engine. Selection is a strict hash-order PREFIX per stratum: the
+    * first document whose inclusive cumulative token count exceeds the
+    * stratum budget ends that stratum (later smaller docs are NOT
+    * back-filled — best-fit would break the prefix property that makes
+    * the row set order-independent and oracle-reproducible). Budgets
+    * never split a document. Strata not listed in `weights` are dropped;
+    * a LISTED stratum with no supply zeroes the whole mixture (targets
+    * are unsatisfiable); null keys and null/negative token counts drop.
     *
     * Scale shape: one partial-aggregatable sum per LISTED stratum
     * (driver collect bounded by |weights|), then one rank-free
@@ -196,8 +200,13 @@ object Sampling {
     * and any shard subset is a valid stratified slice of the epoch.
     * `repartitionByRange` is Spark's sampled range partitioner (one
     * shuffle); the per-shard sort is the write-side sort, no extra
-    * exchange. Deterministic given (key, epoch) — re-running a failed
-    * write produces byte-identical shard contents. */
+    * exchange. The global ROW ORDER (the concatenation of shards) is
+    * deterministic given (key, epoch); shard BOUNDARIES come from the
+    * range partitioner's reservoir sample, which is seeded per plan — a
+    * re-run rewrites a complete, globally-identical order whose cut
+    * points may sit elsewhere. Always consume a write atomically (the
+    * `overwrite` here replaces the whole directory); never mix shard
+    * files from two runs. */
   def writeEpochShards(df: DataFrame, path: String, key: Column,
                        epoch: Int, numShards: Int): Unit = {
     require(numShards > 0, "numShards must be positive")

@@ -272,6 +272,10 @@ object Similarity {
                   targetCellSize: Long = 100000L,
                   maxCellSize: Long = 0L): DataFrame = {
     require(targetCellSize > 0, "targetCellSize must be positive")
+    // sizing pass: count() is metadata-only on file-backed frames, but a
+    // DERIVED corpus (filters, joins upstream) pays one full evaluation
+    // here — pass numCentroids explicitly or localCheckpoint upstream
+    // when the input plan is expensive
     val cells =
       if (numCentroids > 0) numCentroids
       else deriveCells(corpus.count(), targetCellSize)
@@ -434,8 +438,15 @@ object Similarity {
       if (dim > 0) dim
       else corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
     val hp = hyperplanes(d, planes)
-    val sigs = corpus.select(col(idCol).as("ida"), col(vecCol).as("va"),
-      lshSignature(col(vecCol), hp).as("sig"))
+    // zero-norm vectors have no direction: cosine would be 0/0 = NaN,
+    // and Spark orders NaN ABOVE every number, so `NaN >= threshold`
+    // passes — without this filter a zero vector pairs with everything
+    // (cosinePairs applies the same guard, and the ann ⊆ exact contract
+    // depends on matching it)
+    val sigs = corpus
+      .filter(VectorExprs.dot(col(vecCol), col(vecCol)) > 0)
+      .select(col(idCol).as("ida"), col(vecCol).as("va"),
+        lshSignature(col(vecCol), hp).as("sig"))
     val a = sigs.select(col("ida"), col("va"),
       explode(probeSignatures(col("sig"), planes, radius)).as("sig"))
     val b = sigs.select(col("ida").as("idb"), col("va").as("vb"), col("sig"))

@@ -737,11 +737,15 @@ object TrainingData {
         |  WHERE source IN ('src0', 'src1', 'src2')
         |), sup AS (
         |  SELECT source, SUM(tok) AS t FROM sel GROUP BY source
+        |), w AS (
+        |  SELECT * FROM (VALUES ('src0', 6), ('src1', 3), ('src2', 1))
+        |    AS v(source, wt)
         |), tt AS (
-        |  SELECT MIN(CASE source WHEN 'src0' THEN t * 10 // 6
-        |                         WHEN 'src1' THEN t * 10 // 3
-        |                         ELSE t * 10 // 1 END) AS t
-        |  FROM sup
+        |  -- LEFT JOIN so a LISTED stratum absent from the corpus
+        |  -- contributes supply 0 (engine semantics: it zeroes the whole
+        |  -- mixture), instead of silently dropping out of the MIN
+        |  SELECT MIN(COALESCE(s.t, 0) * 10 // w.wt) AS t
+        |  FROM w LEFT JOIN sup s ON w.source = s.source
         |), lim AS (
         |  SELECT 6 * t // 10 AS l0, 3 * t // 10 AS l1, 1 * t // 10 AS l2
         |  FROM tt

@@ -863,6 +863,28 @@ class OpsSpec extends AnyFunSuite {
     assert(badIds == hits)
   }
 
+  test("zero-norm vectors never pair: the NaN cosine (which Spark orders " +
+    "above every number) is filtered in semanticReport and annCosinePairs") {
+    import graft.SparkSpec.spark.implicits._
+    val z = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    // an all-zero BENCHMARK vector must not flag the whole corpus...
+    val rep = Contamination.semanticReport(
+      z.filter($"vec_id" =!= 3L), z.filter($"vec_id" === 3L), 0.1)
+    assert(rep.count() == 0)
+    // ...and an all-zero CORPUS vector must not be reported
+    val rep2 = Contamination.semanticReport(z, z.filter($"vec_id" === 1L), 0.5)
+    val flagged = rep2.select("id").collect().map(_.getLong(0)).toSet
+    assert(flagged.contains(2L) && !flagged.contains(3L))
+    // ann pair mining: the zero vector appears in no pair (ann ⊆ exact,
+    // and cosinePairs excludes zero-norm by the same guard)
+    val ann = Similarity.annCosinePairs(z, 0.5, planes = 4)
+    val ids = ann.select("id1", "id2").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!ids.contains(3L))
+  }
+
   test("langId prefers en on this corpus; quality in [0,1]") {
     val preds = docs.select(Text.langId(col("text")).as("p"))
       .groupBy("p").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
