@@ -25,10 +25,18 @@ object AsOf {
     * `rightCols` are the right-side payload columns to carry; they appear
     * in the output as `asof_<name>`. The right side must be unique per
     * (key, time) — pre-aggregate if needed (ties at equal time are
-    * matched, mirroring ASOF semantics of `l.time >= r.time`). */
+    * matched, mirroring ASOF semantics of `l.time >= r.time`).
+    *
+    * `tolerance`: optional maximum staleness — a match older than
+    * `leftTime - tolerance` is nulled out (the pandas `merge_asof`
+    * tolerance semantics). Pass whatever adds to the time column:
+    * `expr("INTERVAL 30 MINUTES")` for timestamps, `lit(n)` for numeric
+    * times. Applied as a post-carry projection: the plan stays the same
+    * single keyed shuffle, no extra pass. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String],
+               tolerance: Option[Column] = None): DataFrame = {
     val leftOut = left.columns.toSeq
     val l = left
       .withColumn("__t", col(leftTime))
@@ -56,11 +64,23 @@ object AsOf {
     val carriedTime =
       last(when(col("__side") === 0, col("__t")), ignoreNulls = true)
         .over(w).as("asof_time")
-    lAligned.unionByName(rAligned)
+    val carried = lAligned.unionByName(rAligned)
       .select((col(key) +: col("__side") +:
         leftOut.filterNot(_ == key).map(col)) ++
         carriedCols :+ carriedTime: _*)
       .filter(col("__side") === 1)
       .drop("__side")
+    tolerance match {
+      case None => carried
+      case Some(tol) =>
+        // staleness gate: leftTime - matchTime <= tol, written as
+        // leftTime <= matchTime + tol so it types for both timestamp
+        // (+ interval) and numeric (+ numeric) time columns
+        val fresh = col("asof_time").isNotNull &&
+          col(leftTime) <= col("asof_time") + tol
+        rightCols.foldLeft(carried) { (df, c) =>
+          df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c")))
+        }.withColumn("asof_time", when(fresh, col("asof_time")))
+    }
   }
 }

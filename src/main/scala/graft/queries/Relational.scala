@@ -364,6 +364,25 @@ object Relational {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // as-of with a 30-minute staleness tolerance (pandas merge_asof
+    // semantics): matches older than the window null out, unmatched
+    // purchases stay
+    "q_events_asof_tol" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      graft.ops.AsOf.asofJoin(purchases, clicks, "user_id", "ts", "ts",
+        Seq("click_value"),
+        tolerance = Some(expr("INTERVAL 30 MINUTES")))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("asof_click_value").as("last_click_value"),
+          col("asof_time").as("last_click_ts"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // attribution via binned interval join: clicks in each purchase's
     // trailing 30-minute window (equi-join on (user, bin) + exact
     // containment — never a nested-loop range join)
@@ -680,6 +699,27 @@ object Relational {
         |)
         |SELECT l.user_id, l.event_id, l.ts,
         |       r.click_value AS last_click_value, r.ts AS last_click_ts
+        |FROM purchases l ASOF LEFT JOIN clicks r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
+
+    "q_events_asof_tol" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |         event_type, value
+        |  FROM events
+        |), purchases AS (
+        |  SELECT user_id, event_id, ts, value FROM ev
+        |  WHERE event_type = 'purchase'
+        |), clicks AS (
+        |  SELECT user_id, ts, max_by(value, event_id) AS click_value
+        |  FROM ev WHERE event_type = 'click' GROUP BY user_id, ts
+        |)
+        |SELECT l.user_id, l.event_id, l.ts,
+        |  CASE WHEN l.ts <= r.ts + INTERVAL 30 MINUTE
+        |       THEN r.click_value END AS last_click_value,
+        |  CASE WHEN l.ts <= r.ts + INTERVAL 30 MINUTE
+        |       THEN r.ts END AS last_click_ts
         |FROM purchases l ASOF LEFT JOIN clicks r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.user_id, l.event_id""".stripMargin,

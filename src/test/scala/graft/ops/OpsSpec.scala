@@ -885,6 +885,27 @@ class OpsSpec extends AnyFunSuite {
     assert(!ids.contains(3L))
   }
 
+  test("asofJoin tolerance: stale matches null out, fresh ones identical " +
+    "to the untolerenced join, unmatched rows unaffected") {
+    import graft.SparkSpec.spark.implicits._
+    val l = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 90L, 9.0), (1L, 110L, 11.0)).toDF("k", "t", "v")
+    val base = AsOf.asofJoin(l, r, "k", "t", "t", Seq("v"))
+      .collect().map(x => x.getString(2) ->
+        (Option(x.get(3)), Option(x.get(4)))).toMap
+    val tol = AsOf.asofJoin(l, r, "k", "t", "t", Seq("v"),
+      tolerance = Some(lit(20L)))
+      .collect().map(x => x.getString(2) ->
+        (Option(x.get(3)), Option(x.get(4)))).toMap
+    // "a" (t=100): match t=90 within 20 -> kept in both
+    assert(base("a") == tol("a") && tol("a")._1.contains(9.0))
+    // "b" (t=200): match t=110 is 90 stale -> base keeps, tol nulls
+    assert(base("b")._1.contains(11.0) && tol("b") == ((None, None)))
+    // "c" (k=2): no match either way
+    assert(base("c") == ((None, None)) && tol("c") == ((None, None)))
+  }
+
   test("langId prefers en on this corpus; quality in [0,1]") {
     val preds = docs.select(Text.langId(col("text")).as("p"))
       .groupBy("p").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
