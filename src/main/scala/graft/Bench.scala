@@ -52,7 +52,8 @@ object Bench {
     // round-4 late additions: quality gate, fuzzy-exact normalization
     // dedup, token-budget mixture, semantic contamination
     "q_doc_gopher", "q_doc_normalize", "q_doc_token_mixture",
-    "q_embed_contamination", "q_doc_chunk", "q_events_asof_tol")
+    "q_embed_contamination", "q_doc_chunk", "q_events_asof_tol",
+    "q_events_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

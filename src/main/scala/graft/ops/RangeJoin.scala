@@ -43,19 +43,59 @@ object RangeJoin {
     require(binWidth > 0, "binWidth must be positive")
     require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val p = points.withColumn("__bin", expr(s"$pointCol div ${binWidth}L"))
-    val nBins =
-      expr(s"$endCol div ${binWidth}L") - expr(s"$startCol div ${binWidth}L") + 1L
-    val fanOutOk = coalesce(assert_true(nBins <= maxBinsPerInterval,
-      concat(lit(s"intervalJoin: interval spans "), nBins.cast("string"),
-        lit(s" bins of width $binWidth (> maxBinsPerInterval=" +
-          s"$maxBinsPerInterval); raise binWidth toward the typical " +
-          "interval length or raise maxBinsPerInterval"))), lit(true))
-    val i = intervals.filter(expr(s"$endCol >= $startCol"))
-      .filter(fanOutOk).withColumn("__bin",
-      explode(sequence(expr(s"$startCol div ${binWidth}L"),
-        expr(s"$endCol div ${binWidth}L"))))
+    val i = binExplode(intervals, startCol, endCol, binWidth,
+      maxBinsPerInterval)
     p.join(i, keys :+ "__bin", "inner")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bin")
+  }
+
+  /** Explode closed intervals into their covered fixed-width bins as
+    * `__bin`, dropping unsatisfiable `end < start` rows and failing fast
+    * on bin fan-out past `maxBins` (see [[intervalJoin]]'s sizing rule). */
+  private def binExplode(df: DataFrame, startCol: String, endCol: String,
+                         binWidth: Long, maxBins: Long): DataFrame = {
+    val nBins =
+      expr(s"$endCol div ${binWidth}L") - expr(s"$startCol div ${binWidth}L") + 1L
+    val fanOutOk = coalesce(assert_true(nBins <= maxBins,
+      concat(lit(s"RangeJoin: interval spans "), nBins.cast("string"),
+        lit(s" bins of width $binWidth (> maxBinsPerInterval=" +
+          s"$maxBins); raise binWidth toward the typical " +
+          "interval length or raise maxBinsPerInterval"))), lit(true))
+    df.filter(expr(s"$endCol >= $startCol"))
+      .filter(fanOutOk).withColumn("__bin",
+        explode(sequence(expr(s"$startCol div ${binWidth}L"),
+          expr(s"$endCol div ${binWidth}L"))))
+  }
+
+  /** Interval-overlap join: every (left, right) pair of CLOSED intervals
+    * with `lStart <= rEnd && rStart <= lEnd` (and equal `keys`) — the
+    * interval×interval sibling of [[intervalJoin]]'s point-in-interval.
+    * Column names must be disjoint across the two frames apart from
+    * `keys`.
+    *
+    * Same binning discipline, both sides exploded; a pair sharing
+    * several bins would surface once per shared bin, so candidates are
+    * kept only in their FIRST shared bin —
+    * `__bin == greatest(lStartBin, rStartBin)` — which makes the output
+    * exactly-once WITHOUT a distinct/dedup shuffle (the first shared bin
+    * of an overlapping pair always exists and both sides cover it).
+    * Work stays linear in exploded rows: |l|·(len/width+1) +
+    * |r|·(len/width+1), equi-join shape, AQE-balanceable, with the same
+    * runtime fan-out guard on both sides. */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  lStart: String, lEnd: String,
+                  rStart: String, rEnd: String,
+                  binWidth: Long, keys: Seq[String] = Nil,
+                  maxBinsPerInterval: Long = 65536L): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    val l = binExplode(left, lStart, lEnd, binWidth, maxBinsPerInterval)
+    val r = binExplode(right, rStart, rEnd, binWidth, maxBinsPerInterval)
+    l.join(r, keys :+ "__bin", "inner")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bin") === greatest(
+        expr(s"$lStart div ${binWidth}L"), expr(s"$rStart div ${binWidth}L")))
       .drop("__bin")
   }
 }

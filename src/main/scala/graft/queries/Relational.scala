@@ -404,6 +404,28 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // interval-overlap join: purchase trailing windows x click forward
+    // windows per user (both sides bin-exploded, first-shared-bin
+    // dedup — exactly-once without a distinct)
+    "q_events_overlap" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) - lit(1800000000L)).as("a_lo"),
+          unix_micros(col("ts")).as("a_hi"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"),
+          unix_micros(col("ts")).as("b_lo"),
+          (unix_micros(col("ts")) + lit(600000000L)).as("b_hi"))
+      graft.ops.RangeJoin.overlapJoin(purchases, clicks,
+        "a_lo", "a_hi", "b_lo", "b_hi", binWidth = 1800000000L,
+        keys = Seq("user_id"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          min(col("b_lo")).as("first_click_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // exact interpolated percentiles per event type
     "q_events_quantiles" -> ((s, dir) => {
       events(s, dir)
@@ -723,6 +745,24 @@ object Relational {
         |FROM purchases l ASOF LEFT JOIN clicks r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.user_id, l.event_id""".stripMargin,
+
+    "q_events_overlap" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, user_id,
+        |         event_type
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, event_id, t - 1800000000 AS a_lo, t AS a_hi
+        |  FROM ev WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, t AS b_lo, t + 600000000 AS b_hi
+        |  FROM ev WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id, COUNT(*) AS n_overlaps,
+        |  MIN(c.b_lo) AS first_click_us
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND p.a_lo <= c.b_hi AND c.b_lo <= p.a_hi
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
 
     "q_events_quantiles" ->
       """SELECT event_type,

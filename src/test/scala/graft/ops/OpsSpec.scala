@@ -637,6 +637,27 @@ class OpsSpec extends AnyFunSuite {
       s"3-char buckets must exceed the old 256 ceiling (got $distinctBuckets of $n docs)")
   }
 
+  test("overlapJoin == naive theta-join for every bin width, exactly once " +
+    "per pair (multi-shared-bin pairs included)") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 50L, "a1"), (1L, 40L, 45L, "a2"),
+      (1L, 100L, 200L, "a3"), (2L, 0L, 10L, "a4"))
+      .toDF("k", "a_lo", "a_hi", "atag")
+    val b = Seq((1L, 10L, 120L, "b1"), (1L, 44L, 46L, "b2"),
+      (1L, 300L, 400L, "b3"), (2L, 11L, 12L, "b4"))
+      .toDF("k", "b_lo", "b_hi", "btag")
+    val want = a.join(b, Seq("k"))
+      .filter(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("atag", "btag").collect().map(_.toString).sorted.toSeq
+    assert(want.nonEmpty && want.size == want.distinct.size)
+    for (bw <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = RangeJoin.overlapJoin(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+        binWidth = bw, keys = Seq("k"))
+        .select("atag", "btag").collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"binWidth=$bw")
+    }
+  }
+
   test("intervalJoin == naive theta-join for every bin width, incl. straddles") {
     import spark.implicits._
     val points = Seq((1L, 5L), (1L, 10L), (1L, 25L), (2L, 10L), (2L, 300L))

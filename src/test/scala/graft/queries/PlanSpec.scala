@@ -113,6 +113,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_events_overlap: binned interval-overlap join is an equi-join, " +
+    "not nested-loop") {
+    val p = plan("q_events_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_doc_hostcap: per-group cap plans as WindowGroupLimit before the shuffle") {
     // the constant-limit rank filter must push a partial per-partition
     // group limit below the exchange: a hot host then ships k rows per
