@@ -75,16 +75,74 @@ object Sampling {
       .drop("__rn")
   }
 
-  /** Per-stratum selectable-row counts for the LISTED strata only — the
-    * driver-side table [[mixtureByCount]] sizes its targets from. Package-
-    * private so the spec can pin the collected cardinality to
-    * `listed.size`, not the corpus's stratum domain. */
+  /** Per-stratum selectable-row counts for the LISTED strata only —
+    * standalone supply inspection with a driver collect bounded by
+    * `listed.size`, never the corpus's stratum domain. ([[mixtureByCount]]
+    * now derives its supply from its own bucketed phase-1 aggregate — one
+    * corpus pass serves both the targets and the rank offsets — so this
+    * helper is the cheap counts-only entry point, not its sizing pass.)
+    * Package-private so the spec can pin the collected cardinality. */
   private[ops] def supplyCounts(df: DataFrame, stratum: Column, key: Column,
                                 listed: Set[String]): Map[String, Long] =
     df.filter(key.isNotNull)
       .filter(stratum.isin(listed.toSeq: _*))
       .groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Shared two-phase scaffolding for the mixture ops: restrict to
+    * selectable rows of LISTED strata, tag each row with its hash
+    * position, stratum string, and hash-prefix bucket, aggregate a
+    * per-(stratum, bucket) measure (row count or token sum) to the driver
+    * — at most |weights| * 16^chars rows — and turn the bucket totals
+    * into per-stratum EXCLUSIVE running offsets, re-applied via a
+    * broadcast join. Bucket-prefix order is consistent with the
+    * (hashPosition, key) selection order (rows tying on the full 4-char
+    * position land in the same bucket for any prefix length <= 4), so
+    * bucket-local rank/cumsum + bucket offset equals the global
+    * per-stratum value EXACTLY — same selected rows as a single
+    * per-stratum window, but the sort runs in |strata| * 16^chars
+    * parallel tasks instead of |strata|. This is the concatChunks
+    * distributed prefix-sum shape ([[Packing.concatChunks]]); without it
+    * the dominant stratum of a 100 TB corpus (web, 60%+) is ONE
+    * multi-TB single-task sort. */
+  private def bucketedOffsets(selectable: DataFrame, measure: Column)
+      : (DataFrame, Map[String, Long]) = {
+    val spark = selectable.sparkSession
+    val totals = selectable
+      .groupBy(col("__s"), col("__bkt")).agg(measure.as("__m"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val supply = totals.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.map(_._3).sum
+    }
+    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var acc = 0L
+      // lexicographic bucket order == hash-position order (lowercase hex)
+      rows.sortBy(_._2).map { case (s, b, m) =>
+        val o = acc; acc += m; (s, b, o)
+      }
+    }
+    import spark.implicits._
+    (broadcast(offsets.toDF("__s", "__bkt", "__off")), supply)
+  }
+
+  /** Tag selectable rows for the two-phase mixture rank. `chars` = 0
+    * derives the bucket-prefix length from cluster parallelism (the
+    * [[Packing.deriveBucketChars]] rule: ~32 buckets per core, clamped to
+    * 256..65536 buckets). */
+  private def tagBuckets(df: DataFrame, stratum: Column, key: Column,
+                         chars: Int): (DataFrame, Column) = {
+    require(chars >= 0 && chars <= 4,
+      "bucketChars in [0,4] (0 = derive from parallelism)")
+    val c =
+      if (chars > 0) chars
+      else Packing.deriveBucketChars(
+        df.sparkSession.sparkContext.defaultParallelism)
+    val tagged = df
+      .withColumn("__pos", hashPosition(key))
+      .withColumn("__s", stratum.cast("string"))
+      .withColumn("__bkt", substring(col("__pos"), 1, c))
+    (tagged, col("__s"))
+  }
 
   /** Exact-count mixture resampling: re-weight a multi-source corpus to an
     * integer target mixture (e.g. web:5, wiki:3, books:2) by keeping the
@@ -95,41 +153,49 @@ object Sampling {
     * reproducible in any engine. Strata not listed in `weights` are
     * dropped.
     *
-    * Scale: one count aggregate (collects one row per LISTED stratum —
-    * bounded by `weights.size`, never the corpus's stratum domain) plus one
-    * rank-per-stratum window; the per-stratum total order is the price of
-    * exact counts. For approximate mixtures where a global rank is too
-    * expensive, use [[stratifiedHashSample]] with precomputed fractions —
-    * same hash, no sort. */
+    * Scale: one pass over the corpus for the phase-1 per-(stratum,
+    * hash-prefix-bucket) counts (driver collect bounded by
+    * |weights| * 16^bucketChars, never the corpus's stratum domain — it
+    * serves BOTH the supply totals the targets derive from and the
+    * bucket rank offsets), then one rank window per (stratum, bucket) —
+    * the selection sort runs across all buckets in parallel, so the
+    * dominant stratum of a 100 TB corpus is thousands of tasks, not one.
+    * The selected ROW SET is identical to a single per-stratum rank (see
+    * [[bucketedOffsets]]). For approximate mixtures where even that is
+    * too expensive, use [[stratifiedHashSample]] with precomputed
+    * fractions — same hash, no sort. */
   def mixtureByCount(df: DataFrame, stratum: Column, key: Column,
-                     weights: Map[String, Long]): DataFrame = {
+                     weights: Map[String, Long],
+                     bucketChars: Int = 0): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixture weights must be positive")
     val totalW = weights.values.sum
-    // supply counts over SELECTABLE rows only (null keys drop below, so
-    // counting them would set targets the rank filter cannot fill). The
-    // aggregate is restricted to the strata actually named in `weights`
-    // BEFORE collecting: the rank filter ignores unlisted strata anyway,
-    // and without the filter this would pull one row per distinct stratum
-    // value in the corpus — driver OOM when the stratum is e.g. url-host
-    // on a crawl. Collected rows are bounded by |weights|.
-    val counts = supplyCounts(df, stratum, key, weights.keySet)
+    // selectable rows only: null keys drop (the rank would otherwise
+    // admit them hash-first and counting them would set targets the
+    // filter cannot fill); unlisted strata drop BEFORE the aggregate —
+    // without that filter phase 1 would pull one row per distinct
+    // stratum value in the corpus (driver OOM when the stratum is e.g.
+    // url-host on a crawl)
+    val (selectable, sCol) = tagBuckets(
+      df.filter(key.isNotNull)
+        .filter(stratum.isin(weights.keySet.toSeq: _*)),
+      stratum, key, bucketChars)
+    val (offDF, counts) = bucketedOffsets(selectable, count(lit(1)))
     // largest N with floor(w_s*N/W) <= count_s for all s: each stratum
     // can supply at most count_s*W/w_s total, the corpus supplies the min
     val n = weights.map { case (s, w) =>
       counts.getOrElse(s, 0L) * totalW / w
     }.min
     val lim = weights.map { case (s, w) => s -> w * n / totalW }
-    val rankW = Window.partitionBy(stratum).orderBy(hashPosition(key), key)
+    val rankW = Window.partitionBy(col("__s"), col("__bkt"))
+      .orderBy(col("__pos"), key)
     val limCol = lim.foldLeft(lit(0L)) { case (acc, (s, k)) =>
-      when(stratum === s, lit(k)).otherwise(acc)
+      when(sCol === s, lit(k)).otherwise(acc)
     }
-    // null keys drop (rank would otherwise admit them hash-first); null
-    // strata never match a weight entry, so limCol stays 0 for them
-    df.filter(key.isNotNull)
-      .withColumn("__rn", row_number().over(rankW))
+    selectable.join(offDF, Seq("__s", "__bkt"))
+      .withColumn("__rn", row_number().over(rankW) + col("__off"))
       .filter(col("__rn") <= limCol)
-      .drop("__rn")
+      .drop("__pos", "__s", "__bkt", "__off", "__rn")
   }
 
   /** Token-budget mixture resampling — [[mixtureByCount]] with the
@@ -149,38 +215,43 @@ object Sampling {
     * a LISTED stratum with no supply zeroes the whole mixture (targets
     * are unsatisfiable); null keys and null/negative token counts drop.
     *
-    * Scale shape: one partial-aggregatable sum per LISTED stratum
-    * (driver collect bounded by |weights|), then one rank-free
-    * cumulative window per stratum — the same single keyed shuffle as
-    * [[mixtureByCount]]; the per-stratum total order is the price of an
-    * exact budget. */
+    * Scale shape: one pass for the phase-1 per-(stratum, hash-prefix-
+    * bucket) token sums (driver collect bounded by
+    * |weights| * 16^bucketChars; per-stratum supply totals fall out of
+    * the same aggregate), then one cumulative-sum window per (stratum,
+    * bucket) plus that bucket's exclusive token offset — the
+    * [[bucketedOffsets]] distributed prefix sum, so the exact budget no
+    * longer costs a per-stratum single-task sort. */
   def mixtureByTokens(df: DataFrame, stratum: Column, key: Column,
-                      tokens: Column, weights: Map[String, Long]): DataFrame = {
+                      tokens: Column, weights: Map[String, Long],
+                      bucketChars: Int = 0): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixture weights must be positive")
     val totalW = weights.values.sum
     val tok = tokens.cast("long")
-    val selectable = df.filter(key.isNotNull)
-      .filter(tok.isNotNull && tok > 0L)
-      .filter(stratum.isin(weights.keySet.toSeq: _*))
-    val supply = selectable
-      .groupBy(stratum.as("__s")).agg(sum(tok).as("__t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (selectable, sCol) = tagBuckets(
+      df.filter(key.isNotNull)
+        .filter(tok.isNotNull && tok > 0L)
+        .filter(stratum.isin(weights.keySet.toSeq: _*))
+        .withColumn("__tok", tok),
+      stratum, key, bucketChars)
+    val (offDF, supply) = bucketedOffsets(selectable, sum(col("__tok")))
     // largest T with floor(w_s*T/W) <= supply_s for all s (same floor
     // inversion as mixtureByCount, over token totals)
     val t = weights.map { case (s, w) =>
       supply.getOrElse(s, 0L) * totalW / w
     }.min
     val lim = weights.map { case (s, w) => s -> w * t / totalW }
-    val cumW = Window.partitionBy(stratum).orderBy(hashPosition(key), key)
+    val cumW = Window.partitionBy(col("__s"), col("__bkt"))
+      .orderBy(col("__pos"), key)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val limCol = lim.foldLeft(lit(0L)) { case (acc, (s, k)) =>
-      when(stratum === s, lit(k)).otherwise(acc)
+      when(sCol === s, lit(k)).otherwise(acc)
     }
-    selectable
-      .withColumn("__cum", sum(tok).over(cumW))
+    selectable.join(offDF, Seq("__s", "__bkt"))
+      .withColumn("__cum", sum(col("__tok")).over(cumW) + col("__off"))
       .filter(col("__cum") <= limCol)
-      .drop("__cum")
+      .drop("__pos", "__s", "__bkt", "__off", "__tok", "__cum")
   }
 
   /** Deterministic training-order shuffle position: a portable sort key

@@ -53,6 +53,66 @@ class ScaleSpec extends AnyFunSuite {
       salted.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("mixture selection window is bucket-partitioned: parallelism " +
+    "tracks 16^bucketChars, not |weights|") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // worst case for the old plan: ONE listed stratum owning the whole
+    // corpus — Window.partitionBy(stratum) would sort all 20k rows in a
+    // single task; the bucketed rank must spread it across the prefix
+    // buckets while selecting the exact same rows
+    val docs = spark.range(0, 20000)
+      .select(col("id"), lit("web").as("src"),
+        (col("id") % 97 + 1).as("tok"))
+    val w = Map("web" -> 1L)
+    val mixed = Sampling.mixtureByCount(docs.toDF(), col("src"), col("id"),
+      w, bucketChars = 2)
+    // 1) selection stage partitions by the hash-prefix bucket: the
+    // window's partition spec names __bkt alongside __s
+    val plan = mixed.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__bkt"), s"no bucket column in the plan:\n$plan")
+    // 2) the rows actually spread over many buckets (so at 100x the
+    // dominant stratum is 16^chars tasks, not one)
+    val buckets = docs
+      .select(substring(Sampling.hashPosition(col("id")), 1, 2).as("b"))
+      .distinct().count()
+    assert(buckets > 200, s"only $buckets populated buckets")
+    // 3) identical row set to the naive single-window-per-stratum rank
+    // (half the corpus: 1*N/1 with N = supply -> keeps all; tighten by
+    // listing a phantom second stratum is impossible, so compare on a
+    // two-strata fixture instead)
+    val two = docs.withColumn("src",
+      when(col("id") % 3 === 0, lit("wiki")).otherwise(col("src")))
+    val w2 = Map("web" -> 2L, "wiki" -> 1L)
+    val got = Sampling.mixtureByCount(two.toDF(), col("src"), col("id"), w2,
+      bucketChars = 2).select("id").as[Long].collect().toSet
+    val naiveW = Window.partitionBy(col("src"))
+      .orderBy(Sampling.hashPosition(col("id")), col("id"))
+    val counts = two.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = w2.map { case (s, ww) => counts(s) * 3L / ww }.min
+    val lim = w2.map { case (s, ww) => s -> ww * n / 3L }
+    val expect = two.withColumn("__rn", row_number().over(naiveW))
+      .filter(col("__rn") <= when(col("src") === "web", lim("web"))
+        .otherwise(lim("wiki")))
+      .select("id").as[Long].collect().toSet
+    assert(got == expect)
+    // token variant: same bucket-partitioned shape, same row set as the
+    // naive cumulative window
+    val gotT = Sampling.mixtureByTokens(two.toDF(), col("src"), col("id"),
+      col("tok"), w2, bucketChars = 2).select("id").as[Long].collect().toSet
+    val sups = two.groupBy("src").agg(sum("tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = w2.map { case (s, ww) => sups(s) * 3L / ww }.min
+    val limT = w2.map { case (s, ww) => s -> ww * t / 3L }
+    val cumW = naiveW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expectT = two.withColumn("__cum", sum(col("tok")).over(cumW))
+      .filter(col("__cum") <= when(col("src") === "web", limT("web"))
+        .otherwise(limT("wiki")))
+      .select("id").as[Long].collect().toSet
+    assert(gotT == expectT)
+  }
+
   test("bucketed tables co-locate the join: no exchange in the plan") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS orders_bucketed")
