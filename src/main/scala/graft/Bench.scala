@@ -27,7 +27,9 @@ object Bench {
     * stable 18 first (round-over-round comparability), then the round-2
     * additions, then round 4's: LSH ANN, near-dup clustering, interval-
     * join attribution, concat-and-chunk packing, ANN pair mining, and
-    * the streaming dedup path. */
+    * the streaming dedup path. Round 5: everything NOT in this list is
+    * benched too, appended after it in sorted order ([[allQueries]]) —
+    * regressions in the sub-second long tail were previously invisible. */
   val headline: Seq[String] = Seq(
     "q_agg_pricing", "q_join_stars", "q_filter_proj", "q_window_rank",
     "q_dedup_first", "q_events_hourly", "q_events_sessionize",
@@ -55,6 +57,13 @@ object Bench {
     "q_embed_contamination", "q_doc_chunk", "q_events_asof_tol",
     "q_events_overlap")
 
+  /** Full bench set: the stable headline order first, then every other
+    * registered query in sorted order — 100% of the correctness surface
+    * is perf-visible. */
+  def allQueries: Seq[String] =
+    headline.filter(SparkEntry.queries.contains) ++
+      SparkEntry.queries.keys.toSeq.sorted.filterNot(headline.contains)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -70,36 +79,52 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val qs = headline.filter(SparkEntry.queries.contains)
-    def runOnce(name: String): Unit =
-      try { SparkEntry.queries(name)(spark, sfDir).count(); () }
-      catch { case _: Throwable => () }
+    val qs = allQueries
+    // a query that throws must FAIL the bench, not time as a fast no-op:
+    // the exception is recorded per query (and fails the process below) —
+    // a regression that starts crashing would otherwise bench as an
+    // improvement while only the correctness gate noticed
+    def runOnce(name: String): Unit = {
+      SparkEntry.queries(name)(spark, sfDir).count(); ()
+    }
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       runOnce(name)
       (System.nanoTime() - t0) / 1e9
     }
-    val results = qs.map { name =>
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = qs.flatMap { name =>
       System.gc() // previous query's garbage must not bill this one
-      runOnce(name) // per-query warmup: JIT, codegen cache, FS metadata
-      val times = scala.collection.mutable.ArrayBuffer[Double]()
-      var go = true
-      while (go) {
-        times += timeOnce(name)
-        val sorted = times.sorted
-        // a single run can never corroborate itself — require two
-        // samples before reading sorted(1), whatever minRuns says
-        val stable = times.size >= minRuns && times.size >= 2 &&
-          (sorted(1) - sorted(0)) / sorted(0) <= 0.05
-        go = !stable && times.size < maxRuns
+      try {
+        runOnce(name) // per-query warmup: JIT, codegen cache, FS metadata
+        val times = scala.collection.mutable.ArrayBuffer[Double]()
+        var go = true
+        while (go) {
+          times += timeOnce(name)
+          val sorted = times.sorted
+          // a single run can never corroborate itself — require two
+          // samples before reading sorted(1), whatever minRuns says
+          val stable = times.size >= minRuns && times.size >= 2 &&
+            (sorted(1) - sorted(0)) / sorted(0) <= 0.05
+          go = !stable && times.size < maxRuns
+        }
+        Some(name -> times.min)
+      } catch {
+        case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName
+          System.err.println(s"[bench] $name FAILED: $e")
+          None
       }
-      name -> times.min
     }
     val qJson = results
       .map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
+    val errJson = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
