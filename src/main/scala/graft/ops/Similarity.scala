@@ -188,15 +188,27 @@ object Similarity {
               numCentroids: Int = 8, nprobe: Int = 2, iters: Int = 3,
               idCol: String = "vec_id",
               vecCol: String = "embedding",
-              trainFraction: Double = 1.0): DataFrame = {
+              trainFraction: Double = 0.0,
+              targetTrain: Long = 100000L): DataFrame = {
     // the coarse quantizer trains on a deterministic hash sample: each
     // Lloyd iteration scans its training input, and at corpus scale the
     // quantizer needs ~1e4-1e5 vectors, not `iters` full 100 TB scans.
     // Assignment below still covers the FULL corpus; sampling only
-    // perturbs where the cell boundaries fall.
+    // perturbs where the cell boundaries fall. `trainFraction = 0` (the
+    // default) DERIVES the fraction from corpus size — keep ~`targetTrain`
+    // training vectors, like cosinePairs' deriveCells — so a caller on
+    // defaults never pays `iters` full scans of a 100 TB corpus; 1.0
+    // explicitly opts back into full-corpus training. The sizing count()
+    // is metadata-only on file-backed frames (pass trainFraction
+    // explicitly when the input plan is expensive to evaluate).
+    require(trainFraction >= 0.0 && trainFraction <= 1.0,
+      "trainFraction in [0,1] (0 = derive from corpus size)")
+    val frac =
+      if (trainFraction > 0.0) trainFraction
+      else deriveTrainFraction(corpus.count(), targetTrain)
     val trainSet =
-      if (trainFraction >= 1.0) corpus
-      else Sampling.hashSample(corpus, col(idCol), trainFraction)
+      if (frac >= 1.0) corpus
+      else Sampling.hashSample(corpus, col(idCol), frac)
     val centroids = kmeansCentroids(trainSet, numCentroids, iters, idCol, vecCol)
     val bucketed = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
       assignCentroid(col(vecCol), centroids).as("cid"))
@@ -381,6 +393,16 @@ object Similarity {
   private[ops] def deriveCells(n: Long, targetCellSize: Long): Int =
     math.min(64L, math.max(8L,
       (n + targetCellSize - 1) / targetCellSize)).toInt
+
+  /** Quantizer-training fraction for [[ivfTopK]], derived from corpus
+    * size: the hash-sample fraction that keeps ~`targetTrain` vectors,
+    * clamped to 1.0 (small corpora train on everything). Reproducible in
+    * any engine: the effective predicate is [[Sampling.hashSample]]'s
+    * 4-hex-digit md5 threshold at `floor(targetTrain*65536/n + 0.5)`. */
+  private[ops] def deriveTrainFraction(n: Long, targetTrain: Long): Double = {
+    require(targetTrain > 0, "targetTrain must be positive")
+    if (n <= 0) 1.0 else math.min(1.0, targetTrain.toDouble / n)
+  }
 
   /** SemDeDup-shaped embedding near-dup removal: exact cosine pairs above
     * `threshold` from the metric-blocked [[cosinePairs]] (equi-join shape,

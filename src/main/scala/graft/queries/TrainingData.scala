@@ -466,13 +466,16 @@ object TrainingData {
         .orderBy(col("id1"), col("id2"))),
 
     // IVF-bucketed approximate top-k; the coarse quantizer trains on the
-    // md5 < '8000' half-sample (the 100 TB shape: Lloyd scans a sample,
-    // assignment covers the corpus), and the oracle reproduces the same
-    // sampled seed set + iterations (recall vs brute force in OpsSpec)
+    // DERIVED hash sample (trainFraction = 0 default: keep ~targetTrain
+    // vectors — Lloyd scans a sample, assignment covers the corpus).
+    // targetTrain = 16000 exercises the derivation at the verify SFs: a
+    // 32k corpus trains on the md5 < '8000' half, a 3.2k corpus keeps
+    // everything. The oracle recomputes the same fraction from count(*)
+    // (same float op order, same floor(x+0.5) rounding).
     "q_embed_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
-      Similarity.ivfTopK(e, q, k = 5, trainFraction = 0.5)
+      Similarity.ivfTopK(e, q, k = 5, targetTrain = 16000L)
         .withColumn("score", floor(col("score") * 1e4) / 1e4)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1177,19 +1180,28 @@ object TrainingData {
         |ORDER BY id1, id2""".stripMargin),
 
     // Mirrors Similarity.ivfTopK (numCentroids=8, nprobe=2, iters=3,
-    // trainFraction=0.5) exactly: the TRAIN set is the deterministic
-    // md5-threshold half-sample (same predicate as Sampling.hashSample),
-    // seed centroids = its 8 lowest-id vectors, three unrolled Lloyd
-    // iterations over the train set (assign by left-to-right-fold dot,
-    // ties to HIGHER cid; per-dimension means floor-rounded at 1e-6 after
-    // normalization — the rounding that makes centroids identical across
-    // engines), then the inverted-file probe over the FULL corpus (ties
-    // to LOWER cid, matching the driver-side sortBy) and exact cosine
-    // ranking.
+    // derived trainFraction with targetTrain=16000) exactly: the TRAIN
+    // set is the deterministic md5-threshold sample at the DERIVED
+    // fraction min(1, 16000/count) — the threshold CTE reproduces
+    // Sampling.hexThreshold's floor(fraction*65536 + 0.5) in the same
+    // float op order, and the keep-all disjunct mirrors its keepsAll
+    // short-circuit (>= 65536 keeps every row exactly, no hash filter).
+    // Then: seed centroids = the train set's 8 lowest-id vectors, three
+    // unrolled Lloyd iterations over the train set (assign by
+    // left-to-right-fold dot, ties to HIGHER cid; per-dimension means
+    // floor-rounded at 1e-6 after normalization — the rounding that
+    // makes centroids identical across engines), then the inverted-file
+    // probe over the FULL corpus (ties to LOWER cid, matching the
+    // driver-side sortBy) and exact cosine ranking.
     "q_embed_ivf" ->
-      """WITH train AS (
-        |  SELECT * FROM embeddings
-        |  WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '8000'
+      """WITH thresh AS (
+        |  SELECT CAST(floor(16000.0 / count(*) * 65536 + 0.5) AS BIGINT) AS t
+        |  FROM embeddings
+        |), train AS (
+        |  SELECT e.* FROM embeddings e, thresh
+        |  WHERE thresh.t >= 65536
+        |     OR substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) <
+        |        printf('%04x', thresh.t)
         |), seedraw AS (
         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw
@@ -1327,13 +1339,21 @@ object TrainingData {
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |ORDER BY id1, id2""".stripMargin,
 
+    // the dot(v,v) > 0 guards on BOTH sides mirror semanticReport's
+    // zero-norm filters: DuckDB's list_cosine_similarity on a zero
+    // vector yields NaN, which DuckDB orders ABOVE all numbers — without
+    // the guards an all-zero embedding in future test data would flag
+    // everything in the oracle while the engine (correctly) drops it
     "q_embed_contamination" ->
       """WITH bench AS (
-        |  SELECT embedding AS bv FROM embeddings WHERE vec_id < 100
+        |  SELECT embedding AS bv FROM embeddings
+        |  WHERE vec_id < 100 AND list_dot_product(embedding, embedding) > 0
         |), hits AS (
         |  SELECT e.vec_id AS id,
         |    list_cosine_similarity(e.embedding, b.bv) AS c
-        |  FROM embeddings e CROSS JOIN bench b WHERE e.vec_id >= 100)
+        |  FROM embeddings e CROSS JOIN bench b
+        |  WHERE e.vec_id >= 100
+        |    AND list_dot_product(e.embedding, e.embedding) > 0)
         |SELECT id, COUNT(*) AS n_hits, floor(MAX(c) * 1e4) / 1e4 AS max_cos
         |FROM hits WHERE c >= 0.42
         |GROUP BY id ORDER BY id""".stripMargin,

@@ -39,6 +39,14 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
     assert(capped == exact,
       s"missed=${(exact -- capped).take(5)} extra=${(capped -- exact).take(5)}")
+    // the storage-constrained opt-out (no index checkpoint, recompute
+    // instead) is result-identical
+    val recomputed = Dedup.ngramJaccardPairs(docs, 3, 0.5,
+      maxShingleFreq = Some(500), materializeIndex = false)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 1e6) / 1e6)).toSet
+    assert(recomputed == exact)
   }
 
   test("ngram cap: Jaccard is over FULL shingle sets, not the capped index") {
@@ -99,6 +107,23 @@ class OpsSpec extends AnyFunSuite {
       driverEdgeThreshold = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(distributed == expect)
+  }
+
+  test("duplicateClusters: deep path components converge via pointer " +
+      "jumping (no shallow-graph assumption)") {
+    import graft.SparkSpec.spark.implicits._
+    // a diameter-50 chain is the worst case for pure min-label
+    // propagation (one hop per round, 50 > default maxIters=25); the
+    // pointer-jump rounds must close it well inside the default budget,
+    // on BOTH strategies
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val expect = (0L to 50L).map(_ -> 0L).toMap
+    val dist = Dedup.duplicateClusters(chain, driverEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expect)
+    val drv = Dedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drv == expect)
   }
 
   test("cosinePairs (cell-blocked) is exact: recall 1.0 vs brute force") {
@@ -341,6 +366,23 @@ class OpsSpec extends AnyFunSuite {
     // probing half the lists on a weakly-clustered corpus: moderate bar
     assert(recall >= 0.4, s"IVF recall $recall")
     assert(ivf.size == 15)
+    // the default trainFraction derives from corpus size (~targetTrain
+    // training vectors; small corpora train on everything) and 1.0 is
+    // explicitly reachable
+    assert(Similarity.deriveTrainFraction(50000L, 100000L) == 1.0)
+    assert(Similarity.deriveTrainFraction(200000L, 100000L) == 0.5)
+    assert(Similarity.deriveTrainFraction(0L, 100000L) == 1.0)
+    // a derived sub-1 fraction must select the same rows as the explicit
+    // one (the oracle reproduces this hash threshold from count(*))
+    val derived = Similarity.ivfTopK(emb, q, 5, numCentroids = 8,
+      nprobe = 4, targetTrain = emb.count() / 2)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Similarity.ivfTopK(emb, q, 5, numCentroids = 8,
+      nprobe = 4, trainFraction = 0.5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(derived == explicit)
   }
 
   test("cosine is symmetric and self-similarity is 1") {
@@ -925,6 +967,28 @@ class OpsSpec extends AnyFunSuite {
     assert(base("b")._1.contains(11.0) && tol("b") == ((None, None)))
     // "c" (k=2): no match either way
     assert(base("c") == ((None, None)) && tol("c") == ((None, None)))
+  }
+
+  test("asofJoin tolerance: a payload carried past a null-payload right " +
+    "row is gated on its own origin time, not the match time") {
+    import graft.SparkSpec.spark.implicits._
+    // right rows: payload 9.0 at t=10 (old), then a NULL payload at
+    // t=95 (fresh). Left t=100 with tolerance 20: the match time (95)
+    // is fresh, but the CARRIED payload comes from t=10 — 90 stale —
+    // and must null out rather than ride the fresh match
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    val r = Seq((1L, 10L, Some(9.0)), (1L, 95L, None))
+      .toDF("k", "t", "v")
+    val out = AsOf.asofJoin(l, r, "k", "t", "t", Seq("v"),
+      tolerance = Some(lit(20L))).head()
+    assert(Option(out.get(out.fieldIndex("asof_v"))).isEmpty,
+      s"stale payload leaked: $out")
+    // the overall match time is fresh and stays
+    assert(out.getLong(out.fieldIndex("asof_time")) == 95L)
+    // without tolerance the carry-forward payload survives (documented
+    // per-column carry semantics)
+    val base = AsOf.asofJoin(l, r, "k", "t", "t", Seq("v")).head()
+    assert(base.getDouble(base.fieldIndex("asof_v")) == 9.0)
   }
 
   test("langId prefers en on this corpus; quality in [0,1]") {
