@@ -143,10 +143,23 @@ object Dedup {
     * >= threshold AND the docs share at least one shingle with corpus
     * frequency <= cap; pairs whose entire overlap is hot shingles are
     * missed by construction (a pair of pure-boilerplate docs).
-    * Output: (id1, id2, jaccard) with id1 < id2, jaccard >= threshold. */
+    * Output: (id1, id2, jaccard) with id1 < id2, jaccard >= threshold.
+    *
+    * `materializeIndex` (capped path only): the exploded shingle index
+    * is eagerly `localCheckpoint`ed so its consumers don't each re-scan
+    * and re-shingle the corpus. SIZING: the checkpoint lives on
+    * executor local disk and holds one row per (doc, distinct shingle)
+    * — ~ corpus token count x (avg shingle string bytes + 8 B id + row
+    * overhead), i.e. several times the text column's own size, spread
+    * across executors (the same order as the shuffle this index feeds
+    * anyway). Provision local disk accordingly, or pass
+    * `materializeIndex = false` on storage-constrained clusters to
+    * trade the disk blocks for up to 3 extra corpus shingle passes
+    * (results identical — OpsSpec pins it). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         textCol: String = "text", idCol: String = "doc_id",
-                        maxShingleFreq: Option[Int] = None): DataFrame = {
+                        maxShingleFreq: Option[Int] = None,
+                        materializeIndex: Boolean = true): DataFrame = {
     // explode straight out of the scan: the generator materializes each
     // shingle as a real attribute, so nothing downstream re-runs the
     // tokenizer
@@ -160,8 +173,10 @@ object Dedup {
         // re-shingles the whole corpus — Catalyst cannot reuse the
         // exchanges because the branches project different columns.
         // One eager localCheckpoint trades local-disk blocks (same order
-        // as the shuffle this index feeds anyway) for 3 corpus passes.
-        val ex0 = ex0raw.localCheckpoint(true)
+        // as the shuffle this index feeds anyway) for 3 corpus passes —
+        // sizing and the recompute opt-out are documented on the method.
+        val ex0 =
+          if (materializeIndex) ex0raw.localCheckpoint(true) else ex0raw
         // the HOT set (freq > cap) is by construction tiny — at most
         // |index|/cap distinct values, in practice a handful of
         // boilerplate shingles — so the index is filtered with an
@@ -454,12 +469,24 @@ object Dedup {
     * broadcast-threshold discipline: the pair table is the dedup
     * *report* — near-dup pairs are a small fraction of any sane corpus,
     * so it routinely fits the driver even when the corpus is 100 TB.
-    * At or under `driverEdgeThreshold` long-id edges (default 2M pairs =
-    * 32 MB) a driver union-find labels the graph in milliseconds; above
-    * it (or for non-long ids), distributed min-label propagation: each
-    * round joins current labels across edges and takes the per-node
-    * minimum — one equi-join shuffle per round, converging in
-    * O(component diameter) rounds (near-dup clusters are shallow).
+    * At or under `driverEdgeThreshold` long-id edges a driver union-find
+    * labels the graph in milliseconds: edges stream in via
+    * `toLocalIterator` (one partition of Rows resident at a time, never
+    * a collected Row array) into primitive long/int arrays — peak driver
+    * footprint at the 2M-edge / 4M-node worst case is ~150 MB (24 B per
+    * node + 12 B per hash slot), and the label table returns as an
+    * RDD-backed frame, so no multi-million-row LocalRelation is ever
+    * embedded in the downstream plan. Above the threshold (or for
+    * non-long ids), distributed min-label propagation: each round joins
+    * current labels across edges and takes the per-node minimum — one
+    * equi-join shuffle per round. Near-dup clusters are usually shallow
+    * (cliques converge in 2 rounds), but from round
+    * [[pointerJumpAfter]] on, each round also pointer-jumps the label
+    * table (label(x) := label(label(x)) — one self-join on the
+    * node-count-sized table), which halves remaining path lengths per
+    * round: a diameter-D chain converges in O(log D) extra rounds
+    * instead of O(D), so the 25-round default is no longer a shallow-
+    * component assumption (OpsSpec pins a diameter-50 path graph).
     * Labels are `localCheckpoint`ed per round so the plan does not grow
     * with iterations; the only driver value is the per-round convergence
     * count. The two paths are result-identical (OpsSpec pins both
@@ -477,8 +504,10 @@ object Dedup {
     val longIds = p.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     // count is served from the checkpointed blocks — no recompute
-    if (longIds && p.count() <= driverEdgeThreshold)
-      return driverUnionFind(p)
+    if (longIds) {
+      val cnt = p.count()
+      if (cnt <= driverEdgeThreshold) return driverUnionFind(p, cnt)
+    }
     val edges = p.select(explode(array(
       struct(col("id1").as("src"), col("id2").as("dst")),
       struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
@@ -505,6 +534,24 @@ object Dedup {
         .localCheckpoint(true)
       changed = upd.filter(col("next") < col("label")).count()
       labels = upd.select(col("id"), col("next").as("label"))
+      if (changed > 0 && iter + 1 >= pointerJumpAfter) {
+        // pointer jumping: label(x) := label(label(x)). Every label IS a
+        // node id of the same component (initialization and neighbor-min
+        // both pick labels from adjacent node ids), so the self-join is
+        // total and the shortcut stays inside the component. Each jump
+        // halves the label-chain depth — deep (path-shaped) components
+        // converge in O(log diameter) extra rounds, where neighbor-min
+        // alone walks one hop per round. A no-op at the fixed point, so
+        // the `changed == 0` termination stays exact and the result is
+        // unchanged (the fixed point — component-min everywhere — is
+        // unique).
+        val par = labels.select(col("id").as("__pid"),
+          col("label").as("__plabel"))
+        labels = labels.join(par, col("label") === col("__pid"), "left")
+          .select(col("id"),
+            coalesce(col("__plabel"), col("label")).as("label"))
+          .localCheckpoint(true)
+      }
       iter += 1
     }
     require(changed == 0,
@@ -512,33 +559,89 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Round from which [[duplicateClusters]]' distributed path adds a
+    * pointer-jump to each propagation round: shallow graphs (the common
+    * near-dup case) converge before paying the extra self-join; deep
+    * ones switch to O(log diameter) behavior instead of hitting the
+    * `maxIters` guard. */
+  private val pointerJumpAfter = 4
+
   /** Driver-side union-find over a checkpointed (id1, id2) edge table —
     * the small-graph fast path of [[duplicateClusters]]. Union-by-min
     * (the larger root is linked under the smaller) makes every root the
     * minimum id of its component, exactly the distributed path's label.
-    * Collected volume is bounded by the caller's edge threshold. */
-  private def driverUnionFind(p: DataFrame): DataFrame = {
-    val parent = scala.collection.mutable.HashMap[Long, Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (parent(r) != r) r = parent(r)
-      var c = x
-      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+    *
+    * Memory discipline (the threshold's honesty depends on it): edges
+    * stream through `toLocalIterator` — one partition of Rows resident
+    * at a time, never a collected 2M-element Row array — and land in
+    * primitive structures: an open-addressed long→int slot table plus
+    * flat id/parent arrays (24 B per node + 12 B per slot; ~150 MB at
+    * the 2M-edge / 4M-node worst case, vs ~10x that for boxed
+    * HashMap[Long,Long] entries). The label table returns via
+    * `parallelize(...).toDF` — an RDD-backed scan node — so downstream
+    * plans hold an RDD reference, not a LocalRelation embedding up to
+    * 4M rows into every plan copy. */
+  private def driverUnionFind(p: DataFrame, edgeCount: Long): DataFrame = {
+    val spark = p.sparkSession
+    val maxNodes =
+      math.min(Int.MaxValue.toLong / 2, math.max(8L, edgeCount * 2)).toInt
+    var cap = 16
+    while (cap < maxNodes * 2) cap <<= 1
+    val mask = cap - 1
+    val slotKey = new Array[Long](cap)
+    val slotIdx = new Array[Int](cap)
+    java.util.Arrays.fill(slotIdx, -1) // -1 = empty slot
+    val ids = new Array[Long](maxNodes)
+    val parent = new Array[Int](maxNodes)
+    var n = 0
+    // dense index of `id`, inserting on first sight (fmix-style spread;
+    // linear probing)
+    def idx(id: Long): Int = {
+      val h0 = id * 0x9E3779B97F4A7C15L
+      var h = ((h0 ^ (h0 >>> 32)).toInt) & mask
+      var r = -1
+      while (r == -1) {
+        val v = slotIdx(h)
+        if (v == -1) {
+          slotKey(h) = id; slotIdx(h) = n
+          ids(n) = id; parent(n) = n; n += 1
+          r = n - 1
+        } else if (slotKey(h) == id) r = v
+        else h = (h + 1) & mask
+      }
       r
     }
-    p.collect().foreach { row =>
-      val a = row.getLong(0); val b = row.getLong(1)
-      parent.getOrElseUpdate(a, a)
-      parent.getOrElseUpdate(b, b)
-      val ra = find(a); val rb = find(b)
-      if (ra < rb) parent(rb) = ra
-      else if (rb < ra) parent(ra) = rb
+    def find(i0: Int): Int = {
+      var r = i0
+      while (parent(r) != r) r = parent(r)
+      var c = i0
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
     }
-    val labels = parent.keysIterator
-      .map(id => (id, find(id))).toSeq.sortBy(_._1)
-    val spark = p.sparkSession
+    val it = p.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val ra = find(idx(row.getLong(0)))
+      val rb = find(idx(row.getLong(1)))
+      if (ids(ra) < ids(rb)) parent(rb) = ra
+      else if (ids(rb) < ids(ra)) parent(ra) = rb
+    }
+    val sortedIds = java.util.Arrays.copyOf(ids, n)
+    java.util.Arrays.sort(sortedIds)
+    val out = new Array[(Long, Long)](n)
+    var i = 0
+    while (i < n) {
+      val id = sortedIds(i)
+      out(i) = (id, ids(find(idx(id))))
+      i += 1
+    }
     import spark.implicits._
-    labels.toDF("doc_id", "cluster_id")
+    val slices = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, n / 100000 + 1))
+    spark.sparkContext
+      .parallelize(scala.collection.immutable.ArraySeq.unsafeWrapArray(out),
+        slices)
+      .toDF("doc_id", "cluster_id")
   }
 
   /** Keep one survivor per near-dup cluster: every doc except the
