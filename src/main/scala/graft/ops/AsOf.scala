@@ -31,8 +31,15 @@ object AsOf {
     * `leftTime - tolerance` is nulled out (the pandas `merge_asof`
     * tolerance semantics). Pass whatever adds to the time column:
     * `expr("INTERVAL 30 MINUTES")` for timestamps, `lit(n)` for numeric
-    * times. Applied as a post-carry projection: the plan stays the same
-    * single keyed shuffle, no extra pass. */
+    * times. Payloads are carried per COLUMN (`last(..., ignoreNulls)`),
+    * so when the most recent right row holds a null in one payload
+    * column, that column's value may originate from an OLDER right row
+    * than `asof_time` — each payload is therefore gated on ITS OWN
+    * origin-row time (carried alongside it in the same window), not on
+    * the overall match time; a payload whose origin row exceeds the
+    * tolerance nulls out even when a fresher (null-payload) match
+    * exists. Applied as a post-carry projection: the plan stays the
+    * same single keyed shuffle, no extra pass. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                rightCols: Seq[String],
@@ -64,23 +71,36 @@ object AsOf {
     val carriedTime =
       last(when(col("__side") === 0, col("__t")), ignoreNulls = true)
         .over(w).as("asof_time")
+    // per-payload origin times (tolerance only): the time of the right
+    // row each carried payload actually came from — same window, same
+    // physical Window op, so the extra expressions cost no extra shuffle
+    val payloadTimes =
+      if (tolerance.isEmpty) Nil
+      else rightCols.map(c =>
+        last(when(col(s"asof_$c").isNotNull, col("__t")), ignoreNulls = true)
+          .over(w).as(s"__asof_t_$c"))
     val carried = lAligned.unionByName(rAligned)
       .select((col(key) +: col("__side") +:
         leftOut.filterNot(_ == key).map(col)) ++
-        carriedCols :+ carriedTime: _*)
+        carriedCols ++ payloadTimes :+ carriedTime: _*)
       .filter(col("__side") === 1)
       .drop("__side")
     tolerance match {
       case None => carried
       case Some(tol) =>
-        // staleness gate: leftTime - matchTime <= tol, written as
-        // leftTime <= matchTime + tol so it types for both timestamp
-        // (+ interval) and numeric (+ numeric) time columns
-        val fresh = col("asof_time").isNotNull &&
-          col(leftTime) <= col("asof_time") + tol
+        // staleness gates: leftTime - originTime <= tol, written as
+        // leftTime <= originTime + tol so it types for both timestamp
+        // (+ interval) and numeric (+ numeric) time columns. Each
+        // payload checks the origin time of ITS carried value;
+        // asof_time checks the overall match time.
+        def fresh(t: Column): Column =
+          t.isNotNull && col(leftTime) <= t + tol
         rightCols.foldLeft(carried) { (df, c) =>
-          df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c")))
-        }.withColumn("asof_time", when(fresh, col("asof_time")))
+          df.withColumn(s"asof_$c",
+            when(fresh(col(s"__asof_t_$c")), col(s"asof_$c")))
+        }.withColumn("asof_time",
+          when(fresh(col("asof_time")), col("asof_time")))
+          .drop(rightCols.map(c => s"__asof_t_$c"): _*)
     }
   }
 }
