@@ -119,6 +119,21 @@ class ScaleUpExperiment extends AnyFunSuite {
     println(f"[scaleup] clustersDist 1x=$t1u%.1fs 10x=$t10u%.1fs ratio=${t10u / t1u}%.1f")
     assert(t10u / math.max(t1u, 0.5) < 25, "distributed clustering scale-up ratio too high")
 
+    // round 5: DEEP chain components (diameter ~1024 — the shape the
+    // pointer-jump rounds exist for). Pure min-label propagation would
+    // need ~1024 rounds and trip the maxIters guard; with jumping the
+    // round count is ~4 + log2(diameter), INDEPENDENT of scale, so 10x
+    // edges must cost ~10x per round, not more rounds
+    def chains(n: Long) = {
+      val es = spark.range(n).filter(col("id") % 1024 =!= 1023L)
+        .select(col("id").as("id1"), (col("id") + 1L).as("id2"))
+      Dedup.duplicateClusters(es, driverEdgeThreshold = 0L).count()
+    }
+    val t1d = time(chains(100000L))
+    val t10d = time(chains(1000000L))
+    println(f"[scaleup] clustersDeep 1x=$t1d%.1fs 10x=$t10d%.1fs ratio=${t10d / t1d}%.1f")
+    assert(t10d / math.max(t1d, 0.5) < 25, "deep-chain clustering scale-up ratio too high")
+
     // intervalJoin: bin fan-out is len/binWidth+1 per interval; 10x rows
     // at fixed width must scale ~linearly (equi-join, never BNLJ)
     def ij(n: Long) = {

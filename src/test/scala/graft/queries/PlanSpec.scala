@@ -144,14 +144,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange \\(".r.findAllIn(p).length <= 1, p)
   }
 
-  test("q_doc_token_mixture: one keyed shuffle for the budget window, " +
-    "no join") {
-    // supply totals collect driver-side (bounded by |weights|); the
-    // selection itself must be a single hash-partitioned window over the
-    // stratum key — a join here would mean the budget table got shuffled
-    // back through the corpus
+  test("q_doc_token_mixture: bucket-partitioned budget window, offsets " +
+    "re-applied by broadcast only") {
+    // phase-1 totals collect driver-side (bounded by |weights| x
+    // 16^bucketChars); the selection is a window partitioned by
+    // (stratum, hash-prefix bucket) — NOT by stratum alone, which would
+    // cap parallelism at |weights| tasks — plus a broadcast join that
+    // re-applies the per-bucket offsets. Any shuffled join here would
+    // mean the offset table got exchanged through the corpus.
     val p = plan("q_doc_token_mixture")
-    assert(!p.contains("Join"), p)
     assert(p.contains("Window"), p)
+    assert(p.contains("__bkt"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 }

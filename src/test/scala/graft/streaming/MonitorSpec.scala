@@ -108,6 +108,54 @@ class MonitorSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("watermark bounds streaming-dedup state under a long drain; " +
+    "without it state grows with the distinct-key count") {
+    import spark.implicits._
+    // the 100 TB streaming risk is unbounded state, not wrong answers:
+    // pin the state-store row counts the two dedup modes actually hold
+    // after a multi-batch drain with advancing event time
+    val dir = tmpDir("graft-state-")
+    val schema = StructType(Seq(
+      StructField("doc", StringType), StructField("ts", TimestampType)))
+    def write(batch: Int): Unit =
+      (0 until 20).map(j => (f"d$batch%02d-$j", f"2024-01-01 $batch%02d:00:00"))
+        .toDF("doc", "ts_s").withColumn("ts", col("ts_s").cast("timestamp"))
+        .select("doc", "ts")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    write(0)
+    val bounded = Monitor.dedupStream(
+      spark.readStream.schema(schema).parquet(s"$dir/in"), Seq("doc"),
+      watermark = Some(("ts", "1 minute")))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("state_wm").start()
+    try {
+      // one micro-batch per hour of event time: the watermark advances
+      // batch by batch, evicting every key older than (max ts - 1 min)
+      (1 until 10).foreach { b => bounded.processAllAvailable(); write(b) }
+      bounded.processAllAvailable()
+      val stateRows = bounded.lastProgress.stateOperators(0).numRowsTotal
+      // eviction lags one batch (the watermark is computed from the
+      // PREVIOUS batch's max event time), so at most the last two
+      // batches' keys are resident — never the 200-key history
+      assert(stateRows >= 20 && stateRows <= 60,
+        s"watermarked dedup state holds $stateRows rows")
+      // every key still emitted exactly once (no in-window duplicates
+      // were fed, and eviction must not drop emissions)
+      assert(spark.sql("SELECT count(*) FROM state_wm").head().getLong(0)
+        == 200L)
+    } finally bounded.stop()
+    // exact (no-watermark) dedup pays state proportional to the
+    // distinct-key count — the documented tradeoff, pinned here
+    val unbounded = Monitor.dedupStream(
+      spark.readStream.schema(schema).parquet(s"$dir/in"), Seq("doc"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("state_nowm").start()
+    try {
+      unbounded.processAllAvailable()
+      assert(unbounded.lastProgress.stateOperators(0).numRowsTotal == 200L)
+    } finally unbounded.stop()
+  }
+
   test("SQL registration: custom expressions callable from spark.sql") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(
