@@ -79,7 +79,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val qs = allQueries
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs a subset in isolation —
+    // regression triage without paying the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val qs = only match {
+      case Some(sel) => allQueries.filter(sel.contains)
+      case None => allQueries
+    }
     // a query that throws must FAIL the bench, not time as a fast no-op:
     // the exception is recorded per query (and fails the process below) —
     // a regression that starts crashing would otherwise bench as an

@@ -280,28 +280,36 @@ object Similarity {
                   numCentroids: Int = 0, iters: Int = 3,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding",
-                  trainFraction: Double = 1.0,
+                  trainFraction: Double = 0.0,
                   targetCellSize: Long = 100000L,
-                  maxCellSize: Long = 0L): DataFrame = {
+                  maxCellSize: Long = 0L,
+                  targetTrain: Long = 100000L): DataFrame = {
     require(targetCellSize > 0, "targetCellSize must be positive")
+    require(trainFraction >= 0.0 && trainFraction <= 1.0,
+      "trainFraction in [0,1] (0 = derive from corpus size)")
     // sizing pass: count() is metadata-only on file-backed frames, but a
     // DERIVED corpus (filters, joins upstream) pays one full evaluation
-    // here — pass numCentroids explicitly or localCheckpoint upstream
-    // when the input plan is expensive
+    // here — pass numCentroids + trainFraction explicitly or
+    // localCheckpoint upstream when the input plan is expensive
+    lazy val n = corpus.count()
     val cells =
       if (numCentroids > 0) numCentroids
-      else deriveCells(corpus.count(), targetCellSize)
+      else deriveCells(n, targetCellSize)
     val cellCap =
       if (maxCellSize != 0L) maxCellSize else 16L * targetCellSize
-    // centroid TRAINING may run on a deterministic hash sample (each
-    // k-means iteration scans its input; at corpus scale train on ~1e4
-    // vectors, not 100 TB). Exactness is unaffected: the pruning bound
-    // uses cell radii computed over the FULL corpus below, and the
-    // triangle inequality is sound for ANY centroid set — sampling only
-    // modulates pruning strength.
+    // centroid TRAINING runs on a deterministic hash sample (each
+    // k-means iteration scans its input; at corpus scale train on ~1e5
+    // vectors, not 100 TB — trainFraction = 0, the default, derives the
+    // fraction keeping ~targetTrain vectors, like ivfTopK). Exactness
+    // is unaffected: the pruning bound uses cell radii computed over
+    // the FULL corpus below, and the triangle inequality is sound for
+    // ANY centroid set — sampling only modulates pruning strength.
+    val frac =
+      if (trainFraction > 0.0) trainFraction
+      else deriveTrainFraction(n, targetTrain)
     val trainSet =
-      if (trainFraction >= 1.0) corpus
-      else Sampling.hashSample(corpus, col(idCol), trainFraction)
+      if (frac >= 1.0) corpus
+      else Sampling.hashSample(corpus, col(idCol), frac)
     val centroids = kmeansCentroids(trainSet, cells, iters, idCol, vecCol)
     val norm = sqrt(VectorExprs.dot(col("v"), col("v")))
     val best = greatest(centroids.zipWithIndex.map { case (c, i) =>
@@ -418,7 +426,7 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     numCentroids: Int = 0, iters: Int = 3,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    trainFraction: Double = 1.0): DataFrame = {
+                    trainFraction: Double = 0.0): DataFrame = {
     val pairs = cosinePairs(corpus, threshold, numCentroids, iters,
       idCol, vecCol, trainFraction)
     Dedup.keepClusterCanonical(corpus, pairs, idCol)
