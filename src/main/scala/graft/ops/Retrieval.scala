@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sparse retrieval over a document corpus — BM25 scoring for
+  * training-data curation (find documents matching a probe query,
+  * rank seed sets for quality classifiers, spot-check mixture
+  * composition).
+  *
+  * The plan is built for a 100 TB corpus: per-document term
+  * frequencies for the (small, bounded) query-term set are computed
+  * map-side from the token array — no explode, no (doc, term)
+  * shuffle — so the only wide operations are one single-row global
+  * aggregate (N, Σdl, per-term document frequencies) that broadcasts
+  * back, and the final top-k, which Spark executes as
+  * TakeOrderedAndProject (per-partition heaps, no full sort).
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k retrieval for one query.
+    *
+    * Returns `(id, score)` for the `k` best-scoring documents,
+    * ordered by rounded score descending with id as tiebreak. Scores
+    * are floor-rounded at 1e-6 so the ranking is reproducible across
+    * engines regardless of libm ulp differences (the same policy as
+    * [[Text.tfIdfTopTerms]]). Documents matching no query term are
+    * excluded (exact integer test on Σtf, not on the rounded score).
+    *
+    * idf is the standard unclamped-positive form
+    * `ln(1 + (N - df + 0.5) / (df + 0.5))`.
+    *
+    * `queryTerms` is deliberately bounded: each term adds one
+    * array-scan per document row, and the per-doc tf columns ride in
+    * the single aggregate below. ~tens of terms is the intended use
+    * (a query, not a vocabulary — for corpus-wide term statistics use
+    * [[Text.vocabulary]] / [[Text.tfIdfTopTerms]]).
+    *
+    * avgdl derivation note: dl values are exact integers, so Σdl is
+    * exact in double arithmetic below 2^53 tokens regardless of
+    * partial-aggregation order — avgdl (= Σdl/N) is bit-identical
+    * across engines, which the rounding policy relies on.
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
+    require(queryTerms.size <= 64,
+      "bm25TopK is a query, not a vocabulary scan: <= 64 terms " +
+        "(each term costs one array scan per document)")
+    require(k > 0, "k must be positive")
+    val terms = queryTerms.toIndexedSeq
+
+    val base = docs.select(
+      col(idCol).as("id") +:
+        size(Text.tokens(col(textCol))).cast("double").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(Text.tokens(col(textCol)), x => x === lit(t)))
+            .cast("double").as(s"tf$i")
+        }: _*)
+
+    // one global single-row aggregate: N, Σdl, df per term
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("dl")).as("sumdl") +:
+        terms.indices.map(i =>
+          sum((col(s"tf$i") > 0d).cast("double")).as(s"df$i")): _*)
+
+    val avgdl = col("sumdl") / col("n")
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i")
+      val idf = log(lit(1d) +
+        (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      idf * tf * lit(k1 + 1d) /
+        (tf + lit(k1) * (lit(1d - b) + lit(b) * col("dl") / avgdl))
+    }.reduce(_ + _)
+    val matched = terms.indices.map(i => col(s"tf$i")).reduce(_ + _)
+
+    base.crossJoin(broadcast(stats))
+      .filter(matched > 0d)
+      .select(col("id"), (floor(score * 1e6) / 1e6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+}

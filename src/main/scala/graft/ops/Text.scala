@@ -306,6 +306,111 @@ object Text {
     org.apache.spark.sql.graftshim.shim.column(
       WinnowFingerprint(
         org.apache.spark.sql.graftshim.shim.expression(text), k, w))
+
+  /** Per-group term-distribution drift: KL divergence of each group's
+    * unigram distribution from the whole-corpus distribution,
+    * restricted to the global top-`topV` tokens and renormalized
+    * within that set (so both distributions are well-defined and the
+    * statistic is vocabulary-bounded). A mixture-monitoring signal:
+    * run it per source / per snapshot and alert when a slice drifts
+    * from the corpus it is supposed to represent.
+    *
+    * Scale shape: one (group, token) count shuffle over the corpus;
+    * everything after operates on vocabulary-sized tables — the
+    * top-V list and the per-group totals broadcast. Missing tokens in
+    * a group contribute 0 to the sum (lim p→0 of p·ln p), which the
+    * inner-join encoding below gives for free.
+    *
+    * `kl` is floor-rounded at 1e-6; p-ratios inside the log are exact
+    * integer-count ratios so the per-token terms are engine-stable,
+    * and the rounding absorbs summation-order ulp drift.
+    *
+    * Returns `(group, n_tokens, kl)` ordered by group, where
+    * `n_tokens` is the group's token count within the top-V set.
+    */
+  def termDrift(docs: org.apache.spark.sql.DataFrame, topV: Int,
+                textCol: String = "text",
+                groupCol: String = "source")
+      : org.apache.spark.sql.DataFrame = {
+    require(topV > 0, "topV must be positive")
+    val counts = docs
+      .select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val global = counts.groupBy(col("token"))
+      .agg(sum(col("c")).as("gc"))
+      .orderBy(col("gc").desc, col("token"))
+      .limit(topV)
+    val gtot = global.agg(sum(col("gc")).cast("double").as("gtot"))
+    val restricted = counts.join(broadcast(global), Seq("token"))
+    val stot = restricted.groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_tokens"))
+    restricted
+      .join(broadcast(stot), Seq("grp"))
+      .crossJoin(broadcast(gtot))
+      .select(col("grp"), col("n_tokens"),
+        ((col("c") / col("n_tokens")) *
+          log((col("c") / col("n_tokens")) /
+            (col("gc") / col("gtot")))).as("term"))
+      .groupBy(col("grp"), col("n_tokens"))
+      .agg((floor(sum(col("term")) * 1e6) / 1e6).as("kl"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("kl"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Top-k adjacent-bigram collocations by pointwise mutual
+    * information — tokenizer/vocabulary QA (multi-word units that a
+    * whitespace tokenizer splits, boilerplate phrase discovery).
+    *
+    * PMI = ln( (c12/B) / ((c1/T)·(c2/T)) ) with c12 the bigram count,
+    * c1/c2 unigram counts, B total bigrams, T total tokens. The
+    * `minCount` floor is applied to the bigram counts BEFORE the
+    * unigram joins, cutting the heavy-tailed bigram table down to the
+    * frequent head early; low-count bigrams are exactly the ones PMI
+    * over-scores anyway. All counts are exact integers; `pmi` is
+    * floor-rounded at 1e-6 and ties order by (w1, w2).
+    *
+    * Scale shape: one bigram-count shuffle and one unigram-count
+    * shuffle over the corpus, then two vocabulary-keyed joins on the
+    * minCount-pruned head (AQE broadcasts them when small) and a
+    * TakeOrderedAndProject top-k.
+    */
+  def collocations(docs: org.apache.spark.sql.DataFrame, k: Int,
+                   minCount: Long = 5L, textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    require(minCount >= 1L, "minCount must be >= 1")
+    val toks = docs.select(tokens(col(textCol)).as("toks"))
+    // sequence(1, 0) in Spark is DESCENDING [1, 0], so single-token
+    // documents need the explicit size >= 2 guard
+    val big = toks
+      .select(explode(expr(
+        "if(size(toks) < 2, array(), transform(sequence(1, size(toks) - 1), " +
+          "i -> named_struct('w1', toks[i-1], 'w2', toks[i])))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // T and B come from a map-side scalar scan, NOT from the count
+    // tables: uni totals would re-evaluate the explode, and big is
+    // already minCount-pruned (B must count ALL bigrams)
+    val totals = toks.agg(
+      sum(size(col("toks"))).cast("double").as("t"),
+      sum(greatest(size(col("toks")) - 1, lit(0))).cast("double").as("btot"))
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12").as("pair_count"),
+        (floor(log((col("c12") / col("btot")) /
+          ((col("c1") / col("t")) * (col("c2") / col("t")))) * 1e6) / 1e6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }
 
 /** One-pass winnowing fingerprint expression: canonicalize (lowercase,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Profile, Similarity, Text}
+import graft.ops.{Dedup, Multimodal, Profile, Retrieval, Similarity, Text}
 
 /** The training-data pipeline operators (dedup / similarity / multimodal /
   * text analysis) exposed as driver-verifiable queries over the documents
@@ -245,6 +245,25 @@ object TrainingData {
       Text.vocabulary(docs(s, dir))
         .orderBy(col("occurrences").desc, col("token"))
         .limit(30)
+    }),
+
+    // BM25 top-15 for a 4-term probe query: per-doc tf computed
+    // map-side from the token array (no (doc, term) shuffle), one
+    // single-row stats broadcast, TakeOrderedAndProject top-k
+    "q_doc_bm25" -> ((s, dir) => {
+      Retrieval.bm25TopK(docs(s, dir),
+        Seq("hash", "join", "spark", "window"), k = 15)
+    }),
+
+    // per-source KL drift from the corpus distribution over the
+    // global top-50 tokens — the mixture-monitoring statistic
+    "q_doc_drift" -> ((s, dir) => {
+      Text.termDrift(docs(s, dir), topV = 50)
+    }),
+
+    // top-20 adjacent-bigram collocations by PMI (min pair count 5)
+    "q_doc_colloc" -> ((s, dir) => {
+      Text.collocations(docs(s, dir), k = 20, minCount = 5L)
     }),
 
     // winnowing rolling-hash fingerprints, exploded to one (doc_id, hash)
@@ -954,6 +973,98 @@ object TrainingData {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
+
+    // BM25 with k1=1.2, b=0.75 for terms (hash, join, spark, window);
+    // term-sum order and rounding mirror the engine exactly
+    "q_doc_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT id, CAST(len(toks) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf2,
+        |    CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf3
+        |  FROM base
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) AS sumdl,
+        |    SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |    SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |    SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2,
+        |    SUM(CASE WHEN tf3 > 0 THEN 1.0 ELSE 0.0 END) AS df3
+        |  FROM d
+        |)
+        |SELECT id, floor((
+        |    ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+        |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |  + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |  + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |  + ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 * 2.2
+        |      / (tf3 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |  ) * 1e6) / 1e6 AS score
+        |FROM d CROSS JOIN stats
+        |WHERE tf0 + tf1 + tf2 + tf3 > 0
+        |ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    // per-source KL vs the corpus over the global top-50 tokens,
+    // renormalized within that set; missing tokens contribute 0 via
+    // the inner join
+    "q_doc_drift" ->
+      """WITH ex AS (
+        |  SELECT source AS grp, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents
+        |), counts AS (
+        |  SELECT grp, token, COUNT(*) AS c FROM ex GROUP BY grp, token
+        |), global AS (
+        |  SELECT token, CAST(SUM(c) AS BIGINT) AS gc FROM counts
+        |  GROUP BY token ORDER BY gc DESC, token LIMIT 50
+        |), gtot AS (SELECT CAST(SUM(gc) AS DOUBLE) AS gtot FROM global),
+        |restricted AS (
+        |  SELECT counts.grp, counts.c, global.gc
+        |  FROM counts JOIN global USING (token)
+        |), stot AS (
+        |  SELECT grp, CAST(SUM(c) AS BIGINT) AS n_tokens
+        |  FROM restricted GROUP BY grp
+        |)
+        |SELECT r.grp AS source, s.n_tokens,
+        |  floor(SUM((r.c / s.n_tokens)
+        |    * ln((r.c / s.n_tokens) / (r.gc / g.gtot))) * 1e6) / 1e6 AS kl
+        |FROM restricted r JOIN stot s USING (grp) CROSS JOIN gtot g
+        |GROUP BY r.grp, s.n_tokens
+        |ORDER BY source""".stripMargin,
+
+    // adjacent-bigram PMI: lockstep unnest of the two shifted slices
+    // reproduces the engine's transform-over-index bigrams
+    "q_doc_colloc" ->
+      """WITH base AS (
+        |  SELECT string_split_regex(text, '\s+') AS toks FROM documents
+        |), bg AS (
+        |  SELECT unnest(toks[1:len(toks)-1]) AS w1,
+        |         unnest(toks[2:len(toks)]) AS w2
+        |  FROM base WHERE len(toks) >= 2
+        |), big AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+        |  HAVING COUNT(*) >= 5
+        |), unic AS (
+        |  SELECT w, COUNT(*) AS c
+        |  FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w
+        |), totals AS (
+        |  SELECT CAST(SUM(len(toks)) AS DOUBLE) AS t,
+        |         CAST(SUM(greatest(len(toks) - 1, 0)) AS DOUBLE) AS btot
+        |  FROM base
+        |)
+        |SELECT b.w1, b.w2, b.c12 AS pair_count,
+        |  floor(ln((b.c12 / tt.btot) / ((u1.c / tt.t) * (u2.c / tt.t)))
+        |    * 1e6) / 1e6 AS pmi
+        |FROM big b
+        |JOIN unic u1 ON u1.w = b.w1
+        |JOIN unic u2 ON u2.w = b.w2
+        |CROSS JOIN totals tt
+        |ORDER BY pmi DESC, w1, w2
+        |LIMIT 20""".stripMargin,
 
     // First-batch-wins across batches, lowest id within a batch — the
     // incremental index's keep rule, replayed over the reconstructed

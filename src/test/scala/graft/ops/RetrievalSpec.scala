@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 retrieval, term-distribution drift, and PMI collocations on
+  * hand-computable fixtures. Expected values are recomputed with plain
+  * Scala arithmetic in the test (independent of the engine's Column
+  * expressions), the same way the DuckDB oracles recompute them in SQL.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  import graft.SparkSpec.spark
+  import spark.implicits._
+
+  test("bm25TopK matches an independently computed score and order") {
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana banana banana durian"),
+      (3L, "cherry durian cherry durian")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, Seq("apple", "banana"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    // independent recomputation (plain doubles, same formula)
+    val toks = Map(0L -> Seq("apple", "banana", "apple"),
+      1L -> Seq("apple", "cherry"),
+      2L -> Seq("banana", "banana", "banana", "durian"),
+      3L -> Seq("cherry", "durian", "cherry", "durian"))
+    val n = 4.0
+    val avgdl = toks.values.map(_.size).sum / n
+    val (k1, b) = (1.2, 0.75)
+    def score(id: Long): Double = Seq("apple", "banana").map { t =>
+      val tf = toks(id).count(_ == t).toDouble
+      val df = toks.values.count(_.contains(t)).toDouble
+      val idf = math.log(1d + (n - df + 0.5) / (df + 0.5))
+      idf * tf * (k1 + 1) /
+        (tf + k1 * (1 - b + b * toks(id).size / avgdl))
+    }.sum
+    val want = toks.keys.toSeq
+      .map(id => (id, math.floor(score(id) * 1e6) / 1e6))
+      .filter(_._2 > 0)
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got.toSeq == want) // doc 3 (no match) excluded
+    assert(!got.map(_._1).contains(3L))
+  }
+
+  test("bm25TopK rejects empty, duplicate, and oversized term sets") {
+    val docs = Seq((0L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Retrieval.bm25TopK(docs, Nil, 5))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(docs, Seq("a", "a"), 5))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(docs, (1 to 65).map("t" + _), 5))
+  }
+
+  test("termDrift: a group mirroring the corpus has kl 0, a skewed one > 0") {
+    // srcA and srcB are identical -> each matches the corpus exactly;
+    // srcC is all-"x" -> positive divergence
+    val docs = Seq(
+      ("srcA", "x y z"), ("srcB", "x y z"), ("srcC", "x x x")
+    ).toDF("source", "text")
+    val rows = Text.termDrift(docs, topV = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byGrp = rows.map(r => r._1 -> r).toMap
+    assert(rows.map(_._1).sorted.toSeq == Seq("srcA", "srcB", "srcC"))
+    assert(byGrp("srcA")._3 == byGrp("srcB")._3)
+    assert(byGrp("srcC")._3 > byGrp("srcA")._3)
+    assert(byGrp("srcC")._3 > 0d)
+    assert(byGrp("srcC")._2 == 3L) // restricted token count
+    // corpus: x=5 y=2 z=2 of 9; srcA p = (1/3,1/3,1/3)
+    val expectA = List(5d, 2d, 2d).map { gc =>
+      (1d / 3) * math.log((1d / 3) / (gc / 9d))
+    }.sum
+    assert(byGrp("srcA")._3 == math.floor(expectA * 1e6) / 1e6)
+  }
+
+  test("collocations: bound pair tops PMI; single-token docs add no bigrams") {
+    val docs = Seq(
+      (0L, "new york new york new york"),
+      (1L, "red blue green red blue green"),
+      (2L, "lonely") // must contribute zero bigrams (sequence guard)
+    ).toDF("doc_id", "text")
+    val got = Text.collocations(docs, k = 5, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // unigrams: new 3, york 3, red/blue/green 2, lonely 1; T=13, B=10.
+    // PMI(blue,green) = PMI(red,blue) = ln((2/10)/(2/13)^2) ~ 2.134 beats
+    // PMI(new,york) = ln((3/10)/(3/13)^2) ~ 1.729 — PMI favors rare
+    // pairs; ties break on w1, so blue-green comes first
+    assert(got.take(2).map(p => (p._1, p._2)).toSeq ==
+      Seq(("blue", "green"), ("red", "blue")))
+    val newYork = got.find(p => p._1 == "new" && p._2 == "york").get
+    assert(newYork._3 == 3L)
+    val wantNy =
+      math.floor(math.log((3d / 10) / ((3d / 13) * (3d / 13))) * 1e6) / 1e6
+    val nyPmi = Text.collocations(docs, k = 5, minCount = 2L)
+      .collect().find(r => r.getString(0) == "new").get.getDouble(3)
+    assert(nyPmi == wantNy)
+    assert(!got.exists(p => p._1 == "lonely" || p._2 == "lonely"))
+    // total bigram count check via a minCount=1 run: doc2 contributes 0
+    val all = Text.collocations(docs, k = 100, minCount = 1L)
+      .agg(org.apache.spark.sql.functions.sum("pair_count")).collect()(0).getLong(0)
+    assert(all == 5L + 5L) // (6-1) + (6-1) + 0
+  }
+}
