@@ -359,6 +359,68 @@ object Text {
       .orderBy(col(groupCol))
   }
 
+  /** Cross-group corpus overlap: exact n-gram-shingle Jaccard between
+    * every pair of groups (sources, snapshots, dumps) that share at
+    * least one shingle — the corpus-level "how much of B is already in
+    * A" signal that decides whether a new dump is worth ingesting.
+    *
+    * Returns `(src_a, src_b, n_a, n_b, n_shared, jaccard)` with
+    * `src_a < src_b`, ordered by jaccard (floor-rounded 1e-6)
+    * descending then the pair. n_a/n_b are distinct-shingle counts.
+    *
+    * Scale shape: one distinct-(group, shingle) shuffle, then a
+    * shingle-keyed self-join whose fan-out per shingle is s·(s-1)/2
+    * for s = number of groups containing it — bounded by the GROUP
+    * count, not the corpus. Ubiquitous shingles (every group has
+    * them) are exactly the ones that carry no discrimination;
+    * `maxGroupsPerShingle` drops shingles present in more than that
+    * many groups BEFORE the join (0 = exact, keep all). With the cap
+    * active, n_shared/jaccard are computed over the discriminative
+    * shingle subset — an explicitly approximate, skew-proof mode for
+    * corpora with thousands of groups.
+    */
+  def sourceNgramOverlap(docs: org.apache.spark.sql.DataFrame,
+                         n: Int = 3,
+                         maxGroupsPerShingle: Int = 0,
+                         textCol: String = "text",
+                         groupCol: String = "source")
+      : org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val sh0 = docs
+      .select(col(groupCol).as("grp"),
+        explode(Dedup.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val sh =
+      if (maxGroupsPerShingle <= 0) sh0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shingle"))
+        // count-over-window, not groupBy+join: one shuffle, and the
+        // per-shingle partition is bounded by the group count
+        sh0.withColumn("__g", count(lit(1)).over(w))
+          .filter(col("__g") <= maxGroupsPerShingle)
+          .drop("__g")
+      }
+    val counts = sh.groupBy(col("grp")).agg(count(lit(1)).as("n_sh"))
+    val shared = sh.select(col("grp").as("src_a"), col("shingle"))
+      .join(sh.select(col("grp").as("src_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(counts.select(col("grp").as("src_a"),
+        col("n_sh").as("n_a"))), Seq("src_a"))
+      .join(broadcast(counts.select(col("grp").as("src_b"),
+        col("n_sh").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (floor(col("n_shared") /
+          (col("n_a") + col("n_b") - col("n_shared")) * 1e6) / 1e6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
+  }
+
   /** Top-k adjacent-bigram collocations by pointwise mutual
     * information — tokenizer/vocabulary QA (multi-word units that a
     * whitespace tokenizer splits, boilerplate phrase discovery).

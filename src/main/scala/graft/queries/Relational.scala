@@ -347,6 +347,35 @@ object Relational {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // STREAMING mixture monitor: per-source doc/token counts as a
+    // complete-mode aggregation (state = one row per source), drained
+    // under AvailableNow; shares and target deviation are batch display
+    // logic over the drained sink, so the oracle is the plain per-source
+    // aggregate with the same weight literals
+    "q_stream_mixture" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docsStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val name = s"graft_stream_mixture_${streamQueryId.incrementAndGet()}"
+      val q = graft.streaming.Monitor.mixtureMonitor(docsStream).writeStream
+        .outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import s.implicits._
+      val weights = Seq(("src0", 0.06), ("src3", 0.05), ("src7", 0.04))
+        .toDF("source", "w")
+      val tot = s.table(name).agg(sum(col("n_tokens")).cast("double").as("t"))
+      s.table(name)
+        .crossJoin(broadcast(tot))
+        .join(broadcast(weights), Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (floor(col("n_tokens") / col("t") * 1e6) / 1e6).as("share"),
+          (floor((col("n_tokens") / col("t") - col("w")) * 1e6) / 1e6)
+            .as("deviation"))
+        .orderBy(col("source"))
+    }),
+
     // as-of join: each purchase joined to the user's latest preceding
     // click (composed union+window as-of, oracle = DuckDB ASOF JOIN)
     "q_events_asof" -> ((s, dir) => {
@@ -686,6 +715,24 @@ object Relational {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // Complete-mode drain == batch per-source counts; shares/deviation
+    // recomputed with the same weight literals and rounding
+    "q_stream_mixture" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source
+        |), tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM c),
+        |w(source, w) AS (
+        |  VALUES ('src0', 0.06), ('src3', 0.05), ('src7', 0.04)
+        |)
+        |SELECT c.source, c.n_docs, c.n_tokens,
+        |  floor(c.n_tokens / tt.t * 1e6) / 1e6 AS share,
+        |  floor((c.n_tokens / tt.t - w.w) * 1e6) / 1e6 AS deviation
+        |FROM c JOIN w USING (source) CROSS JOIN tot tt
+        |ORDER BY c.source""".stripMargin,
 
     // plain inequality join: the binned equi-join must reproduce it
     "q_events_attribution" ->

@@ -266,6 +266,12 @@ object TrainingData {
       Text.collocations(docs(s, dir), k = 20, minCount = 5L)
     }),
 
+    // top-30 source pairs by exact 3-gram-shingle Jaccard — the
+    // cross-dump overlap matrix
+    "q_doc_overlap" -> ((s, dir) => {
+      Text.sourceNgramOverlap(docs(s, dir), n = 3).limit(30)
+    }),
+
     // winnowing rolling-hash fingerprints, exploded to one (doc_id, hash)
     // row each so the driver can sort/hash the output. The polynomial
     // hash (B=1000000007 mod 2^64 over the canonicalized text) is plain
@@ -1035,6 +1041,35 @@ object TrainingData {
         |FROM restricted r JOIN stot s USING (grp) CROSS JOIN gtot g
         |GROUP BY r.grp, s.n_tokens
         |ORDER BY source""".stripMargin,
+
+    // cross-source shingle Jaccard; the engine's per-doc-distinct
+    // shingles are subsumed by the global (source, shingle) DISTINCT
+    "q_doc_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split_regex(text, '\s+') AS t FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT source, shingle FROM (
+        |    SELECT source, unnest(list_transform(
+        |      generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        |    FROM toks WHERE len(t) >= 3
+        |  )
+        |), counts AS (
+        |  SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source
+        |), shared AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY a.source, b.source
+        |)
+        |SELECT s.src_a, s.src_b, ca.n_sh AS n_a, cb.n_sh AS n_b,
+        |  s.n_shared,
+        |  floor(s.n_shared / (ca.n_sh + cb.n_sh - s.n_shared) * 1e6) / 1e6
+        |    AS jaccard
+        |FROM shared s
+        |JOIN counts ca ON ca.source = s.src_a
+        |JOIN counts cb ON cb.source = s.src_b
+        |ORDER BY jaccard DESC, src_a, src_b
+        |LIMIT 30""".stripMargin,
 
     // adjacent-bigram PMI: lockstep unnest of the two shifted slices
     // reproduces the engine's transform-over-index bigrams

@@ -60,6 +60,21 @@ object Monitor {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
 
+  /** Streaming mixture monitor for continuous ingestion: per-group
+    * document and token counts, maintained as a complete-mode streaming
+    * aggregation. State is one row per group — bounded by the mixture's
+    * group count, not the stream — so it runs forever on an unbounded
+    * ingest. Downstream (a batch select over the drained sink, or a
+    * foreachBatch) divides by the running total and compares against
+    * the target weights; the division is display logic, the stateful
+    * part is only the counting. */
+  def mixtureMonitor(docs: DataFrame, groupCol: String = "source",
+                     textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), "\\s+")).cast("long")).as("n_tokens"))
+
   /** Streaming exact dedup for continuous ingestion: drops rows whose
     * `keyCols` combination was already seen. State is the seen-key set,
     * hash-partitioned across executors by Spark's streaming dedup

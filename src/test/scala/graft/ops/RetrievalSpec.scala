@@ -74,6 +74,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(byGrp("srcA")._3 == math.floor(expectA * 1e6) / 1e6)
   }
 
+  test("sourceNgramOverlap: exact pair jaccard; cap drops shared shingles") {
+    val docs = Seq(
+      ("srcA", "a b c d"), // shingles {a b c, b c d}
+      ("srcB", "a b c x"), // shingles {a b c, b c x}
+      ("srcC", "p q r s") // disjoint
+    ).toDF("source", "text")
+    val got = Text.sourceNgramOverlap(docs, n = 3).collect()
+    assert(got.length == 1) // only pairs sharing >= 1 shingle appear
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) == ("srcA", "srcB"))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == (2L, 2L, 1L))
+    assert(r.getDouble(5) == math.floor(1d / 3 * 1e6) / 1e6)
+    // a shingle present in more than maxGroupsPerShingle groups is
+    // dropped before the join: the only shared shingle is in 2 groups
+    assert(Text.sourceNgramOverlap(docs, n = 3, maxGroupsPerShingle = 1)
+      .collect().isEmpty)
+  }
+
   test("collocations: bound pair tops PMI; single-token docs add no bigrams") {
     val docs = Seq(
       (0L, "new york new york new york"),

@@ -156,6 +156,34 @@ class MonitorSpec extends AnyFunSuite {
     } finally unbounded.stop()
   }
 
+  test("mixture monitor: state stays one row per source across batches") {
+    import spark.implicits._
+    val dir = tmpDir("graft-mixmon-")
+    def write(batch: Int): Unit =
+      (0 until 30).map(j => (s"src${j % 3}", s"tok$batch tok$j end"))
+        .toDF("source", "text")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    write(0)
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("text", StringType)))
+    val q = Monitor.mixtureMonitor(
+      spark.readStream.schema(schema).parquet(s"$dir/in"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("mixmon").start()
+    try {
+      (1 until 5).foreach { b => q.processAllAvailable(); write(b) }
+      q.processAllAvailable()
+      // 150 input rows, 3 sources: state is bounded by the group count,
+      // not the stream length
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 3L)
+      val rows = spark.sql(
+        "SELECT * FROM mixmon ORDER BY source").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("src0", "src1", "src2"))
+      assert(rows.forall(_.getLong(1) == 50L)) // 5 batches x 10 docs each
+      assert(rows.forall(_.getLong(2) == 150L)) // 3 tokens per doc
+    } finally q.stop()
+  }
+
   test("SQL registration: custom expressions callable from spark.sql") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(
