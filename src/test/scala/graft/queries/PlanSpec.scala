@@ -158,4 +158,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
+
+  test("q_doc_overlap: AQE reuses the distinct-shingle index at runtime") {
+    // static explain shows the (group, shingle) distinct duplicated into
+    // four branches (self-join sides + two count lookups); the EXECUTED
+    // adaptive plan must collapse them onto one exchange — otherwise the
+    // op tokenizes a 100 TB corpus four times
+    val df = SparkEntry.queries("q_doc_overlap")(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    val finalPlan = executed.split("== Initial Plan ==").head
+    assert("ReusedExchange".r.findAllIn(finalPlan).length >= 2, finalPlan)
+    assert("FileScan parquet".r.findAllIn(finalPlan).length == 1, finalPlan)
+  }
+
+  test("q_doc_bm25: stats branch reads only the text column; " +
+    "top-k is TakeOrderedAndProject, no wide shuffle") {
+    val p = plan("q_doc_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // per-term tf is computed map-side from the token array: no explode
+    // (Generate) and no per-doc exchange may appear — only the single-row
+    // stats aggregate's SinglePartition exchange
+    assert(!p.contains("Generate"), p)
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    assert(schemas.exists(_.contains("struct<text:string>")), schemas)
+  }
 }
