@@ -254,6 +254,88 @@ object Sampling {
       .drop("__pos", "__s", "__bkt", "__off", "__tok", "__cum")
   }
 
+  /** Quality-aware token-budget selection: per listed stratum, keep the
+    * HIGHEST-quality documents (best first) while the stratum's
+    * cumulative token count stays within its budget — the standard step
+    * after quality scoring ("web: best 500B tokens, books: best 80B"),
+    * where [[mixtureByTokens]] keeps a hash-random sample instead.
+    * Selection order is (quality desc, hash, key): ties in the score —
+    * common for coarse heuristics — break hash-randomly, not by corpus
+    * position, so a tie never over-represents one shard. The budget
+    * never splits a document; the first doc whose inclusive cumulative
+    * token count crosses the budget ends its stratum (strict prefix of
+    * the quality order — no back-filling with later smaller docs, which
+    * would break order-independence and oracle reproducibility).
+    *
+    * Scale shape — the [[bucketedOffsets]] two-phase rank with QUALITY
+    * buckets instead of hash-prefix buckets: bucket id coarsens the
+    * quality-desc order over `[qMin, qMax]` (out-of-range values clamp
+    * into the end buckets, still exactly ordered within them, so any
+    * real-valued score is handled); bucket order is therefore a prefix
+    * of the selection order and bucket-local cumsum + driver offsets
+    * (bounded by |budgets| * qBuckets rows) equals the single-window
+    * answer exactly, in |budgets| * qBuckets parallel tasks instead of
+    * |budgets|. Skew note: a constant-quality corpus degenerates to one
+    * bucket per stratum — at that point the score carries no
+    * information and hash-ordered [[mixtureByTokens]] is the right op.
+    * Null/NaN qualities, null keys, and non-positive token counts drop.
+    */
+  def selectByQualityBudget(df: DataFrame, stratum: Column, key: Column,
+                            tokens: Column, quality: Column,
+                            budgets: Map[String, Long],
+                            qBuckets: Int = 1024,
+                            qMin: Double = 0.0,
+                            qMax: Double = 1.0): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0L),
+      "per-stratum token budgets must be non-negative")
+    require(qBuckets >= 1, "qBuckets must be >= 1")
+    require(qMax > qMin, "qMax must exceed qMin")
+    val spark = df.sparkSession
+    val tok = tokens.cast("long")
+    val q = quality.cast("double")
+    val width = (qMax - qMin) / qBuckets
+    // bucket 0 = best quality; the clamp keeps out-of-range scores in
+    // (exactly ordered) end buckets
+    val qb = least(greatest(
+      floor((lit(qMax) - q) / lit(width)).cast("int"), lit(0)),
+      lit(qBuckets - 1))
+    val selectable = df
+      .filter(key.isNotNull)
+      .filter(tok.isNotNull && tok > 0L)
+      .filter(q.isNotNull && !isnan(q))
+      .filter(stratum.isin(budgets.keySet.toSeq: _*))
+      .withColumn("__tok", tok)
+      .withColumn("__q", q)
+      .withColumn("__s", stratum.cast("string"))
+      .withColumn("__qb", qb)
+      .withColumn("__pos", hashPosition(key))
+    // phase 1: per-(stratum, quality-bucket) token totals -> exclusive
+    // running offsets per stratum in bucket (= quality-desc) order
+    val totals = selectable
+      .groupBy(col("__s"), col("__qb")).agg(sum(col("__tok")).as("__m"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (s, b, m) =>
+        val o = acc; acc += m; (s, b, o)
+      }
+    }
+    import spark.implicits._
+    val offDF = broadcast(offsets.toDF("__s", "__qb", "__off"))
+    val cumW = Window.partitionBy(col("__s"), col("__qb"))
+      .orderBy(col("__q").desc, col("__pos"), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
+      when(col("__s") === s, lit(b)).otherwise(acc)
+    }
+    // __tok > 0 makes the inclusive cumsum strictly increasing along the
+    // selection order, so `cum <= budget` IS the strict prefix
+    selectable.join(offDF, Seq("__s", "__qb"))
+      .withColumn("__cum", sum(col("__tok")).over(cumW) + col("__off"))
+      .filter(col("__cum") <= budgetCol)
+      .drop("__pos", "__s", "__qb", "__off", "__tok", "__q", "__cum")
+  }
+
   /** Deterministic training-order shuffle position: a portable sort key
     * derived from `md5(epoch ":" key)`, so each epoch is an independent,
     * reproducible permutation of the corpus — no `rand()`, no state.

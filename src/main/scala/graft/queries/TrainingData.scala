@@ -272,6 +272,19 @@ object TrainingData {
       Text.sourceNgramOverlap(docs(s, dir), n = 3).limit(30)
     }),
 
+    // best-quality docs per source within per-source token budgets —
+    // the post-scoring selection step (quality desc, hash tiebreak,
+    // strict prefix, doc never split)
+    "q_doc_qualitysel" -> ((s, dir) => {
+      graft.ops.Sampling.selectByQualityBudget(docs(s, dir),
+        col("source"), col("doc_id"),
+        Text.tokenCount(col("text")),
+        Text.qualityScore(col("text")),
+        Map("src0" -> 400L, "src1" -> 300L, "src2" -> 200L))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // winnowing rolling-hash fingerprints, exploded to one (doc_id, hash)
     // row each so the driver can sort/hash the output. The polynomial
     // hash (B=1000000007 mod 2^64 over the canonicalized text) is plain
@@ -1041,6 +1054,33 @@ object TrainingData {
         |FROM restricted r JOIN stot s USING (grp) CROSS JOIN gtot g
         |GROUP BY r.grp, s.n_tokens
         |ORDER BY source""".stripMargin,
+
+    // quality-desc prefix selection under per-source token budgets;
+    // the quality double is bit-identical across engines (fixed op
+    // order over integer-derived values), so the DESC order and the
+    // cumulative-sum cutoff reproduce exactly
+    "q_doc_qualitysel" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS l
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        |), q AS (
+        |  SELECT doc_id, source, CAST(len(l) AS BIGINT) AS tok,
+        |    (least(CAST(len(l) AS DOUBLE) / 64.0, 1.0) * 0.5) +
+        |    ((CAST(len(list_distinct(l)) AS DOUBLE)
+        |      / CAST(len(l) AS DOUBLE)) * 0.5) AS quality
+        |  FROM t WHERE len(l) > 0
+        |), c AS (
+        |  SELECT doc_id, source,
+        |    SUM(tok) OVER (PARTITION BY source
+        |      ORDER BY quality DESC,
+        |               substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM q
+        |)
+        |SELECT doc_id, source FROM c
+        |WHERE cum <= CASE source WHEN 'src0' THEN 400
+        |                         WHEN 'src1' THEN 300 ELSE 200 END
+        |ORDER BY doc_id""".stripMargin,
 
     // cross-source shingle Jaccard; the engine's per-doc-distinct
     // shingles are subsumed by the global (source, shingle) DISTINCT

@@ -1036,6 +1036,58 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("selectByQualityBudget: quality-desc prefix equals the local " +
+    "reference; bucket count never changes the row set") {
+    val budgets = Map("src0" -> 400L, "src1" -> 300L, "src2" -> 200L)
+    def run(b: Int) = Sampling.selectByQualityBudget(docs,
+      col("source"), col("doc_id"), Text.tokenCount(col("text")),
+      Text.qualityScore(col("text")), budgets, qBuckets = b)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = run(1024)
+    // bucket-count invariance: 1 bucket = the single-window plan; the
+    // two-phase rank must select the IDENTICAL row set at any width
+    assert(run(1) == kept)
+    assert(run(7) == kept)
+    // local reference: quality desc, hash tiebreak, inclusive-cumsum
+    // prefix per stratum
+    val all = docs
+      .select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).cast("long").as("tok"),
+        Text.qualityScore(col("text")).as("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    def hashPos(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).map(b => f"${b & 0xff}%02x").mkString
+    val expected = budgets.keySet.flatMap { s =>
+      val rows = all.filter(_._2 == s)
+        .sortBy(r => (-r._4, hashPos(r._1), r._1))
+      val cums = rows.scanLeft(0L)(_ + _._3).tail
+      rows.zip(cums).takeWhile(_._2 <= budgets(s)).map(_._1._1)
+    }
+    assert(kept == expected)
+  }
+
+  test("selectByQualityBudget: NaN/null quality drops; out-of-range " +
+    "scores clamp but stay exactly ordered") {
+    import graft.SparkSpec.spark.implicits._
+    val d = Seq(
+      // (id, stratum, tokens, quality) — scores straddle [0, 1]
+      (1L, "a", 10L, 2.5), // above qMax: clamps into the best bucket
+      (2L, "a", 10L, 1.7), // also above qMax, worse than id 1
+      (3L, "a", 10L, 0.9),
+      (4L, "a", 10L, -0.3), // below qMin: clamps into the worst bucket
+      (5L, "a", 10L, Double.NaN), // drops
+      (6L, "a", 10L, 0.5)
+    ).toDF("id", "s", "tok", "q")
+    val kept = Sampling.selectByQualityBudget(d, col("s"), col("id"),
+      col("tok"), col("q"), Map("a" -> 30L), qBuckets = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // 30-token budget = 3 best-quality docs: 2.5, 1.7, 0.9 (NaN gone)
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
   test("normalizeForDedup folds case/punct/whitespace variants; distinct " +
     "texts stay apart") {
     import graft.SparkSpec.spark.implicits._
