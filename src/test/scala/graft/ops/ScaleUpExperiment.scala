@@ -171,4 +171,44 @@ class ScaleUpExperiment extends AnyFunSuite {
     // so true pair OUTPUT alone grows ~45x - ceiling sits between)
     assert(t10p / math.max(t1p, 0.5) < 60, "cosinePairs scale-up ratio too high")
   }
+
+  test("round-5 ops (sourceNgramOverlap, selectByQualityBudget) scale ~linearly") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow (~2 min): opt in with GRAFT_SCALEUP=1 sbt test")
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "source", "text").cache()
+    val big = (0 until 10).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(8).cache()
+    base.count(); big.count()
+
+    // overlap with the GROUP COUNT fixed (10x rows, same 20 sources):
+    // the distinct index grows sub-10x (replicas add no new shingles per
+    // source) and per-shingle join fan-out is group-bounded, so wall
+    // time must stay well under linear-in-rows
+    val t1o = time(Text.sourceNgramOverlap(base, 3).count())
+    val t10o = time(Text.sourceNgramOverlap(big, 3).count())
+    println(f"[scaleup] overlap 1x=$t1o%.1fs 10x=$t10o%.1fs ratio=${t10o / t1o}%.1f")
+    assert(t10o / math.max(t1o, 0.5) < 25, "overlap scale-up ratio too high")
+
+    // quality-budget selection: 10x corpus, 10x budgets — the two-phase
+    // quality-bucket rank must scale with the corpus, driver state stays
+    // |budgets| x qBuckets
+    def budgets(m: Long) = Map("src0" -> 4000L * m, "src1" -> 3000L * m,
+      "src2" -> 2000L * m)
+    val t1q = time(Sampling.selectByQualityBudget(base, col("source"),
+      col("doc_id"), Text.tokenCount(col("text")),
+      Text.qualityScore(col("text")), budgets(1L)).count())
+    val t10q = time(Sampling.selectByQualityBudget(big, col("source"),
+      col("doc_id"), Text.tokenCount(col("text")),
+      Text.qualityScore(col("text")), budgets(10L)).count())
+    println(f"[scaleup] qualitysel 1x=$t1q%.1fs 10x=$t10q%.1fs ratio=${t10q / t1q}%.1f")
+    assert(t10q / math.max(t1q, 0.5) < 25, "qualitysel scale-up ratio too high")
+    base.unpersist(); big.unpersist()
+  }
 }
