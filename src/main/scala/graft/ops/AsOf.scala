@@ -103,4 +103,51 @@ object AsOf {
           .drop(rightCols.map(c => s"__asof_t_$c"): _*)
     }
   }
+
+  /** Forward-fill (LOCF — last observation carried forward): replace
+    * nulls in `fillCols` with the most recent non-null value of the
+    * same column, within `key`, ordered by (`timeCol`, `orderCols`).
+    * The single-table sibling of [[asofJoin]]: one keyed window
+    * shuffle, `last(..., ignoreNulls)` per column, no self-join.
+    *
+    * `tolerance`: optional maximum staleness, same contract as
+    * [[asofJoin]] — each column's carried value is gated on ITS OWN
+    * origin-row time (tracked in the same window at zero extra
+    * shuffle), so a value older than `time - tolerance` stays null
+    * rather than leaking stale state forward; on an unbounded event
+    * stream this is the difference between bounded and unbounded
+    * effective memory. Rows whose own value is non-null always keep it.
+    *
+    * `orderCols` break timestamp ties deterministically (pass the event
+    * id); without a total order, "last" is not well-defined and results
+    * become partitioning-dependent.
+    */
+  def fillForward(df: DataFrame, key: String, timeCol: String,
+                  fillCols: Seq[String],
+                  orderCols: Seq[String] = Nil,
+                  tolerance: Option[Column] = None): DataFrame = {
+    require(fillCols.nonEmpty, "fillCols must be non-empty")
+    val w = Window.partitionBy(col(key))
+      .orderBy((col(timeCol) +: orderCols.map(col)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = fillCols.foldLeft(df) { (d, c) =>
+      d.withColumn(s"__fill_$c", last(col(c), ignoreNulls = true).over(w))
+        .withColumn(s"__fill_t_$c",
+          last(when(col(c).isNotNull, col(timeCol)), ignoreNulls = true)
+            .over(w))
+    }
+    val gated = tolerance match {
+      case None => filled
+      case Some(tol) =>
+        fillCols.foldLeft(filled) { (d, c) =>
+          d.withColumn(s"__fill_$c",
+            when(col(s"__fill_t_$c").isNotNull &&
+              col(timeCol) <= col(s"__fill_t_$c") + tol,
+              col(s"__fill_$c")))
+        }
+    }
+    fillCols.foldLeft(gated) { (d, c) =>
+      d.withColumn(c, col(s"__fill_$c"))
+    }.drop(fillCols.flatMap(c => Seq(s"__fill_$c", s"__fill_t_$c")): _*)
+  }
 }

@@ -51,4 +51,46 @@ object Profile {
       .select(col("col_name"), col("n"), col("n_nulls"),
         col("n_distinct"), col("min_s"), col("max_s"))
   }
+
+  /** Robust per-group outlier detection via the modified z-score:
+    * `|x - median| / (1.4826 * MAD) > z` with MAD = median of absolute
+    * deviations from the group median. Unlike mean/stddev gates, both
+    * statistics have a 50% breakdown point — the outliers themselves
+    * cannot drag the threshold (the classic failure of 3-sigma rules on
+    * heavy-tailed doc lengths).
+    *
+    * Returns the input rows (value cast to double as `<valueCol>_v`)
+    * with `med`, `mad`, and the 1e-6-floor-rounded `robust_z` attached,
+    * filtered to `robust_z > z`. Groups where MAD = 0 (over half the
+    * group shares one value) flag nothing — standard for the method;
+    * combine with an exact-duplicate gate for degenerate groups.
+    *
+    * Scale shape: two aggregate rounds over the group key — exact
+    * `median` (Spark's built-in exact percentile) then the deviation
+    * median — each a group-keyed shuffle whose result (one row per
+    * group) broadcasts back onto the corpus; the corpus itself never
+    * re-shuffles. Exact medians hold whole-group value multisets in
+    * executor memory during the aggregate — at extreme per-group
+    * cardinality swap in `approx_percentile` (the profiling `approx`
+    * discipline); for integer-ish metrics (lengths, counts) exact is
+    * right and the interpolated midpoint is dyadic, so cross-engine
+    * reproducibility is exact. */
+  def robustOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                     z: Double = 3.5): DataFrame = {
+    require(z > 0, "z must be positive")
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull && !isnan(v))
+      .withColumn(s"${valueCol}_v", v)
+    val med = base.groupBy(col(groupCol))
+      .agg(median(col(s"${valueCol}_v")).as("med"))
+    val withMed = base.join(broadcast(med), Seq(groupCol))
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(median(abs(col(s"${valueCol}_v") - col("med"))).as("mad"))
+    val score = abs(col(s"${valueCol}_v") - col("med")) /
+      (lit(1.4826) * col("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .filter(col("mad") > 0d)
+      .withColumn("robust_z", floor(score * 1e6) / 1e6)
+      .filter(col("robust_z") > z)
+  }
 }

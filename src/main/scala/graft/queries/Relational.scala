@@ -376,6 +376,20 @@ object Relational {
         .orderBy(col("source"))
     }),
 
+    // forward-fill (LOCF): nulls injected deterministically, then each
+    // user's value stream carries the last non-null cents forward — one
+    // keyed window shuffle, ties broken by event_id
+    "q_events_fillforward" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("user_id") < 20)
+        .withColumn("cents",
+          when(col("event_id") % 5 === 0, lit(null))
+            .otherwise(floor(col("value") * 100 + lit(0.5)).cast("long")))
+      graft.ops.AsOf.fillForward(ev, "user_id", "ts", Seq("cents"),
+        orderCols = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // as-of join: each purchase joined to the user's latest preceding
     // click (composed union+window as-of, oracle = DuckDB ASOF JOIN)
     "q_events_asof" -> ((s, dir) => {
@@ -715,6 +729,20 @@ object Relational {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // LOCF replayed with DuckDB's IGNORE NULLS window
+    "q_events_fillforward" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL
+        |         ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
+        |  FROM events WHERE user_id < 20
+        |)
+        |SELECT event_id, user_id,
+        |  last_value(cents IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents
+        |FROM ev ORDER BY event_id""".stripMargin,
 
     // Complete-mode drain == batch per-source counts; shares/deviation
     // recomputed with the same weight literals and rounding

@@ -272,6 +272,16 @@ object TrainingData {
       Text.sourceNgramOverlap(docs(s, dir), n = 3).limit(30)
     }),
 
+    // robust per-source length outliers: modified z-score over exact
+    // median/MAD — two group-keyed aggregate rounds broadcast back
+    "q_doc_outliers" -> ((s, dir) => {
+      graft.ops.Profile.robustOutliers(docs(s, dir), "n_chars", "source",
+        z = 2.0)
+        .select(col("doc_id"), col("source"), col("n_chars_v"),
+          col("med"), col("mad"), col("robust_z"))
+        .orderBy(col("doc_id"))
+    }),
+
     // best-quality docs per source within per-source token budgets —
     // the post-scoring selection step (quality desc, hash tiebreak,
     // strict prefix, doc never split)
@@ -1054,6 +1064,30 @@ object TrainingData {
         |FROM restricted r JOIN stot s USING (grp) CROSS JOIN gtot g
         |GROUP BY r.grp, s.n_tokens
         |ORDER BY source""".stripMargin,
+
+    // exact interpolated medians are dyadic on integer inputs, so
+    // med/mad/score reproduce bit-for-bit
+    "q_doc_outliers" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS n_chars_v
+        |  FROM documents
+        |), med AS (
+        |  SELECT source, median(n_chars_v) AS med FROM d GROUP BY source
+        |), j AS (
+        |  SELECT d.doc_id, d.source, d.n_chars_v, med.med
+        |  FROM d JOIN med USING (source)
+        |), mad AS (
+        |  SELECT source, median(abs(n_chars_v - med)) AS mad
+        |  FROM j GROUP BY source
+        |)
+        |SELECT j.doc_id, j.source, j.n_chars_v, j.med, mad.mad,
+        |  floor(abs(j.n_chars_v - j.med) / (1.4826 * mad.mad) * 1e6) / 1e6
+        |    AS robust_z
+        |FROM j JOIN mad USING (source)
+        |WHERE mad.mad > 0
+        |  AND floor(abs(j.n_chars_v - j.med) / (1.4826 * mad.mad) * 1e6)
+        |      / 1e6 > 2.0
+        |ORDER BY doc_id""".stripMargin,
 
     // quality-desc prefix selection under per-source token budgets;
     // the quality double is bit-identical across engines (fixed op

@@ -1036,6 +1036,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fillForward carries last non-null per key; tolerance bounds " +
+    "staleness per column") {
+    import graft.SparkSpec.spark.implicits._
+    val d = Seq(
+      // (id, key, t, v) — nulls at t=2,3,10; key b isolated
+      (1L, "a", 1L, Some(10L)),
+      (2L, "a", 2L, None),
+      (3L, "a", 3L, None),
+      (4L, "a", 10L, None),
+      (5L, "a", 11L, Some(20L)),
+      (6L, "b", 1L, None) // leading null: nothing to carry
+    ).toDF("id", "k", "t", "v")
+    val plain = AsOf.fillForward(d, "k", "t", Seq("v"),
+      orderCols = Seq("id"))
+      .orderBy("id").collect().map(r =>
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    assert(plain.toSeq == Seq(Some(10L), Some(10L), Some(10L), Some(10L),
+      Some(20L), None))
+    // tolerance 2: the t=10 row is 9 past its origin (t=1) -> stays null;
+    // t=2 and t=3 are within reach; non-null rows always keep their value
+    val tol = AsOf.fillForward(d, "k", "t", Seq("v"),
+      orderCols = Seq("id"), tolerance = Some(lit(2L)))
+      .orderBy("id").collect().map(r =>
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    assert(tol.toSeq == Seq(Some(10L), Some(10L), Some(10L), None,
+      Some(20L), None))
+  }
+
+  test("robustOutliers flags the planted point, never a MAD-0 group") {
+    import graft.SparkSpec.spark.implicits._
+    val g1 = (1 to 11).map(i => (i.toLong, "g1", 100L + (i % 5))) // tight
+    val planted = Seq((99L, "g1", 500L)) // far outlier
+    val g2 = (1 to 10).map(i => (200L + i, "g2", 42L)) // constant: MAD 0
+    val d = (g1 ++ planted ++ g2).toDF("id", "g", "x")
+    val out = Profile.robustOutliers(d, "x", "g", z = 3.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(99L))
+  }
+
   test("selectByQualityBudget: quality-desc prefix equals the local " +
     "reference; bucket count never changes the row set") {
     val budgets = Map("src0" -> 400L, "src1" -> 300L, "src2" -> 200L)
