@@ -518,6 +518,26 @@ object Relational {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // rolling time-RANGE window (not row-based): per user, stats over
+    // the strictly-preceding 10 minutes — the feature-engineering shape
+    // where lag() gives neighbors but rangeBetween gives a time horizon.
+    // Value-based frames make tie order irrelevant, so the result is
+    // engine-independent even with duplicate timestamps
+    "q_events_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-600000000L, -1L)
+      events(s, dir).filter(col("user_id") < 10)
+        .withColumn("tus", unix_micros(col("ts")))
+        .withColumn("cents",
+          floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .withColumn("n_prev", count(col("cents")).over(w))
+        .withColumn("cents_prev",
+          coalesce(sum(col("cents")).over(w), lit(0L)))
+        .select(col("event_id"), col("user_id"), col("n_prev"),
+          col("cents_prev"))
+        .orderBy(col("event_id"))
+    }),
+
     // A1/A3-style: per-group max + latest-partition filter
     "q_latest_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -873,6 +893,21 @@ object Relational {
         |FROM events WHERE user_id < 10
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // identical value-based RANGE frame over epoch micros
+    "q_events_rolling" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE user_id < 10
+        |)
+        |SELECT event_id, user_id,
+        |  CAST(COUNT(cents) OVER w AS BIGINT) AS n_prev,
+        |  CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT) AS cents_prev
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        |  RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
 
     "q_latest_orders" ->
       """SELECT o_orderstatus, COUNT(*) AS n
