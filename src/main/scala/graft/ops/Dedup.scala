@@ -655,6 +655,35 @@ object Dedup {
       .select(col("doc_id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Keep the BEST-scoring member of each near-dup cluster instead of
+    * the min-id one — what a production pipeline actually wants once
+    * quality scores exist (the survivors of dedup should be the good
+    * copies, not the lexicographically-first ones). Ties break on id,
+    * so the result is deterministic for any score column; the score is
+    * evaluated only for cluster MEMBERS (the pair-bounded minority),
+    * never the whole corpus.
+    *
+    * Scale shape: `duplicateClusters` bounds everything downstream by
+    * the pair cardinality — the member/score join, the per-cluster
+    * rank window, and the final anti-join all run on cluster members
+    * (broadcast-small against the corpus in any sane dedup).
+    */
+  def keepClusterBest(docs: DataFrame, pairs: DataFrame, score: Column,
+                      idCol: String = "doc_id"): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    val scored = docs.select(col(idCol), score.as("__score"))
+      .join(broadcast(clusters), Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("__score").desc, col(idCol))
+    val losers = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") =!= 1)
+      .select(col(idCol))
+    docs.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
 }
 
 /** Distinct word n-gram shingles of a string in one pass: whitespace

@@ -429,6 +429,18 @@ object TrainingData {
           maxShingleFreq = Some(500)))
         .orderBy(col("doc_id"))),
 
+    // quality-argmax survivor selection: each near-dup cluster keeps its
+    // BEST-scoring member (ties on id), not the min-id one
+    "q_dedup_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.keepClusterBest(d,
+        Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5,
+          maxShingleFreq = Some(500)),
+        Text.qualityScore(col("text")))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup candidates. The token hash (polynomial over UTF-8
     // bytes + fmix64 finalizer) is portable arithmetic, so the oracle
     // rebuilds the full 64-bit signatures in DuckDB and checks the pair
@@ -1282,6 +1294,38 @@ object TrainingData {
     "q_dedup_minhash" -> ngramJaccardOracleSql,
 
     "q_dedup_clusters" -> clusterOracleSql,
+
+    // same recursive closure; survivors are the per-cluster quality
+    // argmax instead of the min id
+    "q_dedup_best" -> (
+      s"WITH RECURSIVE ${ngramPairCtes()},\n" +
+        """edges AS (
+          |  SELECT id1 AS a, id2 AS b FROM qual
+          |  UNION
+          |  SELECT id2, id1 FROM qual
+          |), reach(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+          |), comp AS (
+          |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+          |  FROM reach GROUP BY a
+          |), score AS (
+          |  SELECT doc_id,
+          |    (least(CAST(len(l) AS DOUBLE) / 64.0, 1.0) * 0.5) +
+          |    ((CAST(len(list_distinct(l)) AS DOUBLE)
+          |      / CAST(len(l) AS DOUBLE)) * 0.5) AS quality
+          |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS l
+          |        FROM documents)
+          |), ranked AS (
+          |  SELECT c.doc_id,
+          |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+          |      ORDER BY s.quality DESC, c.doc_id) AS rn
+          |  FROM comp c JOIN score s USING (doc_id)
+          |)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+          |ORDER BY doc_id""".stripMargin),
 
     "q_doc_redact" ->
       """WITH dirty AS (

@@ -1036,6 +1036,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("keepClusterBest keeps the max-score member, not the min id") {
+    import graft.SparkSpec.spark.implicits._
+    val d = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5), // cluster {1,2,3}: best is 2
+      (7L, 0.4), (8L, 0.4), // cluster {7,8}: tie -> min id 7
+      (9L, 0.1) // unclustered: always kept
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id1", "id2")
+    val kept = Dedup.keepClusterBest(d, pairs, col("q"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 7L, 9L))
+    // canonical (min-id) keep differs on the first cluster
+    val canon = Dedup.keepClusterCanonical(d, pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(canon == Set(1L, 7L, 9L))
+  }
+
   test("fillForward carries last non-null per key; tolerance bounds " +
     "staleness per column") {
     import graft.SparkSpec.spark.implicits._
