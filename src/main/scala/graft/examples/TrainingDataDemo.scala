@@ -9,9 +9,11 @@ import graft.ops._
   * corpus — the pipeline a 100 TB pretraining run would execute, each
   * stage one of the engine's operators:
   *
+  *   corpus triage (overlap matrix, robust outliers, term drift) →
   *   quality/language/Gopher gate → PII scrub → exact dedup → near-dup
-  *   clustering (MinHash-LSH pairs → connected components → canonical
-  *   survivors) → benchmark decontamination → token-budget mixture →
+  *   clustering (MinHash-LSH pairs → connected components →
+  *   best-quality survivors) → benchmark decontamination →
+  *   token-budget mixture → per-source quality budget →
   *   leakage-safe split → sequence packing → epoch-shuffled shards
   *
   * Run: `sbt "runMain graft.examples.TrainingDataDemo [sfDir]"`.
@@ -27,6 +29,22 @@ object TrainingDataDemo {
 
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val n0 = docs.count()
+
+    // 0b. corpus triage BEFORE touching anything: cross-source overlap
+    //     (is a dump redundant?), robust length outliers (ingest bugs),
+    //     per-source distribution drift (mixture sanity)
+    val topOverlap = Text.sourceNgramOverlap(docs, n = 3).limit(1)
+      .collect().headOption
+      .map(r => f"${r.getString(0)}~${r.getString(1)} j=${r.getDouble(5)}%.3f")
+      .getOrElse("none")
+    val nOutliers = Profile.robustOutliers(docs, "n_chars", "source",
+      z = 2.5).count()
+    val maxDrift = Text.termDrift(docs, topV = 50)
+      .orderBy(col("kl").desc).limit(1).collect().headOption
+      .map(r => f"${r.getString(0)} kl=${r.getDouble(2)}%.4f")
+      .getOrElse("none")
+    println(s"triage: top overlap $topOverlap; " +
+      s"$nOutliers length outliers; max drift $maxDrift")
 
     // 1. quality + language gate (cheap per-row scalars, shuffle-free):
     //    composite score, language id, and the Gopher rule set — all
@@ -46,10 +64,12 @@ object TrainingDataDemo {
     val n2 = exact.count()
 
     // 4. near-dup removal: MinHash-LSH pairs -> connected components ->
-    //    one canonical survivor per cluster
+    //    each cluster keeps its BEST-quality member (the q column is
+    //    already there — survivors should be the good copies, not the
+    //    min-id ones)
     val pairs = Dedup.minhashLshPairs(exact, n = 3, numHashes = 64,
       bands = 16, threshold = 0.5)
-    val survivors = Dedup.keepClusterCanonical(exact, pairs)
+    val survivors = Dedup.keepClusterBest(exact, pairs, col("q"))
     val n3 = survivors.count()
 
     // 5. benchmark decontamination (docs sharing 8-gram spans with a
@@ -74,8 +94,16 @@ object TrainingDataDemo {
       Map("d0" -> 3L, "d1" -> 2L, "d2" -> 1L)).drop("domain")
     val n5 = mixed.count()
 
+    // 5c. within the mixture, keep each source's best-quality docs up
+    //     to a token cap — the final quality squeeze after rebalancing
+    val capped = Sampling.selectByQualityBudget(mixed, col("source"),
+      col("doc_id"), Text.tokenCount(col("text")), col("q"),
+      mixed.select("source").distinct().collect()
+        .map(r => r.getString(0) -> 800L).toMap)
+    val n5c = capped.count()
+
     // 6. leakage-safe split: every doc of a source lands in one part
-    val split = mixed.withColumn("part", Sampling.splitColumn(col("source"),
+    val split = capped.withColumn("part", Sampling.splitColumn(col("source"),
       Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)))
     val bySplit = split.groupBy("part").count().orderBy("part").collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
@@ -100,12 +128,13 @@ object TrainingDataDemo {
     println(s"near-dup clusters: $n3 kept")
     println(s"decontamination:   $n4 kept")
     println(s"token mixture:     $n5 kept (3:2:1 tokens over domains)")
+    println(s"quality budget:    $n5c kept (best-first, 800 tok/source)")
     println(s"splits:            $bySplit")
     println(s"packing:           $nBins bins of <= 2048 tokens")
     println(s"epoch shards:      $nShardFiles files at $shardDir")
-    require(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4 && n4 >= n5,
-      "funnel must be monotone")
-    require(n5 > 0, "pipeline should keep something")
+    require(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4 && n4 >= n5
+      && n5 >= n5c, "funnel must be monotone")
+    require(n5c > 0, "pipeline should keep something")
     spark.stop()
     println("training-data demo OK")
   }

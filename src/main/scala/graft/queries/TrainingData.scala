@@ -272,6 +272,25 @@ object TrainingData {
       Text.sourceNgramOverlap(docs(s, dir), n = 3).limit(30)
     }),
 
+    // per-source quality deciles — the calibration table a threshold
+    // choice reads ("what does quality >= 0.7 cost each source?").
+    // ntile over a TOTAL order (quality, doc_id) is engine-deterministic
+    "q_doc_deciles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("quality"), col("doc_id"))
+      docs(s, dir)
+        .filter(col("source").isin("src0", "src1", "src2", "src3"))
+        .withColumn("quality",
+          floor(Text.qualityScore(col("text")) * 1e6) / 1e6)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("source"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("quality")).as("q_min"),
+          max(col("quality")).as("q_max"))
+        .orderBy(col("source"), col("decile"))
+    }),
+
     // robust per-source length outliers: modified z-score over exact
     // median/MAD — two group-keyed aggregate rounds broadcast back
     "q_doc_outliers" -> ((s, dir) => {
@@ -1076,6 +1095,27 @@ object TrainingData {
         |FROM restricted r JOIN stot s USING (grp) CROSS JOIN gtot g
         |GROUP BY r.grp, s.n_tokens
         |ORDER BY source""".stripMargin,
+
+    // identical ntile over the same total order
+    "q_doc_deciles" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    floor(((least(CAST(len(l) AS DOUBLE) / 64.0, 1.0) * 0.5) +
+        |      ((CAST(len(list_distinct(l)) AS DOUBLE)
+        |        / CAST(len(l) AS DOUBLE)) * 0.5)) * 1e6) / 1e6 AS quality
+        |  FROM (SELECT doc_id, source, string_split_regex(text, '\s+') AS l
+        |        FROM documents
+        |        WHERE source IN ('src0', 'src1', 'src2', 'src3'))
+        |), d AS (
+        |  SELECT source, quality,
+        |    ntile(10) OVER (PARTITION BY source
+        |                    ORDER BY quality, doc_id) AS decile
+        |  FROM q
+        |)
+        |SELECT source, CAST(decile AS INT) AS decile, COUNT(*) AS n,
+        |  MIN(quality) AS q_min, MAX(quality) AS q_max
+        |FROM d GROUP BY source, decile
+        |ORDER BY source, decile""".stripMargin,
 
     // exact interpolated medians are dyadic on integer inputs, so
     // med/mad/score reproduce bit-for-bit
