@@ -92,4 +92,102 @@ object Multimodal {
         }
     }
   }
+
+  /** 64-bit perceptual hash of a binary payload — the stub twin of
+    * image aHash/PDQ dedup hashing: bit k is set iff the payload's
+    * byte-BIGRAM histogram bucket k exceeds its uniform share
+    * (`hist[(b_i*31 + b_{i+1}) % 64] * 64 > len-1`, cross-multiplied
+    * integers — no division). Content-order statistics make it
+    * discriminative where a plain byte histogram collapses (all docs
+    * share a vocabulary), yet a small local edit perturbs only a few
+    * buckets, so near-identical payloads land within small Hamming
+    * distance — the locality property perceptual dedup needs, which a
+    * position-blocked hash loses the moment lengths shift. Portable
+    * integer arithmetic: the DuckDB oracle rebuilds it bit-for-bit. */
+  def perceptualHash(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.shim.column(PerceptualHash64(
+      org.apache.spark.sql.graftshim.shim.expression(payload)))
+
+  /** Near-duplicate asset pairs by perceptual hash: 4x16-bit banding
+    * (complete up to Hamming 3 by pigeonhole — same contract as
+    * [[Dedup.simhashPairs]]) + exact `bit_count(xor)` verification.
+    * The shuffle carries (band-key, hash) per asset — never payloads. */
+  def phashPairs(assets: DataFrame, maxHamming: Int = 3,
+                 idCol: String = "asset_id",
+                 payloadCol: String = "payload"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for 4-chunk banding, got $maxHamming")
+    val fp = assets.select(col(idCol).as("id"),
+      perceptualHash(col(payloadCol)).as("f"))
+    val chunks = fp.select(col("id"), col("f"), explode(array(
+      (0 until 4).map(i => struct(lit(i).as("c"),
+        shiftrightunsigned(col("f"), i * 16).bitwiseAND(lit(0xFFFFL))
+          .as("v"))): _*)).as("ch"))
+      .select(col("id"), col("f"), col("ch.c"), col("ch.v"))
+    val l = chunks.select(col("c"), col("v"), col("id").as("id1"),
+      col("f").as("f1"))
+    val r = chunks.select(col("c"), col("v"), col("id").as("id2"),
+      col("f").as("f2"))
+    l.join(r, Seq("c", "v"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count(col("f1").bitwiseXOR(col("f2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+}
+
+/** One-pass byte-bigram histogram hash (see
+  * [[Multimodal.perceptualHash]]); codegen'd like the engine's other
+  * hash expressions. Empty and 1-byte payloads hash to 0. */
+case class PerceptualHash64(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "perceptual_hash64"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"perceptual_hash64 requires binary, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  def compute(payload: Array[Byte]): Long = {
+    val n = payload.length - 1
+    if (n <= 0) return 0L
+    val hist = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      hist(((payload(i) & 0xff) * 31 + (payload(i + 1) & 0xff)) % 64) += 1
+      i += 1
+    }
+    var h = 0L
+    var k = 0
+    while (k < 64) {
+      if (hist(k) * 64L > n) h |= (1L << k)
+      k += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("phash", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
 }

@@ -566,6 +566,15 @@ object TrainingData {
         .orderBy(col("asset_id"))
     }),
 
+    // perceptual-hash near-dup pairs over binary payloads: byte-bigram
+    // histogram hash + 4x16 banding + exact Hamming verify — the
+    // multimodal twin of SimHash text dedup
+    "q_multimodal_phash" -> ((s, dir) => {
+      Multimodal.phashPairs(Multimodal.toAssets(docs(s, dir)),
+        maxHamming = 2)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // batched stub decode + feature extraction; the histogram array is
     // exploded to (bucket, bucket_count) rows so the driver can sort and
     // hash the output. The stub checksum ((acc*31+byte) mod 2^63) and
@@ -1791,6 +1800,60 @@ object TrainingData {
       """SELECT doc_id AS asset_id, 'image' AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
         |FROM documents WHERE doc_id < 50 ORDER BY asset_id""".stripMargin,
+
+    // byte-bigram histogram hash rebuilt bit-for-bit in HUGEINT, signed
+    // 64-bit wrap, then brute-force Hamming pairs (the banding is a
+    // complete candidate generator up to Hamming 3, so candidates ==
+    // the exact answer)
+    "q_multimodal_phash" ->
+      """WITH RECURSIVE pow2(b, p) AS (
+        |  SELECT 0, CAST(1 AS HUGEINT)
+        |  UNION ALL SELECT b + 1, p * 2 FROM pow2 WHERE b < 63
+        |), a AS (
+        |  SELECT doc_id AS asset_id, encode(text) AS payload FROM documents
+        |), bt AS (
+        |  SELECT asset_id, octet_length(payload) AS blen, hex(payload) AS hx
+        |  FROM a
+        |), bytes AS (
+        |  SELECT asset_id, blen,
+        |    list_transform(range(1, blen + 1),
+        |      i -> CAST(strpos('0123456789ABCDEF',
+        |                       substr(hx, CAST(2*i-1 AS INT), 1)) - 1
+        |             AS HUGEINT) * 16
+        |           + (strpos('0123456789ABCDEF',
+        |                     substr(hx, CAST(2*i AS INT), 1)) - 1)) AS bl
+        |  FROM bt
+        |), bg AS (
+        |  SELECT asset_id, blen - 1 AS n,
+        |    list_transform(range(1, blen),
+        |      i -> (bl[CAST(i AS INT)] * 31 + bl[CAST(i AS INT) + 1]) % 64)
+        |      AS bk
+        |  FROM bytes WHERE blen >= 2
+        |), hist AS (
+        |  SELECT asset_id, n, k, COUNT(*) AS c
+        |  FROM (SELECT asset_id, n, unnest(bk) AS k FROM bg)
+        |  GROUP BY asset_id, n, k
+        |), sigs AS (
+        |  SELECT h.asset_id,
+        |    SUM(CASE WHEN h.c * 64 > h.n THEN p.p
+        |             ELSE CAST(0 AS HUGEINT) END) AS sig_u
+        |  FROM hist h JOIN pow2 p ON p.b = h.k
+        |  GROUP BY h.asset_id
+        |), fp AS (
+        |  SELECT asset_id AS id,
+        |    CAST(CASE WHEN sig_u >= CAST('9223372036854775808' AS HUGEINT)
+        |         THEN sig_u - CAST('18446744073709551616' AS HUGEINT)
+        |         ELSE sig_u END AS BIGINT) AS f
+        |  FROM sigs
+        |  UNION ALL
+        |  -- engine hashes degenerate (< 2 byte) payloads to 0
+        |  SELECT asset_id, CAST(0 AS BIGINT) FROM bt WHERE blen < 2
+        |)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.id < b.id
+        |WHERE bit_count(xor(a.f, b.f)) <= 2
+        |ORDER BY id1, id2""".stripMargin,
 
     // Mirrors Multimodal.decodeStub exactly: UTF-8 payload bytes
     // recovered via hex(), checksum (acc*31+b) mod 2^63 in HUGEINT,

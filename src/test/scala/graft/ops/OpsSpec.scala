@@ -1036,6 +1036,39 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("perceptual hash: locality under small edits, pairs == brute force") {
+    import graft.SparkSpec.spark.implicits._
+    val baseText = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val assets = Seq(
+      (1L, baseText),
+      (2L, baseText.replace("tok30", "tok99")), // one-word edit
+      (3L, (1 to 60).map(i => s"zz$i").mkString(" ")) // unrelated
+    ).toDF("asset_id", "t")
+      .select(col("asset_id"),
+        org.apache.spark.sql.functions.encode(col("t"), "UTF-8")
+          .as("payload"))
+    val hs = assets
+      .select(col("asset_id"), Multimodal.perceptualHash(col("payload")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) <= 3, "one-word edit must stay Hamming-near")
+    assert(ham(hs(1L), hs(3L)) > 3, "unrelated payloads must be far")
+    // the banded pair miner reproduces the brute-force answer
+    val pairs = Multimodal.phashPairs(assets, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs
+      if a < b && ham(ha, hb) <= 3
+    } yield (a, b, ham(ha, hb))).toSet
+    assert(pairs == brute)
+    // degenerate payloads hash to 0, not an error
+    val tiny = Seq((9L, Array[Byte]()), (10L, Array[Byte](65)))
+      .toDF("asset_id", "payload")
+    val th = tiny.select(Multimodal.perceptualHash(col("payload")))
+      .collect().map(_.getLong(0))
+    assert(th.toSeq == Seq(0L, 0L))
+  }
+
   test("keepClusterBest keeps the max-score member, not the min id") {
     import graft.SparkSpec.spark.implicits._
     val d = Seq(
