@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered event-sequence (funnel) matching: which users performed
+  * step 1, then step 2 strictly later, then step 3 strictly later
+  * still — the conversion-analysis primitive behind "view → click →
+  * purchase within a day".
+  *
+  * Semantics: GREEDY-EARLIEST — t1 is the user's first step-1 event,
+  * t_i the first step-i event strictly after t_{i-1}. If any strictly
+  * increasing chain exists, the greedy one exists (classic exchange
+  * argument), so chain FEASIBILITY is exact; the optional `within`
+  * bound is then applied to that greedy chain (`t_k - t_1 <= within`),
+  * which is the standard "window from the FIRST occurrence of step 1"
+  * funnel definition — a user whose only fast-enough chain starts at a
+  * later step-1 occurrence does not count. Events with equal
+  * timestamps do not chain (strictly-later), so the result is
+  * tie-order independent.
+  *
+  * Scale shape: one `min` aggregate per step, each keyed on the user
+  * column — k small aggregate tables (one row per user who reached the
+  * step) joined back user-keyed. The event table is scanned once per
+  * step with the step-type filter pushed to the scan; nothing ever
+  * shuffles the full event stream, and no per-user event list is
+  * collected anywhere.
+  */
+object Funnel {
+
+  /** Per-user completion times for the full funnel: one row per user
+    * who completed ALL steps, with columns `t1..tk` (the greedy chain)
+    * — join back to the per-step aggregates for stage-by-stage
+    * drop-off counts. `within` bounds `tk - t1` when set; pass
+    * whatever compares against a time difference (`lit(micros)` for
+    * numeric times, an interval for timestamps compared as
+    * `tk <= t1 + within`).
+    */
+  def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String],
+                  within: Option[Column] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("t1"))
+    val chained = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (prev, (step, i)) =>
+        val tPrev = s"t$i"
+        val tCur = s"t${i + 1}"
+        events.filter(col(typeCol) === step)
+          .select(col(userCol), col(tsCol).as("__ts"))
+          .join(prev, Seq(userCol))
+          .filter(col("__ts") > col(tPrev))
+          .groupBy(col(userCol) +: (1 to i).map(j => col(s"t$j")): _*)
+          .agg(min(col("__ts")).as(tCur))
+    }
+    within match {
+      case None => chained
+      case Some(w) =>
+        chained.filter(col(s"t${steps.size}") <= col("t1") + w)
+    }
+  }
+}

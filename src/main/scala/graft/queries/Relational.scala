@@ -518,6 +518,18 @@ object Relational {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ordered funnel: view -> click -> purchase within a day, greedy-
+    // earliest chain per user; one min-aggregate per step, user-keyed
+    "q_events_funnel" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+      graft.ops.Funnel.funnelTimes(ev, "user_id", "tus", "event_type",
+        Seq("view", "click", "purchase"),
+        within = Some(lit(86400000000L)))
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+        .orderBy(col("user_id"))
+    }),
+
     // rolling time-RANGE window (not row-based): per user, stats over
     // the strictly-preceding 10 minutes — the feature-engineering shape
     // where lag() gives neighbors but rangeBetween gives a time horizon.
@@ -893,6 +905,29 @@ object Relational {
         |FROM events WHERE user_id < 10
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // same greedy-earliest chain, step by step
+    "q_events_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_type
+        |  FROM events
+        |), s1 AS (
+        |  SELECT user_id, MIN(tus) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, s1.t1, MIN(e.tus) AS t2
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.tus > s1.t1
+        |  GROUP BY e.user_id, s1.t1
+        |), s3 AS (
+        |  SELECT e.user_id, s2.t1, s2.t2, MIN(e.tus) AS t3
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tus > s2.t2
+        |  GROUP BY e.user_id, s2.t1, s2.t2
+        |)
+        |SELECT user_id, t1, t2, t3 FROM s3
+        |WHERE t3 <= t1 + 86400000000
+        |ORDER BY user_id""".stripMargin,
 
     // identical value-based RANGE frame over epoch micros
     "q_events_rolling" ->

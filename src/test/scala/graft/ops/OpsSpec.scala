@@ -1036,6 +1036,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelTimes: greedy chain, strict ordering, within bound") {
+    import graft.SparkSpec.spark.implicits._
+    val ev = Seq(
+      // user 1: clean A(10) -> B(20) -> C(30)
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "C"),
+      // user 2: B before A only -> no chain
+      (2L, 10L, "B"), (2L, 20L, "A"), (2L, 30L, "C"),
+      // user 3: equal timestamps never chain
+      (3L, 10L, "A"), (3L, 10L, "B"), (3L, 20L, "C"),
+      // user 4: completes but too slowly for within=15
+      (4L, 10L, "A"), (4L, 20L, "B"), (4L, 100L, "C"),
+      // user 5: greedy takes FIRST A (5), then B(20), C(30)
+      (5L, 5L, "A"), (5L, 18L, "A"), (5L, 20L, "B"), (5L, 30L, "C")
+    ).toDF("u", "t", "typ")
+    val all = Funnel.funnelTimes(ev, "u", "t", "typ", Seq("A", "B", "C"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(all.keySet == Set(1L, 4L, 5L))
+    assert(all(1L) == ((10L, 20L, 30L)))
+    assert(all(5L) == ((5L, 20L, 30L))) // greedy-earliest t1
+    val bounded = Funnel.funnelTimes(ev, "u", "t", "typ",
+      Seq("A", "B", "C"), within = Some(lit(25L)))
+      .collect().map(_.getLong(0)).toSet
+    assert(bounded == Set(1L, 5L)) // 4 too slow; 5's span 30-5 == 25 passes
+  }
+
   test("perceptual hash: locality under small edits, pairs == brute force") {
     import graft.SparkSpec.spark.implicits._
     val baseText = (1 to 60).map(i => s"tok$i").mkString(" ")
