@@ -74,6 +74,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(byGrp("srcA")._3 == math.floor(expectA * 1e6) / 1e6)
   }
 
+  test("edge cases: absent query terms, single source, tiny corpora") {
+    // a query term in ZERO docs contributes nothing (tf=0 everywhere)
+    // but must not error (df=0 -> idf = ln(1 + (N+0.5)/0.5))
+    val docs = Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(docs, Seq("a", "zzz_absent"), k = 5)
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L)) // only doc 0 matches "a"
+    // one source: its distribution IS the corpus -> kl exactly 0
+    val single = Seq(("only", "x y z x")).toDF("source", "text")
+    val drift = Text.termDrift(single, topV = 10).collect()
+    assert(drift.length == 1 && drift.head.getDouble(2) == 0d)
+    // collocations on an all-single-token corpus: no bigrams, no error
+    val singles = Seq((0L, "one"), (1L, "two")).toDF("doc_id", "text")
+    assert(Text.collocations(singles, k = 5, minCount = 1L)
+      .collect().isEmpty)
+    // a source whose docs are all shorter than n has no shingles and
+    // cannot appear in the overlap matrix
+    val short = Seq(("sA", "a b c d"), ("sB", "a b c"), ("sC", "x y"))
+      .toDF("source", "text")
+    val pairs = Text.sourceNgramOverlap(short, n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSeq == Seq(("sA", "sB")))
+  }
+
   test("sourceNgramOverlap: exact pair jaccard; cap drops shared shingles") {
     val docs = Seq(
       ("srcA", "a b c d"), // shingles {a b c, b c d}
