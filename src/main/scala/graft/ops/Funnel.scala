@@ -61,4 +61,46 @@ object Funnel {
         chained.filter(col(s"t${steps.size}") <= col("t1") + w)
     }
   }
+
+  /** Cohort retention: bucket users by the time of their first
+    * `anchorType` event (cohort = `floor(t / bucket)`), then count how
+    * many of each cohort are active again k buckets later —
+    * `(cohort, bucket_offset, n_active, n_cohort, rate)`. The classic
+    * retention triangle behind "of the users who signed up in week W,
+    * how many came back in week W+k".
+    *
+    * Buckets are plain integer floor-division of the numeric time
+    * column (pass epoch micros and `bucketUnits = 7 days of micros`
+    * for weekly cohorts) — no calendar functions, so the bucketing is
+    * engine-exact and timezone-free. `rate` is 1e-6-floor-rounded.
+    *
+    * Scale shape: one filtered min-aggregate for cohorts (user-keyed),
+    * one distinct over (user, bucket) — the activity table, bounded by
+    * users x buckets, not events — then a user-keyed join and a
+    * (cohort, offset)-keyed count. The event stream itself never
+    * shuffles; everything after the distinct is user-cardinality.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, anchorType: String,
+                      bucketUnits: Long): DataFrame = {
+    require(bucketUnits > 0, "bucketUnits must be positive")
+    val bucket = (c: Column) => floor(c / lit(bucketUnits)).cast("long")
+    val cohorts = events.filter(col(typeCol) === anchorType)
+      .groupBy(col(userCol))
+      .agg(bucket(min(col(tsCol))).as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val activity = events
+      .select(col(userCol), bucket(col(tsCol)).as("bkt"))
+      .distinct()
+    activity.join(cohorts, Seq(userCol))
+      .filter(col("bkt") >= col("cohort"))
+      .groupBy(col("cohort"), (col("bkt") - col("cohort")).as("bucket_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("bucket_offset"), col("n_active"),
+        col("n_cohort"),
+        (floor(col("n_active") / col("n_cohort") * 1e6) / 1e6).as("rate"))
+      .orderBy(col("cohort"), col("bucket_offset"))
+  }
 }

@@ -518,6 +518,15 @@ object Relational {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // weekly cohort retention anchored on signup — integer bucket
+    // arithmetic, no calendar functions, engine-exact
+    "q_events_cohort" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+      graft.ops.Funnel.cohortRetention(ev, "user_id", "tus",
+        "event_type", "signup", bucketUnits = 604800000000L)
+    }),
+
     // ordered funnel: view -> click -> purchase within a day, greedy-
     // earliest chain per user; one min-aggregate per step, user-keyed
     "q_events_funnel" -> ((s, dir) => {
@@ -905,6 +914,33 @@ object Relational {
         |FROM events WHERE user_id < 10
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    // same integer week buckets and rounding
+    "q_events_cohort" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_type
+        |  FROM events
+        |), cohorts AS (
+        |  SELECT user_id,
+        |    CAST(floor(MIN(tus) / 604800000000) AS BIGINT) AS cohort
+        |  FROM ev WHERE event_type = 'signup' GROUP BY user_id
+        |), sizes AS (
+        |  SELECT cohort, COUNT(*) AS n_cohort FROM cohorts GROUP BY cohort
+        |), activity AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(tus / 604800000000) AS BIGINT) AS bkt
+        |  FROM ev
+        |), r AS (
+        |  SELECT c.cohort, a.bkt - c.cohort AS bucket_offset,
+        |    COUNT(*) AS n_active
+        |  FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+        |  WHERE a.bkt >= c.cohort
+        |  GROUP BY c.cohort, a.bkt - c.cohort
+        |)
+        |SELECT r.cohort, r.bucket_offset, r.n_active, s.n_cohort,
+        |  floor(r.n_active / s.n_cohort * 1e6) / 1e6 AS rate
+        |FROM r JOIN sizes s ON r.cohort = s.cohort
+        |ORDER BY r.cohort, r.bucket_offset""".stripMargin,
 
     // same greedy-earliest chain, step by step
     "q_events_funnel" ->

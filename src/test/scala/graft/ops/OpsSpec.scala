@@ -1036,6 +1036,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cohortRetention: integer buckets, anchored counts, exact rates") {
+    import graft.SparkSpec.spark.implicits._
+    // bucket size 10: users 1,2 anchor in bucket 0; user 3 in bucket 1;
+    // user 4 never anchors (no signup) and must not appear anywhere
+    val ev = Seq(
+      (1L, 1L, "signup"), (1L, 12L, "click"), (1L, 25L, "click"),
+      (2L, 5L, "signup"), (2L, 7L, "view"),
+      (3L, 11L, "signup"), (3L, 21L, "view"),
+      (4L, 2L, "click"), (4L, 15L, "click")
+    ).toDF("u", "t", "typ")
+    val r = Funnel.cohortRetention(ev, "u", "t", "typ", "signup",
+      bucketUnits = 10L)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    // cohort 0 (users 1, 2): both active in offset 0, user 1 in 1 and 2
+    assert(r((0L, 0L)) == ((2L, 2L, 1.0)))
+    assert(r((0L, 1L)) == ((1L, 2L, 0.5)))
+    assert(r((0L, 2L)) == ((1L, 2L, 0.5)))
+    // cohort 1 (user 3): offsets 0 and 1
+    assert(r((1L, 0L)) == ((1L, 1L, 1.0)))
+    assert(r((1L, 1L)) == ((1L, 1L, 1.0)))
+    assert(r.size == 5) // nothing from user 4, no pre-anchor buckets
+  }
+
   test("funnelTimes: greedy chain, strict ordering, within bound") {
     import graft.SparkSpec.spark.implicits._
     val ev = Seq(
