@@ -84,7 +84,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val qs = only match {
-      case Some(sel) => allQueries.filter(sel.contains)
+      case Some(sel) =>
+        // a typo'd name must fail loudly, not bench an empty (or wrong)
+        // subset with exit code 0
+        val unknown = sel -- allQueries.toSet
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"[bench] unknown SPARK_GRAFT_BENCH_ONLY names: " +
+              unknown.toSeq.sorted.mkString(", "))
+          sys.exit(2)
+        }
+        allQueries.filter(sel.contains)
       case None => allQueries
     }
     // a query that throws must FAIL the bench, not time as a fast no-op:

@@ -583,10 +583,18 @@ object Dedup {
     * 4M rows into every plan copy. */
   private def driverUnionFind(p: DataFrame, edgeCount: Long): DataFrame = {
     val spark = p.sparkSession
-    val maxNodes =
-      math.min(Int.MaxValue.toLong / 2, math.max(8L, edgeCount * 2)).toInt
+    val maxNodesL = math.max(8L, edgeCount * 2)
+    // the open-addressed table needs cap >= 2 * maxNodes and Int
+    // indices; beyond 2^28 edges the driver path is the wrong tool
+    // anyway — fail fast with the remedy instead of mis-sizing (the
+    // previous `cap < maxNodes * 2` Int arithmetic overflowed there)
+    require(maxNodesL <= (1L << 29),
+      s"driver union-find supports <= ${1 << 28} edges " +
+        s"($maxNodesL node slots requested); lower driverEdgeThreshold " +
+        "so this graph takes the distributed label-propagation path")
+    val maxNodes = maxNodesL.toInt
     var cap = 16
-    while (cap < maxNodes * 2) cap <<= 1
+    while (cap.toLong < maxNodesL * 2L) cap <<= 1
     val mask = cap - 1
     val slotKey = new Array[Long](cap)
     val slotIdx = new Array[Int](cap)
@@ -660,21 +668,27 @@ object Dedup {
     * the min-id one — what a production pipeline actually wants once
     * quality scores exist (the survivors of dedup should be the good
     * copies, not the lexicographically-first ones). Ties break on id,
-    * so the result is deterministic for any score column; the score is
-    * evaluated only for cluster MEMBERS (the pair-bounded minority),
+    * so the result is deterministic for any score column. The corpus
+    * is first semi-joined down to cluster members, so an expensive
+    * score expression is evaluated only for the pair-bounded minority,
     * never the whole corpus.
     *
     * Scale shape: `duplicateClusters` bounds everything downstream by
-    * the pair cardinality — the member/score join, the per-cluster
-    * rank window, and the final anti-join all run on cluster members
-    * (broadcast-small against the corpus in any sane dedup).
+    * the pair cardinality — the member semi-join, the per-cluster rank
+    * window, and the final anti-join all key on cluster members. Join
+    * strategies are left to AQE (the member table is usually
+    * broadcast-small, but a pathological pair graph must degrade to a
+    * shuffle join, not a driver OOM — the same discipline as
+    * [[keepClusterCanonical]]).
     */
   def keepClusterBest(docs: DataFrame, pairs: DataFrame, score: Column,
                       idCol: String = "doc_id"): DataFrame = {
     val clusters = duplicateClusters(pairs)
       .withColumnRenamed("doc_id", idCol)
-    val scored = docs.select(col(idCol), score.as("__score"))
-      .join(broadcast(clusters), Seq(idCol))
+    val scored = docs
+      .join(clusters.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol), score.as("__score"))
+      .join(clusters, Seq(idCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("__score").desc, col(idCol))
@@ -682,7 +696,7 @@ object Dedup {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") =!= 1)
       .select(col(idCol))
-    docs.join(broadcast(losers), Seq(idCol), "left_anti")
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 }
 

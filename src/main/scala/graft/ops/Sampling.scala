@@ -288,17 +288,20 @@ object Sampling {
                             qMax: Double = 1.0): DataFrame = {
     require(budgets.nonEmpty && budgets.values.forall(_ >= 0L),
       "per-stratum token budgets must be non-negative")
-    require(qBuckets >= 1, "qBuckets must be >= 1")
+    require(qBuckets >= 1 && qBuckets <= 99999,
+      "qBuckets in [1, 99999] (buckets ride the 5-digit padded key)")
     require(qMax > qMin, "qMax must exceed qMin")
-    val spark = df.sparkSession
     val tok = tokens.cast("long")
     val q = quality.cast("double")
     val width = (qMax - qMin) / qBuckets
-    // bucket 0 = best quality; the clamp keeps out-of-range scores in
-    // (exactly ordered) end buckets
-    val qb = least(greatest(
+    // bucket 00000 = best quality; the clamp keeps out-of-range scores
+    // in (exactly ordered) end buckets. Zero-padded so the generic
+    // lexicographic bucket ordering in [[bucketedOffsets]] IS the
+    // numeric (= quality-desc) order — the same trick hash-prefix
+    // buckets get for free.
+    val qb = format_string("%05d", least(greatest(
       floor((lit(qMax) - q) / lit(width)).cast("int"), lit(0)),
-      lit(qBuckets - 1))
+      lit(qBuckets - 1)))
     val selectable = df
       .filter(key.isNotNull)
       .filter(tok.isNotNull && tok > 0L)
@@ -307,22 +310,13 @@ object Sampling {
       .withColumn("__tok", tok)
       .withColumn("__q", q)
       .withColumn("__s", stratum.cast("string"))
-      .withColumn("__qb", qb)
+      .withColumn("__bkt", qb)
       .withColumn("__pos", hashPosition(key))
     // phase 1: per-(stratum, quality-bucket) token totals -> exclusive
-    // running offsets per stratum in bucket (= quality-desc) order
-    val totals = selectable
-      .groupBy(col("__s"), col("__qb")).agg(sum(col("__tok")).as("__m"))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-    val offsets = totals.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
-      var acc = 0L
-      rows.sortBy(_._2).map { case (s, b, m) =>
-        val o = acc; acc += m; (s, b, o)
-      }
-    }
-    import spark.implicits._
-    val offDF = broadcast(offsets.toDF("__s", "__qb", "__off"))
-    val cumW = Window.partitionBy(col("__s"), col("__qb"))
+    // running offsets per stratum in bucket (= quality-desc) order —
+    // the shared two-phase scaffolding
+    val (offDF, _) = bucketedOffsets(selectable, sum(col("__tok")))
+    val cumW = Window.partitionBy(col("__s"), col("__bkt"))
       .orderBy(col("__q").desc, col("__pos"), key)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
@@ -330,10 +324,10 @@ object Sampling {
     }
     // __tok > 0 makes the inclusive cumsum strictly increasing along the
     // selection order, so `cum <= budget` IS the strict prefix
-    selectable.join(offDF, Seq("__s", "__qb"))
+    selectable.join(offDF, Seq("__s", "__bkt"))
       .withColumn("__cum", sum(col("__tok")).over(cumW) + col("__off"))
       .filter(col("__cum") <= budgetCol)
-      .drop("__pos", "__s", "__qb", "__off", "__tok", "__q", "__cum")
+      .drop("__pos", "__s", "__bkt", "__off", "__tok", "__q", "__cum")
   }
 
   /** Deterministic training-order shuffle position: a portable sort key
