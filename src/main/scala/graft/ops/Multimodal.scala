@@ -112,7 +112,17 @@ object Multimodal {
   /** Near-duplicate asset pairs by perceptual hash: 4x16-bit banding
     * (complete up to Hamming 3 by pigeonhole — same contract as
     * [[Dedup.simhashPairs]]) + exact `bit_count(xor)` verification.
-    * The shuffle carries (band-key, hash) per asset — never payloads. */
+    * The shuffle carries (band-key, hash) per asset — never payloads.
+    *
+    * Like every pair miner, join work within a band bucket is
+    * quadratic in that bucket's duplication density: a corpus where
+    * one hash value covers k near-identical assets pays ~k^2/2 there
+    * (measured 53x wall for 10x rows on the replication fixture, where
+    * EVERY asset is a 10-way exact dup — output-driven, the ngram
+    * path's known shape). That is the cost of emitting the pairs
+    * themselves; for dedup DECISIONS over extremely hot hashes,
+    * group-by-hash (exact payload-level dedup) first so identical
+    * assets collapse before pair mining. */
   def phashPairs(assets: DataFrame, maxHamming: Int = 3,
                  idCol: String = "asset_id",
                  payloadCol: String = "payload"): DataFrame = {

@@ -209,6 +209,18 @@ class ScaleUpExperiment extends AnyFunSuite {
       Text.qualityScore(col("text")), budgets(10L)).count())
     println(f"[scaleup] qualitysel 1x=$t1q%.1fs 10x=$t10q%.1fs ratio=${t10q / t1q}%.1f")
     assert(t10q / math.max(t1q, 0.5) < 25, "qualitysel scale-up ratio too high")
+
+    // perceptual-hash pair mining: band-keyed self-join; replication
+    // makes every asset a 10-way dup group so PAIR OUTPUT grows ~45x,
+    // but hash+banding wall time must stay far below all-pairs growth
+    def assets(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id").as("asset_id"),
+        org.apache.spark.sql.functions.encode(col("text"), "UTF-8")
+          .as("payload"))
+    val t1h = time(Multimodal.phashPairs(assets(base)).count())
+    val t10h = time(Multimodal.phashPairs(assets(big)).count())
+    println(f"[scaleup] phash 1x=$t1h%.1fs 10x=$t10h%.1fs ratio=${t10h / t1h}%.1f")
+    assert(t10h / math.max(t1h, 0.5) < 60, "phash scale-up ratio too high")
     base.unpersist(); big.unpersist()
   }
 }
