@@ -347,6 +347,34 @@ object Relational {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // STREAMING decontamination: a STATELESS filter — benchmark
+    // 3-grams collected once (small, the benchmark regime) ride the
+    // plan as a literal array and each arriving doc is kept iff it
+    // shares none; append-mode sink, no state store, runs forever at
+    // constant memory. Per-source counts are batch display over the
+    // drained sink
+    "q_stream_contamination" -> ((s, dir) => {
+      val docsDf = s.read.parquet(s"$dir/documents.parquet")
+      val benchShingles = docsDf.filter(col("doc_id") >= 480)
+        .select(explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
+      val stream = s.readStream.schema(docsDf.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(!arrays_overlap(graft.ops.Dedup.shingles(col("text"), 3),
+          typedlit(benchShingles)))
+        .select(col("doc_id"), col("source"))
+      val name = s"graft_stream_contam_${streamQueryId.incrementAndGet()}"
+      val q = stream.writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_clean"))
+        .orderBy(col("source"))
+    }),
+
     // STREAMING mixture monitor: per-source doc/token counts as a
     // complete-mode aggregation (state = one row per source), drained
     // under AvailableNow; shares and target deviation are batch display
@@ -784,6 +812,31 @@ object Relational {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents
         |FROM ev ORDER BY event_id""".stripMargin,
+
+    // Stateless filter drain == batch NOT-EXISTS over shared 3-grams
+    "q_stream_contamination" ->
+      """WITH bt AS (
+        |  SELECT string_split_regex(text, '\s+') AS t FROM documents
+        |  WHERE doc_id >= 480
+        |), bench AS (
+        |  SELECT DISTINCT s FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |    FROM bt WHERE len(t) >= 3)
+        |), d AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM d WHERE len(t) >= 3
+        |), dirty AS (
+        |  SELECT DISTINCT doc_id FROM sh JOIN bench USING (s)
+        |)
+        |SELECT source, COUNT(*) AS n_clean
+        |FROM d WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // Complete-mode drain == batch per-source counts; shares/deviation
     // recomputed with the same weight literals and rounding

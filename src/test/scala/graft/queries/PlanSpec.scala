@@ -172,6 +172,26 @@ class PlanSpec extends AnyFunSuite {
     assert("FileScan parquet".r.findAllIn(finalPlan).length == 1, finalPlan)
   }
 
+  test("q_events_funnel: step filters push to the scan; " +
+    "joins stay user-keyed aggregates, no window") {
+    val p = plan("q_events_funnel")
+    // each step scans with its event_type filter pushed — the event
+    // stream itself is never shuffled whole or sorted
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualTo(event_type,view)") ||
+      p.contains("event_type = view") || p.contains("equalTo(event_type"), p)
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p) // min per step
+  }
+
+  test("q_events_cohort: activity distinct + user-keyed joins only") {
+    val p = plan("q_events_cohort")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // anchor filter pushed to its scan branch
+    assert(p.contains("signup"), p)
+  }
+
   test("q_doc_bm25: stats branch reads only the text column; " +
     "top-k is TakeOrderedAndProject, no wide shuffle") {
     val p = plan("q_doc_bm25")
