@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.core.PsetHashExpression
-import graft.ops.{SimHash64, VectorExprs, WinnowFingerprint, WordShingles}
+import graft.ops.{PerceptualHash64, SimHash64, VectorExprs,
+  WinnowFingerprint, WordShingles}
 
 /** SQL registration of the engine's custom Catalyst expressions, so every
   * operator is usable from `spark.sql(...)` as well as the Scala API:
@@ -16,6 +17,7 @@ import graft.ops.{SimHash64, VectorExprs, WinnowFingerprint, WordShingles}
   *   winnow_fingerprint(text, k, w)    winnowing rolling-hash fingerprint
   *   cosine_sim(a, b)                  one-pass cosine over vector arrays
   *   vec_dot(a, b)                     dot product over vector arrays
+  *   perceptual_hash64(payload)        byte-bigram histogram phash
   *
   * Two entry points: `--conf spark.sql.extensions=graft.GraftExtensions`
   * at session build time (the standard extension mechanism), or
@@ -59,7 +61,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => VectorExprs.CosineSim(args(0), args(1))),
     ("vec_dot",
       new ExpressionInfo(classOf[VectorExprs.Dot].getName, "vec_dot"),
-      (args: Seq[Expression]) => VectorExprs.Dot(args(0), args(1))))
+      (args: Seq[Expression]) => VectorExprs.Dot(args(0), args(1))),
+    ("perceptual_hash64",
+      new ExpressionInfo(classOf[PerceptualHash64].getName,
+        "perceptual_hash64"),
+      (args: Seq[Expression]) => PerceptualHash64(args.head)))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -204,6 +204,12 @@ class MonitorSpec extends AnyFunSuite {
         |""".stripMargin).head()
     assert(math.abs(v.getDouble(0) - 1.0) < 1e-12)
     assert(v.getDouble(1) == 23.0)
+    val ph = spark.sql(
+      "SELECT perceptual_hash64(encode('some payload text here', 'UTF-8')) AS p")
+      .head()
+    assert(ph.getLong(0) ==
+      graft.ops.PerceptualHash64(null).compute(
+        "some payload text here".getBytes("UTF-8")))
   }
 
   test("watermarked windowed aggregation over a file stream of events") {
