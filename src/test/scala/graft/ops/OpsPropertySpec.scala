@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized invariants for the round-5 operators, each checked
+  * against a naive in-driver reference on small generated inputs. The
+  * point is edge-case coverage the fixed fixtures cannot enumerate:
+  * negative/out-of-range quality scores, duplicate timestamps, strata
+  * with one row, payload permutations. Deterministic seeds (the
+  * [[graft.core.PropertySpec]] discipline — no flaky CI); Spark
+  * round-trips are slow, so each property runs a handful of generated
+  * cases, not hundreds.
+  */
+class OpsPropertySpec extends AnyFunSuite {
+  import graft.SparkSpec.spark
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def hashPos(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .take(2).map(b => f"${b & 0xff}%02x").mkString
+
+  test("selectByQualityBudget == naive prefix for random rows and buckets") {
+    val rowGen = for {
+      id <- Gen.choose(0L, 60L)
+      s <- Gen.oneOf("a", "b", "c")
+      tok <- Gen.choose(1L, 30L)
+      q <- Gen.frequency(3 -> Gen.choose(-2.0, 3.0),
+        1 -> Gen.oneOf(0.0, 1.0, 0.5))
+    } yield (id, s, tok, q)
+    val caseGen = for {
+      rows <- Gen.nonEmptyListOf(rowGen)
+      buckets <- Gen.choose(1, 40)
+      budget <- Gen.choose(10L, 200L)
+    } yield (rows, buckets, budget)
+    sample(caseGen, 6).foreach { case (rowsRaw, buckets, budget) =>
+      val rows = rowsRaw.groupBy(_._1).map(_._2.head).toSeq // unique ids
+      val df = rows.toDF("id", "s", "tok", "q")
+      val kept = Sampling.selectByQualityBudget(df, col("s"), col("id"),
+        col("tok"), col("q"), Map("a" -> budget, "b" -> budget),
+        qBuckets = buckets)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val expected = Seq("a", "b").flatMap { s =>
+        val in = rows.filter(_._2 == s)
+          .sortBy(r => (-r._4, hashPos(r._1), r._1))
+        val cums = in.scanLeft(0L)(_ + _._3).tail
+        in.zip(cums).takeWhile(_._2 <= budget).map(_._1._1)
+      }.toSet
+      assert(kept == expected, s"buckets=$buckets budget=$budget rows=$rows")
+    }
+  }
+
+  test("fillForward == naive per-key carry for random null patterns") {
+    val rowGen = for {
+      k <- Gen.oneOf("x", "y")
+      t <- Gen.choose(0L, 40L)
+      v <- Gen.option(Gen.choose(0L, 9L))
+    } yield (k, t, v)
+    sample(Gen.nonEmptyListOf(rowGen), 8).foreach { rowsRaw =>
+      // unique (k, t) so the (t)-only order is total per key
+      val rows = rowsRaw.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val df = rows.toDF("k", "t", "v")
+      val got = AsOf.fillForward(df, "k", "t", Seq("v"))
+        .select("k", "t", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        var last: Option[Long] = None
+        rs.sortBy(_._2).map { case (_, t, v) =>
+          if (v.isDefined) last = v
+          (k, t, last)
+        }
+      }.toSet
+      assert(got == expected, s"rows=$rows")
+    }
+  }
+
+  test("funnelTimes == naive greedy search for random event streams") {
+    val evGen = for {
+      u <- Gen.choose(1L, 6L)
+      t <- Gen.choose(0L, 50L)
+      typ <- Gen.oneOf("A", "B", "C", "noise")
+    } yield (u, t, typ)
+    sample(Gen.nonEmptyListOf(evGen), 8).foreach { evs =>
+      val df = evs.toDF("u", "t", "typ")
+      val got = Funnel.funnelTimes(df, "u", "t", "typ", Seq("A", "B", "C"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+        def first(typ: String, after: Long): Option[Long] =
+          es.filter(e => e._3 == typ && e._2 > after)
+            .map(_._2).sorted.headOption
+        for {
+          t1 <- es.filter(_._3 == "A").map(_._2).sorted.headOption
+          t2 <- first("B", t1)
+          t3 <- first("C", t2)
+        } yield u -> ((t1, t2, t3))
+      }
+      assert(got == expected, s"events=$evs")
+    }
+  }
+
+  test("perceptual hash: deterministic; local edit never farther than " +
+    "a full rewrite") {
+    val wordsGen = Gen.listOfN(12,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+    val e = PerceptualHash64(null)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    sample(wordsGen, 12).foreach { words =>
+      val p1 = words.mkString(" ").getBytes("UTF-8")
+      // swapping the first two words preserves almost all bigrams
+      val swapped = (words.take(2).reverse ++ words.drop(2))
+        .mkString(" ").getBytes("UTF-8")
+      val other = words.map(w => "Q" + w.toUpperCase)
+        .mkString(" ").getBytes("UTF-8")
+      assert(e.compute(p1) == e.compute(p1))
+      assert(ham(e.compute(p1), e.compute(swapped)) <=
+        ham(e.compute(p1), e.compute(other)),
+        s"local edit farther than rewrite for words=$words")
+    }
+  }
+}
