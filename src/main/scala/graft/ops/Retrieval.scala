@@ -84,4 +84,72 @@ object Retrieval {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** Batched BM25: top-k per query for a whole TABLE of queries —
+    * the inverted-index shape that serves thousands of probes from ONE
+    * posting pass, where [[bm25TopK]]'s map-side form re-scans the
+    * corpus per query.
+    *
+    * `queries` is `(query_id, term)` rows (one row per term; duplicate
+    * terms in a query are deduplicated). Returns
+    * `(query_id, id, score, rank)` with `rank <= k`, same formula and
+    * 1e-6 rounding as [[bm25TopK]] (partials here sum in aggregate
+    * order, so the two paths agree modulo the shared rounding policy);
+    * documents matching no query term never enter the posting join.
+    *
+    * Scale shape: the corpus tokenizes once; postings are semi-joined
+    * against the (broadcast-small) distinct query-term set BEFORE the
+    * (doc, term) count shuffle, so only query-relevant postings ever
+    * shuffle — the posting table is bounded by matching tokens, not
+    * the corpus. Document lengths and N ride a separate dl aggregate;
+    * term df comes off the postings. Scoring joins postings to query
+    * terms term-keyed (broadcast), sums partials per (query, doc), and
+    * takes top-k with a constant-limit rank that plans as
+    * WindowGroupLimit (per-partition heaps before the shuffle).
+    */
+  def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    textCol: String = "text",
+                    idCol: String = "doc_id",
+                    queryIdCol: String = "query_id",
+                    termCol: String = "term"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qterms = queries
+      .select(col(queryIdCol).as("qid"), col(termCol).as("term"))
+      .distinct()
+    val termSet = qterms.select(col("term")).distinct()
+    val postings = docs
+      .select(col(idCol).as("id"), explode(Text.tokens(col(textCol)))
+        .as("term"))
+      .join(broadcast(termSet), Seq("term"), "left_semi")
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dl = docs.select(col(idCol).as("id"),
+      size(Text.tokens(col(textCol))).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("dl")).as("sumdl"))
+    val dfreq = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = postings
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("id"),
+        (log(lit(1d) + (col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) * col("tf") * lit(k1 + 1d) /
+          (col("tf") + lit(k1) * (lit(1d - b) +
+            lit(b) * col("dl") / (col("sumdl") / col("n")))))
+          .as("partial"))
+      .groupBy(col("qid"), col("id"))
+      .agg((floor(sum(col("partial")) * 1e6) / 1e6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as(queryIdCol), col("id"), col("score"),
+        col("rank"))
+      .orderBy(col(queryIdCol), col("rank"))
+  }
 }

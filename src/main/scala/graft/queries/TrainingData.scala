@@ -255,6 +255,17 @@ object TrainingData {
         Seq("hash", "join", "spark", "window"), k = 15)
     }),
 
+    // batched BM25 over the inverted index: three probe queries served
+    // from one posting pass, top-5 each
+    "q_doc_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "hash"), (1L, "join"),
+        (2L, "window"), (2L, "sort"), (2L, "merge"),
+        (3L, "spark")).toDF("query_id", "term")
+      Retrieval.bm25TopKBatch(docs(s, dir), queries, k = 5)
+    }),
+
     // per-source KL drift from the corpus distribution over the
     // global top-50 tokens — the mixture-monitoring statistic
     "q_doc_drift" -> ((s, dir) => {
@@ -1077,6 +1088,52 @@ object TrainingData {
         |FROM d CROSS JOIN stats
         |WHERE tf0 + tf1 + tf2 + tf3 > 0
         |ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    // same inverted-index computation: postings restricted to query
+    // terms, df off the postings, SUM partials, 1e-6 floor, rank
+    "q_doc_bm25_batch" ->
+      """WITH q(query_id, term) AS (
+        |  VALUES (1, 'hash'), (1, 'join'),
+        |         (2, 'window'), (2, 'sort'), (2, 'merge'),
+        |         (3, 'spark')
+        |), ex AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents
+        |), postings AS (
+        |  SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM ex WHERE term IN (SELECT DISTINCT term FROM q)
+        |  GROUP BY id, term
+        |), dl AS (
+        |  SELECT doc_id AS id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS dl
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) AS sumdl FROM dl
+        |), dfreq AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+        |  FROM postings GROUP BY term
+        |), scored AS (
+        |  SELECT qq.query_id AS qid, p.id,
+        |    floor(SUM(
+        |      ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * p.tf * 2.2
+        |        / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / (s.sumdl / s.n)))
+        |    ) * 1e6) / 1e6 AS score
+        |  FROM postings p
+        |  JOIN q qq ON qq.term = p.term
+        |  JOIN dfreq d ON d.term = p.term
+        |  JOIN dl l ON l.id = p.id
+        |  CROSS JOIN stats s
+        |  GROUP BY qq.query_id, p.id
+        |), ranked AS (
+        |  SELECT qid, id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |                       ORDER BY score DESC, id) AS rank
+        |  FROM scored
+        |)
+        |SELECT CAST(qid AS BIGINT) AS query_id, id, score,
+        |  CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     // per-source KL vs the corpus over the global top-50 tokens,
     // renormalized within that set; missing tokens contribute 0 via

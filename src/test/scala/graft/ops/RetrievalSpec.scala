@@ -44,6 +44,28 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!got.map(_._1).contains(3L))
   }
 
+  test("bm25TopKBatch agrees with the map-side single-query path") {
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana banana banana durian"),
+      (3L, "cherry durian cherry durian")
+    ).toDF("doc_id", "text")
+    val single = Retrieval.bm25TopK(docs, Seq("apple", "banana"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val queries = Seq((7L, "apple"), (7L, "banana"), (8L, "durian"))
+      .toDF("query_id", "term")
+    val batch = Retrieval.bm25TopKBatch(docs, queries, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val q7 = batch.filter(_._1 == 7L).sortBy(_._4)
+      .map(r => (r._2, r._3))
+    assert(q7.toSeq == single.toSeq)
+    // single-term query: rank order by rounded score then id
+    val q8 = batch.filter(_._1 == 8L).map(_._2)
+    assert(q8.toSet == Set(2L, 3L)) // only durian docs
+  }
+
   test("bm25TopK rejects empty, duplicate, and oversized term sets") {
     val docs = Seq((0L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Retrieval.bm25TopK(docs, Nil, 5))
