@@ -192,6 +192,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("signup"), p)
   }
 
+  test("q_doc_bm25_batch: postings semi-join the query-term set " +
+    "BEFORE the (doc, term) shuffle") {
+    // the order matters at 100 TB: filtering after the groupBy would
+    // shuffle the full exploded token stream; the LeftSemi against the
+    // broadcast term set must sit under the first posting exchange
+    val p = plan("q_doc_bm25_batch")
+    val semiIdx = p.indexOf("LeftSemi")
+    assert(semiIdx >= 0, p)
+    assert(p.contains("BroadcastHashJoin LeftSemi") ||
+      p.contains("LeftSemi BuildRight"), p)
+    // per-query rank is a constant-limit window -> WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_doc_bm25: stats branch reads only the text column; " +
     "top-k is TakeOrderedAndProject, no wide shuffle") {
     val p = plan("q_doc_bm25")
