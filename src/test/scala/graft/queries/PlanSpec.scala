@@ -197,13 +197,26 @@ class PlanSpec extends AnyFunSuite {
     // the order matters at 100 TB: filtering after the groupBy would
     // shuffle the full exploded token stream; the LeftSemi against the
     // broadcast term set must sit under the first posting exchange
-    val p = plan("q_doc_bm25_batch")
-    val semiIdx = p.indexOf("LeftSemi")
-    assert(semiIdx >= 0, p)
-    assert(p.contains("BroadcastHashJoin LeftSemi") ||
-      p.contains("LeftSemi BuildRight"), p)
+    // checkpointPostings = false keeps the posting lineage inspectable
+    // (the production default checkpoints it away behind an RDD scan)
+    import graft.SparkSpec.spark.implicits._
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val queries = Seq((1L, "hash"), (1L, "join")).toDF("query_id", "term")
+    val df = graft.ops.Retrieval.bm25TopKBatch(docsDf, queries, k = 5,
+      checkpointPostings = false)
+    // ORDERING, not mere presence: the analyzed tree prints parents
+    // above children, so the LeftSemi must print BELOW the posting
+    // aggregate (= it filters BEFORE the (id, term) shuffle). A
+    // regression that filters after the aggregation prints it above.
+    val analyzed = df.queryExecution.analyzed.toString
+    val aggIdx = analyzed.indexOf("Aggregate [id")
+    val semiA = analyzed.indexOf("Join LeftSemi")
+    assert(aggIdx >= 0 && semiA > aggIdx, analyzed.take(3000))
     // per-query rank is a constant-limit window -> WindowGroupLimit
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("LeftSemi"), p)
   }
 
   test("q_doc_bm25: stats branch reads only the text column; " +
