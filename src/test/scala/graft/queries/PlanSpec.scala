@@ -21,6 +21,16 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf)
       .queryExecution.explainString(FormattedMode)
 
+  test("every registered query carries an oracle (no silent rows-only)") {
+    // a query without an oracleSql entry degrades to the driver's
+    // weaker rows-only check without anything failing — pin exact
+    // key-set parity so the omission is a red test instead
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries missing an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+  }
+
   test("q_filter_proj: predicates push to the parquet scan, schema pruned") {
     val p = plan("q_filter_proj")
     assert(p.contains("PushedFilters:"))
