@@ -664,6 +664,34 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Snapshot diff between two corpus versions: per id, whether the
+    * document was `added`, `removed`, `changed` (same id, different
+    * canonical fingerprint), or `unchanged` — the audit a dataset
+    * iteration loop runs before re-training ("what did this refresh
+    * actually touch?"). Fingerprints use [[Text.fingerprint]]'s
+    * canonicalization, so whitespace/case-only edits count as
+    * unchanged — pass a custom `fp` column expression for stricter or
+    * looser identity.
+    *
+    * Scale shape: one id-keyed full outer join of two fingerprint
+    * projections — the corpora shuffle as (id, 16-byte digest), never
+    * bodies. Output: `(id, status, fp_old, fp_new)`.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    def fps(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol),
+        Text.fingerprint(col(textCol)).as(s"fp_$side"))
+    fps(oldDf, "old").join(fps(newDf, "new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("fp_old"), col("fp_new"))
+  }
+
   /** Keep the BEST-scoring member of each near-dup cluster instead of
     * the min-id one — what a production pipeline actually wants once
     * quality scores exist (the survivors of dedup should be the good

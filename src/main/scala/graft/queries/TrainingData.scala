@@ -459,6 +459,21 @@ object TrainingData {
           maxShingleFreq = Some(500)))
         .orderBy(col("doc_id"))),
 
+    // snapshot diff: two corpus versions synthesized deterministically
+    // (%7 ids absent from old -> added, %5 absent from new -> removed,
+    // %11 texts mangled -> changed), statuses by canonical fingerprint
+    "q_doc_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" "), col("text")))
+          .otherwise(col("text")))
+      Dedup.corpusDiff(oldSnap, newSnap)
+        .select(col("doc_id"), col("status"))
+        .orderBy(col("doc_id"))
+    }),
+
     // quality-argmax survivor selection: each near-dup cluster keeps its
     // BEST-scoring member (ties on id), not the min-id one
     "q_dedup_best" -> ((s, dir) => {
@@ -1400,6 +1415,28 @@ object TrainingData {
     "q_dedup_minhash" -> ngramJaccardOracleSql,
 
     "q_dedup_clusters" -> clusterOracleSql,
+
+    // same snapshot synthesis; canonical fingerprint = the
+    // q_doc_fingerprint formula
+    "q_doc_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |), nw AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(
+        |      CASE WHEN doc_id % 11 = 0 THEN text || ' ' || text
+        |           ELSE text END), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.fp IS NULL THEN 'added'
+        |       WHEN n.fp IS NULL THEN 'removed'
+        |       WHEN o.fp = n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // same recursive closure; survivors are the per-cluster quality
     // argmax instead of the min id

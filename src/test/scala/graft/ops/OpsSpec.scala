@@ -1120,6 +1120,19 @@ class OpsSpec extends AnyFunSuite {
     assert(th.toSeq == Seq(0L, 0L))
   }
 
+  test("corpusDiff: added/removed/changed/unchanged; canonical folding") {
+    import graft.SparkSpec.spark.implicits._
+    val oldSnap = Seq((1L, "same text"), (2L, "will change"),
+      (3L, "goes away"), (5L, "Spaces   And Case")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same text"), (2L, "has changed"),
+      (4L, "brand new"), (5L, "spaces and case")).toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(oldSnap, newSnap)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added",
+      5L -> "unchanged")) // whitespace/case fold to the same canonical fp
+  }
+
   test("keepClusterBest keeps the max-score member, not the min id") {
     import graft.SparkSpec.spark.implicits._
     val d = Seq(
