@@ -64,6 +64,32 @@ object Bench {
     headline.filter(SparkEntry.queries.contains) ++
       SparkEntry.queries.keys.toSeq.sorted.filterNot(headline.contains)
 
+  // sink for the calibration loop's result — a field store is a side
+  // effect the JIT cannot prove dead, so the loop never gets eliminated
+  @volatile private var calibSink: Long = 0L
+
+  /** Machine-drift calibration constant: wall seconds for a fixed
+    * single-threaded CPU-bound hash loop (no allocation, no IO, no
+    * Spark). Rounds 4 and 5 both needed a manual worktree A/B to prove
+    * that 1.2-1.6x cross-round "regressions" on untouched queries were
+    * host drift; recording this constant in every bench artifact makes
+    * that normalization automatic: divide per-query times by
+    * (calib_s_now / calib_s_then) before comparing rounds
+    * (COVERAGE.md "Bench drift calibration"). Min of three runs after a
+    * warmup — same noise-is-additive discipline as the queries. */
+  private def calibrate(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) { h = h * 0x100000001B3L; h ^= (h >>> 33); i += 1 }
+      calibSink = h
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // JIT warmup
+    Seq(once(), once(), once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -140,7 +166,23 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}""")
+    val calib = calibrate()
+    val json =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib_s":$calib%.4f,"queries":$qJson,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // the same line goes to a file: BENCH_r05.json's captured stdout tail
+    // was truncated mid-stream and lost 28 of 106 per-query times, so
+    // round artifacts must not depend on log-capture luck
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, json + "\n")
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

