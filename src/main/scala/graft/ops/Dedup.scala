@@ -359,31 +359,51 @@ object Dedup {
 
   /** Incremental NEAR-dup dedup across batches: the near-dup analog of
     * [[incrementalExactDedup]]. A parquet signature index at `indexPath`
-    * persists (id, mh0..mh{numHashes-1}); each batch
+    * persists (id, mh0..mh{numHashes-1}) plus — in the default
+    * `exactVerify = true` mode — `sh`, the doc's distinct shingle-hash
+    * set. Each batch
     *
-    *   1. drops batch docs whose estimated Jaccard against any indexed
-    *      doc reaches `threshold` — candidates from the band join of the
-    *      batch's band table vs the index's (both reconstructed by the
-    *      same deterministic expressions), estimate = fraction of equal
-    *      minhash components (the standard unbiased estimator; the index
-    *      keeps no text, so cross-batch verification is estimation, NOT
-    *      exact — in-batch pairs, where text is at hand, stay exact);
+    *   1. drops batch docs that near-duplicate any indexed doc —
+    *      candidates from the band join of the batch's band table vs the
+    *      index's (both reconstructed by the same deterministic
+    *      expressions), then verified:
+    *        - `exactVerify = true` (default): EXACT Jaccard between the
+    *          batch doc's shingle-hash set and the stored `sh` set — the
+    *          same full-set measure the in-batch path uses (equal modulo
+    *          64-bit xxhash64 shingle collisions, ~2^-64 per distinct
+    *          shingle pair), so cross-batch decisions are no weaker than
+    *          in-batch ones. Index cost: ~8 bytes per distinct shingle
+    *          per kept doc — the same order as the corpus itself.
+    *        - `exactVerify = false`: fraction of equal minhash
+    *          components >= threshold (the standard unbiased estimator,
+    *          sigma ~ sqrt(t(1-t)/numHashes), so boundary-Jaccard pairs
+    *          can flip either way). The compact fast mode: the index
+    *          stays `numHashes` longs per doc regardless of doc size.
     *   2. among surviving batch docs, runs exact [[minhashLshPairs]] +
     *      [[keepClusterCanonical]] (smallest id per near-dup cluster);
-    *   3. appends the kept docs' signatures to the index (lineage cut
-    *      before the self-referential append, as in the exact variant).
+    *   3. appends the kept docs' index rows (lineage cut before the
+    *      self-referential append, as in the exact variant).
     *
+    * The two modes write different index schemas; mixing them on one
+    * `indexPath` fails fast rather than silently union-ing schemas.
     * Returns the kept batch rows. Scale shape: the index is only ever
     * touched by (a) a band-key equi-join and (b) one partitioned append —
-    * no rewrite, no driver materialization. */
+    * no rewrite, no driver materialization; the `sh` sets ride the
+    * candidate-pair join only, never the band shuffle. */
   def incrementalMinhashDedup(batch: DataFrame, indexPath: String,
                               n: Int = 3, numHashes: Int = 64,
                               bands: Int = 16, threshold: Double = 0.5,
                               textCol: String = "text",
-                              idCol: String = "doc_id"): DataFrame = {
+                              idCol: String = "doc_id",
+                              exactVerify: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
-    val sig = minhashSignatures(batch, n, numHashes, textCol, idCol)
-      .localCheckpoint(true)
+    val sigBase = minhashSignatures(batch, n, numHashes, textCol, idCol)
+    val sig = (if (exactVerify) {
+      val shSets = batch.select(col(idCol).as("id"),
+        sort_array(array_distinct(transform(shingles(col(textCol), n),
+          s => xxhash64(s, lit(0))))).as("sh"))
+      sigBase.join(shSets, Seq("id"))
+    } else sigBase).localCheckpoint(true)
     val mhCols = (0 until numHashes).map(i => s"mh$i")
     val dupOfIndex: DataFrame = {
       val existing =
@@ -393,6 +413,11 @@ object Dedup {
       existing match {
         case None => sig.select(col("id")).limit(0)
         case Some(idx) =>
+          val idxHasSh = idx.columns.contains("sh")
+          require(idxHasSh == exactVerify,
+            s"index at $indexPath was built with exactVerify=$idxHasSh; " +
+              s"reading it with exactVerify=$exactVerify would mix index " +
+              "schemas — use one mode per index")
           val bBands = bandTable(sig, numHashes, bands)
           val iBands = bandTable(idx, numHashes, bands)
           val cand = bBands.alias("b")
@@ -400,18 +425,31 @@ object Dedup {
               col("b.band") === col("i.band") && col("b.bh") === col("i.bh"))
             .select(col("b.id").as("bid"), col("i.id").as("iid"))
             .dropDuplicates("bid", "iid")
-          val bSig = sig.select((col("id").as("bid") +:
-            mhCols.map(c => col(c).as(s"b_$c"))): _*)
-          val iSig = idx.select((col("id").as("iid") +:
-            mhCols.map(c => col(c).as(s"i_$c"))): _*)
-          val matches = mhCols.map(c =>
-            when(col(s"b_$c") === col(s"i_$c"), 1).otherwise(0))
-            .reduce(_ + _)
-          cand.join(bSig, Seq("bid")).join(iSig, Seq("iid"))
-            .withColumn("est",
-              matches.cast("double") / lit(numHashes.toDouble))
-            .filter(col("est") >= threshold)
-            .select(col("bid").as("id")).distinct()
+          if (exactVerify) {
+            val bSh = sig.select(col("id").as("bid"), col("sh").as("b_sh"))
+            val iSh = idx.select(col("id").as("iid"), col("sh").as("i_sh"))
+            cand.join(bSh, Seq("bid")).join(iSh, Seq("iid"))
+              .withColumn("inter",
+                size(array_intersect(col("b_sh"), col("i_sh"))))
+              .withColumn("uni",
+                size(col("b_sh")) + size(col("i_sh")) - col("inter"))
+              .filter(col("uni") > 0 &&
+                col("inter").cast("double") / col("uni") >= threshold)
+              .select(col("bid").as("id")).distinct()
+          } else {
+            val bSig = sig.select((col("id").as("bid") +:
+              mhCols.map(c => col(c).as(s"b_$c"))): _*)
+            val iSig = idx.select((col("id").as("iid") +:
+              mhCols.map(c => col(c).as(s"i_$c"))): _*)
+            val matches = mhCols.map(c =>
+              when(col(s"b_$c") === col(s"i_$c"), 1).otherwise(0))
+              .reduce(_ + _)
+            cand.join(bSig, Seq("bid")).join(iSig, Seq("iid"))
+              .withColumn("est",
+                matches.cast("double") / lit(numHashes.toDouble))
+              .filter(col("est") >= threshold)
+              .select(col("bid").as("id")).distinct()
+          }
       }
     }
     val fresh = batch.join(

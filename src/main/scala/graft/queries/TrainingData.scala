@@ -426,6 +426,32 @@ object TrainingData {
       s1.unionByName(s2).select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // incremental NEAR-dup dedup across two batches via the persisted
+    // signature+shingle index (exactVerify default): batch 1 = even
+    // doc_ids; batch 2 = odd doc_ids plus a near-edited re-crawl of
+    // every 6th doc (one appended token, J = (L-2)/(L-1)) under shifted
+    // ids. The re-crawls are NEAR- (not exact-) dups of batch-1 docs, so
+    // only the exact cross-batch verify can drop them soundly — the
+    // estimator mode could flip boundary pairs either way. Oracle = the
+    // full two-batch decision replay: in-batch min-id survivors of the
+    // exact-Jaccard closure over batch 1, cross-batch drop of batch-2
+    // docs near-dupping a kept batch-1 doc, then in-batch survivors
+    // among the remaining batch-2 docs (LSH recall 1.0 on this corpus,
+    // the same stronger-oracle premise as q_dedup_minhash)
+    "q_dedup_incremental_near" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val b1 = d.filter(col("doc_id") % 2 === 0)
+      val dups = b1.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" recrawlmarker")).as("text"))
+      val b2 = d.filter(col("doc_id") % 2 === 1).unionByName(dups)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-mhndx-").toString + "/idx"
+      val s1 = Dedup.incrementalMinhashDedup(b1, idx)
+      val s2 = Dedup.incrementalMinhashDedup(b2, idx)
+      s1.unionByName(s2).select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // near-dup pairs by exact 3-gram Jaccard via shingle inverted index.
     // The hot-shingle cap (500 docs) bounds candidate fan-out per shingle
     // — the skew guard that keeps this sub-quadratic on boilerplate-heavy
@@ -1328,6 +1354,78 @@ object TrainingData {
         |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY batch, doc_id) AS rn
         |  FROM keyed)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // The full two-batch NEAR-dup decision replay (see the query comment):
+    // exact-Jaccard pairs over the two-batch universe, min-id survivors of
+    // the batch-1 closure, cross-batch drops against kept batch-1 docs,
+    // then min-id survivors of the remaining batch-2 closure.
+    "q_dedup_incremental_near" ->
+      """WITH RECURSIVE b1 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |), b2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' recrawlmarker' FROM documents
+        |  WHERE doc_id % 6 = 0
+        |), allr AS (
+        |  SELECT doc_id, text, 0 AS bt FROM b1
+        |  UNION ALL
+        |  SELECT doc_id, text, 1 FROM b2
+        |), toks AS (
+        |  SELECT doc_id, bt, string_split_regex(text, '\s+') AS t FROM allr
+        |), shs AS (
+        |  SELECT doc_id, bt, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        |  FROM toks WHERE len(t) >= 3
+        |), ex AS (
+        |  SELECT doc_id, bt, unnest(shingles) AS s, len(shingles) AS n
+        |  FROM shs WHERE len(shingles) > 0
+        |), prs AS (
+        |  SELECT a.doc_id AS id1, ANY_VALUE(a.bt) AS bt1,
+        |         b.doc_id AS id2, ANY_VALUE(b.bt) AS bt2, COUNT(*) AS inter,
+        |         ANY_VALUE(a.n) AS n1, ANY_VALUE(b.n) AS n2
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING CAST(COUNT(*) AS DOUBLE)
+        |    / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.5
+        |), e1 AS (
+        |  SELECT id1 AS a, id2 AS b FROM prs WHERE bt1 = 0 AND bt2 = 0
+        |  UNION
+        |  SELECT id2, id1 FROM prs WHERE bt1 = 0 AND bt2 = 0
+        |), reach1(a, b) AS (
+        |  SELECT a, b FROM e1
+        |  UNION
+        |  SELECT r.a, e.b FROM reach1 r JOIN e1 e ON r.b = e.a
+        |), kept1 AS (
+        |  SELECT doc_id FROM b1 WHERE doc_id NOT IN (
+        |    SELECT a FROM reach1 GROUP BY a HAVING a > min(b))
+        |), dropx AS (
+        |  SELECT CASE WHEN bt1 = 1 THEN id1 ELSE id2 END AS doc_id FROM prs
+        |  WHERE (bt1 = 1 AND bt2 = 0 AND id2 IN (SELECT doc_id FROM kept1))
+        |     OR (bt1 = 0 AND bt2 = 1 AND id1 IN (SELECT doc_id FROM kept1))
+        |), fresh AS (
+        |  SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM dropx)
+        |), e2 AS (
+        |  SELECT id1 AS a, id2 AS b FROM prs
+        |  WHERE bt1 = 1 AND bt2 = 1
+        |    AND id1 IN (SELECT doc_id FROM fresh)
+        |    AND id2 IN (SELECT doc_id FROM fresh)
+        |  UNION
+        |  SELECT id2, id1 FROM prs
+        |  WHERE bt1 = 1 AND bt2 = 1
+        |    AND id1 IN (SELECT doc_id FROM fresh)
+        |    AND id2 IN (SELECT doc_id FROM fresh)
+        |), reach2(a, b) AS (
+        |  SELECT a, b FROM e2
+        |  UNION
+        |  SELECT r.a, e.b FROM reach2 r JOIN e2 e ON r.b = e.a
+        |), kept2 AS (
+        |  SELECT doc_id FROM fresh WHERE doc_id NOT IN (
+        |    SELECT a FROM reach2 GROUP BY a HAVING a > min(b))
+        |)
+        |SELECT doc_id FROM kept1
+        |UNION ALL SELECT doc_id FROM kept2 ORDER BY doc_id""".stripMargin,
 
     // Mirrors Profile.columnStats: COUNT(*) - COUNT(col) for nulls (both
     // engines type it BIGINT; SUM(CASE) would be HUGEINT in DuckDB),

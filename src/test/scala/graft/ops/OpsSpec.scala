@@ -235,6 +235,64 @@ class OpsSpec extends AnyFunSuite {
     assert(idxIds == kept1 ++ kept2)
   }
 
+  test("incrementalMinhashDedup: exact cross-batch verify corrects the " +
+      "estimator's boundary flips; index modes don't mix") {
+    import spark.implicits._
+    // construct doc pairs whose EXACT 3-gram Jaccard is fixed just below
+    // the 0.5 threshold (24 shared shingles of 38 each: J = 24/52 ~
+    // 0.4615), then search the deterministic xxhash64 minhash space for a
+    // variant whose 64-component ESTIMATE lands at/above 0.5 — the
+    // estimator's sigma ~ sqrt(J(1-J)/64) ~ 0.062 makes such flips
+    // routine near the boundary (P ~ 27% per variant), and the hashes
+    // are fixed, so the found seed is stable across runs
+    val baseTokens = (1 to 40).map(i => s"w$i")
+    val baseText = baseTokens.mkString(" ")
+    def variantText(seed: Int): String =
+      (baseTokens.take(26) ++ (1 to 14).map(i => s"x${seed}_$i"))
+        .mkString(" ")
+    def shingleSet(t: String): Set[String] =
+      t.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val exactJ = {
+      val a = shingleSet(baseText); val b = shingleSet(variantText(0))
+      a.intersect(b).size.toDouble / a.union(b).size
+    }
+    assert(exactJ < 0.5 && exactJ > 0.4, s"fixture broken: J=$exactJ")
+    val seeds = 0 until 200
+    val all = ((-1L, baseText) +: seeds.map(s => (s.toLong, variantText(s))))
+      .toDF("doc_id", "text")
+    val sigRows = Dedup.minhashSignatures(all, 3, 64, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (1 to 64).map(i => r.getLong(i)))
+      .toMap
+    val baseSig = sigRows(-1L)
+    val flipped = seeds.find { s =>
+      val est = baseSig.zip(sigRows(s.toLong)).count(p => p._1 == p._2) / 64.0
+      est >= 0.5
+    }
+    assert(flipped.nonEmpty,
+      "no estimator boundary flip in 200 deterministic variants")
+    val b1 = Seq((1L, baseText)).toDF("doc_id", "text")
+    val b2 = Seq((2L, variantText(flipped.get))).toDF("doc_id", "text")
+    // exact mode (default): the variant is NOT a near-dup (J < 0.5) and
+    // must survive batch 2
+    val idxE = graft.SparkSpec.tmpDir("graft-mhex-") + "/idx"
+    Dedup.incrementalMinhashDedup(b1, idxE)
+    val keptExact = Dedup.incrementalMinhashDedup(b2, idxE)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptExact == Set(2L), s"exact mode must keep the variant: $keptExact")
+    // estimator mode on the same two batches drops it — the documented
+    // boundary-flip failure the exact mode exists to fix
+    val idxA = graft.SparkSpec.tmpDir("graft-mhap-") + "/idx"
+    Dedup.incrementalMinhashDedup(b1, idxA, exactVerify = false)
+    val keptEst = Dedup.incrementalMinhashDedup(b2, idxA, exactVerify = false)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptEst.isEmpty, s"estimator mode should flip here: $keptEst")
+    // index schemas are per-mode; mixing must fail fast, not union-merge
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinhashDedup(b2, idxE, exactVerify = false)
+    }
+    assert(e.getMessage.contains("exactVerify"))
+  }
+
   test("exact dedup keeps one row per fingerprint") {
     val d = Dedup.exactDedup(docs)
     assert(d.count() ==
