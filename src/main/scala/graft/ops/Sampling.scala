@@ -275,10 +275,27 @@ object Sampling {
     * of the selection order and bucket-local cumsum + driver offsets
     * (bounded by |budgets| * qBuckets rows) equals the single-window
     * answer exactly, in |budgets| * qBuckets parallel tasks instead of
-    * |budgets|. Skew note: a constant-quality corpus degenerates to one
-    * bucket per stratum — at that point the score carries no
-    * information and hash-ordered [[mixtureByTokens]] is the right op.
-    * Null/NaN qualities, null keys, and non-positive token counts drop.
+    * |budgets|.
+    *
+    * Degeneracy guard: a coarse heuristic score can collapse the
+    * histogram — a constant-quality corpus lands in ONE bucket per
+    * stratum, exactly the corpora where scores are least informative.
+    * Phase 1 therefore also records each bucket's exact score range
+    * (free on the same aggregate); a bucket whose members all share ONE
+    * exact score is UNIFORM, and within it the selection order
+    * (quality desc, hash, key) is pure (hash, key) — so uniform buckets
+    * that are also straggler risks (holding >= 1/64 of their stratum's
+    * token mass; smaller ties can't dominate a parallel sort and skip
+    * the extra pass) are sub-bucketed by hash prefix (a prefix
+    * coarsening of that
+    * order: exact, not approximate) and their offsets fan out over the
+    * sub-buckets in hash order. Parallelism never falls below
+    * |present sub-buckets| even when every score is identical;
+    * non-uniform buckets keep the plain per-bucket window, and the
+    * selected row set is provably unchanged in every case. Driver
+    * state: |budgets| * qBuckets bucket rows + 16^subChars sub-rows per
+    * sub-bucketed bucket. Null/NaN qualities, null keys, and
+    * non-positive token counts drop.
     */
   def selectByQualityBudget(df: DataFrame, stratum: Column, key: Column,
                             tokens: Column, quality: Column,
@@ -312,11 +329,67 @@ object Sampling {
       .withColumn("__s", stratum.cast("string"))
       .withColumn("__bkt", qb)
       .withColumn("__pos", hashPosition(key))
-    // phase 1: per-(stratum, quality-bucket) token totals -> exclusive
-    // running offsets per stratum in bucket (= quality-desc) order —
-    // the shared two-phase scaffolding
-    val (offDF, _) = bucketedOffsets(selectable, sum(col("__tok")))
-    val cumW = Window.partitionBy(col("__s"), col("__bkt"))
+    // phase 1: per-(stratum, quality-bucket) token totals + exact score
+    // range -> exclusive running offsets per stratum in bucket
+    // (= quality-desc) order. min == max marks a UNIFORM bucket (see the
+    // degeneracy guard in the scaladoc).
+    val spark = df.sparkSession
+    val subChars = Packing.deriveBucketChars(
+      spark.sparkContext.defaultParallelism)
+    val t1 = selectable.groupBy(col("__s"), col("__bkt"))
+      .agg(sum(col("__tok")).as("__m"), min(col("__q")).as("__qlo"),
+        max(col("__q")).as("__qhi"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // sub-bucket a uniform bucket only when it is a straggler risk:
+    // holding at least 1/64 of its stratum's token mass (a bucket below
+    // that can never dominate a 64-way-parallel stratum sort). Healthy
+    // histograms (many small ties/singletons, all trivially uniform)
+    // skip phase 1b entirely; a collapsed histogram (one bucket = all
+    // mass) always qualifies.
+    val stratumTotals = t1.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.map(_._3).sum
+    }
+    val uniformKeys = t1.filter { r =>
+      r._4 == r._5 && r._3 * 64L >= stratumTotals(r._1)
+    }.map(r => (r._1, r._2)).toSet
+    import spark.implicits._
+    val markerDF = broadcast(t1
+      .map(r => (r._1, r._2, uniformKeys((r._1, r._2))))
+      .toSeq.toDF("__s", "__bkt", "__uni"))
+    // phase 1b, only when uniform buckets exist: their hash-prefix
+    // sub-bucket token sums (one filtered aggregate pass; skipped
+    // entirely on corpora with informative scores)
+    val subSums: Map[(String, String, String), Long] =
+      if (uniformKeys.isEmpty) Map.empty
+      else selectable
+        .join(markerDF.filter(col("__uni")), Seq("__s", "__bkt"))
+        .groupBy(col("__s"), col("__bkt"),
+          substring(col("__pos"), 1, subChars).as("__sub"))
+        .agg(sum(col("__tok")).as("__m"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))
+          -> r.getLong(3))
+        .toMap
+    val offsets = t1.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var acc = 0L
+      // lexicographic bucket order == quality-desc order (zero-padded)
+      rows.sortBy(_._2).flatMap { case (s, b, m, _, _) =>
+        val o = acc; acc += m
+        if (uniformKeys((s, b))) {
+          // fan the bucket offset out over its present sub-buckets in
+          // hash (= lexicographic hex-prefix) order
+          var sub = o
+          subSums.collect { case ((`s`, `b`, sb), sm) => (sb, sm) }
+            .toSeq.sortBy(_._1).map { case (sb, sm) =>
+              val so = sub; sub += sm; (s, b, sb, so)
+            }
+        } else Seq((s, b, "", o))
+      }
+    }
+    val offDF = broadcast(offsets.toDF("__s", "__bkt", "__sub", "__off"))
+    val cumW = Window.partitionBy(col("__s"), col("__bkt"), col("__sub"))
       .orderBy(col("__q").desc, col("__pos"), key)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val budgetCol = budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
@@ -324,10 +397,14 @@ object Sampling {
     }
     // __tok > 0 makes the inclusive cumsum strictly increasing along the
     // selection order, so `cum <= budget` IS the strict prefix
-    selectable.join(offDF, Seq("__s", "__bkt"))
+    selectable.join(markerDF, Seq("__s", "__bkt"))
+      .withColumn("__sub", when(col("__uni"),
+        substring(col("__pos"), 1, subChars)).otherwise(lit("")))
+      .join(offDF, Seq("__s", "__bkt", "__sub"))
       .withColumn("__cum", sum(col("__tok")).over(cumW) + col("__off"))
       .filter(col("__cum") <= budgetCol)
-      .drop("__pos", "__s", "__bkt", "__off", "__tok", "__q", "__cum")
+      .drop("__pos", "__s", "__bkt", "__off", "__tok", "__q", "__cum",
+        "__uni", "__sub")
   }
 
   /** Deterministic training-order shuffle position: a portable sort key

@@ -189,7 +189,8 @@ object Similarity {
               idCol: String = "vec_id",
               vecCol: String = "embedding",
               trainFraction: Double = 0.0,
-              targetTrain: Long = 100000L): DataFrame = {
+              targetTrain: Long = 100000L,
+              maxQueries: Int = 100000): DataFrame = {
     // the coarse quantizer trains on a deterministic hash sample: each
     // Lloyd iteration scans its training input, and at corpus scale the
     // quantizer needs ~1e4-1e5 vectors, not `iters` full 100 TB scans.
@@ -212,7 +213,19 @@ object Similarity {
     val centroids = kmeansCentroids(trainSet, numCentroids, iters, idCol, vecCol)
     val bucketed = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
       assignCentroid(col(vecCol), centroids).as("cid"))
-    // probe lists per query, computed driver-side (queries are small)
+    // probe lists per query, computed driver-side: the query frame is a
+    // probe set (it rides the plan as two broadcasts below), so the
+    // collect is bounded BEFORE it happens — the bm25TopKBatch
+    // bounded-probe discipline. A corpus-sized "query table" gets a loud
+    // fail-fast with sizing guidance, not a silent driver OOM; the limit
+    // counts at most maxQueries+1 rows, never the full frame.
+    require(maxQueries > 0, "maxQueries must be positive")
+    val nQueries = queries.limit(maxQueries + 1).count()
+    require(nQueries <= maxQueries,
+      s"query frame exceeds maxQueries=$maxQueries rows; ivfTopK " +
+        "collects and broadcasts the queries as a probe set — for " +
+        "corpus-scale query tables shard the queries (or raise " +
+        "maxQueries deliberately if the driver is sized for it)")
     val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .collect()
     val probes = qRows.flatMap { r =>

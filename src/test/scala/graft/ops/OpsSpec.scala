@@ -476,6 +476,12 @@ class OpsSpec extends AnyFunSuite {
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(derived == explicit)
+    // the query frame is collected to the driver as a probe set — a
+    // corpus-sized one must fail fast with sizing guidance, not OOM
+    val g = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(emb, emb, 5, numCentroids = 8, maxQueries = 10)
+    }
+    assert(g.getMessage.contains("maxQueries"))
   }
 
   test("cosine is symmetric and self-similarity is 1") {
@@ -1313,6 +1319,40 @@ class OpsSpec extends AnyFunSuite {
       rows.zip(cums).takeWhile(_._2 <= budgets(s)).map(_._1._1)
     }
     assert(kept == expected)
+  }
+
+  test("selectByQualityBudget: constant-quality corpus sub-buckets the " +
+    "uniform bucket — same selection, parallel window") {
+    import graft.SparkSpec.spark.implicits._
+    // every score identical: the histogram collapses to one bucket per
+    // stratum — pre-round-6 this was a single-task sort; now the uniform
+    // bucket fans out over hash-prefix sub-buckets (exact, because the
+    // within-bucket order is pure (hash, key) when scores tie)
+    val n = 2000
+    val d = (0 until n).map(i => (i.toLong, "a", 10L, 0.7))
+      .toDF("id", "s", "tok", "q")
+    val out = Sampling.selectByQualityBudget(d, col("s"), col("id"),
+      col("tok"), col("q"), Map("a" -> 5000L))
+    val kept = out.select("id").collect().map(_.getLong(0)).toSet
+    def hashPos(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).map(b => f"${b & 0xff}%02x").mkString
+    val expected = (0 until n).map(_.toLong)
+      .sortBy(id => (hashPos(id), id)).take(500).toSet
+    assert(kept == expected)
+    // the selection window partitions on the sub-bucket column — the
+    // parallelism gate (a non-uniform corpus keeps __sub = '')
+    assert(out.queryExecution.executedPlan.toString.contains("__sub"))
+    // and a corpus with informative scores is unchanged (its buckets
+    // are uniform only as tiny singletons, below the straggler-mass
+    // gate, so they keep the plain per-bucket window)
+    val varied = (0 until 100).map(i => (i.toLong, "a", 10L, i / 100.0))
+      .toDF("id", "s", "tok", "q")
+    val keptV = Sampling.selectByQualityBudget(varied, col("s"), col("id"),
+      col("tok"), col("q"), Map("a" -> 200L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptV == (80L until 100L).toSet)
   }
 
   test("selectByQualityBudget: NaN/null quality drops; out-of-range " +

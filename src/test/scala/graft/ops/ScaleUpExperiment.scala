@@ -210,6 +210,20 @@ class ScaleUpExperiment extends AnyFunSuite {
     println(f"[scaleup] qualitysel 1x=$t1q%.1fs 10x=$t10q%.1fs ratio=${t10q / t1q}%.1f")
     assert(t10q / math.max(t1q, 0.5) < 25, "qualitysel scale-up ratio too high")
 
+    // CONSTANT-quality corpus (the round-5 degenerate case): the
+    // histogram collapses to one uniform bucket per stratum, which now
+    // fans out over hash-prefix sub-buckets — selection must scale like
+    // the informative-score path, not like one task per stratum
+    val t1qc = time(Sampling.selectByQualityBudget(base, col("source"),
+      col("doc_id"), Text.tokenCount(col("text")), lit(0.5),
+      budgets(1L)).count())
+    val t10qc = time(Sampling.selectByQualityBudget(big, col("source"),
+      col("doc_id"), Text.tokenCount(col("text")), lit(0.5),
+      budgets(10L)).count())
+    println(f"[scaleup] qualityselConst 1x=$t1qc%.1fs 10x=$t10qc%.1fs ratio=${t10qc / t1qc}%.1f")
+    assert(t10qc / math.max(t1qc, 0.5) < 25,
+      "constant-quality qualitysel scale-up ratio too high")
+
     // perceptual-hash pair mining: banding runs over DISTINCT hashes
     // (round-6 collapse), so replication — every asset a 10-way dup
     // group — adds NO band-join work. Expanded mode still pays the
