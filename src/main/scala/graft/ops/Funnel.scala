@@ -39,27 +39,90 @@ object Funnel {
   def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
                   typeCol: String, steps: Seq[String],
                   within: Option[Column] = None): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
-    require(steps.distinct == steps, "funnel steps must be distinct")
-    val first = events.filter(col(typeCol) === steps.head)
-      .groupBy(col(userCol))
-      .agg(min(col(tsCol)).as("t1"))
-    val chained = steps.zipWithIndex.drop(1).foldLeft(first) {
-      case (prev, (step, i)) =>
-        val tPrev = s"t$i"
-        val tCur = s"t${i + 1}"
-        events.filter(col(typeCol) === step)
-          .select(col(userCol), col(tsCol).as("__ts"))
-          .join(prev, Seq(userCol))
-          .filter(col("__ts") > col(tPrev))
-          .groupBy(col(userCol) +: (1 to i).map(j => col(s"t$j")): _*)
-          .agg(min(col("__ts")).as(tCur))
-    }
+    val chained = greedyPrefixes(events, userCol, tsCol, typeCol, steps,
+      checkpoint = false).last
     within match {
       case None => chained
       case Some(w) =>
         chained.filter(col(s"t${steps.size}") <= col("t1") + w)
     }
+  }
+
+  /** The greedy chain fold shared by [[funnelTimes]] and
+    * [[funnelSteps]]: element d-1 is the d-step prefix frame — one row
+    * per user whose greedy chain reaches step d, columns `t1..td`.
+    * `checkpoint` eagerly cuts each prefix's lineage (user-cardinality
+    * frames) so a consumer reading EVERY prefix ([[funnelSteps]]) pays
+    * each chain join once, not once per depth it appears under. */
+  private def greedyPrefixes(events: DataFrame, userCol: String,
+                             tsCol: String, typeCol: String,
+                             steps: Seq[String],
+                             checkpoint: Boolean): Seq[DataFrame] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(true) else df
+    val first = cut(events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("t1")))
+    steps.zipWithIndex.drop(1).scanLeft(first) {
+      case (prev, (step, i)) =>
+        val tPrev = s"t$i"
+        val tCur = s"t${i + 1}"
+        cut(events.filter(col(typeCol) === step)
+          .select(col(userCol), col(tsCol).as("__ts"))
+          .join(prev, Seq(userCol))
+          .filter(col("__ts") > col(tPrev))
+          .groupBy(col(userCol) +: (1 to i).map(j => col(s"t$j")): _*)
+          .agg(min(col("__ts")).as(tCur)))
+    }
+  }
+
+  /** Per-step funnel drop-off report — the question funnels exist to
+    * answer, without a user-side join: one row per step with
+    * `(step_idx, step, n_reached, n_dropped, rate)`, where `n_reached`
+    * counts users whose greedy chain reaches the step (with `within`
+    * set, reaches it inside the window from their first step-1 event:
+    * `t_i <= t1 + within` — the [[funnelTimes]] bound applied at every
+    * depth, so the last row's count equals the completer count),
+    * `n_dropped` is the loss from the previous step and `rate` the
+    * step-over-step conversion (`floor(n * 1e6 / n_prev) / 1e6`, 1.0
+    * for the first step). Greedy minimality makes the per-depth bound
+    * sound: `t_i` is the earliest feasible time, so if the greedy chain
+    * misses the window at depth i, every chain does, and counts are
+    * non-increasing in depth.
+    *
+    * Scale shape: the shared per-step min-aggregate fold, each prefix
+    * `localCheckpoint`ed (user-cardinality frames) and counted — k
+    * single-row aggregates unioned, then a k-row window for the
+    * drop-off arithmetic (k = |steps|, driver-trivial by construction).
+    * The event stream still never shuffles whole. */
+  def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String],
+                  within: Option[Column] = None): DataFrame = {
+    val prefixes = greedyPrefixes(events, userCol, tsCol, typeCol, steps,
+      checkpoint = true)
+    val counts = prefixes.zipWithIndex.map { case (df, i) =>
+      val d = i + 1
+      val bounded = within match {
+        case Some(w) if d > 1 => df.filter(col(s"t$d") <= col("t1") + w)
+        case _ => df
+      }
+      bounded.agg(count(lit(1)).cast("long").as("n_reached"))
+        .select(lit(d).as("step_idx"), lit(steps(i)).as("step"),
+          col("n_reached"))
+    }
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("step_idx"))
+    counts.reduce(_ unionByName _)
+      .withColumn("__prev", lag(col("n_reached"), 1).over(w))
+      .withColumn("n_dropped",
+        coalesce(col("__prev") - col("n_reached"), lit(0L)))
+      .withColumn("rate",
+        when(col("__prev").isNull || col("__prev") === 0L, lit(1.0))
+          .otherwise(
+            floor(col("n_reached") * lit(1000000.0) / col("__prev")) / 1e6))
+      .drop("__prev")
+      .orderBy(col("step_idx"))
   }
 
   /** Cohort retention: bucket users by the time of their first

@@ -574,6 +574,16 @@ object Relational {
         .orderBy(col("user_id"))
     }),
 
+    // the per-step drop-off report over the same funnel: reached /
+    // dropped / conversion per step, window bound applied at every depth
+    "q_events_funnel_steps" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+      graft.ops.Funnel.funnelSteps(ev, "user_id", "tus", "event_type",
+        Seq("view", "click", "purchase"),
+        within = Some(lit(86400000000L)))
+    }),
+
     // rolling time-RANGE window (not row-based): per user, stats over
     // the strictly-preceding 10 minutes — the feature-engineering shape
     // where lag() gives neighbors but rangeBetween gives a time horizon.
@@ -1024,6 +1034,45 @@ object Relational {
         |SELECT user_id, t1, t2, t3 FROM s3
         |WHERE t3 <= t1 + 86400000000
         |ORDER BY user_id""".stripMargin,
+
+    // same chains, counted per depth with the window bound applied at
+    // every step; drop-off arithmetic over the 3-row counts table
+    "q_events_funnel_steps" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_type
+        |  FROM events
+        |), s1 AS (
+        |  SELECT user_id, MIN(tus) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, s1.t1, MIN(e.tus) AS t2
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.tus > s1.t1
+        |  GROUP BY e.user_id, s1.t1
+        |), s3 AS (
+        |  SELECT e.user_id, s2.t1, s2.t2, MIN(e.tus) AS t3
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tus > s2.t2
+        |  GROUP BY e.user_id, s2.t1, s2.t2
+        |), counts AS (
+        |  SELECT 1 AS step_idx, 'view' AS step,
+        |    (SELECT COUNT(*) FROM s1) AS n_reached
+        |  UNION ALL
+        |  SELECT 2, 'click',
+        |    (SELECT COUNT(*) FROM s2 WHERE t2 <= t1 + 86400000000)
+        |  UNION ALL
+        |  SELECT 3, 'purchase',
+        |    (SELECT COUNT(*) FROM s3 WHERE t3 <= t1 + 86400000000)
+        |)
+        |SELECT step_idx, step, n_reached,
+        |  COALESCE(LAG(n_reached) OVER (ORDER BY step_idx) - n_reached,
+        |    0) AS n_dropped,
+        |  CASE WHEN COALESCE(LAG(n_reached) OVER (ORDER BY step_idx),
+        |              0) = 0 THEN 1.0
+        |       ELSE floor(n_reached * 1000000.0
+        |              / LAG(n_reached) OVER (ORDER BY step_idx)) / 1e6
+        |  END AS rate
+        |FROM counts ORDER BY step_idx""".stripMargin,
 
     // identical value-based RANGE frame over epoch micros
     "q_events_rolling" ->

@@ -1184,6 +1184,22 @@ class OpsSpec extends AnyFunSuite {
       Seq("A", "B", "C"), within = Some(lit(25L)))
       .collect().map(_.getLong(0)).toSet
     assert(bounded == Set(1L, 5L)) // 4 too slow; 5's span 30-5 == 25 passes
+    // drop-off report over the same fixture: reached counts per depth
+    // (window applied at EVERY step), losses, step-over-step conversion
+    val stepRows = Funnel.funnelSteps(ev, "u", "t", "typ",
+      Seq("A", "B", "C"), within = Some(lit(25L)))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // reached A: all 5 users have an A event (user 2's is at t=20);
+    // reached B within 25: 1,4,5 (user 2's B precedes their A, user
+    // 3's tie never chains); reached C within 25: 1,5 (user 4's C at
+    // t=100 falls outside t1+25)
+    assert(stepRows.toSeq == Seq(
+      (1, "A", 5L, 0L, 1.0),
+      (2, "B", 3L, 2L, 0.6),
+      (3, "C", 2L, 1L, math.floor(2.0 * 1e6 / 3.0) / 1e6)))
+    // last row's count == the completer count funnelTimes reports
+    assert(stepRows.last._3 == bounded.size)
   }
 
   test("perceptual hash: locality under small edits, pairs == brute force") {
