@@ -1390,6 +1390,39 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 3L))
   }
 
+  test("Tokenize seam: toy merge-table BPE counts, null safety, and " +
+    "budget-operator integration") {
+    import graft.SparkSpec.spark.implicits._
+    // the textbook BPE merge table (low / lower / lowest / widest)
+    val tk = Tokenize.ToyBpeTokenizer(Seq(
+      ("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"), ("low", "est")))
+    val c = tk.init()
+    assert(c.count("low") == 1L) // l+o -> lo+w -> low
+    assert(c.count("lowest") == 1L) // low + est -> lowest
+    assert(c.count("lower") == 3L) // low, e, r
+    assert(c.count("widest") == 4L) // w, i, d, est
+    // pre-tokenization splits letter runs / digit runs / single marks
+    assert(c.count("low-cost 42") == 1L + 1L + 4L + 2L)
+    // empty merge table degrades to per-character symbols
+    assert(Tokenize.ToyBpeTokenizer(Nil).init().count("ab 12!") == 5L)
+    // the frame-level seam: null text counts 0, other columns ride along
+    val d = Seq((1L, "low lowest", "a"), (2L, null, "a"),
+      (3L, "lower widest", "a")).toDF("id", "text", "s")
+    val counted = Tokenize.withTokenCount(d, tk)
+    val byId = counted.collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byId == Map(1L -> 2L, 2L -> 0L, 3L -> 7L))
+    assert(counted.columns.toSeq == Seq("id", "text", "s", "n_tokens"))
+    // and the count column feeds a budget operator directly: doc 1
+    // (md5("1") = "c4ca...") precedes doc 3 ("eccb...") in the
+    // constant-quality hash order, its 2 real-BPE tokens fit the
+    // 3-token budget, and doc 3's 7 cross it — strict prefix keeps {1}
+    val kept = Sampling.selectByQualityBudget(counted, col("s"), col("id"),
+      col("n_tokens"), lit(0.5), Map("a" -> 3L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("normalizeForDedup folds case/punct/whitespace variants; distinct " +
     "texts stay apart") {
     import graft.SparkSpec.spark.implicits._
