@@ -129,20 +129,94 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Spanning-edge pair mining over one representative per distinct
+    * content — the shared `expandGroups = false` engine of
+    * [[ngramJaccardPairs]] and [[minhashLshPairs]] (the Hamming miners
+    * have their own twin, [[hammingBandPairs]]). Content key = md5 of
+    * the RAW text (not the dedup normalization: jaccard is over raw
+    * shingles, so only byte-identical texts provably share a shingle
+    * set). `mine` runs over one representative per distinct content, so
+    * a k-way duplicate group contributes ONE row to the shingle index /
+    * band table instead of k: candidate work inside a hot shingle or
+    * band bucket is quadratic in DISTINCT-content density, not
+    * duplication density, and the output — representative pairs plus
+    * one jaccard-1.0 star edge per non-representative member — is
+    * linear in corpus size. Its connected components are provably
+    * identical to the full pair graph's (members reach their
+    * representative; representatives inherit all cross-content edges),
+    * so [[duplicateClusters]] decisions are unchanged. Groups whose
+    * representative has no shingles emit nothing, matching the
+    * full-pair paths.
+    *
+    * The EXPANDED (`expandGroups = true`) miners stay uncollapsed by
+    * design: their full pair output is duplication-quadratic by
+    * contract (the pairs ARE the output), so a collapse there saves a
+    * constant factor of candidate work while costing an extra content
+    * aggregate on every clean corpus — measured a net loss at the
+    * engine's scale points. The 100 TB dedup-DECISION path is this
+    * spanning mode. Capped-ngram note: under collapse the hot-shingle
+    * cap bounds DISTINCT-CONTENT frequency, which is <= doc frequency,
+    * so the candidate set is a superset of the uncollapsed capped
+    * path's — strictly closer to the exact answer. */
+  private def contentSpanningPairs(docs: DataFrame, n: Int,
+                                   textCol: String, idCol: String)
+                                  (mine: DataFrame => DataFrame)
+      : DataFrame = {
+    // one window pass attaches each doc's group representative (min id)
+    // and group size — a single narrow shuffle of (id, digest) rows,
+    // checkpointed once for the branches below
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__ck"))
+    val members = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), md5(col(textCol)).as("__ck"))
+      .withColumn("rep", min(col("id")).over(w))
+      .withColumn("sz", count(lit(1)).over(w))
+      .localCheckpoint(true)
+    // representatives by ANTI-join against the duplicate EXTRAS (one row
+    // per non-representative member) — sized by duplication, not by the
+    // corpus, so a lightly-duplicated corpus broadcasts it and never
+    // re-shuffles `docs`; a dup-dense one degrades to a shuffle join
+    // exactly where the collapse pays for itself (AQE decides)
+    val nonReps = members.filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+    val repPairs = mine(docs.join(nonReps, Seq(idCol), "left_anti"))
+    // groups whose representative has no shingles (short/degenerate
+    // text) never pair in the full-pair paths — gate the star edges on
+    // a non-empty shingle set, checked only for the dup-group
+    // representatives (never a corpus-wide shingle pass)
+    val withShingles = docs
+      .join(members.filter(col("sz") > 1L && col("id") === col("rep"))
+        .select(col("id").as(idCol)), Seq(idCol), "left_semi")
+      .filter(size(shingles(col(textCol), n)) > 0)
+      .select(col(idCol).as("rep"))
+    // rep = group MIN id, so star edges keep the id1 < id2 invariant
+    val stars = members
+      .join(withShingles.select(col("rep")), Seq("rep"), "left_semi")
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id1"), col("id").as("id2"),
+        lit(1.0).as("jaccard"))
+    repPairs.unionByName(stars)
+  }
+
   /** Near-duplicate pairs by exact n-gram Jaccard, with candidate
     * generation through a shingle inverted index (equi-join on shingle).
+    * `expandGroups = false` swaps the full (duplication-quadratic) pair
+    * set for the linear spanning edge set mined over one representative
+    * per distinct content ([[contentSpanningPairs]]) — identical
+    * [[duplicateClusters]], the dedup-decision shape for dup-dense
+    * corpora.
     *
-    * `maxShingleFreq` caps the inverted index: shingles occurring in more
-    * than `cap` docs (stopword runs, boilerplate) are dropped from
-    * CANDIDATE GENERATION only — a fixed cap bounds the per-shingle join
-    * fan-out at `cap^2/2` pairs independent of corpus size, which is what
-    * keeps the self-join sub-quadratic on boilerplate-heavy corpora.
-    * Candidates are then verified with exact Jaccard over the FULL
-    * shingle sets ([[verifyJaccard]]), so reported scores are never
-    * underestimated. Contract: a pair is reported iff its exact Jaccard
-    * >= threshold AND the docs share at least one shingle with corpus
-    * frequency <= cap; pairs whose entire overlap is hot shingles are
-    * missed by construction (a pair of pure-boilerplate docs).
+    * `maxShingleFreq` caps the inverted index: shingles occurring in
+    * more than `cap` docs (stopword runs, boilerplate) are dropped from
+    * CANDIDATE GENERATION only — a fixed cap bounds the per-shingle
+    * join fan-out at `cap^2/2` pairs independent of corpus size, which
+    * is what keeps the self-join sub-quadratic on boilerplate-heavy
+    * corpora. Candidates are then verified with exact Jaccard over the
+    * FULL shingle sets ([[verifyJaccard]]), so reported scores are
+    * never underestimated. Contract: a pair is reported iff its exact
+    * Jaccard >= threshold AND the docs share at least one shingle under
+    * the cap; pairs whose entire overlap is hot shingles are missed by
+    * construction (a pair of pure-boilerplate docs).
     * Output: (id1, id2, jaccard) with id1 < id2, jaccard >= threshold.
     *
     * `materializeIndex` (capped path only): the exploded shingle index
@@ -159,7 +233,21 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         textCol: String = "text", idCol: String = "doc_id",
                         maxShingleFreq: Option[Int] = None,
-                        materializeIndex: Boolean = true): DataFrame = {
+                        materializeIndex: Boolean = true,
+                        expandGroups: Boolean = true): DataFrame =
+    if (expandGroups)
+      ngramJaccardPairsUncollapsed(docs, n, threshold, textCol, idCol,
+        maxShingleFreq, materializeIndex)
+    else
+      contentSpanningPairs(docs, n, textCol, idCol)(
+        ngramJaccardPairsUncollapsed(_, n, threshold, textCol, idCol,
+          maxShingleFreq, materializeIndex))
+
+  private def ngramJaccardPairsUncollapsed(
+      docs: DataFrame, n: Int, threshold: Double,
+      textCol: String, idCol: String,
+      maxShingleFreq: Option[Int],
+      materializeIndex: Boolean): DataFrame = {
     // explode straight out of the scan: the generator materializes each
     // shingle as a real attribute, so nothing downstream re-runs the
     // tokenizer
@@ -303,11 +391,27 @@ object Dedup {
     * carries `numHashes` longs per document regardless of document size.
     * Candidate verification re-shingles only the candidate docs (semi-join
     * on the tiny candidate id set) instead of dragging shingle arrays
-    * through the band shuffle.
+    * through the band shuffle. `expandGroups = false` mines over one
+    * representative per distinct content ([[contentSpanningPairs]]):
+    * duplicate groups sign, band, and verify ONCE, and the output is
+    * the spanning edge set for cluster decisions instead of the full
+    * (duplication-quadratic) pair set.
     * Output: (id1, id2, jaccard) verified pairs above threshold. */
   def minhashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
                       threshold: Double, textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame = {
+                      idCol: String = "doc_id",
+                      expandGroups: Boolean = true): DataFrame =
+    if (expandGroups)
+      minhashLshPairsUncollapsed(docs, n, numHashes, bands, threshold,
+        textCol, idCol)
+    else
+      contentSpanningPairs(docs, n, textCol, idCol)(
+        minhashLshPairsUncollapsed(_, n, numHashes, bands, threshold,
+          textCol, idCol))
+
+  private def minhashLshPairsUncollapsed(
+      docs: DataFrame, n: Int, numHashes: Int, bands: Int,
+      threshold: Double, textCol: String, idCol: String): DataFrame = {
     val buckets = bandTable(
       minhashSignatures(docs, n, numHashes, textCol, idCol),
       numHashes, bands)

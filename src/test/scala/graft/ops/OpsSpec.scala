@@ -159,6 +159,57 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
   }
 
+  test("content collapse: ngram + minhash miners match brute force on a " +
+      "dup-dense corpus; spanning edges give identical clusters") {
+    import graft.SparkSpec.spark.implicits._
+    // 2 distinct contents x 70 identical copies, plus a near-dup edit
+    // per content and two shingle-less short docs (must never pair).
+    // Expanded mode mines the full duplication-quadratic pair set
+    // (uncollapsed by design — the pairs ARE the output); spanning mode
+    // collapses to representatives and must emit linear edges with
+    // identical connected components.
+    val baseText = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = ((0 until 2).flatMap { g =>
+      val t = baseText.replace("tok7", s"grp$g")
+      (0 until 70).map(i => (g * 1000L + i, t)) :+
+        (g * 1000L + 500, t.replace("tok30", "edit"))
+    } :+ (9000L, "ab") :+ (9001L, "ab")).toDF("doc_id", "text")
+    // brute-force exact 3-gram jaccard reference
+    def shingleSet(t: String): Set[String] =
+      if (t.split("\\s+").length < 3) Set.empty
+      else t.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val brute = (for {
+      (a, ta) <- texts; (b, tb) <- texts
+      if a < b
+      sa = shingleSet(ta); sb = shingleSet(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.5
+    } yield (a, b, math.floor(j * 1e6) / 1e6)).toSet
+    assert(brute.exists(_._3 == 1.0) && brute.exists(_._3 < 1.0),
+      "fixture needs exact-dup and near-dup pairs")
+    def got(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 1e6) / 1e6)).toSet
+    val ng = got(Dedup.ngramJaccardPairs(d, 3, 0.5))
+    assert(ng == brute,
+      s"ngram missed=${(brute -- ng).take(5)} extra=${(ng -- brute).take(5)}")
+    val ngCapped = got(Dedup.ngramJaccardPairs(d, 3, 0.5,
+      maxShingleFreq = Some(500)))
+    assert(ngCapped == brute)
+    val mh = got(Dedup.minhashLshPairs(d, 3, 64, 16, 0.5))
+    assert(mh == brute,
+      s"minhash missed=${(brute -- mh).take(5)} extra=${(mh -- brute).take(5)}")
+    // spanning mode: fewer edges, identical connected components
+    val span = Dedup.ngramJaccardPairs(d, 3, 0.5, expandGroups = false)
+    assert(span.count() < brute.size)
+    def comps(p: org.apache.spark.sql.DataFrame) =
+      Dedup.duplicateClusters(p).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(comps(span) == comps(Dedup.ngramJaccardPairs(d, 3, 0.5)))
+  }
+
   test("hamming pair miner: collapsed banding == brute force; spanning " +
       "edges give identical clusters on a dup-dense corpus") {
     import graft.SparkSpec.spark.implicits._

@@ -50,6 +50,17 @@ class ScaleUpExperiment extends AnyFunSuite {
     val t10m = time(Dedup.minhashLshPairs(big, 3, 64, 16, 0.5).count())
     println(f"[scaleup] ngram 1x=$t1n%.1fs 10x=$t10n%.1fs ratio=${t10n / t1n}%.1f")
     println(f"[scaleup] minhash 1x=$t1m%.1fs 10x=$t10m%.1fs ratio=${t10m / t1m}%.1f")
+    // spanning mode (round 6): mining runs over DISTINCT contents, so
+    // the replication fixture's 10-way dup groups contribute one doc
+    // each and the edge output is linear — the dedup-DECISION path must
+    // scale near-linearly where the full pair set cannot
+    val t1s = time(Dedup.minhashLshPairs(base, 3, 64, 16, 0.5,
+      expandGroups = false).count())
+    val t10s = time(Dedup.minhashLshPairs(big, 3, 64, 16, 0.5,
+      expandGroups = false).count())
+    println(f"[scaleup] minhashSpan 1x=$t1s%.1fs 10x=$t10s%.1fs ratio=${t10s / t1s}%.1f")
+    assert(t10s / math.max(t1s, 0.5) < 25,
+      "spanning-mode minhash scale-up ratio too high")
     base.unpersist(); big.unpersist()
     // note: replication multiplies near-dup pairs ~quadratically per dup
     // group (every copy matches every other copy), so some superlinearity
