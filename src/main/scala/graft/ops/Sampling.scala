@@ -56,6 +56,55 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Temperature (alpha) resampling — the standard multilingual /
+    * multi-source flattening step: per-stratum keep fractions
+    * `f_s = (n_min / n_s)^(1-alpha)`, i.e. sampling probabilities
+    * proportional to `n_s^alpha` scaled so the SMALLEST stratum keeps
+    * everything. `alpha = 1` keeps the natural distribution,
+    * `alpha = 0` equalizes expected stratum sizes, and the common
+    * `alpha = 0.5` (temperature 2) square-root-flattens. Rows then
+    * sample via [[stratifiedHashSample]] — same key, same decision,
+    * any engine.
+    *
+    * Portability: fractions are floor-rounded at 1e-6, and for
+    * `alpha = 0.5` the power is computed with `sqrt`, which IEEE 754
+    * requires to be correctly rounded — so the alpha-0.5 fractions
+    * (and therefore the selected ROW SET) are bit-reproducible across
+    * engines. Other alphas go through `pow`, which carries no such
+    * guarantee: same documented boundary-flip caveat as the engine's
+    * other 1e-6 roundings.
+    *
+    * Scale shape: one stratum-count aggregate whose driver collect is
+    * bounded by `maxStrata` (fail-fast above it — temperature sampling
+    * is for bounded domains like language or source, not url-hosts),
+    * then one broadcast-free filter pass: the per-stratum thresholds
+    * fold into the predicate as literals. Null strata drop. */
+  def temperatureSample(df: DataFrame, stratum: Column, key: Column,
+                        alpha: Double = 0.5,
+                        maxStrata: Int = 10000): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha in [0,1]")
+    require(maxStrata > 0, "maxStrata must be positive")
+    val s = stratum.cast("string")
+    val counts = df.filter(s.isNotNull)
+      .groupBy(s.as("__s")).agg(count(lit(1)).as("__n"))
+      .limit(maxStrata + 1) // bounded probe: never the full domain
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.length <= maxStrata,
+      s"stratum domain exceeds maxStrata=$maxStrata; temperature " +
+        "sampling collects one count per stratum — for unbounded " +
+        "domains (hosts, urls) use capPerGroup or raise maxStrata " +
+        "deliberately")
+    if (counts.isEmpty) return df.filter(s.isNotNull)
+    val minN = counts.map(_._2).min
+    def flatten(ratio: Double): Double =
+      if (alpha == 0.5) math.sqrt(ratio) // IEEE-exact, engine-portable
+      else math.pow(ratio, 1.0 - alpha)
+    val fractions = counts.map { case (name, n) =>
+      name -> math.floor(flatten(minN.toDouble / n.toDouble) * 1e6) / 1e6
+    }.toMap
+    stratifiedHashSample(df.filter(s.isNotNull), key, s, fractions)
+  }
+
   /** Keep at most `k` rows per group, chosen deterministically by hash
     * position (ties broken by the key itself) — the per-host / per-source
     * cap of a crawl pipeline. The constant-limit rank filter plans as a

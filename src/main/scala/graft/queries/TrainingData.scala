@@ -138,6 +138,20 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // temperature (alpha=0.5) resampling over a synthetic 4:2:1 skewed
+    // stratum: the smallest stratum keeps everything, bigger ones
+    // downsample by sqrt(n_min/n) — IEEE sqrt is correctly rounded, so
+    // the fractions (and the hash-selected row set) are engine-exact
+    "q_doc_temperature" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("bucket",
+        when(col("doc_id") % 7 < 4, lit("web"))
+          .when(col("doc_id") % 7 < 6, lit("books"))
+          .otherwise(lit("wiki")))
+      graft.ops.Sampling.temperatureSample(d, col("bucket"), col("doc_id"))
+        .select(col("doc_id"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
     // END-TO-END training-data funnel as ONE oracle-checked query:
     // quality gate -> near-dup dedup (pair mining + connected components
     // + canonical survivor) -> leakage-safe split -> per-part stats.
@@ -955,6 +969,31 @@ object TrainingData {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |ORDER BY doc_id""".stripMargin,
+
+    // same counts -> sqrt-flattened fractions -> 1e-6 floor -> 4-hex
+    // threshold (round-half-up, capped 65535; >= 65536 keeps all)
+    "q_doc_temperature" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 < 4 THEN 'web'
+        |         WHEN doc_id % 7 < 6 THEN 'books'
+        |         ELSE 'wiki' END AS bucket
+        |  FROM documents
+        |), c AS (
+        |  SELECT bucket, COUNT(*) AS n FROM d GROUP BY bucket
+        |), m AS (SELECT MIN(n) AS nmin FROM c),
+        |f AS (
+        |  SELECT bucket,
+        |    floor(sqrt(CAST(m.nmin AS DOUBLE) / CAST(c.n AS DOUBLE))
+        |      * 1e6) / 1e6 AS frac
+        |  FROM c, m
+        |)
+        |SELECT d.doc_id, d.bucket FROM d JOIN f ON d.bucket = f.bucket
+        |WHERE round(f.frac * 65536) >= 65536
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |      < printf('%04x', CAST(least(round(f.frac * 65536), 65535.0)
+        |          AS BIGINT))
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_doc_chunk" ->
       """WITH t AS (

@@ -1355,6 +1355,38 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set(99L))
   }
 
+  test("temperatureSample: smallest stratum complete, alpha endpoints, " +
+    "bounded-probe guard, null strata drop") {
+    import graft.SparkSpec.spark.implicits._
+    val d = ((0 until 400).map(i => (i.toLong, "web")) ++
+      (1000 until 1100).map(i => (i.toLong, "wiki")) :+
+      (2000L, null.asInstanceOf[String])).toDF("id", "s")
+    def run(alpha: Double) = Sampling.temperatureSample(d, col("s"),
+      col("id"), alpha).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // alpha = 1: natural distribution — everything non-null kept
+    assert(run(1.0).length == 500)
+    // alpha = 0.5: wiki (smallest) complete; web ~ sqrt(100/400) = 50%
+    val half = run(0.5)
+    val webHalf = half.count(_._2 == "web")
+    assert(half.count(_._2 == "wiki") == 100)
+    assert(webHalf > 150 && webHalf < 250, s"web kept $webHalf of 400")
+    // alpha = 0: expected stratum sizes equalize — web ~ 100
+    val flat = run(0.0)
+    val webFlat = flat.count(_._2 == "web")
+    assert(flat.count(_._2 == "wiki") == 100)
+    assert(webFlat > 60 && webFlat < 140, s"web kept $webFlat of 400")
+    assert(webFlat < webHalf)
+    // null strata never survive
+    assert(!run(0.5).exists(_._2 == null))
+    // stratum-domain probe fails fast, never collects an unbounded map
+    val g = intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(d, col("id").cast("string"), col("id"),
+        0.5, maxStrata = 10)
+    }
+    assert(g.getMessage.contains("maxStrata"))
+  }
+
   test("selectByQualityBudget: quality-desc prefix equals the local " +
     "reference; bucket count never changes the row set") {
     val budgets = Map("src0" -> 400L, "src1" -> 300L, "src2" -> 200L)
