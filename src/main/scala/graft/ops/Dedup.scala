@@ -411,10 +411,19 @@ object Dedup {
 
   private def minhashLshPairsUncollapsed(
       docs: DataFrame, n: Int, numHashes: Int, bands: Int,
-      threshold: Double, textCol: String, idCol: String): DataFrame = {
-    val buckets = bandTable(
+      threshold: Double, textCol: String, idCol: String): DataFrame =
+    minhashLshPairsFromSig(docs,
       minhashSignatures(docs, n, numHashes, textCol, idCol),
-      numHashes, bands)
+      n, numHashes, bands, threshold, textCol, idCol)
+
+  /** The band-join + exact-verify core over a PRECOMPUTED signature
+    * table — so a caller that already built (and checkpointed) the
+    * signatures ([[incrementalMinhashDedup]]) doesn't pay a second
+    * corpus shingle + 64-aggregate pass for its in-batch mining. */
+  private def minhashLshPairsFromSig(
+      docs: DataFrame, sig: DataFrame, n: Int, numHashes: Int, bands: Int,
+      threshold: Double, textCol: String, idCol: String): DataFrame = {
+    val buckets = bandTable(sig, numHashes, bands)
     // materialized once: verifyJaccard reads the candidate set three
     // times (two broadcast id sets + the join spine), and each lazy read
     // would otherwise re-run the signature aggregation over the whole
@@ -559,8 +568,14 @@ object Dedup {
     val fresh = batch.join(
       broadcast(dupOfIndex.select(col("id").as(idCol))), Seq(idCol),
       "left_anti")
+    // in-batch mining reuses the checkpointed signatures (semi-joined
+    // down to the fresh ids) instead of re-shingling the batch
+    val freshSig = sig
+      .join(fresh.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select(col("id") +: mhCols.map(col): _*)
     val kept = keepClusterCanonical(fresh,
-      minhashLshPairs(fresh, n, numHashes, bands, threshold, textCol, idCol),
+      minhashLshPairsFromSig(fresh, freshSig, n, numHashes, bands,
+        threshold, textCol, idCol),
       idCol).localCheckpoint(true)
     val keptSig = sig.join(
       kept.select(col(idCol).as("id")), Seq("id"), "left_semi")

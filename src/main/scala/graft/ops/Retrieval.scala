@@ -178,4 +178,46 @@ object Retrieval {
         col("rank"))
       .orderBy(col(queryIdCol), col("rank"))
   }
+
+  /** Reciprocal-rank fusion of ranked retrieval lists (the standard
+    * hybrid-retrieval combiner, Cormack/Clarke/Buettcher SIGIR'09):
+    * `score(d) = sum over lists of 1 / (k0 + rank_d)` — rank-based, so
+    * a lexical BM25 list and a semantic cosine list fuse without score
+    * normalization. Input frames carry `(idCol, rankCol)` with rank
+    * starting at 1; ids absent from a list simply contribute nothing.
+    * Output: `(id, rrf_score, n_lists, rank)` — the fused score is
+    * 1e-6-floor-rounded and ordered (score desc, id), `n_lists` counts
+    * how many input lists retrieved the id (the agreement signal hybrid
+    * pipelines threshold on).
+    *
+    * Scale shape: the inputs are top-k retrieval OUTPUTS (list
+    * cardinality = k per list, not the corpus), so the union, the
+    * per-id sum, and the final single-partition rank window all operate
+    * on at most `sum(|list|)` rows — driver-trivial by construction;
+    * the heavy lifting lives in the upstream retrievers. Portability:
+    * each contribution is `1.0 / (k0 + rank)` (exact double op); a
+    * TWO-list fusion sums a single pair of doubles (commutative — no
+    * order dependence), so the fused scores are engine-exact; three or
+    * more lists inherit the documented summation-order boundary-flip
+    * caveat. */
+  def rrfFuse(lists: Seq[DataFrame], topK: Int, k0: Int = 60,
+              idCol: String = "id", rankCol: String = "rank"): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(topK > 0, "topK must be positive")
+    require(k0 > 0, "k0 must be positive")
+    val contribs = lists.map(df =>
+      df.select(col(idCol).as("id"),
+        (lit(1.0) / (lit(k0.toDouble) + col(rankCol).cast("double")))
+          .as("__c")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_score").desc, col("id"))
+    contribs.reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(sum(col("__c")).as("__raw"), count(lit(1)).as("n_lists"))
+      .withColumn("rrf_score", floor(col("__raw") * 1e6) / 1e6)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("id"), col("rrf_score"), col("n_lists"), col("rank"))
+      .orderBy(col("rank"))
+  }
 }

@@ -280,6 +280,23 @@ object TrainingData {
       Retrieval.bm25TopKBatch(docs(s, dir), queries, k = 5)
     }),
 
+    // hybrid retrieval: the BM25 lexical top-15 fused with the exact
+    // cosine semantic top-15 (query = vec 0) by reciprocal-rank fusion;
+    // two lists, so the fused doubles are engine-exact (pairwise sum)
+    "q_doc_rrf" -> ((s, dir) => {
+      val lex = Retrieval.bm25TopK(docs(s, dir),
+        Seq("hash", "join", "spark", "window"), k = 15)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("id"))))
+        .select(col("id"), col("rank"))
+      val e = emb(s, dir)
+      val sem = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") === 0L), k = 15)
+        .select(col("vec_id").as("id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, sem), topK = 10)
+    }),
+
     // per-source KL drift from the corpus distribution over the
     // global top-50 tokens — the mixture-monitoring statistic
     "q_doc_drift" -> ((s, dir) => {
@@ -1168,6 +1185,70 @@ object TrainingData {
         |FROM d CROSS JOIN stats
         |WHERE tf0 + tf1 + tf2 + tf3 > 0
         |ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    // the two ranked lists rebuilt exactly as their own oracles rank
+    // them (BM25 formula + raw-cosine row_number), then 1/(60+rank)
+    // contributions summed pairwise and floor-rounded
+    "q_doc_rrf" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT id, CAST(len(toks) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf2,
+        |    CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf3
+        |  FROM base
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) AS sumdl,
+        |    SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |    SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |    SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2,
+        |    SUM(CASE WHEN tf3 > 0 THEN 1.0 ELSE 0.0 END) AS df3
+        |  FROM d
+        |), lex AS (
+        |  SELECT id, floor((
+        |      ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+        |        / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |    + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+        |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |    + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+        |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |    + ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 * 2.2
+        |        / (tf3 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |    ) * 1e6) / 1e6 AS score
+        |  FROM d CROSS JOIN stats
+        |  WHERE tf0 + tf1 + tf2 + tf3 > 0
+        |  ORDER BY score DESC, id LIMIT 15
+        |), lexr AS (
+        |  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank
+        |  FROM lex
+        |), semr AS (
+        |  SELECT vec_id AS id, rank FROM (
+        |    SELECT e.vec_id,
+        |      ROW_NUMBER() OVER (ORDER BY
+        |        list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id)
+        |        AS rank
+        |    FROM embeddings e CROSS JOIN
+        |      (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |    WHERE e.vec_id <> 0)
+        |  WHERE rank <= 15
+        |), u AS (
+        |  SELECT id, CAST(1 AS DOUBLE) / (60 + rank) AS c FROM lexr
+        |  UNION ALL
+        |  SELECT id, CAST(1 AS DOUBLE) / (60 + rank) FROM semr
+        |), g AS (
+        |  SELECT id, floor(SUM(c) * 1e6) / 1e6 AS rrf_score,
+        |    COUNT(*) AS n_lists
+        |  FROM u GROUP BY id
+        |)
+        |SELECT id, rrf_score, n_lists, rank FROM (
+        |  SELECT id, rrf_score, n_lists,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, id)
+        |      AS BIGINT) AS rank
+        |  FROM g)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     // same inverted-index computation: postings restricted to query
     // terms, df off the postings, SUM partials, 1e-6 floor, rank

@@ -1473,6 +1473,23 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 3L))
   }
 
+  test("rrfFuse: hand-computed fusion, single-list ids, ordering") {
+    import graft.SparkSpec.spark.implicits._
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), topK = 10, k0 = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3)))
+    def f(ranks: Seq[Int]): Double =
+      math.floor(ranks.map(r => 1.0 / (60 + r)).sum * 1e6) / 1e6
+    // doc 20 appears in both lists (ranks 2 and 1) and must fuse first
+    assert(fused.toSeq == Seq(
+      (20L, f(Seq(2, 1)), 2L, 1L),
+      (10L, f(Seq(1)), 1L, 2L),
+      (40L, f(Seq(2)), 1L, 3L),
+      (30L, f(Seq(3)), 1L, 4L)))
+  }
+
   test("Tokenize seam: toy merge-table BPE counts, null safety, and " +
     "budget-operator integration") {
     import graft.SparkSpec.spark.implicits._
