@@ -241,4 +241,40 @@ class PlanSpec extends AnyFunSuite {
     val schemas = p.linesIterator.filter(_.contains("ReadSchema:")).toSeq
     assert(schemas.exists(_.contains("struct<text:string>")), schemas)
   }
+
+  test("q_doc_temperature: joinless single-pass filter — thresholds fold " +
+    "into the predicate as literals") {
+    val p = plan("q_doc_temperature")
+    // the per-stratum hash thresholds are driver-computed literals, so
+    // the selection is one scan + filter: no join, no window, and the
+    // only exchange is the presentation sort's
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    // formatted mode lists each node twice (tree + detail) — count the
+    // detail entries; the only exchange is the presentation sort's
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length <= 1, p)
+  }
+
+  test("q_events_funnel_steps: drop-off window is over the k-row counts " +
+    "union of checkpointed prefixes") {
+    // the greedy prefixes are localCheckpoint'ed at build (each chain
+    // join paid once, not once per depth), so the final plan reads
+    // checkpointed blocks — the per-step scan pushdown of the shared
+    // fold is pinned by the q_events_funnel gate above
+    val p = plan("q_events_funnel_steps")
+    assert(!p.contains("CartesianProduct"), p)
+    // one Window node only (formatted mode lists nodes twice; count the
+    // detail entries) — the k-row drop-off arithmetic, never a window
+    // over the event stream
+    assert("\\(\\d+\\) Window".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("q_doc_rrf: fusion operates on top-k outputs — no cartesian, " +
+    "bm25 list still TakeOrdered") {
+    val p = plan("q_doc_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Union"), p)
+  }
 }
