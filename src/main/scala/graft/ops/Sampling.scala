@@ -334,9 +334,9 @@ object Sampling {
     * exact score is UNIFORM, and within it the selection order
     * (quality desc, hash, key) is pure (hash, key) — so uniform buckets
     * that are also straggler risks (holding >= 1/64 of their stratum's
-    * token mass; smaller ties can't dominate a parallel sort and skip
-    * the extra pass) are sub-bucketed by hash prefix (a prefix
-    * coarsening of that
+    * token mass AND >= `minSubBucketTokens` absolute; smaller ties
+    * can't dominate a parallel sort and skip the extra pass) are
+    * sub-bucketed by hash prefix (a prefix coarsening of that
     * order: exact, not approximate) and their offsets fan out over the
     * sub-buckets in hash order. Parallelism never falls below
     * |present sub-buckets| even when every score is identical;
@@ -351,7 +351,8 @@ object Sampling {
                             budgets: Map[String, Long],
                             qBuckets: Int = 1024,
                             qMin: Double = 0.0,
-                            qMax: Double = 1.0): DataFrame = {
+                            qMax: Double = 1.0,
+                            minSubBucketTokens: Long = 1000000L): DataFrame = {
     require(budgets.nonEmpty && budgets.values.forall(_ >= 0L),
       "per-stratum token budgets must be non-negative")
     require(qBuckets >= 1 && qBuckets <= 99999,
@@ -391,36 +392,43 @@ object Sampling {
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4)))
-    // sub-bucket a uniform bucket only when it is a straggler risk:
-    // holding at least 1/64 of its stratum's token mass (a bucket below
-    // that can never dominate a 64-way-parallel stratum sort). Healthy
-    // histograms (many small ties/singletons, all trivially uniform)
-    // skip phase 1b entirely; a collapsed histogram (one bucket = all
-    // mass) always qualifies.
+    // sub-bucket a uniform bucket only when it is a straggler risk: at
+    // least 1/64 of its stratum's token mass (a bucket below that can
+    // never dominate a 64-way-parallel stratum sort) AND at least
+    // `minSubBucketTokens` absolute (a sort task under ~1M tokens is
+    // trivial no matter what fraction of a SMALL stratum it is — the
+    // relative gate alone made tiny tied buckets in test-sized strata
+    // pay the extra phase-1b pass for zero benefit). Healthy
+    // histograms skip phase 1b entirely; a collapsed histogram at real
+    // scale (one bucket = a stratum's terabytes) always qualifies.
     val stratumTotals = t1.groupBy(_._1).map { case (s, rows) =>
       s -> rows.map(_._3).sum
     }
     val uniformKeys = t1.filter { r =>
-      r._4 == r._5 && r._3 * 64L >= stratumTotals(r._1)
+      r._4 == r._5 && r._3 * 64L >= stratumTotals(r._1) &&
+        r._3 >= minSubBucketTokens
     }.map(r => (r._1, r._2)).toSet
     import spark.implicits._
-    val markerDF = broadcast(t1
-      .map(r => (r._1, r._2, uniformKeys((r._1, r._2))))
-      .toSeq.toDF("__s", "__bkt", "__uni"))
-    // phase 1b, only when uniform buckets exist: their hash-prefix
-    // sub-bucket token sums (one filtered aggregate pass; skipped
-    // entirely on corpora with informative scores)
+    // phase 1b, only when qualifying uniform buckets exist: their
+    // hash-prefix sub-bucket token sums (one filtered aggregate pass;
+    // skipped entirely on corpora with informative scores). The
+    // qualifying set is small by construction (each holds >= 1/64 of a
+    // stratum), so an isin literal filter beats a join stage.
     val subSums: Map[(String, String, String), Long] =
       if (uniformKeys.isEmpty) Map.empty
-      else selectable
-        .join(markerDF.filter(col("__uni")), Seq("__s", "__bkt"))
-        .groupBy(col("__s"), col("__bkt"),
-          substring(col("__pos"), 1, subChars).as("__sub"))
-        .agg(sum(col("__tok")).as("__m"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getString(2))
-          -> r.getLong(3))
-        .toMap
+      else {
+        val keys = uniformKeys.map { case (s, b) => s + " " + b }.toSeq
+        selectable
+          .filter(concat_ws(" ", col("__s"), col("__bkt"))
+            .isin(keys: _*))
+          .groupBy(col("__s"), col("__bkt"),
+            substring(col("__pos"), 1, subChars).as("__sub"))
+          .agg(sum(col("__tok")).as("__m"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2))
+            -> r.getLong(3))
+          .toMap
+      }
     val offsets = t1.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
       var acc = 0L
       // lexicographic bucket order == quality-desc order (zero-padded)
@@ -445,15 +453,19 @@ object Sampling {
       when(col("__s") === s, lit(b)).otherwise(acc)
     }
     // __tok > 0 makes the inclusive cumsum strictly increasing along the
-    // selection order, so `cum <= budget` IS the strict prefix
-    selectable.join(markerDF, Seq("__s", "__bkt"))
-      .withColumn("__sub", when(col("__uni"),
-        substring(col("__pos"), 1, subChars)).otherwise(lit("")))
-      .join(offDF, Seq("__s", "__bkt", "__sub"))
+    // selection order, so `cum <= budget` IS the strict prefix. ONE
+    // broadcast join carries both the offsets and the sub-bucket
+    // structure: a plain bucket contributes its single __sub = '' row,
+    // a sub-bucketed one its per-prefix rows, and the post-filter keeps
+    // exactly the row matching the doc's own hash prefix — no separate
+    // marker-join stage on the common path.
+    selectable.join(offDF, Seq("__s", "__bkt"))
+      .filter(col("__sub") === lit("") ||
+        col("__sub") === substring(col("__pos"), 1, subChars))
       .withColumn("__cum", sum(col("__tok")).over(cumW) + col("__off"))
       .filter(col("__cum") <= budgetCol)
       .drop("__pos", "__s", "__bkt", "__off", "__tok", "__q", "__cum",
-        "__uni", "__sub")
+        "__sub")
   }
 
   /** Deterministic training-order shuffle position: a portable sort key

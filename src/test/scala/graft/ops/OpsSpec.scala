@@ -1430,8 +1430,11 @@ class OpsSpec extends AnyFunSuite {
     val n = 2000
     val d = (0 until n).map(i => (i.toLong, "a", 10L, 0.7))
       .toDF("id", "s", "tok", "q")
+    // minSubBucketTokens = 1 forces the sub-bucket path on this
+    // test-sized corpus (the default 1M-token floor exists precisely so
+    // small strata never pay the machinery)
     val out = Sampling.selectByQualityBudget(d, col("s"), col("id"),
-      col("tok"), col("q"), Map("a" -> 5000L))
+      col("tok"), col("q"), Map("a" -> 5000L), minSubBucketTokens = 1L)
     val kept = out.select("id").collect().map(_.getLong(0)).toSet
     def hashPos(id: Long): String =
       java.security.MessageDigest.getInstance("MD5")

@@ -227,10 +227,10 @@ class ScaleUpExperiment extends AnyFunSuite {
     // the informative-score path, not like one task per stratum
     val t1qc = time(Sampling.selectByQualityBudget(base, col("source"),
       col("doc_id"), Text.tokenCount(col("text")), lit(0.5),
-      budgets(1L)).count())
+      budgets(1L), minSubBucketTokens = 1L).count())
     val t10qc = time(Sampling.selectByQualityBudget(big, col("source"),
       col("doc_id"), Text.tokenCount(col("text")), lit(0.5),
-      budgets(10L)).count())
+      budgets(10L), minSubBucketTokens = 1L).count())
     println(f"[scaleup] qualityselConst 1x=$t1qc%.1fs 10x=$t10qc%.1fs ratio=${t10qc / t1qc}%.1f")
     assert(t10qc / math.max(t1qc, 0.5) < 25,
       "constant-quality qualitysel scale-up ratio too high")
