@@ -417,9 +417,9 @@ object Sampling {
     val subSums: Map[(String, String, String), Long] =
       if (uniformKeys.isEmpty) Map.empty
       else {
-        val keys = uniformKeys.map { case (s, b) => s + " " + b }.toSeq
+        val keys = uniformKeys.map { case (s, b) => s + " " + b }.toSeq
         selectable
-          .filter(concat_ws(" ", col("__s"), col("__bkt"))
+          .filter(concat_ws(" ", col("__s"), col("__bkt"))
             .isin(keys: _*))
           .groupBy(col("__s"), col("__bkt"),
             substring(col("__pos"), 1, subChars).as("__sub"))
@@ -506,6 +506,55 @@ object Sampling {
     * `splits = Seq("train" -> 0.8, "test" -> 0.1, "val" -> 0.1)`.
     * Key on a GROUP column (source, author, url-domain) to make the split
     * leakage-safe: every row of a group lands in the same part. */
+  /** Leakage-safe dataset split: near-duplicate documents must never
+    * straddle a train/test boundary (the classic eval-contamination
+    * bug — the model "generalizes" to test docs it saw paraphrased in
+    * training). Split assignment keys on the near-dup CLUSTER
+    * representative instead of the document id: `pairs` (from any of
+    * the engine's pair miners — its `expandGroups = false` spanning
+    * mode is the scale shape) feed [[Dedup.duplicateClusters]], every
+    * member of a cluster shares its representative's hash draw, and
+    * docs in no pair key on themselves. Appends `splitCol`.
+    *
+    * Scale shape: the cluster table is pair-bounded (near-dup pairs
+    * are a small fraction of any sane corpus), so the left join
+    * broadcasts under AQE and the corpus never re-shuffles; the split
+    * itself is the usual literal-threshold hash predicate. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       splits: Seq[(String, Double)],
+                       idCol: String = "doc_id",
+                       splitCol: String = "split"): DataFrame = {
+    require(!docs.columns.contains(splitCol),
+      s"output column $splitCol already exists")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id").as("__cl"))
+    docs.join(clusters, Seq(idCol), "left")
+      .withColumn(splitCol,
+        splitColumn(coalesce(col("__cl"), col(idCol)), splits))
+      .drop("__cl")
+  }
+
+  /** Deterministic integer upsampling: every row of stratum `s`
+    * appears `repeats(s)` times (unlisted strata once), tagged with
+    * `copyCol` = 0..r-1 — the standard upweighting of high-quality
+    * sources (books x3, wiki x2) without RNG or fractional
+    * approximation. Downstream epoch shuffling should key on
+    * (row key, copy index) so the copies spread through the epoch
+    * instead of clumping. One generator per row, map-side — no
+    * shuffle, no driver state. */
+  def upsampleByRepeats(df: DataFrame, stratum: Column,
+                        repeats: Map[String, Int],
+                        copyCol: String = "copy_idx"): DataFrame = {
+    require(repeats.nonEmpty && repeats.values.forall(_ >= 1),
+      "repeat counts must be >= 1")
+    require(!df.columns.contains(copyCol),
+      s"output column $copyCol already exists")
+    val r = repeats.foldLeft(lit(1)) { case (acc, (s, n)) =>
+      when(stratum === s, lit(n)).otherwise(acc)
+    }
+    df.withColumn(copyCol, explode(sequence(lit(0), r - 1)))
+  }
+
   def splitColumn(key: Column, splits: Seq[(String, Double)]): Column = {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")

@@ -243,6 +243,28 @@ object TrainingData {
         .orderBy(col("split"))
     }),
 
+    // leakage-safe split: near-dup clusters (exact n-gram pairs) must
+    // never straddle train/test — assignment keys on the cluster
+    // representative, docs in no pair on themselves
+    "q_doc_leakage_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Sampling.leakageSafeSplit(d,
+        Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5,
+          maxShingleFreq = Some(500)),
+        Seq("train" -> 0.8, "test" -> 0.2))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic integer upsampling: src0 x3, src1 x2, rest x1,
+    // copies tagged 0..r-1
+    "q_doc_upsample" -> ((s, dir) => {
+      graft.ops.Sampling.upsampleByRepeats(docs(s, dir), col("source"),
+        Map("src0" -> 3, "src1" -> 2))
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     // per-document top-3 TF-IDF terms (rounded-score ranking)
     "q_doc_tfidf" -> ((s, dir) => {
       // N passed explicitly: count() on the parquet table is served from
@@ -1109,6 +1131,38 @@ object TrainingData {
         |SELECT split, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT source) AS n_sources
         |FROM assigned GROUP BY split ORDER BY split""".stripMargin,
+
+    // the exact pair closure assigns each clustered doc its min-id
+    // representative; split = hash threshold on the representative
+    // (docs in no pair hash on themselves)
+    "q_doc_leakage_split" ->
+      (s"WITH RECURSIVE ${ngramPairCtes()},\n" +
+        """edges AS (
+          |  SELECT id1 AS a, id2 AS b FROM qual
+          |  UNION
+          |  SELECT id2, id1 FROM qual
+          |), reach(a, b) AS (
+          |  SELECT a, b FROM edges
+          |  UNION
+          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+          |), cl AS (
+          |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+          |  FROM reach GROUP BY a
+          |)
+          |SELECT d.doc_id,
+          |  CASE WHEN substr(md5(CAST(COALESCE(cl.cluster_id, d.doc_id)
+          |           AS VARCHAR)), 1, 4) < 'cccd'
+          |       THEN 'train' ELSE 'test' END AS split
+          |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+          |ORDER BY d.doc_id""".stripMargin),
+
+    "q_doc_upsample" ->
+      """SELECT doc_id, source,
+        |  CAST(unnest(generate_series(1,
+        |    CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+        |         ELSE 1 END)) - 1 AS INT) AS copy_idx
+        |FROM documents
+        |ORDER BY doc_id, copy_idx""".stripMargin,
 
     "q_doc_tfidf" ->
       """WITH ex AS (

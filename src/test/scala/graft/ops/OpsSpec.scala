@@ -1355,6 +1355,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set(99L))
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle splits; " +
+    "upsampleByRepeats: exact copies with indices") {
+    import graft.SparkSpec.spark.implicits._
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    // docs 1/2/3 near-dup each other (one-word edits), 10/20 unrelated
+    val d = Seq(
+      (1L, base), (2L, base.replace("tok9", "edit")),
+      (3L, base.replace("tok30", "other")),
+      (10L, (1 to 50).map(i => s"aa$i").mkString(" ")),
+      (20L, (1 to 50).map(i => s"bb$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, 3, 0.5)
+    val split = Sampling.leakageSafeSplit(d, pairs,
+      Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // the whole 1-2-3 cluster shares one split (keyed on doc 1's hash)
+    assert(Set(split(1L), split(2L), split(3L)).size == 1)
+    assert(split.values.toSet.subsetOf(Set("train", "test")))
+    // upsampling: src-keyed integer copies with 0-based indices
+    val up = Sampling.upsampleByRepeats(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"),
+      col("s"), Map("a" -> 3, "b" -> 2))
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(up.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap ==
+      Map(1L -> Seq(0, 1, 2), 2L -> Seq(0, 1), 3L -> Seq(0)))
+  }
+
   test("temperatureSample: smallest stratum complete, alpha endpoints, " +
     "bounded-probe guard, null strata drop") {
     import graft.SparkSpec.spark.implicits._
