@@ -322,6 +322,32 @@ object Relational {
         .orderBy(col("source"))
     }),
 
+    // STREAMING near-identical dedup: rows collapse on their 64-bit
+    // SimHash over the token stream (scoped per source, like the exact
+    // variant) — catches re-crawls that differ only in whitespace
+    // tokenization, with the same bounded dropDuplicates state. One
+    // survivor per (source, signature) regardless of arrival order, so
+    // the oracle is the batch distinct-signature count per source.
+    "q_stream_simdedup" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docsStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .withColumn("sig", graft.ops.Dedup.simhash64(
+          graft.ops.Text.tokens(col("text"))))
+      val name = s"graft_stream_simdedup_${streamQueryId.incrementAndGet()}"
+      val q = graft.streaming.Monitor.dedupStream(docsStream,
+        Seq("source", "sig"))
+        .writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_unique"))
+        .orderBy(col("source"))
+    }),
+
     // STREAMING tumbling-window aggregation, driver-runnable: the
     // watermarked windowed count/sum drained under AvailableNow in
     // complete mode (every window emits once input is exhausted), so the

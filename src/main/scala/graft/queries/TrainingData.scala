@@ -704,6 +704,66 @@ object TrainingData {
     })
   )
 
+  /** Shared CTE chain rebuilding Dedup.simhash64 bit-for-bit in DuckDB
+    * (per-token polynomial hash over UTF-8 bytes mod 2^64, fmix64 via
+    * HUGEINT half-multiplies, per-bit votes, signed conversion) — ends
+    * in `fp(id, f)`. Composed into q_dedup_simhash (all-pairs hamming)
+    * and q_stream_simdedup (distinct signatures per source). */
+  private val simhashFpCtes: String =
+    """pow2(b, p) AS (
+        |  SELECT 0, CAST(1 AS HUGEINT)
+        |  UNION ALL SELECT b + 1, p * 2 FROM pow2 WHERE b < 63
+        |), toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents
+        |), ph AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(range(1, octet_length(encode(tok)) + 1),
+        |        i -> CAST(strpos('0123456789ABCDEF',
+        |                         substr(hex(encode(tok)), CAST(2*i-1 AS INT), 1)) - 1
+        |               AS HUGEINT) * 16
+        |             + (strpos('0123456789ABCDEF',
+        |                       substr(hex(encode(tok)), CAST(2*i AS INT), 1)) - 1))),
+        |      (acc, x) -> (acc * 1000000007 + x)
+        |                  % CAST('18446744073709551616' AS HUGEINT)) AS p
+        |  FROM toks
+        |), fm1 AS (
+        |  SELECT doc_id, xor(p, p // 8589934592) AS x FROM ph
+        |), fm1m AS (
+        |  SELECT doc_id,
+        |    (((x // 4294967296) * CAST('18397679294719823053' AS HUGEINT))
+        |       % 4294967296 * 4294967296
+        |     + (x % 4294967296) * CAST('18397679294719823053' AS HUGEINT))
+        |    % CAST('18446744073709551616' AS HUGEINT) AS x
+        |  FROM fm1
+        |), fm2 AS (
+        |  SELECT doc_id, xor(x, x // 8589934592) AS x FROM fm1m
+        |), fm2m AS (
+        |  SELECT doc_id,
+        |    (((x // 4294967296) * CAST('14181476777654086739' AS HUGEINT))
+        |       % 4294967296 * 4294967296
+        |     + (x % 4294967296) * CAST('14181476777654086739' AS HUGEINT))
+        |    % CAST('18446744073709551616' AS HUGEINT) AS x
+        |  FROM fm2
+        |), th AS (
+        |  SELECT doc_id, xor(x, x // 8589934592) AS h FROM fm2m
+        |), votes AS (
+        |  SELECT doc_id, b, p,
+        |    SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM th CROSS JOIN pow2 GROUP BY doc_id, b, p
+        |), sigs AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN vote > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS sig_u
+        |  FROM votes GROUP BY doc_id
+        |), fp AS (
+        |  SELECT doc_id AS id,
+        |    CAST(CASE WHEN sig_u >= CAST('9223372036854775808' AS HUGEINT)
+        |         THEN sig_u - CAST('18446744073709551616' AS HUGEINT)
+        |         ELSE sig_u END AS BIGINT) AS f
+        |  FROM sigs
+        |)""".stripMargin
+
   /** Shared CTE chain producing exact 3-gram Jaccard pairs at threshold
     * 0.5 (`qual`), composed into the ngram/minhash oracle and the
     * recursive-CTE cluster oracle. */
@@ -2066,65 +2126,23 @@ object TrainingData {
     // signed 64-bit signature, then the exact hamming<=3 pair set. The
     // oracle does the quadratic all-pairs join (fine at oracle scale);
     // the engine's banded candidate generation must reproduce it exactly.
+    // (The signature CTE chain is shared with q_stream_simdedup via
+    // simhashFpCtes below.)
     "q_dedup_simhash" ->
-      """WITH RECURSIVE pow2(b, p) AS (
-        |  SELECT 0, CAST(1 AS HUGEINT)
-        |  UNION ALL SELECT b + 1, p * 2 FROM pow2 WHERE b < 63
-        |), toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
-        |  FROM documents
-        |), ph AS (
-        |  SELECT doc_id,
-        |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
-        |      list_transform(range(1, octet_length(encode(tok)) + 1),
-        |        i -> CAST(strpos('0123456789ABCDEF',
-        |                         substr(hex(encode(tok)), CAST(2*i-1 AS INT), 1)) - 1
-        |               AS HUGEINT) * 16
-        |             + (strpos('0123456789ABCDEF',
-        |                       substr(hex(encode(tok)), CAST(2*i AS INT), 1)) - 1))),
-        |      (acc, x) -> (acc * 1000000007 + x)
-        |                  % CAST('18446744073709551616' AS HUGEINT)) AS p
-        |  FROM toks
-        |), fm1 AS (
-        |  SELECT doc_id, xor(p, p // 8589934592) AS x FROM ph
-        |), fm1m AS (
-        |  SELECT doc_id,
-        |    (((x // 4294967296) * CAST('18397679294719823053' AS HUGEINT))
-        |       % 4294967296 * 4294967296
-        |     + (x % 4294967296) * CAST('18397679294719823053' AS HUGEINT))
-        |    % CAST('18446744073709551616' AS HUGEINT) AS x
-        |  FROM fm1
-        |), fm2 AS (
-        |  SELECT doc_id, xor(x, x // 8589934592) AS x FROM fm1m
-        |), fm2m AS (
-        |  SELECT doc_id,
-        |    (((x // 4294967296) * CAST('14181476777654086739' AS HUGEINT))
-        |       % 4294967296 * 4294967296
-        |     + (x % 4294967296) * CAST('14181476777654086739' AS HUGEINT))
-        |    % CAST('18446744073709551616' AS HUGEINT) AS x
-        |  FROM fm2
-        |), th AS (
-        |  SELECT doc_id, xor(x, x // 8589934592) AS h FROM fm2m
-        |), votes AS (
-        |  SELECT doc_id, b, p,
-        |    SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS vote
-        |  FROM th CROSS JOIN pow2 GROUP BY doc_id, b, p
-        |), sigs AS (
-        |  SELECT doc_id,
-        |    SUM(CASE WHEN vote > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS sig_u
-        |  FROM votes GROUP BY doc_id
-        |), fp AS (
-        |  SELECT doc_id AS id,
-        |    CAST(CASE WHEN sig_u >= CAST('9223372036854775808' AS HUGEINT)
-        |         THEN sig_u - CAST('18446744073709551616' AS HUGEINT)
-        |         ELSE sig_u END AS BIGINT) AS f
-        |  FROM sigs
-        |)
-        |SELECT a.id AS id1, b.id AS id2,
-        |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
-        |FROM fp a JOIN fp b ON a.id < b.id
-        |WHERE bit_count(xor(a.f, b.f)) <= 3
-        |ORDER BY id1, id2""".stripMargin,
+      (s"WITH RECURSIVE $simhashFpCtes\n" +
+        """SELECT a.id AS id1, b.id AS id2,
+          |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+          |FROM fp a JOIN fp b ON a.id < b.id
+          |WHERE bit_count(xor(a.f, b.f)) <= 3
+          |ORDER BY id1, id2""".stripMargin),
+
+    // One survivor per (source, signature) regardless of arrival order:
+    // the streaming drain == batch COUNT(DISTINCT signature) per source.
+    "q_stream_simdedup" ->
+      (s"WITH RECURSIVE $simhashFpCtes\n" +
+        """SELECT d.source, COUNT(DISTINCT f.f) AS n_unique
+          |FROM documents d JOIN fp f ON d.doc_id = f.id
+          |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
     // Mirrors Text.winnowingFingerprint (k=8, w=4): canonicalize
     // (lower, collapse \s+, trim), polynomial k-gram hash
