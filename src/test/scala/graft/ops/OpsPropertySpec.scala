@@ -56,6 +56,82 @@ class OpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureSample == naive flattened hash filter for random " +
+    "strata and alphas") {
+    val rowGen = for {
+      id <- Gen.choose(0L, 200L)
+      s <- Gen.oneOf("a", "b", "c", "d")
+    } yield (id, s)
+    val caseGen = for {
+      rows <- Gen.nonEmptyListOf(rowGen)
+      alpha <- Gen.oneOf(0.0, 0.25, 0.5, 1.0)
+    } yield (rows, alpha)
+    sample(caseGen, 6).foreach { case (rowsRaw, alpha) =>
+      val rows = rowsRaw.groupBy(_._1).map(_._2.head).toSeq // unique ids
+      val df = rows.toDF("id", "s")
+      val kept = Sampling.temperatureSample(df, col("s"), col("id"), alpha)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val minN = counts.values.min
+      def flat(r: Double) =
+        if (alpha == 0.5) math.sqrt(r) else math.pow(r, 1.0 - alpha)
+      val expected = rows.filter { case (id, s) =>
+        val f = math.floor(flat(minN.toDouble / counts(s)) * 1e6) / 1e6
+        val t = math.round(f * 65536)
+        t >= 65536 || hashPos(id) < f"${math.min(t, 65535).toInt}%04x"
+      }.map(_._1).toSet
+      assert(kept == expected, s"alpha=$alpha counts=$counts")
+    }
+  }
+
+  test("rrfFuse == naive reference for random ranked lists") {
+    val listGen = Gen.nonEmptyListOf(Gen.choose(0L, 30L)).map(ids =>
+      ids.distinct.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) })
+    val caseGen = for {
+      a <- listGen; b <- listGen
+      k0 <- Gen.choose(1, 100); topK <- Gen.choose(1, 10)
+    } yield (a, b, k0, topK)
+    sample(caseGen, 6).foreach { case (a, b, k0, topK) =>
+      val fused = Retrieval.rrfFuse(
+        Seq(a.toDF("id", "rank"), b.toDF("id", "rank")), topK, k0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      val contrib = (a ++ b).groupBy(_._1).view.mapValues { rs =>
+        (math.floor(rs.map { case (_, r) => 1.0 / (k0 + r) }.sum * 1e6)
+          / 1e6, rs.size.toLong)
+      }.toMap
+      val expected = contrib.toSeq.map { case (id, (sc, n)) => (id, sc, n) }
+        .sortBy { case (id, sc, _) => (-sc, id) }.take(topK)
+        .zipWithIndex.map { case ((id, sc, n), i) => (id, sc, n, (i + 1).toLong) }
+      assert(fused == expected, s"k0=$k0 topK=$topK a=$a b=$b")
+    }
+  }
+
+  test("leakageSafeSplit: co-located endpoints for random pair graphs") {
+    val pairGen = for {
+      a <- Gen.choose(0L, 23L)
+      b <- Gen.choose(a + 1, 24L)
+    } yield (a, b)
+    val caseGen = for {
+      n <- Gen.choose(5, 25)
+      pairs <- Gen.listOf(pairGen)
+    } yield (n, pairs.distinct)
+    sample(caseGen, 6).foreach { case (n, pairs) =>
+      val docs = (0 until n).map(i => (i.toLong, s"text$i"))
+        .toDF("doc_id", "text")
+      val pairsDF = pairs.toDF("id1", "id2")
+      val m = Sampling.leakageSafeSplit(docs, pairsDF,
+        Seq("train" -> 0.7, "test" -> 0.3))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(m.size == n)
+      // transitive co-location: both endpoints of every in-corpus pair
+      // (and by induction every cluster) share one split
+      pairs.filter(p => p._1 < n && p._2 < n).foreach { case (a, b) =>
+        assert(m(a) == m(b), s"pair ($a,$b) straddles: ${m(a)} vs ${m(b)}")
+      }
+    }
+  }
+
   test("fillForward == naive per-key carry for random null patterns") {
     val rowGen = for {
       k <- Gen.oneOf("x", "y")
