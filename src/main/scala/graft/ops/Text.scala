@@ -332,6 +332,53 @@ object Text {
     * Returns `(group, n_tokens, kl)` ordered by group, where
     * `n_tokens` is the group's token count within the top-V set.
     */
+  /** CCNet-style unigram surprisal: mean `-ln p(token)` per document
+    * under the corpus's own top-V unigram distribution — the classic
+    * LM-perplexity quality signal at its cheapest useful order. High
+    * surprisal = token mix unlike the corpus (gibberish, wrong
+    * language, binary junk); unusually LOW surprisal = boilerplate.
+    * Probabilities are Laplace-1 smoothed over top-V + one shared OOV
+    * bucket (`p_oov = (n_total - n_top + 1) / (n_total + V + 1)`), so
+    * every token has positive mass and the distribution is proper.
+    *
+    * Returns `(id, n_tokens, surprisal)`, surprisal 1e-6-floor-rounded
+    * (same summation-order caveat as [[termDrift]]: per-term `ln` ulps
+    * and partial-sum order make boundary flips rare, not impossible).
+    *
+    * Scale shape: two tokenize passes (corpus counts, per-doc counts —
+    * the [[tfIdfTopTerms]] minimal shape); the top-V table and the
+    * single-row stats broadcast; nothing shuffles more than
+    * (doc, distinct token) rows. */
+  def unigramSurprisal(docs: org.apache.spark.sql.DataFrame,
+                       topV: Int,
+                       textCol: String = "text",
+                       idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    require(topV > 0, "topV must be positive")
+    def docTokens = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    val counts = docTokens.groupBy(col("token"))
+      .agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("token")).limit(topV)
+    val stats = counts.agg(sum(col("c")).as("n_total")).crossJoin(
+      top.agg(sum(col("c")).as("n_top"), count(lit(1)).as("v")))
+    val perDoc = docTokens.groupBy(col("id"), col("token"))
+      .agg(count(lit(1)).as("dc"))
+    perDoc
+      .join(broadcast(top.select(col("token"), col("c"))),
+        Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("p",
+        (coalesce(col("c"), col("n_total") - col("n_top")) + lit(1L))
+          .cast("double") /
+          (col("n_total") + col("v") + lit(1L)).cast("double"))
+      .withColumn("term", col("dc") * -log(col("p")))
+      .groupBy(col("id"))
+      .agg(sum(col("dc")).as("n_tokens"),
+        (floor(sum(col("term")) / sum(col("dc")) * 1e6) / 1e6)
+          .as("surprisal"))
+  }
+
   def termDrift(docs: org.apache.spark.sql.DataFrame, topV: Int,
                 textCol: String = "text",
                 groupCol: String = "source")

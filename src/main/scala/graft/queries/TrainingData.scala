@@ -319,6 +319,14 @@ object TrainingData {
       Retrieval.rrfFuse(Seq(lex, sem), topK = 10)
     }),
 
+    // CCNet-style unigram surprisal under the corpus's own top-500
+    // distribution (Laplace-1 + shared OOV bucket): the LM-perplexity
+    // quality signal
+    "q_doc_surprisal" -> ((s, dir) => {
+      Text.unigramSurprisal(docs(s, dir), topV = 500)
+        .orderBy(col("id"))
+    }),
+
     // per-source KL drift from the corpus distribution over the
     // global top-50 tokens — the mixture-monitoring statistic
     "q_doc_drift" -> ((s, dir) => {
@@ -1409,6 +1417,32 @@ object TrainingData {
         |  CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // same smoothed top-V unigram model: per-doc mean -ln p, OOV
+    // tokens share one bucket, 1e-6 floor on the final mean
+    "q_doc_surprisal" ->
+      """WITH ex AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(text, '\s+'))
+        |    AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, COUNT(*) AS c FROM ex GROUP BY token
+        |), top AS (
+        |  SELECT token, c FROM c ORDER BY c DESC, token LIMIT 500
+        |), stats AS (
+        |  SELECT (SELECT SUM(c) FROM c) AS n_total,
+        |         (SELECT SUM(c) FROM top) AS n_top,
+        |         (SELECT COUNT(*) FROM top) AS v
+        |), dcount AS (
+        |  SELECT id, token, COUNT(*) AS dc FROM ex GROUP BY id, token
+        |)
+        |SELECT id, CAST(SUM(dc) AS BIGINT) AS n_tokens,
+        |  floor(SUM(dc * -ln(
+        |      CAST(COALESCE(t.c, s.n_total - s.n_top) + 1 AS DOUBLE)
+        |      / CAST(s.n_total + s.v + 1 AS DOUBLE)))
+        |    / SUM(dc) * 1e6) / 1e6 AS surprisal
+        |FROM dcount LEFT JOIN top t USING (token) CROSS JOIN stats s
+        |GROUP BY id ORDER BY id""".stripMargin,
 
     // per-source KL vs the corpus over the global top-50 tokens,
     // renormalized within that set; missing tokens contribute 0 via

@@ -1502,6 +1502,25 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 3L))
   }
 
+  test("unigramSurprisal: gibberish scores above common-token text; " +
+    "distribution is proper") {
+    import graft.SparkSpec.spark.implicits._
+    val common = (1 to 50).map(_ => "the quick fox").mkString(" ")
+    val d = (Seq(
+      (1L, common), (2L, common), (3L, common),
+      (4L, "zxqv wkjh pqrs mntb vcxz") // tokens the corpus never repeats
+    ) ++ (5L to 20L).map(i => (i, common))).toDF("doc_id", "text")
+    val out = Text.unigramSurprisal(d, topV = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // common docs: 150 tokens each; gibberish: 5 OOV tokens
+    assert(out(1L)._1 == 150L && out(4L)._1 == 5L)
+    assert(out(4L)._2 > out(1L)._2,
+      s"gibberish ${out(4L)._2} should exceed common ${out(1L)._2}")
+    // all common docs share one exact score (same token multiset)
+    assert(out.filter(_._1 != 4L).values.map(_._2).toSet.size == 1)
+  }
+
   test("rrfFuse: hand-computed fusion, single-list ids, ordering") {
     import graft.SparkSpec.spark.implicits._
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
