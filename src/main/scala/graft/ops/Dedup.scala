@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -72,6 +72,7 @@ object Dedup {
                             textCol: String = "text",
                             idCol: String = "doc_id"): DataFrame = {
     val spark = batch.sparkSession
+    recoverIndex(indexPath)
     val withFp = batch.withColumn("__fp", Text.fingerprint(col(textCol)))
     val existing: Option[DataFrame] =
       if (graft.core.Fs.exists(indexPath) &&
@@ -487,6 +488,18 @@ object Dedup {
     *          shingle pair), so cross-batch decisions are no weaker than
     *          in-batch ones. Index cost: ~8 bytes per distinct shingle
     *          per kept doc — the same order as the corpus itself.
+    *        - `exactVerify = true` with `rereadFrom = Some(corpus)`: the
+    *          SAME exact full-set Jaccard, but the shingle sets are
+    *          recomputed on demand for the CANDIDATE docs only — the
+    *          batch side from the batch rows in hand, the index side by
+    *          semi-joining `corpus` (the accumulated kept docs: every id
+    *          this function ever returned for this index, with its text)
+    *          down to the candidate ids and re-shingling just those. The
+    *          index stays compact (`numHashes` longs per doc) while
+    *          decisions stay exact; per-batch re-shingling work is
+    *          proportional to the candidate count, not the corpus. An
+    *          indexed candidate id missing from `corpus` fails fast
+    *          (silently skipping it would KEEP a doc that may be a dup).
     *        - `exactVerify = false`: fraction of equal minhash
     *          components >= threshold (the standard unbiased estimator,
     *          sigma ~ sqrt(t(1-t)/numHashes), so boundary-Jaccard pairs
@@ -497,24 +510,39 @@ object Dedup {
     *   3. appends the kept docs' index rows (lineage cut before the
     *      self-referential append, as in the exact variant).
     *
-    * The two modes write different index schemas; mixing them on one
-    * `indexPath` fails fast rather than silently union-ing schemas.
-    * Returns the kept batch rows. Scale shape: the index is only ever
-    * touched by (a) a band-key equi-join and (b) one partitioned append —
-    * no rewrite, no driver materialization; the `sh` sets ride the
-    * candidate-pair join only, never the band shuffle. */
+    * The stored-`sh` mode writes a different index schema from the two
+    * compact modes; mixing them on one `indexPath` fails fast rather
+    * than silently union-ing schemas (`rereadFrom` and the estimator
+    * share the compact schema — the verify strategy there is a per-call
+    * choice over the same signatures). Returns the kept batch rows.
+    * Scale shape: the index is only ever touched by (a) a band-key
+    * equi-join and (b) one partitioned append — no rewrite, no driver
+    * materialization; the `sh` sets ride the candidate-pair join only,
+    * never the band shuffle. A long-running ingest should periodically
+    * [[compactIndex]] the path (one small file set per batch otherwise
+    * accumulates forever). */
   def incrementalMinhashDedup(batch: DataFrame, indexPath: String,
                               n: Int = 3, numHashes: Int = 64,
                               bands: Int = 16, threshold: Double = 0.5,
                               textCol: String = "text",
                               idCol: String = "doc_id",
-                              exactVerify: Boolean = true): DataFrame = {
+                              exactVerify: Boolean = true,
+                              rereadFrom: Option[DataFrame] = None): DataFrame = {
+    require(exactVerify || rereadFrom.isEmpty,
+      "rereadFrom supplies text for EXACT candidate verification; " +
+        "combining it with exactVerify=false is contradictory")
     val spark = batch.sparkSession
+    recoverIndex(indexPath)
+    // stored-sh mode persists the shingle-hash sets in the index; the
+    // reread and estimator modes keep the index signature-only
+    val storeSh = exactVerify && rereadFrom.isEmpty
+    def shSet(text: Column): Column =
+      sort_array(array_distinct(transform(shingles(text, n),
+        s => xxhash64(s, lit(0)))))
     val sigBase = minhashSignatures(batch, n, numHashes, textCol, idCol)
-    val sig = (if (exactVerify) {
+    val sig = (if (storeSh) {
       val shSets = batch.select(col(idCol).as("id"),
-        sort_array(array_distinct(transform(shingles(col(textCol), n),
-          s => xxhash64(s, lit(0))))).as("sh"))
+        shSet(col(textCol)).as("sh"))
       sigBase.join(shSets, Seq("id"))
     } else sigBase).localCheckpoint(true)
     val mhCols = (0 until numHashes).map(i => s"mh$i")
@@ -527,18 +555,22 @@ object Dedup {
         case None => sig.select(col("id")).limit(0)
         case Some(idx) =>
           val idxHasSh = idx.columns.contains("sh")
-          require(idxHasSh == exactVerify,
-            s"index at $indexPath was built with exactVerify=$idxHasSh; " +
-              s"reading it with exactVerify=$exactVerify would mix index " +
-              "schemas — use one mode per index")
+          require(idxHasSh == storeSh,
+            s"index at $indexPath was built with " +
+              s"${if (idxHasSh) "stored shingle sets (exactVerify=true, no rereadFrom)"
+              else "a compact signature-only schema (estimator or rereadFrom mode)"}; " +
+              s"this call (exactVerify=$exactVerify, " +
+              s"rereadFrom=${rereadFrom.isDefined}) would mix index " +
+              "schemas — use one schema per index")
           val bBands = bandTable(sig, numHashes, bands)
           val iBands = bandTable(idx, numHashes, bands)
-          val cand = bBands.alias("b")
+          val cand0 = bBands.alias("b")
             .join(iBands.alias("i"),
               col("b.band") === col("i.band") && col("b.bh") === col("i.bh"))
             .select(col("b.id").as("bid"), col("i.id").as("iid"))
             .dropDuplicates("bid", "iid")
-          if (exactVerify) {
+          if (storeSh) {
+            val cand = cand0
             val bSh = sig.select(col("id").as("bid"), col("sh").as("b_sh"))
             val iSh = idx.select(col("id").as("iid"), col("sh").as("i_sh"))
             cand.join(bSh, Seq("bid")).join(iSh, Seq("iid"))
@@ -549,7 +581,36 @@ object Dedup {
               .filter(col("uni") > 0 &&
                 col("inter").cast("double") / col("uni") >= threshold)
               .select(col("bid").as("id")).distinct()
+          } else if (exactVerify) {
+            // compact exact mode: candidates are pair-bounded — pin them
+            // once (they feed two semi-joins and the verify join below)
+            val cand = cand0.localCheckpoint(true)
+            val corpus = rereadFrom.get.select(col(idCol), col(textCol))
+            val missing = cand.select(col("iid").as(idCol)).distinct()
+              .join(corpus, Seq(idCol), "left_anti").limit(1).collect()
+            require(missing.isEmpty,
+              s"rereadFrom is missing indexed doc id " +
+                s"${missing.head.get(0)} — it must contain every id this " +
+                s"index ever kept (silently skipping the candidate would " +
+                "KEEP a possible duplicate)")
+            val bSh = batch.join(
+              broadcast(cand.select(col("bid").as(idCol)).distinct()),
+              Seq(idCol), "left_semi")
+              .select(col(idCol).as("bid"), shSet(col(textCol)).as("b_sh"))
+            val iSh = corpus.join(
+              broadcast(cand.select(col("iid").as(idCol)).distinct()),
+              Seq(idCol), "left_semi")
+              .select(col(idCol).as("iid"), shSet(col(textCol)).as("i_sh"))
+            cand.join(bSh, Seq("bid")).join(iSh, Seq("iid"))
+              .withColumn("inter",
+                size(array_intersect(col("b_sh"), col("i_sh"))))
+              .withColumn("uni",
+                size(col("b_sh")) + size(col("i_sh")) - col("inter"))
+              .filter(col("uni") > 0 &&
+                col("inter").cast("double") / col("uni") >= threshold)
+              .select(col("bid").as("id")).distinct()
           } else {
+            val cand = cand0
             val bSig = sig.select((col("id").as("bid") +:
               mhCols.map(c => col(c).as(s"b_$c"))): _*)
             val iSig = idx.select((col("id").as("iid") +:
@@ -582,6 +643,68 @@ object Dedup {
       .localCheckpoint(true) // cut lineage before the self-referential append
     keptSig.write.mode("append").parquet(indexPath)
     kept
+  }
+
+  /** Compact an incremental dedup index ([[incrementalExactDedup]] /
+    * [[incrementalMinhashDedup]]) — the [[graft.core.Database.compact]]
+    * discipline applied to the engine's own metadata. Append-only must
+    * not mean degrade-forever: each batch appends one small file set, so
+    * a thousand-batch ingest otherwise makes every band-join scan list
+    * and open a thousand file groups. Rewrites the index down to
+    * `numPartitions` files (default: sized so each file is ~one scan
+    * partition at `spark.sql.files.maxPartitionBytes`) via a temp dir
+    * and the parked-old two-rename swap, so every crash point leaves
+    * either the old or the new complete index recoverable (the read
+    * paths call [[recoverIndex]]). Values and schema are unchanged —
+    * callers' decisions are provably identical before and after.
+    *
+    * Single-writer, like the append path itself (two concurrent batches
+    * against one index would already double-keep): a concurrent compact
+    * fails fast on the lock; an append racing a compact is the caller's
+    * sequencing bug, not recoverable here. */
+  def compactIndex(spark: SparkSession, indexPath: String,
+                   numPartitions: Int = 0): Unit = {
+    import graft.core.Fs
+    recoverIndex(indexPath)
+    if (!Fs.exists(indexPath) || Fs.listNames(indexPath).isEmpty) return
+    val lock = s"$indexPath.__lock"
+    if (!Fs.createExclusive(lock,
+      s"pid=${ProcessHandle.current().pid()}"))
+      throw new IllegalStateException(
+        s"index $indexPath is being compacted by another writer; if that " +
+          s"process crashed, delete $lock and re-run")
+    try {
+      val bytes = Fs.fs(indexPath)
+        .getContentSummary(new org.apache.hadoop.fs.Path(indexPath))
+        .getLength
+      val perFile = spark.sessionState.conf.filesMaxPartitionBytes
+      val n = if (numPartitions > 0) numPartitions
+      else math.max(1, math.ceil(bytes.toDouble / perFile).toInt)
+      val tmp = s"$indexPath.__compact_tmp"
+      Fs.delete(tmp)
+      spark.read.parquet(indexPath).repartition(n)
+        .write.mode("overwrite").parquet(tmp)
+      val old = s"$indexPath.__old"
+      Fs.delete(old)
+      Fs.rename(indexPath, old)
+      Fs.rename(tmp, indexPath)
+      Fs.delete(old)
+    } finally Fs.delete(lock)
+  }
+
+  /** Repair a crashed [[compactIndex]] swap (mirror of
+    * `Database.recover`): `.__old` present without the index means the
+    * crash hit between the two renames — restore the parked state; with
+    * the index present it is post-swap residue — drop it. A leftover
+    * `.__compact_tmp` is cleaned by the next compact. Idempotent, two
+    * existence checks; called on every index read path. */
+  private[ops] def recoverIndex(indexPath: String): Unit = {
+    import graft.core.Fs
+    val old = s"$indexPath.__old"
+    if (Fs.exists(old) && !Fs.exists(s"$indexPath.__lock")) {
+      if (!Fs.exists(indexPath)) Fs.rename(old, indexPath)
+      else Fs.delete(old)
+    }
   }
 
   /** 64-bit SimHash of the token array (Column form). */
