@@ -194,21 +194,43 @@ object Retrieval {
     * cardinality = k per list, not the corpus), so the union, the
     * per-id sum, and the final single-partition rank window all operate
     * on at most `sum(|list|)` rows — driver-trivial by construction;
-    * the heavy lifting lives in the upstream retrievers. Portability:
-    * each contribution is `1.0 / (k0 + rank)` (exact double op); a
-    * TWO-list fusion sums a single pair of doubles (commutative — no
-    * order dependence), so the fused scores are engine-exact; three or
-    * more lists inherit the documented summation-order boundary-flip
-    * caveat. */
+    * the heavy lifting lives in the upstream retrievers. That contract
+    * is enforced, not trusted: each list is probed at most
+    * `maxListSize + 1` rows and a larger frame fails fast (the
+    * ivfTopK / bm25TopKBatch bounded-probe discipline) — without the
+    * guard a corpus-sized "list" would ride the unpartitioned rank
+    * window as a single-task global sort. A malformed list carrying an
+    * id twice is deduplicated to its BEST (minimum) rank first, so
+    * `n_lists` always means "how many lists retrieved the id" and a
+    * duplicate row can never double-count its contribution.
+    * Portability: each contribution is `1.0 / (k0 + rank)` (exact
+    * double op); a TWO-list fusion sums a single pair of doubles
+    * (commutative — no order dependence), so the fused scores are
+    * engine-exact; three or more lists inherit the documented
+    * summation-order boundary-flip caveat. */
   def rrfFuse(lists: Seq[DataFrame], topK: Int, k0: Int = 60,
-              idCol: String = "id", rankCol: String = "rank"): DataFrame = {
+              idCol: String = "id", rankCol: String = "rank",
+              maxListSize: Int = 100000): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     require(topK > 0, "topK must be positive")
     require(k0 > 0, "k0 must be positive")
+    require(maxListSize > 0, "maxListSize must be positive")
+    lists.zipWithIndex.foreach { case (df, i) =>
+      // bounded probe: counts at most maxListSize+1 rows, never the frame
+      val n = df.limit(maxListSize + 1).count()
+      require(n <= maxListSize,
+        s"input list $i exceeds maxListSize=$maxListSize rows; rrfFuse " +
+          "fuses top-k retrieval OUTPUTS through an unpartitioned rank " +
+          "window — fuse per-query lists (rrfFuseBatch for a query " +
+          "table), or raise maxListSize deliberately")
+    }
     val contribs = lists.map(df =>
-      df.select(col(idCol).as("id"),
-        (lit(1.0) / (lit(k0.toDouble) + col(rankCol).cast("double")))
-          .as("__c")))
+      df.select(col(idCol).as("id"), col(rankCol).cast("double").as("__r"))
+        // defensive: a malformed list with a repeated id keeps its best
+        // rank once (identity for well-formed unique-id lists)
+        .groupBy(col("id")).agg(min(col("__r")).as("__r"))
+        .select(col("id"),
+          (lit(1.0) / (lit(k0.toDouble) + col("__r"))).as("__c")))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("rrf_score").desc, col("id"))
     contribs.reduce(_ unionByName _)
@@ -219,5 +241,55 @@ object Retrieval {
       .filter(col("rank") <= topK)
       .select(col("id"), col("rrf_score"), col("n_lists"), col("rank"))
       .orderBy(col("rank"))
+  }
+
+  /** Batched reciprocal-rank fusion: [[rrfFuse]] grouped by a query-id
+    * column — the fusion stage of a retrieval-based curation loop that
+    * serves a whole TABLE of probes (pair with [[bm25TopKBatch]] for
+    * the lexical lists and [[Similarity.bruteForceTopK]] /
+    * [[Similarity.ivfTopK]] for the semantic ones; all three already
+    * emit `(query_id, id, rank)` shapes).
+    *
+    * Input frames carry `(queryIdCol, idCol, rankCol)` with rank
+    * starting at 1 within each query; a (query, id) absent from a list
+    * contributes nothing to that query's fusion. Output:
+    * `(query_id, id, rrf_score, n_lists, rank)` with `rank <= topK`
+    * per query, same k0 / 1e-6-floor / (score desc, id) tiebreak as
+    * the single-query form — for any one query id the result agrees
+    * row-for-row with [[rrfFuse]] applied to that query's slices.
+    *
+    * Scale shape: unlike the single-query form there is NO driver-side
+    * or single-task stage — the per-(query, id) sum is a hash
+    * aggregate and the rank window is PARTITIONED on query id, so a
+    * million-query fusion spreads across the cluster; no bounded-probe
+    * guard is needed because nothing here concentrates rows beyond one
+    * query's lists (each window partition holds at most
+    * `lists * k` rows by the top-k input contract). Duplicate
+    * (query, id) rows within one list are deduplicated to their best
+    * rank, as in [[rrfFuse]]. */
+  def rrfFuseBatch(lists: Seq[DataFrame], topK: Int, k0: Int = 60,
+                   idCol: String = "id", rankCol: String = "rank",
+                   queryIdCol: String = "query_id"): DataFrame = {
+    require(lists.nonEmpty, "rrfFuseBatch needs at least one ranked list")
+    require(topK > 0, "topK must be positive")
+    require(k0 > 0, "k0 must be positive")
+    val contribs = lists.map(df =>
+      df.select(col(queryIdCol).as("qid"), col(idCol).as("id"),
+        col(rankCol).cast("double").as("__r"))
+        .groupBy(col("qid"), col("id")).agg(min(col("__r")).as("__r"))
+        .select(col("qid"), col("id"),
+          (lit(1.0) / (lit(k0.toDouble) + col("__r"))).as("__c")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("rrf_score").desc, col("id"))
+    contribs.reduce(_ unionByName _)
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("__c")).as("__raw"), count(lit(1)).as("n_lists"))
+      .withColumn("rrf_score", floor(col("__raw") * 1e6) / 1e6)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("qid").as(queryIdCol), col("id"), col("rrf_score"),
+        col("n_lists"), col("rank"))
+      .orderBy(col(queryIdCol), col("rank"))
   }
 }

@@ -359,7 +359,15 @@ object Sampling {
       "qBuckets in [1, 99999] (buckets ride the 5-digit padded key)")
     require(qMax > qMin, "qMax must exceed qMin")
     val tok = tokens.cast("long")
-    val q = quality.cast("double")
+    // -0.0 normalized to 0.0 before anything orders or compares on
+    // __q: Spark's sort total order distinguishes the two zeros while
+    // IEEE equality (the min == max uniform-bucket test below) does
+    // not, so an un-normalized bucket holding both zeros could be
+    // classified uniform while its true (quality desc, hash, key)
+    // selection order still depended on the sign bit — breaking the
+    // single-window equivalence the sub-bucket fan-out relies on
+    val qRaw = quality.cast("double")
+    val q = when(qRaw === lit(0d), lit(0d)).otherwise(qRaw)
     val width = (qMax - qMin) / qBuckets
     // bucket 00000 = best quality; the clamp keeps out-of-range scores
     // in (exactly ordered) end buckets. Zero-padded so the generic

@@ -319,6 +319,25 @@ object TrainingData {
       Retrieval.rrfFuse(Seq(lex, sem), topK = 10)
     }),
 
+    // hybrid retrieval at TABLE scale: batched BM25 (3 probe queries,
+    // top-5 each, one posting pass) fused per query with the batched
+    // exact-cosine top-5 (query vectors 1-3) — rrfFuseBatch's rank
+    // window is partitioned on query_id, so nothing concentrates
+    "q_doc_rrf_batch" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "hash"), (1L, "join"),
+        (2L, "window"), (2L, "sort"), (2L, "merge"),
+        (3L, "spark")).toDF("query_id", "term")
+      val lex = Retrieval.bm25TopKBatch(docs(s, dir), queries, k = 5)
+        .select(col("query_id"), col("id"), col("rank"))
+      val e = emb(s, dir)
+      val sem = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id").isin(1L, 2L, 3L)), k = 5)
+        .select(col("query_id"), col("vec_id").as("id"), col("rank"))
+      Retrieval.rrfFuseBatch(Seq(lex, sem), topK = 8)
+    }),
+
     // CCNet-style unigram surprisal under the corpus's own top-500
     // distribution (Laplace-1 + shared OOV bucket): the LM-perplexity
     // quality signal
@@ -1417,6 +1436,78 @@ object TrainingData {
         |  CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // batched hybrid fusion: the q_doc_bm25_batch lexical ranks and a
+    // per-query cosine rank table, fused with 1/(60+rank) contributions
+    // summed per (query, id), floor-rounded, re-ranked within each query
+    "q_doc_rrf_batch" ->
+      """WITH q(query_id, term) AS (
+        |  VALUES (1, 'hash'), (1, 'join'),
+        |         (2, 'window'), (2, 'sort'), (2, 'merge'),
+        |         (3, 'spark')
+        |), ex AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents
+        |), postings AS (
+        |  SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM ex WHERE term IN (SELECT DISTINCT term FROM q)
+        |  GROUP BY id, term
+        |), dl AS (
+        |  SELECT doc_id AS id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS dl
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) AS sumdl FROM dl
+        |), dfreq AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+        |  FROM postings GROUP BY term
+        |), scored AS (
+        |  SELECT qq.query_id AS qid, p.id,
+        |    floor(SUM(
+        |      ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * p.tf * 2.2
+        |        / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / (s.sumdl / s.n)))
+        |    ) * 1e6) / 1e6 AS score
+        |  FROM postings p
+        |  JOIN q qq ON qq.term = p.term
+        |  JOIN dfreq d ON d.term = p.term
+        |  JOIN dl l ON l.id = p.id
+        |  CROSS JOIN stats s
+        |  GROUP BY qq.query_id, p.id
+        |), lexr AS (
+        |  SELECT qid, id, rank FROM (
+        |    SELECT qid, id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid
+        |                         ORDER BY score DESC, id) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 5
+        |), semr AS (
+        |  SELECT qid, id, rank FROM (
+        |    SELECT qv.vec_id AS qid, e.vec_id AS id,
+        |      ROW_NUMBER() OVER (PARTITION BY qv.vec_id ORDER BY
+        |        list_cosine_similarity(e.embedding, qv.embedding) DESC,
+        |        e.vec_id) AS rank
+        |    FROM embeddings e CROSS JOIN
+        |      (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id IN (1, 2, 3)) qv
+        |    WHERE e.vec_id <> qv.vec_id)
+        |  WHERE rank <= 5
+        |), u AS (
+        |  SELECT qid, id, CAST(1 AS DOUBLE) / (60 + rank) AS c FROM lexr
+        |  UNION ALL
+        |  SELECT qid, id, CAST(1 AS DOUBLE) / (60 + rank) FROM semr
+        |), g AS (
+        |  SELECT qid, id, floor(SUM(c) * 1e6) / 1e6 AS rrf_score,
+        |    COUNT(*) AS n_lists
+        |  FROM u GROUP BY qid, id
+        |)
+        |SELECT CAST(qid AS BIGINT) AS query_id, id, rrf_score, n_lists,
+        |  rank
+        |FROM (
+        |  SELECT qid, id, rrf_score, n_lists,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY rrf_score DESC, id) AS BIGINT) AS rank
+        |  FROM g)
+        |WHERE rank <= 8 ORDER BY query_id, rank""".stripMargin,
 
     // same smoothed top-V unigram model: per-doc mean -ln p, OOV
     // tokens share one bucket, 1e-6 floor on the final mean

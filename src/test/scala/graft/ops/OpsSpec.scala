@@ -344,6 +344,98 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exactVerify"))
   }
 
+  test("incrementalMinhashDedup rereadFrom: compact index, decisions " +
+      "identical to the stored-sh mode across a multi-batch replay") {
+    val batches = Seq(
+      docs.filter(col("doc_id") < 100),
+      docs.filter(col("doc_id") >= 50 && col("doc_id") < 200),
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300))
+    val idxSh = graft.SparkSpec.tmpDir("graft-rr-sh-") + "/idx"
+    val idxRr = graft.SparkSpec.tmpDir("graft-rr-cp-") + "/idx"
+    var corpus = docs.limit(0) // accumulated kept docs for reread mode
+    for (b <- batches) {
+      val keptSh = Dedup.incrementalMinhashDedup(b, idxSh)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val keptRr = Dedup.incrementalMinhashDedup(b, idxRr,
+        rereadFrom = Some(corpus))
+      corpus = corpus.union(keptRr).localCheckpoint(true)
+      val rrIds = keptRr.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(rrIds == keptSh, s"batch decisions diverged: " +
+        s"shOnly=${(keptSh -- rrIds).take(5)} rrOnly=${(rrIds -- keptSh).take(5)}")
+    }
+    // the reread index is compact: signature-only schema, no sh column
+    assert(!spark.read.parquet(idxRr).columns.contains("sh"))
+    assert(spark.read.parquet(idxSh).columns.contains("sh"))
+    // mixing schemas on one path fails fast in both directions
+    val b = batches.head
+    assert(intercept[IllegalArgumentException] {
+      Dedup.incrementalMinhashDedup(b, idxSh, rereadFrom = Some(corpus))
+    }.getMessage.contains("schema"))
+    assert(intercept[IllegalArgumentException] {
+      Dedup.incrementalMinhashDedup(b, idxRr)
+    }.getMessage.contains("schema"))
+    // rereadFrom implies exact verification
+    assert(intercept[IllegalArgumentException] {
+      Dedup.incrementalMinhashDedup(b, idxRr, exactVerify = false,
+        rereadFrom = Some(corpus))
+    }.getMessage.contains("rereadFrom"))
+    // a kept id missing from the corpus fails fast, never silently keeps
+    val holed = corpus.filter(col("doc_id") =!= corpus
+      .orderBy("doc_id").select("doc_id").first().getLong(0))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinhashDedup(
+        docs.filter(col("doc_id") < 100), idxRr, rereadFrom = Some(holed))
+    }
+    assert(e.getMessage.contains("missing indexed doc id"))
+  }
+
+  test("compactIndex: file count drops, decisions on the next batch are " +
+      "identical, crash recovery restores a parked index") {
+    import graft.core.Fs
+    def parquetFiles(p: String): Seq[String] =
+      Fs.fs(p).listStatus(new org.apache.hadoop.fs.Path(p))
+        .map(_.getPath.getName).toSeq.filter(_.endsWith(".parquet"))
+    val root = graft.SparkSpec.tmpDir("graft-compact-")
+    val idxA = root + "/idx_many"   // left as-appended
+    val idxB = root + "/idx_compact" // compacted after batch 3
+    for (idx <- Seq(idxA, idxB); lo <- Seq(0, 50, 150)) {
+      Dedup.incrementalMinhashDedup(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 100), idx)
+    }
+    val before = parquetFiles(idxB).size
+    assert(before >= 3, s"appends should leave one file set per batch: $before")
+    Dedup.compactIndex(spark, idxB)
+    val after = parquetFiles(idxB).size
+    assert(after < before && after <= 2,
+      s"compaction should collapse $before small files, got $after")
+    // values unchanged: same ids, same signature rows
+    val a = spark.read.parquet(idxA).orderBy("id").collect().toSeq
+    val bRows = spark.read.parquet(idxB).orderBy("id").collect().toSeq
+    assert(a == bRows)
+    // the NEXT batch decides identically against both indexes
+    val b4 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+    def kept(idx: String) = Dedup.incrementalMinhashDedup(b4, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept4A = kept(idxA)
+    val kept4B = kept(idxB)
+    assert(kept4A == kept4B)
+    // crash window: parked .__old with the live dir missing is restored
+    // on the next read path (the mid-swap crash point)
+    Fs.rename(idxB, s"$idxB.__old")
+    Dedup.recoverIndex(idxB)
+    assert(Fs.exists(idxB) && !Fs.exists(s"$idxB.__old"))
+    assert(spark.read.parquet(idxB).count() == bRows.size + kept4B.size)
+    // exact-dedup fingerprint indexes compact through the same path
+    val fpIdx = root + "/fp_idx"
+    for (lo <- Seq(0, 100, 200))
+      Dedup.incrementalExactDedup(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 100), fpIdx)
+    val fpBefore = parquetFiles(fpIdx).size
+    Dedup.compactIndex(spark, fpIdx)
+    assert(parquetFiles(fpIdx).size < fpBefore)
+    assert(spark.read.parquet(fpIdx).distinct().count() == 300)
+  }
+
   test("exact dedup keeps one row per fingerprint") {
     val d = Dedup.exactDedup(docs)
     assert(d.count() ==
@@ -1536,6 +1628,55 @@ class OpsSpec extends AnyFunSuite {
       (10L, f(Seq(1)), 1L, 2L),
       (40L, f(Seq(2)), 1L, 3L),
       (30L, f(Seq(3)), 1L, 4L)))
+  }
+
+  test("rrfFuseBatch: per-query agreement with rrfFuse; duplicate ids " +
+      "dedupe to best rank; maxListSize guard fails fast") {
+    import graft.SparkSpec.spark.implicits._
+    val lex = Seq(
+      (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (2L, 20L, 1), (2L, 40L, 2)).toDF("query_id", "id", "rank")
+    val sem = Seq(
+      (1L, 20L, 1), (1L, 40L, 2),
+      (2L, 10L, 1), (2L, 20L, 2), (2L, 30L, 3))
+      .toDF("query_id", "id", "rank")
+    val fused = Retrieval.rrfFuseBatch(Seq(lex, sem), topK = 10)
+    assert(fused.columns.toSeq ==
+      Seq("query_id", "id", "rrf_score", "n_lists", "rank"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // for each query, the batch slice equals the single-query fusion
+    for (q <- Seq(1L, 2L)) {
+      val single = rows(Retrieval.rrfFuse(Seq(
+        lex.filter(col("query_id") === q).select("id", "rank"),
+        sem.filter(col("query_id") === q).select("id", "rank")),
+        topK = 10))
+      val batch = rows(fused.filter(col("query_id") === q)
+        .select("id", "rrf_score", "n_lists", "rank"))
+      assert(batch == single, s"query $q diverged")
+    }
+    // a malformed list repeating an id contributes its BEST rank once:
+    // id 50 fuses as rank 1 (not 1 and 3), n_lists stays 1
+    val dup = Seq((50L, 3), (50L, 1), (60L, 2)).toDF("id", "rank")
+    val f2 = rows(Retrieval.rrfFuse(Seq(dup), topK = 10))
+    def c(r: Int): Double = math.floor(1.0 / (60 + r) * 1e6) / 1e6
+    assert(f2 == Seq((50L, c(1), 1L, 1L), (60L, c(2), 1L, 2L)))
+    // same dedupe per (query, id) in the batch form
+    val dupB = Seq((7L, 50L, 3), (7L, 50L, 1), (7L, 60L, 2))
+      .toDF("query_id", "id", "rank")
+    val f3 = Retrieval.rrfFuseBatch(Seq(dupB), topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(f3 == Seq((7L, 50L, c(1), 1L, 1L), (7L, 60L, c(2), 1L, 2L)))
+    // the guard: a corpus-sized "list" fails fast, never a single-task
+    // global sort
+    val big = spark.range(0, 200)
+      .select(col("id"), (col("id") + 1).cast("int").as("rank"))
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(big), topK = 5, maxListSize = 100)
+    }
+    assert(e.getMessage.contains("maxListSize"))
   }
 
   test("Tokenize seam: toy merge-table BPE counts, null safety, and " +

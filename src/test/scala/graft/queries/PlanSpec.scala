@@ -277,4 +277,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("Union"), p)
   }
+
+  test("q_doc_rrf_batch: every rank window is PARTITIONED (per-query " +
+    "fan-out, no single-task global sort in the fusion)") {
+    val p = plan("q_doc_rrf_batch")
+    // each window spec's partition clause must be non-empty: an
+    // unpartitioned row_number would serialize the whole fusion (or a
+    // whole retriever) through one task at table scale.
+    // windowspecdefinition(part..., order... DESC NULLS LAST, frame) —
+    // an unpartitioned spec starts directly with the ordering exprs
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach { s =>
+      assert(!s.matches("windowspecdefinition\\([^,]* (ASC|DESC).*"),
+        s"unpartitioned window in q_doc_rrf_batch: $s")
+    }
+    assert(p.contains("Union"), p)
+  }
 }
