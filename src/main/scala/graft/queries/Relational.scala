@@ -328,10 +328,16 @@ object Relational {
     // tokenization, with the same bounded dropDuplicates state. One
     // survivor per (source, signature) regardless of arrival order, so
     // the oracle is the batch distinct-signature count per source.
+    // Null-text rows are dropped BEFORE the signature: they have no
+    // token stream to fingerprint, and the oracle's token-CTE chain
+    // (documents JOIN fp) can only see fingerprinted docs — filtering
+    // here pins the two sides to identical semantics instead of leaving
+    // a latent "one null-signature survivor per source" divergence.
     "q_stream_simdedup" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val docsStream = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("text").isNotNull)
         .withColumn("sig", graft.ops.Dedup.simhash64(
           graft.ops.Text.tokens(col("text"))))
       val name = s"graft_stream_simdedup_${streamQueryId.incrementAndGet()}"

@@ -156,6 +156,61 @@ class MonitorSpec extends AnyFunSuite {
     } finally unbounded.stop()
   }
 
+  test("streaming SimHash dedup: whitespace-variant re-crawls collapse " +
+    "in-window, watermark bounds the signature state, post-eviction " +
+    "re-crawls re-emit") {
+    import spark.implicits._
+    // the simhash-keyed twin of the exact-dedup state pin above: the
+    // state key is (source, simhash64(tokens)), so the bound must hold
+    // on SIGNATURES, and a re-crawl differing only in internal
+    // whitespace must hit the same state row
+    val dir = tmpDir("graft-simstate-")
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    // batch b at hour b: 10 distinct docs, each arriving twice — once
+    // clean, once as a same-window re-crawl with doubled INTERNAL
+    // whitespace (split("\\s+") collapses runs but keeps boundary
+    // empties, so only internal variation is signature-neutral)
+    def write(b: Int, hour: Int): Unit =
+      (0 until 10).flatMap { j =>
+        val body = s"alpha beta g$b-$j delta"
+        Seq((s"src${j % 2}", body, f"2024-01-01 $hour%02d:00:00"),
+          (s"src${j % 2}", body.replace(" ", "   "),
+            f"2024-01-01 $hour%02d:00:30"))
+      }.toDF("source", "text", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp"))
+        .select("source", "text", "ts")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    write(0, 0)
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+      .withColumn("sig", graft.ops.Dedup.simhash64(
+        graft.ops.Text.tokens(col("text"))))
+    val q = Monitor.dedupStream(stream, Seq("source", "sig"),
+      watermark = Some(("ts", "1 minute")))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("simdedup_state").start()
+    try {
+      (1 until 5).foreach { b => q.processAllAvailable(); write(b, b) }
+      q.processAllAvailable()
+      // 5 batches x 10 distinct signatures = 50 keys fed; eviction lags
+      // one batch, so at most ~two batches' signatures stay resident
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows >= 10 && stateRows <= 30,
+        s"watermarked simhash-dedup state holds $stateRows rows")
+      // one survivor per distinct content — no whitespace variant ever
+      // re-emits inside its window
+      assert(spark.sql("SELECT count(*) FROM simdedup_state").head()
+        .getLong(0) == 50L)
+      // batch-0 content re-crawled AFTER its signatures were evicted:
+      // re-emits (the documented bounded-state/exactness tradeoff)
+      write(0, 6)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM simdedup_state").head()
+        .getLong(0) == 60L)
+    } finally q.stop()
+  }
+
   test("mixture monitor: state stays one row per source across batches") {
     import spark.implicits._
     val dir = tmpDir("graft-mixmon-")
