@@ -43,9 +43,41 @@ object Multimodal {
     StructField("head_hex", StringType),
     StructField("histogram", ArrayType(LongType))))
 
+  /** Per-partition decoder factory — the [[Tokenize.BatchTokenizer]] /
+    * [[Score.BatchScorer]] seam for payload decode: `init()` runs once
+    * per task and returns the (possibly stateful, non-serializable)
+    * decoder — codec contexts, native handles, model sessions are
+    * created there and amortized over the partition's rows.
+    * Implementations must be serializable CONFIGURATION (the decoder
+    * itself need not be). */
+  trait BatchDecoder extends Serializable {
+    def init(): AssetDecoder
+  }
+
+  /** Executor-side decode state built by [[BatchDecoder.init]]: maps one
+    * payload to one [[featureSchema]] row
+    * `(asset_id, byte_len, checksum, head_hex, histogram[16])` — a real
+    * image decoder fills `histogram` with e.g. a 16-bucket luminance
+    * histogram and `checksum` with a pixel-domain hash; the contract is
+    * only the schema and determinism per (assetId, payload). */
+  trait AssetDecoder {
+    def decode(assetId: Long, payload: Array[Byte]): Row
+  }
+
   /** STUB decoder: a deterministic function of the payload bytes standing
-    * in for image decode + feature extraction. Byte histogram over 16
-    * buckets plays the role of a color histogram. */
+    * in for image decode + feature extraction (this container ships no
+    * image/audio codecs). Byte histogram over 16 buckets plays the role
+    * of a color histogram. The oracle queries pin THIS decoder; real
+    * codecs (javax.imageio and friends) plug in through [[BatchDecoder]]
+    * without touching the Spark-side plumbing — spec'd against genuine
+    * PNG/BMP bytes in the test suite. */
+  object StubDecoder extends BatchDecoder {
+    def init(): AssetDecoder = new AssetDecoder {
+      def decode(assetId: Long, payload: Array[Byte]): Row =
+        decodeStub(assetId, payload)
+    }
+  }
+
   private[ops] def decodeStub(assetId: Long, payload: Array[Byte]): Row = {
     var checksum = 0L
     val hist = new Array[Long](16)
@@ -62,12 +94,13 @@ object Multimodal {
   /** Batched feature extraction over the payload column: one decoder
     * context per partition (the real-world pattern — codec/model init is
     * amortized across the batch, not paid per row). */
-  def extractFeatures(assets: DataFrame): DataFrame = {
+  def extractFeatures(assets: DataFrame,
+                      decoder: BatchDecoder = StubDecoder): DataFrame = {
     val rows = assets.select(col("asset_id"), col("payload"))
     implicit val enc = RowEncoder.encoderFor(featureSchema)
     rows.mapPartitions { it =>
-      // per-partition decoder init would go here
-      it.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+      val d = decoder.init() // once per partition
+      it.map(r => d.decode(r.getLong(0), r.getAs[Array[Byte]](1)))
     }
   }
 

@@ -646,6 +646,81 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Multimodal decoder seam: a REAL javax.imageio codec (PNG + BMP) " +
+    "runs through the unchanged Spark plumbing; phash collapses " +
+    "byte-identical real payloads") {
+    import graft.SparkSpec.spark.implicits._
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+
+    def encodeImg(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"JDK cannot encode $fmt")
+      bos.toByteArray
+    }
+    def solid(rgb: Int): BufferedImage = {
+      val im = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 4; y <- 0 until 4) im.setRGB(x, y, rgb)
+      im
+    }
+    // a genuine decoder behind the seam: pixel-domain luminance
+    // histogram + pixel checksum (what the stub fakes over raw bytes)
+    object ImageIoDecoder extends Multimodal.BatchDecoder {
+      def init(): Multimodal.AssetDecoder = new Multimodal.AssetDecoder {
+        def decode(assetId: Long, payload: Array[Byte])
+            : org.apache.spark.sql.Row = {
+          val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"asset $assetId: not a decodable image")
+          val hist = new Array[Long](16)
+          var checksum = 0L
+          for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+            val rgb = img.getRGB(x, y) & 0xffffff
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587
+              + (rgb & 0xff) * 114) / 1000
+            hist(lum / 16) += 1
+            checksum = (checksum * 31 + rgb) & 0x7fffffffffffffffL
+          }
+          val head = payload.take(8).map(b => f"$b%02x").mkString
+          org.apache.spark.sql.Row(assetId, payload.length.toLong,
+            checksum, head, hist.toSeq)
+        }
+      }
+    }
+    val assets = Seq(
+      (1L, encodeImg(solid(0x000000), "png")),
+      (2L, encodeImg(solid(0xffffff), "png")),
+      (3L, encodeImg(solid(0xffffff), "bmp"))).toDF("asset_id", "payload")
+    val out = Multimodal.extractFeatures(assets, ImageIoDecoder)
+    assert(out.schema == Multimodal.featureSchema)
+    val f = out.orderBy("asset_id").collect()
+    // 16 pixels decoded per asset; black fills luminance bucket 0,
+    // white bucket 15 (histogram is field 4 of featureSchema)
+    assert(f.forall(_.getSeq[Long](4).sum == 16L))
+    assert(f(0).getSeq[Long](4)(0) == 16L)
+    assert(f(1).getSeq[Long](4)(15) == 16L)
+    // the SAME image through PNG and BMP containers decodes to
+    // identical pixel-domain features while the container bytes differ
+    assert(f(1).getAs[Long]("checksum") == f(2).getAs[Long]("checksum"))
+    assert(f(1).getSeq[Long](4).toSeq == f(2).getSeq[Long](4).toSeq)
+    assert(f(1).getAs[Long]("byte_len") != f(2).getAs[Long]("byte_len"))
+    // the PNG magic is really there: genuine bytes, not stub fakes
+    assert(f(1).getAs[String]("head_hex").startsWith("89504e47"))
+    // and the stub path still runs the same plumbing on the same frame
+    val stub = Multimodal.extractFeatures(assets).orderBy("asset_id")
+      .collect()
+    assert(stub.length == 3 &&
+      stub(0).getSeq[Long](4).sum == f(0).getAs[Long]("byte_len"))
+    // perceptualHash on real payloads: byte-identical PNGs collapse at
+    // Hamming 0 (re-crawled asset dedup on genuine container bytes)
+    val dup = Seq(
+      (1L, encodeImg(solid(0x000000), "png")),
+      (2L, encodeImg(solid(0x000000), "png")),
+      (3L, encodeImg(solid(0x123456), "bmp"))).toDF("asset_id", "payload")
+    val pairs = Multimodal.phashPairs(dup).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+  }
+
   test("frame sampling covers the payload with the right stride") {
     val assets = Multimodal.toAssets(docs.filter(col("doc_id") === 0))
     val frames = Multimodal.sampleFrames(assets, 64, 2).collect()
@@ -1677,6 +1752,40 @@ class OpsSpec extends AnyFunSuite {
       Retrieval.rrfFuse(Seq(big), topK = 5, maxListSize = 100)
     }
     assert(e.getMessage.contains("maxListSize"))
+  }
+
+  test("Score seam: toy logistic scorer, NaN-for-null drop semantics, " +
+    "and budget-operator integration") {
+    import graft.SparkSpec.spark.implicits._
+    def sig(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    // stopword-ratio feature alone: hand-computed sigmoid
+    val sc = Score.ToyLogisticScorer(bias = 0.0, wStop = 1.0,
+      wMeanLen = 0.0, wAlpha = 0.0, stopwords = Seq("the", "a"))
+    val s = sc.init()
+    assert(s.score("the cat") == sig(0.5))
+    assert(s.score("") == sig(0.0))
+    // mean-token-length and alphabetic-ratio features
+    val s2 = Score.ToyLogisticScorer(0.0, 0.0, 0.5, 2.0, Nil).init()
+    assert(s2.score("ab cd") == sig(0.5 * 2.0 + 2.0 * (4.0 / 5.0)))
+    // frame-level seam: null text scores NaN, other columns ride along
+    val d = Seq((1L, "the the the the", "s"), (2L, null, "s"),
+      (3L, "zz yy xx ww", "s")).toDF("doc_id", "text", "src")
+    val scored = Score.withQualityScore(d, sc)
+    assert(scored.columns.toSeq ==
+      Seq("doc_id", "text", "src", "model_quality"))
+    val byId = scored.collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byId(1L) == sig(1.0))
+    assert(byId(1L) > byId(3L))
+    assert(byId(2L).isNaN)
+    // the model column feeds the budget operator directly: a 4-token
+    // budget keeps exactly the best-scoring doc, and the NaN row can
+    // never be selected
+    val kept = Sampling.selectByQualityBudget(scored, col("src"),
+      col("doc_id"), Text.tokenCount(col("text")), col("model_quality"),
+      Map("s" -> 4L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
   }
 
   test("Tokenize seam: toy merge-table BPE counts, null safety, and " +
