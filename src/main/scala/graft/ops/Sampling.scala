@@ -66,13 +66,18 @@ object Sampling {
     * sample via [[stratifiedHashSample]] — same key, same decision,
     * any engine.
     *
-    * Portability: fractions are floor-rounded at 1e-6, and for
-    * `alpha = 0.5` the power is computed with `sqrt`, which IEEE 754
-    * requires to be correctly rounded — so the alpha-0.5 fractions
-    * (and therefore the selected ROW SET) are bit-reproducible across
-    * engines. Other alphas go through `pow`, which carries no such
-    * guarantee: same documented boundary-flip caveat as the engine's
-    * other 1e-6 roundings.
+    * Portability: fractions are floor-rounded at 1e-6, and every
+    * QUARTER alpha (0.25 / 0.5 / 0.75 — exponents 0.75 / 0.5 / 0.25)
+    * is computed by a fixed composition of `sqrt` and one multiply:
+    * `r^0.5 = sqrt(r)`, `r^0.25 = sqrt(sqrt(r))`,
+    * `r^0.75 = s * sqrt(s)` with `s = sqrt(r)`. IEEE 754 requires
+    * sqrt and multiply to be correctly rounded, so any engine
+    * replaying the SAME composition reproduces the fractions (and
+    * therefore the selected ROW SET) bit-for-bit — the composition is
+    * the documented contract, not an approximation detail. Other
+    * alphas go through `pow`, which carries no such guarantee: same
+    * documented boundary-flip caveat as the engine's other 1e-6
+    * roundings.
     *
     * Scale shape: one stratum-count aggregate whose driver collect is
     * bounded by `maxStrata` (fail-fast above it — temperature sampling
@@ -96,9 +101,14 @@ object Sampling {
         "deliberately")
     if (counts.isEmpty) return df.filter(s.isNotNull)
     val minN = counts.map(_._2).min
-    def flatten(ratio: Double): Double =
-      if (alpha == 0.5) math.sqrt(ratio) // IEEE-exact, engine-portable
-      else math.pow(ratio, 1.0 - alpha)
+    // quarter alphas ride correctly-rounded sqrt compositions (see the
+    // portability contract above); everything else pays pow's caveat
+    def flatten(ratio: Double): Double = (1.0 - alpha) match {
+      case 0.5 => math.sqrt(ratio)
+      case 0.25 => math.sqrt(math.sqrt(ratio))
+      case 0.75 => val s = math.sqrt(ratio); s * math.sqrt(s)
+      case e => math.pow(ratio, e)
+    }
     val fractions = counts.map { case (name, n) =>
       name -> math.floor(flatten(minN.toDouble / n.toDouble) * 1e6) / 1e6
     }.toMap

@@ -64,7 +64,7 @@ class OpsPropertySpec extends AnyFunSuite {
     } yield (id, s)
     val caseGen = for {
       rows <- Gen.nonEmptyListOf(rowGen)
-      alpha <- Gen.oneOf(0.0, 0.25, 0.5, 1.0)
+      alpha <- Gen.oneOf(0.0, 0.25, 0.5, 0.75, 1.0)
     } yield (rows, alpha)
     sample(caseGen, 6).foreach { case (rowsRaw, alpha) =>
       val rows = rowsRaw.groupBy(_._1).map(_._2.head).toSeq // unique ids
@@ -73,8 +73,14 @@ class OpsPropertySpec extends AnyFunSuite {
         .select("id").collect().map(_.getLong(0)).toSet
       val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
       val minN = counts.values.min
-      def flat(r: Double) =
-        if (alpha == 0.5) math.sqrt(r) else math.pow(r, 1.0 - alpha)
+      // mirrors the operator's quarter-alpha dyadic contract: fixed
+      // sqrt/multiply compositions, pow only off the quarter grid
+      def flat(r: Double) = (1.0 - alpha) match {
+        case 0.5 => math.sqrt(r)
+        case 0.25 => math.sqrt(math.sqrt(r))
+        case 0.75 => val s = math.sqrt(r); s * math.sqrt(s)
+        case e => math.pow(r, e)
+      }
       val expected = rows.filter { case (id, s) =>
         val f = math.floor(flat(minN.toDouble / counts(s)) * 1e6) / 1e6
         val t = math.round(f * 65536)

@@ -366,6 +366,14 @@ class OpsSpec extends AnyFunSuite {
     // the reread index is compact: signature-only schema, no sh column
     assert(!spark.read.parquet(idxRr).columns.contains("sh"))
     assert(spark.read.parquet(idxSh).columns.contains("sh"))
+    // footprint A/B: the stored-sh index carries the corpus's distinct
+    // shingle sets; the compact one is numHashes longs per kept doc
+    def bytes(p: String): Long = graft.core.Fs.fs(p)
+      .getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    val (bSh, bRr) = (bytes(idxSh), bytes(idxRr))
+    println(f"[footprint] stored-sh=$bSh%d B, compact=$bRr%d B, " +
+      f"ratio=${bSh.toDouble / bRr}%.2f")
+    assert(bRr < bSh, "compact index should be smaller than stored-sh")
     // mixing schemas on one path fails fast in both directions
     val b = batches.head
     assert(intercept[IllegalArgumentException] {
@@ -1572,6 +1580,20 @@ class OpsSpec extends AnyFunSuite {
     assert(webFlat < webHalf)
     // null strata never survive
     assert(!run(0.5).exists(_._2 == null))
+    // quarter alphas: the row set equals stratifiedHashSample with the
+    // hand-computed DYADIC fraction (sqrt compositions, never pow) —
+    // the engine-portability contract, executable
+    val r = 100.0 / 400.0
+    for ((alpha, frac) <- Seq(
+        0.25 -> { val s = math.sqrt(r); s * math.sqrt(s) }, // r^0.75
+        0.75 -> math.sqrt(math.sqrt(r)))) { // r^0.25
+      val expected = Sampling.stratifiedHashSample(
+        d.filter(col("s").isNotNull), col("id"), col("s"),
+        Map("wiki" -> 1.0, "web" -> math.floor(frac * 1e6) / 1e6))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val got = run(alpha).map(_._1).toSet
+      assert(got == expected, s"alpha=$alpha dyadic row set diverged")
+    }
     // stratum-domain probe fails fast, never collects an unbounded map
     val g = intercept[IllegalArgumentException] {
       Sampling.temperatureSample(d, col("id").cast("string"), col("id"),

@@ -260,4 +260,55 @@ class ScaleUpExperiment extends AnyFunSuite {
       "spanning-mode phash scale-up ratio too high")
     base.unpersist(); big.unpersist()
   }
+
+  test("round-7 ops (leakageSafeSplit, incrementalMinhashDedup) scale " +
+    "~linearly") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow (~3 min): opt in with GRAFT_SCALEUP=1 sbt test")
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text").cache()
+    val big = (0 until 10).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(8).cache()
+    base.count(); big.count()
+
+    // leakageSafeSplit end-to-end (spanning-mode pair mining ->
+    // clusters -> one broadcast join onto the corpus): replication makes
+    // every doc a 10-way dup group, but the spanning edge set and the
+    // cluster table stay ~linear, so the whole path must too
+    def split(d: org.apache.spark.sql.DataFrame): Long =
+      Sampling.leakageSafeSplit(d,
+        Dedup.minhashLshPairs(d, 3, 64, 16, 0.5, expandGroups = false),
+        Seq("train" -> 0.9, "test" -> 0.1)).count()
+    val t1l = time(split(base))
+    val t10l = time(split(big))
+    println(f"[scaleup] leakSplit 1x=$t1l%.1fs 10x=$t10l%.1fs ratio=${t10l / t1l}%.1f")
+    assert(t10l / math.max(t1l, 0.5) < 25,
+      "leakageSafeSplit scale-up ratio too high")
+
+    // incremental near-dup dedup, two-batch ingest replay (the exact
+    // stored-sh default): per batch one signature aggregation, a band
+    // join against the index on deterministic band keys, and one
+    // append. Batch 1 collapses the in-batch copies, so the index stays
+    // ~distinct-content-sized and batch 2's cross-batch candidate count
+    // is copies-per-content x contents — linear in corpus size
+    def incr(d: org.apache.spark.sql.DataFrame, tag: String): Long = {
+      val idx = graft.SparkSpec.tmpDir(s"graft-scale-incr-$tag-") + "/idx"
+      val k1 = Dedup.incrementalMinhashDedup(
+        d.filter(col("doc_id") % 2 === 0), idx).count()
+      k1 + Dedup.incrementalMinhashDedup(
+        d.filter(col("doc_id") % 2 === 1), idx).count()
+    }
+    val t1i = time(incr(base, "1x"))
+    val t10i = time(incr(big, "10x"))
+    println(f"[scaleup] incrNear 1x=$t1i%.1fs 10x=$t10i%.1fs ratio=${t10i / t1i}%.1f")
+    assert(t10i / math.max(t1i, 0.5) < 25,
+      "incrementalMinhashDedup scale-up ratio too high")
+    base.unpersist(); big.unpersist()
+  }
 }
