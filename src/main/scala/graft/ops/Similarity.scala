@@ -251,6 +251,65 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
   }
 
+  /** [[ivfTopK]] for query TABLES: identical semantics (same quantizer,
+    * same probe rule, same ranking), but the per-query probe lists are
+    * computed MAP-SIDE from the literal centroid array instead of a
+    * driver collect — there is no `maxQueries` bound because nothing
+    * ever concentrates on the driver, so a million-query curation table
+    * fans out across the cluster like any other join.
+    *
+    * Probe-order parity with [[ivfTopK]]: the driver version sorts
+    * `(-score, cid)` with Scala's total ordering; here each query row
+    * sorts an array of `struct(-score, cid)` — Spark's struct ordering
+    * compares doubles with the same `Double.compare` total order, so
+    * the chosen cells (ties, signed zeros and all) are identical.
+    *
+    * Scale shape: one corpus pass for assignment (as in [[ivfTopK]]),
+    * one map-side generator expanding each query to `nprobe` rows (the
+    * query vector rides those rows), then a cid equi-join — AQE
+    * broadcasts the probe side while it is small and shuffle-joins at
+    * table scale; the final per-query rank is a constant-limit window
+    * (WindowGroupLimit: per-partition heaps before the exchange). A hot
+    * cell is bounded by the quantizer's balance, same as [[ivfTopK]] —
+    * at 1000 executors the candidate work is
+    * `|queries| * nprobe * avg-cell-size`, spread by the cid shuffle. */
+  def ivfTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int,
+                   numCentroids: Int = 8, nprobe: Int = 2, iters: Int = 3,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   trainFraction: Double = 0.0,
+                   targetTrain: Long = 100000L): DataFrame = {
+    require(trainFraction >= 0.0 && trainFraction <= 1.0,
+      "trainFraction in [0,1] (0 = derive from corpus size)")
+    require(k > 0, "k must be positive")
+    require(nprobe > 0, "nprobe must be positive")
+    val frac =
+      if (trainFraction > 0.0) trainFraction
+      else deriveTrainFraction(corpus.count(), targetTrain)
+    val trainSet =
+      if (frac >= 1.0) corpus
+      else Sampling.hashSample(corpus, col(idCol), frac)
+    val centroids = kmeansCentroids(trainSet, numCentroids, iters, idCol, vecCol)
+    val bucketed = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      assignCentroid(col(vecCol), centroids).as("cid"))
+    val probeArr = slice(sort_array(array(centroids.zipWithIndex.map {
+      case (c, i) =>
+        struct((-centroidDot(col("qv"), c)).as("ns"), lit(i).as("cid"))
+    }: _*)), 1, math.min(nprobe, centroids.length))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"), explode(probeArr).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cid").as("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    bucketed.join(probed, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", cosine(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
   /** Cosine near-duplicate pairs above a threshold — embedding-based
     * dedup with EXACT results (recall 1.0) and no cartesian product.
     *

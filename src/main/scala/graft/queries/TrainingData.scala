@@ -532,6 +532,29 @@ object TrainingData {
       s1.unionByName(s2).select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // the SAME two-batch ingest through the index LIFECYCLE path: the
+    // compact signature-only index (rereadFrom exact verify — candidate
+    // shingle sets recomputed from the accumulated kept corpus) with a
+    // compactIndex() rewrite between the batches. Decisions are provably
+    // identical to the stored-sh default, so the oracle is shared —
+    // the driver gate now covers compaction + compact verify end-to-end
+    "q_dedup_incremental_compact" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val b1 = d.filter(col("doc_id") % 2 === 0)
+      val dups = b1.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" recrawlmarker")).as("text"))
+      val b2 = d.filter(col("doc_id") % 2 === 1).unionByName(dups)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-mhcdx-").toString + "/idx"
+      val s1 = Dedup.incrementalMinhashDedup(b1, idx,
+        rereadFrom = Some(d.limit(0))).localCheckpoint(true)
+      Dedup.compactIndex(s, idx)
+      val s2 = Dedup.incrementalMinhashDedup(b2, idx,
+        rereadFrom = Some(s1))
+      s1.unionByName(s2).select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // near-dup pairs by exact 3-gram Jaccard via shingle inverted index.
     // The hot-shingle cap (500 docs) bounds candidate fan-out per shingle
     // — the skew guard that keeps this sub-quadratic on boilerplate-heavy
@@ -687,6 +710,20 @@ object TrainingData {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
       Similarity.ivfTopK(e, q, k = 5, targetTrain = 16000L)
+        .withColumn("score", floor(col("score") * 1e4) / 1e4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the distributed-probe IVF twin over a query TABLE (every 10th
+    // vector — 50 queries at verify SF): probe lists are computed
+    // map-side from the literal
+    // centroid array — no driver collect, no maxQueries bound — and the
+    // candidates ride one cid equi-join; same quantizer and ranking as
+    // q_embed_ivf, so the oracle shares its centroid CTE chain
+    "q_embed_ivf_batch" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 10 === 7)
+      Similarity.ivfTopKBatch(e, q, k = 5, targetTrain = 16000L)
         .withColumn("score", floor(col("score") * 1e4) / 1e4)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -884,6 +921,233 @@ object TrainingData {
       |  CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
       |    AS tok_total
       |FROM assigned GROUP BY part ORDER BY part""".stripMargin
+
+  // the q_embed_ivf centroid/bucketing chain (3 Lloyd iterations on the
+  // derived train sample, full-corpus assignment) is query-independent —
+  // shared between the single-probe-set and batched IVF oracles
+  private val ivfCentroidCtes: String =
+      """WITH thresh AS (
+        |  SELECT CAST(floor(16000.0 / count(*) * 65536 + 0.5) AS BIGINT) AS t
+        |  FROM embeddings
+        |), train AS (
+        |  SELECT e.* FROM embeddings e, thresh
+        |  WHERE thresh.t >= 65536
+        |     OR substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) <
+        |        printf('%04x', thresh.t)
+        |), seedraw AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw
+        |  FROM (SELECT * FROM train ORDER BY vec_id LIMIT 8)
+        |), seedn AS (
+        |  SELECT cid, raw,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(raw, x -> x * x)),
+        |      (a, b) -> a + b)) AS n
+        |  FROM seedraw
+        |), cents0 AS (
+        |  SELECT cid, CASE WHEN n = 0 THEN raw
+        |    ELSE list_transform(raw, x -> floor(x / n * 1e6) / 1e6) END AS vals
+        |  FROM seedn
+        |),
+        |s1 AS (
+        |  SELECT e.vec_id, c.cid, list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) AS score
+        |  FROM train e CROSS JOIN cents0 c
+        |), a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY score DESC, cid DESC) AS rn
+        |    FROM s1) WHERE rn = 1
+        |), m1 AS (
+        |  SELECT a.cid, p.range AS pos,
+        |    AVG(CAST(e.embedding[CAST(p.range + 1 AS INT)] AS DOUBLE)) AS m
+        |  FROM a1 a JOIN embeddings e USING (vec_id)
+        |  CROSS JOIN range(64) p
+        |  GROUP BY 1, 2
+        |), mv1 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS raw,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(list(m ORDER BY pos), x -> x * x)), (a, b) -> a + b)) AS n
+        |  FROM m1 GROUP BY cid
+        |), cents1 AS (
+        |  SELECT c0.cid,
+        |    COALESCE(CASE WHEN mv.n = 0 THEN mv.raw
+        |      ELSE list_transform(mv.raw, x -> floor(x / mv.n * 1e6) / 1e6) END,
+        |      c0.vals) AS vals
+        |  FROM cents0 c0 LEFT JOIN mv1 mv USING (cid)
+        |),
+        |s2 AS (
+        |  SELECT e.vec_id, c.cid, list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) AS score
+        |  FROM train e CROSS JOIN cents1 c
+        |), a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY score DESC, cid DESC) AS rn
+        |    FROM s2) WHERE rn = 1
+        |), m2 AS (
+        |  SELECT a.cid, p.range AS pos,
+        |    AVG(CAST(e.embedding[CAST(p.range + 1 AS INT)] AS DOUBLE)) AS m
+        |  FROM a2 a JOIN embeddings e USING (vec_id)
+        |  CROSS JOIN range(64) p
+        |  GROUP BY 1, 2
+        |), mv2 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS raw,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(list(m ORDER BY pos), x -> x * x)), (a, b) -> a + b)) AS n
+        |  FROM m2 GROUP BY cid
+        |), cents2 AS (
+        |  SELECT c0.cid,
+        |    COALESCE(CASE WHEN mv.n = 0 THEN mv.raw
+        |      ELSE list_transform(mv.raw, x -> floor(x / mv.n * 1e6) / 1e6) END,
+        |      c0.vals) AS vals
+        |  FROM cents1 c0 LEFT JOIN mv2 mv USING (cid)
+        |),
+        |s3 AS (
+        |  SELECT e.vec_id, c.cid, list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) AS score
+        |  FROM train e CROSS JOIN cents2 c
+        |), a3 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                         ORDER BY score DESC, cid DESC) AS rn
+        |    FROM s3) WHERE rn = 1
+        |), m3 AS (
+        |  SELECT a.cid, p.range AS pos,
+        |    AVG(CAST(e.embedding[CAST(p.range + 1 AS INT)] AS DOUBLE)) AS m
+        |  FROM a3 a JOIN embeddings e USING (vec_id)
+        |  CROSS JOIN range(64) p
+        |  GROUP BY 1, 2
+        |), mv3 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS raw,
+        |    sqrt(list_reduce(list_prepend(0.0,
+        |      list_transform(list(m ORDER BY pos), x -> x * x)), (a, b) -> a + b)) AS n
+        |  FROM m3 GROUP BY cid
+        |), cents3 AS (
+        |  SELECT c0.cid,
+        |    COALESCE(CASE WHEN mv.n = 0 THEN mv.raw
+        |      ELSE list_transform(mv.raw, x -> floor(x / mv.n * 1e6) / 1e6) END,
+        |      c0.vals) AS vals
+        |  FROM cents2 c0 LEFT JOIN mv3 mv USING (cid)
+        |),
+        |bucketed AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) DESC, c.cid DESC) AS rn
+        |    FROM embeddings e CROSS JOIN cents3 c) WHERE rn = 1
+        |)""".stripMargin
+
+  private def ivfProbeRankSql(queryPred: String, nprobe: Int,
+                              k: Int): String =
+      s"""
+        |, probes AS (
+        |  SELECT query_id, cid FROM (
+        |    SELECT q.vec_id AS query_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(q.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) DESC, c.cid ASC) AS rn
+        |    FROM embeddings q CROSS JOIN cents3 c
+        |    WHERE $queryPred) WHERE rn <= $nprobe
+        |), cand AS (
+        |  SELECT p.query_id, b.vec_id
+        |  FROM probes p JOIN bucketed b USING (cid)
+        |  WHERE b.vec_id <> p.query_id
+        |), scored AS (
+        |  SELECT cand.query_id, cand.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65), j ->
+        |      CAST(ce.embedding[CAST(j AS INT)] AS DOUBLE) *
+        |      CAST(qe.embedding[CAST(j AS INT)] AS DOUBLE))),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(0.0,
+        |        list_transform(range(1, 65), j ->
+        |          CAST(ce.embedding[CAST(j AS INT)] AS DOUBLE) *
+        |          CAST(ce.embedding[CAST(j AS INT)] AS DOUBLE))),
+        |        (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_prepend(0.0,
+        |        list_transform(range(1, 65), j ->
+        |          CAST(qe.embedding[CAST(j AS INT)] AS DOUBLE) *
+        |          CAST(qe.embedding[CAST(j AS INT)] AS DOUBLE))),
+        |        (acc, x) -> acc + x))) AS raw
+        |  FROM cand
+        |  JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |), ranked AS (
+        |  SELECT query_id, vec_id, raw,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY raw DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, vec_id, floor(raw * 1e4) / 1e4 AS score,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= $k
+        |ORDER BY query_id, rank""".stripMargin
+
+  private val incrementalNearOracleSql: String =
+      """WITH RECURSIVE b1 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |), b2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' recrawlmarker' FROM documents
+        |  WHERE doc_id % 6 = 0
+        |), allr AS (
+        |  SELECT doc_id, text, 0 AS bt FROM b1
+        |  UNION ALL
+        |  SELECT doc_id, text, 1 FROM b2
+        |), toks AS (
+        |  SELECT doc_id, bt, string_split_regex(text, '\s+') AS t FROM allr
+        |), shs AS (
+        |  SELECT doc_id, bt, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+        |  FROM toks WHERE len(t) >= 3
+        |), ex AS (
+        |  SELECT doc_id, bt, unnest(shingles) AS s, len(shingles) AS n
+        |  FROM shs WHERE len(shingles) > 0
+        |), prs AS (
+        |  SELECT a.doc_id AS id1, ANY_VALUE(a.bt) AS bt1,
+        |         b.doc_id AS id2, ANY_VALUE(b.bt) AS bt2, COUNT(*) AS inter,
+        |         ANY_VALUE(a.n) AS n1, ANY_VALUE(b.n) AS n2
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING CAST(COUNT(*) AS DOUBLE)
+        |    / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.5
+        |), e1 AS (
+        |  SELECT id1 AS a, id2 AS b FROM prs WHERE bt1 = 0 AND bt2 = 0
+        |  UNION
+        |  SELECT id2, id1 FROM prs WHERE bt1 = 0 AND bt2 = 0
+        |), reach1(a, b) AS (
+        |  SELECT a, b FROM e1
+        |  UNION
+        |  SELECT r.a, e.b FROM reach1 r JOIN e1 e ON r.b = e.a
+        |), kept1 AS (
+        |  SELECT doc_id FROM b1 WHERE doc_id NOT IN (
+        |    SELECT a FROM reach1 GROUP BY a HAVING a > min(b))
+        |), dropx AS (
+        |  SELECT CASE WHEN bt1 = 1 THEN id1 ELSE id2 END AS doc_id FROM prs
+        |  WHERE (bt1 = 1 AND bt2 = 0 AND id2 IN (SELECT doc_id FROM kept1))
+        |     OR (bt1 = 0 AND bt2 = 1 AND id1 IN (SELECT doc_id FROM kept1))
+        |), fresh AS (
+        |  SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM dropx)
+        |), e2 AS (
+        |  SELECT id1 AS a, id2 AS b FROM prs
+        |  WHERE bt1 = 1 AND bt2 = 1
+        |    AND id1 IN (SELECT doc_id FROM fresh)
+        |    AND id2 IN (SELECT doc_id FROM fresh)
+        |  UNION
+        |  SELECT id2, id1 FROM prs
+        |  WHERE bt1 = 1 AND bt2 = 1
+        |    AND id1 IN (SELECT doc_id FROM fresh)
+        |    AND id2 IN (SELECT doc_id FROM fresh)
+        |), reach2(a, b) AS (
+        |  SELECT a, b FROM e2
+        |  UNION
+        |  SELECT r.a, e.b FROM reach2 r JOIN e2 e ON r.b = e.a
+        |), kept2 AS (
+        |  SELECT doc_id FROM fresh WHERE doc_id NOT IN (
+        |    SELECT a FROM reach2 GROUP BY a HAVING a > min(b))
+        |)
+        |SELECT doc_id FROM kept1
+        |UNION ALL SELECT doc_id FROM kept2 ORDER BY doc_id""".stripMargin
 
   /** Shared oracle prefix: rebuilds Similarity.hyperplanes (fmix64 on
     * HUGEINT, split 32-bit mulmods so the 128-bit intermediates never
@@ -1718,73 +1982,13 @@ object TrainingData {
     // exact-Jaccard pairs over the two-batch universe, min-id survivors of
     // the batch-1 closure, cross-batch drops against kept batch-1 docs,
     // then min-id survivors of the remaining batch-2 closure.
-    "q_dedup_incremental_near" ->
-      """WITH RECURSIVE b1 AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
-        |), b2 AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
-        |  UNION ALL
-        |  SELECT doc_id + 100000, text || ' recrawlmarker' FROM documents
-        |  WHERE doc_id % 6 = 0
-        |), allr AS (
-        |  SELECT doc_id, text, 0 AS bt FROM b1
-        |  UNION ALL
-        |  SELECT doc_id, text, 1 FROM b2
-        |), toks AS (
-        |  SELECT doc_id, bt, string_split_regex(text, '\s+') AS t FROM allr
-        |), shs AS (
-        |  SELECT doc_id, bt, list_distinct(list_transform(
-        |    generate_series(1, len(t) - 2),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
-        |  FROM toks WHERE len(t) >= 3
-        |), ex AS (
-        |  SELECT doc_id, bt, unnest(shingles) AS s, len(shingles) AS n
-        |  FROM shs WHERE len(shingles) > 0
-        |), prs AS (
-        |  SELECT a.doc_id AS id1, ANY_VALUE(a.bt) AS bt1,
-        |         b.doc_id AS id2, ANY_VALUE(b.bt) AS bt2, COUNT(*) AS inter,
-        |         ANY_VALUE(a.n) AS n1, ANY_VALUE(b.n) AS n2
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |  HAVING CAST(COUNT(*) AS DOUBLE)
-        |    / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.5
-        |), e1 AS (
-        |  SELECT id1 AS a, id2 AS b FROM prs WHERE bt1 = 0 AND bt2 = 0
-        |  UNION
-        |  SELECT id2, id1 FROM prs WHERE bt1 = 0 AND bt2 = 0
-        |), reach1(a, b) AS (
-        |  SELECT a, b FROM e1
-        |  UNION
-        |  SELECT r.a, e.b FROM reach1 r JOIN e1 e ON r.b = e.a
-        |), kept1 AS (
-        |  SELECT doc_id FROM b1 WHERE doc_id NOT IN (
-        |    SELECT a FROM reach1 GROUP BY a HAVING a > min(b))
-        |), dropx AS (
-        |  SELECT CASE WHEN bt1 = 1 THEN id1 ELSE id2 END AS doc_id FROM prs
-        |  WHERE (bt1 = 1 AND bt2 = 0 AND id2 IN (SELECT doc_id FROM kept1))
-        |     OR (bt1 = 0 AND bt2 = 1 AND id1 IN (SELECT doc_id FROM kept1))
-        |), fresh AS (
-        |  SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM dropx)
-        |), e2 AS (
-        |  SELECT id1 AS a, id2 AS b FROM prs
-        |  WHERE bt1 = 1 AND bt2 = 1
-        |    AND id1 IN (SELECT doc_id FROM fresh)
-        |    AND id2 IN (SELECT doc_id FROM fresh)
-        |  UNION
-        |  SELECT id2, id1 FROM prs
-        |  WHERE bt1 = 1 AND bt2 = 1
-        |    AND id1 IN (SELECT doc_id FROM fresh)
-        |    AND id2 IN (SELECT doc_id FROM fresh)
-        |), reach2(a, b) AS (
-        |  SELECT a, b FROM e2
-        |  UNION
-        |  SELECT r.a, e.b FROM reach2 r JOIN e2 e ON r.b = e.a
-        |), kept2 AS (
-        |  SELECT doc_id FROM fresh WHERE doc_id NOT IN (
-        |    SELECT a FROM reach2 GROUP BY a HAVING a > min(b))
-        |)
-        |SELECT doc_id FROM kept1
-        |UNION ALL SELECT doc_id FROM kept2 ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental_near" -> incrementalNearOracleSql,
+
+    // identical decisions through the compact-index LIFECYCLE path
+    // (rereadFrom exact verify + compactIndex between batches): the
+    // oracle is the SAME decision replay — compaction and the compact
+    // verify mode provably change nothing
+    "q_dedup_incremental_compact" -> incrementalNearOracleSql,
 
     // Mirrors Profile.columnStats: COUNT(*) - COUNT(col) for nulls (both
     // engines type it BIGINT; SUM(CASE) would be HUGEINT in DuckDB),
@@ -2058,142 +2262,12 @@ object TrainingData {
     // probe over the FULL corpus (ties to LOWER cid, matching the
     // driver-side sortBy) and exact cosine ranking.
     "q_embed_ivf" ->
-      """WITH thresh AS (
-        |  SELECT CAST(floor(16000.0 / count(*) * 65536 + 0.5) AS BIGINT) AS t
-        |  FROM embeddings
-        |), train AS (
-        |  SELECT e.* FROM embeddings e, thresh
-        |  WHERE thresh.t >= 65536
-        |     OR substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) <
-        |        printf('%04x', thresh.t)
-        |), seedraw AS (
-        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw
-        |  FROM (SELECT * FROM train ORDER BY vec_id LIMIT 8)
-        |), seedn AS (
-        |  SELECT cid, raw,
-        |    sqrt(list_reduce(list_prepend(0.0, list_transform(raw, x -> x * x)),
-        |      (a, b) -> a + b)) AS n
-        |  FROM seedraw
-        |), cents0 AS (
-        |  SELECT cid, CASE WHEN n = 0 THEN raw
-        |    ELSE list_transform(raw, x -> floor(x / n * 1e6) / 1e6) END AS vals
-        |  FROM seedn
-        |),
-        |s1 AS (
-        |  SELECT e.vec_id, c.cid, list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) AS score
-        |  FROM train e CROSS JOIN cents0 c
-        |), a1 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id
-        |                         ORDER BY score DESC, cid DESC) AS rn
-        |    FROM s1) WHERE rn = 1
-        |), m1 AS (
-        |  SELECT a.cid, p.range AS pos,
-        |    AVG(CAST(e.embedding[CAST(p.range + 1 AS INT)] AS DOUBLE)) AS m
-        |  FROM a1 a JOIN embeddings e USING (vec_id)
-        |  CROSS JOIN range(64) p
-        |  GROUP BY 1, 2
-        |), mv1 AS (
-        |  SELECT cid, list(m ORDER BY pos) AS raw,
-        |    sqrt(list_reduce(list_prepend(0.0,
-        |      list_transform(list(m ORDER BY pos), x -> x * x)), (a, b) -> a + b)) AS n
-        |  FROM m1 GROUP BY cid
-        |), cents1 AS (
-        |  SELECT c0.cid,
-        |    COALESCE(CASE WHEN mv.n = 0 THEN mv.raw
-        |      ELSE list_transform(mv.raw, x -> floor(x / mv.n * 1e6) / 1e6) END,
-        |      c0.vals) AS vals
-        |  FROM cents0 c0 LEFT JOIN mv1 mv USING (cid)
-        |),
-        |s2 AS (
-        |  SELECT e.vec_id, c.cid, list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) AS score
-        |  FROM train e CROSS JOIN cents1 c
-        |), a2 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id
-        |                         ORDER BY score DESC, cid DESC) AS rn
-        |    FROM s2) WHERE rn = 1
-        |), m2 AS (
-        |  SELECT a.cid, p.range AS pos,
-        |    AVG(CAST(e.embedding[CAST(p.range + 1 AS INT)] AS DOUBLE)) AS m
-        |  FROM a2 a JOIN embeddings e USING (vec_id)
-        |  CROSS JOIN range(64) p
-        |  GROUP BY 1, 2
-        |), mv2 AS (
-        |  SELECT cid, list(m ORDER BY pos) AS raw,
-        |    sqrt(list_reduce(list_prepend(0.0,
-        |      list_transform(list(m ORDER BY pos), x -> x * x)), (a, b) -> a + b)) AS n
-        |  FROM m2 GROUP BY cid
-        |), cents2 AS (
-        |  SELECT c0.cid,
-        |    COALESCE(CASE WHEN mv.n = 0 THEN mv.raw
-        |      ELSE list_transform(mv.raw, x -> floor(x / mv.n * 1e6) / 1e6) END,
-        |      c0.vals) AS vals
-        |  FROM cents1 c0 LEFT JOIN mv2 mv USING (cid)
-        |),
-        |s3 AS (
-        |  SELECT e.vec_id, c.cid, list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) AS score
-        |  FROM train e CROSS JOIN cents2 c
-        |), a3 AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id
-        |                         ORDER BY score DESC, cid DESC) AS rn
-        |    FROM s3) WHERE rn = 1
-        |), m3 AS (
-        |  SELECT a.cid, p.range AS pos,
-        |    AVG(CAST(e.embedding[CAST(p.range + 1 AS INT)] AS DOUBLE)) AS m
-        |  FROM a3 a JOIN embeddings e USING (vec_id)
-        |  CROSS JOIN range(64) p
-        |  GROUP BY 1, 2
-        |), mv3 AS (
-        |  SELECT cid, list(m ORDER BY pos) AS raw,
-        |    sqrt(list_reduce(list_prepend(0.0,
-        |      list_transform(list(m ORDER BY pos), x -> x * x)), (a, b) -> a + b)) AS n
-        |  FROM m3 GROUP BY cid
-        |), cents3 AS (
-        |  SELECT c0.cid,
-        |    COALESCE(CASE WHEN mv.n = 0 THEN mv.raw
-        |      ELSE list_transform(mv.raw, x -> floor(x / mv.n * 1e6) / 1e6) END,
-        |      c0.vals) AS vals
-        |  FROM cents2 c0 LEFT JOIN mv3 mv USING (cid)
-        |),
-        |bucketed AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) DESC, c.cid DESC) AS rn
-        |    FROM embeddings e CROSS JOIN cents3 c) WHERE rn = 1
-        |), probes AS (
-        |  SELECT query_id, cid FROM (
-        |    SELECT q.vec_id AS query_id, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |        ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(q.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) DESC, c.cid ASC) AS rn
-        |    FROM embeddings q CROSS JOIN cents3 c
-        |    WHERE q.vec_id IN (0, 1, 2)) WHERE rn <= 2
-        |), cand AS (
-        |  SELECT p.query_id, b.vec_id
-        |  FROM probes p JOIN bucketed b USING (cid)
-        |  WHERE b.vec_id <> p.query_id
-        |), scored AS (
-        |  SELECT cand.query_id, cand.vec_id,
-        |    list_cosine_similarity(ce.embedding, qe.embedding) AS raw
-        |  FROM cand
-        |  JOIN embeddings ce ON ce.vec_id = cand.vec_id
-        |  JOIN embeddings qe ON qe.vec_id = cand.query_id
-        |), ranked AS (
-        |  SELECT query_id, vec_id, raw,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |                       ORDER BY raw DESC, vec_id) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, vec_id, floor(raw * 1e4) / 1e4 AS score,
-        |  CAST(rank AS BIGINT) AS rank
-        |FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+      (ivfCentroidCtes + ivfProbeRankSql("q.vec_id IN (0, 1, 2)", 2, 5)),
+
+    // the BATCHED distributed-probe variant: same centroids, same probe
+    // rule, a query TABLE (every 10th vector) instead of a probe set
+    "q_embed_ivf_batch" ->
+      (ivfCentroidCtes + ivfProbeRankSql("q.vec_id % 10 = 7", 2, 5)),
 
     "q_embed_pairs" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -635,6 +635,33 @@ class OpsSpec extends AnyFunSuite {
     assert(g.getMessage.contains("maxQueries"))
   }
 
+  test("ivfTopKBatch: row-for-row agreement with driver-probe ivfTopK " +
+      "on small and table-sized query sets; no maxQueries bound") {
+    // same corpus, same quantizer config — the distributed map-side
+    // probe selection must pick the SAME cells (total-order parity) and
+    // therefore the same ranked neighbors, for a 3-query probe set and
+    // a 50-query table alike
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "vec_id", "score", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 1e6) / 1e6, r.getInt(3))).toSet
+    for (pred <- Seq(col("vec_id").isin(0L, 1L, 2L),
+        col("vec_id") % 10 === 7)) {
+      val q = emb.filter(pred)
+      val a = rows(Similarity.ivfTopK(emb, q, k = 5, trainFraction = 0.5))
+      val b = rows(Similarity.ivfTopKBatch(emb, q, k = 5,
+        trainFraction = 0.5))
+      assert(a == b, s"driver-probe and distributed-probe IVF diverged")
+      assert(a.nonEmpty)
+    }
+    // the batch path has no driver probe collect, hence no maxQueries
+    // guard to trip: the whole corpus as the query table still PLANS
+    // (laziness is the point — nothing concentrates anywhere)
+    Similarity.ivfTopKBatch(emb, emb, k = 1, trainFraction = 0.5)
+      .queryExecution.executedPlan
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val one = emb.filter(col("vec_id") === 0)
       .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))

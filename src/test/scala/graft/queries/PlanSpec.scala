@@ -278,6 +278,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Union"), p)
   }
 
+  test("q_embed_ivf_batch: distributed probes — no cartesian, no " +
+    "nested-loop join, rank window partitioned per query") {
+    val p = plan("q_embed_ivf_batch")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-query top-k must be a partitioned window (WindowGroupLimit
+    // prunes per-partition before the exchange)
+    assert(p.contains("WindowGroupLimit"), p)
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach { s =>
+      assert(!s.matches("windowspecdefinition\\([^,]* (ASC|DESC).*"),
+        s"unpartitioned window in q_embed_ivf_batch: $s")
+    }
+  }
+
   test("q_doc_rrf_batch: every rank window is PARTITIONED (per-query " +
     "fan-out, no single-task global sort in the fusion)") {
     val p = plan("q_doc_rrf_batch")
