@@ -711,6 +711,88 @@ object Dedup {
   def simhash64(tokens: Column): Column =
     shim.column(SimHash64(shim.expression(tokens)))
 
+  /** Incremental near-IDENTICAL dedup against a persisted 64-bit
+    * signature index — the Hamming twin of [[incrementalMinhashDedup]]:
+    * SimHash over the token stream catches re-crawls that differ only
+    * in whitespace tokenization, and passing `sig =
+    * Some(Multimodal.perceptualHash(col("payload")))` turns the same
+    * index machinery into cross-batch perceptual dedup for BINARY
+    * assets — the signature column is the only modality-specific part.
+    *
+    * Decision order per batch (the shared incremental contract):
+    * (1) drop batch rows whose signature is within `maxHamming` of any
+    * INDEXED signature (distinct batch signatures banded 4x16-bit
+    * against distinct indexed signatures, exact popcount verify —
+    * never one row per duplicate); (2) cluster the REMAINING rows
+    * in-batch ([[hammingBandPairs]] spanning edges →
+    * [[duplicateClusters]]) and keep the min-id member per cluster;
+    * (3) append the kept rows' `(id, f)` to the index (lineage cut
+    * before the self-referential append, as in the exact variant).
+    * Rows with a NULL signature (null text / undecodable payload) are
+    * KEPT and not indexed — no signature is no duplicate evidence, and
+    * a dedup operator must not double as a validity filter.
+    *
+    * Index lifecycle: one small file set per batch — compact
+    * periodically with [[compactIndex]]; a foreign index schema on the
+    * same path fails fast. Scale shape: the index is only ever touched
+    * by a distinct-signature band join and one append; 16 bytes per
+    * kept doc, no driver materialization anywhere. */
+  def incrementalSimhashDedup(batch: DataFrame, indexPath: String,
+                              maxHamming: Int = 3,
+                              textCol: String = "text",
+                              idCol: String = "doc_id",
+                              sig: Option[Column] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for 4-chunk banding, got $maxHamming")
+    val spark = batch.sparkSession
+    recoverIndex(indexPath)
+    val sigExpr = sig.getOrElse(simhash64(Text.tokens(col(textCol))))
+    val withF = batch.withColumn("__f", sigExpr).localCheckpoint(true)
+    val sigged = withF.filter(col("__f").isNotNull)
+    val fps = sigged.select(col(idCol).as("id"), col("__f").as("f"))
+    val existing: Option[DataFrame] =
+      if (graft.core.Fs.exists(indexPath) &&
+        graft.core.Fs.listNames(indexPath).nonEmpty) {
+        val idx = spark.read.parquet(indexPath)
+        require(idx.columns.sorted.toSeq == Seq("f", "id"),
+          s"index at $indexPath is not a simhash signature index " +
+            s"(columns ${idx.columns.mkString(", ")}) — one index " +
+            "family per path")
+        Some(idx)
+      } else None
+    def bandChunks(df: DataFrame, fAs: String): DataFrame =
+      df.select(col("f").as(fAs))
+        .select(col(fAs), explode(array((0 until 4).map(i =>
+          struct(lit(i).as("c"), shiftrightunsigned(col(fAs), i * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("ch"))
+        .select(col(fAs), col("ch.c").as("c"), col("ch.v").as("v"))
+    val dropSigs = existing match {
+      case None => fps.select(col("f")).limit(0)
+      case Some(idx) =>
+        bandChunks(fps.select(col("f")).distinct(), "bf")
+          .join(bandChunks(idx.select(col("f")).distinct(), "f2"),
+            Seq("c", "v"))
+          .filter(bit_count(col("bf").bitwiseXOR(col("f2")))
+            <= maxHamming)
+          .select(col("bf").as("f")).distinct()
+    }
+    val fresh = fps.join(dropSigs, Seq("f"), "left_anti")
+    val pairs = hammingBandPairs(fresh.select(col("id"), col("f")),
+      maxHamming, expandGroups = false)
+    // duplicateClusters emits fixed (doc_id, cluster_id) names; members
+    // that are not their cluster's min-id representative drop
+    val dropIds = duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("id"))
+    val keptFps = fresh.join(dropIds, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    keptFps.write.mode("append").parquet(indexPath)
+    sigged.join(keptFps.select(col("id").as(idCol)), Seq(idCol),
+      "left_semi")
+      .unionByName(withF.filter(col("__f").isNull))
+      .drop("__f")
+  }
+
   /** Shared engine for the 64-bit Hamming pair miners ([[simhashPairs]],
     * [[Multimodal.phashPairs]]). Input `fp` is (id, f: Long).
     *

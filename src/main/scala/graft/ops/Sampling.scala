@@ -375,9 +375,11 @@ object Sampling {
     // not, so an un-normalized bucket holding both zeros could be
     // classified uniform while its true (quality desc, hash, key)
     // selection order still depended on the sign bit — breaking the
-    // single-window equivalence the sub-bucket fan-out relies on
-    val qRaw = quality.cast("double")
-    val q = when(qRaw === lit(0d), lit(0d)).otherwise(qRaw)
+    // single-window equivalence the sub-bucket fan-out relies on.
+    // `+ 0.0` is the branchless IEEE normalization: -0.0 + 0.0 = +0.0
+    // and x + 0.0 = x for every other double (NaN and infinities
+    // included) — a single codegen'd add, unlike a CASE WHEN
+    val q = quality.cast("double") + lit(0d)
     val width = (qMax - qMin) / qBuckets
     // bucket 00000 = best quality; the clamp keeps out-of-range scores
     // in (exactly ordered) end buckets. Zero-padded so the generic

@@ -555,6 +555,27 @@ object TrainingData {
       s1.unionByName(s2).select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // incremental near-IDENTICAL dedup across two batches via the
+    // persisted 64-bit SimHash index: batch 2 re-crawls every 6th doc
+    // with doubled internal whitespace (identical token stream ->
+    // identical signature -> Hamming 0), so the cross-batch band join
+    // must drop every re-crawl of a KEPT batch-1 doc; natural
+    // hamming<=3 neighbors exercise the in-batch closure. Oracle = the
+    // full two-batch decision replay over bit-exact rebuilt signatures
+    "q_dedup_incremental_simhash" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val b1 = d.filter(col("doc_id") % 2 === 0)
+      val dups = b1.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("replace(text, ' ', '  ')").as("text"))
+      val b2 = d.filter(col("doc_id") % 2 === 1).unionByName(dups)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-shdx-").toString + "/idx"
+      val s1 = Dedup.incrementalSimhashDedup(b1, idx)
+      val s2 = Dedup.incrementalSimhashDedup(b2, idx)
+      s1.unionByName(s2).select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // near-dup pairs by exact 3-gram Jaccard via shingle inverted index.
     // The hot-shingle cap (500 docs) bounds candidate fan-out per shingle
     // — the skew guard that keeps this sub-quadratic on boilerplate-heavy
@@ -773,13 +794,13 @@ object TrainingData {
     * HUGEINT half-multiplies, per-bit votes, signed conversion) — ends
     * in `fp(id, f)`. Composed into q_dedup_simhash (all-pairs hamming)
     * and q_stream_simdedup (distinct signatures per source). */
-  private val simhashFpCtes: String =
-    """pow2(b, p) AS (
+  private def simhashFpCtes(from: String = "documents"): String =
+    s"""pow2(b, p) AS (
         |  SELECT 0, CAST(1 AS HUGEINT)
         |  UNION ALL SELECT b + 1, p * 2 FROM pow2 WHERE b < 63
         |), toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
-        |  FROM documents
+        |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+        |  FROM $from
         |), ph AS (
         |  SELECT doc_id,
         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
@@ -1990,6 +2011,68 @@ object TrainingData {
     // verify mode provably change nothing
     "q_dedup_incremental_compact" -> incrementalNearOracleSql,
 
+    // the SimHash incremental twin: signatures rebuilt bit-for-bit over
+    // the two-batch universe (whitespace re-crawls share their
+    // original's signature exactly), then the same decision replay —
+    // batch-1 hamming<=3 closure survivors, cross-batch drops against
+    // kept batch-1 signatures, closure survivors of the rest of batch 2
+    "q_dedup_incremental_simhash" ->
+      ("""WITH RECURSIVE b1 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |), b2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 100000, replace(text, ' ', '  ') FROM documents
+        |  WHERE doc_id % 6 = 0
+        |), allr AS (
+        |  SELECT doc_id, text, 0 AS bt FROM b1
+        |  UNION ALL
+        |  SELECT doc_id, text, 1 FROM b2
+        |), """.stripMargin + simhashFpCtes("allr") + """
+        |, fpb AS (
+        |  SELECT f.id, f.f, a.bt FROM fp f JOIN allr a ON a.doc_id = f.id
+        |), prs AS (
+        |  SELECT a.id AS id1, a.bt AS bt1, b.id AS id2, b.bt AS bt2
+        |  FROM fpb a JOIN fpb b ON a.id < b.id
+        |  WHERE bit_count(xor(a.f, b.f)) <= 3
+        |), e1 AS (
+        |  SELECT id1 AS a, id2 AS b FROM prs WHERE bt1 = 0 AND bt2 = 0
+        |  UNION
+        |  SELECT id2, id1 FROM prs WHERE bt1 = 0 AND bt2 = 0
+        |), reach1(a, b) AS (
+        |  SELECT a, b FROM e1
+        |  UNION
+        |  SELECT r.a, e.b FROM reach1 r JOIN e1 e ON r.b = e.a
+        |), kept1 AS (
+        |  SELECT doc_id FROM b1 WHERE doc_id NOT IN (
+        |    SELECT a FROM reach1 GROUP BY a HAVING a > min(b))
+        |), dropx AS (
+        |  SELECT CASE WHEN bt1 = 1 THEN id1 ELSE id2 END AS doc_id FROM prs
+        |  WHERE (bt1 = 1 AND bt2 = 0 AND id2 IN (SELECT doc_id FROM kept1))
+        |     OR (bt1 = 0 AND bt2 = 1 AND id1 IN (SELECT doc_id FROM kept1))
+        |), fresh AS (
+        |  SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM dropx)
+        |), e2 AS (
+        |  SELECT id1 AS a, id2 AS b FROM prs
+        |  WHERE bt1 = 1 AND bt2 = 1
+        |    AND id1 IN (SELECT doc_id FROM fresh)
+        |    AND id2 IN (SELECT doc_id FROM fresh)
+        |  UNION
+        |  SELECT id2, id1 FROM prs
+        |  WHERE bt1 = 1 AND bt2 = 1
+        |    AND id1 IN (SELECT doc_id FROM fresh)
+        |    AND id2 IN (SELECT doc_id FROM fresh)
+        |), reach2(a, b) AS (
+        |  SELECT a, b FROM e2
+        |  UNION
+        |  SELECT r.a, e.b FROM reach2 r JOIN e2 e ON r.b = e.a
+        |), kept2 AS (
+        |  SELECT doc_id FROM fresh WHERE doc_id NOT IN (
+        |    SELECT a FROM reach2 GROUP BY a HAVING a > min(b))
+        |)
+        |SELECT doc_id FROM kept1
+        |UNION ALL SELECT doc_id FROM kept2 ORDER BY doc_id""".stripMargin),
+
     // Mirrors Profile.columnStats: COUNT(*) - COUNT(col) for nulls (both
     // engines type it BIGINT; SUM(CASE) would be HUGEINT in DuckDB),
     // min/max in native type rendered as VARCHAR.
@@ -2328,7 +2411,7 @@ object TrainingData {
     // (The signature CTE chain is shared with q_stream_simdedup via
     // simhashFpCtes below.)
     "q_dedup_simhash" ->
-      (s"WITH RECURSIVE $simhashFpCtes\n" +
+      (s"WITH RECURSIVE ${simhashFpCtes()}\n" +
         """SELECT a.id AS id1, b.id AS id2,
           |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
           |FROM fp a JOIN fp b ON a.id < b.id
@@ -2338,7 +2421,7 @@ object TrainingData {
     // One survivor per (source, signature) regardless of arrival order:
     // the streaming drain == batch COUNT(DISTINCT signature) per source.
     "q_stream_simdedup" ->
-      (s"WITH RECURSIVE $simhashFpCtes\n" +
+      (s"WITH RECURSIVE ${simhashFpCtes()}\n" +
         """SELECT d.source, COUNT(DISTINCT f.f) AS n_unique
           |FROM documents d JOIN fp f ON d.doc_id = f.id
           |GROUP BY d.source ORDER BY d.source""".stripMargin),

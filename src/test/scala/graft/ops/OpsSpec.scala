@@ -397,6 +397,64 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing indexed doc id"))
   }
 
+  test("incrementalSimhashDedup: batch-1 survivors match the spanning " +
+      "closure, whitespace re-crawls of kept docs drop cross-batch, " +
+      "pHash drives the same index for binary assets, null signatures " +
+      "are kept but never indexed, foreign schemas fail fast") {
+    import graft.SparkSpec.spark.implicits._
+    val idx = graft.SparkSpec.tmpDir("graft-ish-") + "/idx"
+    val b1 = docs.filter(col("doc_id") < 200).select("doc_id", "text")
+    val k1 = Dedup.incrementalSimhashDedup(b1, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // empty index => batch-1 decisions are exactly the in-batch
+    // simhash spanning-cluster min-id survivors
+    val clusters = Dedup.duplicateClusters(
+      Dedup.simhashPairs(b1, maxHamming = 3, expandGroups = false))
+    val expected1 = b1.join(clusters
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 == expected1)
+    // batch 2: doubled-internal-whitespace re-crawls (identical token
+    // stream, Hamming 0) — a re-crawl of a KEPT doc must never survive
+    val recrawl = docs.filter(col("doc_id") < 200)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        expr("replace(text, ' ', '  ')").as("text"))
+    val k2 = Dedup.incrementalSimhashDedup(recrawl, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k2.intersect(k1.map(_ + 500000)).isEmpty,
+      s"re-crawls of kept docs survived: ${k2.intersect(k1.map(_ + 500000)).take(5)}")
+    // null text: the row is kept (no signature = no dup evidence) and
+    // the index does not grow
+    val idxRows = spark.read.parquet(idx).count()
+    val nulls = Seq((900000L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Dedup.incrementalSimhashDedup(nulls, idx).count() == 1L)
+    assert(spark.read.parquet(idx).count() == idxRows)
+    // the SAME machinery dedups binary assets on perceptual hashes:
+    // batch-2 byte-identical payloads drop against the batch-1 index
+    val idxP = graft.SparkSpec.tmpDir("graft-ishp-") + "/idx"
+    def assets(ids: Seq[(Long, String)]) = ids.toDF("doc_id", "t")
+      .select(col("doc_id"), encode(col("t"), "UTF-8").as("payload"))
+    val phash = Some(Multimodal.perceptualHash(col("payload")))
+    val kA = Dedup.incrementalSimhashDedup(
+      assets(Seq(1L -> ("alpha beta gamma " * 8), 2L -> ("delta " * 30))),
+      idxP, sig = phash)
+    assert(kA.count() == 2)
+    val kB = Dedup.incrementalSimhashDedup(
+      assets(Seq(10L -> ("alpha beta gamma " * 8), 11L -> ("unique xi " * 20))),
+      idxP, sig = phash)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kB == Set(11L), s"byte-identical payload not dropped: $kB")
+    // a foreign index schema on the path fails fast
+    val bad = graft.SparkSpec.tmpDir("graft-ishb-") + "/idx"
+    Seq(("x", 1L)).toDF("fp", "n").write.parquet(bad)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalSimhashDedup(b1, bad)
+    }
+    assert(e.getMessage.contains("index family"))
+  }
+
   test("compactIndex: file count drops, decisions on the next batch are " +
       "identical, crash recovery restores a parked index") {
     import graft.core.Fs
@@ -442,6 +500,15 @@ class OpsSpec extends AnyFunSuite {
     Dedup.compactIndex(spark, fpIdx)
     assert(parquetFiles(fpIdx).size < fpBefore)
     assert(spark.read.parquet(fpIdx).distinct().count() == 300)
+    // single-writer lock: a concurrent compact fails fast with the
+    // remedy in the message, and the index is untouched
+    Fs.createExclusive(s"$fpIdx.__lock", "pid=held-by-test")
+    val locked = intercept[IllegalStateException] {
+      Dedup.compactIndex(spark, fpIdx)
+    }
+    assert(locked.getMessage.contains("another writer"))
+    assert(spark.read.parquet(fpIdx).distinct().count() == 300)
+    Fs.delete(s"$fpIdx.__lock")
   }
 
   test("exact dedup keeps one row per fingerprint") {
