@@ -309,6 +309,47 @@ class ScaleUpExperiment extends AnyFunSuite {
     println(f"[scaleup] incrNear 1x=$t1i%.1fs 10x=$t10i%.1fs ratio=${t10i / t1i}%.1f")
     assert(t10i / math.max(t1i, 0.5) < 25,
       "incrementalMinhashDedup scale-up ratio too high")
+
+    // incremental SimHash index, same two-batch replay: the replication
+    // fixture makes every signature a 10-way duplicate, but banding and
+    // the index ride DISTINCT signatures, so the cross-batch join adds
+    // no work and only the spanning expansion grows with rows
+    def incrSim(d: org.apache.spark.sql.DataFrame, tag: String): Long = {
+      val idx = graft.SparkSpec.tmpDir(s"graft-scale-ish-$tag-") + "/idx"
+      val k1 = Dedup.incrementalSimhashDedup(
+        d.filter(col("doc_id") % 2 === 0), idx).count()
+      k1 + Dedup.incrementalSimhashDedup(
+        d.filter(col("doc_id") % 2 === 1), idx).count()
+    }
+    val t1h = time(incrSim(base, "1x"))
+    val t10h = time(incrSim(big, "10x"))
+    println(f"[scaleup] incrSimhash 1x=$t1h%.1fs 10x=$t10h%.1fs ratio=${t10h / t1h}%.1f")
+    assert(t10h / math.max(t1h, 0.5) < 25,
+      "incrementalSimhashDedup scale-up ratio too high")
     base.unpersist(); big.unpersist()
+
+    // distributed-probe batched IVF: 10x corpus AND 10x queries — the
+    // probe explode is map-side and the cid join spreads the candidate
+    // work, so wall time must track |queries| x cell-size ~ linearly
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding").cache()
+    val bigEmb = (0 until 10).map(i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(8).cache()
+    emb.count(); bigEmb.count()
+    def ivfB(corpus: org.apache.spark.sql.DataFrame): Long =
+      Similarity.ivfTopKBatch(corpus,
+        corpus.filter(col("vec_id") % 10 === 7), k = 5,
+        trainFraction = 0.5).count()
+    val t1v = time(ivfB(emb))
+    val t10v = time(ivfB(bigEmb))
+    println(f"[scaleup] ivfBatch 1x=$t1v%.1fs 10x=$t10v%.1fs ratio=${t10v / t1v}%.1f")
+    // 10x queries x 10x cell size = ~100x candidate work at fixed cell
+    // count — the quantizer keeps 8 cells here, so allow the quadratic
+    // component while still catching a driver-side or cartesian blowup
+    assert(t10v / math.max(t1v, 0.5) < 60,
+      "ivfTopKBatch scale-up ratio too high")
+    emb.unpersist(); bigEmb.unpersist()
   }
 }
