@@ -747,9 +747,13 @@ object Dedup {
     val spark = batch.sparkSession
     recoverIndex(indexPath)
     val sigExpr = sig.getOrElse(simhash64(Text.tokens(col(textCol))))
-    val withF = batch.withColumn("__f", sigExpr).localCheckpoint(true)
-    val sigged = withF.filter(col("__f").isNotNull)
-    val fps = sigged.select(col(idCol).as("id"), col("__f").as("f"))
+    // pin only the 16-byte (id, f) pairs — checkpointing the full batch
+    // (text/payload included) would materialize the whole ingest; the
+    // signature expression is codegen'd, so recomputing it for the one
+    // final membership pass below is far cheaper than storing the rows
+    val fps = batch.select(col(idCol).as("id"), sigExpr.as("f"))
+      .filter(col("f").isNotNull)
+      .localCheckpoint(true)
     val existing: Option[DataFrame] =
       if (graft.core.Fs.exists(indexPath) &&
         graft.core.Fs.listNames(indexPath).nonEmpty) {
@@ -787,10 +791,12 @@ object Dedup {
     val keptFps = fresh.join(dropIds, Seq("id"), "left_anti")
       .localCheckpoint(true)
     keptFps.write.mode("append").parquet(indexPath)
-    sigged.join(keptFps.select(col("id").as(idCol)), Seq(idCol),
+    // membership passes over the CALLER's frame (no index in the
+    // lineage — keptFps is checkpointed, so no self-referential read):
+    // kept signed rows plus the null-signature rows, original columns
+    batch.join(keptFps.select(col("id").as(idCol)), Seq(idCol),
       "left_semi")
-      .unionByName(withF.filter(col("__f").isNull))
-      .drop("__f")
+      .unionByName(batch.filter(sigExpr.isNull))
   }
 
   /** Shared engine for the 64-bit Hamming pair miners ([[simhashPairs]],
