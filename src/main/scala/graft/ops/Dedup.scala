@@ -791,12 +791,15 @@ object Dedup {
     val keptFps = fresh.join(dropIds, Seq("id"), "left_anti")
       .localCheckpoint(true)
     keptFps.write.mode("append").parquet(indexPath)
-    // membership passes over the CALLER's frame (no index in the
+    // ONE membership pass over the CALLER's frame (no index in the
     // lineage — keptFps is checkpointed, so no self-referential read):
-    // kept signed rows plus the null-signature rows, original columns
-    batch.join(keptFps.select(col("id").as(idCol)), Seq(idCol),
-      "left_semi")
-      .unionByName(batch.filter(sigExpr.isNull))
+    // a row survives if its id was kept OR it has no signature; the
+    // kept-id marker join is AQE-broadcast at batch scale
+    batch.withColumn("__f", sigExpr)
+      .join(keptFps.select(col("id").as(idCol), lit(true).as("__kept")),
+        Seq(idCol), "left")
+      .filter(col("__kept") || col("__f").isNull)
+      .drop("__f", "__kept")
   }
 
   /** Shared engine for the 64-bit Hamming pair miners ([[simhashPairs]],
