@@ -281,6 +281,50 @@ object Sampling {
     * bucket) plus that bucket's exclusive token offset — the
     * [[bucketedOffsets]] distributed prefix sum, so the exact budget no
     * longer costs a per-stratum single-task sort. */
+  /** Mixture feasibility plan — the sizing step BEFORE
+    * [[mixtureByTokens]] / [[upsampleByRepeats]]: given the available
+    * token supply per stratum and relative target weights, report the
+    * LARGEST mixture the corpus can serve without upsampling. The
+    * binding stratum is the one whose supply runs out first
+    * (minimum `avail / weight`, name-tiebroken); it contributes its
+    * full supply and every other stratum's plan is
+    * `floor(avail_binding / w_binding * w_s)` — the "can I hit 30%
+    * code at this corpus size, and which source caps me?" answer a
+    * pipeline asks before committing to a sampling pass. A listed
+    * stratum with NO supply is binding with 0 available, zeroing the
+    * whole plan (the mixture is unsatisfiable without new data) —
+    * same unsatisfiability semantics as [[mixtureByTokens]].
+    *
+    * Output: `(stratum, avail_tokens, weight, plan_tokens, binding)`,
+    * one row per listed stratum, stratum-ordered. Weight SUMS are
+    * never formed (ratios use raw weights), so the arithmetic is two
+    * IEEE ops per stratum with a fixed order — engine-exact, no
+    * rounding caveat.
+    *
+    * Scale shape: one filtered aggregate over the listed strata; the
+    * driver holds |weights| rows. */
+  def mixturePlan(df: DataFrame, stratum: Column, tokens: Column,
+                  weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "target weights must be strictly positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = stratum.cast("string")
+    val avail = df.filter(s.isin(weights.keySet.toSeq: _*))
+      .groupBy(s.as("__s")).agg(sum(tokens.cast("long")).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = weights.keys.toSeq.sorted
+      .map(k => (k, avail.getOrElse(k, 0L), weights(k)))
+    val (bk, ba, bw) = rows
+      .minBy { case (k, a, w) => (a.toDouble / w, k) }
+    rows.map { case (k, a, w) =>
+      val plan =
+        if (k == bk) a // its own full supply, no round-trip through /
+        else math.floor(ba.toDouble / bw * w).toLong
+      (k, a, w, plan, k == bk)
+    }.toDF("stratum", "avail_tokens", "weight", "plan_tokens", "binding")
+  }
+
   def mixtureByTokens(df: DataFrame, stratum: Column, key: Column,
                       tokens: Column, weights: Map[String, Long],
                       bucketChars: Int = 0): DataFrame = {

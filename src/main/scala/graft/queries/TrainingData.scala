@@ -212,6 +212,15 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // mixture feasibility plan: which source binds a 3:2:1 token
+    // mixture and how many tokens each can contribute — the sizing
+    // answer a pipeline wants before any sampling pass runs
+    "q_doc_mixture_plan" -> ((s, dir) => {
+      graft.ops.Sampling.mixturePlan(docs(s, dir), col("source"),
+        graft.ops.Text.tokenCount(col("text")),
+        Map("src0" -> 3.0, "src1" -> 2.0, "src2" -> 1.0))
+    }),
+
     // first 20 docs of the epoch-1 training order (deterministic
     // per-epoch permutation; ORDER BY = range-partitioned global sort)
     "q_doc_shuffle" -> ((s, dir) => {
@@ -1455,6 +1464,33 @@ object TrainingData {
 
     // integer floor division (//) mirrors the engine's Long arithmetic
     // exactly: N = min over strata of cnt*W/w, per-stratum limit = w*N/W
+    // same binding-stratum arithmetic: min avail/weight (name
+    // tiebreak), binding keeps its full supply, everyone else
+    // floor(avail_b / w_b * w_s) — raw weights, no weight sums
+    "q_doc_mixture_plan" ->
+      """WITH avail AS (
+        |  SELECT source AS stratum,
+        |    SUM(len(string_split_regex(text, '\s+'))) AS a
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        |  GROUP BY source
+        |), w(stratum, w) AS (
+        |  VALUES ('src0', CAST(3 AS DOUBLE)), ('src1', CAST(2 AS DOUBLE)),
+        |         ('src2', CAST(1 AS DOUBLE))
+        |), j AS (
+        |  SELECT w.stratum, COALESCE(a.a, 0) AS avail, w.w
+        |  FROM w LEFT JOIN avail a USING (stratum)
+        |), b AS (
+        |  SELECT stratum AS bs, avail AS ba, w AS bw FROM j
+        |  ORDER BY CAST(avail AS DOUBLE) / w, stratum LIMIT 1
+        |)
+        |SELECT j.stratum, CAST(j.avail AS BIGINT) AS avail_tokens,
+        |  j.w AS weight,
+        |  CAST(CASE WHEN j.stratum = b.bs THEN j.avail
+        |       ELSE floor(CAST(b.ba AS DOUBLE) / b.bw * j.w) END
+        |    AS BIGINT) AS plan_tokens,
+        |  j.stratum = b.bs AS binding
+        |FROM j CROSS JOIN b ORDER BY j.stratum""".stripMargin,
+
     "q_doc_mixture" ->
       """WITH c AS (
         |  SELECT source, COUNT(*) AS cnt FROM documents

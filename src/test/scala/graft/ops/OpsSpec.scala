@@ -1870,6 +1870,27 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxListSize"))
   }
 
+  test("mixturePlan: binding stratum keeps full supply, others scale " +
+      "by weight ratio, missing supply zeroes the plan") {
+    import graft.SparkSpec.spark.implicits._
+    // supply: a=1000, b=900, c=100 tokens; weights 2:1:1 ->
+    // ratios 500 / 900 / 100: c binds; a = floor(100/1*2) = 200, b = 100
+    val d = Seq(("a", 1000L), ("b", 900L), ("c", 100L))
+      .toDF("src", "n")
+    val plan = Sampling.mixturePlan(d, col("src"), col("n"),
+      Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(plan == Seq(("a", 1000L, 200L, false),
+      ("b", 900L, 100L, false), ("c", 100L, 100L, true)))
+    // a listed stratum with no rows is binding at 0 and zeroes the plan
+    val empty = Sampling.mixturePlan(d, col("src"), col("n"),
+      Map("a" -> 1.0, "zz" -> 1.0))
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+      .toSeq
+    assert(empty == Seq(("a", 0L, false), ("zz", 0L, true)))
+  }
+
   test("Score seam: toy logistic scorer, NaN-for-null drop semantics, " +
     "and budget-operator integration") {
     import graft.SparkSpec.spark.implicits._
