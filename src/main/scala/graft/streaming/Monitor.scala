@@ -151,4 +151,36 @@ object Monitor {
           closed.iterator
       }
   }
+
+  /** Continuous ingestion through the PERSISTED incremental dedup index
+    * ([[graft.ops.Dedup.incrementalExactDedup]] per micro-batch via
+    * `foreachBatch`): survivors land in `outPath`, the fingerprint index
+    * at `indexPath` grows by exactly their fingerprints. Unlike
+    * [[dedupStream]]'s state-store dedup, the seen-set here is the
+    * on-disk index — it survives query RESTARTS and is shared with
+    * batch ingests against the same path, at the price of one index
+    * band/anti-join per micro-batch instead of per-key state lookups.
+    * The two compose: `dropDuplicatesWithinWatermark` upstream absorbs
+    * intra-stream re-deliveries cheaply, this sink pins the permanent
+    * cross-restart decision. A long-running stream should periodically
+    * [[graft.ops.Dedup.compactIndex]] the path between restarts.
+    *
+    * Exactly-once caveat (standard foreachBatch): a micro-batch retried
+    * AFTER its index append re-runs against an index that already
+    * contains its own fingerprints and keeps nothing — duplicate
+    * SURVIVOR rows in `outPath` are possible only if the crash falls
+    * between the survivor write and the index append; dedup decisions
+    * themselves never double-keep. */
+  def incrementalDedupSink(docs: DataFrame, indexPath: String,
+                           outPath: String, checkpointDir: String,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Dedup
+          .incrementalExactDedup(batch, indexPath, textCol, idCol)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
 }

@@ -239,6 +239,38 @@ class MonitorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental dedup sink: the on-disk fingerprint index survives " +
+    "query restarts and is shared across checkpoints") {
+    import spark.implicits._
+    val root = tmpDir("graft-incsink-")
+    val in = s"$root/in"; val out = s"$root/out"; val idx = s"$root/idx"
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def start(cp: String) = Monitor.incrementalDedupSink(
+      spark.readStream.schema(schema).parquet(in), idx, out, cp)
+    write(Seq((1L, "alpha one"), (2L, "beta two"), (3L, "alpha one")))
+    val q1 = start(s"$root/cp1")
+    try q1.processAllAvailable() finally q1.stop()
+    // in-batch dedup: one survivor per fingerprint
+    assert(spark.read.parquet(out).count() == 2)
+    // a FRESH checkpoint replays the whole input — but the seen-set is
+    // the on-disk index, not stream state, so nothing re-survives
+    val q2 = start(s"$root/cp2")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out).count() == 2)
+    // resuming the original checkpoint: re-crawled content drops, the
+    // genuinely new doc survives
+    write(Seq((10L, "alpha one"), (11L, "gamma three")))
+    val q3 = start(s"$root/cp1")
+    try q3.processAllAvailable() finally q3.stop()
+    val kept = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 11L))
+  }
+
   test("SQL registration: custom expressions callable from spark.sql") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(
