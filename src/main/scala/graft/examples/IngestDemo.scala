@@ -12,11 +12,14 @@ import graft.ops.Dedup
   * must not mean degrade-forever. Shows all three index families (exact
   * fingerprint, MinHash near-dup with the compact rereadFrom verify,
   * SimHash near-identical) over the same batch stream.
-  * Run: `sbt "runMain graft.examples.IngestDemo /tmp/graft-ingest"`.
+  * Run: `sbt "runMain graft.examples.IngestDemo /tmp/graft-ingest
+  * [documentsParquet]"`.
   */
 object IngestDemo {
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/graft-ingest-demo")
+    val docsPath = args.lift(1)
+      .getOrElse("/root/testdata/sf0.001/documents.parquet")
     val spark = SparkSession.builder().master("local[4]")
       .appName("graft-ingest-demo")
       .config("spark.sql.shuffle.partitions", "4")
@@ -24,8 +27,7 @@ object IngestDemo {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val docs = spark.read
-      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = spark.read.parquet(docsPath)
       .select(col("doc_id"), col("text"))
 
     // three daily batches with overlapping re-crawls: batch 2 re-sends

@@ -67,10 +67,19 @@ object Dedup {
     * batch dedups against (and extends) a tiny fingerprint table instead
     * of rescanning all previously ingested text. Returns the surviving
     * (index-new and batch-first) rows; the index at `indexPath` grows by
-    * exactly their fingerprints. */
+    * exactly their fingerprints.
+    *
+    * `sinkFirst` (when supplied) runs on the materialized survivors
+    * BEFORE the index append. Ordering matters for crash safety in
+    * retried contexts (a streaming `foreachBatch`): once a fingerprint
+    * is in the index, a retry of the same batch keeps nothing — so any
+    * durable output of the survivors must happen first, making the
+    * failure mode duplicate output rows (at-least-once), never silent
+    * loss. */
   def incrementalExactDedup(batch: DataFrame, indexPath: String,
                             textCol: String = "text",
-                            idCol: String = "doc_id"): DataFrame = {
+                            idCol: String = "doc_id",
+                            sinkFirst: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
     recoverIndex(indexPath)
     val withFp = batch.withColumn("__fp", Text.fingerprint(col(textCol)))
@@ -93,6 +102,7 @@ object Dedup {
     val survivors = newVsIndex
       .join(keep, Seq("__fp", idCol), "left_semi")
       .localCheckpoint(true)
+    sinkFirst(survivors.drop("__fp"))
     survivors.select(col("__fp").as("fp")).distinct()
       .write.mode("append").parquet(indexPath)
     survivors.drop("__fp")
@@ -586,8 +596,21 @@ object Dedup {
             // once (they feed two semi-joins and the verify join below)
             val cand = cand0.localCheckpoint(true)
             val corpus = rereadFrom.get.select(col(idCol), col(textCol))
-            val missing = cand.select(col("iid").as(idCol)).distinct()
-              .join(corpus, Seq(idCol), "left_anti").limit(1).collect()
+            // ONE map-side corpus scan (broadcast semi on candidate
+            // ids), pinned; both the missing-id fail-fast and the
+            // candidate shingle rebuild read the candidate-bounded
+            // checkpoint — an anti-join against the raw corpus would
+            // scan it a second time per batch, and on a long ingest the
+            // accumulated corpus dominates batch cost
+            val candI = cand.select(col("iid")).distinct()
+              .localCheckpoint(true)
+            val iShAll = corpus
+              .select(col(idCol).as("iid"), col(textCol).as("__t"))
+              .join(broadcast(candI), Seq("iid"), "left_semi")
+              .localCheckpoint(true)
+            val missing = candI
+              .join(iShAll.select(col("iid")), Seq("iid"), "left_anti")
+              .limit(1).collect()
             require(missing.isEmpty,
               s"rereadFrom is missing indexed doc id " +
                 s"${missing.head.get(0)} — it must contain every id this " +
@@ -597,10 +620,8 @@ object Dedup {
               broadcast(cand.select(col("bid").as(idCol)).distinct()),
               Seq(idCol), "left_semi")
               .select(col(idCol).as("bid"), shSet(col(textCol)).as("b_sh"))
-            val iSh = corpus.join(
-              broadcast(cand.select(col("iid").as(idCol)).distinct()),
-              Seq(idCol), "left_semi")
-              .select(col(idCol).as("iid"), shSet(col(textCol)).as("i_sh"))
+            val iSh = iShAll
+              .select(col("iid"), shSet(col("__t")).as("i_sh"))
             cand.join(bSh, Seq("bid")).join(iSh, Seq("iid"))
               .withColumn("inter",
                 size(array_intersect(col("b_sh"), col("i_sh"))))
@@ -665,15 +686,17 @@ object Dedup {
   def compactIndex(spark: SparkSession, indexPath: String,
                    numPartitions: Int = 0): Unit = {
     import graft.core.Fs
-    recoverIndex(indexPath)
-    if (!Fs.exists(indexPath) || Fs.listNames(indexPath).isEmpty) return
     val lock = s"$indexPath.__lock"
+    // lock FIRST, repair second: repairing while another writer's
+    // compaction is mid-swap would race its renames
     if (!Fs.createExclusive(lock,
       s"pid=${ProcessHandle.current().pid()}"))
       throw new IllegalStateException(
         s"index $indexPath is being compacted by another writer; if that " +
           s"process crashed, delete $lock and re-run")
     try {
+      repairParked(indexPath)
+      if (!Fs.exists(indexPath) || Fs.listNames(indexPath).isEmpty) return
       val bytes = Fs.fs(indexPath)
         .getContentSummary(new org.apache.hadoop.fs.Path(indexPath))
         .getLength
@@ -692,16 +715,36 @@ object Dedup {
     } finally Fs.delete(lock)
   }
 
-  /** Repair a crashed [[compactIndex]] swap (mirror of
-    * `Database.recover`): `.__old` present without the index means the
-    * crash hit between the two renames — restore the parked state; with
-    * the index present it is post-swap residue — drop it. A leftover
-    * `.__compact_tmp` is cleaned by the next compact. Idempotent, two
-    * existence checks; called on every index read path. */
+  /** Guard + repair for every index READ path. A present compaction
+    * lock means a compaction is running or died mid-swap — either way
+    * the index state is unknowable from here, so reading FAILS FAST
+    * with the remedy instead of silently treating a parked (renamed-
+    * away) index as empty, which would re-keep the entire history's
+    * duplicates and bury the original under a fresh index. With no
+    * lock, a leftover `.__old` is repaired: present WITHOUT the index
+    * means the crash hit between the two renames — restore the parked
+    * state; WITH the index present it is post-swap residue (the new
+    * index is complete, values identical) — drop it. Idempotent. */
   private[ops] def recoverIndex(indexPath: String): Unit = {
     import graft.core.Fs
+    val lock = s"$indexPath.__lock"
+    if (Fs.exists(lock))
+      throw new IllegalStateException(
+        s"index $indexPath has a compaction lock at $lock — a " +
+          "compaction is running (wait for it) or crashed (delete the " +
+          "lock; the next read repairs any parked state). Reading " +
+          "through the lock could silently see an empty index and " +
+          "re-keep every historical duplicate")
+    repairParked(indexPath)
+  }
+
+  /** The `.__old` repair itself — called lock-free by [[recoverIndex]]
+    * and lock-HELD by [[compactIndex]] (repairing someone else's
+    * mid-swap state under their lock would race their renames). */
+  private def repairParked(indexPath: String): Unit = {
+    import graft.core.Fs
     val old = s"$indexPath.__old"
-    if (Fs.exists(old) && !Fs.exists(s"$indexPath.__lock")) {
+    if (Fs.exists(old)) {
       if (!Fs.exists(indexPath)) Fs.rename(old, indexPath)
       else Fs.delete(old)
     }
@@ -792,14 +835,18 @@ object Dedup {
       .localCheckpoint(true)
     keptFps.write.mode("append").parquet(indexPath)
     // ONE membership pass over the CALLER's frame (no index in the
-    // lineage — keptFps is checkpointed, so no self-referential read):
-    // a row survives if its id was kept OR it has no signature; the
-    // kept-id marker join is AQE-broadcast at batch scale
-    batch.withColumn("__f", sigExpr)
+    // lineage — both markers come off checkpointed frames, so no
+    // self-referential read and NO recompute of the signature (hashing
+    // a large payload twice per batch is real money): a row survives
+    // if its id was kept, or if it never produced a signature — i.e.
+    // its id is absent from the checkpointed signature table
+    batch
+      .join(fps.select(col("id").as(idCol), lit(true).as("__sig")),
+        Seq(idCol), "left")
       .join(keptFps.select(col("id").as(idCol), lit(true).as("__kept")),
         Seq(idCol), "left")
-      .filter(col("__kept") || col("__f").isNull)
-      .drop("__f", "__kept")
+      .filter(col("__kept") || col("__sig").isNull)
+      .drop("__sig", "__kept")
   }
 
   /** Shared engine for the 64-bit Hamming pair miners ([[simhashPairs]],

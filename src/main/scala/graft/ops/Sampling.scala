@@ -312,7 +312,11 @@ object Sampling {
     val s = stratum.cast("string")
     val avail = df.filter(s.isin(weights.keySet.toSeq: _*))
       .groupBy(s.as("__s")).agg(sum(tokens.cast("long")).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+      // a stratum whose every token value is null sums to null — that
+      // is zero supply, same as a stratum with no rows at all
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
     val rows = weights.keys.toSeq.sorted
       .map(k => (k, avail.getOrElse(k, 0L), weights(k)))
     val (bk, ba, bw) = rows

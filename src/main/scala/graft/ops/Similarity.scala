@@ -202,17 +202,8 @@ object Similarity {
     // explicitly opts back into full-corpus training. The sizing count()
     // is metadata-only on file-backed frames (pass trainFraction
     // explicitly when the input plan is expensive to evaluate).
-    require(trainFraction >= 0.0 && trainFraction <= 1.0,
-      "trainFraction in [0,1] (0 = derive from corpus size)")
-    val frac =
-      if (trainFraction > 0.0) trainFraction
-      else deriveTrainFraction(corpus.count(), targetTrain)
-    val trainSet =
-      if (frac >= 1.0) corpus
-      else Sampling.hashSample(corpus, col(idCol), frac)
-    val centroids = kmeansCentroids(trainSet, numCentroids, iters, idCol, vecCol)
-    val bucketed = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
-      assignCentroid(col(vecCol), centroids).as("cid"))
+    val (centroids, bucketed) = ivfQuantize(corpus, numCentroids, iters,
+      idCol, vecCol, trainFraction, targetTrain)
     // probe lists per query, computed driver-side: the query frame is a
     // probe set (it rides the plan as two broadcasts below), so the
     // collect is bounded BEFORE it happens — the bm25TopKBatch
@@ -240,10 +231,39 @@ object Similarity {
     val probeDF = broadcast(probes.toSeq.toDF("query_id", "cid"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv")))
+    ivfRank(bucketed.join(probeDF, Seq("cid")).join(q, Seq("query_id")), k)
+  }
+
+  /** Shared IVF quantizer prelude: derived-or-explicit train fraction,
+    * Lloyd iterations on the (possibly sampled) train set, full-corpus
+    * cell assignment. One definition so the driver-probe and
+    * distributed-probe variants can never diverge on training or
+    * assignment semantics. */
+  private def ivfQuantize(corpus: DataFrame, numCentroids: Int,
+                          iters: Int, idCol: String, vecCol: String,
+                          trainFraction: Double, targetTrain: Long)
+      : (Array[Array[Double]], DataFrame) = {
+    require(trainFraction >= 0.0 && trainFraction <= 1.0,
+      "trainFraction in [0,1] (0 = derive from corpus size)")
+    val frac =
+      if (trainFraction > 0.0) trainFraction
+      else deriveTrainFraction(corpus.count(), targetTrain)
+    val trainSet =
+      if (frac >= 1.0) corpus
+      else Sampling.hashSample(corpus, col(idCol), frac)
+    val centroids = kmeansCentroids(trainSet, numCentroids, iters, idCol, vecCol)
+    val bucketed = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      assignCentroid(col(vecCol), centroids).as("cid"))
+    (centroids, bucketed)
+  }
+
+  /** Shared IVF ranking epilogue over candidate rows
+    * `(query_id, vec_id, v, qv, ...)`: self-filter, exact cosine, and
+    * the per-query constant-limit rank (WindowGroupLimit). */
+  private def ivfRank(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    bucketed.join(probeDF, Seq("cid"))
-      .join(q, Seq("query_id"))
+    cands
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score", cosine(col("v"), col("qv")))
       .withColumn("rank", row_number().over(w))
@@ -279,19 +299,10 @@ object Similarity {
                    vecCol: String = "embedding",
                    trainFraction: Double = 0.0,
                    targetTrain: Long = 100000L): DataFrame = {
-    require(trainFraction >= 0.0 && trainFraction <= 1.0,
-      "trainFraction in [0,1] (0 = derive from corpus size)")
     require(k > 0, "k must be positive")
     require(nprobe > 0, "nprobe must be positive")
-    val frac =
-      if (trainFraction > 0.0) trainFraction
-      else deriveTrainFraction(corpus.count(), targetTrain)
-    val trainSet =
-      if (frac >= 1.0) corpus
-      else Sampling.hashSample(corpus, col(idCol), frac)
-    val centroids = kmeansCentroids(trainSet, numCentroids, iters, idCol, vecCol)
-    val bucketed = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
-      assignCentroid(col(vecCol), centroids).as("cid"))
+    val (centroids, bucketed) = ivfQuantize(corpus, numCentroids, iters,
+      idCol, vecCol, trainFraction, targetTrain)
     val probeArr = slice(sort_array(array(centroids.zipWithIndex.map {
       case (c, i) =>
         struct((-centroidDot(col("qv"), c)).as("ns"), lit(i).as("cid"))
@@ -300,14 +311,7 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .select(col("query_id"), col("qv"), explode(probeArr).as("p"))
       .select(col("query_id"), col("qv"), col("p.cid").as("cid"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    bucketed.join(probed, Seq("cid"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", cosine(col("v"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+    ivfRank(bucketed.join(probed, Seq("cid")), k)
   }
 
   /** Cosine near-duplicate pairs above a threshold — embedding-based

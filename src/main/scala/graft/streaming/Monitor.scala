@@ -165,12 +165,15 @@ object Monitor {
     * cross-restart decision. A long-running stream should periodically
     * [[graft.ops.Dedup.compactIndex]] the path between restarts.
     *
-    * Exactly-once caveat (standard foreachBatch): a micro-batch retried
-    * AFTER its index append re-runs against an index that already
-    * contains its own fingerprints and keeps nothing — duplicate
-    * SURVIVOR rows in `outPath` are possible only if the crash falls
-    * between the survivor write and the index append; dedup decisions
-    * themselves never double-keep. */
+    * Exactly-once caveat (standard foreachBatch): the survivors are
+    * written to `outPath` BEFORE their fingerprints enter the index
+    * (the `sinkFirst` hook) — ordering is load-bearing: once a
+    * fingerprint is indexed, a retry of the same micro-batch keeps
+    * nothing, so index-first would turn a crash between the two writes
+    * into SILENT LOSS of those documents. Output-first makes the
+    * failure mode duplicate survivor rows in `outPath` (at-least-once;
+    * dedup downstream reads with a distinct-on-id if that matters) —
+    * dedup DECISIONS never double-keep either way. */
   def incrementalDedupSink(docs: DataFrame, indexPath: String,
                            outPath: String, checkpointDir: String,
                            textCol: String = "text",
@@ -178,9 +181,10 @@ object Monitor {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.ops.Dedup
-          .incrementalExactDedup(batch, indexPath, textCol, idCol)
-          .write.mode("append").parquet(outPath)
+        graft.ops.Dedup.incrementalExactDedup(batch, indexPath, textCol,
+          idCol,
+          sinkFirst = _.write.mode("append").parquet(outPath))
+        () // survivors already persisted by the hook
       }
       .start()
 }

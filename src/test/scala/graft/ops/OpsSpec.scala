@@ -507,8 +507,28 @@ class OpsSpec extends AnyFunSuite {
       Dedup.compactIndex(spark, fpIdx)
     }
     assert(locked.getMessage.contains("another writer"))
-    assert(spark.read.parquet(fpIdx).distinct().count() == 300)
+    // ... and every READ path also fails fast under the (possibly
+    // stale) lock — reading through it could see a parked index as
+    // empty and silently re-keep the whole history's duplicates
+    val readLocked = intercept[IllegalStateException] {
+      Dedup.incrementalExactDedup(
+        docs.filter(col("doc_id") < 10), fpIdx)
+    }
+    assert(readLocked.getMessage.contains("compaction lock"))
     Fs.delete(s"$fpIdx.__lock")
+    assert(spark.read.parquet(fpIdx).distinct().count() == 300)
+    // sinkFirst ordering: a failing sink leaves the index UNCHANGED, so
+    // a retry of the same batch still keeps its rows — the failure mode
+    // is duplicate output, never silent loss
+    val idxRowsBefore = spark.read.parquet(fpIdx).count()
+    val fresh = docs.filter(col("doc_id") >= 300 && col("doc_id") < 310)
+    intercept[RuntimeException] {
+      Dedup.incrementalExactDedup(fresh, fpIdx,
+        sinkFirst = _ => throw new RuntimeException("sink failed"))
+    }
+    assert(spark.read.parquet(fpIdx).count() == idxRowsBefore,
+      "a failed sink must not have appended to the index")
+    assert(Dedup.incrementalExactDedup(fresh, fpIdx).count() == 10)
   }
 
   test("exact dedup keeps one row per fingerprint") {
