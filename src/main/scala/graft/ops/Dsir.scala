@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection via importance resampling (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling",
+  * NeurIPS). Scores every raw-corpus document by how target-like its
+  * hashed n-gram profile is, then keeps the top-n: the standard way a
+  * pretraining pipeline tilts a web-scale crawl toward a small
+  * high-quality target domain without training a classifier.
+  *
+  * Features are unigrams plus adjacent bigrams hashed into `buckets`
+  * cells (the paper's hashed n-gram generative model). Both the target
+  * and the raw distributions are Laplace-1 smoothed bag-of-buckets
+  * models; a document's log importance weight is
+  *
+  *   logw(d) = sum over buckets f of  c_f(d) * ( ln p_target(f) - ln p_raw(f) )
+  *
+  * i.e. the log-likelihood ratio of the document under the two unigram
+  * bucket models. The selection here is the deterministic top-n by
+  * `(logw desc, id)` — the "top-k variant" of the paper's Gumbel
+  * resampling; the engine is RNG-free by design, and the Gumbel noise
+  * exists to de-duplicate near-boundary mass, which the hash tiebreak
+  * already provides deterministically.
+  *
+  * Portability: the bucket hash is `md5(gram)` hex-prefix mod `buckets`
+  * (DuckDB replays it as `('0x' || substr(md5(g),1,6))::INT % B`);
+  * `logw` is 1e-6-floor-rounded with the same per-term `ln` ulp caveat
+  * as [[Text.unigramSurprisal]] — boundary flips rare, not impossible.
+  *
+  * Scale shape: two tokenize passes over the raw corpus (the
+  * [[Text.unigramSurprisal]] minimal shape) — the per-doc (doc, bucket)
+  * count shuffle, which is the only corpus-sized exchange, and the raw
+  * bucket distribution, which partial-aggregates map-side to at most
+  * `buckets` cells per task; the target distribution is one
+  * explode+count over the target sample (a target is small by the
+  * paper's construction, but nothing here requires it); the weight
+  * table is exactly `buckets` rows and rides the scoring join as a
+  * broadcast; top-n plans as TakeOrderedAndProject, never a global
+  * sort.
+  */
+object Dsir {
+
+  /** Explode a frame into hashed feature buckets: one `b` row per
+    * unigram and adjacent bigram (bigrams joined with a single space —
+    * disjoint from unigrams, which can never contain whitespace).
+    * Null text yields no rows (explode of null), mirroring the
+    * oracle's unnest semantics. */
+  private def explodeBuckets(df: DataFrame, textCol: String,
+                             buckets: Int, keep: Column*): DataFrame =
+    df.withColumn("__toks", Text.tokens(col(textCol)))
+      // sequence(1, 0) DESCENDS in Spark, so short docs need the guard
+      .withColumn("__grams", expr(
+        "concat(__toks, if(size(__toks) < 2, array(), " +
+          "transform(sequence(1, size(__toks) - 1), " +
+          "i -> concat(__toks[i-1], ' ', __toks[i]))))"))
+      .select(keep :+
+        explode(transform(col("__grams"),
+          g => conv(substring(md5(g), 1, 6), 16, 10).cast("int")
+            % lit(buckets))).as("b"): _*)
+
+  /** Score every raw document against a target sample: returns
+    * `(id, n_feats, dsir_logw)` — one row per raw document that has at
+    * least one feature (a null/absent text yields none, mirroring the
+    * oracle's unnest semantics). */
+  def dsirScores(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets=$buckets out of range [2, 2^20]: the weight table " +
+        "rides the scoring join as a broadcast")
+    val docFeat = explodeBuckets(raw, textCol, buckets,
+      col(idCol).as("id"))
+      .groupBy(col("id"), col("b"))
+      .agg(count(lit(1)).as("dc"))
+    // the raw distribution gets its OWN explode scan rather than
+    // folding out of docFeat: column pruning gives a docFeat-derived
+    // branch a different aggregate output ([b, dc] vs [id, b, dc]), so
+    // AQE stage reuse cannot serve it from the scoring shuffle (probed:
+    // both branches re-scan), and a corpus-sized docFeat checkpoint is
+    // worse than re-tokenizing. The direct scan partial-aggregates
+    // map-side to at most `buckets` cells per task, so its exchange is
+    // negligible — two raw-corpus scans total, the unigramSurprisal
+    // minimal shape
+    val rawCounts = explodeBuckets(raw, textCol, buckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val targetCounts = explodeBuckets(target, textCol, buckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    // Laplace-1 over the full bucket space on both sides; buckets absent
+    // from one side still get positive mass. Totals fold out of the
+    // joined table itself via unpartitioned windows — bounded by the
+    // `buckets` guard, and cheaper than re-deriving each count table
+    // for a scalar aggregate
+    val wtot = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val weights = rawCounts
+      .join(targetCounts, Seq("b"), "full_outer")
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double") /
+          (sum(col("tc")).over(wtot) + lit(buckets.toLong)).cast("double")) -
+          log((coalesce(col("rc"), lit(0L)) + lit(1L)).cast("double") /
+            (sum(col("rc")).over(wtot) + lit(buckets.toLong)).cast("double")))
+          .as("lw"))
+    docFeat
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(col("id"))
+      .agg(sum(col("dc")).as("n_feats"),
+        (floor(sum(col("dc").cast("double") * col("lw")) * 1e6) / 1e6)
+          .as("dsir_logw"))
+  }
+
+  /** The selection step: top-n raw documents by `(dsir_logw desc, id)`.
+    * Output ordered; plans as TakeOrderedAndProject (no global sort). */
+  def dsirSelect(raw: DataFrame, target: DataFrame, n: Int,
+                 buckets: Int = 4096, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, "n must be positive")
+    dsirScores(raw, target, buckets, textCol, idCol)
+      .orderBy(col("dsir_logw").desc, col("id"))
+      .limit(n)
+  }
+}

@@ -300,4 +300,45 @@ object Retrieval {
         col("n_lists"), col("rank"))
       .orderBy(col(queryIdCol), col("rank"))
   }
+
+  /** Hard-negative mining over a retrieval output: drop each query's
+    * known positives, re-rank what remains, keep the top `m` — the
+    * standard way a retrieval-training pipeline builds contrastive
+    * negatives (documents the retriever scored highly that are NOT
+    * labeled relevant are exactly the confusable ones worth training
+    * against; see e.g. Karpukhin et al. 2020, DPR §3.2).
+    *
+    * `retrieved` is a per-query ranked table `(queryIdCol, idCol,
+    * score, rankCol)` — the output shape of [[bm25TopKBatch]] and
+    * [[rrfFuseBatch]]; `positives` carries the relevance pairs
+    * `(queryIdCol, idCol)`. Output: `(query_id, id, score, neg_rank)`
+    * with `neg_rank <= m` per query, ordered `(query_id, neg_rank)`;
+    * re-ranking preserves the input rank order (ties impossible —
+    * input ranks are unique per query).
+    *
+    * Scale shape: the left side is a top-k retrieval OUTPUT (`queries
+    * x k` rows, never the corpus); the anti-join on (query, id) is the
+    * only exchange touching `positives` (AQE broadcasts qrels-sized
+    * tables); the re-rank window is PARTITIONED on query id (at most k
+    * rows per partition), so a million-query mine spreads across the
+    * cluster with no driver-side stage. */
+  def hardNegatives(retrieved: DataFrame, positives: DataFrame, m: Int,
+                    queryIdCol: String = "query_id", idCol: String = "id",
+                    rankCol: String = "rank"): DataFrame = {
+    require(m > 0, "m must be positive")
+    val pos = positives
+      .select(col(queryIdCol).as("qid"), col(idCol).as("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("__r"))
+    retrieved
+      .select(col(queryIdCol).as("qid"), col(idCol).as("id"),
+        col("score"), col(rankCol).cast("long").as("__r"))
+      .join(pos, Seq("qid", "id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= m)
+      .select(col("qid").as(queryIdCol), col("id"), col("score"),
+        col("neg_rank"))
+      .orderBy(col(queryIdCol), col("neg_rank"))
+  }
 }

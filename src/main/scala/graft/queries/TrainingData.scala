@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Profile, Retrieval, Similarity, Text}
+import graft.ops.{Dedup, Dsir, Multimodal, Profile, Retrieval, Similarity, Text}
 
 /** The training-data pipeline operators (dedup / similarity / multimodal /
   * text analysis) exposed as driver-verifiable queries over the documents
@@ -309,6 +309,34 @@ object TrainingData {
         (2L, "window"), (2L, "sort"), (2L, "merge"),
         (3L, "spark")).toDF("query_id", "term")
       Retrieval.bm25TopKBatch(docs(s, dir), queries, k = 5)
+    }),
+
+    // DSIR importance resampling: score every non-src0 document by the
+    // log-likelihood ratio of its hashed unigram+bigram profile under
+    // the src0 (target) vs rest-of-corpus (raw) bucket models, keep the
+    // top-100 most target-like
+    "q_doc_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dsir.dsirSelect(d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"), n = 100, buckets = 1024)
+        .orderBy(col("dsir_logw").desc, col("id"))
+    }),
+
+    // hard-negative mining: BM25 top-8 per query, drop the "known
+    // relevant" docs (id % 3 == 0 — a fixture qrels set scattered
+    // across ranks), re-rank the survivors, keep 4 negatives per query
+    "q_doc_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "hash"), (1L, "join"),
+        (2L, "window"), (2L, "sort"), (2L, "merge"),
+        (3L, "spark")).toDF("query_id", "term")
+      val retrieved = Retrieval
+        .bm25TopKBatch(docs(s, dir), queries, k = 8)
+        .localCheckpoint(true)
+      val positives = retrieved.filter(col("id") % 3 === 0)
+        .select(col("query_id"), col("id"))
+      Retrieval.hardNegatives(retrieved, positives, m = 4)
     }),
 
     // hybrid retrieval: the BM25 lexical top-15 fused with the exact
@@ -1757,6 +1785,105 @@ object TrainingData {
         |  CAST(rank AS INT) AS rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // DSIR decision replay: same hashed unigram+bigram buckets
+    // (md5 hex-prefix mod 1024), Laplace-1 smoothed target (src0) and
+    // raw (rest) bucket models, per-doc log-likelihood-ratio sum
+    // floor-rounded at 1e-6, top-100 by (logw desc, id)
+    "q_doc_dsir" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, source,
+        |    string_split_regex(text, '\s+') AS toks
+        |  FROM documents
+        |), uni AS (
+        |  SELECT id, source, unnest(toks) AS g FROM base
+        |), bi AS (
+        |  SELECT id, source,
+        |    unnest(toks[1:len(toks)-1]) || ' ' || unnest(toks[2:len(toks)])
+        |      AS g
+        |  FROM base WHERE len(toks) >= 2
+        |), grams AS (
+        |  SELECT id, source,
+        |    ('0x' || substr(md5(g), 1, 6))::INT % 1024 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |), docfeat AS (
+        |  SELECT id, b, COUNT(*) AS dc FROM grams
+        |  WHERE source <> 'src0' GROUP BY id, b
+        |), rawc AS (
+        |  SELECT b, COUNT(*) AS rc FROM grams
+        |  WHERE source <> 'src0' GROUP BY b
+        |), tgtc AS (
+        |  SELECT b, COUNT(*) AS tc FROM grams
+        |  WHERE source = 'src0' GROUP BY b
+        |), tot AS (
+        |  SELECT (SELECT SUM(rc) FROM rawc) AS rtot,
+        |         (SELECT SUM(tc) FROM tgtc) AS ttot
+        |), weights AS (
+        |  SELECT COALESCE(r.b, t.b) AS b,
+        |    ln(CAST(COALESCE(t.tc, 0) + 1 AS DOUBLE)
+        |         / CAST(tt.ttot + 1024 AS DOUBLE))
+        |      - ln(CAST(COALESCE(r.rc, 0) + 1 AS DOUBLE)
+        |             / CAST(tt.rtot + 1024 AS DOUBLE)) AS lw
+        |  FROM rawc r FULL OUTER JOIN tgtc t ON r.b = t.b
+        |  CROSS JOIN tot tt
+        |)
+        |SELECT d.id, CAST(SUM(d.dc) AS BIGINT) AS n_feats,
+        |  floor(SUM(CAST(d.dc AS DOUBLE) * w.lw) * 1e6) / 1e6 AS dsir_logw
+        |FROM docfeat d JOIN weights w ON w.b = d.b
+        |GROUP BY d.id
+        |ORDER BY dsir_logw DESC, id
+        |LIMIT 100""".stripMargin,
+
+    // hard-negative replay: the bm25_batch scoring CTE at k=8, minus
+    // the id % 3 == 0 positives, re-ranked per query, top 4
+    "q_doc_hard_negatives" ->
+      """WITH q(query_id, term) AS (
+        |  VALUES (1, 'hash'), (1, 'join'),
+        |         (2, 'window'), (2, 'sort'), (2, 'merge'),
+        |         (3, 'spark')
+        |), ex AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(text, '\s+')) AS term
+        |  FROM documents
+        |), postings AS (
+        |  SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM ex WHERE term IN (SELECT DISTINCT term FROM q)
+        |  GROUP BY id, term
+        |), dl AS (
+        |  SELECT doc_id AS id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS dl
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) AS sumdl FROM dl
+        |), dfreq AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+        |  FROM postings GROUP BY term
+        |), scored AS (
+        |  SELECT qq.query_id AS qid, p.id,
+        |    floor(SUM(
+        |      ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * p.tf * 2.2
+        |        / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / (s.sumdl / s.n)))
+        |    ) * 1e6) / 1e6 AS score
+        |  FROM postings p
+        |  JOIN q qq ON qq.term = p.term
+        |  JOIN dfreq d ON d.term = p.term
+        |  JOIN dl l ON l.id = p.id
+        |  CROSS JOIN stats s
+        |  GROUP BY qq.query_id, p.id
+        |), ranked AS (
+        |  SELECT qid, id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |                       ORDER BY score DESC, id) AS rank
+        |  FROM scored
+        |), negs AS (
+        |  SELECT qid, id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rank)
+        |      AS neg_rank
+        |  FROM ranked WHERE rank <= 8 AND id % 3 <> 0
+        |)
+        |SELECT CAST(qid AS BIGINT) AS query_id, id, score,
+        |  CAST(neg_rank AS BIGINT) AS neg_rank
+        |FROM negs WHERE neg_rank <= 4
+        |ORDER BY query_id, neg_rank""".stripMargin,
 
     // batched hybrid fusion: the q_doc_bm25_batch lexical ranks and a
     // per-query cosine rank table, fused with 1/(60+rank) contributions

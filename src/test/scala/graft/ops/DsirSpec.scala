@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSIR importance resampling on hand-computable fixtures: the hashed
+  * bucket model, the Laplace-smoothed log-likelihood-ratio weights, and
+  * the top-n selection are recomputed with plain Scala arithmetic,
+  * independent of the engine's Column expressions (the same replay the
+  * q_doc_dsir DuckDB oracle performs in SQL).
+  */
+class DsirSpec extends AnyFunSuite {
+  import graft.SparkSpec.spark
+  import spark.implicits._
+
+  private val B = 64
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bucket(g: String): Int =
+    Integer.parseInt(md5hex(g).substring(0, 6), 16) % B
+
+  private def grams(text: String): Seq[String] = {
+    val t = text.split("\\s+").toSeq
+    t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+  }
+
+  private val target = Seq(
+    (100L, "quantum flux harmonics resonate"),
+    (101L, "flux harmonics quantum field"))
+  private val raw = Seq(
+    (0L, "quantum flux field resonate"), // target-like
+    (1L, "banana smoothie recipe blog"), // off-domain
+    (2L, "flux harmonics"), // short but target-like
+    (3L, "banana banana banana"))
+
+  private def expectedScores: Map[Long, (Long, Double)] = {
+    val rawGrams = raw.flatMap { case (id, t) => grams(t).map(id -> _) }
+    val rc = rawGrams.groupBy(g => bucket(g._2)).view.mapValues(_.size.toLong).toMap
+    val tc = target.flatMap(t => grams(t._2)).groupBy(bucket)
+      .view.mapValues(_.size.toLong).toMap
+    val (rtot, ttot) = (rc.values.sum, tc.values.sum)
+    def lw(b: Int): Double =
+      math.log((tc.getOrElse(b, 0L) + 1).toDouble / (ttot + B)) -
+        math.log((rc.getOrElse(b, 0L) + 1).toDouble / (rtot + B))
+    raw.map { case (id, t) =>
+      val byB = grams(t).groupBy(bucket).view.mapValues(_.size.toLong).toMap
+      val s = byB.map { case (b, dc) => dc * lw(b) }.sum
+      id -> (byB.values.sum, s)
+    }.toMap
+  }
+
+  test("dsirScores matches the independent bucket-model replay") {
+    val got = Dsir
+      .dsirScores(raw.toDF("doc_id", "text"), target.toDF("vid", "text"),
+        buckets = B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === raw.size)
+    val want = expectedScores
+    got.foreach { case (id, nf, logw) =>
+      val (wantNf, wantRaw) = want(id)
+      assert(nf === wantNf, s"n_feats for doc $id")
+      // partial-sum order may differ between the engine and the replay,
+      // and the engine's value is 1e-6-floor-rounded — allow one
+      // rounding step of slack either way
+      assert(logw <= wantRaw + 1e-9 && logw > wantRaw - 2e-6,
+        s"dsir_logw for doc $id: got $logw want ~$wantRaw")
+    }
+  }
+
+  test("target-like documents outrank off-domain ones; top-n is the " +
+    "prefix of the full ranking") {
+    val rawDf = raw.toDF("doc_id", "text")
+    val tgtDf = target.toDF("vid", "text")
+    val all = Dsir.dsirScores(rawDf, tgtDf, buckets = B)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(all(0L) > all(1L), "target-like doc must outrank off-domain")
+    assert(all(2L) > all(3L))
+    val top2 = Dsir.dsirSelect(rawDf, tgtDf, n = 2, buckets = B)
+      .collect().map(_.getLong(0)).toSeq
+    val wantTop2 = all.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(2).map(_._1)
+    assert(top2 === wantTop2)
+  }
+
+  test("null-text documents yield no feature rows; bucket guard is loud") {
+    val rawDf = Seq((0L, Some("quantum flux")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = Dsir.dsirScores(rawDf, target.toDF("vid", "text"), buckets = B)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(0L))
+    intercept[IllegalArgumentException] {
+      Dsir.dsirScores(rawDf, target.toDF("vid", "text"), buckets = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.dsirSelect(rawDf, target.toDF("vid", "text"), n = 0, buckets = B)
+    }
+  }
+}

@@ -165,4 +165,27 @@ class RetrievalSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("pair_count")).collect()(0).getLong(0)
     assert(all == 5L + 5L) // (6-1) + (6-1) + 0
   }
+
+  test("hardNegatives drops positives, re-ranks densely, caps at m") {
+    val retrieved = Seq(
+      // q1: positives scattered at ranks 1 and 3
+      (1L, 10L, 0.9, 1), (1L, 11L, 0.8, 2), (1L, 12L, 0.7, 3),
+      (1L, 13L, 0.6, 4), (1L, 14L, 0.5, 5),
+      // q2: no positives at all
+      (2L, 20L, 0.9, 1), (2L, 21L, 0.8, 2), (2L, 22L, 0.7, 3),
+      // q3: every hit is a positive
+      (3L, 30L, 0.9, 1)
+    ).toDF("query_id", "id", "score", "rank")
+    val positives = Seq((1L, 10L), (1L, 12L), (3L, 30L),
+      (9L, 99L) // positives for an unseen query are inert
+    ).toDF("query_id", "id")
+    val got = Retrieval.hardNegatives(retrieved, positives, m = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 11L, 1L), (1L, 13L, 2L), // 14 cut by m=2
+      (2L, 20L, 1L), (2L, 21L, 2L))) // q3 fully positive -> no rows
+    intercept[IllegalArgumentException] {
+      Retrieval.hardNegatives(retrieved, positives, m = 0)
+    }
+  }
 }

@@ -310,4 +310,40 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(p.contains("Union"), p)
   }
+
+  test("q_doc_dsir: weight table rides a broadcast join; top-n plans as " +
+    "TakeOrdered; scan budget is two raw passes plus the target") {
+    val p = plan("q_doc_dsir")
+    // the B-row weight table must broadcast into the corpus-sized
+    // scoring join — a shuffle join here would re-exchange every
+    // (doc, bucket) row against a 1024-row table
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly the documented scan budget: two raw-corpus tokenize
+    // passes (scoring + distribution; AQE cannot reuse the scoring
+    // shuffle — column pruning gives the branches different aggregate
+    // outputs) and one target-sample pass — a fourth scan means the
+    // totals regressed to re-deriving a count table
+    val df = SparkEntry.queries("q_doc_dsir")(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(finalPlan).length == 3, finalPlan)
+    // the raw-distribution branch must partial-aggregate BEFORE its
+    // exchange (map-side collapse to <= buckets cells)
+    assert(finalPlan.contains("partial_count"), finalPlan)
+  }
+
+  test("q_doc_hard_negatives: anti-join on the bounded retrieval output; " +
+    "re-rank window is PARTITIONED per query") {
+    val p = plan("q_doc_hard_negatives")
+    assert(p.contains("LeftAnti"), p)
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach { s =>
+      assert(!s.matches("windowspecdefinition\\([^,]* (ASC|DESC).*"),
+        s"unpartitioned window in q_doc_hard_negatives: $s")
+    }
+  }
 }
