@@ -314,6 +314,61 @@ object Similarity {
     ivfRank(bucketed.join(probed, Seq("cid")), k)
   }
 
+  /** Prototypicality-based diversity pruning (Sorscher et al. 2022,
+    * "Beyond neural scaling laws: beating power law scaling via data
+    * pruning"): cluster the embeddings with the IVF coarse quantizer,
+    * score each vector by cosine similarity to its cluster centroid
+    * (its prototypicality), and keep `keepPerCluster` per cluster —
+    * the LEAST prototypical (hard, diverse examples; the paper's
+    * abundant-data regime) by default, or the most prototypical
+    * (`keepLeast = false`, the scarce-data regime). Keeping a per-
+    * cluster quota rather than a global cut preserves coverage of the
+    * embedding space, which is the entire point of pruning by cluster.
+    *
+    * Output: `(vec_id, cid, proto, rank)`, `proto` 1e-6-floor-rounded,
+    * `rank` the within-cluster position under `(proto, vec_id)`
+    * ordering (ascending when keeping least, descending when keeping
+    * most). Zero-norm vectors have no direction (cosine = 0/0 = NaN)
+    * and are excluded, the [[cosinePairs]]/[[lshTopK]] guard.
+    *
+    * Portability: the quantizer is [[kmeansCentroids]] — deterministic
+    * seeds, 1e-6-rounded normalized centroids — and `proto` divides an
+    * exact left-to-right dot fold by the two exactly-computed norms, so
+    * an oracle replaying the same folds reproduces it bit-for-bit.
+    *
+    * Scale shape: one corpus pass for assignment (`numCentroids` dot
+    * products per row, codegen'd), one broadcast join against the
+    * `numCentroids`-row centroid table, and a constant-limit rank that
+    * plans as WindowGroupLimit (per-partition heaps before the one
+    * cluster-keyed exchange) — no driver materialization beyond the
+    * quantizer's own bounded training step. */
+  def prototypicalityPrune(corpus: DataFrame, keepPerCluster: Int,
+                           keepLeast: Boolean = true,
+                           numCentroids: Int = 8, iters: Int = 3,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           trainFraction: Double = 0.0,
+                           targetTrain: Long = 16000L): DataFrame = {
+    require(keepPerCluster > 0, "keepPerCluster must be positive")
+    val (centroids, bucketed) = ivfQuantize(corpus, numCentroids, iters,
+      idCol, vecCol, trainFraction, targetTrain)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "cvec")
+    val scored = bucketed
+      .filter(VectorExprs.dot(col("v"), col("v")) > 0)
+      .join(broadcast(centDf), Seq("cid"))
+      .withColumn("proto",
+        floor(cosine(col("v"), col("cvec")) * 1e6) / 1e6)
+    val ord = if (keepLeast) col("proto").asc else col("proto").desc
+    val w = Window.partitionBy(col("cid")).orderBy(ord, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= keepPerCluster)
+      .select(col("vec_id"), col("cid"), col("proto"), col("rank"))
+  }
+
   /** Cosine near-duplicate pairs above a threshold — embedding-based
     * dedup with EXACT results (recall 1.0) and no cartesian product.
     *

@@ -786,6 +786,15 @@ object TrainingData {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // prototypicality pruning: cluster with the IVF quantizer, keep the
+    // 10 LEAST prototypical (hardest) vectors per cluster — the
+    // diversity-preserving data-pruning selection
+    "q_embed_proto" -> ((s, dir) => {
+      Similarity.prototypicalityPrune(emb(s, dir), keepPerCluster = 10,
+        targetTrain = 16000L)
+        .orderBy(col("cid"), col("rank"))
+    }),
+
     // multimodal asset metadata (payload stays columnar-pruned away)
     "q_multimodal_meta" -> ((s, dir) => {
       Multimodal.toAssets(docs(s, dir)).filter(col("asset_id") < 50)
@@ -2514,6 +2523,42 @@ object TrainingData {
     // rule, a query TABLE (every 10th vector) instead of a probe set
     "q_embed_ivf_batch" ->
       (ivfCentroidCtes + ivfProbeRankSql("q.vec_id % 10 = 7", 2, 5)),
+
+    // prototypicality-prune replay: the shared centroid/assignment CTE
+    // chain, then proto = exact left-to-right dot fold over the member
+    // and its centroid divided by the two exactly-folded norms (the
+    // engine's CosineSim loop, accumulator by accumulator), 1e-6
+    // floored, ranked ascending within each cluster
+    "q_embed_proto" -> (ivfCentroidCtes +
+      """, proto AS (
+        |  SELECT b.vec_id, b.cid,
+        |    floor(
+        |      list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        |        j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE)
+        |             * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x)
+        |      / (sqrt(list_reduce(list_prepend(0.0,
+        |           list_transform(range(1, 65),
+        |             j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE)
+        |                  * CAST(e.embedding[CAST(j AS INT)] AS DOUBLE))),
+        |           (acc, x) -> acc + x))
+        |         * sqrt(list_reduce(list_prepend(0.0,
+        |             list_transform(range(1, 65),
+        |               j -> c.vals[CAST(j AS INT)] * c.vals[CAST(j AS INT)])),
+        |             (acc, x) -> acc + x)))
+        |      * 1e6) / 1e6 AS proto
+        |  FROM bucketed b
+        |  JOIN embeddings e USING (vec_id)
+        |  JOIN cents3 c USING (cid)
+        |  WHERE list_dot_product(e.embedding, e.embedding) > 0
+        |), pruned AS (
+        |  SELECT vec_id, cid, proto,
+        |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY proto, vec_id)
+        |      AS rank
+        |  FROM proto
+        |)
+        |SELECT vec_id, cid, proto, CAST(rank AS INT) AS rank
+        |FROM pruned WHERE rank <= 10
+        |ORDER BY cid, rank""".stripMargin),
 
     "q_embed_pairs" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,

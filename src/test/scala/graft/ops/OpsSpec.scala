@@ -756,6 +756,50 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(one - 1.0) < 1e-9)
   }
 
+  test("prototypicalityPrune: per-cluster quota, dense ranks, least/most " +
+    "are opposite ends of the same ranking, zero-norm excluded") {
+    import graft.SparkSpec.spark.implicits._
+    // two obvious clusters around e1 and e2; ids 0/1 seed the centroids
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f), 1L -> Array(0f, 1f, 0f),
+      2L -> Array(0.9f, 0.1f, 0f), 3L -> Array(0.8f, 0.3f, 0f),
+      4L -> Array(0.1f, 0.9f, 0f), 5L -> Array(0.2f, 0.8f, 0.1f),
+      6L -> Array(0.7f, 0.1f, 0.4f),
+      7L -> Array(0f, 0f, 0f) // zero-norm: no direction, must drop
+    ).toDF("vec_id", "embedding")
+    def prune(keep: Int, least: Boolean) =
+      Similarity.prototypicalityPrune(vecs, keep, keepLeast = least,
+        numCentroids = 2, iters = 2)
+        .collect().map(r => (r.getInt(1), r.getLong(0), r.getDouble(2),
+          r.getInt(3)))
+    val full = prune(100, true)
+    assert(full.length == 7, "zero-norm vector must be excluded")
+    assert(!full.exists(_._2 == 7L))
+    // ranks are dense 1..n within each cluster
+    full.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // keep-least(2) is the 2 lowest-proto per cluster of the full
+    // ranking; keep-most(2) the 2 highest
+    val leastOrder = full.groupBy(_._1).view
+      .mapValues(_.sortBy(r => (r._3, r._2)).map(_._2).toSeq).toMap
+    val mostOrder = full.groupBy(_._1).view
+      .mapValues(_.sortBy(r => (-r._3, r._2)).map(_._2).toSeq).toMap
+    val least2 = prune(2, true)
+    least2.groupBy(_._1).foreach { case (cid, rows) =>
+      assert(rows.sortBy(_._4).map(_._2).toSeq ==
+        leastOrder(cid).take(2), s"cluster $cid least")
+    }
+    val most2 = prune(2, false)
+    most2.groupBy(_._1).foreach { case (cid, rows) =>
+      assert(rows.sortBy(_._4).map(_._2).toSeq ==
+        mostOrder(cid).take(2), s"cluster $cid most")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.prototypicalityPrune(vecs, 0)
+    }
+  }
+
   test("multimodal features are deterministic and complete") {
     val assets = Multimodal.toAssets(docs.filter(col("doc_id") < 20))
     val f1 = Multimodal.extractFeatures(assets).orderBy("asset_id").collect()
