@@ -546,6 +546,53 @@ object Sampling {
   def shufflePosition(key: Column, epoch: Int): Column =
     md5(concat_ws(":", lit(epoch), key.cast("string")))
 
+  /** Curriculum ordering: assign every row a dense global training
+    * position `0..n-1` such that stages appear in the given order and
+    * rows WITHIN a stage are hash-shuffled (the deterministic
+    * [[hashPosition]] permutation) — the "anneal the high-quality data
+    * last" layout a staged pretraining run consumes. Rows whose stage
+    * is not listed are dropped, the mixture-weights convention.
+    *
+    * The total order is `(stage index, hashPosition(key), key)`, but no
+    * global sort ever runs: phase 1 counts rows per (stage,
+    * hash-prefix bucket) — a driver table bounded by
+    * `|stages| * 16^bucketChars`, the [[mixtureByCount]] bound — and
+    * prefix-sums them into global bucket offsets in stage-then-bucket
+    * order; phase 2 ranks within each (stage, bucket) partition and
+    * adds the broadcast offset. Because the bucket is a PREFIX of the
+    * hash position, concatenating buckets in offset order reproduces
+    * the single-sort order exactly — the position column is invariant
+    * under `bucketChars` (spec-pinned), which only tunes parallelism.
+    * Pair with [[writeEpochShards]]' range partitioner to lay the
+    * result out as shard files. */
+  def curriculumOrder(df: DataFrame, stage: Column, key: Column,
+                      stages: Seq[String],
+                      bucketChars: Int = 0): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    require(stages.distinct.size == stages.size,
+      s"duplicate stage labels in $stages")
+    val (tagged0, _) = tagBuckets(df, stage, key, bucketChars)
+    val tagged = tagged0.filter(col("__s").isin(stages: _*))
+    val stageIdx = stages.zipWithIndex.toMap
+    // phase 1: per-(stage, bucket) counts — driver-bounded
+    val counts = tagged.groupBy(col("__s"), col("__bkt"))
+      .agg(count(lit(1)).as("__m"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    var acc = 0L
+    val offsets = counts
+      .sortBy { case (s, b, _) => (stageIdx(s), b) }
+      .map { case (s, b, m) => val o = acc; acc += m; (s, b, o) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("__s", "__bkt", "__off"))
+    val w = Window.partitionBy(col("__s"), col("__bkt"))
+      .orderBy(col("__pos"), key)
+    tagged.join(offDf, Seq("__s", "__bkt"))
+      .withColumn("position",
+        col("__off") + row_number().over(w) - lit(1))
+      .drop("__s", "__bkt", "__pos", "__off")
+  }
+
   /** Write the corpus as epoch-shuffled training shards: rows take their
     * epoch's [[shufflePosition]], range-partition into `numShards` files
     * whose WITHIN-shard and ACROSS-shard order is the epoch permutation —

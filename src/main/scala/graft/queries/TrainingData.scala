@@ -138,6 +138,16 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // curriculum ordering: dense global training positions with stages
+    // in the given order (zh -> es -> de -> fr -> en) and a
+    // deterministic hash shuffle within each stage — no global sort
+    "q_doc_curriculum" -> ((s, dir) => {
+      graft.ops.Sampling.curriculumOrder(docs(s, dir), col("lang"),
+        col("doc_id"), stages = Seq("zh", "es", "de", "fr", "en"))
+        .select(col("doc_id"), col("lang"), col("position"))
+        .orderBy(col("position"))
+    }),
+
     // temperature (alpha=0.5) resampling over a synthetic 4:2:1 skewed
     // stratum: the smallest stratum keeps everything, bigger ones
     // downsample by sqrt(n_min/n) — IEEE sqrt is correctly rounded, so
@@ -1426,6 +1436,23 @@ object TrainingData {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |ORDER BY doc_id""".stripMargin,
+
+    // curriculum replay: the two-phase bucketed rank collapses to one
+    // ROW_NUMBER over (stage index, 4-hex hash position, id)
+    "q_doc_curriculum" ->
+      """WITH staged AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'zh' THEN 0 WHEN 'es' THEN 1 WHEN 'de' THEN 2
+        |              WHEN 'fr' THEN 3 WHEN 'en' THEN 4 END AS sidx
+        |  FROM documents
+        |  WHERE lang IN ('zh', 'es', 'de', 'fr', 'en')
+        |)
+        |SELECT doc_id, lang,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY sidx,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) - 1
+        |    AS BIGINT) AS position
+        |FROM staged
+        |ORDER BY position""".stripMargin,
 
     // same counts -> sqrt-flattened fractions -> 1e-6 floor -> 4-hex
     // threshold (round-half-up, capped 65535; >= 65536 keeps all)

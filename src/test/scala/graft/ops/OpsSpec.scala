@@ -995,6 +995,35 @@ class OpsSpec extends AnyFunSuite {
       .count() == docs.count())
   }
 
+  test("curriculumOrder: dense 0..n-1 positions, stage blocks in the " +
+    "given order, bucketChars-invariant, unlisted stages dropped") {
+    val stages = Seq("zh", "es", "de", "fr", "en")
+    def run(chars: Int) =
+      Sampling.curriculumOrder(docs, col("lang"), col("doc_id"),
+        stages, bucketChars = chars)
+        .select(col("doc_id"), col("lang"), col("position"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = run(1)
+    // dense global positions
+    assert(got.map(_._3).sorted.toSeq == (0L until got.length).toSeq)
+    // stage blocks are contiguous and in curriculum order
+    val byPos = got.sortBy(_._3).map(_._2)
+    assert(byPos.toSeq == byPos.sortBy(stages.indexOf).toSeq,
+      "stages must appear as contiguous blocks in list order")
+    // the position column is invariant under bucket granularity
+    assert(run(3).sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+    // dropping a stage from the list drops its rows and re-packs
+    val dropped = Sampling.curriculumOrder(docs, col("lang"),
+      col("doc_id"), Seq("zh", "en"))
+    assert(dropped.filter(col("lang").isin("es", "de", "fr")).count() == 0)
+    assert(dropped.count() ==
+      docs.filter(col("lang").isin("zh", "en")).count())
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumOrder(docs, col("lang"), col("doc_id"),
+        Seq("en", "en"))
+    }
+  }
+
   test("mixtureByCount: exact integer targets, determinism, absent stratum drops all") {
     val w = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 2L)
     val mixed = Sampling.mixtureByCount(docs, col("source"), col("doc_id"), w)
