@@ -120,4 +120,83 @@ object Dsir {
       .orderBy(col("dsir_logw").desc, col("id"))
       .limit(n)
   }
+
+  /** Multi-target domain routing: [[dsirScores]] against K labeled
+    * target samples at once, keeping each document's best-scoring
+    * domain — the router step that turns one undifferentiated crawl
+    * into per-domain pools for mixture construction (the multi-
+    * distribution generalization in Xie et al. 2023 §2; also how
+    * fastText-style domain tagging is used in curation pipelines,
+    * minus the trained classifier).
+    *
+    * Every (domain, bucket) weight is the SAME log-likelihood ratio as
+    * [[dsirScores]] — a doc's score against domain t here equals its
+    * `dsir_logw` against target t alone (spec-pinned) — so routing is
+    * literally K importance scorings sharing one corpus pass. Output:
+    * `(id, n_feats, domain, dsir_logw, margin)` — the winning domain
+    * under `(rounded logw desc, domain asc)`, with `margin` the
+    * rounded-score gap to the runner-up (null when K = 1), the
+    * confidence signal a mixture builder thresholds on.
+    *
+    * Scale shape: the corpus-sized work is identical to [[dsirScores]]
+    * (two tokenize passes, one (doc, bucket) shuffle); the dense
+    * domain-weight table is `K * |raw buckets|` rows and rides the
+    * scoring join as one broadcast (guarded at 2^20 cells); scoring
+    * fans out to K rows per (doc, bucket) before the per-(doc, domain)
+    * aggregate, and the winner window partitions on doc id (K rows per
+    * partition). */
+  def domainRoute(raw: DataFrame, targets: Seq[(String, DataFrame)],
+                  buckets: Int = 4096, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(targets.nonEmpty, "domainRoute needs at least one target")
+    require(targets.map(_._1).distinct.size == targets.size,
+      s"duplicate domain labels in ${targets.map(_._1)}")
+    require(buckets >= 2 && buckets.toLong * targets.size <= (1L << 20),
+      s"buckets=$buckets x ${targets.size} domains exceeds the 2^20 " +
+        "broadcast-cell guard")
+    val docFeat = explodeBuckets(raw, textCol, buckets,
+      col(idCol).as("id"))
+      .groupBy(col("id"), col("b"))
+      .agg(count(lit(1)).as("dc"))
+    val rawCounts = explodeBuckets(raw, textCol, buckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val tgtCounts = targets.map { case (name, df) =>
+      explodeBuckets(df, textCol, buckets)
+        .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+        .select(lit(name).as("domain"), col("b"), col("tc"))
+    }.reduce(_ unionByName _)
+    val ttots = tgtCounts.groupBy(col("domain"))
+      .agg(sum(col("tc")).as("ttot"))
+    // dense (domain x raw bucket) weight grid: buckets a target never
+    // saw still carry its smoothed log p = ln(1 / (ttot + B)); docFeat
+    // buckets are a subset of rawCounts buckets by construction, so
+    // rc-side density suffices
+    val wtot = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val weights = rawCounts
+      .withColumn("rtot", sum(col("rc")).over(wtot))
+      .crossJoin(broadcast(ttots))
+      .join(tgtCounts, Seq("domain", "b"), "left_outer")
+      .select(col("domain"), col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double") /
+          (col("ttot") + lit(buckets.toLong)).cast("double")) -
+          log((col("rc") + lit(1L)).cast("double") /
+            (col("rtot") + lit(buckets.toLong)).cast("double"))).as("lw"))
+    val scored = docFeat
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(col("id"), col("domain"))
+      .agg(sum(col("dc")).as("n_feats"),
+        (floor(sum(col("dc").cast("double") * col("lw")) * 1e6) / 1e6)
+          .as("dsir_logw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("dsir_logw").desc, col("domain"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("margin",
+        col("dsir_logw") - lead(col("dsir_logw"), 1).over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("n_feats"), col("domain"),
+        col("dsir_logw"), col("margin"))
+  }
 }

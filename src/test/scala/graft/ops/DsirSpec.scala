@@ -84,6 +84,49 @@ class DsirSpec extends AnyFunSuite {
     assert(top2 === wantTop2)
   }
 
+  test("domainRoute: per-domain score equals dsirScores against that " +
+    "target alone; winner/margin consistent; K=1 margin is null") {
+    val rawDf = raw.toDF("doc_id", "text")
+    val tgtA = target.toDF("vid", "text")
+    val tgtB = Seq((200L, "banana smoothie kale blender"),
+      (201L, "banana recipe blender juice")).toDF("vid", "text")
+    val routed = Dsir.domainRoute(rawDf, Seq("a" -> tgtA, "b" -> tgtB),
+      buckets = B)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+      .toSeq.sortBy(_._1)
+    assert(routed.map(_._1) == raw.map(_._1).sorted)
+    val vsA = Dsir.dsirScores(rawDf, tgtA, buckets = B)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val vsB = Dsir.dsirScores(rawDf, tgtB, buckets = B)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    routed.foreach { case (id, dom, logw, margin) =>
+      val (hi, lo) =
+        if (vsA(id) > vsB(id) || (vsA(id) == vsB(id))) (vsA(id), vsB(id))
+        else (vsB(id), vsA(id))
+      val wantDom = if (hi == vsA(id)) "a" else "b"
+      assert(dom == wantDom, s"doc $id routed to $dom")
+      assert(math.abs(logw - hi) < 2e-6, s"doc $id winner score")
+      assert(math.abs(margin - (hi - lo)) < 4e-6, s"doc $id margin")
+    }
+    // quantum-flux docs route to the quantum target, banana docs to
+    // the banana target
+    val byId = routed.map(r => r._1 -> r._2).toMap
+    assert(byId(0L) == "a" && byId(2L) == "a")
+    assert(byId(1L) == "b" && byId(3L) == "b")
+    // K = 1: no runner-up, margin null
+    val solo = Dsir.domainRoute(rawDf, Seq("only" -> tgtA), buckets = B)
+      .collect()
+    assert(solo.forall(_.isNullAt(4)))
+    intercept[IllegalArgumentException] {
+      Dsir.domainRoute(rawDf, Seq("x" -> tgtA, "x" -> tgtB), buckets = B)
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.domainRoute(rawDf, Seq.empty, buckets = B)
+    }
+  }
+
   test("null-text documents yield no feature rows; bucket guard is loud") {
     val rawDf = Seq((0L, Some("quantum flux")), (1L, Option.empty[String]))
       .toDF("doc_id", "text")

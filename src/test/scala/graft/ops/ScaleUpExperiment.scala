@@ -352,4 +352,63 @@ class ScaleUpExperiment extends AnyFunSuite {
       "ivfTopKBatch scale-up ratio too high")
     emb.unpersist(); bigEmb.unpersist()
   }
+
+  test("curation ops (dsirScores, curriculumOrder, prototypicalityPrune) " +
+    "scale ~linearly") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow (~2 min): opt in with GRAFT_SCALEUP=1 sbt test")
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text").cache()
+    val big = (0 until 10).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(8).cache()
+    base.count(); big.count()
+
+    // DSIR: the (doc, bucket) shuffle is the only corpus-sized
+    // exchange; the weight table stays `buckets` rows at any scale
+    def dsir(d: org.apache.spark.sql.DataFrame): Long =
+      Dsir.dsirScores(d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0), buckets = 4096).count()
+    val t1d = time(dsir(base))
+    val t10d = time(dsir(big))
+    println(f"[scaleup] dsir 1x=$t1d%.1fs 10x=$t10d%.1fs ratio=${t10d / t1d}%.1f")
+    assert(t10d / math.max(t1d, 0.5) < 25, "dsirScores scale-up ratio too high")
+
+    // curriculum: phase-1 counts collapse map-side; the rank windows
+    // partition on (stage, bucket), so 10x rows = 10x parallel work
+    def curr(d: org.apache.spark.sql.DataFrame): Long =
+      Sampling.curriculumOrder(d,
+        (col("doc_id") % 5).cast("string"), col("doc_id"),
+        stages = Seq("0", "1", "2", "3", "4")).count()
+    val t1c = time(curr(base))
+    val t10c = time(curr(big))
+    println(f"[scaleup] curriculum 1x=$t1c%.1fs 10x=$t10c%.1fs ratio=${t10c / t1c}%.1f")
+    assert(t10c / math.max(t1c, 0.5) < 25,
+      "curriculumOrder scale-up ratio too high")
+    base.unpersist(); big.unpersist()
+
+    // prototypicality pruning: the quantizer trains on a bounded sample
+    // (targetTrain), assignment and the per-cluster rank are one pass
+    val emb2 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding").cache()
+    val bigEmb2 = (0 until 10).map(i =>
+      emb2.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(8).cache()
+    emb2.count(); bigEmb2.count()
+    def proto(d: org.apache.spark.sql.DataFrame): Long =
+      Similarity.prototypicalityPrune(d, keepPerCluster = 100,
+        trainFraction = 0.5).count()
+    val t1p = time(proto(emb2))
+    val t10p = time(proto(bigEmb2))
+    println(f"[scaleup] proto 1x=$t1p%.1fs 10x=$t10p%.1fs ratio=${t10p / t1p}%.1f")
+    assert(t10p / math.max(t1p, 0.5) < 25,
+      "prototypicalityPrune scale-up ratio too high")
+    emb2.unpersist(); bigEmb2.unpersist()
+  }
 }
