@@ -335,6 +335,43 @@ class PlanSpec extends AnyFunSuite {
     assert(finalPlan.contains("partial_count"), finalPlan)
   }
 
+  test("q_doc_curriculum: offsets ride a broadcast join; the rank window " +
+    "is PARTITIONED on (stage, bucket) — no global sort assigns positions") {
+    val p = plan("q_doc_curriculum")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach { s =>
+      assert(!s.matches("windowspecdefinition\\([^,]* (ASC|DESC).*"),
+        s"unpartitioned window in q_doc_curriculum: $s")
+    }
+  }
+
+  test("q_doc_domain_route: the dense weight grid broadcasts into the " +
+    "scoring join; winner/margin windows are PARTITIONED per doc") {
+    val p = plan("q_doc_domain_route")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty, p)
+    // the ONE unpartitioned window allowed is the B-row totals fold
+    // inside the weight-grid branch (bounded by the buckets guard);
+    // every rank/lead window must be partitioned
+    val unpart = specs.count(_.matches(
+      "windowspecdefinition\\([^,]* (ASC|DESC).*"))
+    assert(unpart == 0,
+      s"unpartitioned ORDERED window in q_doc_domain_route: $specs")
+  }
+
+  test("q_embed_proto: per-cluster quota plans as WindowGroupLimit " +
+    "(per-partition heaps), centroids broadcast") {
+    val p = plan("q_embed_proto")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_doc_hard_negatives: anti-join on the bounded retrieval output; " +
     "re-rank window is PARTITIONED per query") {
     val p = plan("q_doc_hard_negatives")
