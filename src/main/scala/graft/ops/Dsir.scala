@@ -199,4 +199,110 @@ object Dsir {
       .select(col("id"), col("n_feats"), col("domain"),
         col("dsir_logw"), col("margin"))
   }
+
+  /** A [[domainRoute]] weight grid frozen onto the driver: `lw(b)(k)`
+    * is the log-likelihood-ratio weight of bucket `b` for the k-th
+    * domain of `domains` (label-sorted, so argmax ties resolve to the
+    * ascending label exactly as [[domainRoute]]'s window does). The
+    * grid is DENSE over all `buckets` cells — buckets absent from the
+    * raw sample carry the fully-smoothed weight — so a frozen router
+    * can score text containing grams the training corpus never saw,
+    * which is precisely the online-application case. Serializable
+    * task-closure state: `buckets * domains` doubles, bounded by the
+    * [[domainRoute]] 2^20 guard. */
+  final case class FrozenRouter(domains: IndexedSeq[String], buckets: Int,
+                                lw: Array[Array[Double]])
+      extends Serializable {
+    require(lw.length == buckets && lw.forall(_.length == domains.length),
+      "weight grid shape must be buckets x domains")
+
+    private def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new StringBuilder(32)
+      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+      sb.toString
+    }
+
+    private def bucket(g: String): Int =
+      Integer.parseInt(md5hex(g).substring(0, 6), 16) % buckets
+
+    /** Route one document: `(winning domain, rounded winning score,
+      * rounded margin to the runner-up)` — margin NaN when the router
+      * has a single domain. Tokenization matches [[Text.tokens]]
+      * (Spark's `split` keeps trailing empties: limit -1); scores are
+      * per-domain sums over gram occurrences, 1e-6-floor-rounded
+      * BEFORE the argmax, mirroring [[domainRoute]]'s rounded ranking. */
+    def route(text: String): (String, Double, Double) = {
+      val toks = text.split("\\s+", -1)
+      val scores = new Array[Double](domains.length)
+      def add(g: String): Unit = {
+        val row = lw(bucket(g))
+        var k = 0
+        while (k < scores.length) { scores(k) += row(k); k += 1 }
+      }
+      toks.foreach(add)
+      var i = 1
+      while (i < toks.length) { add(toks(i - 1) + " " + toks(i)); i += 1 }
+      var best = 0
+      var k = 0
+      while (k < scores.length) {
+        scores(k) = math.floor(scores(k) * 1e6) / 1e6
+        if (k > 0 && scores(k) > scores(best)) best = k
+        k += 1
+      }
+      val margin =
+        if (scores.length < 2) Double.NaN
+        else {
+          var second = if (best == 0) 1 else 0
+          var j = 0
+          while (j < scores.length) {
+            if (j != best && scores(j) > scores(second)) second = j
+            j += 1
+          }
+          scores(best) - scores(second)
+        }
+      (domains(best), scores(best), margin)
+    }
+  }
+
+  /** Train a [[FrozenRouter]]: the [[domainRoute]] count aggregates,
+    * collected into a dense driver-side grid (bounded by the same
+    * `buckets * domains <= 2^20` guard) — the offline step of the
+    * offline-train / online-apply split. A grid cell's weight equals
+    * the [[domainRoute]] weight for every (bucket, domain) the
+    * distributed path materializes (spec-pinned); cells outside the
+    * raw support get the same formula at `rc = 0`. */
+  def freezeRouter(raw: DataFrame, targets: Seq[(String, DataFrame)],
+                   buckets: Int = 4096, textCol: String = "text")
+      : FrozenRouter = {
+    require(targets.nonEmpty, "freezeRouter needs at least one target")
+    require(targets.map(_._1).distinct.size == targets.size,
+      s"duplicate domain labels in ${targets.map(_._1)}")
+    require(buckets >= 2 && buckets.toLong * targets.size <= (1L << 20),
+      s"buckets=$buckets x ${targets.size} domains exceeds the 2^20 " +
+        "grid guard")
+    val rc = new Array[Long](buckets)
+    explodeBuckets(raw, textCol, buckets)
+      .groupBy(col("b")).agg(count(lit(1)).as("rc"))
+      .collect().foreach(r => rc(r.getInt(0)) = r.getLong(1))
+    val rtot = rc.sum
+    val sorted = targets.sortBy(_._1)
+    val grid = Array.ofDim[Double](buckets, sorted.size)
+    sorted.zipWithIndex.foreach { case ((_, df), k) =>
+      val tc = new Array[Long](buckets)
+      explodeBuckets(df, textCol, buckets)
+        .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+        .collect().foreach(r => tc(r.getInt(0)) = r.getLong(1))
+      val ttot = tc.sum
+      var b = 0
+      while (b < buckets) {
+        grid(b)(k) =
+          math.log((tc(b) + 1).toDouble / (ttot + buckets).toDouble) -
+            math.log((rc(b) + 1).toDouble / (rtot + buckets).toDouble)
+        b += 1
+      }
+    }
+    FrozenRouter(sorted.map(_._1).toIndexedSeq, buckets, grid)
+  }
 }

@@ -354,6 +354,31 @@ object Relational {
         .orderBy(col("source"))
     }),
 
+    // STREAMING domain routing through a FROZEN router: the weight grid
+    // trains on the batch corpus (offline), then every arriving raw doc
+    // routes statelessly and the monitor keeps one row per domain with
+    // order-free min/max margins — drained under AvailableNow, so the
+    // oracle is the batch domain-route replay grouped by domain
+    "q_stream_domain_route" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val router = graft.ops.Dsir.freezeRouter(
+        d.filter(!col("source").isin("src1", "src2")),
+        Seq("src1" -> d.filter(col("source") === "src1"),
+          "src2" -> d.filter(col("source") === "src2")),
+        buckets = 1024)
+      val docsStream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(!col("source").isin("src1", "src2"))
+      val name = s"graft_stream_droute_${streamQueryId.incrementAndGet()}"
+      val q = graft.streaming.Monitor.domainRouteMonitor(docsStream, router)
+        .writeStream
+        .outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("domain"))
+    }),
+
     // STREAMING tumbling-window aggregation, driver-runnable: the
     // watermarked windowed count/sum drained under AvailableNow in
     // complete mode (every window emits once input is exhausted), so the

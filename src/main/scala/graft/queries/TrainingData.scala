@@ -1944,6 +1944,69 @@ object TrainingData {
         |FROM ranked WHERE rn = 1
         |ORDER BY id""".stripMargin,
 
+    // streaming drain == the batch domain-route winners grouped by
+    // domain; min/max margins are order-free, so the aggregate is
+    // portable without a summation caveat
+    "q_stream_domain_route" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, source,
+        |    string_split_regex(text, '\s+') AS toks
+        |  FROM documents
+        |), uni AS (
+        |  SELECT id, source, unnest(toks) AS g FROM base
+        |), bi AS (
+        |  SELECT id, source,
+        |    unnest(toks[1:len(toks)-1]) || ' ' || unnest(toks[2:len(toks)])
+        |      AS g
+        |  FROM base WHERE len(toks) >= 2
+        |), grams AS (
+        |  SELECT id, source,
+        |    ('0x' || substr(md5(g), 1, 6))::INT % 1024 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+        |), docfeat AS (
+        |  SELECT id, b, COUNT(*) AS dc FROM grams
+        |  WHERE source NOT IN ('src1', 'src2') GROUP BY id, b
+        |), rawc AS (
+        |  SELECT b, COUNT(*) AS rc FROM grams
+        |  WHERE source NOT IN ('src1', 'src2') GROUP BY b
+        |), rt AS (
+        |  SELECT SUM(rc) AS rtot FROM rawc
+        |), tgt AS (
+        |  SELECT 'src1' AS domain, b, COUNT(*) AS tc FROM grams
+        |  WHERE source = 'src1' GROUP BY b
+        |  UNION ALL
+        |  SELECT 'src2', b, COUNT(*) FROM grams
+        |  WHERE source = 'src2' GROUP BY b
+        |), ttots AS (
+        |  SELECT domain, SUM(tc) AS ttot FROM tgt GROUP BY domain
+        |), weights AS (
+        |  SELECT tt.domain, r.b,
+        |    ln(CAST(COALESCE(t.tc, 0) + 1 AS DOUBLE)
+        |         / CAST(tt.ttot + 1024 AS DOUBLE))
+        |      - ln(CAST(r.rc + 1 AS DOUBLE)
+        |             / CAST(rr.rtot + 1024 AS DOUBLE)) AS lw
+        |  FROM rawc r CROSS JOIN ttots tt CROSS JOIN rt rr
+        |  LEFT JOIN tgt t ON t.domain = tt.domain AND t.b = r.b
+        |), scored AS (
+        |  SELECT d.id, w.domain,
+        |    floor(SUM(CAST(d.dc AS DOUBLE) * w.lw) * 1e6) / 1e6
+        |      AS dsir_logw
+        |  FROM docfeat d JOIN weights w ON w.b = d.b
+        |  GROUP BY d.id, w.domain
+        |), ranked AS (
+        |  SELECT id, domain, dsir_logw,
+        |    ROW_NUMBER() OVER (PARTITION BY id
+        |                       ORDER BY dsir_logw DESC, domain) AS rn,
+        |    dsir_logw - LEAD(dsir_logw, 1) OVER (PARTITION BY id
+        |                       ORDER BY dsir_logw DESC, domain) AS margin
+        |  FROM scored
+        |)
+        |SELECT domain, COUNT(*) AS n_docs,
+        |  MIN(margin) AS min_margin, MAX(margin) AS max_margin
+        |FROM ranked WHERE rn = 1
+        |GROUP BY domain
+        |ORDER BY domain""".stripMargin,
+
     // hard-negative replay: the bm25_batch scoring CTE at k=8, minus
     // the id % 3 == 0 positives, re-ranked per query, top 4
     "q_doc_hard_negatives" ->

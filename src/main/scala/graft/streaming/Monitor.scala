@@ -80,6 +80,43 @@ object Monitor {
         sum(graft.ops.Text.tokenCount(col(textCol)).cast("long"))
           .as("n_tokens"))
 
+  /** Streaming domain-mixture monitor through a FROZEN router: apply a
+    * [[graft.ops.Dsir.FrozenRouter]] (trained offline on a batch
+    * corpus) to every arriving document and maintain per-domain
+    * arrival counts plus the min/max routing margin — the
+    * offline-train / online-apply split a production router runs, and
+    * the live view of "which domain is this crawl drifting toward".
+    *
+    * The routing itself is a stateless per-row map (the grid rides the
+    * task closure, bounded by the router's 2^20-cell guard; no state
+    * store, no shuffle before the aggregate); the stateful part is one
+    * row per domain, bounded by the router's domain count — it runs
+    * forever on an unbounded ingest, the [[mixtureMonitor]] contract.
+    * Min/max margins (not sums) keep the aggregate order-free, hence
+    * bit-portable to the batch oracle. Null-text rows are dropped
+    * before routing: a null document has no gram profile (the
+    * q_stream_simdedup null pin). */
+  def domainRouteMonitor(docs: DataFrame,
+                         router: graft.ops.Dsir.FrozenRouter,
+                         textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val routed = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(textCol))
+      .as[String]
+      .map { text =>
+        val (domain, score, margin) = router.route(text)
+        (domain, score, margin)
+      }
+      .toDF("domain", "score", "margin")
+    routed
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("margin")).as("min_margin"),
+        max(col("margin")).as("max_margin"))
+  }
+
   /** Streaming exact dedup for continuous ingestion: drops rows whose
     * `keyCols` combination was already seen. State is the seen-key set,
     * hash-partitioned across executors by Spark's streaming dedup

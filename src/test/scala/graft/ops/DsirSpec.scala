@@ -34,6 +34,9 @@ class DsirSpec extends AnyFunSuite {
     (1L, "banana smoothie recipe blog"), // off-domain
     (2L, "flux harmonics"), // short but target-like
     (3L, "banana banana banana"))
+  private val targetB = Seq(
+    (200L, "banana smoothie kale blender"),
+    (201L, "banana recipe blender juice"))
 
   private def expectedScores: Map[Long, (Long, Double)] = {
     val rawGrams = raw.flatMap { case (id, t) => grams(t).map(id -> _) }
@@ -88,8 +91,7 @@ class DsirSpec extends AnyFunSuite {
     "target alone; winner/margin consistent; K=1 margin is null") {
     val rawDf = raw.toDF("doc_id", "text")
     val tgtA = target.toDF("vid", "text")
-    val tgtB = Seq((200L, "banana smoothie kale blender"),
-      (201L, "banana recipe blender juice")).toDF("vid", "text")
+    val tgtB = targetB.toDF("vid", "text")
     val routed = Dsir.domainRoute(rawDf, Seq("a" -> tgtA, "b" -> tgtB),
       buckets = B)
       .collect()
@@ -125,6 +127,36 @@ class DsirSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dsir.domainRoute(rawDf, Seq.empty, buckets = B)
     }
+  }
+
+  test("freezeRouter reproduces domainRoute decisions per doc; unseen " +
+    "grams route through the smoothed grid; K=1 margin is NaN") {
+    val rawDf = raw.toDF("doc_id", "text")
+    val tgtA = target.toDF("vid", "text")
+    val tgtB = targetB.toDF("vid", "text")
+    val router = Dsir.freezeRouter(rawDf, Seq("a" -> tgtA, "b" -> tgtB),
+      buckets = B)
+    val routed = Dsir.domainRoute(rawDf, Seq("a" -> tgtA, "b" -> tgtB),
+      buckets = B)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(3),
+        r.getDouble(4)))
+    val texts = raw.toMap
+    routed.foreach { case (id, dom, logw, margin) =>
+      val (d2, s2, m2) = router.route(texts(id))
+      assert(d2 == dom, s"doc $id frozen-vs-distributed domain")
+      assert(math.abs(s2 - logw) < 2e-6, s"doc $id score: $s2 vs $logw")
+      assert(math.abs(m2 - margin) < 4e-6, s"doc $id margin")
+    }
+    // grams the raw corpus never saw hit rc=0 grid cells, not an error
+    val (d3, s3, _) = router.route("zorbomatic glyph cascade")
+    assert(Set("a", "b")(d3) && !s3.isNaN)
+    // trailing whitespace exercises the split(-1) seam (Spark's split
+    // keeps the trailing empty token)
+    val (d4, _, _) = router.route("quantum flux ")
+    assert(Set("a", "b")(d4))
+    assert(Dsir.freezeRouter(rawDf, Seq("a" -> tgtA), buckets = B)
+      .route("quantum flux")._3.isNaN)
   }
 
   test("null-text documents yield no feature rows; bucket guard is loud") {

@@ -239,6 +239,44 @@ class MonitorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("domain-route monitor: frozen router applied statelessly, state " +
+    "stays one row per domain, null text dropped") {
+    import spark.implicits._
+    val dir = tmpDir("graft-droutemon-")
+    val tgtA = Seq("quantum flux harmonics", "flux quantum field")
+      .toDF("text")
+    val tgtB = Seq("banana smoothie recipe", "banana blender juice")
+      .toDF("text")
+    val raw = Seq("quantum flux field", "banana banana recipe",
+      "flux harmonics quantum").toDF("text")
+    val router = graft.ops.Dsir.freezeRouter(raw,
+      Seq("a" -> tgtA, "b" -> tgtB), buckets = 64)
+    def write(batch: Int): Unit =
+      Seq(Some(s"quantum flux batch$batch"),
+        Some(s"banana smoothie batch$batch"),
+        Option.empty[String]) // null text must be dropped, not routed
+        .toDF("text")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    write(0)
+    val schema = StructType(Seq(StructField("text", StringType)))
+    val q = Monitor.domainRouteMonitor(
+      spark.readStream.schema(schema).parquet(s"$dir/in"), router)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("droutemon").start()
+    try {
+      (1 until 4).foreach { b => q.processAllAvailable(); write(b) }
+      q.processAllAvailable()
+      // 12 input rows (4 null), 2 domains: state bounded by domains
+      assert(q.lastProgress.stateOperators(0).numRowsTotal == 2L)
+      val rows = spark.sql(
+        "SELECT * FROM droutemon ORDER BY domain").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+      assert(rows.map(_.getLong(1)).toSeq == Seq(4L, 4L))
+      // routing confidence is positive both ways on this fixture
+      assert(rows.forall(_.getDouble(2) > 0.0))
+    } finally q.stop()
+  }
+
   test("incremental dedup sink: the on-disk fingerprint index survives " +
     "query restarts and is shared across checkpoints") {
     import spark.implicits._
