@@ -94,13 +94,19 @@ object Dsir {
     // for a scalar aggregate
     val wtot = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    // the window sums coalesce to 0 so a degenerate EMPTY target (or,
+    // vacuously, raw) side still yields the fully-smoothed finite
+    // weights — the same formula the frozen-router grid evaluates at
+    // tc = ttot = 0, keeping the two paths decision-identical on edges
     val weights = rawCounts
       .join(targetCounts, Seq("b"), "full_outer")
       .select(col("b"),
         (log((coalesce(col("tc"), lit(0L)) + lit(1L)).cast("double") /
-          (sum(col("tc")).over(wtot) + lit(buckets.toLong)).cast("double")) -
+          (coalesce(sum(col("tc")).over(wtot), lit(0L)) +
+            lit(buckets.toLong)).cast("double")) -
           log((coalesce(col("rc"), lit(0L)) + lit(1L)).cast("double") /
-            (sum(col("rc")).over(wtot) + lit(buckets.toLong)).cast("double")))
+            (coalesce(sum(col("rc")).over(wtot), lit(0L)) +
+              lit(buckets.toLong)).cast("double")))
           .as("lw"))
     docFeat
       .join(broadcast(weights), Seq("b"))
@@ -165,8 +171,17 @@ object Dsir {
         .groupBy(col("b")).agg(count(lit(1)).as("tc"))
         .select(lit(name).as("domain"), col("b"), col("tc"))
     }.reduce(_ unionByName _)
-    val ttots = tgtCounts.groupBy(col("domain"))
-      .agg(sum(col("tc")).as("ttot"))
+    // totals left-join onto the literal domain list: an EMPTY target
+    // sample must still produce its (domain, 0) row — otherwise the
+    // cross join silently drops the domain while the frozen-router
+    // grid keeps it — and deriving from tgtCounts avoids a second
+    // scan of each target sample
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val ttots = targets.map(_._1).toDF("domain")
+      .join(tgtCounts.groupBy(col("domain"))
+        .agg(sum(col("tc")).as("__t")), Seq("domain"), "left_outer")
+      .select(col("domain"), coalesce(col("__t"), lit(0L)).as("ttot"))
     // dense (domain x raw bucket) weight grid: buckets a target never
     // saw still carry its smoothed log p = ln(1 / (ttot + B)); docFeat
     // buckets are a subset of rawCounts buckets by construction, so

@@ -159,6 +159,31 @@ class DsirSpec extends AnyFunSuite {
       .route("quantum flux")._3.isNaN)
   }
 
+  test("empty target sample: the domain survives with fully-smoothed " +
+    "weights and the frozen/distributed paths still agree") {
+    import org.apache.spark.sql.functions.col
+    val rawDf = raw.toDF("doc_id", "text")
+    val tgtA = target.toDF("vid", "text")
+    val emptyB = targetB.toDF("vid", "text").filter(col("vid") < 0)
+    // scoring against an empty target is defined (all weights fully
+    // smoothed), not null/NaN
+    val scores = Dsir.dsirScores(rawDf, emptyB, buckets = B).collect()
+    assert(scores.length == raw.size)
+    assert(scores.forall(r => !r.isNullAt(2) && !r.getDouble(2).isNaN))
+    // routing keeps the empty domain as a candidate on both paths
+    val pair = Seq("a" -> tgtA, "none" -> emptyB)
+    val routed = Dsir.domainRoute(rawDf, pair, buckets = B)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+    assert(routed.length == raw.size)
+    val router = Dsir.freezeRouter(rawDf, pair, buckets = B)
+    val texts = raw.toMap
+    routed.foreach { case (id, dom, logw) =>
+      val (d2, s2, _) = router.route(texts(id))
+      assert(d2 == dom, s"doc $id empty-target parity")
+      assert(math.abs(s2 - logw) < 2e-6)
+    }
+  }
+
   test("null-text documents yield no feature rows; bucket guard is loud") {
     val rawDf = Seq((0L, Some("quantum flux")), (1L, Option.empty[String]))
       .toDF("doc_id", "text")
