@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-substring (passage-level) deduplication in the style of Lee et
+  * al. 2022, "Deduplicating Training Data Makes Language Models Better"
+  * (ACL) — the ExactSubstr pass that document-level dedup
+  * ([[Dedup.exactDedup]], [[Dedup.ngramJaccardPairs]]) cannot express:
+  * a boilerplate license header or a quoted paragraph repeated across
+  * otherwise-distinct documents is invisible to whole-document and
+  * near-dup mining, but dominates what a language model memorizes.
+  *
+  * The reference algorithm builds a corpus suffix array; that is a
+  * single-machine construction. The Spark-first equivalent mines at
+  * k-token granularity: every k-token window is fingerprinted, windows
+  * whose fingerprint occurs at least `minOccurrences` times corpus-wide
+  * are duplicated, and per document the overlapping duplicated windows
+  * merge into maximal `[span_start, span_end)` token spans — exactly
+  * the spans a suffix-array pass of threshold k reports, up to md5
+  * collisions (128-bit; ~10^12 windows at 100 TB gives a collision
+  * probability around 10^-13 — negligible, and a collision only ever
+  * OVER-marks a span, never corrupts unrelated documents).
+  *
+  * Scale shape: the window fingerprint table is the corpus token
+  * stream (one md5 per token position) and is exchanged twice — once
+  * grouped by fingerprint for the corpus-wide occurrence count
+  * (partial-aggregated map-side, so the exchange carries one row per
+  * DISTINCT fingerprint per task), once semi-joined against the
+  * duplicated-fingerprint set to mark positions. Both exchanges are
+  * inherent to global duplication (the suffix array moves the same
+  * bytes); the corpus is tokenized twice rather than checkpointing a
+  * corpus-sized gram table — the [[Dsir]] / [[Text.unigramSurprisal]]
+  * tradeoff, deliberate. The interval merge is a window partitioned by
+  * document (per-doc data, never a global sort), and span removal is a
+  * per-row array rewrite against a per-doc span list that is bounded
+  * by document length.
+  */
+object SpanDedup {
+
+  /** `(id, pos, h)` — the md5 fingerprint of the k-token window starting
+    * at 0-based token position `pos`. Null / short (< k tokens) docs
+    * yield no rows. */
+  private def windowFingerprints(docs: DataFrame, k: Int,
+                                 idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, size(__t) - $k), " +
+          s"i -> md5(concat_ws(' ', slice(__t, i + 1, $k))))")))
+      .toDF("id", "pos", "h")
+
+  /** Maximal duplicated spans per document: `(id, span_start, span_end,
+    * span_tokens)` with `[span_start, span_end)` 0-based token indexes,
+    * adjacent-or-overlapping duplicated windows merged. A window is
+    * duplicated when its k-token fingerprint occurs `minOccurrences`+
+    * times corpus-wide (self-repeats inside one document count — the
+    * Lee et al. semantics: ANY second occurrence makes the bytes
+    * memorization fuel). */
+  def duplicatedSpans(docs: DataFrame, k: Int, minOccurrences: Long = 2L,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"window of $k tokens cannot overlap-merge; use k >= 2")
+    require(minOccurrences >= 2,
+      s"minOccurrences=$minOccurrences marks every window as duplicated")
+    val grams = windowFingerprints(docs, k, idCol, textCol)
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minOccurrences)
+      .select(col("h"))
+    val marked = grams.join(dup, Seq("h"), "left_semi")
+      .select(col("id"), col("pos").cast("long").as("__s"),
+        (col("pos") + lit(k.toLong)).as("__e"))
+    // classic interval merge: a window starts a new span iff it begins
+    // strictly after every earlier window ended; `pos` is unique per
+    // doc so the two window passes are deterministic
+    val byPos = Window.partitionBy(col("id")).orderBy(col("__s"))
+    val runMax = max(col("__e"))
+      .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = marked.withColumn("__new",
+      when(col("__s") > coalesce(runMax, lit(-1L)), 1L).otherwise(0L))
+    val grouped = flagged.withColumn("__g",
+      sum(col("__new")).over(byPos))
+    grouped.groupBy(col("id"), col("__g"))
+      .agg(min(col("__s")).as("span_start"), max(col("__e")).as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
+
+  /** Cut every duplicated span out of every document (the strictest
+    * removal policy: ALL occurrences go, which over-deletes one copy
+    * relative to keep-one suffix-array dedup but guarantees zero
+    * repeated k-grams survive — callers wanting keep-one semantics
+    * exempt a canonical document first and union it back). Returns the
+    * input columns plus `clean_text` (whitespace-normalized: surviving
+    * tokens re-joined with single spaces) and `n_removed_tokens`;
+    * documents with no duplicated span pass through with
+    * `n_removed_tokens` 0 and null text stays null. */
+  def removeDuplicatedSpans(docs: DataFrame, k: Int,
+                            minOccurrences: Long = 2L,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val spans = duplicatedSpans(docs, k, minOccurrences, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    // span lists are per-doc (bounded by doc length), so this join is
+    // one exchange of (id, spans) — AQE broadcasts it when small
+    docs.join(spans, Seq(idCol), "left_outer")
+      .withColumn("__t", Text.tokens(col(textCol)))
+      .withColumn("__kept", when(col("__spans").isNull, col("__t"))
+        .otherwise(expr(
+          "filter(__t, (tok, i) -> !exists(__spans, " +
+            "s -> i >= s.span_start and i < s.span_end))")))
+      .withColumn("clean_text",
+        when(col("__t").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", col("__kept"))))
+      .withColumn("n_removed_tokens",
+        (coalesce(size(col("__t")), lit(0))
+          - coalesce(size(col("__kept")), lit(0))).cast("long"))
+      .drop("__t", "__kept", "__spans")
+  }
+}

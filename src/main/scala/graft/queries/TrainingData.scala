@@ -703,6 +703,23 @@ object TrainingData {
       Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
         .orderBy(col("id1"), col("id2"))),
 
+    // exact-substring dedup (Lee et al. 2022 ExactSubstr at 8-token
+    // granularity): maximal duplicated passages per doc — the spans a
+    // license header or quoted paragraph occupies, invisible to
+    // whole-document dedup
+    "q_doc_span_dedup" -> ((s, dir) =>
+      graft.ops.SpanDedup.duplicatedSpans(docs(s, dir), k = 8)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // the removal pass over the same spans: every duplicated passage is
+    // cut, survivors re-joined on single spaces; clean text compared by
+    // fingerprint
+    "q_doc_span_clean" -> ((s, dir) =>
+      graft.ops.SpanDedup.removeDuplicatedSpans(docs(s, dir), k = 8)
+        .select(col("doc_id"), col("n_removed_tokens"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))),
+
     // brute-force exact top-5 cosine neighbors for 3 query vectors
     "q_embed_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -916,6 +933,36 @@ object TrainingData {
         |         ELSE sig_u END AS BIGINT) AS f
         |  FROM sigs
         |)""".stripMargin
+
+  /** Shared CTE chain for the ExactSubstr queries: `toks` (token
+    * arrays), `spans` (maximal merged duplicated 8-token spans, the
+    * engine's interval merge replayed as two window levels). */
+  private def spanDedupCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+      |), g AS (
+      |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+      |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+      |  WHERE len(t) >= 8
+      |), dup AS (
+      |  SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+      |), mk AS (
+      |  SELECT g.doc_id, g.pos AS s, g.pos + 8 AS e FROM g JOIN dup USING (h)
+      |), m1 AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      THEN 1 ELSE 0 END AS f
+      |  FROM mk
+      |), m2 AS (
+      |  SELECT doc_id, s, e,
+      |    SUM(f) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS UNBOUNDED PRECEDING) AS gid
+      |  FROM m1
+      |), spans AS (
+      |  SELECT doc_id, gid, MIN(s) AS span_start, MAX(e) AS span_end
+      |  FROM m2 GROUP BY 1, 2
+      |)""".stripMargin
 
   /** Shared CTE chain producing exact 3-gram Jaccard pairs at threshold
     * 0.5 (`qual`), composed into the ngram/minhash oracle and the
@@ -2789,6 +2836,38 @@ object TrainingData {
           |FROM fp a JOIN fp b ON a.id < b.id
           |WHERE bit_count(xor(a.f, b.f)) <= 3
           |ORDER BY id1, id2""".stripMargin),
+
+    // ExactSubstr spans: every 8-token window fingerprint occurring
+    // twice+ corpus-wide, overlapping windows merged per doc via the
+    // same two-level running-max interval merge the engine runs.
+    "q_doc_span_dedup" ->
+      (s"WITH $spanDedupCtes\n" +
+        """SELECT doc_id, span_start, span_end,
+          |  span_end - span_start AS span_tokens
+          |FROM spans ORDER BY doc_id, span_start""".stripMargin),
+
+    // The removal pass: tokens inside any span are cut, survivors
+    // re-joined on single spaces (a fully-duplicated doc cleans to '').
+    "q_doc_span_clean" ->
+      (s"WITH $spanDedupCtes, tokpos AS (\n" +
+        """  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+          |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+          |), kept AS (
+          |  SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+          |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+          |    WHERE sp.doc_id = tp.doc_id
+          |      AND tp.pos >= sp.span_start AND tp.pos < sp.span_end)
+          |), ka AS (
+          |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+          |    COUNT(*) AS n_kept
+          |  FROM kept GROUP BY doc_id
+          |)
+          |SELECT t.doc_id,
+          |  CAST(len(t.t) - COALESCE(ka.n_kept, 0) AS BIGINT)
+          |    AS n_removed_tokens,
+          |  md5(COALESCE(ka.clean_text, '')) AS clean_fp
+          |FROM toks t LEFT JOIN ka USING (doc_id)
+          |ORDER BY t.doc_id""".stripMargin),
 
     // One survivor per (source, signature) regardless of arrival order:
     // the streaming drain == batch COUNT(DISTINCT signature) per source.

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ExactSubstr span mining on hand-computable fixtures: shared passages
+  * at different offsets, disjoint passages in one document, intra-doc
+  * self-repeats, and the removal pass — each span set recomputed by
+  * inspection, independent of the engine's window/merge machinery.
+  */
+class SpanDedupSpec extends AnyFunSuite {
+  import graft.SparkSpec.spark
+  import spark.implicits._
+
+  // a 10-token passage shared verbatim by docs 0 and 1 at different
+  // offsets; the surrounding filler is unique per doc
+  private val passage = (0 until 10).map(i => s"p$i").mkString(" ")
+  private def filler(tag: String, n: Int): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  test("shared passage is found at each doc's own offset, merged " +
+    "across overlapping windows") {
+    val docs = Seq(
+      (0L, s"${filler("a", 5)} $passage ${filler("b", 5)}"),
+      (1L, s"${filler("c", 2)} $passage"),
+      (2L, filler("z", 20))).toDF("doc_id", "text")
+    val spans = SpanDedup.duplicatedSpans(docs, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    // doc 0: tokens 5..14 inclusive -> [5, 15); doc 1: [2, 12)
+    assert(spans.toSeq == Seq((0L, 5L, 15L), (1L, 2L, 12L)))
+  }
+
+  test("two disjoint duplicated passages in one doc stay two spans; " +
+    "contiguous ones merge") {
+    val p2 = (0 until 6).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$passage ${filler("gap", 7)} $p2"),
+      (1L, passage),
+      (2L, p2)).toDF("doc_id", "text")
+    val spans = SpanDedup.duplicatedSpans(docs, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(spans.toSeq == Seq(
+      (0L, 0L, 10L), (0L, 17L, 23L), (1L, 0L, 10L), (2L, 0L, 6L)))
+  }
+
+  test("intra-doc self-repeat counts as duplicated (Lee et al. " +
+    "semantics); a lone doc with unique text yields nothing") {
+    val docs = Seq(
+      (0L, s"$passage ${filler("mid", 3)} $passage"),
+      (1L, filler("u", 30))).toDF("doc_id", "text")
+    val spans = SpanDedup.duplicatedSpans(docs, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(spans.toSeq == Seq((0L, 0L, 10L), (0L, 13L, 23L)))
+  }
+
+  test("docs shorter than k tokens are never marked; null text yields " +
+    "no span rows and passes through removal as null") {
+    val docs = Seq(
+      (0L, Some("p0 p1 p2")), // 3 tokens < k, equals passage prefix
+      (1L, Some("p0 p1 p2")),
+      (2L, Option.empty[String])).toDF("doc_id", "text")
+    assert(SpanDedup.duplicatedSpans(docs, k = 4).count() == 0)
+    val cleaned = SpanDedup.removeDuplicatedSpans(docs, k = 4)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getAs[String]("clean_text")),
+        r.getAs[Long]("n_removed_tokens"))).sortBy(_._1)
+    assert(cleaned.toSeq == Seq(
+      (0L, Some("p0 p1 p2"), 0L), (1L, Some("p0 p1 p2"), 0L),
+      (2L, None, 0L)))
+  }
+
+  test("removal cuts exactly the span tokens; a fully-duplicated doc " +
+    "cleans to the empty string") {
+    val docs = Seq(
+      (0L, s"${filler("a", 3)} $passage ${filler("b", 2)}"),
+      (1L, passage)).toDF("doc_id", "text")
+    val cleaned = SpanDedup.removeDuplicatedSpans(docs, k = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_removed_tokens"))).sortBy(_._1)
+    assert(cleaned.toSeq == Seq(
+      (0L, "a0 a1 a2 b0 b1", 10L), (1L, "", 10L)))
+  }
+
+  test("minOccurrences raises the corpus-wide bar") {
+    val docs = Seq(
+      (0L, passage), (1L, passage), (2L, passage),
+      (3L, s"solo ${filler("s", 3)} solo2")).toDF("doc_id", "text")
+    assert(SpanDedup.duplicatedSpans(docs, k = 4, minOccurrences = 3)
+      .count() == 3) // the 3x passage survives the bar, nothing else
+    assert(SpanDedup.duplicatedSpans(docs, k = 4, minOccurrences = 4)
+      .count() == 0)
+    intercept[IllegalArgumentException] {
+      SpanDedup.duplicatedSpans(docs, k = 4, minOccurrences = 1)
+    }
+    intercept[IllegalArgumentException] {
+      SpanDedup.duplicatedSpans(docs, k = 1)
+    }
+  }
+}

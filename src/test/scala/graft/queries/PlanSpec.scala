@@ -383,4 +383,21 @@ class PlanSpec extends AnyFunSuite {
         s"unpartitioned window in q_doc_hard_negatives: $s")
     }
   }
+
+  test("q_doc_span_dedup: occurrence count partial-aggregates map-side; " +
+    "duplicated-fingerprint mark is a semi-join; interval-merge windows " +
+    "are PARTITIONED per doc") {
+    val p = plan("q_doc_span_dedup")
+    // corpus-wide count: partial + final HashAggregate around the
+    // fingerprint exchange — the exchange carries distinct fps per task
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach { s =>
+      assert(!s.matches("windowspecdefinition\\([^,]* (ASC|DESC).*"),
+        s"unpartitioned window in q_doc_span_dedup: $s")
+    }
+  }
 }
