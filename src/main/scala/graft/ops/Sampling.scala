@@ -670,6 +670,114 @@ object Sampling {
     df.withColumn(copyCol, explode(sequence(lit(0), r - 1)))
   }
 
+  /** The priority of a row under deterministic priority sampling
+    * (Duffield, Lund, Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 2007): `w / u` with `u` in (0, 1]
+    * derived from the key's md5. Chosen over Efraimidis-Spirakis
+    * `u^(1/w)` keys deliberately: `u = (m + 1) / 2^52` (m = first 13
+    * md5 hex chars) is EXACT in a double — `m + 1 <= 2^52` is
+    * representable and division by a power of two never rounds — so
+    * the priority is one correctly-rounded IEEE division, bit-identical
+    * in every IEEE-754 engine. An `ln`/`pow`-based key is only
+    * 1-ulp-reproducible across libm implementations, which is exactly
+    * the boundary-flip hazard the oracle hash-compare cannot absorb. */
+  def priorityOf(key: Column, weight: Column): Column = {
+    val m = conv(substring(md5(key.cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    weight / ((m + lit(1L)).cast("double") / lit(4503599627370496.0))
+  }
+
+  /** Split a bounded top-(n+1) priority frame into the n-row sample
+    * with its Horvitz-Thompson adjusted weight `est_weight =
+    * max(w, tau)`, `tau` = the (n+1)-th priority (0 when the population
+    * had at most n rows — every weight is then exact). The window is
+    * unpartitioned BY CONTRACT: its input is at most n+1 rows. */
+  private def samplePriorityTop(top: DataFrame, weight: Column,
+                                key: Column, n: Int): DataFrame = {
+    val w0 = Window.orderBy(col("__prio").desc, key)
+    val full = w0.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    top.withColumn("__rn", row_number().over(w0))
+      .withColumn("__tau", when(count(lit(1)).over(full) === n + 1,
+        min(col("__prio")).over(full)).otherwise(lit(0.0)))
+      .filter(col("__rn") <= n)
+      .withColumn("est_weight", greatest(weight, col("__tau")))
+      .drop("__rn", "__tau", "__prio")
+  }
+
+  /** Deterministic weighted sample WITHOUT replacement: the n rows of
+    * largest [[priorityOf]] priority (ties on key). Per Duffield et al.
+    * the returned `est_weight` makes any subset sum unbiased:
+    * `sum(est_weight)` over the sample (or any filtered slice of it)
+    * estimates the corresponding population `sum(weight)`. Rows with
+    * null or non-positive weight are excluded by contract — a weight of
+    * zero can never be sampled and a negative weight has no sampling
+    * interpretation. Keys are assumed unique (they key the
+    * deterministic u); the top-n plans as TakeOrderedAndProject — no
+    * global sort, no shuffle beyond the per-partition heaps. Samples
+    * nest: the top-n sample is a subset of the top-(n+1) sample, so a
+    * pipeline can over-sample once and cut later. */
+  def prioritySample(df: DataFrame, key: Column, weight: Column,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"sample size $n")
+    val top = df.filter(weight.isNotNull && weight > lit(0.0))
+      .withColumn("__prio", priorityOf(key, weight))
+      .orderBy(col("__prio").desc, key).limit(n + 1)
+    samplePriorityTop(top, weight, key, n)
+  }
+
+  /** Streaming/ingest twin of [[prioritySample]]: fold one batch into a
+    * persisted (n+1)-row reservoir at `indexPath` and return the
+    * current n-row sample with `est_weight`. Because per-row priorities
+    * are deterministic and top-(n+1) is associative over unions, the
+    * reservoir after any batch sequence EQUALS the single-shot
+    * [[prioritySample]] over the concatenated batches — order-free,
+    * restart-safe. Re-delivered rows (same key, same weight — a
+    * retried batch) collapse to one candidate before the cut, so
+    * reprocessing a failed batch cannot crowd the reservoir; a key
+    * re-arriving with a CHANGED weight is a new candidate by design
+    * (the caller owns re-keying semantics). The reservoir is rewritten
+    * per batch via the parked-old two-rename swap under a single-writer
+    * lock ([[Dedup.compactIndex]]'s lifecycle), and every read path
+    * fails fast on a stale lock. */
+  def incrementalPrioritySample(batch: DataFrame, indexPath: String,
+                                key: Column, weight: Column,
+                                n: Int): DataFrame = {
+    require(n >= 1, s"sample size $n")
+    import graft.core.Fs
+    val spark = batch.sparkSession
+    Dedup.recoverIndex(indexPath)
+    val incoming = batch.filter(weight.isNotNull && weight > lit(0.0))
+      .select(key.cast("string").as("key"), weight.cast("double").as("w"))
+      .withColumn("__prio", priorityOf(col("key"), col("w")))
+    val current =
+      if (Fs.exists(indexPath) && Fs.listNames(indexPath).nonEmpty)
+        spark.read.parquet(indexPath)
+      else incoming.limit(0)
+    val merged = current.unionByName(incoming)
+      .dropDuplicates("key", "__prio")
+      .orderBy(col("__prio").desc, col("key")).limit(n + 1)
+    val lock = s"$indexPath.__lock"
+    if (!Fs.createExclusive(lock, s"pid=${ProcessHandle.current().pid()}"))
+      throw new IllegalStateException(
+        s"reservoir $indexPath is being updated by another writer; if " +
+          s"that process crashed, delete $lock and re-run")
+    try {
+      // the tmp write EXECUTES the merge plan (which reads the old
+      // reservoir) before any rename touches it — no lineage hazard
+      val tmp = s"$indexPath.__compact_tmp"
+      Fs.delete(tmp)
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val old = s"$indexPath.__old"
+      Fs.delete(old)
+      if (Fs.exists(indexPath)) Fs.rename(indexPath, old)
+      Fs.rename(tmp, indexPath)
+      Fs.delete(old)
+    } finally Fs.delete(lock)
+    samplePriorityTop(spark.read.parquet(indexPath), col("w"),
+      col("key"), n)
+  }
+
   def splitColumn(key: Column, splits: Seq[(String, Double)]): Column = {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")

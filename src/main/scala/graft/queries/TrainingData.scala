@@ -138,6 +138,37 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // priority sampling (Duffield-Lund-Thorup): 50 docs weighted by
+    // token count, with the Horvitz-Thompson est_weight that makes any
+    // subset sum unbiased; priorities are one exact IEEE division, so
+    // the oracle reproduces the row set AND the weights bit-for-bit
+    "q_doc_priority_sample" -> ((s, dir) =>
+      graft.ops.Sampling.prioritySample(docs(s, dir), col("doc_id"),
+        graft.ops.Text.tokenCount(col("text")).cast("double"), n = 50)
+        .select(col("doc_id"), col("est_weight"))
+        .orderBy(col("doc_id"))),
+
+    // the ingest twin: even docs, then odd docs, then the even batch
+    // RE-DELIVERED (a retried pipeline stage) folded through a persisted
+    // reservoir — the final sample must equal the single-shot answer,
+    // so it shares q_doc_priority_sample's oracle
+    "q_doc_priority_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = graft.ops.Text.tokenCount(col("text")).cast("double")
+      val b1 = d.filter(col("doc_id") % 2 === 0)
+      val b2 = d.filter(col("doc_id") % 2 === 1)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-priodx-").toString + "/reservoir"
+      graft.ops.Sampling.incrementalPrioritySample(b1, idx,
+        col("doc_id"), w, n = 50)
+      graft.ops.Sampling.incrementalPrioritySample(b2, idx,
+        col("doc_id"), w, n = 50)
+      graft.ops.Sampling.incrementalPrioritySample(b1, idx,
+        col("doc_id"), w, n = 50)
+        .select(col("key").cast("long").as("doc_id"), col("est_weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     // curriculum ordering: dense global training positions with stages
     // in the given order (zh -> es -> de -> fr -> en) and a
     // deterministic hash shuffle within each stage — no global sort
@@ -934,6 +965,28 @@ object TrainingData {
         |  FROM sigs
         |)""".stripMargin
 
+  /** Shared by the one-shot and incremental priority-sampling queries
+    * (the reservoir fold provably equals the single-shot answer). */
+  private def prioritySampleOracleSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS w,
+      |    CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
+      |      / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+      |          + 1) / 4503599627370496.0) AS prio
+      |  FROM documents
+      |  WHERE len(string_split_regex(text, '\s+')) > 0
+      |), top AS (
+      |  SELECT * FROM p ORDER BY prio DESC, doc_id LIMIT 51
+      |), r AS (
+      |  SELECT *, row_number() OVER (ORDER BY prio DESC, doc_id) AS rn,
+      |    MIN(prio) OVER () AS mn, COUNT(*) OVER () AS cnt
+      |  FROM top
+      |)
+      |SELECT doc_id,
+      |  greatest(w, CASE WHEN cnt = 51 THEN mn ELSE 0 END) AS est_weight
+      |FROM r WHERE rn <= 50 ORDER BY doc_id""".stripMargin
+
   /** Shared CTE chain for the ExactSubstr queries: `toks` (token
     * arrays), `spans` (maximal merged duplicated 8-token spans, the
     * engine's interval merge replayed as two window levels). */
@@ -1495,6 +1548,14 @@ object TrainingData {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
         |ORDER BY doc_id""".stripMargin,
+
+    // priority = w / u with u = (m+1)/2^52 from the md5 prefix — every
+    // step exact or correctly rounded, so est_weight compares bit-exact
+    "q_doc_priority_sample" -> prioritySampleOracleSql,
+
+    // reservoir fold over (even, odd, even-again) == the single-shot
+    // sample: same oracle by construction
+    "q_doc_priority_incremental" -> prioritySampleOracleSql,
 
     // curriculum replay: the two-phase bucketed rank collapses to one
     // ROW_NUMBER over (stage index, 4-hex hash position, id)

@@ -384,6 +384,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_doc_priority_sample: corpus top-(n+1) plans as " +
+    "TakeOrderedAndProject (per-partition heaps), never a global sort") {
+    val p = plan("q_doc_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("q_doc_span_dedup: occurrence count partial-aggregates map-side; " +
     "duplicated-fingerprint mark is a semi-join; interval-merge windows " +
     "are PARTITIONED per doc") {
