@@ -734,6 +734,28 @@ object TrainingData {
       Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
         .orderBy(col("id1"), col("id2"))),
 
+    // STREAMING priority sampling: the corpus arrives as a stream and
+    // folds through the persisted reservoir sink; the drained reservoir
+    // must equal the batch sample, so all three priority queries share
+    // one oracle
+    "q_stream_priority" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docsStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-priostream-").toString
+      val q = graft.streaming.Monitor.prioritySampleSink(docsStream,
+        s"$tmp/reservoir", s"$tmp/ckpt", col("doc_id"),
+        graft.ops.Text.tokenCount(col("text")).cast("double"), n = 50)
+      try q.processAllAvailable() finally q.stop()
+      graft.ops.Sampling.incrementalPrioritySample(
+        s.read.parquet(s"$dir/documents.parquet").limit(0),
+        s"$tmp/reservoir", col("doc_id"),
+        graft.ops.Text.tokenCount(col("text")).cast("double"), n = 50)
+        .select(col("key").cast("long").as("doc_id"), col("est_weight"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact-substring dedup (Lee et al. 2022 ExactSubstr at 8-token
     // granularity): maximal duplicated passages per doc — the spans a
     // license header or quoted paragraph occupies, invisible to
@@ -1556,6 +1578,9 @@ object TrainingData {
     // reservoir fold over (even, odd, even-again) == the single-shot
     // sample: same oracle by construction
     "q_doc_priority_incremental" -> prioritySampleOracleSql,
+
+    // streaming drain through the reservoir sink == the batch sample
+    "q_stream_priority" -> prioritySampleOracleSql,
 
     // curriculum replay: the two-phase bucketed rank collapses to one
     // ROW_NUMBER over (stage index, 4-hex hash position, id)

@@ -224,4 +224,29 @@ object Monitor {
         () // survivors already persisted by the hook
       }
       .start()
+
+  /** Stream a corpus through the persisted priority-sampling reservoir
+    * ([[graft.ops.Sampling.incrementalPrioritySample]]): each micro-batch
+    * folds into the (n+1)-row parquet at `indexPath`, and after the
+    * stream drains the reservoir EQUALS the batch
+    * [[graft.ops.Sampling.prioritySample]] over everything that arrived.
+    * All state is the reservoir file, not the state store, so a FRESH
+    * checkpoint replaying the whole input is harmless: re-delivered
+    * rows collapse before the cut (at-least-once delivery,
+    * effectively-once decisions — same contract as
+    * [[incrementalDedupSink]], without even the duplicate-output-row
+    * caveat, because the reservoir is a rewrite, not an append). */
+  def prioritySampleSink(docs: DataFrame, indexPath: String,
+                         checkpointDir: String,
+                         key: org.apache.spark.sql.Column,
+                         weight: org.apache.spark.sql.Column,
+                         n: Int): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Sampling.incrementalPrioritySample(batch, indexPath,
+          key, weight, n)
+        () // the fold's return value is a view over the persisted state
+      }
+      .start()
 }

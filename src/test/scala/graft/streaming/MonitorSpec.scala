@@ -309,6 +309,43 @@ class MonitorSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 2L, 11L))
   }
 
+  test("priority-sample sink: state is the (n+1)-row reservoir file; a " +
+    "fresh checkpoint replaying everything moves no decision") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("graft-priosink-")
+    val in = s"$root/in"; val idx = s"$root/res"
+    def write(rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("doc_id", "w").coalesce(1)
+        .write.mode("append").parquet(in)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("w", DoubleType)))
+    def start(cp: String) = Monitor.prioritySampleSink(
+      spark.readStream.schema(schema).parquet(in), idx, cp,
+      col("doc_id"), col("w"), n = 5)
+    val all = (0L until 40L).map(i => (i, 1.0 + (i % 9).toDouble))
+    write(all.take(20));
+    val q1 = start(s"$root/cp1")
+    try q1.processAllAvailable() finally q1.stop()
+    write(all.drop(20))
+    val q2 = start(s"$root/cp1")
+    try q2.processAllAvailable() finally q2.stop()
+    // bounded state: the reservoir holds exactly n+1 candidates
+    assert(spark.read.parquet(idx).count() == 6)
+    val drained = spark.read.parquet(idx)
+      .select("key").collect().map(_.getString(0).toLong).toSet
+    val batch = graft.ops.Sampling.prioritySample(
+      all.toDF("doc_id", "w"), col("doc_id"), col("w"), n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(batch.subsetOf(drained) && drained.size == 6)
+    // a FRESH checkpoint replays the entire input through the SAME
+    // reservoir — re-deliveries collapse, decisions identical
+    val q3 = start(s"$root/cp2")
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.read.parquet(idx)
+      .select("key").collect().map(_.getString(0).toLong).toSet == drained)
+  }
+
   test("SQL registration: custom expressions callable from spark.sql") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(
