@@ -411,4 +411,44 @@ class ScaleUpExperiment extends AnyFunSuite {
       "prototypicalityPrune scale-up ratio too high")
     emb2.unpersist(); bigEmb2.unpersist()
   }
+
+  test("wave-5 ops (duplicatedSpans, prioritySample) scale ~linearly") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow (~2 min): opt in with GRAFT_SCALEUP=1 sbt test")
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text").cache()
+    val big = (0 until 10).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(8).cache()
+    base.count(); big.count()
+
+    // ExactSubstr: the replication fixture is the WORST case — every
+    // window fingerprint becomes 10-way duplicated, so the marked set
+    // is the whole corpus token stream. Output spans stay ~1/doc
+    // (linear); the count exchange carries distinct fps per task
+    def spans(d: org.apache.spark.sql.DataFrame): Long =
+      SpanDedup.duplicatedSpans(d, k = 8).count()
+    val t1s = time(spans(base))
+    val t10s = time(spans(big))
+    println(f"[scaleup] spans 1x=$t1s%.1fs 10x=$t10s%.1fs ratio=${t10s / t1s}%.1f")
+    assert(t10s / math.max(t1s, 0.5) < 25,
+      "duplicatedSpans scale-up ratio too high")
+
+    // priority sampling: TakeOrderedAndProject keeps n+1 rows per
+    // partition — wall-clock is the scan, never a sort
+    def prio(d: org.apache.spark.sql.DataFrame): Long =
+      Sampling.prioritySample(d, col("doc_id"),
+        Text.tokenCount(col("text")).cast("double"), n = 1000).count()
+    val t1q = time(prio(base))
+    val t10q = time(prio(big))
+    println(f"[scaleup] priority 1x=$t1q%.1fs 10x=$t10q%.1fs ratio=${t10q / t1q}%.1f")
+    assert(t10q / math.max(t1q, 0.5) < 25,
+      "prioritySample scale-up ratio too high")
+    base.unpersist(); big.unpersist()
+  }
 }
