@@ -188,6 +188,95 @@ class OpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("duplicatedSpans / removeDuplicatedSpans == naive reference for " +
+    "random tiny-vocab corpora") {
+    // a 5-symbol vocabulary makes duplicated windows common, exercising
+    // merges, self-repeats, and full-doc spans the fixture can't
+    val docGen = Gen.choose(0, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))
+    val caseGen = for {
+      n <- Gen.choose(2, 6)
+      texts <- Gen.listOfN(n, docGen)
+      k <- Gen.choose(2, 4)
+      minOcc <- Gen.choose(2, 3)
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, k, minOcc)
+    sample(caseGen, 8).foreach { case (docsSeq, k, minOcc) =>
+      def toks(t: String) = t.split("\\s+").toSeq
+      val grams = docsSeq.flatMap { case (id, t) =>
+        val ts = toks(t)
+        if (ts.size >= k)
+          (0 to ts.size - k).map(i => (id, i, ts.slice(i, i + k).mkString(" ")))
+        else Seq.empty
+      }
+      val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val expSpans = grams.filter(g => counts(g._3) >= minOcc)
+        .groupBy(_._1).toSeq.flatMap { case (id, ms) =>
+          val merged = scala.collection.mutable.ListBuffer[(Int, Int)]()
+          ms.map(m => (m._2, m._2 + k)).sortBy(_._1).foreach { case (s, e) =>
+            if (merged.nonEmpty && s <= merged.last._2) {
+              val (ls, le) = merged.last
+              merged(merged.size - 1) = (ls, math.max(le, e))
+            } else merged += ((s, e))
+          }
+          merged.map { case (s, e) => (id, s.toLong, e.toLong) }
+        }.sortBy(x => (x._1, x._2))
+      val df = docsSeq.toDF("doc_id", "text")
+      val got = SpanDedup.duplicatedSpans(df, k, minOcc.toLong)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(got == expSpans, s"k=$k minOcc=$minOcc docs=$docsSeq")
+      // removal: survivors are exactly the unmarked positions, re-joined
+      val spanMap = expSpans.groupBy(_._1)
+      val expClean = docsSeq.map { case (id, t) =>
+        val ts = toks(t)
+        val kept = ts.zipWithIndex.filterNot { case (_, i) =>
+          spanMap.getOrElse(id, Seq.empty)
+            .exists(sp => i >= sp._2 && i < sp._3)
+        }.map(_._1)
+        (id, kept.mkString(" "), (ts.size - kept.size).toLong)
+      }.sortBy(_._1)
+      val gotClean = SpanDedup.removeDuplicatedSpans(df, k, minOcc.toLong)
+        .select(col("doc_id"), col("clean_text"), col("n_removed_tokens"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(gotClean == expClean, s"k=$k minOcc=$minOcc docs=$docsSeq")
+    }
+  }
+
+  test("prioritySample == naive reference: same rows, same est_weight, " +
+    "bit for bit") {
+    val rowGen = for {
+      id <- Gen.choose(0L, 40L)
+      w <- Gen.oneOf(Gen.choose(0.5, 100.0), Gen.oneOf(0.0, -1.0, 1e9))
+    } yield (id, w)
+    val caseGen = for {
+      rows <- Gen.nonEmptyListOf(rowGen)
+      n <- Gen.choose(1, 15)
+    } yield (rows.groupBy(_._1).map(_._2.head).toSeq, n)
+    sample(caseGen, 8).foreach { case (rows, n) =>
+      def prio(id: Long, w: Double): Double = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString.substring(0, 13)
+        // the same two exact steps the Column form runs
+        w / ((java.lang.Long.parseLong(hex, 16) + 1L).toDouble
+          / 4503599627370496.0)
+      }
+      val pos = rows.filter(_._2 > 0.0)
+      val top = pos.map { case (id, w) => (id, w, prio(id, w)) }
+        .sortBy { case (id, _, p) => (-p, id) }.take(n + 1)
+      val tau = if (top.size == n + 1) top.last._3 else 0.0
+      val expected = top.take(n)
+        .map { case (id, w, _) => (id, math.max(w, tau)) }.sortBy(_._1)
+      val got = Sampling.prioritySample(rows.toDF("id", "w"),
+        col("id"), col("w"), n)
+        .select(col("id"), col("est_weight"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy(_._1).toSeq
+      assert(got == expected, s"n=$n rows=$rows")
+    }
+  }
+
   test("perceptual hash: deterministic; local edit never farther than " +
     "a full rewrite") {
     val wordsGen = Gen.listOfN(12,
