@@ -134,6 +134,54 @@ object Text {
                  maxWords: Int = 100000): Column =
     gopherRules(text, minWords, maxWords).map(_._2).reduce(_ && _)
 
+  /** Boilerplate phrases whose presence drops a LINE under the C4
+    * cleanup (Raffel et al. 2020 §2.2: "javascript" plus the
+    * cookie/policy notices). Lowercase substring matches. */
+  val c4LineDropPhrases: Seq[String] = Seq(
+    "javascript", "uses cookies", "cookie policy", "privacy policy",
+    "terms of use")
+
+  /** C4-style line cleanup (Raffel et al. 2020, "Exploring the Limits
+    * of Transfer Learning with a Unified Text-to-Text Transformer",
+    * §2.2): keep only lines that end in terminal punctuation, carry at
+    * least `minLineWords` words, and contain none of
+    * [[c4LineDropPhrases]]; survivors re-join on newline. A pure
+    * per-row array expression — codegen'd, no shuffle, linear at any
+    * corpus size (the line list lives inside the row). */
+  /** The surviving-line array behind [[c4CleanLines]] and the
+    * sentence-count rule. */
+  private def c4KeptLines(text: Column, minLineWords: Int): Column =
+    filter(split(text, "\n"), l =>
+      c4LineDropPhrases.foldLeft(
+        l.rlike("[.!?\"]$") &&
+          size(split(l, "\\s+")) >= minLineWords) {
+        (acc, p) => acc && !lower(l).contains(p)
+      })
+
+  def c4CleanLines(text: Column, minLineWords: Int = 5): Column =
+    concat_ws("\n", c4KeptLines(text, minLineWords))
+
+  /** C4 document-level rule flags: no curly brace anywhere (code/markup
+    * tell), no "lorem ipsum" placeholder, and at least `minSentences`
+    * lines surviving the cleanup — each survivor ends in a terminal
+    * mark by the line rule, making the line count the deterministic
+    * stand-in for the paper's "at least 3 sentences" (a tokenizer-free
+    * under-count: a kept line holding several sentences counts once).
+    * Like [[gopherRules]], every comparison is integer/string
+    * arithmetic — bit-reproducible in ANSI SQL. */
+  def c4Rules(text: Column, minSentences: Int = 3,
+              minLineWords: Int = 5): Seq[(String, Column)] = Seq(
+    "rule_brace" -> !text.contains("{"),
+    "rule_lorem" -> !lower(text).contains("lorem ipsum"),
+    "rule_sentences" ->
+      (size(c4KeptLines(text, minLineWords)) >= lit(minSentences)))
+
+  /** Conjunction of all [[c4Rules]] — the C4 page-level keep decision.
+    * Codegen'd scan-filter predicate, like [[gopherKeep]]. */
+  def c4Keep(text: Column, minSentences: Int = 3,
+             minLineWords: Int = 5): Column =
+    c4Rules(text, minSentences, minLineWords).map(_._2).reduce(_ && _)
+
   /** Corpus vocabulary statistics: per token, total occurrences and
     * document frequency — the TF-IDF building block. One explode + one
     * partial-aggregatable groupBy; at 100 TB the exchange carries one row

@@ -51,6 +51,35 @@ object TrainingData {
     // symbol/alpha rules, so deterministic noise is injected (mirrored in
     // the oracle, the q_doc_redact discipline): '#' runs for doc_id%7,
     // digit-word runs for doc_id%11 — every rule decides something.
+    // C4-style cleanup + page gate over deterministically synthesized
+    // line structure (the flat fixture has no newlines/punctuation, so
+    // both engines build the same six-line page: three token-slice
+    // sentences, a javascript line, a no-punctuation line, and per-id
+    // cookie/lorem/brace injections)
+    "q_doc_c4" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      def sent(a: Int) = concat(concat_ws(" ", slice(toks, a, 6)), lit("."))
+      val synth = concat_ws("\n",
+        sent(1),
+        lit("click here javascript required."),
+        sent(7),
+        concat_ws(" ", slice(toks, 13, 6)),
+        when(col("doc_id") % 5 === 0,
+          lit("This site uses cookies; accept our privacy policy."))
+          .otherwise(sent(19)),
+        when(col("doc_id") % 13 === 0,
+          lit("Lorem ipsum dolor sit amet.")).otherwise(sent(25)))
+      val aug = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(synth, lit("\n{ config")))
+          .otherwise(synth))
+      val rules = Text.c4Rules(col("text"))
+      aug.select(Seq(col("doc_id")) ++
+        rules.map { case (n, c) => c.as(n) } ++
+        Seq(Text.c4Keep(col("text")).as("keep"),
+          md5(Text.c4CleanLines(col("text"))).as("clean_fp")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_doc_gopher" -> ((s, dir) => {
       val aug = docs(s, dir).withColumn("text",
         concat(col("text"),
@@ -1434,6 +1463,54 @@ object TrainingData {
         |FROM t)
         |SELECT doc_id, quality FROM q WHERE quality >= 0.7
         |ORDER BY doc_id""".stripMargin,
+
+    // the same six-line synthesis, line filter, and integer/string rule
+    // arithmetic replayed in SQL
+    "q_doc_c4" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+        |), syn AS (
+        |  -- COALESCE: DuckDB's array_to_string of an EMPTY slice is
+        |  -- NULL where Spark's concat_ws is '' (short docs)
+        |  SELECT doc_id,
+        |    COALESCE(array_to_string(t[1:6], ' '), '') || '.' || chr(10) ||
+        |    'click here javascript required.' || chr(10) ||
+        |    COALESCE(array_to_string(t[7:12], ' '), '') || '.' || chr(10) ||
+        |    COALESCE(array_to_string(t[13:18], ' '), '') || chr(10) ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'This site uses cookies; accept our privacy policy.'
+        |      ELSE COALESCE(array_to_string(t[19:24], ' '), '') || '.' END
+        |      || chr(10) ||
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN 'Lorem ipsum dolor sit amet.'
+        |      ELSE COALESCE(array_to_string(t[25:30], ' '), '') || '.' END
+        |      AS s
+        |  FROM t0
+        |), syn2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN s || chr(10) || '{ config'
+        |      ELSE s END AS s
+        |  FROM syn
+        |), cl AS (
+        |  SELECT doc_id, s,
+        |    list_filter(string_split(s, chr(10)), l ->
+        |      regexp_matches(l, '[.!?"]$')
+        |      AND len(string_split_regex(l, '\s+')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')
+        |      AND NOT contains(lower(l), 'uses cookies')
+        |      AND NOT contains(lower(l), 'cookie policy')
+        |      AND NOT contains(lower(l), 'privacy policy')
+        |      AND NOT contains(lower(l), 'terms of use')) AS kept
+        |  FROM syn2
+        |)
+        |SELECT doc_id,
+        |  NOT contains(s, '{') AS rule_brace,
+        |  NOT contains(lower(s), 'lorem ipsum') AS rule_lorem,
+        |  len(kept) >= 3 AS rule_sentences,
+        |  (NOT contains(s, '{') AND NOT contains(lower(s), 'lorem ipsum')
+        |   AND len(kept) >= 3) AS keep,
+        |  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS clean_fp
+        |FROM cl ORDER BY doc_id""".stripMargin,
 
     "q_doc_gopher" ->
       """WITH aug AS (

@@ -102,4 +102,47 @@ class TextEdgeSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "alpha"), (2L, "beta\ngamma"),
       (3L, ""), (4L, "delta")))
   }
+
+  test("c4CleanLines: terminal punctuation, word floor, and phrase " +
+    "drops; c4Rules gates brace/lorem/sentence-count pages") {
+    val good = "this is a proper sentence here."
+    val pages = Seq(
+      // three good sentences -> keep
+      (0L, s"$good\n$good\n$good"),
+      // javascript and cookie lines cut; only two sentences left
+      (1L, s"$good\nplease enable javascript to continue.\n" +
+        s"this site uses cookies for tracking.\n$good"),
+      // no terminal punctuation anywhere
+      (2L, "a line without any ending\nanother bare line"),
+      // short exclamations fail the five-word floor
+      (3L, "wow!\nnice!\ngreat!"),
+      // quote counts as terminal punctuation (C4 keeps quoted speech)
+      (4L, "he said \"this is clearly fine speech\"\n" +
+        s"$good\n$good"),
+      // lorem and brace pages die regardless of line quality
+      (5L, s"$good\n$good\nLorem ipsum dolor sit amet filler.\n$good"),
+      (6L, s"$good\n$good\nvar x = { a: 1 };\n$good"),
+      (7L, "")).toDF("doc_id", "text")
+    val out = pages.select(col("doc_id"),
+      Text.c4CleanLines(col("text")).as("clean"),
+      Text.c4Keep(col("text")).as("keep"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val byId = out.map(x => x._1 -> x).toMap
+    assert(byId(0L)._3)
+    assert(byId(1L)._2 == s"$good\n$good" && !byId(1L)._3)
+    assert(byId(2L)._2 == "" && !byId(2L)._3)
+    assert(byId(3L)._2 == "" && !byId(3L)._3)
+    assert(byId(4L)._3 &&
+      byId(4L)._2.startsWith("he said \"this is clearly fine speech\""))
+    assert(!byId(5L)._3 && !byId(6L)._3 && !byId(7L)._3)
+    // rule attribution: 5 fails lorem only, 6 fails brace only
+    val ruleCols = Seq(col("doc_id")) ++
+      Text.c4Rules(col("text")).map { case (n, c) => c.as(n) }
+    val rules = pages.filter(col("doc_id").isin(5L, 6L))
+      .select(ruleCols: _*)
+      .orderBy("doc_id").collect()
+    assert(rules(0).getBoolean(1) && !rules(0).getBoolean(2))
+    assert(!rules(1).getBoolean(1) && rules(1).getBoolean(2))
+  }
 }
