@@ -1,0 +1,109 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** The curation-SELECTION layer a pretraining pipeline runs after the
+  * classic cleaning funnel ([[TrainingDataDemo]]) — deciding not just
+  * what is clean, but what is WORTH training on and in what order:
+  *
+  *   C4 page gate → exact-substring (passage) dedup → DSIR importance
+  *   scoring against a target domain + K-domain routing → embedding
+  *   prototypicality pruning → priority-sampled token-weighted corpus
+  *   snapshot → temperature-flattened mixture → curriculum order
+  *
+  * Every stage is deterministic (no rand()), so the whole layer is
+  * re-runnable and auditable: the same corpus always yields the same
+  * selection, the same sample, and the same training order.
+  * Run: `sbt "runMain graft.examples.CurationDemo [sfDir]"`.
+  */
+object CurationDemo {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-curation-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n0 = docs.count()
+
+    // 1. C4 page gate on synthesized page structure (the bundled corpus
+    //    is flat single-line text; a real crawl passes its pages
+    //    directly). Three token-slice sentences make a well-formed page.
+    val toks = Text.tokens(col("text"))
+    def sent(a: Int) = concat(concat_ws(" ", slice(toks, a, 8)), lit("."))
+    val paged = docs.withColumn("page",
+      concat_ws("\n", sent(1), sent(9), sent(17), sent(25)))
+    val gated = paged.filter(Text.c4Keep(col("page")))
+    val n1 = gated.count()
+    println(s"c4 gate: $n0 -> $n1 pages")
+
+    // 2. passage-level dedup: cut every 8-token span occurring twice+
+    //    corpus-wide (license headers, quoted boilerplate), then drop
+    //    docs left with fewer than 8 tokens
+    val cleaned = SpanDedup.removeDuplicatedSpans(gated, k = 8)
+      .withColumn("text", col("clean_text"))
+      .filter(Text.tokenCount(col("text")) >= 8)
+    val nSpans = SpanDedup.duplicatedSpans(gated, k = 8).count()
+    val n2 = cleaned.count()
+    println(s"span dedup: $nSpans duplicated spans cut; $n1 -> $n2 docs")
+
+    // 3. DSIR: score every doc by how target-like it is (target = the
+    //    src1 slice, standing in for a curated high-quality domain),
+    //    keep the top half; then route survivors across two domains
+    val target = cleaned.filter(col("source") === "src1")
+    val raw = cleaned.filter(col("source") =!= "src1")
+    val selected = Dsir.dsirSelect(raw, target, n = (n2 / 2).toInt,
+      buckets = 4096)
+    val routed = Dsir.domainRoute(cleaned,
+      Seq("code" -> cleaned.filter(col("source") === "src2"),
+        "prose" -> cleaned.filter(col("source") === "src3")),
+      buckets = 4096)
+    val routeMix = routed.groupBy(col("domain")).count()
+      .orderBy(col("domain")).collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"dsir: kept top ${selected.count()} target-like docs; " +
+      s"routing $routeMix")
+
+    // 4. embedding-space diversity: prune each IVF cluster to its 60%
+    //    LEAST prototypical members (Sorscher et al.: on abundant data,
+    //    keep the hard examples)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pruned = Similarity.prototypicalityPrune(emb,
+      keepPerCluster = 60, keepLeast = true, trainFraction = 0.5)
+    println(s"proto prune: ${emb.count()} -> ${pruned.count()} vectors")
+
+    // 5. priority sample: a token-weighted 200-doc corpus snapshot
+    //    whose est_weight makes any subset token-count unbiased —
+    //    the deterministic alternative to rand() subsampling for
+    //    eval slices and ablations
+    val snapshot = Sampling.prioritySample(cleaned, col("doc_id"),
+      Text.tokenCount(col("text")).cast("double"), n = 200)
+    val estTok = snapshot.agg(sum(col("est_weight"))).head().getDouble(0)
+    val trueTok = cleaned.agg(sum(Text.tokenCount(col("text"))
+      .cast("double"))).head().getDouble(0)
+    println(f"priority snapshot: 200 docs estimate " +
+      f"$estTok%.0f of $trueTok%.0f corpus tokens " +
+      f"(${100 * estTok / trueTok}%.1f%%)")
+
+    // 6. temperature-flatten the source mixture (alpha=0.5), then fix
+    //    the training order: sources as curriculum stages, hash-shuffled
+    //    within each stage — no global sort at any step
+    val mixed = Sampling.temperatureSample(cleaned, col("source"),
+      col("doc_id"), alpha = 0.5)
+    val stages = mixed.select(col("source")).distinct()
+      .orderBy(col("source")).collect().map(_.getString(0)).toSeq
+    val ordered = Sampling.curriculumOrder(mixed, col("source"),
+      col("doc_id"), stages)
+    val head = ordered.orderBy(col("position")).limit(3)
+      .collect().map(r => r.getAs[Long]("doc_id")).mkString(", ")
+    println(s"curriculum: ${mixed.count()} docs over " +
+      s"${stages.size} stages; training starts with docs $head")
+
+    spark.stop()
+  }
+}
