@@ -45,6 +45,7 @@ object IngestDemo {
     var corpus = docs.limit(0) // accumulated kept docs (rereadFrom mode)
     val mhIdx = s"$root/minhash_idx"
 
+    val spanIdx = s"$root/span_idx"
     Seq(("day1", b1), ("day2", b2), ("day3", b3)).foreach { case (day, b) =>
       val n = b.count()
       val exact = Dedup.incrementalExactDedup(b, exactIdx)
@@ -52,15 +53,20 @@ object IngestDemo {
         rereadFrom = Some(corpus)).localCheckpoint(true)
       corpus = corpus.unionByName(near).localCheckpoint(true)
       val sim = Dedup.incrementalSimhashDedup(b, simIdx)
+      // passage granularity: re-arriving 8-token spans (keep-one — the
+      // first arrival stays unmarked in the corpus)
+      val spans = graft.ops.SpanDedup
+        .incrementalDuplicatedSpans(b, spanIdx, k = 8)
       println(s"$day: ${n} in -> exact ${exact.count()}, " +
-        s"minhash ${near.count()}, simhash ${sim.count()} kept")
+        s"minhash ${near.count()}, simhash ${sim.count()} kept; " +
+        s"${spans.count()} re-arrived passages")
     }
 
     // lifecycle: one small file set per batch accumulated — compact
     def files(p: String): Int = graft.core.Fs.fs(p)
       .listStatus(new org.apache.hadoop.fs.Path(p))
       .count(_.getPath.getName.endsWith(".parquet"))
-    Seq(exactIdx, mhIdx, simIdx).foreach { idx =>
+    Seq(exactIdx, mhIdx, simIdx, spanIdx).foreach { idx =>
       val before = files(idx)
       Dedup.compactIndex(spark, idx)
       println(s"compact ${idx.split('/').last}: $before -> ${files(idx)} files")

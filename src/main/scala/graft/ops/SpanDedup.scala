@@ -69,20 +69,79 @@ object SpanDedup {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minOccurrences)
       .select(col("h"))
-    val marked = grams.join(dup, Seq("h"), "left_semi")
-      .select(col("id"), col("pos").cast("long").as("__s"),
-        (col("pos") + lit(k.toLong)).as("__e"))
     // classic interval merge: a window starts a new span iff it begins
     // strictly after every earlier window ended; `pos` is unique per
     // doc so the two window passes are deterministic
+    val marked = grams.join(dup, Seq("h"), "left_semi")
+      .select(col("id"), col("pos").cast("long").as("__s"),
+        (col("pos") + lit(k.toLong)).as("__e"))
+    mergeIntervals(marked, idCol)
+  }
+
+  /** Cross-batch ExactSubstr: maximal duplicated spans of ONE batch
+    * against the batch itself plus every fingerprint ever seen through
+    * `indexPath` — continuous-ingest passage dedup. A window is
+    * duplicated when its corpus-wide occurrence count (historical +
+    * in-batch) reaches `minOccurrences`; history's own copies were NOT
+    * marked when they arrived, so the fold has keep-one semantics
+    * (the first arrival of a passage survives, every re-arrival is
+    * reported) — closer to suffix-array dedup than the batch operator's
+    * drop-all policy.
+    *
+    * The index stores `(h, cnt)` count deltas, one append per batch —
+    * one row per DISTINCT in-batch fingerprint, read back with a
+    * partial-aggregated SUM per fingerprint (split counts from many
+    * appends are summed, so [[Dedup.compactIndex]] can repartition the
+    * path freely; reads fail fast on a stale compaction lock). Like the
+    * exact-verify shingle index, the footprint is corpus-scale BY
+    * DESIGN (~16 bytes per distinct k-token window) — that is the
+    * honest cost of exact passage-level history, and the same
+    * compaction lifecycle bounds its file count. The returned spans are
+    * pinned (localCheckpoint) BEFORE the delta append: the mark join
+    * reads the index, and a caller action after the append would
+    * otherwise re-plan against history that now contains the batch
+    * itself, silently re-marking it. */
+  def incrementalDuplicatedSpans(batch: DataFrame, indexPath: String,
+                                 k: Int, minOccurrences: Long = 2L,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"window of $k tokens cannot overlap-merge; use k >= 2")
+    require(minOccurrences >= 2,
+      s"minOccurrences=$minOccurrences marks every window as duplicated")
+    import graft.core.Fs
+    val spark = batch.sparkSession
+    Dedup.recoverIndex(indexPath)
+    val grams = windowFingerprints(batch, k, idCol, textCol)
+    val batchCounts = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val seen =
+      if (Fs.exists(indexPath) && Fs.listNames(indexPath).nonEmpty)
+        spark.read.parquet(indexPath).groupBy(col("h"))
+          .agg(sum(col("cnt")).as("__seen"))
+      else batchCounts.limit(0).select(col("h"), col("cnt").as("__seen"))
+    val dupH = batchCounts.join(seen, Seq("h"), "left_outer")
+      .filter(col("cnt") + coalesce(col("__seen"), lit(0L))
+        >= minOccurrences)
+      .select(col("h"))
+    val marked = grams.join(dupH, Seq("h"), "left_semi")
+      .select(col("id"), col("pos").cast("long").as("__s"),
+        (col("pos") + lit(k.toLong)).as("__e"))
+    val spans = mergeIntervals(marked, idCol).localCheckpoint()
+    batchCounts.write.mode("append").parquet(indexPath)
+    spans
+  }
+
+  /** The shared per-doc running-max interval merge over marked
+    * `(id, __s, __e)` windows. */
+  private def mergeIntervals(marked: DataFrame, idCol: String): DataFrame = {
     val byPos = Window.partitionBy(col("id")).orderBy(col("__s"))
     val runMax = max(col("__e"))
       .over(byPos.rowsBetween(Window.unboundedPreceding, -1))
-    val flagged = marked.withColumn("__new",
-      when(col("__s") > coalesce(runMax, lit(-1L)), 1L).otherwise(0L))
-    val grouped = flagged.withColumn("__g",
-      sum(col("__new")).over(byPos))
-    grouped.groupBy(col("id"), col("__g"))
+    marked
+      .withColumn("__new",
+        when(col("__s") > coalesce(runMax, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("__g", sum(col("__new")).over(byPos))
+      .groupBy(col("id"), col("__g"))
       .agg(min(col("__s")).as("span_start"), max(col("__e")).as("span_end"))
       .select(col("id").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))

@@ -793,6 +793,21 @@ object TrainingData {
       graft.ops.SpanDedup.duplicatedSpans(docs(s, dir), k = 8)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // cross-batch ExactSubstr through the persisted fingerprint-count
+    // index: even docs arrive first (only in-batch dups marked), odd
+    // docs second (marked against history + themselves) — keep-one
+    // semantics, replayed in SQL with per-batch count arithmetic
+    "q_doc_span_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-spandx-").toString + "/idx"
+      val s1 = graft.ops.SpanDedup.incrementalDuplicatedSpans(
+        d.filter(col("doc_id") % 2 === 0), idx, k = 8)
+      val s2 = graft.ops.SpanDedup.incrementalDuplicatedSpans(
+        d.filter(col("doc_id") % 2 === 1), idx, k = 8)
+      s1.unionByName(s2).orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // the removal pass over the same spans: every duplicated passage is
     // cut, survivors re-joined on single spaces; clean text compared by
     // fingerprint
@@ -3008,6 +3023,46 @@ object TrainingData {
         """SELECT doc_id, span_start, span_end,
           |  span_end - span_start AS span_tokens
           |FROM spans ORDER BY doc_id, span_start""".stripMargin),
+
+    // The incremental fold: batch-0 (even docs) windows mark against
+    // batch-0 counts only; batch-1 (odd) windows mark against both.
+    "q_doc_span_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 2 AS bt,
+        |    string_split_regex(text, '\s+') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, bt, i - 1 AS pos,
+        |    md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8
+        |), hc AS (
+        |  SELECT h, SUM(CASE WHEN bt = 0 THEN 1 ELSE 0 END) AS c0,
+        |    SUM(CASE WHEN bt = 1 THEN 1 ELSE 0 END) AS c1
+        |  FROM g GROUP BY h
+        |), mk AS (
+        |  SELECT g.doc_id, g.pos AS s, g.pos + 8 AS e
+        |  FROM g JOIN hc USING (h)
+        |  WHERE (g.bt = 0 AND hc.c0 >= 2)
+        |     OR (g.bt = 1 AND hc.c0 + hc.c1 >= 2)
+        |), m1 AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS f
+        |  FROM mk
+        |), m2 AS (
+        |  SELECT doc_id, s, e,
+        |    SUM(f) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS UNBOUNDED PRECEDING) AS gid
+        |  FROM m1
+        |), spans AS (
+        |  SELECT doc_id, gid, MIN(s) AS span_start, MAX(e) AS span_end
+        |  FROM m2 GROUP BY 1, 2
+        |)
+        |SELECT doc_id, span_start, span_end,
+        |  span_end - span_start AS span_tokens
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin,
 
     // The removal pass: tokens inside any span are cut, survivors
     // re-joined on single spaces (a fully-duplicated doc cleans to '').

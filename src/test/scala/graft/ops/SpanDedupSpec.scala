@@ -83,6 +83,36 @@ class SpanDedupSpec extends AnyFunSuite {
       (0L, "a0 a1 a2 b0 b1", 10L), (1L, "", 10L)))
   }
 
+  test("incremental fold has keep-one semantics: history's first copy " +
+    "is never marked, every re-arrival is; a re-delivered batch is " +
+    "fully marked (its content IS in history); stale locks fail fast") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-spandx-spec-").toString + "/idx"
+    val b1 = Seq((0L, s"${filler("a", 3)} $passage"),
+      (1L, filler("u", 12))).toDF("doc_id", "text")
+    val b2 = Seq((10L, s"${filler("b", 2)} $passage ${filler("c", 2)}"),
+      (11L, filler("v", 12))).toDF("doc_id", "text")
+    // batch 1: the passage is new — nothing marked
+    assert(SpanDedup.incrementalDuplicatedSpans(b1, idx, k = 4)
+      .count() == 0)
+    // batch 2: the passage re-arrives — marked at ITS offset only
+    val s2 = SpanDedup.incrementalDuplicatedSpans(b2, idx, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s2.toSeq == Seq((10L, 2L, 12L)))
+    // re-delivering batch 1 (a retried stage): every window of BOTH its
+    // docs is now in history, so both are fully marked — the correct
+    // dedup outcome for content that already made it into the corpus
+    val s3 = SpanDedup.incrementalDuplicatedSpans(b1, idx, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(s3.toSeq == Seq((0L, 0L, 13L), (1L, 0L, 12L)))
+    graft.core.Fs.writeString(s"$idx.__lock", "pid=dead")
+    val e = intercept[IllegalStateException] {
+      SpanDedup.incrementalDuplicatedSpans(b2, idx, k = 4)
+    }
+    assert(e.getMessage.contains("lock"))
+  }
+
   test("minOccurrences raises the corpus-wide bar") {
     val docs = Seq(
       (0L, passage), (1L, passage), (2L, passage),
