@@ -28,13 +28,42 @@ object Relational {
     * within one session (Bench runs every query twice). */
   private val streamQueryId = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** The events table carries nanosecond Parquet timestamps, which Spark
-    * rejects by default; read `ts` as nano-longs and convert to micros
-    * (truncation — same as DuckDB's ns->us handling). */
-  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+  /** Schema-adaptive probe for the events `ts` column. Testdata
+    * generations have shipped `ts` in several physical encodings:
+    *
+    *   - nanosecond-INT64 parquet, which Spark rejects by default —
+    *     read as nano-longs under `spark.sql.legacy.parquet.nanosAsLong`
+    *     and truncate to micros (the same ns->us handling DuckDB applies);
+    *   - native `timestamp[us]` WITHOUT the UTC-adjustment flag, which
+    *     Spark infers as TIMESTAMP_NTZ — cast to TIMESTAMP (sessions run
+    *     UTC throughout, so the wall-clock reinterpretation is exact;
+    *     watermarks and `unix_micros` only accept TIMESTAMP);
+    *   - native UTC-adjusted `timestamp[us]` — pass through unchanged.
+    *
+    * Returns the read schema plus the normalizing column, so batch and
+    * `readStream` ingestion share one rule. Documented in TESTDATA.md
+    * ("events schema contract"). */
+  private[queries] def eventsTs(
+      s: SparkSession, dir: String): (org.apache.spark.sql.types.StructType, Column) = {
+    // set the legacy conf BEFORE probing: with it, ns-INT64 files infer
+    // `ts: long` instead of throwing; native timestamp files are unaffected
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val tsCol = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast("timestamp")
+      case _ => col("ts")
+    }
+    (schema, tsCol)
+  }
+
+  /** Events table with `ts` normalized to a microsecond timestamp
+    * regardless of the on-disk encoding (see [[eventsTs]]). */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    val (_, tsCol) = eventsTs(s, dir)
+    t(s, dir, "events").withColumn("ts", tsCol)
   }
 
   /** Exact cross-engine sum of a double expression: round to cents with
@@ -277,15 +306,14 @@ object Relational {
     // making the double accumulation exact in any fold order.
     "q_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val (schema, tsCol) = eventsTs(s, dir)
       // the file stream source wants a directory: stream the sf dir,
       // glob-filtered down to the events table
       val ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .filter(col("user_id") < 20)
         .select(col("user_id"),
-          expr("timestamp_micros(ts div 1000)").as("ts"),
+          tsCol.as("ts"),
           floor(col("value") * 100 + lit(0.5)).as("value"))
         .as[graft.streaming.Monitor.SessionEvent]
       val name = s"graft_stream_sessions_${streamQueryId.incrementAndGet()}"
@@ -385,11 +413,10 @@ object Relational {
     // oracle is the plain batch per-hour aggregate. Cent flooring per
     // event keeps the double sum exact in any order.
     "q_stream_windowed" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val (schema, tsCol) = eventsTs(s, dir)
       val ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .select(expr("timestamp_micros(ts div 1000)").as("ts"),
+        .select(tsCol.as("ts"),
           col("event_type"),
           floor(col("value") * 100 + lit(0.5)).as("value"))
       val name = s"graft_stream_windows_${streamQueryId.incrementAndGet()}"
