@@ -231,16 +231,35 @@ object Dsir {
     require(lw.length == buckets && lw.forall(_.length == domains.length),
       "weight grid shape must be buckets x domains")
 
-    private def md5hex(s: String): String = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val sb = new StringBuilder(32)
-      d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-      sb.toString
-    }
+    /** Gram -> bucket, identical to [[explodeBuckets]]'s distributed
+      * `conv(substring(md5(g),1,6),16,10) % buckets`: the first 6 hex
+      * chars of an MD5 are its first 3 bytes, so the arithmetic below
+      * reproduces the hex-substring parse without materializing the hex
+      * string. The digest instance is reused per thread (getInstance
+      * per gram was the routing hot path's dominant cost), and a
+      * bounded per-thread memo exploits natural text's heavy token
+      * repetition across documents. */
+    @transient private lazy val mdTl =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    @transient private lazy val bucketMemoTl =
+      ThreadLocal.withInitial[java.util.HashMap[String, Integer]](() =>
+        new java.util.HashMap[String, Integer]())
 
-    private def bucket(g: String): Int =
-      Integer.parseInt(md5hex(g).substring(0, 6), 16) % buckets
+    private def bucket(g: String): Int = {
+      val memo = bucketMemoTl.get()
+      val hit = memo.get(g)
+      if (hit != null) hit.intValue()
+      else {
+        val md = mdTl.get()
+        md.reset()
+        val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val b = (((d(0) & 0xff) << 16) | ((d(1) & 0xff) << 8) | (d(2) & 0xff)) % buckets
+        if (memo.size >= (1 << 16)) memo.clear() // bound closure memory
+        memo.put(g, b)
+        b
+      }
+    }
 
     /** Route one document: `(winning domain, rounded winning score,
       * rounded margin to the runner-up)` — margin NaN when the router
