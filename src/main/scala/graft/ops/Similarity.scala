@@ -134,12 +134,27 @@ object Similarity {
   private def centroidDot(v: Column, c: Array[Double]): Column =
     VectorExprs.dotConst(v, c)
 
+  /** Past this many centroids the `greatest(struct(dot, cid), ...)`
+    * formulation stops being reasonable: K child expressions in one
+    * generated function (plan-compile blowup, then codegen fallback).
+    * The matrix-expression path has no such ceiling. */
+  private[ops] val literalArgmaxCeiling = 64
+
   /** Nearest-centroid id by maximum dot product (deterministic: ties take
-    * the higher centroid id via lexicographic struct comparison). */
+    * the higher centroid id via lexicographic struct comparison). Two
+    * spec-pinned-identical physical forms: up to
+    * [[literalArgmaxCeiling]] centroids, the original per-centroid
+    * literal `greatest` chain (unchanged plans for every existing
+    * caller); above it, [[VectorExprs.ArgMaxDot]] carries the whole
+    * centroid matrix as ONE reference object and loops K x dim inside
+    * codegen — corpus-scale IVF (thousands of cells over billions of
+    * vectors) without a join, a shuffle, or a K-term expression tree. */
   def assignCentroid(v: Column, centroids: Array[Array[Double]]): Column =
-    greatest(centroids.zipWithIndex.map { case (c, i) =>
-      struct(centroidDot(v, c).as("score"), lit(i).as("cid"))
-    }: _*).getField("cid")
+    if (centroids.length <= literalArgmaxCeiling)
+      greatest(centroids.zipWithIndex.map { case (c, i) =>
+        struct(centroidDot(v, c).as("score"), lit(i).as("cid"))
+      }: _*).getField("cid")
+    else VectorExprs.argMaxDot(v, centroids)
 
   /** Deterministic mini k-means (Lloyd) for the IVF coarse quantizer:
     * centroids seed from the `k` lowest-id vectors, each iteration assigns
@@ -303,14 +318,23 @@ object Similarity {
     require(nprobe > 0, "nprobe must be positive")
     val (centroids, bucketed) = ivfQuantize(corpus, numCentroids, iters,
       idCol, vecCol, trainFraction, targetTrain)
-    val probeArr = slice(sort_array(array(centroids.zipWithIndex.map {
-      case (c, i) =>
-        struct((-centroidDot(col("qv"), c)).as("ns"), lit(i).as("cid"))
-    }: _*)), 1, math.min(nprobe, centroids.length))
-    val probed = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .select(col("query_id"), col("qv"), explode(probeArr).as("p"))
-      .select(col("query_id"), col("qv"), col("p.cid").as("cid"))
+    // probe-cell selection: same two physical forms as assignCentroid —
+    // the K-term literal sort_array up to the ceiling (existing plans
+    // unchanged), one matrix expression above it (spec-pinned identical
+    // ordering, including null-score-first and cid tie-breaks)
+    val base = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probed =
+      if (centroids.length <= literalArgmaxCeiling) {
+        val probeArr = slice(sort_array(array(centroids.zipWithIndex.map {
+          case (c, i) =>
+            struct((-centroidDot(col("qv"), c)).as("ns"), lit(i).as("cid"))
+        }: _*)), 1, math.min(nprobe, centroids.length))
+        base.select(col("query_id"), col("qv"), explode(probeArr).as("p"))
+          .select(col("query_id"), col("qv"), col("p.cid").as("cid"))
+      } else
+        base.select(col("query_id"), col("qv"),
+          explode(VectorExprs.topNDotCids(col("qv"), centroids, nprobe))
+            .as("cid"))
     ivfRank(bucketed.join(probed, Seq("cid")), k)
   }
 
@@ -395,11 +419,13 @@ object Similarity {
     * Cell sizing: `numCentroids = 0` (the default) derives the cell count
     * from the corpus — `clamp(n / targetCellSize, 8, 64)` — so the
     * blocking tracks corpus growth instead of freezing at a test-sized
-    * constant (the round-3 `weak` finding). 64 is the practical ceiling
-    * for literal-centroid assignment (the per-row argmax is a codegen'd
-    * expression over all centroids); past 64 cells * targetCellSize
-    * vectors, an EXACT all-pairs answer is quadratic no matter the
-    * blocking — use [[annCosinePairs]] and accept recall < 1.
+    * constant (the round-3 `weak` finding). The derived clamp stays at
+    * 64 for an economics reason, not a codegen one (assignment itself
+    * now scales to thousands of cells via [[assignCentroid]]'s matrix
+    * path): past 64 cells * targetCellSize vectors, an EXACT all-pairs
+    * answer is quadratic no matter the blocking — use
+    * [[annCosinePairs]] and accept recall < 1. Callers may still pass
+    * an explicit larger `numCentroids`.
     *
     * Hot-cell guard: a cell holding more than `maxCellSize` vectors
     * (default 16x targetCellSize; negative disables) would make its |cell|^2
@@ -443,18 +469,27 @@ object Similarity {
       else Sampling.hashSample(corpus, col(idCol), frac)
     val centroids = kmeansCentroids(trainSet, cells, iters, idCol, vecCol)
     val norm = sqrt(VectorExprs.dot(col("v"), col("v")))
-    val best = greatest(centroids.zipWithIndex.map { case (c, i) =>
-      struct(centroidDot(col("v"), c).as("score"), lit(i).as("cid"))
-    }: _*)
+    // (cid, best score): literal greatest-chain up to the ceiling,
+    // the paired matrix expressions above it (same argmax semantics,
+    // two K x dim loops instead of K expression children)
+    val (bestCid, bestScore) =
+      if (centroids.length <= literalArgmaxCeiling) {
+        val best = greatest(centroids.zipWithIndex.map { case (c, i) =>
+          struct(centroidDot(col("v"), c).as("score"), lit(i).as("cid"))
+        }: _*)
+        (best.getField("cid"), best.getField("score"))
+      } else
+        (VectorExprs.argMaxDot(col("v"), centroids),
+          VectorExprs.maxDot(col("v"), centroids))
     // materialized once: the radii action, and both sides of the cell
     // self-join, would otherwise each recompute the numCentroids dot
     // products per row
     val assigned = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .filter(norm > 0)
-      .select(col("id"), col("v"), best.getField("cid").as("cid"),
+      .select(col("id"), col("v"), bestCid.as("cid"),
         acos(least(lit(1.0), greatest(lit(-1.0),
-          best.getField("score") / norm))).as("ang"))
+          bestScore / norm))).as("ang"))
       .localCheckpoint(true)
     // per-cell angular radius + population: `cells` rows to the driver
     val cellStats = assigned.groupBy(col("cid"))
@@ -527,8 +562,9 @@ object Similarity {
     transform(q, x => x.cast("double") * scale)
 
   /** Cell count for [[cosinePairs]]' metric blocking, derived from corpus
-    * size: one cell per `targetCellSize` vectors, clamped to [8, 64] (64
-    * = the literal-centroid assignment's codegen ceiling). */
+    * size: one cell per `targetCellSize` vectors, clamped to [8, 64]
+    * (the cap marks where an exact blocked answer stops being economic,
+    * not a codegen limit — see the [[cosinePairs]] scaladoc). */
   private[ops] def deriveCells(n: Long, targetCellSize: Long): Int =
     math.min(64L, math.max(8L,
       (n + targetCellSize - 1) / targetCellSize)).toInt

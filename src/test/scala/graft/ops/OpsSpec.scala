@@ -749,6 +749,105 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan
   }
 
+  test("matrix argmax expressions == literal greatest/sort_array forms, " +
+      "including null/ragged edges") {
+    // both physical forms of centroid assignment over the real corpus:
+    // literal-greatest (what assignCentroid emits at <= 64 cells) vs the
+    // matrix expression (what it emits above the ceiling)
+    val cents = Similarity.kmeansCentroids(emb, 16, iters = 2)
+    val litCid = greatest(cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorExprs.dotConst(col("embedding"), c).as("score"),
+        lit(i).as("cid"))
+    }.toSeq: _*).getField("cid")
+    assert(emb.select(litCid.as("a"),
+        VectorExprs.argMaxDot(col("embedding"), cents).as("b"),
+      greatest(cents.zipWithIndex.map { case (c, i) =>
+        struct(VectorExprs.dotConst(col("embedding"), c).as("score"),
+          lit(i).as("cid"))
+      }.toSeq: _*).getField("score").as("s1"),
+        VectorExprs.maxDot(col("embedding"), cents).as("s2"))
+      .filter(col("a") =!= col("b") ||
+        col("s1") =!= col("s2")).count() == 0L)
+    // probe-cell ordering parity (ivfTopKBatch's two forms) at several n
+    for (n <- Seq(1, 3, 16)) {
+      val litProbe = slice(sort_array(array(cents.zipWithIndex.map {
+        case (c, i) => struct((-VectorExprs.dotConst(col("embedding"), c))
+          .as("ns"), lit(i).as("cid"))
+      }.toSeq: _*)), 1, n)
+      val mismatch = emb.select(
+        transform(litProbe, p => p.getField("cid")).as("a"),
+        VectorExprs.topNDotCids(col("embedding"), cents, n).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(mismatch == 0L, s"probe-order divergence at n=$n")
+    }
+    // the literal form's null edges, reproduced exactly: a null array,
+    // a ragged (wrong-dim) array, and a null element all score null for
+    // EVERY centroid, and greatest-over-structs then resolves purely on
+    // cid -> K-1 (not null); sort_array puts null-score structs first,
+    // cid ascending
+    val edges = spark.sql(
+      """SELECT * FROM VALUES
+        | (cast(null as array<float>)),
+        | (array(cast(1.0 as float))),
+        | (array(cast(null as float), cast(2.0 as float)))
+        | AS t(v)""".stripMargin)
+    val d = emb.head().getAs[scala.collection.Seq[Float]]("embedding").length
+    val twoCents = Array(Array.fill(d)(0.1), Array.fill(d)(0.2))
+    val edgeRows = edges.select(
+      VectorExprs.argMaxDot(col("v"), twoCents).as("cid"),
+      VectorExprs.maxDot(col("v"), twoCents).as("score"),
+      VectorExprs.topNDotCids(col("v"), twoCents, 2).as("probe"))
+      .collect()
+    edgeRows.foreach { r =>
+      assert(r.getInt(0) == 1)           // greatest edge: ties -> higher cid
+      assert(r.isNullAt(1))              // all-null scores -> null score
+      assert(r.getSeq[Int](2) == Seq(0, 1)) // sort_array edge: cid ascending
+    }
+  }
+
+  test("IVF past the literal ceiling: 1024-centroid assignment matches " +
+      "a driver-side naive argmax; 128-cell IVF keeps recall") {
+    import spark.implicits._
+    // synthetic corpus big enough for 1024 cells: deterministic floats
+    // from a hash (no RNG — the repo-wide reproducibility rule)
+    val dim = 8
+    def vec(id: Long): Array[Float] = Array.tabulate(dim) { j =>
+      val h = graft.ops.SimHash64.fmix64(id * 31L + j)
+      ((h & 0xffff).toFloat / 65536.0f) - 0.5f
+    }
+    val vecs = (0L until 3000L).map(i => (i, vec(i)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, 1024, iters = 1)
+    assert(cents.length == 1024)
+    val assigned = df.select(col("vec_id"),
+      Similarity.assignCentroid(col("embedding"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // driver-side naive argmax with the same tie rule (ties -> higher cid)
+    vecs.foreach { case (id, v) =>
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      cents.zipWithIndex.foreach { case (c, i) =>
+        val s = c.zip(v.map(_.toDouble)).map { case (a, b) => a * b }.sum
+        if (java.lang.Double.compare(s, bestScore) >= 0) { best = i; bestScore = s }
+      }
+      assert(assigned(id) == best, s"vec $id: ${assigned(id)} != $best")
+    }
+    // end-to-end IVF above the ceiling, driver-probe and batch paths
+    // agreeing with each other and holding recall vs brute force
+    val q = df.filter(col("vec_id") < 5)
+    def rows(r: org.apache.spark.sql.DataFrame) = r
+      .select("query_id", "vec_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val bf = rows(Similarity.bruteForceTopK(df, q, 5))
+    val ivf = rows(Similarity.ivfTopK(df, q, 5, numCentroids = 128,
+      nprobe = 48, trainFraction = 1.0))
+    val ivfB = rows(Similarity.ivfTopKBatch(df, q, 5, numCentroids = 128,
+      nprobe = 48, trainFraction = 1.0))
+    assert(ivf == ivfB, "driver-probe and batch IVF diverged past the ceiling")
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"128-cell IVF recall $recall")
+  }
+
   test("cosine is symmetric and self-similarity is 1") {
     val one = emb.filter(col("vec_id") === 0)
       .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
