@@ -54,7 +54,13 @@ object IngestDemo {
       corpus = corpus.unionByName(near).localCheckpoint(true)
       val sim = Dedup.incrementalSimhashDedup(b, simIdx)
       // passage granularity: re-arriving 8-token spans (keep-one — the
-      // first arrival stays unmarked in the corpus)
+      // first arrival stays unmarked in the corpus). Deliberately fed
+      // the RAW batch, so the counts track ARRIVALS — including
+      // passages of docs the doc-level dedup above drops. A pipeline
+      // wanting counts consistent with the KEPT corpus (no re-arrival
+      // reports for passages no copy of which survived) would feed
+      // `near` here instead; this demo monitors the ingest stream
+      // itself, where re-crawled passages are exactly the signal.
       val spans = graft.ops.SpanDedup
         .incrementalDuplicatedSpans(b, spanIdx, k = 8)
       println(s"$day: ${n} in -> exact ${exact.count()}, " +

@@ -525,6 +525,17 @@ object Dedup {
     * than silently union-ing schemas (`rereadFrom` and the estimator
     * share the compact schema — the verify strategy there is a per-call
     * choice over the same signatures). Returns the kept batch rows.
+    *
+    * Which mode at corpus scale: prefer `rereadFrom` — decisions are
+    * provably identical to stored-`sh` (same exact Jaccard, recomputed
+    * for candidates only) while the index stays `numHashes` longs per
+    * doc instead of corpus-sized; stored-`sh` remains the default only
+    * because it needs no kept-corpus handle from the caller. Measured
+    * at sf0.1 (round 8): the two-batch ingest demos run 5.3s stored-sh
+    * vs 6.9s compact-with-compaction — the compact path's extra wall
+    * time is its compactIndex rewrite + candidate re-shingle, bounded
+    * work that does not grow with corpus size, while stored-sh carries
+    * the corpus-sized index forever.
     * Scale shape: the index is only ever touched by (a) a band-key
     * equi-join and (b) one partitioned append — no rewrite, no driver
     * materialization; the `sh` sets ride the candidate-pair join only,

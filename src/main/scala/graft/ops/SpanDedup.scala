@@ -100,7 +100,18 @@ object SpanDedup {
     * pinned (localCheckpoint) BEFORE the delta append: the mark join
     * reads the index, and a caller action after the append would
     * otherwise re-plan against history that now contains the batch
-    * itself, silently re-marking it. */
+    * itself, silently re-marking it.
+    *
+    * Delivery contract: the count-delta append is NOT idempotent — a
+    * re-delivered (retried) logical batch appends its counts again. At
+    * the default `minOccurrences = 2` the outcome is unchanged (the
+    * first legitimate count already crossed the threshold for true
+    * re-arrivals, and a double-counted single occurrence marks the
+    * passage exactly as its genuine second arrival would have), but
+    * with `minOccurrences > 2` duplicate appends inflate history toward
+    * the threshold and over-mark future arrivals. Callers on a
+    * retrying scheduler must ensure at-most-once appends per logical
+    * batch (e.g. stage batch ids and skip replays). */
   def incrementalDuplicatedSpans(batch: DataFrame, indexPath: String,
                                  k: Int, minOccurrences: Long = 2L,
                                  idCol: String = "doc_id",
@@ -112,8 +123,14 @@ object SpanDedup {
     val spark = batch.sparkSession
     Dedup.recoverIndex(indexPath)
     val grams = windowFingerprints(batch, k, idCol, textCol)
+    // pinned: the SAME counts feed both the duplicate mark below and
+    // the index append — a non-deterministic batch plan (sampling,
+    // shuffle-dependent ids) re-evaluated for the write could otherwise
+    // diverge from the counts the marking used; also avoids
+    // re-tokenizing the batch for the append
     val batchCounts = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val seen =
       if (Fs.exists(indexPath) && Fs.listNames(indexPath).nonEmpty)
         spark.read.parquet(indexPath).groupBy(col("h"))

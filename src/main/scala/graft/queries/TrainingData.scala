@@ -16,6 +16,22 @@ import graft.ops.{Dedup, Dsir, Multimodal, Profile, Retrieval, Similarity, Text}
   */
 object TrainingData {
 
+  /** Scratch directory for a per-invocation incremental index, deleted
+    * recursively at JVM exit: the demo queries build their index from
+    * scratch each run, so without cleanup every harness run leaked one
+    * directory of parquet per incremental query. */
+  private[queries] def scratchDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(d.toFile)
+    }))
+    d.toString
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -186,8 +202,7 @@ object TrainingData {
       val w = graft.ops.Text.tokenCount(col("text")).cast("double")
       val b1 = d.filter(col("doc_id") % 2 === 0)
       val b2 = d.filter(col("doc_id") % 2 === 1)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-priodx-").toString + "/reservoir"
+      val idx = scratchDir("graft-priodx-") + "/reservoir"
       graft.ops.Sampling.incrementalPrioritySample(b1, idx,
         col("doc_id"), w, n = 50)
       graft.ops.Sampling.incrementalPrioritySample(b2, idx,
@@ -618,8 +633,7 @@ object TrainingData {
       val dups = b1.filter(col("doc_id") % 6 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text"))
       val b2 = d.filter(col("doc_id") % 2 === 1).unionByName(dups)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-incdx-").toString
+      val idx = scratchDir("graft-incdx-")
       val s1 = Dedup.incrementalExactDedup(b1, idx)
       val s2 = Dedup.incrementalExactDedup(b2, idx)
       s1.unionByName(s2).select(col("doc_id")).orderBy(col("doc_id"))
@@ -644,8 +658,7 @@ object TrainingData {
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" recrawlmarker")).as("text"))
       val b2 = d.filter(col("doc_id") % 2 === 1).unionByName(dups)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-mhndx-").toString + "/idx"
+      val idx = scratchDir("graft-mhndx-") + "/idx"
       val s1 = Dedup.incrementalMinhashDedup(b1, idx)
       val s2 = Dedup.incrementalMinhashDedup(b2, idx)
       s1.unionByName(s2).select(col("doc_id")).orderBy(col("doc_id"))
@@ -664,8 +677,7 @@ object TrainingData {
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" recrawlmarker")).as("text"))
       val b2 = d.filter(col("doc_id") % 2 === 1).unionByName(dups)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-mhcdx-").toString + "/idx"
+      val idx = scratchDir("graft-mhcdx-") + "/idx"
       val s1 = Dedup.incrementalMinhashDedup(b1, idx,
         rereadFrom = Some(d.limit(0))).localCheckpoint(true)
       Dedup.compactIndex(s, idx)
@@ -688,8 +700,7 @@ object TrainingData {
         .select((col("doc_id") + 100000).as("doc_id"),
           expr("replace(text, ' ', '  ')").as("text"))
       val b2 = d.filter(col("doc_id") % 2 === 1).unionByName(dups)
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-shdx-").toString + "/idx"
+      val idx = scratchDir("graft-shdx-") + "/idx"
       val s1 = Dedup.incrementalSimhashDedup(b1, idx)
       val s2 = Dedup.incrementalSimhashDedup(b2, idx)
       s1.unionByName(s2).select(col("doc_id")).orderBy(col("doc_id"))
@@ -771,8 +782,7 @@ object TrainingData {
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val docsStream = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-priostream-").toString
+      val tmp = scratchDir("graft-priostream-")
       val q = graft.streaming.Monitor.prioritySampleSink(docsStream,
         s"$tmp/reservoir", s"$tmp/ckpt", col("doc_id"),
         graft.ops.Text.tokenCount(col("text")).cast("double"), n = 50)
@@ -799,8 +809,7 @@ object TrainingData {
     // semantics, replayed in SQL with per-batch count arithmetic
     "q_doc_span_incremental" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-spandx-").toString + "/idx"
+      val idx = scratchDir("graft-spandx-") + "/idx"
       val s1 = graft.ops.SpanDedup.incrementalDuplicatedSpans(
         d.filter(col("doc_id") % 2 === 0), idx, k = 8)
       val s2 = graft.ops.SpanDedup.incrementalDuplicatedSpans(
