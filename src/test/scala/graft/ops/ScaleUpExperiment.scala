@@ -451,4 +451,62 @@ class ScaleUpExperiment extends AnyFunSuite {
       "prioritySample scale-up ratio too high")
     base.unpersist(); big.unpersist()
   }
+
+  test("round-8 ops (domainRoute, rrfFuseBatch, hardNegatives) scale " +
+    "~linearly") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow (~2 min): opt in with GRAFT_SCALEUP=1 sbt test")
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text", "source").cache()
+    val big = (0 until 10).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(8).cache()
+    base.count(); big.count()
+
+    // domain routing: targets stay FIXED while the routed corpus grows
+    // 10x — the weight grids are buckets-bounded collects, the routing
+    // pass is the only corpus-sized exchange
+    def route(d: org.apache.spark.sql.DataFrame): Long =
+      Dsir.domainRoute(d.filter(!col("source").isin("src1", "src2")),
+        Seq("src1" -> base.filter(col("source") === "src1"),
+          "src2" -> base.filter(col("source") === "src2")),
+        buckets = 4096).count()
+    val t1r = time(route(base))
+    val t10r = time(route(big))
+    println(f"[scaleup] domainRoute 1x=$t1r%.1fs 10x=$t10r%.1fs ratio=${t10r / t1r}%.1f")
+    assert(t10r / math.max(t1r, 0.5) < 25,
+      "domainRoute scale-up ratio too high")
+
+    // retrieval fusion + negative mining over a QUERY-SCALED workload:
+    // 10x the query count (ranked lists derived per query), per-query
+    // work constant — the WindowGroupLimit rank partitions on qid
+    def ranked(d: org.apache.spark.sql.DataFrame, salt: Int) = d
+      .select((col("doc_id") % 500).as("query_id"),
+        col("doc_id").as("id"),
+        ((col("doc_id") * lit(31 + salt)) % 97 + 1).as("rank"))
+    def rrf(d: org.apache.spark.sql.DataFrame): Long =
+      Retrieval.rrfFuseBatch(Seq(ranked(d, 0), ranked(d, 1)), topK = 10)
+        .count()
+    val t1f = time(rrf(base))
+    val t10f = time(rrf(big))
+    println(f"[scaleup] rrfBatch 1x=$t1f%.1fs 10x=$t10f%.1fs ratio=${t10f / t1f}%.1f")
+    assert(t10f / math.max(t1f, 0.5) < 25,
+      "rrfFuseBatch scale-up ratio too high")
+
+    def negs(d: org.apache.spark.sql.DataFrame): Long =
+      Retrieval.hardNegatives(
+        ranked(d, 0).withColumn("score", lit(1.0) / col("rank")),
+        ranked(d, 0).filter(col("rank") <= 2), m = 5).count()
+    val t1h = time(negs(base))
+    val t10h = time(negs(big))
+    println(f"[scaleup] hardNegs 1x=$t1h%.1fs 10x=$t10h%.1fs ratio=${t10h / t1h}%.1f")
+    assert(t10h / math.max(t1h, 0.5) < 25,
+      "hardNegatives scale-up ratio too high")
+    base.unpersist(); big.unpersist()
+  }
 }
