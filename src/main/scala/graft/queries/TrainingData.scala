@@ -795,6 +795,24 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING exact-substring dedup: the corpus arrives as a stream
+    // and each micro-batch's re-arriving passages append through the
+    // persisted fingerprint index sink. A single AvailableNow drain is
+    // one batch, whose in-batch marking equals the batch operator
+    // exactly — so this shares q_doc_span_dedup's oracle; the genuine
+    // cross-batch fold is pinned by MonitorSpec's two-drop test
+    "q_stream_span" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docsStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val tmp = scratchDir("graft-spanstream-")
+      val q = graft.streaming.Monitor.spanDedupSink(docsStream,
+        s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt", k = 8)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$tmp/out")
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // exact-substring dedup (Lee et al. 2022 ExactSubstr at 8-token
     // granularity): maximal duplicated passages per doc — the spans a
     // license header or quoted paragraph occupies, invisible to
@@ -3028,6 +3046,13 @@ object TrainingData {
     // twice+ corpus-wide, overlapping windows merged per doc via the
     // same two-level running-max interval merge the engine runs.
     "q_doc_span_dedup" ->
+      (s"WITH $spanDedupCtes\n" +
+        """SELECT doc_id, span_start, span_end,
+          |  span_end - span_start AS span_tokens
+          |FROM spans ORDER BY doc_id, span_start""".stripMargin),
+
+    // one AvailableNow drain = one micro-batch = the batch marking
+    "q_stream_span" ->
       (s"WITH $spanDedupCtes\n" +
         """SELECT doc_id, span_start, span_end,
           |  span_end - span_start AS span_tokens

@@ -249,4 +249,34 @@ object Monitor {
         () // the fold's return value is a view over the persisted state
       }
       .start()
+
+  /** Stream a corpus through the persisted exact-substring index
+    * ([[graft.ops.SpanDedup.incrementalDuplicatedSpans]]): each
+    * micro-batch's duplicated spans — re-arriving k-token passages,
+    * judged against everything that ever flowed through `indexPath`
+    * plus the batch itself — append to `outPath`, and the fingerprint
+    * count deltas fold into the index. Keep-one semantics per passage:
+    * the first arrival is never reported, every re-arrival is.
+    *
+    * Delivery contract: the count-delta append is NOT idempotent (see
+    * [[graft.ops.SpanDedup.incrementalDuplicatedSpans]]), so here the
+    * streaming CHECKPOINT is the at-most-once mechanism — a resumed
+    * query never re-runs a committed micro-batch. Discarding the
+    * checkpoint while keeping the index double-counts history (at the
+    * default `minOccurrences = 2` decisions are unchanged; above it
+    * they over-mark) — resume from the checkpoint or reset both. */
+  def spanDedupSink(docs: DataFrame, indexPath: String, outPath: String,
+                    checkpointDir: String, k: Int,
+                    minOccurrences: Long = 2L,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.SpanDedup.incrementalDuplicatedSpans(batch, indexPath,
+          k, minOccurrences, idCol, textCol)
+          .write.mode("append").parquet(outPath)
+        () // spans persisted by the append; index holds the counts
+      }
+      .start()
 }

@@ -294,6 +294,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF past the literal ceiling plans FLAT: one matrix expression, " +
+    "not a K-term chain, and no join/shuffle for assignment") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // 128 centroids (> literalArgmaxCeiling): seeds-only training keeps
+    // the gate cheap — the assertion is about plan SHAPE, not recall
+    val cents = graft.ops.Similarity.kmeansCentroids(emb, 128, iters = 0)
+    assert(cents.length > 64)
+    val assignPlan = emb
+      .select(graft.ops.Similarity.assignCentroid(col("embedding"), cents))
+      .queryExecution.explainString(FormattedMode)
+    // the matrix expression appears ONCE; the literal form would emit
+    // one vec_dot_const per centroid and blow the plan up 128-fold
+    assert(assignPlan.contains("arg_max_dot"), assignPlan)
+    assert(!assignPlan.contains("vec_dot_const"), assignPlan)
+    assert(!assignPlan.contains("Exchange"), assignPlan) // pure projection
+    val q = emb.filter(col("vec_id") < 3)
+    val batchPlan = graft.ops.Similarity
+      .ivfTopKBatch(emb, q, k = 5, numCentroids = 128, iters = 0)
+      .queryExecution.explainString(FormattedMode)
+    assert(batchPlan.contains("top_n_dot_cids"), batchPlan)
+    assert(!batchPlan.contains("sort_array"), batchPlan)
+    assert(!batchPlan.contains("CartesianProduct"), batchPlan)
+    assert(!batchPlan.contains("BroadcastNestedLoopJoin"), batchPlan)
+    assert(batchPlan.contains("WindowGroupLimit"), batchPlan)
+  }
+
   test("q_doc_rrf_batch: every rank window is PARTITIONED (per-query " +
     "fan-out, no single-task global sort in the fusion)") {
     val p = plan("q_doc_rrf_batch")

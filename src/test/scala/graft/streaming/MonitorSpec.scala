@@ -406,4 +406,42 @@ class MonitorSpec extends AnyFunSuite {
       assert(hour0click.getAs[Double]("value_sum") == 3.0)
     } finally q.stop()
   }
+
+  test("span-dedup sink: passages re-arriving in a LATER batch are " +
+    "reported keep-one; checkpointed resume re-counts nothing") {
+    import spark.implicits._
+    val dir = tmpDir("graft-spansink-")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    def sink() = Monitor.spanDedupSink(
+      spark.readStream.schema(schema).parquet(s"$dir/in"),
+      s"$dir/idx", s"$dir/out", s"$dir/ckpt", k = 3)
+    val passage = "one two three four"
+    // batch 1: the passage's FIRST arrival (unique in batch) — keep-one
+    // means nothing is reported
+    write(Seq(1L -> s"$passage alpha beta", 2L -> "unrelated words here"))
+    val q1 = sink()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(!graft.core.Fs.exists(s"$dir/out") ||
+      spark.read.parquet(s"$dir/out").count() == 0L)
+    // batch 2 (same query lineage via the checkpoint): a re-crawl
+    // embedding the passage — every 3-token window of it re-arrives
+    write(Seq(10L -> s"gamma $passage delta"))
+    val q2 = sink()
+    try q2.processAllAvailable() finally q2.stop()
+    val spans = spark.read.parquet(s"$dir/out").collect()
+    assert(spans.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L))
+    // "one two three four" occupies token positions 1..5 of doc 10; the
+    // two overlapping duplicated windows merge into one maximal span
+    assert(spans.head.getAs[Long]("span_start") == 1L &&
+      spans.head.getAs[Long]("span_end") == 5L)
+    // resume from the same checkpoint with no new input: committed
+    // batches never re-run, so neither output nor counts move
+    val q3 = sink()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.read.parquet(s"$dir/out").count() == 1L)
+  }
 }
