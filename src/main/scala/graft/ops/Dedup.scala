@@ -90,7 +90,20 @@ object Dedup {
       else None
     val newVsIndex = existing match {
       case Some(idx) =>
-        withFp.join(idx.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+        // scale shape: the index is corpus-sized, the batch is not — a
+        // plain anti-join would SHUFFLE THE WHOLE INDEX every batch
+        // (anti preserves the left side, so Spark cannot broadcast the
+        // right at corpus scale). Instead the batch's distinct
+        // fingerprints broadcast into a map-side semi-prune of the
+        // index scan, and the surviving hits (bounded by the batch,
+        // not the corpus) broadcast back into the anti-join. Exact:
+        // semi-prune drops only index rows that cannot match. The
+        // batch-bounded broadcast is the same sizing premise as
+        // `broadcast(dupOfIndex)` in the minhash variant.
+        val hits = idx.select(col("fp").as("__fp"))
+          .join(broadcast(withFp.select(col("__fp")).distinct()),
+            Seq("__fp"), "left_semi")
+        withFp.join(broadcast(hits), Seq("__fp"), "left_anti")
       case None => withFp
     }
     // in-batch dedup: keep the lowest id per fingerprint
@@ -584,16 +597,31 @@ object Dedup {
               s"rereadFrom=${rereadFrom.isDefined}) would mix index " +
               "schemas — use one schema per index")
           val bBands = bandTable(sig, numHashes, bands)
+          // scale shape: the index band table is corpus-sized — joining
+          // it against the batch bands directly would shuffle the whole
+          // index per batch. The batch's distinct band keys broadcast
+          // into a map-side semi-prune of the index scan first, so the
+          // only index rows that ever enter an exchange are actual band
+          // collisions (bounded by the batch's collision fan-out).
           val iBands = bandTable(idx, numHashes, bands)
+            .join(broadcast(bBands.select(col("band"), col("bh")).distinct()),
+              Seq("band", "bh"), "left_semi")
           val cand0 = bBands.alias("b")
             .join(iBands.alias("i"),
               col("b.band") === col("i.band") && col("b.bh") === col("i.bh"))
             .select(col("b.id").as("bid"), col("i.id").as("iid"))
             .dropDuplicates("bid", "iid")
           if (storeSh) {
-            val cand = cand0
+            // pinned: cand feeds the iid prune broadcast AND the verify
+            // join below — and the index's corpus-sized sh payloads are
+            // scanned map-side, pruned to candidate ids before any
+            // exchange (the same candidate-bounded discipline as the
+            // rereadFrom branch)
+            val cand = cand0.localCheckpoint(true)
             val bSh = sig.select(col("id").as("bid"), col("sh").as("b_sh"))
             val iSh = idx.select(col("id").as("iid"), col("sh").as("i_sh"))
+              .join(broadcast(cand.select(col("iid")).distinct()),
+                Seq("iid"), "left_semi")
             cand.join(bSh, Seq("bid")).join(iSh, Seq("iid"))
               .withColumn("inter",
                 size(array_intersect(col("b_sh"), col("i_sh"))))
@@ -642,11 +670,15 @@ object Dedup {
                 col("inter").cast("double") / col("uni") >= threshold)
               .select(col("bid").as("id")).distinct()
           } else {
-            val cand = cand0
+            // pinned for the same two uses as the stored-sh branch; the
+            // index signature fetch is map-side pruned to candidates
+            val cand = cand0.localCheckpoint(true)
             val bSig = sig.select((col("id").as("bid") +:
               mhCols.map(c => col(c).as(s"b_$c"))): _*)
             val iSig = idx.select((col("id").as("iid") +:
               mhCols.map(c => col(c).as(s"i_$c"))): _*)
+              .join(broadcast(cand.select(col("iid")).distinct()),
+                Seq("iid"), "left_semi")
             val matches = mhCols.map(c =>
               when(col(s"b_$c") === col(s"i_$c"), 1).otherwise(0))
               .reduce(_ + _)
@@ -827,9 +859,20 @@ object Dedup {
     val dropSigs = existing match {
       case None => fps.select(col("f")).limit(0)
       case Some(idx) =>
-        bandChunks(fps.select(col("f")).distinct(), "bf")
-          .join(bandChunks(idx.select(col("f")).distinct(), "f2"),
-            Seq("c", "v"))
+        // scale shape: the index chunk stream is produced map-side from
+        // the index scan and semi-pruned by a broadcast of the batch's
+        // distinct chunk keys BEFORE any exchange — the previous
+        // index-side distinct shuffled the whole corpus-sized index per
+        // batch; now only actual chunk collisions (bounded by the
+        // batch) reach the join, and the distinct collapses that
+        // bounded set
+        val bChunks = bandChunks(fps.select(col("f")).distinct(), "bf")
+        val iChunks = bandChunks(idx, "f2")
+          .join(broadcast(bChunks.select(col("c"), col("v")).distinct()),
+            Seq("c", "v"), "left_semi")
+          .dropDuplicates("c", "v", "f2")
+        bChunks
+          .join(iChunks, Seq("c", "v"))
           .filter(bit_count(col("bf").bitwiseXOR(col("f2")))
             <= maxHamming)
           .select(col("bf").as("f")).distinct()

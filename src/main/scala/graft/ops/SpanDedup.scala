@@ -132,10 +132,27 @@ object SpanDedup {
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
     val seen =
-      if (Fs.exists(indexPath) && Fs.listNames(indexPath).nonEmpty)
-        spark.read.parquet(indexPath).groupBy(col("h"))
+      if (Fs.exists(indexPath) && Fs.listNames(indexPath).nonEmpty) {
+        // scale shape: only fingerprints PRESENT IN THE BATCH can mark
+        // batch windows, so the corpus-sized index scan is semi-pruned
+        // by the batch's distinct fingerprints before the count
+        // aggregate — the previous whole-index groupBy shuffled the
+        // entire fingerprint history every batch. Unlike doc-level
+        // fingerprints (one per doc), window fingerprints run one per
+        // TOKEN, so the broadcast hint is gated on a measured bound
+        // (~8 B/key; 32M keys ~ 256 MB) — past it the semi-join still
+        // prunes the aggregate but ships the batch keys through the
+        // exchange instead of the driver (the count is one cheap job
+        // over the already-checkpointed batch counts).
+        val batchH = batchCounts.select(col("h"))
+        val keys =
+          if (batchCounts.count() <= (1L << 25)) broadcast(batchH)
+          else batchH
+        spark.read.parquet(indexPath)
+          .join(keys, Seq("h"), "left_semi")
+          .groupBy(col("h"))
           .agg(sum(col("cnt")).as("__seen"))
-      else batchCounts.limit(0).select(col("h"), col("cnt").as("__seen"))
+      } else batchCounts.limit(0).select(col("h"), col("cnt").as("__seen"))
     val dupH = batchCounts.join(seen, Seq("h"), "left_outer")
       .filter(col("cnt") + coalesce(col("__seen"), lit(0L))
         >= minOccurrences)

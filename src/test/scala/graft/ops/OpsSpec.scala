@@ -259,6 +259,65 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.SparkSpec.spark.read.parquet(idx).distinct().count() == 150)
   }
 
+  test("incremental index lookups are batch-bounded: the index side is " +
+    "broadcast-semi-pruned, never shuffled whole") {
+    // the plan gate behind the 100 TB story: every per-batch touch of a
+    // persisted index must reach the first exchange already bounded by
+    // the batch (broadcast semi-join prune on the scan), because the
+    // index grows with the corpus and the batch does not. The ops
+    // checkpoint internally, so the index joins never appear in the
+    // RETURNED frame's plan — capture every executed plan instead.
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    def capturedSemiPrune(idxToken: String): Boolean = {
+      import scala.jdk.CollectionConverters._
+      plans.asScala.exists(p => p.contains(idxToken) &&
+        "BroadcastHashJoin.*LeftSemi".r.findFirstIn(p).isDefined)
+    }
+    def awaitCapture(idxToken: String): Unit = {
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!capturedSemiPrune(idxToken) && System.nanoTime() < deadline)
+        Thread.sleep(100) // the listener bus delivers asynchronously
+      assert(capturedSemiPrune(idxToken),
+        s"no broadcast-semi-pruned index plan captured for $idxToken")
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val idxE = graft.SparkSpec.tmpDir("graft-planidx-") + "/fp"
+      Dedup.incrementalExactDedup(docs.filter(col("doc_id") < 50), idxE)
+      plans.clear() // only the second batch reads a non-empty index
+      Dedup.incrementalExactDedup(
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 100), idxE)
+          .count()
+      awaitCapture("/fp")
+
+      val idxS = graft.SparkSpec.tmpDir("graft-planidx-") + "/sim"
+      Dedup.incrementalSimhashDedup(docs.filter(col("doc_id") < 50), idxS)
+      plans.clear()
+      Dedup.incrementalSimhashDedup(
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 100), idxS)
+        .count()
+      awaitCapture("/sim")
+
+      val idxH = graft.SparkSpec.tmpDir("graft-planidx-") + "/span"
+      graft.ops.SpanDedup.incrementalDuplicatedSpans(
+        docs.filter(col("doc_id") < 50), idxH, k = 8)
+      plans.clear()
+      graft.ops.SpanDedup.incrementalDuplicatedSpans(
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 100), idxH,
+        k = 8).count()
+      awaitCapture("/span")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("incremental NEAR-dup dedup: re-submitted docs drop via the " +
       "signature index; index grows by kept docs only") {
     val idx = graft.SparkSpec.tmpDir("graft-mhidx-") + "/mh_index"
