@@ -626,6 +626,118 @@ object Similarity {
     * blocking is the right tool. Pairs of identical signature meet once;
     * each emitted pair is verified once (probes are distinct signatures,
     * so a pair can only meet through one probe). */
+  /** Incremental SEMANTIC dedup across batches via a persisted LSH
+    * signature index — the embedding-modality member of the incremental
+    * family ([[graft.ops.Dedup.incrementalExactDedup]] /
+    * `incrementalMinhashDedup` / `incrementalSimhashDedup` /
+    * [[graft.ops.SpanDedup.incrementalDuplicatedSpans]]). A parquet
+    * index at `indexPath` persists `(id, sig, v)` — the
+    * random-hyperplane signature plus the vector itself, so cross-batch
+    * verification is EXACT cosine (LSH bounds recall only, precision is
+    * 1.0; the [[annCosinePairs]] regime note applies: near-dup
+    * thresholds ~0.9+). Each batch:
+    *
+    *   1. drops batch vectors whose multi-probe candidates (Hamming <=
+    *      `radius` signature collisions vs the index) verify at
+    *      `cosine >= threshold` against ANY indexed vector — keep-one
+    *      semantics: history survives, re-arrivals drop;
+    *   2. among survivors, runs the same probe-join candidates in-batch
+    *      and keeps the min-id representative per component
+    *      ([[graft.ops.Dedup.keepClusterCanonical]]);
+    *   3. appends the kept `(id, sig, v)` rows (lineage cut before the
+    *      self-referential append).
+    *
+    * Rows with no direction (null / zero-norm vectors) have no
+    * signature and pass through unkept-but-returned, like the simhash
+    * variant's no-signature rows. The hyperplanes derive from the
+    * vector dimension and a FIXED seed, so signatures are comparable
+    * across batches and sessions by construction.
+    *
+    * Scale shape: the index is touched by (a) a signature equi-join
+    * semi-pruned map-side by a broadcast of the batch's distinct probe
+    * signatures — only actual bucket collisions ever enter an exchange,
+    * the batch-bounded discipline of the whole incremental family — and
+    * (b) one partitioned append. Index footprint is vector-sized
+    * (4 B x dim + 8 B per kept doc): the honest cost of exact verify,
+    * same tradeoff as the minhash stored-sh mode; compact alternatives
+    * (int8 quantization via [[quantize]]) trade verify exactness. */
+  def incrementalSemanticDedup(batch: DataFrame, indexPath: String,
+                               threshold: Double,
+                               planes: Int = 8, radius: Int = 2,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               dim: Int = -1): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0,
+      "cosine threshold in (-1, 1]")
+    val spark = batch.sparkSession
+    Dedup.recoverIndex(indexPath)
+    val dProbe =
+      if (dim > 0) Array(dim)
+      else batch.select(size(col(vecCol)).as("d")).head(1).map(_.getInt(0))
+    if (dProbe.isEmpty) return batch // empty micro-batch: nothing to do
+    val d = dProbe.head
+    val hp = hyperplanes(d, planes)
+    // pin the (id, sig, v) triple once: it feeds the cross-batch probe,
+    // the in-batch mining, the membership pass, and the index append
+    val sigs = batch
+      .filter(col(vecCol).isNotNull &&
+        VectorExprs.dot(col(vecCol), col(vecCol)) > 0)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        lshSignature(col(vecCol), hp).as("sig"))
+      .localCheckpoint(true)
+    val existing: Option[DataFrame] =
+      if (graft.core.Fs.exists(indexPath) &&
+        graft.core.Fs.listNames(indexPath).nonEmpty) {
+        val idx = spark.read.parquet(indexPath)
+        require(idx.columns.sorted.toSeq == Seq("id", "sig", "v"),
+          s"index at $indexPath is not a semantic (id, sig, v) index " +
+            s"(columns ${idx.columns.mkString(", ")}) — one index " +
+            "family per path")
+        Some(idx)
+      } else None
+    val probeCol = explode(probeSignatures(col("sig"), planes, radius))
+    val dupOfIndex = existing match {
+      case None => sigs.select(col("id")).limit(0)
+      case Some(idx) =>
+        val probes = sigs.select(col("id"), col("v"), probeCol.as("sig"))
+        // batch-bounded index touch: broadcast the distinct probe
+        // signatures, semi-prune the index scan map-side, THEN join
+        val iPruned = idx.select(col("sig"), col("v").as("iv"))
+          .join(broadcast(probes.select(col("sig")).distinct()),
+            Seq("sig"), "left_semi")
+        probes.join(iPruned, Seq("sig"))
+          // Generator barrier: one cosine per candidate (see cosinePairs)
+          .withColumn("score", explode(array(cosine(col("v"), col("iv")))))
+          .filter(col("score") >= threshold)
+          .select(col("id")).distinct()
+    }
+    val fresh = sigs.join(broadcast(dupOfIndex), Seq("id"), "left_anti")
+    // in-batch mining: same probe-join candidates, exact cosine, pair
+    // met exactly once (probes are distinct signatures vs exact sigs)
+    val a = fresh.select(col("id").as("ida"), col("v").as("va"),
+      probeCol.as("sig"))
+    val b = fresh.select(col("id").as("idb"), col("v").as("vb"), col("sig"))
+    val pairs = a.join(b, Seq("sig"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("score", explode(array(cosine(col("va"), col("vb")))))
+      .filter(col("score") >= threshold)
+      .select(col("ida").as("id1"), col("idb").as("id2"))
+    val keptIdx = Dedup.keepClusterCanonical(
+      fresh.select(col("id"), col("sig"), col("v")), pairs, "id")
+      .localCheckpoint(true) // cut lineage before the self-referential append
+    keptIdx.write.mode("append").parquet(indexPath)
+    // ONE membership pass over the caller's frame off checkpointed
+    // markers: kept ids survive; rows that never produced a signature
+    // (null / zero-norm) pass through
+    batch
+      .join(sigs.select(col("id").as(idCol), lit(true).as("__sig")),
+        Seq(idCol), "left")
+      .join(keptIdx.select(col("id").as(idCol), lit(true).as("__kept")),
+        Seq(idCol), "left")
+      .filter(col("__kept") || col("__sig").isNull)
+      .drop("__sig", "__kept")
+  }
+
   def annCosinePairs(corpus: DataFrame, threshold: Double,
                      planes: Int = 8, radius: Int = 1,
                      idCol: String = "vec_id",

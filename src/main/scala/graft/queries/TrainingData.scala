@@ -844,6 +844,45 @@ object TrainingData {
           md5(col("clean_text")).as("clean_fp"))
         .orderBy(col("doc_id"))),
 
+    // incremental SEMANTIC dedup across two batches via the persisted
+    // (id, sig, v) LSH index: batch 1 = even vec_ids; batch 2 = odd
+    // plus a re-arrival of every 6th vector under a shifted id
+    // (identical embedding -> identical signature -> cosine 1), so the
+    // cross-batch probe join must drop every re-arrival of a kept
+    // batch-1 vector; natural high-cosine neighbors within Hamming 2
+    // exercise the in-batch closure. Oracle = the full two-batch
+    // decision replay over bit-exact rebuilt signatures (the LSH
+    // candidate restriction is replayed too, so no recall premise)
+    "q_embed_incremental" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val b1 = e.filter(col("vec_id") % 2 === 0)
+      val dups = e.filter(col("vec_id") % 6 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      val b2 = e.filter(col("vec_id") % 2 === 1).unionByName(dups)
+      val idx = scratchDir("graft-semidx-") + "/idx"
+      val s1 = Similarity.incrementalSemanticDedup(b1, idx, threshold = 0.9)
+      val s2 = Similarity.incrementalSemanticDedup(b2, idx, threshold = 0.9)
+      s1.unionByName(s2).select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
+    // STREAMING semantic dedup: the embedding corpus arrives as a
+    // stream and survivors append through the persisted (id, sig, v)
+    // index sink. One AvailableNow drain = one batch = the in-batch
+    // canonical closure, replayed exactly (LSH candidates included) by
+    // the oracle; the cross-batch fold is pinned by MonitorSpec
+    "q_stream_semantic" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val vecsStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .select(col("vec_id"), col("embedding"))
+      val tmp = scratchDir("graft-semstream-")
+      val q = graft.streaming.Monitor.semanticDedupSink(vecsStream,
+        s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt", threshold = 0.9)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$tmp/out")
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // brute-force exact top-5 cosine neighbors for 3 query vectors
     "q_embed_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -1436,8 +1475,14 @@ object TrainingData {
     * overflow) and the 8-plane LSH signatures bit-for-bit in DuckDB.
     * Ends with the `sigs(vec_id, sig)` CTE; consumers append further
     * CTEs with a leading ", name AS (" or go straight to SELECT. */
-  private val lshSigCte: String =
-    """WITH keys AS (
+  /** The LSH signature CTE chain (fmix64-derived hyperplanes + sign-of-
+    * dot signatures), parameterized on the source relation so the
+    * incremental replay can feed a re-arrival-augmented corpus. */
+  private def lshSigCteFor(src: String): String = lshSigCteBody
+    .replace("FROM embeddings e", s"FROM $src e")
+
+  private val lshSigCteBody: String =
+    """keys AS (
       |  SELECT p.range AS p, i.range AS i,
       |    CAST(42 + p.range * 64 + i.range AS HUGEINT) AS x
       |  FROM range(8) p CROSS JOIN range(64) i
@@ -1476,6 +1521,8 @@ object TrainingData {
       |    SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS sig
       |  FROM dots GROUP BY vec_id
       |)""".stripMargin
+
+  private val lshSigCte: String = "WITH " + lshSigCteBody
 
   val oracle: Map[String, String] = Map(
     "q_doc_funnel" -> funnelOracleSql,
@@ -2874,6 +2921,88 @@ object TrainingData {
     // left-to-right like Spark's aggregate() so signature signs agree
     // bit-for-bit; probes = own bucket + 8 Hamming-1 buckets; candidates
     // ranked by exact cosine.
+    // Two-batch semantic-dedup replay: candidates = signature Hamming
+    // <= 2 (the engine's radius-2 multi-probe meets a pair iff their
+    // signatures differ in <= 2 bits) verified at exact cosine >= 0.9.
+    // Batch bt of an id: re-arrivals (id >= 100000) are batch 1, else
+    // id % 2. k1 = min-id component survivors among batch 0; batch-1
+    // ids drop on any candidate edge to k1; survivors close in-batch.
+    "q_embed_incremental" ->
+      ("""WITH RECURSIVE ev AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings
+        |  WHERE vec_id % 6 = 0
+        |), """.stripMargin + lshSigCteFor("ev") +
+        """, cand AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+        |  JOIN ev ea ON ea.vec_id = a.vec_id
+        |  JOIN ev eb ON eb.vec_id = b.vec_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 2
+        |    AND list_cosine_similarity(ea.embedding, eb.embedding) >= 0.9
+        |), e1 AS (
+        |  SELECT id1 AS a, id2 AS b FROM cand
+        |  WHERE id1 % 2 = 0 AND id1 < 100000 AND id2 % 2 = 0 AND id2 < 100000
+        |  UNION SELECT id2, id1 FROM cand
+        |  WHERE id1 % 2 = 0 AND id1 < 100000 AND id2 % 2 = 0 AND id2 < 100000
+        |), r1(a, b) AS (
+        |  SELECT a, b FROM e1
+        |  UNION SELECT r.a, e.b FROM r1 r JOIN e1 e ON r.b = e.a
+        |), k1 AS (
+        |  SELECT vec_id FROM ev
+        |  WHERE vec_id % 2 = 0 AND vec_id < 100000
+        |    AND vec_id NOT IN (
+        |      SELECT a FROM r1 GROUP BY a HAVING MIN(b) < a)
+        |), b2 AS (
+        |  SELECT vec_id FROM ev WHERE vec_id % 2 = 1 OR vec_id >= 100000
+        |), fresh2 AS (
+        |  SELECT vec_id FROM b2 t WHERE NOT EXISTS (
+        |    SELECT 1 FROM cand c JOIN k1 ON
+        |      (c.id1 = k1.vec_id AND c.id2 = t.vec_id)
+        |      OR (c.id2 = k1.vec_id AND c.id1 = t.vec_id))
+        |), e2 AS (
+        |  SELECT id1 AS a, id2 AS b FROM cand
+        |  WHERE id1 IN (SELECT vec_id FROM fresh2)
+        |    AND id2 IN (SELECT vec_id FROM fresh2)
+        |  UNION SELECT id2, id1 FROM cand
+        |  WHERE id1 IN (SELECT vec_id FROM fresh2)
+        |    AND id2 IN (SELECT vec_id FROM fresh2)
+        |), r2(a, b) AS (
+        |  SELECT a, b FROM e2
+        |  UNION SELECT r.a, e.b FROM r2 r JOIN e2 e ON r.b = e.a
+        |), k2 AS (
+        |  SELECT vec_id FROM fresh2
+        |  WHERE vec_id NOT IN (
+        |    SELECT a FROM r2 GROUP BY a HAVING MIN(b) < a)
+        |)
+        |SELECT vec_id FROM k1
+        |UNION ALL SELECT vec_id FROM k2
+        |ORDER BY vec_id""".stripMargin),
+
+    // single-drain streaming semantic dedup == in-batch canonical
+    // closure over LSH candidates (Hamming <= 2) at exact cosine >= 0.9
+    "q_stream_semantic" ->
+      ("WITH RECURSIVE " + lshSigCteFor("embeddings") +
+        """, cand AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2
+        |  FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 2
+        |    AND list_cosine_similarity(ea.embedding, eb.embedding) >= 0.9
+        |), edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM cand
+        |  UNION SELECT id2, id1 FROM cand
+        |), reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (
+        |  SELECT a FROM reach GROUP BY a HAVING MIN(b) < a)
+        |ORDER BY vec_id""".stripMargin),
+
     "q_embed_ann" -> (lshSigCte +
       """, probes AS (
         |  SELECT s.vec_id AS query_id,

@@ -279,4 +279,29 @@ object Monitor {
         () // spans persisted by the append; index holds the counts
       }
       .start()
+
+  /** Stream an embedding corpus through the persisted semantic-dedup
+    * index ([[graft.ops.Similarity.incrementalSemanticDedup]]): each
+    * micro-batch's survivors — vectors NOT cosine-near-duplicating
+    * anything that ever flowed through `indexPath`, canonicalized
+    * in-batch — append to `outPath`. Keep-one across the whole stream.
+    * Delivery contract as [[incrementalDedupSink]]: the checkpoint
+    * guarantees a committed batch never re-runs; a replay against a
+    * kept index would re-drop its rows (decisions stable), at the cost
+    * of duplicate output rows in `outPath`. */
+  def semanticDedupSink(vecs: DataFrame, indexPath: String, outPath: String,
+                        checkpointDir: String, threshold: Double,
+                        planes: Int = 8, radius: Int = 2,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        dim: Int = -1): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Similarity.incrementalSemanticDedup(batch, indexPath,
+          threshold, planes, radius, idCol, vecCol, dim)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
 }

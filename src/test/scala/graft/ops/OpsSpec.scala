@@ -315,6 +315,15 @@ class OpsSpec extends AnyFunSuite {
         docs.filter(col("doc_id") >= 50 && col("doc_id") < 100), idxH,
         k = 8).count()
       awaitCapture("/span")
+
+      val idxV = graft.SparkSpec.tmpDir("graft-planidx-") + "/sem"
+      Similarity.incrementalSemanticDedup(
+        emb.filter(col("vec_id") < 50), idxV, threshold = 0.9)
+      plans.clear()
+      Similarity.incrementalSemanticDedup(
+        emb.filter(col("vec_id") >= 50 && col("vec_id") < 100), idxV,
+        threshold = 0.9).count()
+      awaitCapture("/sem")
     } finally spark.listenerManager.unregister(listener)
   }
 

@@ -444,4 +444,39 @@ class MonitorSpec extends AnyFunSuite {
     try q3.processAllAvailable() finally q3.stop()
     assert(spark.read.parquet(s"$dir/out").count() == 1L)
   }
+
+  test("semantic-dedup sink: a vector re-arriving in a LATER batch " +
+    "drops against the persisted index; novel vectors survive") {
+    import spark.implicits._
+    val dir = tmpDir("graft-semsink-")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def write(rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    def sink() = Monitor.semanticDedupSink(
+      spark.readStream.schema(schema).parquet(s"$dir/in"),
+      s"$dir/idx", s"$dir/out", s"$dir/ckpt", threshold = 0.95)
+    val va = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val vb = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    // batch 1: two orthogonal vectors — both kept
+    write(Seq(1L -> va, 2L -> vb))
+    val q1 = sink()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(s"$dir/out").select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // batch 2: an exact re-arrival of va (cosine 1 vs history -> drop),
+    // a near-copy of vb (cosine ~0.998 >= 0.95 -> drop), and a fresh
+    // orthogonal direction (kept)
+    val vbNear = Array(0.05f, 1.0f, 0.0f, 0.0f)
+    val vc = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    write(Seq(10L -> va, 11L -> vbNear, 12L -> vc))
+    val q2 = sink()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$dir/out").select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 12L))
+    // the index holds exactly the three kept vectors
+    assert(spark.read.parquet(s"$dir/idx").count() == 3L)
+  }
 }
