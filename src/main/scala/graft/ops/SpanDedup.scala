@@ -193,8 +193,61 @@ object SpanDedup {
   def removeDuplicatedSpans(docs: DataFrame, k: Int,
                             minOccurrences: Long = 2L,
                             idCol: String = "doc_id",
-                            textCol: String = "text"): DataFrame = {
-    val spans = duplicatedSpans(docs, k, minOccurrences, idCol, textCol)
+                            textCol: String = "text"): DataFrame =
+    cutSpans(docs,
+      duplicatedSpans(docs, k, minOccurrences, idCol, textCol),
+      idCol, textCol)
+
+  /** Maximal BENCHMARK-LEAKED spans per corpus document: every k-token
+    * window whose fingerprint occurs ANYWHERE in `benchmark` marks its
+    * positions, overlapping windows merge per doc — surgical
+    * decontamination at passage granularity. The doc-level
+    * [[graft.ops.Contamination.decontaminate]] drops whole documents
+    * that share shingles with the benchmark; this finds exactly WHERE
+    * the leaked passage sits, so [[removeContaminatedSpans]] can cut
+    * the quoted benchmark item and keep the rest of the document — the
+    * right tradeoff when contamination rides boilerplate-heavy pages
+    * whose other content is good training data.
+    *
+    * Scale shape: benchmark fingerprints are an eval-set-sized DISTINCT
+    * set and broadcast, so marking is one corpus scan with a map-side
+    * semi-join — the corpus never shuffles before the per-doc interval
+    * merge. */
+  def contaminatedSpans(docs: DataFrame, benchmark: DataFrame, k: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text",
+                        benchTextCol: String = "text"): DataFrame = {
+    require(k >= 2, s"window of $k tokens cannot overlap-merge; use k >= 2")
+    val grams = windowFingerprints(docs, k, idCol, textCol)
+    val benchH = windowFingerprints(
+      benchmark.select(monotonically_increasing_id().as("__bid"),
+        col(benchTextCol).as("__btxt")),
+      k, "__bid", "__btxt")
+      .select(col("h")).distinct()
+    val marked = grams.join(broadcast(benchH), Seq("h"), "left_semi")
+      .select(col("id"), col("pos").cast("long").as("__s"),
+        (col("pos") + lit(k.toLong)).as("__e"))
+    mergeIntervals(marked, idCol)
+  }
+
+  /** Cut every benchmark-leaked span ([[contaminatedSpans]]) out of
+    * every document: input columns plus `clean_text` and
+    * `n_removed_tokens`, same contract as [[removeDuplicatedSpans]]. */
+  def removeContaminatedSpans(docs: DataFrame, benchmark: DataFrame,
+                              k: Int, idCol: String = "doc_id",
+                              textCol: String = "text",
+                              benchTextCol: String = "text"): DataFrame =
+    cutSpans(docs,
+      contaminatedSpans(docs, benchmark, k, idCol, textCol, benchTextCol),
+      idCol, textCol)
+
+  /** Shared span-removal rewrite: drop every token covered by a span in
+    * `spans` (`(idCol, span_start, span_end)`), re-join survivors with
+    * single spaces. Null text stays null; span-free docs pass through
+    * with `n_removed_tokens` 0. */
+  private def cutSpans(docs: DataFrame, spanDf: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val spans = spanDf
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))

@@ -835,6 +835,20 @@ object TrainingData {
       s1.unionByName(s2).orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // SURGICAL decontamination: benchmark-leaked passages (8-token
+    // windows matching any fingerprint of the doc_id < 20 benchmark
+    // slice) are cut from the corpus docs, keeping the rest of each
+    // document — the passage-granular complement of the doc-dropping
+    // q_doc_contamination
+    "q_doc_span_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.SpanDedup.removeContaminatedSpans(
+        d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20), k = 8)
+        .select(col("doc_id"), col("n_removed_tokens"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the removal pass over the same spans: every duplicated passage is
     // cut, survivors re-joined on single spaces; clean text compared by
     // fingerprint
@@ -3229,6 +3243,60 @@ object TrainingData {
 
     // The removal pass: tokens inside any span are cut, survivors
     // re-joined on single spaces (a fully-duplicated doc cleans to '').
+    // benchmark-window fingerprints mark corpus windows; merged spans
+    // cut; same tokpos/kept/agg replay as q_doc_span_clean
+    "q_doc_span_decontaminate" ->
+      """WITH ctoks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents WHERE doc_id >= 20
+        |), btoks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |  FROM documents WHERE doc_id < 20
+        |), bh AS (
+        |  SELECT DISTINCT md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM btoks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8
+        |), cg AS (
+        |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM ctoks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8
+        |), mk AS (
+        |  SELECT cg.doc_id, cg.pos AS s, cg.pos + 8 AS e
+        |  FROM cg JOIN bh USING (h)
+        |), m1 AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS f
+        |  FROM mk
+        |), m2 AS (
+        |  SELECT doc_id, s, e,
+        |    SUM(f) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS UNBOUNDED PRECEDING) AS gid
+        |  FROM m1
+        |), spans AS (
+        |  SELECT doc_id, gid, MIN(s) AS span_start, MAX(e) AS span_end
+        |  FROM m2 GROUP BY 1, 2
+        |), tokpos AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM ctoks, unnest(generate_series(1, len(t))) AS u(i)
+        |), kept AS (
+        |  SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = tp.doc_id
+        |      AND tp.pos >= sp.span_start AND tp.pos < sp.span_end)
+        |), ka AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST(len(t.t) - COALESCE(ka.n_kept, 0) AS BIGINT)
+        |    AS n_removed_tokens,
+        |  md5(COALESCE(ka.clean_text, '')) AS clean_fp
+        |FROM ctoks t LEFT JOIN ka USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
     "q_doc_span_clean" ->
       (s"WITH $spanDedupCtes, tokpos AS (\n" +
         """  SELECT doc_id, i - 1 AS pos, t[i] AS tok

@@ -128,4 +128,36 @@ class SpanDedupSpec extends AnyFunSuite {
       SpanDedup.duplicatedSpans(docs, k = 1)
     }
   }
+
+  test("surgical decontamination: ONLY the benchmark-leaked passage is " +
+    "cut, at its exact offsets; clean docs pass through") {
+    // benchmark item quoted verbatim inside doc 0; doc 1 shares no
+    // 4-token window with the benchmark; doc 2 quotes it twice
+    val bench = Seq((100L, passage)).toDF("bench_id", "text")
+    val corpus = Seq(
+      (0L, s"${filler("a", 5)} $passage ${filler("b", 5)}"),
+      (1L, filler("z", 20)),
+      (2L, s"$passage ${filler("m", 3)} $passage"))
+      .toDF("doc_id", "text")
+    val spans = SpanDedup.contaminatedSpans(corpus, bench, k = 4,
+      benchTextCol = "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    // doc 0: [5, 15); doc 2: [0, 10) and [13, 23) — NOT merged across
+    // the 3 clean middle tokens
+    assert(spans.toSeq == Seq((0L, 5L, 15L), (2L, 0L, 10L), (2L, 13L, 23L)))
+    val cleaned = SpanDedup.removeContaminatedSpans(corpus, bench, k = 4)
+      .select("doc_id", "clean_text", "n_removed_tokens")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(cleaned(0L) ==
+      ((s"${filler("a", 5)} ${filler("b", 5)}", 10L)))
+    assert(cleaned(1L) == ((filler("z", 20), 0L)))
+    assert(cleaned(2L) == ((filler("m", 3), 20L)))
+    // the benchmark itself is NOT the corpus: a doc sharing fewer than
+    // k consecutive tokens with any benchmark item is untouched even if
+    // it shares individual words
+    val near = Seq((7L, s"p0 p1 p2 ${filler("q", 5)}")).toDF("doc_id", "text")
+    assert(SpanDedup.contaminatedSpans(near, bench, k = 4).count() == 0L)
+  }
 }
