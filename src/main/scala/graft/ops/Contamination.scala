@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.shim
 
 /** Benchmark-contamination detection and removal for training corpora:
   * find training documents sharing n-gram shingles with an evaluation
@@ -36,6 +38,67 @@ object Contamination {
                     idCol: String = "doc_id"): DataFrame = {
     val bad = report(corpus, benchmark, n, minShared, textCol, idCol)
       .select(col("id").as(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** [[report]] for reference sets too big to broadcast — cross-corpus
+    * decontamination ("drop anything that overlaps last year's training
+    * corpus"), where the reference side is itself corpus-scale and a
+    * broadcast hash relation of its shingles no longer fits.
+    *
+    * Two phases, exact result:
+    *
+    *   1. A Bloom filter over the reference's shingle hashes — built with
+    *      Spark's distributed `stat.bloomFilter` treeAggregate, carried
+    *      into the scan as a [[BloomFilterMightContain]] literal (the
+    *      same probe Spark's own runtime-filter injection plants) — prunes
+    *      corpus n-grams map-side. At 1% fpp the bitmap costs ~1.2 bytes
+    *      per reference shingle vs ~30+ bytes/entry for an exact broadcast
+    *      hash relation: 10–25x more reference capacity for the same
+    *      executor memory budget.
+    *   2. Survivors (true hits + the fpp sliver) go through a REAL
+    *      shuffled equi-join on the shingle string, so Bloom false
+    *      positives die before counting and the output equals [[report]]
+    *      row for row (OpsSpec pins parity, including under fpp = 0.5).
+    *
+    * Scale shape: the corpus side shuffles only `hits + fpp * grams`
+    * rows instead of every gram; the reference side shuffles once. Driver
+    * memory is the bitmap (`~1.2 * expectedItems` bytes at 1% fpp) —
+    * bounded by the caller's `expectedItems`, and an undersized estimate
+    * degrades only the prune rate, never correctness. */
+  def bloomReport(corpus: DataFrame, reference: DataFrame, n: Int,
+                  minShared: Int, expectedItems: Long = 4000000L,
+                  fpp: Double = 0.01, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(expectedItems > 0 && expectedItems <= 2000000000L,
+      s"expectedItems=$expectedItems outside (0, 2e9]: the driver-side " +
+        "bitmap is ~1.2 bytes/item at 1% fpp — size it to the reference")
+    val refSh = reference
+      .select(explode(Dedup.shingles(col(textCol), n)).as("s")).distinct()
+    val bloom = refSh.select(xxhash64(col("s")).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val mightContain = shim.column(BloomFilterMightContain(
+      Literal(bos.toByteArray), shim.expression(xxhash64(col("s")))))
+    corpus
+      .select(col(idCol).as("id"),
+        explode(Dedup.shingles(col(textCol), n)).as("s"))
+      .filter(mightContain)
+      .join(refSh, Seq("s"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
+  /** Drop documents that share >= `minShared` shingles with a
+    * corpus-scale reference set (the [[bloomReport]] two-phase plan). */
+  def bloomDecontaminate(corpus: DataFrame, reference: DataFrame, n: Int,
+                         minShared: Int, expectedItems: Long = 4000000L,
+                         fpp: Double = 0.01, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val bad = bloomReport(corpus, reference, n, minShared, expectedItems,
+      fpp, textCol, idCol).select(col("id").as(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 

