@@ -339,4 +339,76 @@ object Dsir {
     }
     FrozenRouter(sorted.map(_._1).toIndexedSeq, buckets, grid)
   }
+
+  /** DoReMi-style domain mixture reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * the Group-DRO exponentiated-gradient update over per-domain excess
+    * losses. The proxy/reference models that PRODUCE the losses live
+    * outside the engine (the [[Score]] seam philosophy); the engine
+    * serves the exact weight recursion given a per-document excess-loss
+    * column:
+    *
+    *   excess_k  = avg over domain k of max(excess, 0)
+    *   raw_k(t)  = alpha_k(t-1) * exp(eta * excess_k)
+    *   alpha_k(t) = (1-c) * raw_k(t)/Z(t) + c/K      (c = `smoothing`)
+    *
+    * starting from uniform alpha. With static losses the recursion
+    * still moves for `steps` > 1 (the smoothing term pulls each step
+    * back toward uniform); callers re-scoring between steps — the
+    * paper's actual loop — call `steps = 1` repeatedly with fresh
+    * losses.
+    *
+    * Engine-portable by construction: per-document excesses round to an
+    * exact 1e-6 integer grid BEFORE the domain sum (long addition — no
+    * accumulation-order sensitivity), each step's raw weights round to
+    * a 1e-9 grid before normalizing so Z is an exact integer sum, and
+    * every remaining double op is a correctly-rounded chain in a fixed
+    * order. `exp` carries the same 1-ulp libm caveat as [[dsirScores]]'
+    * `ln`; the 1e-6 output floor gives it margin.
+    *
+    * Scale shape: ONE corpus pass (partial-aggregated groupBy to at
+    * most `maxDomains` rows), then driver arithmetic on K values —
+    * the same bounded-collect discipline as [[freezeRouter]]. Output:
+    * (domain, excess_loss, weight), weights floor-rounded to 1e-6 and
+    * excess_loss to 1e-6, ordered columns for the oracle. */
+  def domainReweight(docs: DataFrame, excess: Column, domain: Column,
+                     eta: Double = 1.0, smoothing: Double = 0.1,
+                     steps: Int = 1, maxDomains: Int = 100000)
+      : DataFrame = {
+    require(steps >= 1, "steps must be >= 1")
+    require(smoothing >= 0 && smoothing < 1, "smoothing in [0, 1)")
+    val spark = docs.sparkSession
+    val perDomain = docs
+      .groupBy(domain.cast("string").as("domain"))
+      .agg(sum(floor(greatest(excess.cast("double"), lit(0.0)) * 1e6
+          + lit(0.5)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    require(perDomain.length <= maxDomains,
+      s"${perDomain.length} domains exceed maxDomains=$maxDomains — the " +
+        "weight grid is driver-resident by design (DoReMi mixes tens of " +
+        "domains, not millions)")
+    val sorted = perDomain.map { r =>
+      (r.getString(0), (r.getLong(1).toDouble / 1e6) / r.getLong(2))
+    }.sortBy(_._1)
+    val k = sorted.length
+    var alpha = Array.fill(k)(1.0 / k)
+    for (_ <- 1 to steps) {
+      val rawNano = sorted.indices.map { i =>
+        math.floor(alpha(i) * math.exp(eta * sorted(i)._2) * 1e9 + 0.5)
+          .toLong
+      }
+      val z = rawNano.sum
+      alpha = sorted.indices.map { i =>
+        (1.0 - smoothing) * (rawNano(i).toDouble / z.toDouble) +
+          smoothing / k
+      }.toArray
+    }
+    import spark.implicits._
+    sorted.indices.map { i =>
+      (sorted(i)._1,
+        math.floor(sorted(i)._2 * 1e6) / 1e6,
+        math.floor(alpha(i) * 1e6) / 1e6)
+    }.toSeq.toDF("domain", "excess_loss", "weight")
+  }
 }

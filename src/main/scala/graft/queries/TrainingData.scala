@@ -149,6 +149,20 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // DoReMi Group-DRO mixture reweighting over the 20 sources: excess
+    // loss proxied by chars-per-token above 4.5 (real proxy/reference
+    // losses enter through the Score seam), two exponentiated-gradient
+    // steps. Integer-grid sums and normalizations make the whole
+    // recursion engine-portable; exp carries the documented 1-ulp caveat
+    "q_doc_doremi" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Dsir.domainReweight(d,
+        excess = length(col("text")).cast("double")
+          / Text.tokenCount(col("text")) - lit(4.5),
+        domain = col("source"), eta = 1.0, smoothing = 0.1, steps = 2)
+        .orderBy(col("domain"))
+    }),
+
     // token-budget mixture resampling to a 6:3:1 TOKEN mixture over three
     // sources (integer arithmetic end-to-end: supply sums, floor-division
     // budget inversion, cumulative-sum cutoff — the oracle replays the
@@ -1739,6 +1753,49 @@ object TrainingData {
         |  FROM n)
         |SELECT doc_id, source, n_copies FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // replays Dsir.domainReweight's exact recursion (eta=1, c=0.1, two
+    // steps): per-doc excess on a 1e-6 integer grid summed as BIGINT,
+    // per-step raw weights on a 1e-9 grid so Z is an exact integer sum,
+    // every double op in the driver's evaluation order
+    "q_doc_doremi" ->
+      """WITH ex AS (
+        |  SELECT source AS domain,
+        |    SUM(CAST(floor(greatest((CAST(length(text) AS DOUBLE)
+        |      / len(string_split_regex(text, '\s+'))) - 4.5, 0.0)
+        |      * 1e6 + 0.5) AS BIGINT)) AS s,
+        |    COUNT(*) AS n
+        |  FROM documents GROUP BY source
+        |), d AS (
+        |  SELECT domain, (CAST(s AS DOUBLE) / 1e6) / n AS excess,
+        |    (SELECT COUNT(*) FROM ex) AS k
+        |  FROM ex
+        |), s1 AS (
+        |  SELECT domain, excess, k,
+        |    CAST(floor(((1.0 / k) * exp(1.0 * excess)) * 1e9 + 0.5)
+        |         AS BIGINT) AS rn
+        |  FROM d
+        |), a1 AS (
+        |  SELECT domain, excess, k,
+        |    (1.0 - 0.1) * (CAST(rn AS DOUBLE)
+        |      / CAST((SELECT SUM(rn) FROM s1) AS DOUBLE)) + 0.1 / k
+        |      AS alpha
+        |  FROM s1
+        |), s2 AS (
+        |  SELECT domain, excess, k,
+        |    CAST(floor((alpha * exp(1.0 * excess)) * 1e9 + 0.5)
+        |         AS BIGINT) AS rn
+        |  FROM a1
+        |), a2 AS (
+        |  SELECT domain, excess, k,
+        |    (1.0 - 0.1) * (CAST(rn AS DOUBLE)
+        |      / CAST((SELECT SUM(rn) FROM s2) AS DOUBLE)) + 0.1 / k
+        |      AS alpha
+        |  FROM s2
+        |)
+        |SELECT domain, floor(excess * 1e6) / 1e6 AS excess_loss,
+        |  floor(alpha * 1e6) / 1e6 AS weight
+        |FROM a2 ORDER BY domain""".stripMargin,
 
     "q_doc_token_mixture" ->
       """WITH sel AS (

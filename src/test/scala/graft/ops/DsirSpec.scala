@@ -197,4 +197,44 @@ class DsirSpec extends AnyFunSuite {
       Dsir.dsirSelect(rawDf, target.toDF("vid", "text"), n = 0, buckets = B)
     }
   }
+
+  test("domainReweight: hand-replayed Group-DRO recursion on a fixture; " +
+    "weights normalize, order follows excess, smoothing floors") {
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      (1L, "aaaaaaaaaa bb", "hi"),   // 13 chars / 2 toks -> excess 2.0
+      (2L, "aaaa bb", "mid"),        // 7/2 -> excess 0 (clipped: 3.5-4.5<0)
+      (3L, "aaaaaaa bbbbbbb c", "lo") // 17/3 ~ 5.667 -> excess ~1.1667
+    ).toDF("doc_id", "text", "source")
+    val out = Dsir.domainReweight(d,
+      excess = length(col("text")).cast("double")
+        / Text.tokenCount(col("text")) - lit(4.5),
+      domain = col("source"), eta = 1.0, smoothing = 0.1, steps = 1)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // hand replay: excess on the 1e-6 grid, raw on the 1e-9 grid
+    def ex(chars: Int, toks: Int) =
+      math.floor(math.max(chars.toDouble / toks - 4.5, 0.0) * 1e6 + 0.5) / 1e6
+    val exHi = ex(13, 2); val exMid = ex(7, 2); val exLo = ex(17, 3)
+    val rns = Seq(exHi, exLo, exMid).map(e =>  // sorted domains: hi, lo, mid
+      math.floor((1.0 / 3) * math.exp(e) * 1e9 + 0.5).toLong)
+    val z = rns.sum
+    def alpha(rn: Long) = 0.9 * (rn.toDouble / z.toDouble) + 0.1 / 3
+    assert(out("hi")._1 == math.floor(exHi * 1e6) / 1e6)
+    assert(out("hi")._2 == math.floor(alpha(rns(0)) * 1e6) / 1e6)
+    assert(out("lo")._2 == math.floor(alpha(rns(1)) * 1e6) / 1e6)
+    assert(out("mid")._2 == math.floor(alpha(rns(2)) * 1e6) / 1e6)
+    // invariants: normalized, monotone in excess, floored by c/K
+    val ws = out.values.map(_._2)
+    assert(math.abs(ws.sum - 1.0) < 1e-4)
+    assert(out("hi")._2 > out("lo")._2 && out("lo")._2 > out("mid")._2)
+    assert(ws.forall(_ >= 0.1 / 3 - 1e-6))
+    // two steps with static losses sharpens toward the hot domain
+    val two = Dsir.domainReweight(d,
+      excess = length(col("text")).cast("double")
+        / Text.tokenCount(col("text")) - lit(4.5),
+      domain = col("source"), eta = 1.0, smoothing = 0.1, steps = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(two("hi") > out("hi")._2)
+  }
 }
