@@ -70,6 +70,19 @@ object Contamination {
                   minShared: Int, expectedItems: Long = 4000000L,
                   fpp: Double = 0.01, textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
+    val (bloomBytes, refSh) =
+      buildReferenceBloom(reference, n, expectedItems, fpp, textCol)
+    bloomReportWith(corpus, bloomBytes, refSh, minShared, n, textCol, idCol)
+  }
+
+  /** The offline half of [[bloomReport]]: one distributed pass over the
+    * reference builds (serialized Bloom bitmap, distinct shingle table).
+    * Build once, probe many — the streaming sink and any repeated batch
+    * caller reuse both instead of re-aggregating the reference. */
+  def buildReferenceBloom(reference: DataFrame, n: Int,
+                          expectedItems: Long = 4000000L,
+                          fpp: Double = 0.01, textCol: String = "text")
+      : (Array[Byte], DataFrame) = {
     require(expectedItems > 0 && expectedItems <= 2000000000L,
       s"expectedItems=$expectedItems outside (0, 2e9]: the driver-side " +
         "bitmap is ~1.2 bytes/item at 1% fpp — size it to the reference")
@@ -79,13 +92,22 @@ object Contamination {
       .stat.bloomFilter("h", expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
+    (bos.toByteArray, refSh)
+  }
+
+  /** The online half of [[bloomReport]]: probe + exact verify against a
+    * prebuilt reference bloom/shingle pair. */
+  def bloomReportWith(corpus: DataFrame, bloomBytes: Array[Byte],
+                      refShingles: DataFrame, minShared: Int, n: Int,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
     val mightContain = shim.column(BloomFilterMightContain(
-      Literal(bos.toByteArray), shim.expression(xxhash64(col("s")))))
+      Literal(bloomBytes), shim.expression(xxhash64(col("s")))))
     corpus
       .select(col(idCol).as("id"),
         explode(Dedup.shingles(col(textCol), n)).as("s"))
       .filter(mightContain)
-      .join(refSh, Seq("s"), "left_semi")
+      .join(refShingles, Seq("s"), "left_semi")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("shared_shingles"))
       .filter(col("shared_shingles") >= minShared)

@@ -859,6 +859,56 @@ object TrainingData {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // STREAMING cross-corpus decontamination: the reference (doc_id <
+    // 40) is aggregated ONCE into a Bloom bitmap + shingle table; each
+    // micro-batch probes the bitmap map-side and exact-verifies only
+    // the survivors — the corpus-scale-reference regime where
+    // q_stream_contamination's plan-literal shingle set can't go.
+    // Output: per-source clean counts (shared < 3), exact
+    "q_stream_contamination_bloom" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val (bloomBytes, refSh) = graft.ops.Contamination.buildReferenceBloom(
+        d.filter(col("doc_id") < 40), n = 3, expectedItems = 500000L)
+      // pin the shingle table so batches re-verify, not re-derive
+      val pinned = refSh.localCheckpoint(true)
+      val stream = s.readStream.schema(d.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") >= 40)
+      val tmp = scratchDir("graft-bloomstream-")
+      val q = graft.streaming.Monitor.bloomDecontaminationSink(stream,
+        bloomBytes, pinned, n = 3, minShared = 3,
+        s"$tmp/out", s"$tmp/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_clean"))
+        .orderBy(col("source"))
+    }),
+
+    // corpus duplication profile (the Lee et al. 2022 "how much of the
+    // corpus is duplicated text" statistic): per source, the fraction
+    // of tokens sitting inside 8-token duplicated spans — the
+    // observability face of span dedup, and the number that decides
+    // whether running it pays
+    "q_doc_span_ratio" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dupPerDoc = graft.ops.SpanDedup.duplicatedSpans(
+        d.select(col("doc_id"), col("text")), k = 8)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_end") - col("span_start")).as("dup_tokens"))
+      d.select(col("doc_id"), col("source"),
+          Text.tokenCount(col("text")).cast("long").as("toks"))
+        .join(dupPerDoc, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("dup_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("total_tokens"),
+          sum(col("dup_tokens")).as("dup_tokens"))
+        .withColumn("dup_ratio",
+          floor(col("dup_tokens").cast("double") / col("total_tokens")
+            * 1e6) / 1e6)
+        .orderBy(col("source"))
+    }),
+
     // exact-substring dedup (Lee et al. 2022 ExactSubstr at 8-token
     // granularity): maximal duplicated passages per doc — the spans a
     // license header or quoted paragraph occupies, invisible to
@@ -1897,6 +1947,30 @@ object TrainingData {
         |FROM csh WHERE s IN (SELECT s FROM bsh)
         |GROUP BY id HAVING COUNT(*) >= 3
         |ORDER BY id""".stripMargin,
+
+    // the drained streaming sink equals the batch decontamination:
+    // per-source counts of docs sharing FEWER than 3 shingles with the
+    // reference slice
+    "q_stream_contamination_bloom" ->
+      """WITH csh AS (
+        |  SELECT doc_id AS id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t
+        |        FROM documents WHERE doc_id >= 40) q WHERE len(t) >= 3
+        |), bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |  FROM (SELECT string_split_regex(text, '\s+') AS t
+        |        FROM documents WHERE doc_id < 40) q WHERE len(t) >= 3
+        |), bad AS (
+        |  SELECT id FROM csh WHERE s IN (SELECT s FROM bsh)
+        |  GROUP BY id HAVING COUNT(*) >= 3
+        |)
+        |SELECT source, COUNT(*) AS n_clean FROM documents
+        |WHERE doc_id >= 40 AND doc_id NOT IN (SELECT id FROM bad)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_doc_sample" ->
       """SELECT doc_id, lang FROM documents
@@ -3397,6 +3471,24 @@ object TrainingData {
         """SELECT doc_id, span_start, span_end,
           |  span_end - span_start AS span_tokens
           |FROM spans ORDER BY doc_id, span_start""".stripMargin),
+
+    // per-source duplicated-token fraction over the same span CTEs
+    "q_doc_span_ratio" ->
+      (s"WITH $spanDedupCtes,\n" +
+        """dpd AS (
+          |  SELECT doc_id, CAST(SUM(span_end - span_start) AS BIGINT)
+          |    AS dup_tokens
+          |  FROM spans GROUP BY doc_id
+          |)
+          |SELECT source, COUNT(*) AS n_docs,
+          |  CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)
+          |    AS total_tokens,
+          |  CAST(SUM(COALESCE(dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+          |  floor(CAST(SUM(COALESCE(dup_tokens, 0)) AS DOUBLE)
+          |    / SUM(len(string_split_regex(text, '\s+'))) * 1e6) / 1e6
+          |    AS dup_ratio
+          |FROM documents LEFT JOIN dpd USING (doc_id)
+          |GROUP BY source ORDER BY source""".stripMargin),
 
     // The incremental fold: batch-0 (even docs) windows mark against
     // batch-0 counts only; batch-1 (odd) windows mark against both.

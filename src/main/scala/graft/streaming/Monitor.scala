@@ -280,6 +280,40 @@ object Monitor {
       }
       .start()
 
+  /** Streaming cross-corpus decontamination against a CORPUS-SCALE
+    * reference — the regime where [[graft.queries]]' stateless
+    * literal-shingle filter inverts (its plan literal grows with the
+    * reference). The reference is aggregated ONCE offline
+    * ([[graft.ops.Contamination.buildReferenceBloom]]); each micro-batch
+    * probes the few-MB Bloom bitmap map-side and exact-verifies the
+    * survivors against the reference shingle table, so the per-batch
+    * join carries `hits + fpp * batch grams`, bounded by BATCH size —
+    * never the reference. Clean rows (shared < `minShared`) append to
+    * `outPath`; results are exact (false positives die in the verify
+    * join).
+    *
+    * Stateless sink: no state store; re-delivery of an uncommitted
+    * batch duplicates output rows (at-least-once), never drops. */
+  def bloomDecontaminationSink(docs: DataFrame, bloomBytes: Array[Byte],
+                               refShingles: DataFrame, n: Int,
+                               minShared: Int, outPath: String,
+                               checkpointDir: String,
+                               keepCols: Seq[String] = Seq("doc_id", "source"),
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bad = graft.ops.Contamination.bloomReportWith(batch,
+          bloomBytes, refShingles, minShared, n, textCol, idCol)
+          .select(org.apache.spark.sql.functions.col("id").as(idCol))
+        batch.join(bad, Seq(idCol), "left_anti")
+          .selectExpr(keepCols: _*)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
   /** Stream an embedding corpus through the persisted semantic-dedup
     * index ([[graft.ops.Similarity.incrementalSemanticDedup]]): each
     * micro-batch's survivors — vectors NOT cosine-near-duplicating

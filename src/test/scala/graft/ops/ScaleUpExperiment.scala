@@ -509,4 +509,75 @@ class ScaleUpExperiment extends AnyFunSuite {
       "hardNegatives scale-up ratio too high")
     base.unpersist(); big.unpersist()
   }
+
+  test("round-8b ops (bloomReport, quantizedTopK, preferSource, " +
+    "domainReweight) scale ~linearly") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow (~2 min): opt in with GRAFT_SCALEUP=1 sbt test")
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text", "source").cache()
+    val big = (0 until 10).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(8).cache()
+    base.count(); big.count()
+
+    // bloom decontamination: the reference stays FIXED (the bloom build
+    // is a one-off) while the probed corpus grows 10x — the probe is
+    // map-side, the verify join carries only survivors
+    val ref = base.filter(col("doc_id") < 500)
+    def bloom(d: org.apache.spark.sql.DataFrame): Long =
+      Contamination.bloomReport(d.filter(col("doc_id") % 1000000L >= 500),
+        ref, n = 3, minShared = 3, expectedItems = 500000L).count()
+    val t1b = time(bloom(base))
+    val t10b = time(bloom(big))
+    println(f"[scaleup] bloom 1x=$t1b%.1fs 10x=$t10b%.1fs ratio=${t10b / t1b}%.1f")
+    assert(t10b / math.max(t1b, 0.5) < 25,
+      "bloomReport scale-up ratio too high")
+
+    // quantized top-k over 10x embeddings: stage 1 is one linear code
+    // scan per query, stage 2 joins a constant candidate set
+    val emb1 = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    val emb10 = (0 until 10).map(i =>
+      emb1.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .repartition(8).cache()
+    emb1.count(); emb10.count()
+    val qs = emb1.filter(col("vec_id").isin(0L, 1L, 2L))
+    def quant(d: org.apache.spark.sql.DataFrame): Long =
+      Similarity.quantizedTopK(d, qs, k = 5, candidates = 20).count()
+    val t1q = time(quant(emb1))
+    val t10q = time(quant(emb10))
+    println(f"[scaleup] quantTopK 1x=$t1q%.1fs 10x=$t10q%.1fs ratio=${t10q / t1q}%.1f")
+    assert(t10q / math.max(t1q, 0.5) < 25,
+      "quantizedTopK scale-up ratio too high")
+
+    // source-preference dedup: one digest shuffle; replication makes
+    // every group a 10-way dup, output stays one keeper per group
+    def prefer(d: org.apache.spark.sql.DataFrame): Long =
+      Dedup.preferSource(d, Seq("src3", "src1")).count()
+    val t1p = time(prefer(base))
+    val t10p = time(prefer(big))
+    println(f"[scaleup] preferSource 1x=$t1p%.1fs 10x=$t10p%.1fs ratio=${t10p / t1p}%.1f")
+    assert(t10p / math.max(t1p, 0.5) < 25,
+      "preferSource scale-up ratio too high")
+
+    // DoReMi reweighting: one partial-aggregated pass to 20 domain rows
+    def doremi(d: org.apache.spark.sql.DataFrame): Long =
+      Dsir.domainReweight(d,
+        excess = length(col("text")).cast("double")
+          / Text.tokenCount(col("text")) - lit(4.5),
+        domain = col("source"), steps = 2).count()
+    val t1d = time(doremi(base))
+    val t10d = time(doremi(big))
+    println(f"[scaleup] doremi 1x=$t1d%.1fs 10x=$t10d%.1fs ratio=${t10d / t1d}%.1f")
+    assert(t10d / math.max(t1d, 0.5) < 25,
+      "domainReweight scale-up ratio too high")
+    base.unpersist(); big.unpersist(); emb1.unpersist(); emb10.unpersist()
+  }
 }

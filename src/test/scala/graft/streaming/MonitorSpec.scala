@@ -479,4 +479,47 @@ class MonitorSpec extends AnyFunSuite {
     // the index holds exactly the three kept vectors
     assert(spark.read.parquet(s"$dir/idx").count() == 3L)
   }
+
+  test("bloom-decontamination sink: drained two-batch stream equals the " +
+    "batch bloomDecontaminate, exactly") {
+    import spark.implicits._
+    import graft.ops.Contamination
+    val dir = tmpDir("graft-bloomsink-")
+    val ref = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta", "ref"),
+      (101L, "one two three four five six seven", "ref")
+    ).toDF("doc_id", "text", "source")
+    val docs = Seq(
+      // shares 4 3-grams with ref doc 100 -> contaminated at minShared=3
+      (1L, "alpha beta gamma delta epsilon zeta eta", "web"),
+      // shares one 3-gram -> clean
+      (2L, "one two three completely different tail", "web"),
+      (3L, "nothing in common with the reference", "wiki"),
+      (4L, "five six seven and one two three four", "wiki")
+    ).toDF("doc_id", "text", "source")
+    val (bloomBytes, refSh) =
+      Contamination.buildReferenceBloom(ref, n = 3, expectedItems = 1000L)
+    val expected = Contamination.bloomDecontaminate(docs, ref, 3, 3,
+      expectedItems = 1000L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("source", StringType)))
+    def write(ids: Long*): Unit =
+      docs.filter(col("doc_id").isin(ids: _*))
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    def sink() = Monitor.bloomDecontaminationSink(
+      spark.readStream.schema(schema).parquet(s"$dir/in"),
+      bloomBytes, refSh.localCheckpoint(true), n = 3, minShared = 3,
+      s"$dir/out", s"$dir/ckpt")
+    write(1L, 2L)
+    val q1 = sink(); try q1.processAllAvailable() finally q1.stop()
+    write(3L, 4L)
+    val q2 = sink(); try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(s"$dir/out").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == expected, s"stream=$got batch=$expected")
+    assert(!got.contains(1L) && got.contains(2L))
+  }
 }
