@@ -561,6 +561,151 @@ object Similarity {
   def dequantize(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
+  /** Plain-L2 deterministic mini k-means for PQ sub-codebooks: seeds
+    * from the `k` lowest-id rows, assignment by minimum L2 (via the
+    * monotone `dot - ||c||^2/2` form), per-dimension means — every
+    * centroid element 1e-6 floor-rounded, but NOT normalized: product
+    * quantization reconstructs subvector magnitudes, so, unlike the
+    * spherical [[kmeansCentroids]], codewords keep theirs. */
+  private[ops] def kmeansCentroidsL2(corpus: DataFrame, k: Int, iters: Int,
+                                     idCol: String, vecCol: String)
+      : Array[Array[Double]] = {
+    def round(c: Array[Double]) = c.map(x => math.floor(x * 1e6) / 1e6)
+    var cents = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(r => round(r.getSeq[Float](0).map(_.toDouble).toArray))
+    (0 until iters).foreach { _ =>
+      val dims = corpus
+        .select(assignCentroidL2(col(vecCol), cents).as("cid"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val byCid = dims.groupBy(_.getInt(0))
+      cents = cents.indices.map { i =>
+        byCid.get(i) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val c = new Array[Double](dim)
+            rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+            round(c)
+          case None => cents(i) // empty cluster keeps its codeword
+        }
+      }.toArray
+    }
+    cents
+  }
+
+  /** Nearest codeword by minimum L2: argmax of `dot(v, c) - ||c||^2/2`
+    * (`||v||^2` is constant across codewords), ties to the higher cid
+    * like [[assignCentroid]]. PQ codebooks are tiny by design
+    * (`codewords <= 64` enforced by the caller), so the literal
+    * `greatest` chain always applies. */
+  private def assignCentroidL2(v: Column,
+                               cents: Array[Array[Double]]): Column = {
+    require(cents.length <= literalArgmaxCeiling,
+      s"${cents.length} codewords exceed the literal-chain ceiling")
+    greatest(cents.zipWithIndex.map { case (c, i) =>
+      val half = 0.5 * c.map(x => x * x).sum
+      struct((VectorExprs.dotConst(v, c) - lit(half)).as("score"),
+        lit(i).as("cid"))
+    }: _*).getField("cid")
+  }
+
+  /** Product-quantization ADC top-k (Jegou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): the vector is split into
+    * `m` subvectors, each encoded as the id of its nearest per-subspace
+    * codeword — the persisted index is `m` SMALL ints per vector
+    * (m=4, 64 codewords fit a byte each: 4 bytes vs 256 float bytes,
+    * 64x) — and candidates are scored by asymmetric distance
+    * computation: per query, one exact `query-subvector x codeword` dot
+    * table (the LUT, `m * codewords` doubles, computed ONCE per query
+    * on the broadcast build side), then each corpus row costs `m`
+    * array lookups and `m-1` adds. Top `candidates` by
+    * `(approx desc, id)` rerank through exact cosine.
+    *
+    * Scale shape: stage 1 reads ONLY the m-byte code table (the 64x
+    * bandwidth cut is the entire point at corpus scale); the LUT rides
+    * the broadcast query rows so nothing concentrates on the driver —
+    * no maxQueries bound, the [[ivfTopKBatch]] discipline. Codebook
+    * training is `m` runs of [[kmeansCentroidsL2]] on the derived hash
+    * sample (never `iters` full-corpus scans).
+    *
+    * Engine-portable: codewords are 1e-6 floor-rounded, assignment and
+    * LUT dots are fixed-order folds, the ADC sum is `m-1` adds in
+    * subspace order — the DuckDB oracle replays training, encoding, the
+    * LUT, and the candidate cut exactly (recall is pinned separately in
+    * OpsSpec; `avg`/libm carry the usual 1-ulp caveat). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, codewords: Int = 8, candidates: Int = 0,
+             iters: Int = 3, trainFraction: Double = 0.0,
+             targetTrain: Long = 100000L,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val cand = if (candidates > 0) candidates else 4 * k
+    require(cand >= k, s"candidates=$cand must be >= k=$k")
+    require(m >= 1, "m must be positive")
+    require(codewords >= 2 && codewords <= literalArgmaxCeiling,
+      s"codewords=$codewords outside [2, $literalArgmaxCeiling]")
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    require(trainFraction >= 0.0 && trainFraction <= 1.0,
+      "trainFraction in [0,1] (0 = derive from corpus size)")
+    val frac =
+      if (trainFraction > 0.0) trainFraction
+      else deriveTrainFraction(corpus.count(), targetTrain)
+    val trainSet =
+      if (frac >= 1.0) corpus
+      else Sampling.hashSample(corpus, col(idCol), frac)
+    val books: IndexedSeq[Array[Array[Double]]] = (0 until m).map { s =>
+      kmeansCentroidsL2(
+        trainSet.select(col(idCol),
+          slice(col(vecCol), s * sub + 1, sub).as("__sv")),
+        codewords, iters, idCol, "__sv")
+    }
+    // the m-byte code table — at scale this is the persisted index and
+    // the ONLY thing stage 1 scans
+    val codeCols = (0 until m).map(s =>
+      assignCentroidL2(slice(col(vecCol), s * sub + 1, sub), books(s))
+        .as(s"__c$s"))
+    val codes = corpus.select((col(idCol).as("vec_id") +: codeCols): _*)
+    // LUT columns evaluate on the broadcast BUILD side: one
+    // `codewords`-element dot array per (query, subspace), lambda-eval'd
+    // once per query row, looked up per pair
+    val lutCols = (0 until m).map { s =>
+      transform(typedlit(books(s).map(_.toSeq).toSeq),
+        cw => VectorExprs.dot(slice(col("qv"), s * sub + 1, sub), cw))
+        .as(s"__lut$s")
+    }
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id") +: col("qv") +: lutCols: _*))
+    val adc = (0 until m)
+      .map(s => element_at(col(s"__lut$s"), col(s"__c$s") + 1))
+      .reduce(_ + _)
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val candIds = codes.crossJoin(q.drop("qv"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", adc)
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= cand)
+      .select(col("query_id"), col("vec_id"))
+    val rerank = candIds
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+        Seq("vec_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), Seq("query_id"))
+      .withColumn("score", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    rerank
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
   /** Two-stage quantized top-k: rank the WHOLE corpus by the int8
     * integer dot product, keep `candidates` per query, exact-cosine
     * rerank only those. At corpus scale the first stage is the memory

@@ -1059,6 +1059,20 @@ object TrainingData {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // product-quantization ADC top-k: 4 subspaces x 16 L2 codewords
+    // (trained on the derived hash sample), 4-byte codes per vector —
+    // the 64x index-bandwidth path — per-query LUTs on the broadcast
+    // side, top-100 ADC candidates reranked by exact cosine. Training,
+    // encoding, LUTs, and the candidate cut all replay in the oracle
+    "q_embed_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      Similarity.pqTopK(e, q, k = 5, m = 4, codewords = 16,
+        candidates = 100, targetTrain = 16000L)
+        .withColumn("score", floor(col("score") * 1e4) / 1e4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // two-stage quantized top-k: int8 integer-dot ranking over the whole
     // corpus (1/4 the scan bytes of floats), exact-cosine rerank of the
     // top-20 candidates only. Stage 1 is integer-exact times two
@@ -1481,6 +1495,119 @@ object TrainingData {
         |        ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) DESC, c.cid DESC) AS rn
         |    FROM embeddings e CROSS JOIN cents3 c) WHERE rn = 1
         |)""".stripMargin
+
+  /** PQ oracle CTEs for one subspace `s` (16 dims at `lo = s*16`, `cw`
+    * codewords): seeds = the train set's `cw` lowest-id subvectors
+    * (1e-6 floored), three unrolled L2-Lloyd iterations (assign by
+    * `dot - ||c||^2/2`, ties to HIGHER cid; per-dimension means 1e-6
+    * floored, no normalization — codewords keep magnitudes), then the
+    * full-corpus encode `p{s}b(vec_id, c{s})` and the per-query LUT
+    * `l{s}(query_id, cid, d)` — mirroring Similarity.kmeansCentroidsL2 /
+    * pqTopK exactly. */
+  private def pqSubspaceCtes(s: Int, cw: Int): String = {
+    val lo = s * 16
+    def scoreExpr(tbl: String): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, 17), j -> CAST($tbl.embedding[CAST($lo + j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (a, b) -> a + b) - 0.5 * list_reduce(list_prepend(0.0, list_transform(c.vals, x -> x * x)), (a, b) -> a + b)"""
+    val seed =
+      s"""p${s}c0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         |    list_transform(embedding[${lo + 1}:${lo + 16}],
+         |      x -> floor(CAST(x AS DOUBLE) * 1e6) / 1e6) AS vals
+         |  FROM (SELECT * FROM train ORDER BY vec_id LIMIT $cw)
+         |)""".stripMargin
+    val iters = (1 to 3).map { it =>
+      s"""p${s}s$it AS (
+         |  SELECT t.vec_id, c.cid, ${scoreExpr("t")} AS score
+         |  FROM train t CROSS JOIN p${s}c${it - 1} c
+         |), p${s}a$it AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY score DESC, cid DESC) AS rn FROM p${s}s$it)
+         |  WHERE rn = 1
+         |), p${s}m$it AS (
+         |  SELECT a.cid, p.range AS pos,
+         |    AVG(CAST(e.embedding[CAST($lo + p.range + 1 AS INT)] AS DOUBLE))
+         |      AS mval
+         |  FROM p${s}a$it a JOIN embeddings e USING (vec_id)
+         |  CROSS JOIN range(16) p
+         |  GROUP BY 1, 2
+         |), p${s}v$it AS (
+         |  SELECT cid, list(floor(mval * 1e6) / 1e6 ORDER BY pos) AS vals
+         |  FROM p${s}m$it GROUP BY cid
+         |), p${s}c$it AS (
+         |  SELECT c0.cid, COALESCE(mv.vals, c0.vals) AS vals
+         |  FROM p${s}c${it - 1} c0 LEFT JOIN p${s}v$it mv USING (cid)
+         |)""".stripMargin
+    }
+    val encode =
+      s"""p${s}b AS (
+         |  SELECT vec_id, cid AS c$s FROM (
+         |    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${scoreExpr("e")} DESC, c.cid DESC) AS rn
+         |    FROM embeddings e CROSS JOIN p${s}c3 c) WHERE rn = 1
+         |), l$s AS (
+         |  SELECT q.query_id, c.cid,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+         |      j -> CAST(q.qv[CAST($lo + j AS INT)] AS DOUBLE)
+         |           * c.vals[CAST(j AS INT)])), (a, b) -> a + b) AS d
+         |  FROM qs q CROSS JOIN p${s}c3 c
+         |)""".stripMargin
+    (seed +: iters :+ encode).mkString(",\n")
+  }
+
+  /** Full q_embed_pq oracle: the shared IVF train-sample CTEs, the four
+    * per-subspace chains, ADC candidate scoring (4 LUT lookups + 3 adds
+    * in subspace order), top-`cand` cut by `(approx DESC, vec_id)`, and
+    * the exact-cosine rerank. */
+  private def pqOracleSql(cw: Int, cand: Int, k: Int): String =
+    s"""WITH thresh AS (
+       |  SELECT CAST(floor(16000.0 / count(*) * 65536 + 0.5) AS BIGINT) AS t
+       |  FROM embeddings
+       |), train AS (
+       |  SELECT e.* FROM embeddings e, thresh
+       |  WHERE thresh.t >= 65536
+       |     OR substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) <
+       |        printf('%04x', thresh.t)
+       |), qs AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id IN (0, 1, 2)
+       |),
+       |""".stripMargin +
+      (0 until 4).map(s => pqSubspaceCtes(s, cw)).mkString(",\n") +
+      s""",
+       |appx AS (
+       |  SELECT q.query_id, b0.vec_id,
+       |    ((l0.d + l1.d) + l2.d) + l3.d AS approx
+       |  FROM p0b b0
+       |  JOIN p1b b1 USING (vec_id)
+       |  JOIN p2b b2 USING (vec_id)
+       |  JOIN p3b b3 USING (vec_id)
+       |  CROSS JOIN qs q
+       |  JOIN l0 ON l0.query_id = q.query_id AND l0.cid = b0.c0
+       |  JOIN l1 ON l1.query_id = q.query_id AND l1.cid = b1.c1
+       |  JOIN l2 ON l2.query_id = q.query_id AND l2.cid = b2.c2
+       |  JOIN l3 ON l3.query_id = q.query_id AND l3.cid = b3.c3
+       |  WHERE b0.vec_id <> q.query_id
+       |), cand AS (
+       |  SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx DESC, vec_id) AS crank FROM appx
+       |), rr AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    list_cosine_similarity(e.embedding, q.qv) AS raw
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN qs q ON q.query_id = c.query_id
+       |  WHERE c.crank <= $cand
+       |), ranked AS (
+       |  SELECT query_id, vec_id, raw,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY raw DESC, vec_id) AS rank
+       |  FROM rr)
+       |SELECT query_id, vec_id, floor(raw * 1e4) / 1e4 AS score,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
 
   private def ivfProbeRankSql(queryPred: String, nprobe: Int,
                               k: Int): String =
@@ -3007,6 +3134,11 @@ object TrainingData {
         |  scale
         |FROM scaled CROSS JOIN range(64) p
         |ORDER BY vec_id, pos""".stripMargin,
+
+    // Mirrors Similarity.pqTopK (m=4, codewords=16, candidates=100,
+    // k=5, derived train fraction) exactly — training, encoding, LUTs,
+    // ADC sums, and both rank cuts (see pqSubspaceCtes/pqOracleSql)
+    "q_embed_pq" -> pqOracleSql(cw = 16, cand = 100, k = 5),
 
     // Mirrors Similarity.quantizedTopK (k=5, candidates=20) exactly:
     // stage-1 code dots are exact small-integer sums (any accumulation

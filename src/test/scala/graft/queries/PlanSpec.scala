@@ -452,4 +452,11 @@ class PlanSpec extends AnyFunSuite {
     assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p.take(4000))
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
+
+  test("q_embed_pq: ADC cut and rerank both plan as WindowGroupLimit; " +
+    "stage 1 scans only ids + codes") {
+    val p = plan("q_embed_pq")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
 }
