@@ -666,14 +666,33 @@ object Similarity {
     }
     // the m-byte code table — at scale this is the persisted index and
     // the ONLY thing stage 1 scans
-    val codeCols = (0 until m).map(s =>
+    val codes = pqEncode(corpus, books, sub, idCol, vecCol)
+    pqAdcRank(codes, books, corpus, queries, k, cand, sub, idCol, vecCol)
+  }
+
+  /** Encode vectors to their per-subspace nearest-codeword ids:
+    * `(vec_id, __c0 .. __c{m-1})`. */
+  private def pqEncode(vectors: DataFrame,
+                       books: IndexedSeq[Array[Array[Double]]], sub: Int,
+                       idCol: String, vecCol: String): DataFrame = {
+    val codeCols = books.indices.map(s =>
       assignCentroidL2(slice(col(vecCol), s * sub + 1, sub), books(s))
         .as(s"__c$s"))
-    val codes = corpus.select((col(idCol).as("vec_id") +: codeCols): _*)
-    // LUT columns evaluate on the broadcast BUILD side: one
-    // `codewords`-element dot array per (query, subspace), lambda-eval'd
-    // once per query row, looked up per pair
-    val lutCols = (0 until m).map { s =>
+    vectors.select((col(idCol).as("vec_id") +: codeCols): _*)
+  }
+
+  /** Shared ADC scoring + rerank over a code table: per-query LUT
+    * columns evaluate on the broadcast BUILD side (one
+    * codeword-dot array per subspace, lambda-eval'd once per query
+    * row), each code row costs `m` lookups and `m-1` adds; the top
+    * `cand` by `(approx desc, id)` join full-precision `vectors` for
+    * the exact-cosine rerank. */
+  private def pqAdcRank(codes: DataFrame,
+                        books: IndexedSeq[Array[Array[Double]]],
+                        vectors: DataFrame, queries: DataFrame,
+                        k: Int, cand: Int, sub: Int,
+                        idCol: String, vecCol: String): DataFrame = {
+    val lutCols = books.indices.map { s =>
       transform(typedlit(books(s).map(_.toSeq).toSeq),
         cw => VectorExprs.dot(slice(col("qv"), s * sub + 1, sub), cw))
         .as(s"__lut$s")
@@ -681,7 +700,7 @@ object Similarity {
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .select(col("query_id") +: col("qv") +: lutCols: _*))
-    val adc = (0 until m)
+    val adc = books.indices
       .map(s => element_at(col(s"__lut$s"), col(s"__c$s") + 1))
       .reduce(_ + _)
     val wc = Window.partitionBy(col("query_id"))
@@ -693,7 +712,7 @@ object Similarity {
       .filter(col("crank") <= cand)
       .select(col("query_id"), col("vec_id"))
     val rerank = candIds
-      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+      .join(vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
         Seq("vec_id"))
       .join(broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).as("qv"))), Seq("query_id"))
@@ -704,6 +723,94 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  /** Build a persisted PQ index at `path`: `path/books` holds the
+    * frozen per-subspace codebooks (`(s, cid, vals)` rows — tiny),
+    * `path/codes` the `m`-int code per vector. Train cost is
+    * [[kmeansCentroidsL2]] per subspace on the derived hash sample;
+    * encode is one corpus pass. The index is the thing ANN serving
+    * scans — `m` small ints per vector against `4*dim` float bytes. */
+  def buildPqIndex(corpus: DataFrame, path: String, m: Int = 4,
+                   codewords: Int = 8, iters: Int = 3,
+                   trainFraction: Double = 0.0,
+                   targetTrain: Long = 100000L,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit = {
+    require(m >= 1, "m must be positive")
+    require(codewords >= 2 && codewords <= literalArgmaxCeiling,
+      s"codewords=$codewords outside [2, $literalArgmaxCeiling]")
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val frac =
+      if (trainFraction > 0.0) trainFraction
+      else deriveTrainFraction(corpus.count(), targetTrain)
+    val trainSet =
+      if (frac >= 1.0) corpus
+      else Sampling.hashSample(corpus, col(idCol), frac)
+    val books = (0 until m).map { s =>
+      kmeansCentroidsL2(
+        trainSet.select(col(idCol),
+          slice(col(vecCol), s * sub + 1, sub).as("__sv")),
+        codewords, iters, idCol, "__sv")
+    }
+    import corpus.sparkSession.implicits._
+    books.zipWithIndex
+      .flatMap { case (b, s) =>
+        b.zipWithIndex.map { case (c, cid) => (s, cid, c.toSeq) }
+      }
+      .toDF("s", "cid", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    pqEncode(corpus, books, sub, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load the frozen codebooks of a persisted PQ index. */
+  private def loadPqBooks(spark: org.apache.spark.sql.SparkSession,
+                          path: String)
+      : IndexedSeq[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/books")
+      .select(col("s"), col("cid"), col("vals")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    (0 until m).map { s =>
+      rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)
+    }
+  }
+
+  /** Append a batch to a persisted PQ index: encode with the FROZEN
+    * codebooks (so codes are reproducible regardless of arrival order
+    * or batch split) and append to `path/codes`. Codebooks are never
+    * silently retrained — retrain is an explicit [[buildPqIndex]]
+    * rebuild; measure drift first (e.g. [[prototypicalityPrune]] over
+    * new arrivals) and accept that codes stay comparable only within
+    * one codebook generation. */
+  def appendToPqIndex(batch: DataFrame, path: String,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val books = loadPqBooks(batch.sparkSession, path)
+    val sub = books.head.head.length
+    pqEncode(batch, books, sub, idCol, vecCol)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** ANN search over a persisted PQ index: stage 1 scans ONLY
+    * `path/codes` (+ the tiny codebooks); `vectors` supplies
+    * full-precision rows for the exact-cosine rerank of the top
+    * `candidates` — at scale the fat table is touched for
+    * `candidates * |queries|` rows, nothing more. Same ADC semantics
+    * as [[pqTopK]] (OpsSpec pins equality). */
+  def pqSearch(vectors: DataFrame, queries: DataFrame, path: String,
+               k: Int, candidates: Int = 0,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val cand = if (candidates > 0) candidates else 4 * k
+    require(cand >= k, s"candidates=$cand must be >= k=$k")
+    val books = loadPqBooks(vectors.sparkSession, path)
+    val sub = books.head.head.length
+    val codes = vectors.sparkSession.read.parquet(s"$path/codes")
+    pqAdcRank(codes, books, vectors, queries, k, cand, sub, idCol, vecCol)
   }
 
   /** Two-stage quantized top-k: rank the WHOLE corpus by the int8

@@ -1073,6 +1073,23 @@ object TrainingData {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // persisted PQ index lifecycle: codebooks train on the EVEN half
+    // (the build corpus), the odd half arrives later and encodes with
+    // the FROZEN books (appendToPqIndex) — arrival order can't move a
+    // code — then ADC search scans only the code table. The oracle
+    // trains on the even slice and encodes everything
+    "q_embed_pq_index" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = scratchDir("graft-pqidx-") + "/idx"
+      Similarity.buildPqIndex(e.filter(col("vec_id") % 2 === 0), idx,
+        m = 4, codewords = 16, targetTrain = 16000L)
+      Similarity.appendToPqIndex(e.filter(col("vec_id") % 2 === 1), idx)
+      Similarity.pqSearch(e, e.filter(col("vec_id").isin(0L, 1L, 2L)),
+        idx, k = 5, candidates = 100)
+        .withColumn("score", floor(col("score") * 1e4) / 1e4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // two-stage quantized top-k: int8 integer-dot ranking over the whole
     // corpus (1/4 the scan bytes of floats), exact-cosine rerank of the
     // top-20 candidates only. Stage 1 is integer-exact times two
@@ -1560,15 +1577,18 @@ object TrainingData {
     * per-subspace chains, ADC candidate scoring (4 LUT lookups + 3 adds
     * in subspace order), top-`cand` cut by `(approx DESC, vec_id)`, and
     * the exact-cosine rerank. */
-  private def pqOracleSql(cw: Int, cand: Int, k: Int): String =
+  private def pqOracleSql(cw: Int, cand: Int, k: Int,
+                          trainPred: String = ""): String =
     s"""WITH thresh AS (
        |  SELECT CAST(floor(16000.0 / count(*) * 65536 + 0.5) AS BIGINT) AS t
-       |  FROM embeddings
+       |  FROM embeddings${if (trainPred.isEmpty) ""
+      else s"\n  WHERE $trainPred"}
        |), train AS (
        |  SELECT e.* FROM embeddings e, thresh
-       |  WHERE thresh.t >= 65536
+       |  WHERE ${if (trainPred.isEmpty) ""
+      else s"$trainPred AND ("}thresh.t >= 65536
        |     OR substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) <
-       |        printf('%04x', thresh.t)
+       |        printf('%04x', thresh.t)${if (trainPred.isEmpty) "" else ")"}
        |), qs AS (
        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
        |  WHERE vec_id IN (0, 1, 2)
@@ -3139,6 +3159,12 @@ object TrainingData {
     // k=5, derived train fraction) exactly — training, encoding, LUTs,
     // ADC sums, and both rank cuts (see pqSubspaceCtes/pqOracleSql)
     "q_embed_pq" -> pqOracleSql(cw = 16, cand = 100, k = 5),
+
+    // same replay with the codebooks trained on the even half only —
+    // frozen-book appends make the rest of the encode identical
+    "q_embed_pq_index" ->
+      pqOracleSql(cw = 16, cand = 100, k = 5,
+        trainPred = "vec_id % 2 = 0"),
 
     // Mirrors Similarity.quantizedTopK (k=5, candidates=20) exactly:
     // stage-1 code dots are exact small-integer sums (any accumulation

@@ -314,6 +314,25 @@ object Monitor {
       }
       .start()
 
+  /** Stream vectors into a persisted PQ index
+    * ([[graft.ops.Similarity.buildPqIndex]]): each micro-batch encodes
+    * with the FROZEN codebooks and appends its `m`-int codes — arrival
+    * order and batch splits cannot change a vector's code, so the
+    * drained index equals the batch-built one row for row (MonitorSpec).
+    * Re-delivery of an uncommitted batch duplicates code rows
+    * (at-least-once); the checkpoint prevents committed re-runs. */
+  def pqIndexSink(vecs: DataFrame, indexPath: String,
+                  checkpointDir: String,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Similarity.appendToPqIndex(batch, indexPath, idCol, vecCol)
+        ()
+      }
+      .start()
+
   /** Stream an embedding corpus through the persisted semantic-dedup
     * index ([[graft.ops.Similarity.incrementalSemanticDedup]]): each
     * micro-batch's survivors — vectors NOT cosine-near-duplicating

@@ -2337,4 +2337,38 @@ class OpsSpec extends AnyFunSuite {
       targetTrain = 16000L))
     assert(full == brute)
   }
+
+  test("PQ index lifecycle: pqSearch over a built index == pqTopK; " +
+    "frozen-book appends are batch-split invariant") {
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+    // a build-everything index answers exactly like the in-memory op
+    val idxA = graft.SparkSpec.tmpDir("graft-pqa-") + "/idx"
+    Similarity.buildPqIndex(emb, idxA, m = 4, codewords = 8,
+      targetTrain = 16000L)
+    val viaIndex = toSet(Similarity.pqSearch(emb, q, idxA, 5,
+      candidates = 20))
+    val direct = toSet(Similarity.pqTopK(emb, q, 5, m = 4, codewords = 8,
+      candidates = 20, targetTrain = 16000L))
+    assert(viaIndex == direct)
+    // frozen books: appending the odd half in ONE batch or THREE
+    // yields byte-identical codes, hence identical search results
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val idxB = graft.SparkSpec.tmpDir("graft-pqb-") + "/idx"
+    val idxC = graft.SparkSpec.tmpDir("graft-pqc-") + "/idx"
+    Similarity.buildPqIndex(evens, idxB, m = 4, codewords = 8,
+      targetTrain = 16000L)
+    Similarity.buildPqIndex(evens, idxC, m = 4, codewords = 8,
+      targetTrain = 16000L)
+    Similarity.appendToPqIndex(odds, idxB)
+    (0 until 3).foreach(i =>
+      Similarity.appendToPqIndex(odds.filter(col("vec_id") % 3 === i),
+        idxC))
+    val one = toSet(Similarity.pqSearch(emb, q, idxB, 5, candidates = 20))
+    val three = toSet(Similarity.pqSearch(emb, q, idxC, 5, candidates = 20))
+    assert(one == three)
+  }
 }

@@ -522,4 +522,36 @@ class MonitorSpec extends AnyFunSuite {
     assert(got == expected, s"stream=$got batch=$expected")
     assert(!got.contains(1L) && got.contains(2L))
   }
+
+  test("pq-index sink: streamed appends produce the same codes as " +
+    "batch appends") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val dir = tmpDir("graft-pqsink-")
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => ((seed * 31 + i * 7) % 13 - 6).toFloat)
+    val base = (0L until 20L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val late = (100L until 110L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    // batch reference index
+    Similarity.buildPqIndex(base, s"$dir/ref", m = 2, codewords = 4,
+      trainFraction = 1.0)
+    Similarity.appendToPqIndex(late, s"$dir/ref")
+    // streamed index: same build, appends arrive via the sink
+    Similarity.buildPqIndex(base, s"$dir/idx", m = 2, codewords = 4,
+      trainFraction = 1.0)
+    late.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = Monitor.pqIndexSink(
+      spark.readStream.schema(schema).parquet(s"$dir/in"),
+      s"$dir/idx", s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    def codes(p: String) =
+      spark.read.parquet(s"$p/codes").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(codes(s"$dir/idx") == codes(s"$dir/ref"))
+    assert(codes(s"$dir/idx").map(_._1) ==
+      ((0L until 20L) ++ (100L until 110L)).toSet)
+  }
 }
