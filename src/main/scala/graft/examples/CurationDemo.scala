@@ -12,7 +12,9 @@ import graft.ops._
   *   C4 page gate → exact-substring (passage) dedup → DSIR importance
   *   scoring against a target domain + K-domain routing → embedding
   *   prototypicality pruning → priority-sampled token-weighted corpus
-  *   snapshot → temperature-flattened mixture → curriculum order
+  *   snapshot → source-preference merge + cross-corpus Bloom
+  *   decontamination → DoReMi mixture weights → temperature-flattened
+  *   mixture → curriculum order
   *
   * Every stage is deterministic (no rand()), so the whole layer is
   * re-runnable and auditable: the same corpus always yields the same
@@ -89,6 +91,30 @@ object CurationDemo {
     println(f"priority snapshot: 200 docs estimate " +
       f"$estTok%.0f of $trueTok%.0f corpus tokens " +
       f"(${100 * estTok / trueTok}%.1f%%)")
+
+    // 5b. source-preference dedup + cross-corpus bloom decontamination:
+    //     duplicate content keeps the most-trusted source's copy, and
+    //     anything overlapping the frozen "last-release" reference
+    //     (here: the doc_id < 40 slice) is dropped through the Bloom
+    //     prefilter + exact-verify path
+    val merged = Dedup.preferSource(cleaned, Seq("src1", "src3"))
+      .drop("n_copies")
+    val released = Contamination.bloomDecontaminate(
+      merged.filter(col("doc_id") >= 40), docs.filter(col("doc_id") < 40),
+      n = 3, minShared = 5, expectedItems = 500000L)
+    println(s"prefer-source + bloom decontam: $n2 -> ${merged.count()} " +
+      s"-> ${released.count()} docs")
+
+    // 5c. DoReMi mixture weights over the surviving sources (excess
+    //     loss proxied by chars-per-token; real proxy/reference scores
+    //     enter through the Score seam)
+    val weights = Dsir.domainReweight(released,
+      excess = length(col("text")).cast("double")
+        / Text.tokenCount(col("text")) - lit(4.5),
+      domain = col("source"), steps = 2)
+      .orderBy(col("weight").desc).limit(3).collect()
+      .map(r => f"${r.getString(0)}=${r.getDouble(2)}%.3f").mkString(" ")
+    println(s"doremi top weights: $weights")
 
     // 6. temperature-flatten the source mixture (alpha=0.5), then fix
     //    the training order: sources as curriculum stages, hash-shuffled

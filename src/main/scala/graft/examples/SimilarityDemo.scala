@@ -47,6 +47,24 @@ object SimilarityDemo {
     println(s"semantic dedup survivors: exact=${kept.count()} " +
       s"ann=${keptAnn.count()} of ${emb.count()}")
     exact.unpersist(); ann.unpersist()
+
+    // the ANN serving ladder at one config: brute force (the answer),
+    // int8 two-stage, and a persisted PQ index (4 bytes/vector code
+    // table + frozen codebooks; new arrivals append without retraining)
+    val qs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits(Similarity.bruteForceTopK(emb, qs, 5))
+    val i8 = hits(Similarity.quantizedTopK(emb, qs, 5, candidates = 20))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-simdemo-pq").toString + "/idx"
+    Similarity.buildPqIndex(emb, idx, m = 4, codewords = 16,
+      targetTrain = 16000L)
+    val pq = hits(Similarity.pqSearch(emb, qs, idx, 5, candidates = 100))
+    println(s"top-5 recall vs brute: int8=${
+      i8.intersect(brute).size}/${brute.size} pq=${
+      pq.intersect(brute).size}/${brute.size}")
     spark.stop()
   }
 }

@@ -567,6 +567,17 @@ class ScaleUpExperiment extends AnyFunSuite {
     assert(t10p / math.max(t1p, 0.5) < 25,
       "preferSource scale-up ratio too high")
 
+    // PQ search over 10x embeddings: codebooks/LUTs are fixed-cost,
+    // the ADC scan grows linearly with the code table
+    def pq(d: org.apache.spark.sql.DataFrame): Long =
+      Similarity.pqTopK(d, qs, k = 5, m = 4, codewords = 16,
+        candidates = 100, targetTrain = 16000L).count()
+    val t1pq = time(pq(emb1))
+    val t10pq = time(pq(emb10))
+    println(f"[scaleup] pqTopK 1x=$t1pq%.1fs 10x=$t10pq%.1fs ratio=${t10pq / t1pq}%.1f")
+    assert(t10pq / math.max(t1pq, 0.5) < 25,
+      "pqTopK scale-up ratio too high")
+
     // DoReMi reweighting: one partial-aggregated pass to 20 domain rows
     def doremi(d: org.apache.spark.sql.DataFrame): Long =
       Dsir.domainReweight(d,
