@@ -62,6 +62,85 @@ object Tokenize {
     }
   }
 
+  /** Train a BPE merge table on a corpus (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units") in the
+    * word-histogram formulation production trainers use: ONE
+    * distributed pass folds the corpus to `(pre-token, count)` — the
+    * histogram is bounded by the DISTINCT pre-token vocabulary, never
+    * corpus size — and the merge loop runs driver-side over that
+    * histogram (~ `numMerges * |vocab| * avg-word-length` work).
+    * Pre-tokenization is [[Text.bpeTokenPattern]], the same rule the
+    * [[ToyBpeTokenizer]] applies, so a trained table feeds the seam
+    * directly.
+    *
+    * Deterministic end to end: pair counts are exact longs and the
+    * best pair breaks ties on the lexicographically smallest
+    * `(left, right)`, so any corpus partitioning or arrival order
+    * trains the identical table (spec-pinned). Stops early when no
+    * pair reaches `minPairCount`.
+    *
+    * `maxWords` is the driver-memory guard — the engine's
+    * bounded-collect discipline. A natural-language histogram is
+    * Heaps-law bounded (~1e6 distinct words at 100 TB scale after the
+    * pre-tokenizer splits punctuation); an overflow fails fast with
+    * sizing guidance rather than silently truncating frequency mass. */
+  def trainBpe(docs: DataFrame, numMerges: Int,
+               textCol: String = "text",
+               maxWords: Int = 2000000,
+               minPairCount: Long = 2L): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    require(numMerges >= 0, "numMerges must be >= 0")
+    require(maxWords > 0, "maxWords must be positive")
+    val hist = docs
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(Text.bpeTokenPattern), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .limit(maxWords + 1)
+      .collect()
+    require(hist.length <= maxWords,
+      s"pre-token histogram exceeds maxWords=$maxWords — raise the " +
+        "guard if the driver is sized for it, or pre-filter the corpus " +
+        "(rare hapaxes do not move early merges)")
+    var words: Array[(Array[String], Long)] =
+      hist.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val pairCounts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      val eligible = pairCounts.filter(_._2 >= minPairCount)
+      if (eligible.isEmpty) exhausted = true
+      else {
+        // max count; ties take the lexicographically smallest pair
+        val best = eligible.minBy { case ((l, r), c) => (-c, l, r) }._1
+        merges += best
+        words = words.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 &&
+                  syms(i) == best._1 && syms(i + 1) == best._2) {
+                out += syms(i) + syms(i + 1); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
   /** Minimal byte-pair-encoding tokenizer over an explicit merge list —
     * the seam's test implementation (the public BPE algorithm: within
     * each pre-token, repeatedly merge the adjacent symbol pair with the

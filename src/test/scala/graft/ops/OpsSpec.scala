@@ -2371,4 +2371,33 @@ class OpsSpec extends AnyFunSuite {
     val three = toSet(Similarity.pqSearch(emb, q, idxC, 5, candidates = 20))
     assert(one == three)
   }
+
+  test("trainBpe: hand-computable merges on a fixture; partitioning " +
+    "invariant; trained table drives the seam's counter") {
+    import graft.SparkSpec.spark.implicits._
+    // histogram: "low" x4, "lower" x2, "new" x3 -> pairs: (l,o)=6,
+    // (o,w)=6, (w,e)=2, (e,r)=2, (n,e)=3, (e,w)=3. Merge 1 ties
+    // (l,o)/(o,w) at 6 -> lexicographic (l,o). Then (lo,w)=6 wins, then
+    // (n,e)=(e,w)=3 tie -> (e,w), then (n,ew)=3, then (low,e)=(e,r)=2
+    // tie -> (e,r).
+    val d = (Seq.fill(4)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(3)("new")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Tokenize.trainBpe(d, numMerges = 5)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("e", "w"),
+      ("n", "ew"), ("e", "r")))
+    // order/partitioning invariance: exact long counts + lexicographic
+    // ties mean a reshuffled corpus trains the identical table
+    val shuffled = d.orderBy(org.apache.spark.sql.functions.rand(7))
+      .repartition(7)
+    assert(Tokenize.trainBpe(shuffled, numMerges = 5) == merges)
+    // the trained table plugs into the seam: "lower" folds through
+    // (l,o)(lo,w)(e,r) to [low, er] = 2 tokens; "newest" through
+    // (e,w)(n,ew) to [new, e, s, t] = 4
+    val counter = Tokenize.ToyBpeTokenizer(merges).init()
+    assert(counter.count("lower") == 2L)
+    assert(counter.count("newest") == 4L)
+    // minPairCount stops early: nothing reaches 7
+    assert(Tokenize.trainBpe(d, numMerges = 5, minPairCount = 7L).isEmpty)
+  }
 }
