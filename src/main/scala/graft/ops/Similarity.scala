@@ -134,6 +134,20 @@ object Similarity {
   private def centroidDot(v: Column, c: Array[Double]): Column =
     VectorExprs.dotConst(v, c)
 
+  /** Element-type-agnostic vector read from a collected Row: the driver
+    * has regenerated testdata schemas between rounds before (the events
+    * ns->us lesson), and the Column-level ops already accept
+    * `array<float|double>` — the driver-side collect sites must not be
+    * the one place a float->double drift still crashes. */
+  private def rowVec(r: org.apache.spark.sql.Row, i: Int): Array[Double] =
+    r.getSeq[Any](i).map {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d.doubleValue()
+      case n: java.lang.Number => n.doubleValue()
+      case x => throw new IllegalArgumentException(
+        s"non-numeric embedding element: $x")
+    }.toArray
+
   /** Past this many centroids the `greatest(struct(dot, cid), ...)`
     * formulation stops being reasonable: K child expressions in one
     * generated function (plan-compile blowup, then codegen fallback).
@@ -170,7 +184,7 @@ object Similarity {
     }
     var centroids = corpus.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
-      .map(r => normalize(r.getSeq[Float](0).map(_.toDouble).toArray))
+      .map(r => normalize(rowVec(r, 0)))
     (0 until iters).foreach { _ =>
       val assigned = corpus.select(col(vecCol).as("v"),
         assignCentroid(col(vecCol), centroids).as("cid"))
@@ -235,7 +249,7 @@ object Similarity {
     val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .collect()
     val probes = qRows.flatMap { r =>
-      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      val qv = rowVec(r, 1)
       centroids.zipWithIndex
         .map { case (c, i) => (c.zip(qv).map { case (a, b) => a * b }.sum, i) }
         .sortBy { case (s, i) => (-s, i) }
@@ -573,7 +587,7 @@ object Similarity {
     def round(c: Array[Double]) = c.map(x => math.floor(x * 1e6) / 1e6)
     var cents = corpus.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
-      .map(r => round(r.getSeq[Float](0).map(_.toDouble).toArray))
+      .map(r => round(rowVec(r, 0)))
     (0 until iters).foreach { _ =>
       val dims = corpus
         .select(assignCentroidL2(col(vecCol), cents).as("cid"),
@@ -713,6 +727,98 @@ object Similarity {
       .select(col("query_id"), col("vec_id"))
     val rerank = candIds
       .join(vectors.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+        Seq("vec_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), Seq("query_id"))
+      .withColumn("score", cosine(col("v"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    rerank
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+  }
+
+  /** IVF-PQ (the production billion-scale ANN layout): the coarse
+    * quantizer restricts each query's ADC scan to its `nprobe` cells —
+    * [[pqTopK]]'s code scan is O(corpus) per query batch; here it is a
+    * cid EQUI-JOIN against the probed cells, a partition-pruned scan
+    * when the code table is partitioned by cell — and PQ codes score
+    * the probed candidates at `m` lookups each before the exact-cosine
+    * rerank. Both quantizers train on ONE derived hash sample; probe
+    * selection reuses the [[ivfTopKBatch]] map-side forms (ties to the
+    * LOWER cid), PQ encode ties to the higher codeword id as always —
+    * all of it replayed by the q_embed_ivfpq oracle. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                numCentroids: Int = 8, nprobe: Int = 2, m: Int = 4,
+                codewords: Int = 16, candidates: Int = 0, iters: Int = 3,
+                trainFraction: Double = 0.0,
+                targetTrain: Long = 100000L,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val cand = if (candidates > 0) candidates else 4 * k
+    require(cand >= k, s"candidates=$cand must be >= k=$k")
+    require(nprobe > 0, "nprobe must be positive")
+    require(codewords >= 2 && codewords <= literalArgmaxCeiling,
+      s"codewords=$codewords outside [2, $literalArgmaxCeiling]")
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    val frac =
+      if (trainFraction > 0.0) trainFraction
+      else deriveTrainFraction(corpus.count(), targetTrain)
+    val (centroids, bucketed) = ivfQuantize(corpus, numCentroids, iters,
+      idCol, vecCol, frac, targetTrain)
+    val trainSet =
+      if (frac >= 1.0) corpus
+      else Sampling.hashSample(corpus, col(idCol), frac)
+    val books = (0 until m).map { s =>
+      kmeansCentroidsL2(
+        trainSet.select(col(idCol),
+          slice(col(vecCol), s * sub + 1, sub).as("__sv")),
+        codewords, iters, idCol, "__sv")
+    }
+    // the cell-partitioned code table: (vec_id, cid, __c0..__c{m-1})
+    val codeCols = books.indices.map(s =>
+      assignCentroidL2(slice(col("v"), s * sub + 1, sub), books(s))
+        .as(s"__c$s"))
+    val codes = bucketed.select(
+      (col("vec_id") +: col("cid") +: codeCols): _*)
+    // per-query LUTs once, then the probe-cell explode
+    val lutCols = books.indices.map { s =>
+      transform(typedlit(books(s).map(_.toSeq).toSeq),
+        cw => VectorExprs.dot(slice(col("qv"), s * sub + 1, sub), cw))
+        .as(s"__lut$s")
+    }
+    val withLuts = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id") +: col("qv") +: lutCols: _*)
+    val keep = col("query_id") +: books.indices.map(s => col(s"__lut$s"))
+    val probed =
+      if (centroids.length <= literalArgmaxCeiling) {
+        val probeArr = slice(sort_array(array(centroids.zipWithIndex.map {
+          case (c, i) =>
+            struct((-centroidDot(col("qv"), c)).as("ns"), lit(i).as("cid"))
+        }: _*)), 1, math.min(nprobe, centroids.length))
+        withLuts.select(keep :+ explode(probeArr).as("p"): _*)
+          .select(keep :+ col("p.cid").as("cid"): _*)
+      } else
+        withLuts.select(keep :+
+          explode(VectorExprs.topNDotCids(col("qv"), centroids, nprobe))
+            .as("cid"): _*)
+    val adc = books.indices
+      .map(s => element_at(col(s"__lut$s"), col(s"__c$s") + 1))
+      .reduce(_ + _)
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val candIds = codes.join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", adc)
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= cand)
+      .select(col("query_id"), col("vec_id"))
+    val rerank = candIds
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
         Seq("vec_id"))
       .join(broadcast(queries.select(col(idCol).as("query_id"),
         col(vecCol).as("qv"))), Seq("query_id"))

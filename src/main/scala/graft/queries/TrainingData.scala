@@ -1081,6 +1081,19 @@ object TrainingData {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ: coarse cells prune the ADC scan to each query's 2 probed
+    // cells (the sublinear production layout; pqTopK's code scan is
+    // O(corpus) per query), PQ codes score the probed candidates, top
+    // 50 rerank exact. Both quantizers share one derived hash sample
+    "q_embed_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id").isin(0L, 1L, 2L))
+      Similarity.ivfPqTopK(e, q, k = 5, numCentroids = 8, nprobe = 2,
+        m = 4, codewords = 16, candidates = 50, targetTrain = 16000L)
+        .withColumn("score", floor(col("score") * 1e4) / 1e4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // persisted PQ index lifecycle: codebooks train on the EVEN half
     // (the build corpus), the odd half arrives later and encodes with
     // the FROZEN books (appendToPqIndex) — arrival order can't move a
@@ -3176,6 +3189,60 @@ object TrainingData {
     "q_embed_pq_index" ->
       pqOracleSql(cw = 16, cand = 100, k = 5,
         trainPred = "vec_id % 2 = 0"),
+
+    // IVF-PQ composition: the shared coarse-quantizer CTE chain
+    // (cents3/bucketed), the four PQ subspace chains on the SAME train
+    // sample, probe selection (dot DESC, cid ASC — the ivfTopKBatch
+    // rule), ADC over probed cells only, exact rerank of the top 50
+    "q_embed_ivfpq" ->
+      (ivfCentroidCtes +
+        """, qs AS (
+          |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          |  WHERE vec_id IN (0, 1, 2)
+          |),
+          |""".stripMargin +
+        (0 until 4).map(s => pqSubspaceCtes(s, 16)).mkString(",\n") +
+        """, probes AS (
+          |  SELECT query_id, cid FROM (
+          |    SELECT q.vec_id AS query_id, c.cid,
+          |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+          |        ORDER BY list_reduce(list_prepend(0.0, list_transform(range(1, 65), j -> CAST(q.embedding[CAST(j AS INT)] AS DOUBLE) * c.vals[CAST(j AS INT)])), (acc, x) -> acc + x) DESC, c.cid ASC) AS rn
+          |    FROM embeddings q CROSS JOIN cents3 c
+          |    WHERE q.vec_id IN (0, 1, 2)) WHERE rn <= 2
+          |), appx AS (
+          |  SELECT p.query_id, bk.vec_id,
+          |    ((l0.d + l1.d) + l2.d) + l3.d AS approx
+          |  FROM probes p
+          |  JOIN bucketed bk USING (cid)
+          |  JOIN p0b b0 ON b0.vec_id = bk.vec_id
+          |  JOIN p1b b1 ON b1.vec_id = bk.vec_id
+          |  JOIN p2b b2 ON b2.vec_id = bk.vec_id
+          |  JOIN p3b b3 ON b3.vec_id = bk.vec_id
+          |  JOIN l0 ON l0.query_id = p.query_id AND l0.cid = b0.c0
+          |  JOIN l1 ON l1.query_id = p.query_id AND l1.cid = b1.c1
+          |  JOIN l2 ON l2.query_id = p.query_id AND l2.cid = b2.c2
+          |  JOIN l3 ON l3.query_id = p.query_id AND l3.cid = b3.c3
+          |  WHERE bk.vec_id <> p.query_id
+          |), candp AS (
+          |  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+          |    PARTITION BY query_id
+          |    ORDER BY approx DESC, vec_id) AS crank FROM appx
+          |), rrp AS (
+          |  SELECT c.query_id, c.vec_id,
+          |    list_cosine_similarity(e.embedding, q.qv) AS raw
+          |  FROM candp c
+          |  JOIN embeddings e ON e.vec_id = c.vec_id
+          |  JOIN qs q ON q.query_id = c.query_id
+          |  WHERE c.crank <= 50
+          |), rankedp AS (
+          |  SELECT query_id, vec_id, raw,
+          |    ROW_NUMBER() OVER (PARTITION BY query_id
+          |                       ORDER BY raw DESC, vec_id) AS rank
+          |  FROM rrp)
+          |SELECT query_id, vec_id, floor(raw * 1e4) / 1e4 AS score,
+          |  CAST(rank AS BIGINT) AS rank
+          |FROM rankedp WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin),
 
     // Mirrors Similarity.quantizedTopK (k=5, candidates=20) exactly:
     // stage-1 code dots are exact small-integer sums (any accumulation

@@ -2400,4 +2400,38 @@ class OpsSpec extends AnyFunSuite {
     // minPairCount stops early: nothing reaches 7
     assert(Tokenize.trainBpe(d, numMerges = 5, minPairCount = 7L).isEmpty)
   }
+
+  test("embedding ops accept array<double> frames (schema-drift " +
+    "hardening: the events ns->us lesson, applied proactively)") {
+    val d = emb.withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    val q = d.filter(col("vec_id") === 0L)
+    assert(Similarity.bruteForceTopK(d, q, 3).count() == 3)
+    assert(Similarity.ivfTopK(d, q, 3, targetTrain = 16000L).count() == 3)
+    assert(Similarity.pqTopK(d, q, 3, candidates = 12,
+      targetTrain = 16000L).count() == 3)
+    assert(Similarity.lshTopK(d, q, 3).count() == 3)
+    assert(Similarity.cosinePairs(d.limit(200), 0.4).count() >= 0)
+  }
+
+  test("ivfPqTopK: probe-pruned ADC holds recall at the shipped config") {
+    val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits(Similarity.bruteForceTopK(emb, q, 5))
+    val a = hits(Similarity.ivfPqTopK(emb, q, 5, numCentroids = 8,
+      nprobe = 2, m = 4, codewords = 16, candidates = 50,
+      targetTrain = 16000L))
+    val recall = a.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"ivfpq recall $recall (measured 0.87 at sf0.01)")
+    // probing EVERY cell removes the coarse cut: candidates equal
+    // pqTopK's at the same candidate budget
+    val all = hits(Similarity.ivfPqTopK(emb, q, 5, numCentroids = 8,
+      nprobe = 8, m = 4, codewords = 16, candidates = 50,
+      targetTrain = 16000L))
+    val pq = hits(Similarity.pqTopK(emb, q, 5, m = 4, codewords = 16,
+      candidates = 50, targetTrain = 16000L))
+    assert(all == pq)
+  }
 }

@@ -459,4 +459,15 @@ class PlanSpec extends AnyFunSuite {
     assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p.take(4000))
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
+
+  test("q_embed_ivfpq: probed cells ride a cid equi-join (no corpus " +
+    "cross product); both rank cuts are WindowGroupLimit") {
+    val p = plan("q_embed_ivfpq")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    // the ADC stage joins codes to probes on cid — a hash join key,
+    // not a nested-loop filter
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(4000))
+  }
 }
