@@ -427,6 +427,94 @@ object Text {
           .as("surprisal"))
   }
 
+  /** KenLM-style bigram log-loss with stupid backoff (Brants et al.
+    * 2007): mean `-ln s(w | v)` over a document's adjacent token pairs,
+    * scored under a bigram model trained on the corpus itself — the
+    * next-order-up of [[unigramSurprisal]] and the shape of the CCNet /
+    * RedPajama "LM perplexity" quality filter (one `exp` away from
+    * perplexity; the ranking is identical so the log domain is kept —
+    * fewer ulp hazards for cross-engine replay).
+    *
+    * Model, all from exact integer corpus counts so any engine rebuilds
+    * it bit-for-bit:
+    *   - vocabulary = top-V unigrams by (count desc, token asc);
+    *   - bigram table = adjacent pairs with BOTH tokens in-vocabulary
+    *     (size <= min(observed pairs, V^2) — the classic pruned-LM
+    *     vocabulary cap that bounds the model independent of corpus
+    *     size);
+    *   - score: `s(w|v) = c(v,w) / c(v)` when the pair is in the table,
+    *     else stupid backoff `0.4 * p_uni(w)` with [[unigramSurprisal]]'s
+    *     Laplace top-V + shared-OOV-bucket unigram distribution (proper,
+    *     always positive — the log never sees zero).
+    *
+    * High log-loss = token SEQUENCES unlike the corpus (word salad with
+    * plausible words, shuffled text — invisible to unigram surprisal);
+    * unusually low = boilerplate. Docs with fewer than two tokens have
+    * no bigrams and are absent from the output (nothing to score).
+    *
+    * Returns `(id, n_bigrams, logloss)` with logloss 1e-6-floor-rounded
+    * (same partial-sum-order caveat as [[unigramSurprisal]]).
+    *
+    * Scale shape: two tokenize passes (corpus counts, per-doc bigram
+    * counts). The top-V table and single-row stats broadcast; the
+    * bigram model is joined on its (v, w) key — a plain shuffle join,
+    * NOT a broadcast, because at a 100 TB corpus a 100k-token
+    * vocabulary makes V^2 too large to ship — and nothing shuffles more
+    * than (doc, distinct bigram) rows. The in-vocabulary semi-join
+    * prunes the model build before its aggregation. */
+  def bigramLogLoss(docs: org.apache.spark.sql.DataFrame,
+                    topV: Int,
+                    backoff: Double = 0.4,
+                    textCol: String = "text",
+                    idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    require(topV > 0, "topV must be positive")
+    require(backoff > 0.0 && backoff <= 1.0,
+      "backoff weight must be in (0, 1]")
+    def docTokens = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("token"))
+    // adjacent pairs; slice-with-length-0 yields an empty array for
+    // single-token docs (sequence(1, size-1) would mis-step backwards)
+    def docBigrams = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .select(col("id"), explode(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (v, w) => struct(v.as("v"), w.as("w")))).as("b"))
+      .select(col("id"), col("b.v").as("v"), col("b.w").as("w"))
+    val counts = docTokens.groupBy(col("token"))
+      .agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("token")).limit(topV)
+    val stats = counts.agg(sum(col("c")).as("n_total")).crossJoin(
+      top.agg(sum(col("c")).as("n_top"), count(lit(1)).as("vsz")))
+    // bigram model: in-vocabulary pairs with the context's corpus count
+    val model = docBigrams
+      .join(broadcast(top.select(col("token").as("v"), col("c").as("cv"))),
+        Seq("v"))
+      .join(broadcast(top.select(col("token").as("w"))), Seq("w"))
+      .groupBy(col("v"), col("w"), col("cv"))
+      .agg(count(lit(1)).as("cb"))
+    val perDoc = docBigrams.groupBy(col("id"), col("v"), col("w"))
+      .agg(count(lit(1)).as("dc"))
+    perDoc
+      .join(model, Seq("v", "w"), "left")
+      .join(broadcast(top.select(col("token").as("w"),
+        col("c").as("cw"))), Seq("w"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        when(col("cb").isNotNull,
+          col("cb").cast("double") / col("cv").cast("double"))
+          .otherwise(lit(backoff) *
+            ((coalesce(col("cw"), col("n_total") - col("n_top")) + lit(1L))
+              .cast("double") /
+              (col("n_total") + col("vsz") + lit(1L)).cast("double"))))
+      .withColumn("term", col("dc") * -log(col("s")))
+      .groupBy(col("id"))
+      .agg(sum(col("dc")).as("n_bigrams"),
+        (floor(sum(col("term")) / sum(col("dc")) * 1e6) / 1e6)
+          .as("logloss"))
+  }
+
   def termDrift(docs: org.apache.spark.sql.DataFrame, topV: Int,
                 textCol: String = "text",
                 groupCol: String = "source")

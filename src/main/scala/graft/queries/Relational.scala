@@ -446,6 +446,40 @@ object Relational {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // STREAMING attribution: the batch q_events_attribution replayed as
+    // a genuine stream-stream inner join — clicks and purchases arrive
+    // as two branches of the events file stream, matched per user inside
+    // the trailing 30-minute window by the watermark+range-bounded
+    // symmetric hash join (state evicts by event time; see
+    // Monitor.attributionJoin). Under AvailableNow the single batch
+    // holds both sides, so every in-window pair matches and the drained
+    // sink equals the batch interval join; per-purchase aggregation is
+    // batch display over the sink
+    "q_stream_attribution" -> ((s, dir) => {
+      val (schema, tsCol) = eventsTs(s, dir)
+      def ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("click_user"), tsCol.as("click_ts"),
+          floor(col("value") * 100 + lit(0.5)).cast("long")
+            .as("click_cents"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id"),
+          tsCol.as("p_ts"))
+      val name = s"graft_stream_attrib_${streamQueryId.incrementAndGet()}"
+      val q = graft.streaming.Monitor.attributionJoin(clicks, purchases)
+        .writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("click_cents")).as("click_cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // STREAMING decontamination: a STATELESS filter — benchmark
     // 3-grams collected once (small, the benchmark regime) ride the
     // plan as a literal array and each arriving doc is kept iff it
@@ -914,6 +948,27 @@ object Relational {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // stream-stream join drain == the batch interval join: one oracle
+    // (see q_events_attribution — identical trailing-window BETWEEN)
+    "q_stream_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, user_id,
+        |         event_type, value
+        |  FROM events
+        |), clicks AS (
+        |  SELECT user_id, t,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS click_cents
+        |  FROM ev WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT user_id, event_id, t - 1800000000 AS w_start, t AS w_end
+        |  FROM ev WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, COUNT(*) AS n_clicks,
+        |  CAST(SUM(c.click_cents) AS BIGINT) AS click_cents
+        |FROM clicks c JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.t BETWEEN p.w_start AND p.w_end
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
 
     // LOCF replayed with DuckDB's IGNORE NULLS window
     "q_events_fillforward" ->

@@ -534,6 +534,14 @@ object TrainingData {
         .orderBy(col("id"))
     }),
 
+    // bigram LM log-loss with stupid backoff (the CCNet-style LM
+    // perplexity filter, one exp from perplexity): model trained on the
+    // corpus itself over the top-500 vocabulary
+    "q_doc_bigram_lm" -> ((s, dir) => {
+      Text.bigramLogLoss(docs(s, dir), topV = 500)
+        .orderBy(col("id"))
+    }),
+
     // per-source KL drift from the corpus distribution over the
     // global top-50 tokens — the mixture-monitoring statistic
     "q_doc_drift" -> ((s, dir) => {
@@ -2864,6 +2872,49 @@ object TrainingData {
         |      / CAST(s.n_total + s.v + 1 AS DOUBLE)))
         |    / SUM(dc) * 1e6) / 1e6 AS surprisal
         |FROM dcount LEFT JOIN top t USING (token) CROSS JOIN stats s
+        |GROUP BY id ORDER BY id""".stripMargin,
+
+    // the bigram replay: DuckDB's parallel unnest zips the shifted
+    // list slices into adjacent pairs; the model/backoff CASE mirrors
+    // Text.bigramLogLoss's arithmetic op-for-op
+    "q_doc_bigram_lm" ->
+      """WITH ex AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(text, '\s+'))
+        |    AS token
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id AS id,
+        |    unnest(l[1:len(l)-1]) AS v, unnest(l[2:len(l)]) AS w
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS l
+        |        FROM documents)
+        |), c AS (
+        |  SELECT token, COUNT(*) AS c FROM ex GROUP BY token
+        |), top AS (
+        |  SELECT token, c FROM c ORDER BY c DESC, token LIMIT 500
+        |), stats AS (
+        |  SELECT (SELECT SUM(c) FROM c) AS n_total,
+        |         (SELECT SUM(c) FROM top) AS n_top,
+        |         (SELECT COUNT(*) FROM top) AS vsz
+        |), model AS (
+        |  SELECT bg.v, bg.w, tv.c AS cv, COUNT(*) AS cb
+        |  FROM bg JOIN top tv ON bg.v = tv.token
+        |          JOIN top tw ON bg.w = tw.token
+        |  GROUP BY bg.v, bg.w, tv.c
+        |), perdoc AS (
+        |  SELECT id, v, w, COUNT(*) AS dc FROM bg GROUP BY id, v, w
+        |)
+        |SELECT id, CAST(SUM(dc) AS BIGINT) AS n_bigrams,
+        |  floor(SUM(dc * -ln(
+        |      CASE WHEN m.cb IS NOT NULL
+        |        THEN CAST(m.cb AS DOUBLE) / CAST(m.cv AS DOUBLE)
+        |        ELSE 0.4 * (
+        |          CAST(COALESCE(tw.c, s.n_total - s.n_top) + 1 AS DOUBLE)
+        |          / CAST(s.n_total + s.vsz + 1 AS DOUBLE)) END))
+        |    / SUM(dc) * 1e6) / 1e6 AS logloss
+        |FROM perdoc p
+        |LEFT JOIN model m ON p.v = m.v AND p.w = m.w
+        |LEFT JOIN top tw ON p.w = tw.token
+        |CROSS JOIN stats s
         |GROUP BY id ORDER BY id""".stripMargin,
 
     // per-source KL vs the corpus over the global top-50 tokens,

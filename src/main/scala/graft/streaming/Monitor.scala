@@ -60,6 +60,37 @@ object Monitor {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
 
+  /** Stream-stream event-time interval join: each purchase matches the
+    * clicks of the same user in its trailing attribution window
+    * `[p_ts - lag, p_ts]` — the streaming form of
+    * [[graft.ops.RangeJoin.intervalJoin]]'s batch attribution, as a
+    * genuine stream×stream inner join (both sides arrive continuously;
+    * neither is a static dimension).
+    *
+    * `clicks` carries (`click_user`, `click_ts`, ...payload), `purchases`
+    * carries (`p_user`, `p_ts`, ...payload) — disjoint names because a
+    * stream-stream join cannot `USING`-merge key columns (both sides'
+    * event-time columns must survive for state cleanup). Output is the
+    * raw matched pairs in append mode; aggregation (per-purchase counts
+    * and sums) belongs downstream — over the drained sink in tests, or
+    * as a chained stateful aggregate in a 24/7 deployment.
+    *
+    * Scale shape: watermarks on BOTH event-time columns plus the
+    * closed time-range join condition let Spark's symmetric hash join
+    * evict state once `click_ts < watermark - lag` / `p_ts < watermark`
+    * — state is bounded by (arrival rate x (watermark + lag)) per side,
+    * not the stream's history, keyed and shuffled on the user column
+    * like any equi-join. Without the range bound the join would keep
+    * every row forever; that shape is rejected by Spark for append
+    * streams, which is the correctness backstop. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      lag: String = "30 minutes",
+                      watermark: String = "2 hours"): DataFrame =
+    clicks.withWatermark("click_ts", watermark)
+      .join(purchases.withWatermark("p_ts", watermark),
+        expr(s"click_user = p_user AND " +
+          s"click_ts >= p_ts - INTERVAL $lag AND click_ts <= p_ts"))
+
   /** Streaming mixture monitor for continuous ingestion: per-group
     * document and token counts, maintained as a complete-mode streaming
     * aggregation. State is one row per group — bounded by the mixture's

@@ -2064,6 +2064,42 @@ class OpsSpec extends AnyFunSuite {
     assert(out.filter(_._1 != 4L).values.map(_._2).toSet.size == 1)
   }
 
+  test("bigramLogLoss: shuffled word salad scores above natural order; " +
+    "short docs absent; hand-check against the stupid-backoff formula") {
+    import graft.SparkSpec.spark.implicits._
+    val natural = (1 to 40).map(_ => "the quick fox jumps").mkString(" ")
+    // same unigram multiset, adjacency destroyed — invisible to
+    // unigramSurprisal, caught by the bigram model
+    val salad = (1 to 40).map(_ => "the fox quick the jumps").mkString(" ")
+    val d = ((1L to 10L).map(i => (i, natural)) ++ Seq(
+      (11L, salad), (12L, "solo"), (13L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val out = Text.bigramLogLoss(d, topV = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // one-token and null docs have no bigrams -> absent
+    assert(!out.contains(12L) && !out.contains(13L))
+    assert(out(1L)._1 == 159L) // 160 tokens -> 159 adjacent pairs
+    assert(out(11L)._2 > out(1L)._2,
+      s"salad ${out(11L)._2} should exceed natural ${out(1L)._2}")
+    // all natural docs share one exact score (identical token sequence)
+    assert(out.filter(_._1 <= 10L).values.map(_._2).toSet.size == 1)
+
+    // hand-check the formula on a tiny corpus: two docs, V=2
+    val tiny = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val t = Text.bigramLogLoss(tiny, topV = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // corpus: tokens a:3 b:3 c:1, n_total=7; top-2 = {a,b}, n_top=6
+    // bigrams: doc1 (a,b)(b,a)(a,b); doc2 (a,b)(b,c)
+    // model (both in top): (a,b) cb=3 cv=3; (b,a) cb=1 cv=3
+    // p_uni OOV bucket = (7-6+1)/(7+2+1) = 0.2
+    def fl(x: Double) = math.floor(x * 1e6) / 1e6
+    val exp1 = fl((2 * -math.log(3.0 / 3.0) + -math.log(1.0 / 3.0)) / 3)
+    val exp2 = fl((-math.log(3.0 / 3.0) + -math.log(0.4 * 0.2)) / 2)
+    assert(t(1L) == exp1, s"${t(1L)} vs $exp1")
+    assert(t(2L) == exp2, s"${t(2L)} vs $exp2")
+  }
+
   test("rrfFuse: hand-computed fusion, single-list ids, ordering") {
     import graft.SparkSpec.spark.implicits._
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
