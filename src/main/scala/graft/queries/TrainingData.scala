@@ -542,6 +542,27 @@ object TrainingData {
         .orderBy(col("id"))
     }),
 
+    // CCNet's head/middle/tail split: per-source LM-score tertiles
+    // (bucket 1 = head = most corpus-like) with doc and token budgets
+    // per stratum — the table a perplexity-filtered mixture reads.
+    // ntile over the TOTAL order (logloss, id) is engine-deterministic
+    // (logloss is floor-rounded identically on both sides); docs with
+    // no bigrams carry no LM evidence and are absent (inner join)
+    "q_doc_ppl_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ll = Text.bigramLogLoss(d, topV = 500)
+      val meta = d.select(col("doc_id").as("id"), col("source"),
+        Text.tokenCount(col("text")).cast("long").as("tok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("logloss"), col("id"))
+      ll.join(meta, Seq("id"))
+        .withColumn("bucket", ntile(3).over(w))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tok_total"),
+          min(col("logloss")).as("ll_min"), max(col("logloss")).as("ll_max"))
+        .orderBy(col("source"), col("bucket"))
+    }),
+
     // per-source KL drift from the corpus distribution over the
     // global top-50 tokens — the mixture-monitoring statistic
     "q_doc_drift" -> ((s, dir) => {
@@ -2916,6 +2937,62 @@ object TrainingData {
         |LEFT JOIN top tw ON p.w = tw.token
         |CROSS JOIN stats s
         |GROUP BY id ORDER BY id""".stripMargin,
+
+    // the same bigram replay, bucketed: ntile over the shared floored
+    // logloss reproduces Spark's tertile assignment exactly
+    "q_doc_ppl_buckets" ->
+      """WITH ex AS (
+        |  SELECT doc_id AS id, unnest(string_split_regex(text, '\s+'))
+        |    AS token
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id AS id,
+        |    unnest(l[1:len(l)-1]) AS v, unnest(l[2:len(l)]) AS w
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS l
+        |        FROM documents)
+        |), c AS (
+        |  SELECT token, COUNT(*) AS c FROM ex GROUP BY token
+        |), top AS (
+        |  SELECT token, c FROM c ORDER BY c DESC, token LIMIT 500
+        |), stats AS (
+        |  SELECT (SELECT SUM(c) FROM c) AS n_total,
+        |         (SELECT SUM(c) FROM top) AS n_top,
+        |         (SELECT COUNT(*) FROM top) AS vsz
+        |), model AS (
+        |  SELECT bg.v, bg.w, tv.c AS cv, COUNT(*) AS cb
+        |  FROM bg JOIN top tv ON bg.v = tv.token
+        |          JOIN top tw ON bg.w = tw.token
+        |  GROUP BY bg.v, bg.w, tv.c
+        |), perdoc AS (
+        |  SELECT id, v, w, COUNT(*) AS dc FROM bg GROUP BY id, v, w
+        |), ll AS (
+        |  SELECT id,
+        |    floor(SUM(dc * -ln(
+        |        CASE WHEN m.cb IS NOT NULL
+        |          THEN CAST(m.cb AS DOUBLE) / CAST(m.cv AS DOUBLE)
+        |          ELSE 0.4 * (
+        |            CAST(COALESCE(tw.c, s.n_total - s.n_top) + 1 AS DOUBLE)
+        |            / CAST(s.n_total + s.vsz + 1 AS DOUBLE)) END))
+        |      / SUM(dc) * 1e6) / 1e6 AS logloss
+        |  FROM perdoc p
+        |  LEFT JOIN model m ON p.v = m.v AND p.w = m.w
+        |  LEFT JOIN top tw ON p.w = tw.token
+        |  CROSS JOIN stats s
+        |  GROUP BY id
+        |), meta AS (
+        |  SELECT doc_id AS id, source,
+        |    len(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents
+        |), b AS (
+        |  SELECT source, tok, logloss,
+        |    ntile(3) OVER (PARTITION BY source ORDER BY logloss, id)
+        |      AS bucket
+        |  FROM ll JOIN meta USING (id)
+        |)
+        |SELECT source, bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS tok_total,
+        |  MIN(logloss) AS ll_min, MAX(logloss) AS ll_max
+        |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
 
     // per-source KL vs the corpus over the global top-50 tokens,
     // renormalized within that set; missing tokens contribute 0 via
