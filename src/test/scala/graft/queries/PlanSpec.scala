@@ -470,4 +470,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       p.take(4000))
   }
+
+  test("q_doc_bigram_lm: model joins on its (v, w) key — no cartesian, " +
+    "no nested loop; vocabulary and stats broadcast") {
+    val p = plan("q_doc_bigram_lm")
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    // per-doc bigrams x model must be a keyed join (broadcast locally
+    // is fine — the sf0.01 model is tiny — but never a loop): every
+    // nested-loop operator in the plan is a Cross against the
+    // single-row stats, none carries the model's LeftOuter
+    assert(!p.contains("BroadcastNestedLoopJoin LeftOuter"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(4000))
+  }
+
+  test("q_stream_attribution: the drained-sink aggregate partial-" +
+    "aggregates before its exchange (the stream side is gated by " +
+    "MonitorSpec's StreamingSymmetricHashJoin pin)") {
+    // plan() would START the stream; gate the batch display shape on
+    // the analogous batch aggregate instead of re-running the drain
+    val p = plan("q_events_attribution")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
 }

@@ -211,6 +211,54 @@ class MonitorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join: a purchase arriving in a LATER " +
+    "batch matches earlier clicks from join state, inside the trailing " +
+    "window only; plan is a StreamingSymmetricHashJoin") {
+    val dir = tmpDir("graft-attr-")
+    import spark.implicits._
+    def writeC(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("click_user", "ts_s", "click_cents")
+        .withColumn("click_ts", col("ts_s").cast("timestamp"))
+        .select("click_user", "click_ts", "click_cents")
+        .coalesce(1).write.mode("append").parquet(s"$dir/clicks")
+    def writeP(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("p_user", "ts_s", "event_id")
+        .withColumn("p_ts", col("ts_s").cast("timestamp"))
+        .select("p_user", "p_ts", "event_id")
+        .coalesce(1).write.mode("append").parquet(s"$dir/purchases")
+    writeC(Seq((1L, "2024-01-01 00:00:00", 5L),
+      (1L, "2024-01-01 00:10:00", 7L)))
+    writeP(Seq((1L, "2024-01-01 00:20:00", 100L),
+      (2L, "2024-01-01 00:20:00", 200L)))
+    val clicks = spark.readStream.schema(StructType(Seq(
+      StructField("click_user", LongType),
+      StructField("click_ts", TimestampType),
+      StructField("click_cents", LongType)))).parquet(s"$dir/clicks")
+    val purchases = spark.readStream.schema(StructType(Seq(
+      StructField("p_user", LongType),
+      StructField("p_ts", TimestampType),
+      StructField("event_id", LongType)))).parquet(s"$dir/purchases")
+    val q = Monitor.attributionJoin(clicks, purchases).writeStream
+      .outputMode("append").format("memory").queryName("attr_test").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: this purchase's window [00:05, 00:35] must pick up the
+      // 00:10 click from BATCH-1 join state (not re-read), and must NOT
+      // pick up the 00:00 click (outside the trailing 30 minutes)
+      writeP(Seq((1L, "2024-01-01 00:35:00", 300L)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, click_cents FROM attr_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // purchase 100 ([-0:10, 0:20]) matches both clicks; purchase 200
+      // is another user's; purchase 300 matches only the 00:10 click
+      assert(rows == Seq((100L, 5L), (100L, 7L), (300L, 7L)), rows)
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out))(q.explain())
+      assert(out.toString.contains("StreamingSymmetricHashJoin"),
+        out.toString.take(2000))
+    } finally q.stop()
+  }
+
   test("mixture monitor: state stays one row per source across batches") {
     import spark.implicits._
     val dir = tmpDir("graft-mixmon-")
