@@ -341,4 +341,104 @@ object Retrieval {
         col("neg_rank"))
       .orderBy(col(queryIdCol), col("neg_rank"))
   }
+
+  // ------------------------------------------------------------------
+  // Persisted BM25 inverted index — the retrieval stack's index
+  // lifecycle, mirroring the incremental dedup / PQ index family:
+  // build once, append new batches, search many times, compact
+  // periodically. Layout at `path`:
+  //   path/postings — (term, id, tf, dl): impact-style postings with
+  //     the document length DENORMALIZED onto every row (8 bytes a
+  //     posting), so scoring never joins a corpus-sized doc-length
+  //     table — the search plan touches only query-term postings;
+  //   path/stats — (n_docs, sum_dl): ONE row per appended batch; N and
+  //     avgdl are the sums, exact integers in any fold order.
+  // ------------------------------------------------------------------
+
+  /** Append a document batch to the persisted BM25 index at `path`
+    * (creating it if absent). Tokenization and length accounting match
+    * [[bm25TopK]] exactly: null-text docs count toward N with a null
+    * length and no postings, so index search reproduces the map-side
+    * scorer bit-for-bit (modulo the shared rounding policy).
+    *
+    * Scale shape: one tokenize pass over the BATCH — a (id, term)
+    * count shuffle bounded by batch tokens and one single-row
+    * aggregate; the existing index is never read. NOT crash-atomic
+    * across the two subdirectory appends (postings land before the
+    * stats row): a killed append leaves N slightly understated —
+    * re-append the batch after deleting the partial files, or rebuild;
+    * callers wanting exactly-once must ensure at-most-once delivery
+    * per logical batch, the [[graft.ops.SpanDedup]] contract. */
+  def appendToBm25Index(batch: DataFrame, path: String,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): Unit = {
+    Dedup.recoverIndex(s"$path/postings")
+    Dedup.recoverIndex(s"$path/stats")
+    val base = batch.select(col(idCol).as("id"),
+      Text.tokens(col(textCol)).as("t"))
+      .withColumn("dl", size(col("t")).cast("long"))
+      .localCheckpoint(true) // one tokenize pass serves both writes
+    base.select(col("id"), col("dl"), explode(col("t")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .write.mode("append").parquet(s"$path/postings")
+    base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** Okapi BM25 top-k over the persisted index — [[bm25TopK]]'s exact
+    * formula (same idf, same 1e-6 floor rounding, same (score desc,
+    * id) order) served from postings instead of a corpus scan.
+    * Equality with the map-side scorer over the accumulated corpus is
+    * spec-pinned; the per-doc term sum runs in aggregate order where
+    * [[bm25TopK]] sums a fixed column order, so boundary flips exactly
+    * at a 1e-6 grid line remain the documented shared noise.
+    *
+    * Scale shape: the postings scan prunes to the query's terms (an
+    * IN filter that reaches the parquet scan — at petabyte scale,
+    * partition or bucket `postings` by a term-hash prefix and the
+    * filter prunes whole files); df comes from counting those same
+    * pruned postings; the stats table is batches-count rows; top-k
+    * plans as TakeOrderedAndProject. Nothing touches non-matching
+    * documents. */
+  def bm25Search(spark: org.apache.spark.sql.SparkSession, path: String,
+                 queryTerms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
+    require(k > 0, "k must be positive")
+    Dedup.recoverIndex(s"$path/postings")
+    Dedup.recoverIndex(s"$path/stats")
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(queryTerms: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).cast("double").as("n"),
+        sum(col("sum_dl")).cast("double").as("sumdl"))
+    val dfs = post.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val avgdl = col("sumdl") / col("n")
+    val tf = col("tf").cast("double")
+    val idf = log(lit(1d) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val term = idf * tf * lit(k1 + 1d) /
+      (tf + lit(k1) * (lit(1d - b) + lit(b) *
+        col("dl").cast("double") / avgdl))
+    post
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"), term.as("__term"))
+      .groupBy(col("id"))
+      .agg((floor(sum(col("__term")) * 1e6) / 1e6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Compact both index tables (small per-batch file sets → sized
+    * files); see [[Dedup.compactIndex]] for the locking/repair
+    * discipline. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    Dedup.compactIndex(spark, s"$path/postings")
+    Dedup.compactIndex(spark, s"$path/stats")
+  }
 }

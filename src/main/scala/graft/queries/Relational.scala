@@ -467,11 +467,22 @@ object Relational {
         .select(col("user_id").as("p_user"), col("event_id"),
           tsCol.as("p_ts"))
       val name = s"graft_stream_attrib_${streamQueryId.incrementAndGet()}"
-      val q = graft.streaming.Monitor.attributionJoin(clicks, purchases)
-        .writeStream
-        .outputMode("append").format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // a stream-stream join runs FOUR state stores per shuffle
+      // partition (keyToNumValues + keyWithIndexToValue per side), and
+      // each micro-batch commits every store to the checkpoint — so the
+      // partition count must track the streaming state cardinality, not
+      // the batch default (32 partitions = 128 store commits per batch,
+      // ~5s of pure checkpoint latency at any data size). A deployment
+      // sizes this per stream; here the per-user state is tiny
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        graft.streaming.Monitor.attributionJoin(clicks, purchases)
+          .writeStream
+          .outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       q.awaitTermination()
       s.table(name)
         .groupBy(col("event_id"))

@@ -40,6 +40,11 @@ object TrainingData {
   private val pqIndexes =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Same per-process memo for the persisted BM25 inverted index —
+    * steady state is search, not the build+append. */
+  private val bm25Indexes =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -436,6 +441,23 @@ object TrainingData {
     // single-row stats broadcast, TakeOrderedAndProject top-k
     "q_doc_bm25" -> ((s, dir) => {
       Retrieval.bm25TopK(docs(s, dir),
+        Seq("hash", "join", "spark", "window"), k = 15)
+    }),
+
+    // persisted BM25 inverted index lifecycle: build from the even
+    // half, compact, append the odd half — search over the accumulated
+    // postings equals the map-side scorer over the full corpus (the
+    // oracle is q_doc_bm25's replay, shared verbatim)
+    "q_doc_bm25_index" -> ((s, dir) => {
+      val idx = bm25Indexes.getOrElseUpdate(dir, {
+        val d = docs(s, dir)
+        val p = scratchDir("graft-bm25idx-") + "/idx"
+        Retrieval.appendToBm25Index(d.filter(col("doc_id") % 2 === 0), p)
+        Retrieval.compactBm25Index(s, p)
+        Retrieval.appendToBm25Index(d.filter(col("doc_id") % 2 === 1), p)
+        p
+      })
+      Retrieval.bm25Search(s, idx,
         Seq("hash", "join", "spark", "window"), k = 15)
     }),
 
@@ -1726,6 +1748,41 @@ object TrainingData {
         |FROM ranked WHERE rank <= $k
         |ORDER BY query_id, rank""".stripMargin
 
+  /** Shared by q_doc_bm25 (map-side scorer) and q_doc_bm25_index
+    * (persisted inverted index over the same accumulated corpus). */
+  private val bm25OracleSql: String =
+      """WITH base AS (
+        |  SELECT doc_id AS id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT id, CAST(len(toks) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf2,
+        |    CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf3
+        |  FROM base
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) AS sumdl,
+        |    SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |    SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |    SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2,
+        |    SUM(CASE WHEN tf3 > 0 THEN 1.0 ELSE 0.0 END) AS df3
+        |  FROM d
+        |)
+        |SELECT id, floor((
+        |    ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+        |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |  + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |  + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |  + ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 * 2.2
+        |      / (tf3 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |  ) * 1e6) / 1e6 AS score
+        |FROM d CROSS JOIN stats
+        |WHERE tf0 + tf1 + tf2 + tf3 > 0
+        |ORDER BY score DESC, id LIMIT 15""".stripMargin
+
   private val incrementalNearOracleSql: String =
       """WITH RECURSIVE b1 AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
@@ -2430,38 +2487,11 @@ object TrainingData {
 
     // BM25 with k1=1.2, b=0.75 for terms (hash, join, spark, window);
     // term-sum order and rounding mirror the engine exactly
-    "q_doc_bm25" ->
-      """WITH base AS (
-        |  SELECT doc_id AS id, string_split_regex(text, '\s+') AS toks
-        |  FROM documents
-        |), d AS (
-        |  SELECT id, CAST(len(toks) AS DOUBLE) AS dl,
-        |    CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf0,
-        |    CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf1,
-        |    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf2,
-        |    CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf3
-        |  FROM base
-        |), stats AS (
-        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) AS sumdl,
-        |    SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
-        |    SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
-        |    SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2,
-        |    SUM(CASE WHEN tf3 > 0 THEN 1.0 ELSE 0.0 END) AS df3
-        |  FROM d
-        |)
-        |SELECT id, floor((
-        |    ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
-        |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
-        |  + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
-        |      / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
-        |  + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
-        |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
-        |  + ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 * 2.2
-        |      / (tf3 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
-        |  ) * 1e6) / 1e6 AS score
-        |FROM d CROSS JOIN stats
-        |WHERE tf0 + tf1 + tf2 + tf3 > 0
-        |ORDER BY score DESC, id LIMIT 15""".stripMargin,
+    "q_doc_bm25" -> bm25OracleSql,
+
+    // the index lifecycle accumulates the full corpus, so the search
+    // result is q_doc_bm25's replay verbatim
+    "q_doc_bm25_index" -> bm25OracleSql,
 
     // the two ranked lists rebuilt exactly as their own oracles rank
     // them (BM25 formula + raw-cosine row_number), then 1/(60+rank)

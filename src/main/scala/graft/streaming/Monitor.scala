@@ -256,6 +256,29 @@ object Monitor {
       }
       .start()
 
+  /** Stream a corpus into the persisted BM25 inverted index
+    * ([[graft.ops.Retrieval.appendToBm25Index]]): each micro-batch's
+    * postings and length stats append, and after the stream drains
+    * [[graft.ops.Retrieval.bm25Search]] over the index equals the
+    * batch [[graft.ops.Retrieval.bm25TopK]] over everything that
+    * arrived. Postings are pure per-batch derivations (the existing
+    * index is never read), so batch boundaries cannot move a posting;
+    * the checkpoint is the at-most-once mechanism — a re-delivered
+    * batch would double its postings AND its stats row, inflating tf
+    * and N together (scores shift; decisions downstream of a top-k may
+    * flip). Resume from the checkpoint or rebuild the index. */
+  def bm25IndexSink(docs: DataFrame, indexPath: String,
+                    checkpointDir: String,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Retrieval.appendToBm25Index(batch, indexPath, textCol,
+          idCol)
+      }
+      .start()
+
   /** Stream a corpus through the persisted priority-sampling reservoir
     * ([[graft.ops.Sampling.incrementalPrioritySample]]): each micro-batch
     * folds into the (n+1)-row parquet at `indexPath`, and after the

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** BM25 retrieval, term-distribution drift, and PMI collocations on
@@ -64,6 +65,40 @@ class RetrievalSpec extends AnyFunSuite {
     // single-term query: rank order by rounded score then id
     val q8 = batch.filter(_._1 == 8L).map(_._2)
     assert(q8.toSet == Set(2L, 3L)) // only durian docs
+  }
+
+  test("bm25 index: search over appended batches equals the map-side " +
+    "scorer; split point cannot move a score; compaction preserves; " +
+    "null-text docs count toward N") {
+    import graft.SparkSpec.tmpDir
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "banana banana banana durian"),
+      (3L, "cherry durian cherry durian"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val terms = Seq("apple", "banana")
+    val want = Retrieval.bm25TopK(docs, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    def build(splitAt: Long, compact: Boolean): Seq[(Long, Double)] = {
+      val p = tmpDir("graft-bm25-") + "/idx"
+      Retrieval.appendToBm25Index(docs.filter(col("doc_id") < splitAt), p)
+      if (compact) Retrieval.compactBm25Index(spark, p)
+      Retrieval.appendToBm25Index(docs.filter(col("doc_id") >= splitAt), p)
+      Retrieval.bm25Search(spark, p, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    assert(build(2L, compact = false) == want)
+    assert(build(4L, compact = true) == want)
+    // the null-text doc (4) must raise N without postings: drop it and
+    // scores change, proving it was counted
+    val p2 = tmpDir("graft-bm25-") + "/idx"
+    Retrieval.appendToBm25Index(docs.filter(col("doc_id") < 4L), p2)
+    val without = Retrieval.bm25Search(spark, p2, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(without.map(_._1) == want.map(_._1) && without != want)
   }
 
   test("bm25TopK rejects empty, duplicate, and oversized term sets") {

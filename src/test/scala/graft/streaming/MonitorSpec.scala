@@ -357,6 +357,35 @@ class MonitorSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 2L, 11L))
   }
 
+  test("bm25-index sink: a drained two-batch ingest serves the same " +
+    "search as the batch scorer over everything that arrived; a resumed " +
+    "checkpoint appends only the new batch") {
+    import spark.implicits._
+    val root = tmpDir("graft-bm25sink-")
+    val in = s"$root/in"; val idx = s"$root/idx"
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def drain(): Unit = {
+      val q = Monitor.bm25IndexSink(
+        spark.readStream.schema(schema).parquet(in), idx, s"$root/cp")
+      try q.processAllAvailable() finally q.stop()
+    }
+    write(Seq((0L, "apple banana apple"), (1L, "apple cherry")))
+    drain()
+    write(Seq((2L, "banana banana durian"), (3L, "cherry durian")))
+    drain() // resumed checkpoint: only batch 2 appends
+    val got = graft.ops.Retrieval
+      .bm25Search(spark, idx, Seq("apple", "banana"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = graft.ops.Retrieval
+      .bm25TopK(spark.read.parquet(in), Seq("apple", "banana"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"$got vs $want")
+  }
+
   test("priority-sample sink: state is the (n+1)-row reservoir file; a " +
     "fresh checkpoint replaying everything moves no decision") {
     import spark.implicits._
