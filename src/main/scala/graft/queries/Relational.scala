@@ -491,6 +491,39 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // CHAINED multi-stateful streaming: the same stream-stream join
+    // feeding an event-time hourly aggregate in ONE append-mode query
+    // (two stateful operators). Only windows the final watermark —
+    // min(max click, max purchase) - 2h — has closed are emitted, so
+    // the oracle is the batch hourly attribution MINUS still-open
+    // hours (the q_stream_sessionize "minus open sessions" convention)
+    "q_stream_attribution_hourly" -> ((s, dir) => {
+      val (schema, tsCol) = eventsTs(s, dir)
+      def ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("click_user"), tsCol.as("click_ts"),
+          floor(col("value") * 100 + lit(0.5)).cast("long")
+            .as("click_cents"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), tsCol.as("p_ts"))
+      val name = s"graft_stream_attrw_${streamQueryId.incrementAndGet()}"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        graft.streaming.Monitor.attributionWindowed(clicks, purchases)
+          .writeStream
+          .outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      q.awaitTermination()
+      s.table(name)
+        .select(col("window.start").as("window_start"), col("n_clicks"),
+          col("click_cents").cast("long").as("click_cents"))
+        .orderBy(col("window_start"))
+    }),
+
     // STREAMING decontamination: a STATELESS filter — benchmark
     // 3-grams collected once (small, the benchmark regime) ride the
     // plan as a literal array and each arriving doc is kept iff it
@@ -980,6 +1013,36 @@ object Relational {
         |FROM clicks c JOIN purchases p
         |  ON c.user_id = p.user_id AND c.t BETWEEN p.w_start AND p.w_end
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+
+    // chained join->window drain == batch hourly attribution minus the
+    // hours the final watermark (min of both sides' max - 2h) left open
+    "q_stream_attribution_hourly" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t, user_id,
+        |         event_type, value
+        |  FROM events
+        |), clicks AS (
+        |  SELECT user_id, t,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS click_cents
+        |  FROM ev WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT user_id, t FROM ev WHERE event_type = 'purchase'
+        |), j AS (
+        |  SELECT p.t AS pt, c.click_cents
+        |  FROM clicks c JOIN purchases p
+        |    ON c.user_id = p.user_id
+        |   AND c.t BETWEEN p.t - 1800000000 AND p.t
+        |), wm AS (
+        |  SELECT least((SELECT MAX(t) FROM clicks),
+        |               (SELECT MAX(t) FROM purchases))
+        |         - 7200000000 AS w
+        |)
+        |SELECT make_timestamp(pt - pt % 3600000000) AS window_start,
+        |  COUNT(*) AS n_clicks,
+        |  CAST(SUM(click_cents) AS BIGINT) AS click_cents
+        |FROM j CROSS JOIN wm
+        |WHERE pt - pt % 3600000000 + 3600000000 <= w
+        |GROUP BY 1 ORDER BY window_start""".stripMargin,
 
     // LOCF replayed with DuckDB's IGNORE NULLS window
     "q_events_fillforward" ->

@@ -91,6 +91,28 @@ object Monitor {
         expr(s"click_user = p_user AND " +
           s"click_ts >= p_ts - INTERVAL $lag AND click_ts <= p_ts"))
 
+  /** Chained multi-stateful streaming: the [[attributionJoin]] feeding
+    * an event-time tumbling-window aggregate in ONE streaming query —
+    * two stateful operators (symmetric hash join, then windowed
+    * aggregation) in a single append-mode pipeline, the shape a 24/7
+    * attribution dashboard runs. The purchase-side event time carries
+    * through the join into the window; the global watermark (min over
+    * both inputs) closes windows, so the sink receives each hour
+    * exactly once, when it can no longer change.
+    *
+    * Scale shape: join state bounded as in [[attributionJoin]]; window
+    * state is one row per open (window) group, evicted at watermark;
+    * both operators share the user-keyed shuffle only up to the join —
+    * the aggregate re-shuffles by window, a K-row exchange per batch. */
+  def attributionWindowed(clicks: DataFrame, purchases: DataFrame,
+                          lag: String = "30 minutes",
+                          windowLen: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    attributionJoin(clicks, purchases, lag, watermark)
+      .groupBy(window(col("p_ts"), windowLen))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("click_cents")).as("click_cents"))
+
   /** Streaming mixture monitor for continuous ingestion: per-group
     * document and token counts, maintained as a complete-mode streaming
     * aggregation. State is one row per group — bounded by the mixture's

@@ -591,4 +591,51 @@ class ScaleUpExperiment extends AnyFunSuite {
       "domainReweight scale-up ratio too high")
     base.unpersist(); big.unpersist(); emb1.unpersist(); emb10.unpersist()
   }
+
+  test("round-8c ops (bigramLogLoss, bm25 index append+search) scale " +
+    "~linearly") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow (~2 min): opt in with GRAFT_SCALEUP=1 sbt test")
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text").cache()
+    val big = (0 until 10).map(i =>
+      base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(8).cache()
+    base.count(); big.count()
+
+    // bigram LM: two tokenize passes, model joined on (v, w) —
+    // replication grows token streams and per-doc bigram rows 10x,
+    // model stays capped by the top-V vocabulary
+    def lm(d: org.apache.spark.sql.DataFrame): Long =
+      Text.bigramLogLoss(d, topV = 500).count()
+    val t1l = time(lm(base))
+    val t10l = time(lm(big))
+    println(f"[scaleup] bigramLm 1x=$t1l%.1fs 10x=$t10l%.1fs ratio=${t10l / t1l}%.1f")
+    assert(t10l / math.max(t1l, 0.5) < 25,
+      "bigramLogLoss scale-up ratio too high")
+
+    // BM25 index: append cost is one tokenize pass over the batch;
+    // search touches only query-term postings (10x postings under the
+    // IN-pruned scan) plus a batches-count stats read
+    import graft.SparkSpec.tmpDir
+    def idx(d: org.apache.spark.sql.DataFrame, tag: String): Double = {
+      val p = tmpDir(s"graft-scale-bm25-$tag") + "/idx"
+      val ta = time(Retrieval.appendToBm25Index(d, p))
+      val ts = time(Retrieval.bm25Search(spark, p,
+        Seq("hash", "join", "spark", "window"), k = 15).count())
+      println(f"[scaleup] bm25 $tag append=$ta%.1fs search=$ts%.1fs")
+      ta + ts
+    }
+    val t1i = idx(base, "1x")
+    val t10i = idx(big, "10x")
+    println(f"[scaleup] bm25Index 1x=$t1i%.1fs 10x=$t10i%.1fs ratio=${t10i / t1i}%.1f")
+    assert(t10i / math.max(t1i, 0.5) < 25,
+      "bm25 index scale-up ratio too high")
+    base.unpersist(); big.unpersist()
+  }
 }

@@ -259,6 +259,50 @@ class MonitorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained join->window streaming: an hour emits only after the " +
+    "watermark of BOTH sides passes its end, with cross-batch join " +
+    "matches included exactly once") {
+    val dir = tmpDir("graft-attrw-")
+    import spark.implicits._
+    def writeC(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("click_user", "ts_s", "click_cents")
+        .withColumn("click_ts", col("ts_s").cast("timestamp"))
+        .select("click_user", "click_ts", "click_cents")
+        .coalesce(1).write.mode("append").parquet(s"$dir/clicks")
+    def writeP(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("p_user", "ts_s")
+        .withColumn("p_ts", col("ts_s").cast("timestamp"))
+        .select("p_user", "p_ts")
+        .coalesce(1).write.mode("append").parquet(s"$dir/purchases")
+    writeC(Seq((1L, "2024-01-01 00:00:00", 5L),
+      (1L, "2024-01-01 00:10:00", 7L)))
+    writeP(Seq((1L, "2024-01-01 00:20:00")))
+    val clicks = spark.readStream.schema(StructType(Seq(
+      StructField("click_user", LongType),
+      StructField("click_ts", TimestampType),
+      StructField("click_cents", LongType)))).parquet(s"$dir/clicks")
+    val purchases = spark.readStream.schema(StructType(Seq(
+      StructField("p_user", LongType),
+      StructField("p_ts", TimestampType)))).parquet(s"$dir/purchases")
+    val q = Monitor.attributionWindowed(clicks, purchases).writeStream
+      .outputMode("append").format("memory").queryName("attrw_test").start()
+    try {
+      q.processAllAvailable()
+      // hour 0's window end (01:00) is past min(00:20, 00:10) - 2h
+      assert(spark.table("attrw_test").isEmpty)
+      // batch 2 advances BOTH watermarks past 01:00 + 2h; its own
+      // purchase matches the same-batch click, its hour stays open
+      writeC(Seq((2L, "2024-01-01 06:00:00", 11L)))
+      writeP(Seq((2L, "2024-01-01 06:10:00")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window.start, n_clicks, click_cents FROM attrw_test")
+        .collect().map(r => (r.getTimestamp(0).toString,
+          r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == Seq(("2024-01-01 00:00:00.0", 2L, 12L)), rows)
+    } finally q.stop()
+  }
+
   test("mixture monitor: state stays one row per source across batches") {
     import spark.implicits._
     val dir = tmpDir("graft-mixmon-")
