@@ -54,6 +54,25 @@ object CurationDemo {
     val n2 = cleaned.count()
     println(s"span dedup: $nSpans duplicated spans cut; $n1 -> $n2 docs")
 
+    // 2b. CCNet-style LM filter: train the stupid-backoff bigram model
+    //     on the corpus itself, bucket each SOURCE into head/middle/
+    //     tail by log-loss (the partitioned window — per-source
+    //     tertiles also keep one source's register from eating
+    //     another's budget), and drop the tail tertile (word salad,
+    //     wrong register); docs with no bigrams carry no LM evidence
+    //     and pass
+    val ll = Text.bigramLogLoss(cleaned, topV = 500)
+      .join(cleaned.select(col("doc_id").as("id"), col("source")),
+        Seq("id"))
+    val tail3 = ll.withColumn("b", ntile(3).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("logloss"), col("id"))))
+      .filter(col("b") === 3).select(col("id").as("doc_id"))
+    val lmKept = cleaned.join(tail3, Seq("doc_id"), "left_anti")
+    val n2b = lmKept.count()
+    println(s"bigram-LM filter: $n2 -> $n2b docs (tail tertile cut)")
+
     // 3. DSIR: score every doc by how target-like it is (target = the
     //    src1 slice, standing in for a curated high-quality domain),
     //    keep the top half; then route survivors across two domains
@@ -104,6 +123,20 @@ object CurationDemo {
       n = 3, minShared = 5, expectedItems = 500000L)
     println(s"prefer-source + bloom decontam: $n2 -> ${merged.count()} " +
       s"-> ${released.count()} docs")
+
+    // 5b2. retrieval audit: the released corpus goes behind a
+    //      persisted BM25 inverted index (build once, probe many — the
+    //      spot-check surface reviewers use to ask "what does the
+    //      corpus say about X"), searched here for one probe
+    val idxRoot = java.nio.file.Files
+      .createTempDirectory("graft-demo-bm25-").toString
+    val bm25Idx = s"$idxRoot/idx"
+    Retrieval.appendToBm25Index(released, bm25Idx)
+    val probe = Retrieval.bm25Search(spark, bm25Idx,
+      Seq("hash", "join", "window"), k = 3)
+      .collect().map(r => s"${r.getLong(0)}").mkString(", ")
+    println(s"bm25 index probe [hash join window]: top docs $probe")
+    graft.core.Fs.delete(idxRoot)
 
     // 5c. DoReMi mixture weights over the surviving sources (excess
     //     loss proxied by chars-per-token; real proxy/reference scores

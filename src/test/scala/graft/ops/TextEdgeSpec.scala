@@ -61,6 +61,22 @@ class TextEdgeSpec extends AnyFunSuite {
     assert(rows(0).getSeq[Long](2).isEmpty) // winnow of "" is empty
   }
 
+  test("bigramLogLoss on messy input: empty/whitespace/single-token " +
+    "docs are absent, mixed whitespace tokenizes like single spaces") {
+    val out = Text.bigramLogLoss(messy, topV = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no adjacent pair to score: "" ([""], one empty token) and "one"
+    // are absent, not zero-scored. "   " splits to ["", ""] (Spark's
+    // split keeps the trailing empty — limit -1 — and DuckDB's
+    // string_split_regex matches), so it carries ONE ("","") pair:
+    // whitespace-only docs are scoreable boilerplate, not invisible
+    assert(!out.contains(0L) && !out.contains(2L))
+    assert(out(1L) == 1L)
+    assert(out(3L) == 3L) // a b c d -> 3 pairs across \t\t and \n
+    assert(out(4L) == 5L)
+    assert(out(5L) == 500L)
+  }
+
   test("sampling and splits accept any key type") {
     import graft.ops.Sampling
     val s = Sampling.hashSample(messy, col("text"), 0.5)
