@@ -277,6 +277,85 @@ class OpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bigramLogLoss == naive stupid-backoff reference for random " +
+    "corpora and vocabulary sizes") {
+    val docGen = for {
+      id <- Gen.choose(0L, 40L)
+      n <- Gen.choose(0, 8)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "e"))
+    } yield (id, toks.mkString(" "))
+    val caseGen = for {
+      docs <- Gen.nonEmptyListOf(docGen)
+      topV <- Gen.choose(1, 6)
+    } yield (docs, topV)
+    sample(caseGen, 6).foreach { case (docsRaw, topV) =>
+      val rows = docsRaw.groupBy(_._1).map(_._2.head).toSeq
+      val df = rows.toDF("doc_id", "text")
+      val got = Text.bigramLogLoss(df, topV)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+
+      // naive reference (plain Scala, same tokenizer: split keeps the
+      // leading/trailing empties Spark's split(-1) keeps)
+      def toks(t: String) = t.split("\\s+", -1).toSeq
+      val all = rows.flatMap(r => toks(r._2))
+      val counts = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(topV)
+      val topM = top.toMap
+      val (nTotal, nTop) = (all.size.toLong, top.map(_._2).sum)
+      val bigrams = rows.map(r => r._1 -> toks(r._2).sliding(2).toSeq
+        .filter(_.size == 2).map(p => (p(0), p(1))))
+      val model = bigrams.flatMap(_._2)
+        .filter(p => topM.contains(p._1) && topM.contains(p._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def pUni(w: String): Double =
+        (topM.get(w).getOrElse(nTotal - nTop) + 1L).toDouble /
+          (nTotal + top.size + 1L).toDouble
+      bigrams.foreach { case (id, bs) =>
+        if (bs.isEmpty) assert(!got.contains(id))
+        else {
+          val terms = bs.map { p =>
+            model.get(p) match {
+              case Some(cb) => -math.log(cb.toDouble / counts(p._1))
+              case None => -math.log(0.4 * pUni(p._2))
+            }
+          }
+          val want = math.floor(terms.sum / bs.size * 1e6) / 1e6
+          val (nb, ll) = got(id)
+          assert(nb == bs.size.toLong, s"doc $id count")
+          assert(math.abs(ll - want) <= 1e-6,
+            s"doc $id: got $ll want $want (topV=$topV)")
+        }
+      }
+    }
+  }
+
+  test("bm25 index search == bm25TopK for random corpora and batch " +
+    "splits") {
+    val docGen = for {
+      id <- Gen.choose(0L, 30L)
+      n <- Gen.choose(0, 6)
+      toks <- Gen.listOfN(n, Gen.oneOf("x", "y", "z", "w", "qq"))
+    } yield (id, toks.mkString(" "))
+    val caseGen = for {
+      docs <- Gen.nonEmptyListOf(docGen)
+      split <- Gen.choose(0L, 30L)
+    } yield (docs, split)
+    sample(caseGen, 5).foreach { case (docsRaw, split) =>
+      val rows = docsRaw.groupBy(_._1).map(_._2.head).toSeq
+      val df = rows.toDF("doc_id", "text")
+      val terms = Seq("x", "qq")
+      val want = Retrieval.bm25TopK(df, terms, k = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val p = graft.SparkSpec.tmpDir("graft-prop-bm25-") + "/idx"
+      Retrieval.appendToBm25Index(df.filter(col("doc_id") < split), p)
+      Retrieval.appendToBm25Index(df.filter(col("doc_id") >= split), p)
+      val got = Retrieval.bm25Search(spark, p, terms, k = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want, s"split=$split: $got vs $want")
+    }
+  }
+
   test("perceptual hash: deterministic; local edit never farther than " +
     "a full rewrite") {
     val wordsGen = Gen.listOfN(12,
