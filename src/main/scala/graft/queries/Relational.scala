@@ -337,6 +337,36 @@ object Relational {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // the NATIVE twin: Spark's built-in session_window state operator
+    // over the same stream — the declarative form a pipeline should
+    // reach for first (the custom flatMapGroupsWithState path above
+    // earns its keep only for logic a groupBy cannot say). Append mode
+    // emits a session when the watermark passes its end (last + gap),
+    // so the oracle is the batch gaps-and-islands minus sessions the
+    // final watermark left open; session merging treats touching
+    // windows as overlapping (spec-pinned), so the island rule is the
+    // batch query's own ts > prev + gap
+    "q_stream_sessionize_native" -> ((s, dir) => {
+      val (schema, tsCol) = eventsTs(s, dir)
+      val ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), tsCol.as("ts"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("value"))
+      val name = s"graft_stream_sessnat_${streamQueryId.incrementAndGet()}"
+      val q = graft.streaming.Monitor.sessionizeNative(ev).writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"),
+          col("value_sum").cast("long").as("value_cents"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // STREAMING exact dedup over continuous document ingestion: one
     // surviving row per fingerprint (which embeds the source, so the
     // per-source unique count is independent of micro-batch arrival
@@ -973,6 +1003,40 @@ object Relational {
         |)
         |SELECT user_id, session_start, session_end, n_events, value_cents
         |FROM agg WHERE session_id < max_sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // native session_window drain: the same islands as the batch rule
+    // (merging treats touching windows as overlapping, so > gap starts
+    // a new session), emitted only when the final watermark
+    // (max ts - 2h) passed the session end (last + gap)
+    "q_stream_sessionize_native" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id < 20
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM marked
+        |), agg AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events,
+        |    MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS value_cents
+        |  FROM sessions GROUP BY user_id, session_id
+        |), wm AS (
+        |  SELECT MAX(ts) - INTERVAL 2 HOUR AS w
+        |  FROM events WHERE user_id < 20
+        |)
+        |SELECT user_id, session_start, n_events, value_cents
+        |FROM agg CROSS JOIN wm
+        |WHERE session_end + INTERVAL 30 MINUTE <= w
         |ORDER BY user_id, session_start""".stripMargin,
 
     // Exactly one survivor per fingerprint regardless of arrival order,

@@ -60,6 +60,35 @@ object Monitor {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
 
+  /** Native session-window sessionization: Spark's built-in
+    * `session_window` state operator, the declarative twin of the
+    * custom [[sessionizeStream]] (flatMapGroupsWithState). Prefer THIS
+    * form when the per-session output is aggregates the built-in can
+    * express — the operator merges windows in the state store, handles
+    * out-of-order arrivals inside the watermark, and needs no
+    * user-written state machine; the custom path earns its keep only
+    * for session logic a groupBy cannot say (mid-session emission,
+    * cross-session carryover).
+    *
+    * Tie semantics, pinned for the oracle (and spec-probed — the
+    * window is nominally `[first, last + gap)` but MERGING treats a
+    * touching window as overlapping): an event arriving exactly `gap`
+    * after its predecessor CONTINUES the session, the same
+    * `ts > prev + gap`-starts-new rule as the batch gaps-and-islands
+    * query and the custom path — the two sessionizers agree
+    * decision-for-decision. Emission: append mode releases a session
+    * once the watermark passes its window end (`last + gap`).
+    *
+    * Scale shape: one user-keyed shuffle into the session-window
+    * state operator; state is one row per OPEN session, evicted at
+    * watermark. */
+  def sessionizeNative(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+
   /** Stream-stream event-time interval join: each purchase matches the
     * clicks of the same user in its trailing attribution window
     * `[p_ts - lag, p_ts]` — the streaming form of

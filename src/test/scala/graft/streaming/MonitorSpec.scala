@@ -211,6 +211,44 @@ class MonitorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window: an event exactly gap after its " +
+    "predecessor CONTINUES the session (merging treats touching " +
+    "windows as overlapping — the batch islands rule); emission waits " +
+    "for the watermark") {
+    val dir = tmpDir("graft-sessnat-")
+    import spark.implicits._
+    def write(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("user_id", "ts_s", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp"))
+        .select("user_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    write(Seq(
+      (1L, "2024-01-01 00:00:00", 1L),
+      (1L, "2024-01-01 00:30:00", 2L), // exactly the 30-minute gap
+      (1L, "2024-01-01 00:40:00", 4L)))
+    val stream = spark.readStream.schema(StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("value", LongType)))).parquet(s"$dir/in")
+    val q = Monitor.sessionizeNative(stream).writeStream
+      .outputMode("append").format("memory").queryName("sessnat_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sessnat_test").isEmpty) // nothing closed yet
+      write(Seq((2L, "2024-01-02 12:00:00", 0L))) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, session_window.start, " +
+        "n_events, value_sum FROM sessnat_test ORDER BY 2")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getLong(2), r.getLong(3))).toSeq
+      // ONE session: 00:30 touches [00:00, 00:30) and merging treats
+      // touching as overlapping, so the chain continues through 00:40 —
+      // exactly the batch gaps-and-islands `> gap` rule
+      assert(rows == Seq((1L, "2024-01-01 00:00:00.0", 3L, 7L)), rows)
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join: a purchase arriving in a LATER " +
     "batch matches earlier clicks from join state, inside the trailing " +
     "window only; plan is a StreamingSymmetricHashJoin") {
