@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** DSIR-style data selection via importance resampling (Xie et al. 2023,
@@ -338,6 +338,62 @@ object Dsir {
       }
     }
     FrozenRouter(sorted.map(_._1).toIndexedSeq, buckets, grid)
+  }
+
+  /** Persist a trained [[FrozenRouter]] so a serving job (a streaming
+    * monitor, a different process, a later day's ingest) loads the
+    * SAME weights instead of retraining — the missing third leg of the
+    * offline-train / online-apply split. Layout: one parquet table
+    * `(bucket, domain, lw)` of exactly `buckets * domains` rows
+    * (bounded by the training-side 2^20 grid guard), raw IEEE doubles,
+    * so a round-trip reproduces every routing decision bit-for-bit
+    * (spec-pinned). */
+  def saveRouter(spark: org.apache.spark.sql.SparkSession,
+                 router: FrozenRouter, path: String): Unit = {
+    val rows = for {
+      b <- 0 until router.buckets
+      k <- router.domains.indices
+    } yield Row(b, router.domains(k), router.lw(b)(k))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("domain",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lw",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a router persisted by [[saveRouter]]. The collect is bounded
+    * by the same 2^20 grid guard the training side enforces (re-checked
+    * here — a foreign parquet at the path fails fast, not OOM). Domain
+    * order is canonical (sorted by name, the [[freezeRouter]] rule), so
+    * routing output is independent of row order on disk. */
+  def loadRouter(spark: org.apache.spark.sql.SparkSession,
+                 path: String): FrozenRouter = {
+    val df = spark.read.parquet(path)
+    require(df.columns.sorted.sameElements(
+      Array("bucket", "domain", "lw")),
+      s"$path is not a saved router (columns ${df.columns.mkString(",")})")
+    val n = df.count()
+    require(n > 0 && n <= (1L << 20),
+      s"$path holds $n rows — outside the 2^20 router grid guard")
+    val rows = df.collect()
+    val domains = rows.map(_.getAs[String]("domain"))
+      .distinct.sorted.toIndexedSeq
+    val buckets = rows.map(_.getAs[Int]("bucket")).max + 1
+    require(buckets.toLong * domains.size == n,
+      s"$path grid is ragged: $n rows != $buckets buckets x " +
+        s"${domains.size} domains")
+    val di = domains.zipWithIndex.toMap
+    val grid = Array.ofDim[Double](buckets, domains.size)
+    rows.foreach { r =>
+      grid(r.getAs[Int]("bucket"))(di(r.getAs[String]("domain"))) =
+        r.getAs[Double]("lw")
+    }
+    FrozenRouter(domains, buckets, grid)
   }
 
   /** DoReMi-style domain mixture reweighting (Xie et al. 2023, "DoReMi:

@@ -461,6 +461,22 @@ object TrainingData {
         Seq("hash", "join", "spark", "window"), k = 15)
     }),
 
+    // the SAME lifecycle fed by Structured Streaming: the corpus flows
+    // through the bm25IndexSink (one postings+stats append per
+    // micro-batch), then search over the drained index — equal to the
+    // batch scorer over everything that arrived, one shared oracle
+    "q_stream_bm25" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docsStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val tmp = scratchDir("graft-bm25stream-")
+      val q = graft.streaming.Monitor.bm25IndexSink(docsStream,
+        s"$tmp/idx", s"$tmp/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      Retrieval.bm25Search(s, s"$tmp/idx",
+        Seq("hash", "join", "spark", "window"), k = 15)
+    }),
+
     // batched BM25 over the inverted index: three probe queries served
     // from one posting pass, top-5 each
     "q_doc_bm25_batch" -> ((s, dir) => {
@@ -2492,6 +2508,9 @@ object TrainingData {
     // the index lifecycle accumulates the full corpus, so the search
     // result is q_doc_bm25's replay verbatim
     "q_doc_bm25_index" -> bm25OracleSql,
+
+    // streamed ingest drains to the same accumulated index
+    "q_stream_bm25" -> bm25OracleSql,
 
     // the two ranked lists rebuilt exactly as their own oracles rank
     // them (BM25 formula + raw-cosine row_number), then 1/(60+rank)

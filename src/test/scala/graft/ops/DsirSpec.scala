@@ -159,6 +159,28 @@ class DsirSpec extends AnyFunSuite {
       .route("quantum flux")._3.isNaN)
   }
 
+  test("saveRouter/loadRouter round-trip: bit-identical grid, identical " +
+    "decisions; foreign parquet fails fast") {
+    val rawDf = raw.toDF("doc_id", "text")
+    val tgtA = target.toDF("vid", "text")
+    val tgtB = targetB.toDF("vid", "text")
+    val router = Dsir.freezeRouter(rawDf, Seq("b" -> tgtB, "a" -> tgtA),
+      buckets = B)
+    val path = graft.SparkSpec.tmpDir("graft-router-") + "/router"
+    Dsir.saveRouter(spark, router, path)
+    val loaded = Dsir.loadRouter(spark, path)
+    assert(loaded.domains == router.domains &&
+      loaded.buckets == router.buckets)
+    (0 until B).foreach(b => assert(
+      loaded.lw(b).sameElements(router.lw(b)), s"bucket $b grid drift"))
+    raw.foreach { case (_, t) =>
+      assert(loaded.route(t) == router.route(t))
+    }
+    val junk = graft.SparkSpec.tmpDir("graft-router-") + "/junk"
+    rawDf.write.parquet(junk)
+    assertThrows[IllegalArgumentException](Dsir.loadRouter(spark, junk))
+  }
+
   test("empty target sample: the domain survives with fully-smoothed " +
     "weights and the frozen/distributed paths still agree") {
     import org.apache.spark.sql.functions.col
