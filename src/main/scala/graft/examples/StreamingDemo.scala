@@ -47,6 +47,12 @@ object StreamingDemo {
     val sessions = Monitor.sessionizeStream(events.as[Monitor.SessionEvent])
       .writeStream.outputMode("append")
       .format("memory").queryName("sessions").start()
+    // the native session_window twin on the SAME stream — the two
+    // sessionizers agree decision-for-decision (spec-pinned tie rule),
+    // so their closed-session shapes must match as the stream drains
+    val nativeSessions = Monitor.sessionizeNative(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_native").start()
     val windows = Monitor.eventsWindowed(
       events.withColumn("event_type", concat(lit("u"), col("user_id"))),
       windowLen = "1 hour", watermark = "2 hours")
@@ -62,20 +68,27 @@ object StreamingDemo {
       while (closedCount() < 6 && System.nanoTime() < deadline) {
         Thread.sleep(250)
       }
-      val closed = spark.sql(
-        "SELECT * FROM sessions ORDER BY user_id, session_start")
+      // snapshot ONCE: the memory table keeps growing while the stream
+      // runs, so re-evaluating the DataFrame between counts would race
+      val snap = spark.sql(
+        "SELECT * FROM sessions ORDER BY user_id, session_start").collect()
       println("closed sessions (4 events each, 30-minute gap rule):")
-      closed.show(12, truncate = false)
-      val n = closed.count()
-      val ok = closed.filter(col("n_events") === 4).count()
+      snap.take(12).foreach(r => println(s"  $r"))
+      val n = snap.length.toLong
+      val ok = snap.count(_.getAs[Long]("n_events") == 4L).toLong
       println(s"closed=$n, of which 4-event sessions=$ok")
       require(n >= 6, s"expected >= 6 closed sessions, got $n")
       require(ok == n, "every closed session should have exactly 4 events")
       println("windowed counts (streaming twin of q_events_hourly):")
       spark.sql("SELECT * FROM windows ORDER BY window, event_type")
         .show(8, truncate = false)
+      val nat = spark.sql(
+        "SELECT count(*) FROM sessions_native WHERE n_events = 4")
+        .head().getLong(0)
+      println(s"native session_window closed 4-event sessions: $nat")
+      require(nat > 0, "native sessionizer should close sessions too")
     } finally {
-      sessions.stop(); windows.stop()
+      sessions.stop(); nativeSessions.stop(); windows.stop()
     }
     spark.stop()
     println("streaming demo OK")
