@@ -433,12 +433,20 @@ object Relational {
     // per run (raw + 2 targets), dominating the query's wall time.
     "q_stream_domain_route" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
-      val router = frozenRouters.getOrElseUpdate((dir, 1024),
-        graft.ops.Dsir.freezeRouter(
+      val router = frozenRouters.getOrElseUpdate((dir, 1024), {
+        val trained = graft.ops.Dsir.freezeRouter(
           d.filter(!col("source").isin("src1", "src2")),
           Seq("src1" -> d.filter(col("source") === "src1"),
             "src2" -> d.filter(col("source") === "src2")),
-          buckets = 1024))
+          buckets = 1024)
+        // exercise the persistence leg inside the verified path: the
+        // serving job's load must reproduce the trained weights, and
+        // the round-trip is bit-exact (DsirSpec) so the oracle is
+        // untouched
+        val p = TrainingData.scratchDir("graft-router-") + "/router"
+        graft.ops.Dsir.saveRouter(s, trained, p)
+        graft.ops.Dsir.loadRouter(s, p)
+      })
       val docsStream = s.readStream.schema(d.schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(!col("source").isin("src1", "src2"))
