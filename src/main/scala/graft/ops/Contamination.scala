@@ -95,6 +95,26 @@ object Contamination {
     (bos.toByteArray, refSh)
   }
 
+  /** Persist a [[buildReferenceBloom]] artifact pair so decontamination
+    * jobs load the frozen reference (an eval-set release) instead of
+    * re-aggregating it — layout: `path/bloom.bin` (the serialized
+    * bitmap, ~1.2 bytes/item) + `path/shingles` (the distinct shingle
+    * parquet the exact verify joins). Both halves are required: the
+    * bitmap alone would make the answer approximate. */
+  def saveReferenceBloom(bloomBytes: Array[Byte], refShingles: DataFrame,
+                         path: String): Unit = {
+    refShingles.write.mode("overwrite").parquet(s"$path/shingles")
+    graft.core.Fs.writeBytes(s"$path/bloom.bin", bloomBytes)
+  }
+
+  /** Load a persisted reference bloom; the pair feeds
+    * [[bloomReportWith]] / [[graft.streaming.Monitor.bloomDecontaminationSink]]
+    * unchanged (decision equality is spec-pinned). */
+  def loadReferenceBloom(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (Array[Byte], DataFrame) =
+    (graft.core.Fs.readBytes(s"$path/bloom.bin"),
+      spark.read.parquet(s"$path/shingles"))
+
   /** The online half of [[bloomReport]]: probe + exact verify against a
     * prebuilt reference bloom/shingle pair. */
   def bloomReportWith(corpus: DataFrame, bloomBytes: Array[Byte],

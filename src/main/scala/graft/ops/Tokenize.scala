@@ -141,6 +141,39 @@ object Tokenize {
     merges.toSeq
   }
 
+  /** Persist a trained merge table so serving jobs tokenize with the
+    * SAME vocabulary the training corpus produced (merge ORDER is the
+    * model — ranks break ties during encoding, so the table persists as
+    * `(rank, left, right)` parquet and loads back in rank order). */
+  def saveBpe(spark: org.apache.spark.sql.SparkSession,
+              merges: Seq[(String, String)], path: String): Unit = {
+    val rows = merges.zipWithIndex.map { case ((l, r), i) =>
+      org.apache.spark.sql.Row(i, l, r)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("left",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("right",
+        org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge table persisted by [[saveBpe]], in rank order. The
+    * collect is vocabulary-bounded (one row per merge — the trainBpe
+    * `numMerges` cap); a foreign parquet at the path fails fast. */
+  def loadBpe(spark: org.apache.spark.sql.SparkSession,
+              path: String): Seq[(String, String)] = {
+    val df = spark.read.parquet(path)
+    require(df.columns.sorted.sameElements(Array("left", "rank", "right")),
+      s"$path is not a saved merge table " +
+        s"(columns ${df.columns.mkString(",")})")
+    df.orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+  }
+
   /** Minimal byte-pair-encoding tokenizer over an explicit merge list —
     * the seam's test implementation (the public BPE algorithm: within
     * each pre-token, repeatedly merge the adjacent symbol pair with the

@@ -2315,6 +2315,42 @@ class OpsSpec extends AnyFunSuite {
     assert(tiny == exact)
   }
 
+  test("reference-bloom persistence: a loaded artifact pair reproduces " +
+    "the fresh build's report exactly") {
+    import graft.SparkSpec.{spark, tmpDir}
+    val corpus = docs.filter(col("doc_id") >= 40)
+    val ref = docs.filter(col("doc_id") < 40)
+    val (bytes, refSh) = Contamination.buildReferenceBloom(ref, n = 3,
+      expectedItems = 500000L)
+    val want = Contamination
+      .bloomReportWith(corpus, bytes, refSh, minShared = 3, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val path = tmpDir("graft-bloom-") + "/ref"
+    Contamination.saveReferenceBloom(bytes, refSh, path)
+    val (b2, sh2) = Contamination.loadReferenceBloom(spark, path)
+    assert(java.util.Arrays.equals(b2, bytes), "bitmap drifted")
+    val got = Contamination
+      .bloomReportWith(corpus, b2, sh2, minShared = 3, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("saveBpe/loadBpe round-trip preserves merge order; foreign " +
+    "parquet fails fast") {
+    import graft.SparkSpec.{spark, tmpDir}
+    import spark.implicits._
+    val d = (Seq.fill(4)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(3)("new")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Tokenize.trainBpe(d, numMerges = 5)
+    val path = tmpDir("graft-bpe-") + "/merges"
+    Tokenize.saveBpe(spark, merges, path)
+    assert(Tokenize.loadBpe(spark, path) == merges)
+    val junk = tmpDir("graft-bpe-") + "/junk"
+    d.write.parquet(junk)
+    assertThrows[IllegalArgumentException](Tokenize.loadBpe(spark, junk))
+  }
+
   test("quantizedTopK: recall vs brute force at 4x candidates; " +
     "exhaustive candidates == brute force exactly") {
     val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
