@@ -597,7 +597,8 @@ object Dedup {
                               textCol: String = "text",
                               idCol: String = "doc_id",
                               exactVerify: Boolean = true,
-                              rereadFrom: Option[DataFrame] = None): DataFrame = {
+                              rereadFrom: Option[DataFrame] = None,
+                              sinkFirst: DataFrame => Unit = _ => ()): DataFrame = {
     require(exactVerify || rereadFrom.isEmpty,
       "rereadFrom supplies text for EXACT candidate verification; " +
         "combining it with exactVerify=false is contradictory")
@@ -738,6 +739,11 @@ object Dedup {
       minhashLshPairsFromSig(fresh, freshSig, n, numHashes, bands,
         threshold, textCol, idCol),
       idCol).localCheckpoint(true)
+    // durable output BEFORE the index append (the incrementalExactDedup
+    // sinkFirst contract): once these signatures are indexed, a retried
+    // batch keeps nothing — output-first makes the crash failure mode
+    // duplicate output rows, never silent loss
+    sinkFirst(kept)
     val keptSig = sig.join(
       kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .localCheckpoint(true) // cut lineage before the self-referential append

@@ -785,6 +785,34 @@ object TrainingData {
       s1.unionByName(s2).select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // the SAME two-batch ingest through Structured Streaming: batch 1
+    // (evens) drains through the minhashDedupSink, then batch 2 (odds +
+    // near-edited re-crawls) arrives and must drop against the
+    // PERSISTED index — survivors accumulate in the sink's output, so
+    // the drained outPath equals the batch incremental replay and the
+    // oracle is shared verbatim
+    "q_stream_neardedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val b1 = d.filter(col("doc_id") % 2 === 0)
+      val dups = b1.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" recrawlmarker")).as("text"))
+      val b2 = d.filter(col("doc_id") % 2 === 1).unionByName(dups)
+      val tmp = scratchDir("graft-mhsink-")
+      def drain(): Unit = {
+        val stream = s.readStream.schema(b1.schema).parquet(s"$tmp/in")
+        val q = graft.streaming.Monitor.minhashDedupSink(stream,
+          s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt")
+        try q.processAllAvailable() finally q.stop()
+      }
+      b1.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      drain()
+      b2.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      drain()
+      s.read.parquet(s"$tmp/out")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // the SAME two-batch ingest through the index LIFECYCLE path: the
     // compact signature-only index (rereadFrom exact verify — candidate
     // shingle sets recomputed from the accumulated kept corpus) with a
@@ -3227,6 +3255,9 @@ object TrainingData {
     // the batch-1 closure, cross-batch drops against kept batch-1 docs,
     // then min-id survivors of the remaining batch-2 closure.
     "q_dedup_incremental_near" -> incrementalNearOracleSql,
+
+    // streamed two-batch ingest == the batch incremental replay
+    "q_stream_neardedup" -> incrementalNearOracleSql,
 
     // identical decisions through the compact-index LIFECYCLE path
     // (rereadFrom exact verify + compactIndex between batches): the

@@ -307,6 +307,32 @@ object Monitor {
       }
       .start()
 
+  /** Stream a corpus through the persisted MinHash near-dup index
+    * ([[graft.ops.Dedup.incrementalMinhashDedup]], stored-shingle exact
+    * mode): survivors of each micro-batch — docs near-duplicating
+    * nothing that ever flowed through `indexPath`, one canonical per
+    * in-batch cluster — append to `outPath`, then their signatures to
+    * the index. Output-first ordering ([[incrementalDedupSink]]'s
+    * contract): a crash between the two writes re-delivers the batch
+    * and duplicates output rows (at-least-once), never silently drops
+    * survivors. Completes the near-dup corner of the streaming sink
+    * family (exact / SimHash / semantic / span already stream). */
+  def minhashDedupSink(docs: DataFrame, indexPath: String,
+                       outPath: String, checkpointDir: String,
+                       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                       threshold: Double = 0.5,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Dedup.incrementalMinhashDedup(batch, indexPath, n,
+          numHashes, bands, threshold, textCol, idCol,
+          sinkFirst = _.write.mode("append").parquet(outPath))
+        () // survivors already persisted by the hook
+      }
+      .start()
+
   /** Stream a corpus into the persisted BM25 inverted index
     * ([[graft.ops.Retrieval.appendToBm25Index]]): each micro-batch's
     * postings and length stats append, and after the stream drains

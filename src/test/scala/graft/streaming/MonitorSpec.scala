@@ -439,6 +439,35 @@ class MonitorSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 2L, 11L))
   }
 
+  test("minhash-dedup sink: a near-edited re-crawl in a LATER batch " +
+    "drops against the persisted index; novel docs survive") {
+    import spark.implicits._
+    val root = tmpDir("graft-mhsink-")
+    val in = s"$root/in"
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(in)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def drain(): Unit = {
+      val q = Monitor.minhashDedupSink(
+        spark.readStream.schema(schema).parquet(in),
+        s"$root/idx", s"$root/out", s"$root/cp")
+      try q.processAllAvailable() finally q.stop()
+    }
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    write(Seq((1L, base), (2L, "one two three four five six seven")))
+    drain()
+    // re-crawl of doc 1 with one appended token (high-Jaccard near-dup)
+    // must drop against the INDEX; doc 11 is genuinely new
+    write(Seq((10L, base + " recrawl"),
+      (11L, "red orange yellow green blue indigo violet umber")))
+    drain()
+    val kept = spark.read.parquet(s"$root/out").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 11L), kept)
+  }
+
   test("bm25-index sink: a drained two-batch ingest serves the same " +
     "search as the batch scorer over everything that arrived; a resumed " +
     "checkpoint appends only the new batch") {
