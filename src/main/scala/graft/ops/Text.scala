@@ -467,34 +467,53 @@ object Text {
                     backoff: Double = 0.4,
                     textCol: String = "text",
                     idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame =
+    bigramLogLossAgainst(docs, docs, topV, backoff, textCol, idCol)
+
+  /** [[bigramLogLoss]] with the model trained on a SEPARATE reference
+    * corpus — the actual CCNet deployment shape: the LM trains on a
+    * trusted clean corpus (their Wikipedia) and scores the raw crawl,
+    * so "low perplexity" means "reads like the reference", not "reads
+    * like the average of the crawl being filtered". Same model
+    * definition, scoring, rounding, and scale shape as the self-trained
+    * form ([[bigramLogLoss]] is this with `train = docs`); vocabulary,
+    * counts, and OOV mass all come from `train` only, so a score-side
+    * token the reference never saw backs off to the reference's shared
+    * OOV bucket. */
+  def bigramLogLossAgainst(train: org.apache.spark.sql.DataFrame,
+                           docs: org.apache.spark.sql.DataFrame,
+                           topV: Int,
+                           backoff: Double = 0.4,
+                           textCol: String = "text",
+                           idCol: String = "doc_id")
       : org.apache.spark.sql.DataFrame = {
     require(topV > 0, "topV must be positive")
     require(backoff > 0.0 && backoff <= 1.0,
       "backoff weight must be in (0, 1]")
-    def docTokens = docs.select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("token"))
     // adjacent pairs; slice-with-length-0 yields an empty array for
     // single-token docs (sequence(1, size-1) would mis-step backwards)
-    def docBigrams = docs
+    def bigramsOf(d: org.apache.spark.sql.DataFrame) = d
       .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
       .select(col("id"), explode(zip_with(
         slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
         slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
         (v, w) => struct(v.as("v"), w.as("w")))).as("b"))
       .select(col("id"), col("b.v").as("v"), col("b.w").as("w"))
-    val counts = docTokens.groupBy(col("token"))
+    val counts = train
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
       .agg(count(lit(1)).as("c"))
     val top = counts.orderBy(col("c").desc, col("token")).limit(topV)
     val stats = counts.agg(sum(col("c")).as("n_total")).crossJoin(
       top.agg(sum(col("c")).as("n_top"), count(lit(1)).as("vsz")))
-    // bigram model: in-vocabulary pairs with the context's corpus count
-    val model = docBigrams
+    // bigram model: in-vocabulary TRAIN pairs with the context's count
+    val model = bigramsOf(train)
       .join(broadcast(top.select(col("token").as("v"), col("c").as("cv"))),
         Seq("v"))
       .join(broadcast(top.select(col("token").as("w"))), Seq("w"))
       .groupBy(col("v"), col("w"), col("cv"))
       .agg(count(lit(1)).as("cb"))
-    val perDoc = docBigrams.groupBy(col("id"), col("v"), col("w"))
+    val perDoc = bigramsOf(docs).groupBy(col("id"), col("v"), col("w"))
       .agg(count(lit(1)).as("dc"))
     perDoc
       .join(model, Seq("v", "w"), "left")

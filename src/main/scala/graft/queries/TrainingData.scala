@@ -580,6 +580,19 @@ object TrainingData {
         .orderBy(col("id"))
     }),
 
+    // the CCNet deployment shape: the bigram LM trains on a TRUSTED
+    // reference slice (src1+src3 standing in for their Wikipedia) and
+    // scores the rest of the crawl — low logloss = reads like the
+    // reference, not like the crawl's own average
+    "q_doc_bigram_ref" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Text.bigramLogLossAgainst(
+        d.filter(col("source").isin("src1", "src3")),
+        d.filter(!col("source").isin("src1", "src3")),
+        topV = 500)
+        .orderBy(col("id"))
+    }),
+
     // CCNet's head/middle/tail split: per-source LM-score tertiles
     // (bucket 1 = head = most corpus-like) with doc and token budgets
     // per stratum — the table a perplexity-filtered mixture reads.
@@ -3000,6 +3013,56 @@ object TrainingData {
         |  GROUP BY bg.v, bg.w, tv.c
         |), perdoc AS (
         |  SELECT id, v, w, COUNT(*) AS dc FROM bg GROUP BY id, v, w
+        |)
+        |SELECT id, CAST(SUM(dc) AS BIGINT) AS n_bigrams,
+        |  floor(SUM(dc * -ln(
+        |      CASE WHEN m.cb IS NOT NULL
+        |        THEN CAST(m.cb AS DOUBLE) / CAST(m.cv AS DOUBLE)
+        |        ELSE 0.4 * (
+        |          CAST(COALESCE(tw.c, s.n_total - s.n_top) + 1 AS DOUBLE)
+        |          / CAST(s.n_total + s.vsz + 1 AS DOUBLE)) END))
+        |    / SUM(dc) * 1e6) / 1e6 AS logloss
+        |FROM perdoc p
+        |LEFT JOIN model m ON p.v = m.v AND p.w = m.w
+        |LEFT JOIN top tw ON p.w = tw.token
+        |CROSS JOIN stats s
+        |GROUP BY id ORDER BY id""".stripMargin,
+
+    // the cross-corpus replay: model CTEs read the trusted slice only,
+    // per-doc bigrams read the scored remainder
+    "q_doc_bigram_ref" ->
+      """WITH trn AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE source IN ('src1', 'src3')
+        |), sc AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE source NOT IN ('src1', 'src3')
+        |), ex AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM trn
+        |), bgt AS (
+        |  SELECT unnest(l[1:len(l)-1]) AS v, unnest(l[2:len(l)]) AS w
+        |  FROM (SELECT string_split_regex(text, '\s+') AS l FROM trn)
+        |), bgs AS (
+        |  SELECT doc_id AS id,
+        |    unnest(l[1:len(l)-1]) AS v, unnest(l[2:len(l)]) AS w
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS l
+        |        FROM sc)
+        |), c AS (
+        |  SELECT token, COUNT(*) AS c FROM ex GROUP BY token
+        |), top AS (
+        |  SELECT token, c FROM c ORDER BY c DESC, token LIMIT 500
+        |), stats AS (
+        |  SELECT (SELECT SUM(c) FROM c) AS n_total,
+        |         (SELECT SUM(c) FROM top) AS n_top,
+        |         (SELECT COUNT(*) FROM top) AS vsz
+        |), model AS (
+        |  SELECT bgt.v, bgt.w, tv.c AS cv, COUNT(*) AS cb
+        |  FROM bgt JOIN top tv ON bgt.v = tv.token
+        |           JOIN top tw ON bgt.w = tw.token
+        |  GROUP BY bgt.v, bgt.w, tv.c
+        |), perdoc AS (
+        |  SELECT id, v, w, COUNT(*) AS dc FROM bgs GROUP BY id, v, w
         |)
         |SELECT id, CAST(SUM(dc) AS BIGINT) AS n_bigrams,
         |  floor(SUM(dc * -ln(
