@@ -471,6 +471,16 @@ class PlanSpec extends AnyFunSuite {
       p.take(4000))
   }
 
+  test("q_doc_bm25_index: the term IN-filter reaches the postings " +
+    "parquet scan; df scan prunes to the term column; top-k is " +
+    "TakeOrderedAndProject") {
+    val p = plan("q_doc_bm25_index")
+    assert(p.contains("In(term, [hash,join,spark,window])"), p.take(4000))
+    assert(p.contains("ReadSchema: struct<term:string>"), p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("q_doc_bigram_lm: model joins on its (v, w) key — no cartesian, " +
     "no nested loop; vocabulary and stats broadcast") {
     val p = plan("q_doc_bigram_lm")
