@@ -24,10 +24,14 @@ import graft.ops.{PerceptualHash64, SimHash64, VectorExprs,
   * `GraftExtensions.register(spark)` on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // opt-in non-equi interval-join rewrite (fires only when
+    // spark.graft.intervalJoin.binWidth is set — see the rule's doc)
+    e.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -697,6 +697,41 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // the injected optimizer rule end-to-end: the NAIVE non-equi
+    // BETWEEN condition (no key equality — Spark alone would plan a
+    // BroadcastNestedLoopJoin over every click x purchase pair), auto-
+    // rewritten by graft.plans.IntervalJoinRewrite into the bin-keyed
+    // equi join. Cross-user window volume: clicks landing in each
+    // purchase's trailing 30 minutes, any user. Materialized eagerly
+    // (localCheckpoint) while the rule + width conf are active, then
+    // both are restored — no session leakage into later queries
+    "q_events_window_volume" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(unix_micros(col("ts")).as("t"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          (unix_micros(col("ts")) - lit(1800000000L)).as("w_start"),
+          unix_micros(col("ts")).as("w_end"))
+      val prevOpts = s.experimental.extraOptimizations
+      s.experimental.extraOptimizations =
+        prevOpts :+ graft.plans.IntervalJoinRewrite
+      s.conf.set(graft.plans.IntervalJoinRewrite.binWidthConf,
+        "1800000000")
+      try {
+        clicks
+          .join(purchases,
+            col("t") >= col("w_start") && col("t") <= col("w_end"))
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_clicks"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true)
+      } finally {
+        s.conf.unset(graft.plans.IntervalJoinRewrite.binWidthConf)
+        s.experimental.extraOptimizations = prevOpts
+      }
+    }),
+
     // interval-overlap join: purchase trailing windows x click forward
     // windows per user (both sides bin-exploded, first-shared-bin
     // dedup — exactly-once without a distinct)
@@ -1064,6 +1099,23 @@ object Relational {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // the rewritten plan must equal the naive BETWEEN join verbatim
+    "q_events_window_volume" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |         event_type
+        |  FROM events
+        |), clicks AS (
+        |  SELECT t FROM ev WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT event_id, t - 1800000000 AS w_start, t AS w_end
+        |  FROM ev WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, COUNT(*) AS n_clicks
+        |FROM clicks c JOIN purchases p
+        |  ON c.t BETWEEN p.w_start AND p.w_end
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
 
     // stream-stream join drain == the batch interval join: one oracle
     // (see q_events_attribution — identical trailing-window BETWEEN)
