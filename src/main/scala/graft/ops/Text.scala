@@ -534,6 +534,111 @@ object Text {
           .as("logloss"))
   }
 
+  /** Order-3 stupid backoff: mean `-ln s(w | u v)` with the recursive
+    * chain `s3 = c(u,v,w)/c(u,v)` when the trigram is in the model,
+    * else `0.4 * c(v,w)/c(v)` when the bigram is, else
+    * `0.4 * 0.4 * p_uni(w)` — one order closer to the 5-gram KenLM
+    * CCNet actually deploys than [[bigramLogLoss]], and the
+    * demonstration that the backoff chain generalizes. All model
+    * tables are restricted to the top-V vocabulary (the pruned-LM cap);
+    * the trigram context count `c(u,v)` is the in-vocabulary bigram
+    * count, so every ratio is a quotient of exact train-corpus
+    * integers. Docs with fewer than three tokens are absent.
+    *
+    * Returns `(id, n_trigrams, logloss)`, same rounding/caveats as the
+    * bigram form. Scale shape identical: model tables join on their
+    * gram keys (never broadcast by construction), top-V and stats
+    * broadcast, widest shuffle (doc, distinct trigram) rows. */
+  def trigramLogLoss(docs: org.apache.spark.sql.DataFrame,
+                     topV: Int,
+                     backoff: Double = 0.4,
+                     textCol: String = "text",
+                     idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame =
+    trigramLogLossAgainst(docs, docs, topV, backoff, textCol, idCol)
+
+  /** [[trigramLogLoss]] with the model trained on a separate reference
+    * corpus (see [[bigramLogLossAgainst]] for why that is the
+    * deployment shape). */
+  def trigramLogLossAgainst(train: org.apache.spark.sql.DataFrame,
+                            docs: org.apache.spark.sql.DataFrame,
+                            topV: Int,
+                            backoff: Double = 0.4,
+                            textCol: String = "text",
+                            idCol: String = "doc_id")
+      : org.apache.spark.sql.DataFrame = {
+    require(topV > 0, "topV must be positive")
+    require(backoff > 0.0 && backoff <= 1.0,
+      "backoff weight must be in (0, 1]")
+    def bigramsOf(d: org.apache.spark.sql.DataFrame) = d
+      .select(tokens(col(textCol)).as("t"))
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (v, w) => struct(v.as("v"), w.as("w")))).as("b"))
+      .select(col("b.v").as("v"), col("b.w").as("w"))
+    def trigramsOf(d: org.apache.spark.sql.DataFrame) = {
+      val len = greatest(size(col("t")) - 2, lit(0))
+      d.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+        .select(col("id"), explode(zip_with(
+          zip_with(slice(col("t"), lit(1), len),
+            slice(col("t"), lit(2), len),
+            (u, v) => struct(u.as("u"), v.as("v"))),
+          slice(col("t"), lit(3), len),
+          (uv, w) => struct(uv.getField("u").as("u"),
+            uv.getField("v").as("v"), w.as("w")))).as("g"))
+        .select(col("id"), col("g.u").as("u"), col("g.v").as("v"),
+          col("g.w").as("w"))
+    }
+    val counts = train
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("token")).limit(topV)
+    val stats = counts.agg(sum(col("c")).as("n_total")).crossJoin(
+      top.agg(sum(col("c")).as("n_top"), count(lit(1)).as("vsz")))
+    val m2 = bigramsOf(train)
+      .join(broadcast(top.select(col("token").as("v"), col("c").as("cv"))),
+        Seq("v"))
+      .join(broadcast(top.select(col("token").as("w"))), Seq("w"))
+      .groupBy(col("v"), col("w"), col("cv"))
+      .agg(count(lit(1)).as("cb2"))
+    // trigram model with its context's in-vocabulary bigram count
+    val m3 = trigramsOf(train)
+      .join(broadcast(top.select(col("token").as("u"))), Seq("u"))
+      .join(broadcast(top.select(col("token").as("v"))), Seq("v"))
+      .join(broadcast(top.select(col("token").as("w"))), Seq("w"))
+      .groupBy(col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("cb3"))
+      .join(m2.select(col("v").as("u"), col("w").as("v"),
+        col("cb2").as("c2")), Seq("u", "v"))
+    val perDoc = trigramsOf(docs)
+      .groupBy(col("id"), col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("dc"))
+    perDoc
+      .join(m3, Seq("u", "v", "w"), "left")
+      .join(m2.select(col("v"), col("w"), col("cv"), col("cb2")),
+        Seq("v", "w"), "left")
+      .join(broadcast(top.select(col("token").as("w"),
+        col("c").as("cw"))), Seq("w"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        when(col("cb3").isNotNull,
+          col("cb3").cast("double") / col("c2").cast("double"))
+          .when(col("cb2").isNotNull,
+            lit(backoff) *
+              (col("cb2").cast("double") / col("cv").cast("double")))
+          .otherwise(lit(backoff) * (lit(backoff) *
+            ((coalesce(col("cw"), col("n_total") - col("n_top")) + lit(1L))
+              .cast("double") /
+              (col("n_total") + col("vsz") + lit(1L)).cast("double")))))
+      .withColumn("term", col("dc") * -log(col("s")))
+      .groupBy(col("id"))
+      .agg(sum(col("dc")).as("n_trigrams"),
+        (floor(sum(col("term")) / sum(col("dc")) * 1e6) / 1e6)
+          .as("logloss"))
+  }
+
   def termDrift(docs: org.apache.spark.sql.DataFrame, topV: Int,
                 textCol: String = "text",
                 groupCol: String = "source")

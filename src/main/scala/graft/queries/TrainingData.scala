@@ -580,6 +580,14 @@ object TrainingData {
         .orderBy(col("id"))
     }),
 
+    // one order up: trigram stupid backoff with the recursive
+    // trigram -> bigram -> smoothed-unigram chain (the shape of the
+    // 5-gram KenLM CCNet deploys, demonstrated at order 3)
+    "q_doc_trigram_lm" -> ((s, dir) => {
+      Text.trigramLogLoss(docs(s, dir), topV = 500)
+        .orderBy(col("id"))
+    }),
+
     // the CCNet deployment shape: the bigram LM trains on a TRUSTED
     // reference slice (src1+src3 standing in for their Wikipedia) and
     // scores the rest of the crawl — low logloss = reads like the
@@ -3024,6 +3032,63 @@ object TrainingData {
         |    / SUM(dc) * 1e6) / 1e6 AS logloss
         |FROM perdoc p
         |LEFT JOIN model m ON p.v = m.v AND p.w = m.w
+        |LEFT JOIN top tw ON p.w = tw.token
+        |CROSS JOIN stats s
+        |GROUP BY id ORDER BY id""".stripMargin,
+
+    // the order-3 replay: three shifted slices zip into the trigram
+    // stream; the backoff CASE chain mirrors trigramLogLoss op-for-op
+    "q_doc_trigram_lm" ->
+      """WITH ex AS (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents
+        |), bg AS (
+        |  SELECT unnest(l[1:len(l)-1]) AS v, unnest(l[2:len(l)]) AS w
+        |  FROM (SELECT string_split_regex(text, '\s+') AS l
+        |        FROM documents)
+        |), tg AS (
+        |  SELECT doc_id AS id, unnest(l[1:len(l)-2]) AS u,
+        |    unnest(l[2:len(l)-1]) AS v, unnest(l[3:len(l)]) AS w
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS l
+        |        FROM documents)
+        |), c AS (
+        |  SELECT token, COUNT(*) AS c FROM ex GROUP BY token
+        |), top AS (
+        |  SELECT token, c FROM c ORDER BY c DESC, token LIMIT 500
+        |), stats AS (
+        |  SELECT (SELECT SUM(c) FROM c) AS n_total,
+        |         (SELECT SUM(c) FROM top) AS n_top,
+        |         (SELECT COUNT(*) FROM top) AS vsz
+        |), m2 AS (
+        |  SELECT bg.v, bg.w, tv.c AS cv, COUNT(*) AS cb2
+        |  FROM bg JOIN top tv ON bg.v = tv.token
+        |          JOIN top tw ON bg.w = tw.token
+        |  GROUP BY bg.v, bg.w, tv.c
+        |), m3 AS (
+        |  SELECT t3.u, t3.v, t3.w, COUNT(*) AS cb3
+        |  FROM tg t3 JOIN top tu ON t3.u = tu.token
+        |             JOIN top tv ON t3.v = tv.token
+        |             JOIN top tw ON t3.w = tw.token
+        |  GROUP BY t3.u, t3.v, t3.w
+        |), m3c AS (
+        |  SELECT m3.u, m3.v, m3.w, m3.cb3, ctx.cb2 AS c2
+        |  FROM m3 JOIN m2 ctx ON m3.u = ctx.v AND m3.v = ctx.w
+        |), perdoc AS (
+        |  SELECT id, u, v, w, COUNT(*) AS dc FROM tg GROUP BY id, u, v, w
+        |)
+        |SELECT id, CAST(SUM(dc) AS BIGINT) AS n_trigrams,
+        |  floor(SUM(dc * -ln(CASE
+        |      WHEN m.cb3 IS NOT NULL
+        |        THEN CAST(m.cb3 AS DOUBLE) / CAST(m.c2 AS DOUBLE)
+        |      WHEN b.cb2 IS NOT NULL
+        |        THEN 0.4 * (CAST(b.cb2 AS DOUBLE) / CAST(b.cv AS DOUBLE))
+        |      ELSE 0.4 * (0.4 * (
+        |        CAST(COALESCE(tw.c, s.n_total - s.n_top) + 1 AS DOUBLE)
+        |        / CAST(s.n_total + s.vsz + 1 AS DOUBLE))) END))
+        |    / SUM(dc) * 1e6) / 1e6 AS logloss
+        |FROM perdoc p
+        |LEFT JOIN m3c m ON p.u = m.u AND p.v = m.v AND p.w = m.w
+        |LEFT JOIN m2 b ON p.v = b.v AND p.w = b.w
         |LEFT JOIN top tw ON p.w = tw.token
         |CROSS JOIN stats s
         |GROUP BY id ORDER BY id""".stripMargin,

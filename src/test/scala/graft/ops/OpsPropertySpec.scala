@@ -330,6 +330,67 @@ class OpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("trigramLogLoss == naive recursive stupid-backoff reference " +
+    "for random corpora") {
+    val docGen = for {
+      id <- Gen.choose(0L, 30L)
+      n <- Gen.choose(0, 9)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield (id, toks.mkString(" "))
+    val caseGen = for {
+      docs <- Gen.nonEmptyListOf(docGen)
+      topV <- Gen.choose(1, 5)
+    } yield (docs, topV)
+    sample(caseGen, 5).foreach { case (docsRaw, topV) =>
+      val rows = docsRaw.groupBy(_._1).map(_._2.head).toSeq
+      val got = Text.trigramLogLoss(rows.toDF("doc_id", "text"), topV)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+
+      def toks(t: String) = t.split("\\s+", -1).toSeq
+      val all = rows.flatMap(r => toks(r._2))
+      val counts = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(topV)
+      val topM = top.toMap
+      val (nTotal, nTop) = (all.size.toLong, top.map(_._2).sum)
+      def grams(t: String, k: Int) =
+        toks(t).sliding(k).toSeq.filter(_.size == k)
+      val m2 = rows.flatMap(r => grams(r._2, 2))
+        .filter(g => g.forall(topM.contains))
+        .map(g => (g(0), g(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val m3 = rows.flatMap(r => grams(r._2, 3))
+        .filter(g => g.forall(topM.contains))
+        .map(g => (g(0), g(1), g(2)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def pUni(w: String): Double =
+        (topM.get(w).getOrElse(nTotal - nTop) + 1L).toDouble /
+          (nTotal + top.size + 1L).toDouble
+      rows.foreach { case (id, text) =>
+        val tg = grams(text, 3).map(g => (g(0), g(1), g(2)))
+        if (tg.isEmpty) assert(!got.contains(id))
+        else {
+          val terms = tg.map { case (u, v, w) =>
+            m3.get((u, v, w)) match {
+              case Some(cb3) =>
+                -math.log(cb3.toDouble / m2((u, v)))
+              case None => m2.get((v, w)) match {
+                case Some(cb2) =>
+                  -math.log(0.4 * (cb2.toDouble / counts(v)))
+                case None => -math.log(0.4 * (0.4 * pUni(w)))
+              }
+            }
+          }
+          val want = math.floor(terms.sum / tg.size * 1e6) / 1e6
+          val (n, ll) = got(id)
+          assert(n == tg.size.toLong, s"doc $id count")
+          assert(math.abs(ll - want) <= 1e-6,
+            s"doc $id: got $ll want $want (topV=$topV)")
+        }
+      }
+    }
+  }
+
   test("bm25 index search == bm25TopK for random corpora and batch " +
     "splits") {
     val docGen = for {
