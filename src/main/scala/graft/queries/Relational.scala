@@ -776,6 +776,17 @@ object Relational {
           asc_nulls_first("o_orderpriority"))
     }),
 
+    // CUBE: all four grouping sets (both dims, each alone, grand
+    // total) with grouping_id disambiguating aggregated-out nulls
+    "q_cube_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    }),
+
     // pivot-style conditional aggregation (engine-portable form)
     "q_pivot_status" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -1318,6 +1329,19 @@ object Relational {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    // DuckDB's GROUPING bitmask packs the same bit order as Spark's
+    // grouping_id (first listed column = high bit)
+    "q_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+        |    AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
 
     "q_pivot_status" ->
       """SELECT o_orderpriority,
