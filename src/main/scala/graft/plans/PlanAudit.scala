@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Static scale audit of a physical plan — the engine's CI plan gates
+  * (PlanSpec) packaged as a library call, so a pipeline author can lint
+  * a query for the shapes that are harmless at notebook scale and fatal
+  * at 100 TB, BEFORE running it on the cluster:
+  *
+  *   - `CARTESIAN` / `NESTED_LOOP`: a CartesianProduct or
+  *     BroadcastNestedLoopJoin — O(|left| x |right|) row visits; almost
+  *     always a missing join key or a range condition that should be
+  *     binned ([[IntervalJoinRewrite]] / [[graft.ops.RangeJoin]]).
+  *   - `GLOBAL_WINDOW`: a window function with an EMPTY partition spec
+  *     — Spark moves every row to one partition; at any real size that
+  *     is one executor sorting the world.
+  *   - `GLOBAL_SORT`: a global Sort that is not the K-row tail of a
+  *     TakeOrderedAndProject — a full-corpus range shuffle + sort. Fine
+  *     for final small outputs, a hazard mid-pipeline. (Sorts under a
+  *     limit plan as TakeOrderedAndProject and never surface here.)
+  *   - `WIDE_SCAN`: a file scan reading 12+ columns — often a missing
+  *     projection; harmless for narrow tables, so the threshold is
+  *     generous and the finding is informational.
+  *
+  * Findings are returned, not thrown: the caller decides what is
+  * acceptable (a 20-row dimension crossJoin is fine; the audit cannot
+  * know cardinalities, only shapes). `audit` resolves the plan without
+  * executing it; AQE wrapper and materialized query stages are
+  * traversed. */
+object PlanAudit {
+
+  final case class Finding(kind: String, operator: String, detail: String)
+
+  def audit(df: DataFrame): Seq[Finding] =
+    auditPlan(df.queryExecution.executedPlan)
+
+  def auditPlan(plan: SparkPlan): Seq[Finding] = {
+    val nodes = flatten(plan)
+    val findings = scala.collection.mutable.ArrayBuffer.empty[Finding]
+    nodes.foreach {
+      // a loop join against a PROVABLY single-row side (a grouping-less
+      // aggregate — the broadcast-stats crossJoin idiom) is linear, not
+      // quadratic: exempt
+      case c: CartesianProductExec
+          if !singleRowBounded(c.left) && !singleRowBounded(c.right) =>
+        findings += Finding("CARTESIAN", c.nodeName,
+          "CartesianProduct visits |left| x |right| row pairs; add a " +
+            "join key, or bin a range condition (RangeJoin / " +
+            "IntervalJoinRewrite)")
+      case b: BroadcastNestedLoopJoinExec
+          if !singleRowBounded(b.buildSide match {
+            case BuildLeft => b.left
+            case BuildRight => b.right
+          }) =>
+        findings += Finding("NESTED_LOOP", b.nodeName,
+          s"BroadcastNestedLoopJoin (${b.joinType}) scans the streamed " +
+            "side once per broadcast row batch with no hash lookup; " +
+            "add an equality conjunct or bin the range")
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        findings += Finding("GLOBAL_WINDOW", w.nodeName,
+          "window with no PARTITION BY moves every row to a single " +
+            "partition; partition the window or use a global " +
+            "aggregate/join instead")
+      case s: SortExec if s.global =>
+        findings += Finding("GLOBAL_SORT", s.nodeName,
+          "global sort (full range shuffle + sort); fine as a final " +
+            "small-output step, a hazard mid-pipeline — prefer " +
+            "orderBy(...).limit(k) (TakeOrderedAndProject) or " +
+            "repartitionByRange only where the order is consumed")
+      case f: FileSourceScanExec if f.output.size >= 12 =>
+        findings += Finding("WIDE_SCAN", f.nodeName,
+          s"scan reads ${f.output.size} columns " +
+            s"(${f.output.take(6).map(_.name).mkString(", ")}, ...); " +
+            "check the projection actually needs them")
+      case _ => ()
+    }
+    findings.toSeq
+  }
+
+  /** True when the subtree provably emits at most one row: a walk
+    * down unary operators reaching a grouping-less aggregate. */
+  private def singleRowBounded(p: SparkPlan): Boolean = p match {
+    case h: HashAggregateExec => h.groupingExpressions.isEmpty
+    case s: SortAggregateExec => s.groupingExpressions.isEmpty
+    case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
+    case a: AdaptiveSparkPlanExec => singleRowBounded(a.executedPlan)
+    case q: QueryStageExec => singleRowBounded(q.plan)
+    case u: UnaryExecNode => singleRowBounded(u.child)
+    case _ => false
+  }
+
+  /** Depth-first operator list, descending through AQE wrappers,
+    * materialized query stages, and reused subtrees. */
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val children = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedSubqueryExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: children.flatMap(flatten)
+  }
+}
