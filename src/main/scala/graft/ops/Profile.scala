@@ -99,4 +99,54 @@ object Profile {
       .withColumn("robust_z", floor(score * 1e6) / 1e6)
       .filter(col("robust_z") > z)
   }
+
+  /** Gate attribution for an ordered rule chain (the Dolma-style
+    * tagger-then-decide audit): for each named boolean rule, how many
+    * docs fail it IN ISOLATION (`n_fail_alone`), how many have it as
+    * their FIRST failing rule in chain order (`n_first_blame` — these
+    * sum to the total dropped, so the table explains exactly where the
+    * corpus went), and how many survive the chain up to and including
+    * it (`n_surviving_after`, monotonically non-increasing; the last
+    * row is the corpus that ships). A null rule value counts as a
+    * failure — a gate that cannot evaluate must not pass documents.
+    *
+    * Returns `(rule_idx, rule, n_fail_alone, n_first_blame,
+    * n_surviving_after)` in chain order.
+    *
+    * Scale shape: ONE corpus pass — every counter is a conditional sum
+    * in a single grouping-less aggregate (partial-aggregated map-side
+    * to one row), unpivoted to K rows with `stack`. Adding a rule adds
+    * three sum branches, never a scan. */
+  def gateAttribution(df: DataFrame,
+                      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be unique")
+    val pass = rules.map { case (_, c) => coalesce(c, lit(false)) }
+    val aggs = rules.indices.flatMap { i =>
+      val failAlone = sum(when(!pass(i), 1L).otherwise(0L))
+        .as(s"fa$i")
+      val firstBlame = sum(when(
+        pass.take(i).foldLeft(!pass(i))((acc, p) => acc && p), 1L)
+        .otherwise(0L)).as(s"fb$i")
+      val surviving = sum(when(
+        pass.take(i + 1).reduce(_ && _), 1L).otherwise(0L))
+        .as(s"sv$i")
+      Seq(failAlone, firstBlame, surviving)
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single row to K rule rows (stack wants resolvable
+    // column names, so the literal/counter columns are named first)
+    val stackArgs = rules.indices.flatMap(i => Seq(
+      lit(i.toLong), lit(rules(i)._1),
+      col(s"fa$i"), col(s"fb$i"), col(s"sv$i")))
+    val named = one.select(stackArgs.zipWithIndex.map {
+      case (c, j) => c.as(s"arg$j")
+    }: _*)
+    named.select(expr(
+      s"stack(${rules.size}, ${stackArgs.indices.map(j => s"arg$j")
+        .mkString(", ")}) AS (rule_idx, rule, n_fail_alone, " +
+        "n_first_blame, n_surviving_after)"))
+      .orderBy(col("rule_idx"))
+  }
 }

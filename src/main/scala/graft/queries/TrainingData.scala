@@ -580,6 +580,17 @@ object TrainingData {
         .orderBy(col("id"))
     }),
 
+    // gate attribution for an ordered quality-rule chain: per rule,
+    // fails-in-isolation / first-blame (sums to total dropped) /
+    // survivors-so-far — the audit that explains where the corpus went
+    "q_doc_gate_funnel" -> ((s, dir) => {
+      Profile.gateAttribution(docs(s, dir), Seq(
+        "nonempty" -> col("text").isNotNull,
+        "min_tokens" -> (Text.tokenCount(col("text")) >= 10),
+        "mean_tok_len" -> (Text.meanTokenLen(col("text")) <= lit(12.0)),
+        "quality" -> (Text.qualityScore(col("text")) >= lit(0.5))))
+    }),
+
     // one order up: trigram stupid backoff with the recursive
     // trigram -> bigram -> smoothed-unigram chain (the shape of the
     // 5-gram KenLM CCNet deploys, demonstrated at order 3)
@@ -3035,6 +3046,54 @@ object TrainingData {
         |LEFT JOIN top tw ON p.w = tw.token
         |CROSS JOIN stats s
         |GROUP BY id ORDER BY id""".stripMargin,
+
+    // one flags row per doc, three conditional sums per rule, UNION of
+    // four literal-labelled rows; null rule values COALESCE to fail on
+    // both engines
+    "q_doc_gate_funnel" ->
+      """WITH f AS (
+        |  SELECT
+        |    COALESCE(text IS NOT NULL, FALSE) AS p0,
+        |    COALESCE(len(string_split_regex(text, '\s+')) >= 10, FALSE)
+        |      AS p1,
+        |    COALESCE(CAST(length(text)
+        |        - len(string_split_regex(text, '\s+')) + 1 AS DOUBLE)
+        |      / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
+        |      <= 12.0, FALSE) AS p2,
+        |    COALESCE(
+        |      (least(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
+        |         / 64.0, 1.0) * 0.5)
+        |      + (CAST(len(list_distinct(string_split_regex(text, '\s+')))
+        |           AS DOUBLE)
+        |         / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
+        |         * 0.5) >= 0.5, FALSE) AS p3
+        |  FROM documents
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS rule_idx, 'nonempty' AS rule,
+        |    SUM(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS n_fail_alone,
+        |    SUM(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS n_first_blame,
+        |    SUM(CASE WHEN p0 THEN 1 ELSE 0 END) AS n_surviving_after
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 1, 'min_tokens',
+        |    SUM(CASE WHEN NOT p1 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN p0 AND NOT p1 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN p0 AND p1 THEN 1 ELSE 0 END)
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 2, 'mean_tok_len',
+        |    SUM(CASE WHEN NOT p2 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN p0 AND p1 AND NOT p2 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN p0 AND p1 AND p2 THEN 1 ELSE 0 END)
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 3, 'quality',
+        |    SUM(CASE WHEN NOT p3 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN p0 AND p1 AND p2 AND NOT p3 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN p0 AND p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+        |  FROM f
+        |) ORDER BY rule_idx""".stripMargin,
 
     // the order-3 replay: three shifted slices zip into the trigram
     // stream; the backoff CASE chain mirrors trigramLogLoss op-for-op

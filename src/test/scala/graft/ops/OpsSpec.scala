@@ -2315,6 +2315,27 @@ class OpsSpec extends AnyFunSuite {
     assert(tiny == exact)
   }
 
+  test("gateAttribution: first-blame partitions the dropped docs, " +
+    "survivors monotone, null rule values fail") {
+    import graft.SparkSpec.spark.implicits._
+    val d = Seq[(Long, java.lang.Long)](
+      (1L, 10L), (2L, 3L), (3L, 30L), (4L, null), (5L, 7L), (6L, 50L)
+    ).toDF("id", "v")
+    val out = Profile.gateAttribution(d, Seq(
+      "has_v" -> col("v").isNotNull,
+      "min5" -> (col("v") >= 5L),  // null v -> null -> fail
+      "max40" -> (col("v") <= 40L)))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // alone: has_v fails {4}; min5 fails {2,4}; max40 fails {4,6}
+    assert(out.toSeq == Seq(
+      ("has_v", 1L, 1L, 5L),
+      ("min5", 2L, 1L, 4L),   // first-blame only doc 2 (4 blamed above)
+      ("max40", 2L, 1L, 3L))) // first-blame only doc 6
+    // first-blame partitions the dropped set: 1+1+1 dropped, 3 survive
+    assert(out.map(_._3).sum + out.last._4 == 6L)
+  }
+
   test("reference-bloom persistence: a loaded artifact pair reproduces " +
     "the fresh build's report exactly") {
     import graft.SparkSpec.{spark, tmpDir}
