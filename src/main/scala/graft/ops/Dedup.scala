@@ -869,7 +869,8 @@ object Dedup {
                               maxHamming: Int = 3,
                               textCol: String = "text",
                               idCol: String = "doc_id",
-                              sig: Option[Column] = None): DataFrame = {
+                              sig: Option[Column] = None,
+                              sinkFirst: DataFrame => Unit = _ => ()): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3] for 4-chunk banding, got $maxHamming")
     val spark = batch.sparkSession
@@ -929,20 +930,24 @@ object Dedup {
       .select(col("doc_id").as("id"))
     val keptFps = fresh.join(dropIds, Seq("id"), "left_anti")
       .localCheckpoint(true)
-    keptFps.write.mode("append").parquet(indexPath)
     // ONE membership pass over the CALLER's frame (no index in the
     // lineage — both markers come off checkpointed frames, so no
     // self-referential read and NO recompute of the signature (hashing
     // a large payload twice per batch is real money): a row survives
     // if its id was kept, or if it never produced a signature — i.e.
     // its id is absent from the checkpointed signature table
-    batch
+    val survivors = batch
       .join(fps.select(col("id").as(idCol), lit(true).as("__sig")),
         Seq(idCol), "left")
       .join(keptFps.select(col("id").as(idCol), lit(true).as("__kept")),
         Seq(idCol), "left")
       .filter(col("__kept") || col("__sig").isNull)
       .drop("__sig", "__kept")
+    // durable output BEFORE the index append (the sinkFirst crash
+    // contract shared by the exact and minhash variants)
+    sinkFirst(survivors)
+    keptFps.write.mode("append").parquet(indexPath)
+    survivors
   }
 
   /** Shared engine for the 64-bit Hamming pair miners ([[simhashPairs]],

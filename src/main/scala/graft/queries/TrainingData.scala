@@ -867,6 +867,32 @@ object TrainingData {
       s1.unionByName(s2).select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // the simhash two-batch ingest through Structured Streaming: the
+    // whitespace-doubled re-crawls of batch 2 must drop against the
+    // PERSISTED signature index; survivors accumulate in the sink's
+    // output, equal to the batch incremental replay (shared oracle)
+    "q_stream_simdedup_index" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val b1 = d.filter(col("doc_id") % 2 === 0)
+      val dups = b1.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("replace(text, ' ', '  ')").as("text"))
+      val b2 = d.filter(col("doc_id") % 2 === 1).unionByName(dups)
+      val tmp = scratchDir("graft-shsink-")
+      def drain(): Unit = {
+        val stream = s.readStream.schema(b1.schema).parquet(s"$tmp/in")
+        val q = graft.streaming.Monitor.simhashDedupSink(stream,
+          s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt")
+        try q.processAllAvailable() finally q.stop()
+      }
+      b1.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      drain()
+      b2.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      drain()
+      s.read.parquet(s"$tmp/out")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // incremental near-IDENTICAL dedup across two batches via the
     // persisted 64-bit SimHash index: batch 2 re-crawls every 6th doc
     // with doubled internal whitespace (identical token stream ->
@@ -1348,6 +1374,66 @@ object TrainingData {
     * HUGEINT half-multiplies, per-bit votes, signed conversion) — ends
     * in `fp(id, f)`. Composed into q_dedup_simhash (all-pairs hamming)
     * and q_stream_simdedup (distinct signatures per source). */
+  /** Shared by q_dedup_incremental_simhash (batch two-batch ingest)
+    * and q_stream_simdedup_index (the same ingest streamed through
+    * simhashDedupSink). */
+  private lazy val incrementalSimhashOracleSql: String =
+      ("""WITH RECURSIVE b1 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |), b2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 100000, replace(text, ' ', '  ') FROM documents
+        |  WHERE doc_id % 6 = 0
+        |), allr AS (
+        |  SELECT doc_id, text, 0 AS bt FROM b1
+        |  UNION ALL
+        |  SELECT doc_id, text, 1 FROM b2
+        |), """.stripMargin + simhashFpCtes("allr") + """
+        |, fpb AS (
+        |  SELECT f.id, f.f, a.bt FROM fp f JOIN allr a ON a.doc_id = f.id
+        |), prs AS (
+        |  SELECT a.id AS id1, a.bt AS bt1, b.id AS id2, b.bt AS bt2
+        |  FROM fpb a JOIN fpb b ON a.id < b.id
+        |  WHERE bit_count(xor(a.f, b.f)) <= 3
+        |), e1 AS (
+        |  SELECT id1 AS a, id2 AS b FROM prs WHERE bt1 = 0 AND bt2 = 0
+        |  UNION
+        |  SELECT id2, id1 FROM prs WHERE bt1 = 0 AND bt2 = 0
+        |), reach1(a, b) AS (
+        |  SELECT a, b FROM e1
+        |  UNION
+        |  SELECT r.a, e.b FROM reach1 r JOIN e1 e ON r.b = e.a
+        |), kept1 AS (
+        |  SELECT doc_id FROM b1 WHERE doc_id NOT IN (
+        |    SELECT a FROM reach1 GROUP BY a HAVING a > min(b))
+        |), dropx AS (
+        |  SELECT CASE WHEN bt1 = 1 THEN id1 ELSE id2 END AS doc_id FROM prs
+        |  WHERE (bt1 = 1 AND bt2 = 0 AND id2 IN (SELECT doc_id FROM kept1))
+        |     OR (bt1 = 0 AND bt2 = 1 AND id1 IN (SELECT doc_id FROM kept1))
+        |), fresh AS (
+        |  SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM dropx)
+        |), e2 AS (
+        |  SELECT id1 AS a, id2 AS b FROM prs
+        |  WHERE bt1 = 1 AND bt2 = 1
+        |    AND id1 IN (SELECT doc_id FROM fresh)
+        |    AND id2 IN (SELECT doc_id FROM fresh)
+        |  UNION
+        |  SELECT id2, id1 FROM prs
+        |  WHERE bt1 = 1 AND bt2 = 1
+        |    AND id1 IN (SELECT doc_id FROM fresh)
+        |    AND id2 IN (SELECT doc_id FROM fresh)
+        |), reach2(a, b) AS (
+        |  SELECT a, b FROM e2
+        |  UNION
+        |  SELECT r.a, e.b FROM reach2 r JOIN e2 e ON r.b = e.a
+        |), kept2 AS (
+        |  SELECT doc_id FROM fresh WHERE doc_id NOT IN (
+        |    SELECT a FROM reach2 GROUP BY a HAVING a > min(b))
+        |)
+        |SELECT doc_id FROM kept1
+        |UNION ALL SELECT doc_id FROM kept2 ORDER BY doc_id""".stripMargin)
+
   private def simhashFpCtes(from: String = "documents"): String =
     s"""pow2(b, p) AS (
         |  SELECT 0, CAST(1 AS HUGEINT)
@@ -3457,62 +3543,12 @@ object TrainingData {
     // original's signature exactly), then the same decision replay —
     // batch-1 hamming<=3 closure survivors, cross-batch drops against
     // kept batch-1 signatures, closure survivors of the rest of batch 2
-    "q_dedup_incremental_simhash" ->
-      ("""WITH RECURSIVE b1 AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
-        |), b2 AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
-        |  UNION ALL
-        |  SELECT doc_id + 100000, replace(text, ' ', '  ') FROM documents
-        |  WHERE doc_id % 6 = 0
-        |), allr AS (
-        |  SELECT doc_id, text, 0 AS bt FROM b1
-        |  UNION ALL
-        |  SELECT doc_id, text, 1 FROM b2
-        |), """.stripMargin + simhashFpCtes("allr") + """
-        |, fpb AS (
-        |  SELECT f.id, f.f, a.bt FROM fp f JOIN allr a ON a.doc_id = f.id
-        |), prs AS (
-        |  SELECT a.id AS id1, a.bt AS bt1, b.id AS id2, b.bt AS bt2
-        |  FROM fpb a JOIN fpb b ON a.id < b.id
-        |  WHERE bit_count(xor(a.f, b.f)) <= 3
-        |), e1 AS (
-        |  SELECT id1 AS a, id2 AS b FROM prs WHERE bt1 = 0 AND bt2 = 0
-        |  UNION
-        |  SELECT id2, id1 FROM prs WHERE bt1 = 0 AND bt2 = 0
-        |), reach1(a, b) AS (
-        |  SELECT a, b FROM e1
-        |  UNION
-        |  SELECT r.a, e.b FROM reach1 r JOIN e1 e ON r.b = e.a
-        |), kept1 AS (
-        |  SELECT doc_id FROM b1 WHERE doc_id NOT IN (
-        |    SELECT a FROM reach1 GROUP BY a HAVING a > min(b))
-        |), dropx AS (
-        |  SELECT CASE WHEN bt1 = 1 THEN id1 ELSE id2 END AS doc_id FROM prs
-        |  WHERE (bt1 = 1 AND bt2 = 0 AND id2 IN (SELECT doc_id FROM kept1))
-        |     OR (bt1 = 0 AND bt2 = 1 AND id1 IN (SELECT doc_id FROM kept1))
-        |), fresh AS (
-        |  SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM dropx)
-        |), e2 AS (
-        |  SELECT id1 AS a, id2 AS b FROM prs
-        |  WHERE bt1 = 1 AND bt2 = 1
-        |    AND id1 IN (SELECT doc_id FROM fresh)
-        |    AND id2 IN (SELECT doc_id FROM fresh)
-        |  UNION
-        |  SELECT id2, id1 FROM prs
-        |  WHERE bt1 = 1 AND bt2 = 1
-        |    AND id1 IN (SELECT doc_id FROM fresh)
-        |    AND id2 IN (SELECT doc_id FROM fresh)
-        |), reach2(a, b) AS (
-        |  SELECT a, b FROM e2
-        |  UNION
-        |  SELECT r.a, e.b FROM reach2 r JOIN e2 e ON r.b = e.a
-        |), kept2 AS (
-        |  SELECT doc_id FROM fresh WHERE doc_id NOT IN (
-        |    SELECT a FROM reach2 GROUP BY a HAVING a > min(b))
-        |)
-        |SELECT doc_id FROM kept1
-        |UNION ALL SELECT doc_id FROM kept2 ORDER BY doc_id""".stripMargin),
+    "q_dedup_incremental_simhash" -> incrementalSimhashOracleSql,
+
+    // streamed two-batch ingest through the simhashDedupSink == the
+    // batch incremental replay
+    "q_stream_simdedup_index" -> incrementalSimhashOracleSql,
+
 
     // Mirrors Profile.columnStats: COUNT(*) - COUNT(col) for nulls (both
     // engines type it BIGINT; SUM(CASE) would be HUGEINT in DuckDB),

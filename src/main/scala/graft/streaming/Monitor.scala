@@ -333,6 +333,32 @@ object Monitor {
       }
       .start()
 
+  /** Stream a corpus through the persisted 64-bit SimHash index
+    * ([[graft.ops.Dedup.incrementalSimhashDedup]]): near-IDENTICAL
+    * re-crawls (identical token stream after whitespace churn; or, via
+    * `sig`, perceptual-hash-equal binary payloads) drop against
+    * everything that ever flowed through `indexPath`; survivors append
+    * to `outPath` BEFORE the 16-byte/doc signature append (the
+    * sinkFirst contract). Completes the index-sink family: every
+    * persisted dedup index — exact, MinHash, SimHash/pHash, span,
+    * semantic — now has its streaming ingestion form. */
+  def simhashDedupSink(docs: DataFrame, indexPath: String,
+                       outPath: String, checkpointDir: String,
+                       maxHamming: Int = 3,
+                       textCol: String = "text",
+                       idCol: String = "doc_id",
+                       sig: Option[org.apache.spark.sql.Column] = None)
+      : StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Dedup.incrementalSimhashDedup(batch, indexPath,
+          maxHamming, textCol, idCol, sig,
+          sinkFirst = _.write.mode("append").parquet(outPath))
+        () // survivors already persisted by the hook
+      }
+      .start()
+
   /** Stream a corpus into the persisted BM25 inverted index
     * ([[graft.ops.Retrieval.appendToBm25Index]]): each micro-batch's
     * postings and length stats append, and after the stream drains
