@@ -619,6 +619,16 @@ class ScaleUpExperiment extends AnyFunSuite {
     assert(t10l / math.max(t1l, 0.5) < 25,
       "bigramLogLoss scale-up ratio too high")
 
+    // trigram LM: one more gram-keyed model join on top of the bigram
+    // shape — same linearity expectation
+    def lm3(d: org.apache.spark.sql.DataFrame): Long =
+      Text.trigramLogLoss(d, topV = 500).count()
+    val t1t = time(lm3(base))
+    val t10t = time(lm3(big))
+    println(f"[scaleup] trigramLm 1x=$t1t%.1fs 10x=$t10t%.1fs ratio=${t10t / t1t}%.1f")
+    assert(t10t / math.max(t1t, 0.5) < 25,
+      "trigramLogLoss scale-up ratio too high")
+
     // BM25 index: append cost is one tokenize pass over the batch;
     // search touches only query-term postings (10x postings under the
     // IN-pruned scan) plus a batches-count stats read
