@@ -45,11 +45,23 @@ object TrainingData {
   private val bm25Indexes =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Unique memory-sink names for repeated streaming runs within one
+    * session (the Relational.streamQueryId convention). */
+  private val streamQueryId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Id columns normalize to LONG on read — the events ns->us lesson
+    * (TESTDATA.md "events schema contract") applied to the id space: a
+    * testdata regeneration shipping int32 ids would otherwise crash
+    * every driver-side `getLong` collect site at runtime. A no-op cast
+    * when the type already matches; DuckDB reads the same file, and
+    * the oracle compare is value-based, so the contract is symmetric. */
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+      .withColumn("doc_id", col("doc_id").cast("long"))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id").cast("long"))
 
   private val stop = Seq("the", "a", "data", "value")
 
@@ -589,6 +601,29 @@ object TrainingData {
         "min_tokens" -> (Text.tokenCount(col("text")) >= 10),
         "mean_tok_len" -> (Text.meanTokenLen(col("text")) <= lit(12.0)),
         "quality" -> (Text.qualityScore(col("text")) >= lit(0.5))))
+    }),
+
+    // the STREAMING gate monitor: the same rule chain as a
+    // complete-mode aggregation over continuous ingestion (one row of
+    // counters in state), drained under AvailableNow == the batch
+    // attribution — one shared oracle
+    "q_stream_gate_funnel" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docsStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val name =
+        s"graft_stream_gate_${streamQueryId.incrementAndGet()}"
+      val q = graft.streaming.Monitor.gateMonitor(docsStream, Seq(
+        "nonempty" -> col("text").isNotNull,
+        "min_tokens" -> (Text.tokenCount(col("text")) >= 10),
+        "mean_tok_len" -> (Text.meanTokenLen(col("text")) <= lit(12.0)),
+        "quality" -> (Text.qualityScore(col("text")) >= lit(0.5))))
+        .writeStream
+        .outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("rule_idx"))
     }),
 
     // one order up: trigram stupid backoff with the recursive
@@ -1433,6 +1468,53 @@ object TrainingData {
         |)
         |SELECT doc_id FROM kept1
         |UNION ALL SELECT doc_id FROM kept2 ORDER BY doc_id""".stripMargin)
+
+  /** Shared by q_doc_gate_funnel (batch) and q_stream_gate_funnel
+    * (the same chain as a complete-mode streaming aggregation). */
+  private lazy val gateFunnelOracleSql: String =
+      """WITH f AS (
+        |  SELECT
+        |    COALESCE(text IS NOT NULL, FALSE) AS p0,
+        |    COALESCE(len(string_split_regex(text, '\s+')) >= 10, FALSE)
+        |      AS p1,
+        |    COALESCE(CAST(length(text)
+        |        - len(string_split_regex(text, '\s+')) + 1 AS DOUBLE)
+        |      / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
+        |      <= 12.0, FALSE) AS p2,
+        |    COALESCE(
+        |      (least(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
+        |         / 64.0, 1.0) * 0.5)
+        |      + (CAST(len(list_distinct(string_split_regex(text, '\s+')))
+        |           AS DOUBLE)
+        |         / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
+        |         * 0.5) >= 0.5, FALSE) AS p3
+        |  FROM documents
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS rule_idx, 'nonempty' AS rule,
+        |    SUM(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS n_fail_alone,
+        |    SUM(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS n_first_blame,
+        |    SUM(CASE WHEN p0 THEN 1 ELSE 0 END) AS n_surviving_after
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 1, 'min_tokens',
+        |    SUM(CASE WHEN NOT p1 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN p0 AND NOT p1 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN p0 AND p1 THEN 1 ELSE 0 END)
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 2, 'mean_tok_len',
+        |    SUM(CASE WHEN NOT p2 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN p0 AND p1 AND NOT p2 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN p0 AND p1 AND p2 THEN 1 ELSE 0 END)
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 3, 'quality',
+        |    SUM(CASE WHEN NOT p3 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN p0 AND p1 AND p2 AND NOT p3 THEN 1 ELSE 0 END),
+        |    SUM(CASE WHEN p0 AND p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+        |  FROM f
+        |) ORDER BY rule_idx""".stripMargin
 
   private def simhashFpCtes(from: String = "documents"): String =
     s"""pow2(b, p) AS (
@@ -3136,50 +3218,10 @@ object TrainingData {
     // one flags row per doc, three conditional sums per rule, UNION of
     // four literal-labelled rows; null rule values COALESCE to fail on
     // both engines
-    "q_doc_gate_funnel" ->
-      """WITH f AS (
-        |  SELECT
-        |    COALESCE(text IS NOT NULL, FALSE) AS p0,
-        |    COALESCE(len(string_split_regex(text, '\s+')) >= 10, FALSE)
-        |      AS p1,
-        |    COALESCE(CAST(length(text)
-        |        - len(string_split_regex(text, '\s+')) + 1 AS DOUBLE)
-        |      / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
-        |      <= 12.0, FALSE) AS p2,
-        |    COALESCE(
-        |      (least(CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
-        |         / 64.0, 1.0) * 0.5)
-        |      + (CAST(len(list_distinct(string_split_regex(text, '\s+')))
-        |           AS DOUBLE)
-        |         / CAST(len(string_split_regex(text, '\s+')) AS DOUBLE)
-        |         * 0.5) >= 0.5, FALSE) AS p3
-        |  FROM documents
-        |)
-        |SELECT * FROM (
-        |  SELECT CAST(0 AS BIGINT) AS rule_idx, 'nonempty' AS rule,
-        |    SUM(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS n_fail_alone,
-        |    SUM(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS n_first_blame,
-        |    SUM(CASE WHEN p0 THEN 1 ELSE 0 END) AS n_surviving_after
-        |  FROM f
-        |  UNION ALL
-        |  SELECT 1, 'min_tokens',
-        |    SUM(CASE WHEN NOT p1 THEN 1 ELSE 0 END),
-        |    SUM(CASE WHEN p0 AND NOT p1 THEN 1 ELSE 0 END),
-        |    SUM(CASE WHEN p0 AND p1 THEN 1 ELSE 0 END)
-        |  FROM f
-        |  UNION ALL
-        |  SELECT 2, 'mean_tok_len',
-        |    SUM(CASE WHEN NOT p2 THEN 1 ELSE 0 END),
-        |    SUM(CASE WHEN p0 AND p1 AND NOT p2 THEN 1 ELSE 0 END),
-        |    SUM(CASE WHEN p0 AND p1 AND p2 THEN 1 ELSE 0 END)
-        |  FROM f
-        |  UNION ALL
-        |  SELECT 3, 'quality',
-        |    SUM(CASE WHEN NOT p3 THEN 1 ELSE 0 END),
-        |    SUM(CASE WHEN p0 AND p1 AND p2 AND NOT p3 THEN 1 ELSE 0 END),
-        |    SUM(CASE WHEN p0 AND p1 AND p2 AND p3 THEN 1 ELSE 0 END)
-        |  FROM f
-        |) ORDER BY rule_idx""".stripMargin,
+    "q_doc_gate_funnel" -> gateFunnelOracleSql,
+
+    // streamed complete-mode drain == the batch attribution
+    "q_stream_gate_funnel" -> gateFunnelOracleSql,
 
     // the order-3 replay: three shifted slices zip into the trigram
     // stream; the backoff CASE chain mirrors trigramLogLoss op-for-op

@@ -333,6 +333,19 @@ object Monitor {
       }
       .start()
 
+  /** Streaming gate monitor: [[graft.ops.Profile.gateAttribution]]'s
+    * conditional-sum aggregate maintained as a complete-mode streaming
+    * aggregation — the live "where is the ingest being dropped" view.
+    * State is ONE row of 3K counters regardless of stream length (the
+    * [[mixtureMonitor]] contract); the stack unpivot and rule ordering
+    * are display projections over the aggregate's output. Drained
+    * under AvailableNow the table equals the batch attribution over
+    * everything that arrived, so the two share an oracle. */
+  def gateMonitor(docs: DataFrame,
+                  rules: Seq[(String, org.apache.spark.sql.Column)])
+      : DataFrame =
+    graft.ops.Profile.gateAttribution(docs, rules)
+
   /** Stream a corpus through the persisted 64-bit SimHash index
     * ([[graft.ops.Dedup.incrementalSimhashDedup]]): near-IDENTICAL
     * re-crawls (identical token stream after whitespace churn; or, via
