@@ -54,6 +54,16 @@ object CurationDemo {
     val n2 = cleaned.count()
     println(s"span dedup: $nSpans duplicated spans cut; $n1 -> $n2 docs")
 
+    // 1b. gate attribution BEFORE committing to the chain: which rule
+    //     would drop what, and where does each dropped doc get blamed
+    val funnel = Profile.gateAttribution(docs, Seq(
+      "nonempty" -> col("text").isNotNull,
+      "min_tokens" -> (Text.tokenCount(col("text")) >= 10),
+      "quality" -> (Text.qualityScore(col("text")) >= 0.5)))
+      .collect().map(r => s"${r.getString(1)}: alone=${r.getLong(2)} " +
+        s"blame=${r.getLong(3)} surviving=${r.getLong(4)}").mkString("; ")
+    println(s"gate attribution: $funnel")
+
     // 2b. CCNet-style LM filter: train the stupid-backoff bigram model
     //     on the corpus itself, bucket each SOURCE into head/middle/
     //     tail by log-loss (the partitioned window — per-source
