@@ -608,14 +608,39 @@ object Sampling {
     * `overwrite` here replaces the whole directory); never mix shard
     * files from two runs. */
   def writeEpochShards(df: DataFrame, path: String, key: Column,
-                       epoch: Int, numShards: Int): Unit = {
+                       epoch: Int, numShards: Int,
+                       manifest: Boolean = false): Unit = {
     require(numShards > 0, "numShards must be positive")
     df.withColumn("__pos", shufflePosition(key, epoch))
       .repartitionByRange(numShards, col("__pos"))
       .sortWithinPartitions(col("__pos"))
       .drop("__pos")
       .write.mode("overwrite").parquet(path)
+    if (manifest)
+      shardManifest(df.sparkSession, path, key)
+        .write.mode("overwrite").parquet(s"$path/_graft_manifest")
   }
+
+  /** Reproducibility manifest for a written shard set: one row per
+    * shard file with its row count and an ORDER-FREE key digest
+    * (`bit_xor` of `xxhash64(key)` — any dropped, duplicated, or
+    * substituted row flips it, and recomputation is independent of
+    * scan order). Two runs that should have produced the same epoch
+    * can be compared shard-by-shard without re-reading payloads; the
+    * training job checks the manifest against what it actually read.
+    *
+    * Stored INSIDE the shard directory as `_graft_manifest` —
+    * underscore-prefixed paths are invisible to parquet readers, so
+    * consumers of the shards see only data. One read-back pass,
+    * aggregated per file, |shards| result rows. */
+  def shardManifest(spark: org.apache.spark.sql.SparkSession,
+                    path: String, key: Column): DataFrame =
+    spark.read.parquet(path)
+      .select(regexp_extract(input_file_name(), "([^/]+)$", 1)
+        .as("shard"), xxhash64(key).as("__h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("key_digest"))
 
   /** Split assignment column from cumulative hash ranges, e.g.
     * `splits = Seq("train" -> 0.8, "test" -> 0.1, "val" -> 0.1)`.

@@ -1476,6 +1476,32 @@ class OpsSpec extends AnyFunSuite {
     assert(ep2 != inOrder && ep2.sorted == inOrder.sorted)
   }
 
+  test("shardManifest: totals match, identical rewrites share digests, " +
+    "a changed row flips its shard's digest, manifest invisible to " +
+    "shard readers") {
+    val dir = graft.SparkSpec.tmpDir("graft-manifest-")
+    Sampling.writeEpochShards(docs, s"$dir/ep", col("doc_id"),
+      epoch = 1, numShards = 4, manifest = true)
+    def m(p: String) = spark.read.parquet(s"$p/_graft_manifest")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val first = m(s"$dir/ep")
+    assert(first.map(_._2).sum == docs.count())
+    // the manifest is invisible to a plain reader of the shard dir
+    assert(spark.read.parquet(s"$dir/ep").count() == docs.count())
+    // identical rewrite -> identical (count, digest) multiset
+    Sampling.writeEpochShards(docs, s"$dir/ep2", col("doc_id"),
+      epoch = 1, numShards = 4, manifest = true)
+    assert(m(s"$dir/ep2").map(t => (t._2, t._3)).sorted ==
+      first.map(t => (t._2, t._3)).sorted)
+    // substituting one key flips exactly the digests of its shard
+    val tweaked = docs.withColumn("doc_id",
+      when(col("doc_id") === 0L, lit(999999L)).otherwise(col("doc_id")))
+    Sampling.writeEpochShards(tweaked, s"$dir/ep3", col("doc_id"),
+      epoch = 1, numShards = 4, manifest = true)
+    assert(m(s"$dir/ep3").map(_._3).toSet != first.map(_._3).toSet)
+  }
+
   test("dedupParagraphsGlobal: keep-first corpus-wide, order preserved, blanks kept") {
     import spark.implicits._
     val fixture = Seq(
