@@ -235,13 +235,26 @@ object Relational {
     }),
 
     // set ops: custkeys ordering in 1994 but not in 1995 (EXCEPT)
+    // 1995 vs 1996: the testdata's order dates span 1995-2001 (a
+    // regeneration moved them off the TPC-H 1992-1998 range; the old
+    // 1994-vs-1995 pair had become vacuously empty)
     "q_except_years" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val y94 = o.filter(year(col("o_orderdate")) === 1994)
-        .select(col("o_custkey")).distinct()
       val y95 = o.filter(year(col("o_orderdate")) === 1995)
         .select(col("o_custkey")).distinct()
-      y94.except(y95).orderBy(col("o_custkey"))
+      val y96 = o.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_custkey")).distinct()
+      y95.except(y96).orderBy(col("o_custkey"))
+    }),
+
+    // the INTERSECT twin: customers active in BOTH years
+    "q_intersect_years" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val y95 = o.filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey")).distinct()
+      val y96 = o.filter(year(col("o_orderdate")) === 1996)
+        .select(col("o_custkey")).distinct()
+      y95.intersect(y96).orderBy(col("o_custkey"))
     }),
 
     // sort + limit: top 10 orders, deterministic tiebreak
@@ -975,9 +988,15 @@ object Relational {
         |)""".stripMargin,
 
     "q_except_years" ->
-      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |EXCEPT
-        |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_intersect_years" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         |ORDER BY o_custkey""".stripMargin,
 
     "q_top_orders" ->
