@@ -1490,7 +1490,11 @@ object TrainingData {
         |         * 0.5) >= 0.5, FALSE) AS p3
         |  FROM documents
         |)
-        |SELECT * FROM (
+        |SELECT rule_idx, rule,
+        |  CAST(n_fail_alone AS BIGINT) AS n_fail_alone,
+        |  CAST(n_first_blame AS BIGINT) AS n_first_blame,
+        |  CAST(n_surviving_after AS BIGINT) AS n_surviving_after
+        |FROM (
         |  SELECT CAST(0 AS BIGINT) AS rule_idx, 'nonempty' AS rule,
         |    SUM(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS n_fail_alone,
         |    SUM(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS n_first_blame,

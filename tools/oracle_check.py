@@ -39,10 +39,38 @@ def canon(v):
     return v
 
 
+def type_kind(t: pa.DataType) -> str:
+    """Coarse arrow-type kind: the driver's hash is type-sensitive, so a
+    DuckDB HUGEINT/DECIMAL result vs a Spark BIGINT is a real mismatch
+    (r8: q_doc_gate_funnel) even when the Python values compare equal."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list<" + type_kind(t.value_type) + ">"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return str(t)
+
+
 def rows_of(table: pa.Table):
     cols = sorted(table.column_names)
     data = [table.column(c).to_pylist() for c in cols]
-    return cols, [tuple(canon(col[i]) for col in data) for i in range(table.num_rows)]
+    kinds = [type_kind(table.schema.field(c).type) for c in cols]
+    return cols, kinds, [tuple(canon(col[i]) for col in data) for i in range(table.num_rows)]
 
 
 def main():
@@ -70,11 +98,17 @@ def main():
             n_fail += 1
             print(f"FAIL      {name:28s} oracle SQL error: {e}")
             continue
-        gc, gr = rows_of(got)
-        wc, wr = rows_of(want)
+        gc, gk, gr = rows_of(got)
+        wc, wk, wr = rows_of(want)
         if gc != wc:
             n_fail += 1
             print(f"FAIL      {name:28s} schema: spark={gc} duckdb={wc}")
+            continue
+        if gk != wk:
+            n_fail += 1
+            kd = [(c, a, b) for c, a, b in zip(gc, gk, wk) if a != b]
+            print(f"FAIL      {name:28s} type kind: {kd} "
+                  "(driver hash is type-sensitive — CAST the oracle)")
             continue
         if len(gr) != len(wr):
             n_fail += 1
