@@ -57,16 +57,39 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val binWidthConf = "spark.graft.intervalJoin.binWidth"
 
+  /** Cap on bins per interval: an interval spanning more than this many
+    * bins (width chosen far too small, or a corrupt bound like
+    * e = Long.MaxValue) would make `Sequence` build a huge array and
+    * fail at runtime — turning a slow-but-working naive join into a
+    * crashing one. Intervals over the cap are routed through a retained
+    * naive-predicate join branch instead (exactly-once preserved: the
+    * two branches partition the interval set). When that branch is
+    * empty at runtime — the healthy case — AQE's empty-relation
+    * propagation collapses it after the broadcast stage materializes. */
+  val maxBinsConf = "spark.graft.intervalJoin.maxBins"
+  val defaultMaxBins = 1L << 16
+
+  private def longConf(key: String, raw: String): Option[Long] =
+    scala.util.Try(raw.trim.toLong).toOption.filter(_ > 0).orElse {
+      logWarning(s"$key='$raw' is not a positive long; " +
+        "interval-join rewrite skipped for this query")
+      None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val widthStr = conf.getConfString(binWidthConf, "")
     if (widthStr.isEmpty) plan
-    else {
-      val width = widthStr.toLong
-      require(width > 0, s"$binWidthConf must be positive, got $width")
-      plan.transformUp {
-        case j @ Join(_, _, Inner, Some(_), _) if j.resolved =>
-          rewrite(j, width).getOrElse(j)
-      }
+    else longConf(binWidthConf, widthStr) match {
+      case None => plan
+      case Some(width) =>
+        val maxBinsStr = conf.getConfString(maxBinsConf, "")
+        val maxBins =
+          if (maxBinsStr.isEmpty) defaultMaxBins
+          else longConf(maxBinsConf, maxBinsStr).getOrElse(defaultMaxBins)
+        plan.transformUp {
+          case j @ Join(_, _, Inner, Some(_), _) if j.resolved =>
+            rewrite(j, width, maxBins).getOrElse(j)
+        }
     }
   }
 
@@ -79,7 +102,8 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     else None
   }
 
-  private def rewrite(j: Join, width: Long): Option[LogicalPlan] = {
+  private def rewrite(j: Join, width: Long,
+                      maxBins: Long): Option[LogicalPlan] = {
     val Join(left, right, _, Some(cond), hint) = j
     val conjuncts = splitConjunctivePredicates(cond)
     def cross(a: Expression, b: Expression): Boolean =
@@ -129,6 +153,13 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val pBin = Alias(new IntegralDivide(p, w), "__graft_bin_p")()
       val pointProj = Project(pointSide.output :+ pBin, pointSide)
       val satisfiable = Filter(GreaterThanOrEqual(e, s), intervalSide)
+      // bin fan-out guard: intervals spanning more than maxBins bins go
+      // through the naive branch below instead of a huge Sequence array
+      // (span < 0 catches a wrapped subtraction on corrupt extremes)
+      val span = Subtract(new IntegralDivide(e, w), new IntegralDivide(s, w))
+      val spanOk = And(GreaterThanOrEqual(span, Literal(0L)),
+        LessThanOrEqual(span, Literal(maxBins)))
+      val bounded = Filter(spanOk, satisfiable)
       val binAttr = AttributeReference("__graft_bin_i", LongType,
         nullable = false)()
       val gen = Generate(
@@ -138,14 +169,33 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         Explode(Sequence(new IntegralDivide(s, w), new IntegralDivide(e, w),
           Some(Literal(1L)), Some(conf.sessionLocalTimeZone))),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(binAttr), child = satisfiable)
+        generatorOutput = Seq(binAttr), child = bounded)
       val newCond = And(cond, EqualTo(pBin.toAttribute, binAttr))
       val newJoin =
         if (pointIsLeft) Join(pointProj, gen, Inner, Some(newCond), hint)
         else Join(gen, pointProj, Inner, Some(newCond), hint)
+      // over-cap intervals keep the naive predicate, but on a synthetic
+      // constant equi-key (p-p = s-s: 0 on both sides, null exactly when
+      // the range predicate could not match anyway) so the branch plans
+      // as a parallel hash join rather than a nested loop, and the
+      // cross-side equality stops this rule re-firing on it. p-p / s-s
+      // are non-foldable (attribute-bearing), so constant folding cannot
+      // collapse the key back into a conditionless cross join. Expected
+      // EMPTY in healthy data — AQE's empty-relation propagation then
+      // collapses the whole branch after its first stage materializes.
+      val overCap = Filter(Not(spanOk), satisfiable)
+      val kP = Alias(Subtract(p, p), "__graft_k_p")()
+      val kI = Alias(Subtract(s, s), "__graft_k_i")()
+      val pointK = Project(pointSide.output :+ kP, pointSide)
+      val overCapK = Project(overCap.output :+ kI, overCap)
+      val fallbackCond = And(cond, EqualTo(kP.toAttribute, kI.toAttribute))
+      val fallbackJoin =
+        if (pointIsLeft) Join(pointK, overCapK, Inner, Some(fallbackCond), hint)
+        else Join(overCapK, pointK, Inner, Some(fallbackCond), hint)
       // an optimizer rule must preserve the output schema exactly —
-      // project the synthetic bin columns back out
-      Project(j.output, newJoin)
+      // project the synthetic bin/key columns back out; both branches
+      // project j.output, so the Union's output keeps j's exprIds
+      Union(Seq(Project(j.output, newJoin), Project(j.output, fallbackJoin)))
     }
   }
 }

@@ -85,13 +85,17 @@ object PlanAudit {
   }
 
   /** True when the subtree provably emits at most one row: a walk
-    * down unary operators reaching a grouping-less aggregate. */
+    * down unary operators reaching a grouping-less aggregate. Only
+    * row-PRESERVING (or row-reducing) unary nodes are walked through —
+    * GenerateExec (explode) and ExpandExec (grouping sets) multiply
+    * rows, so an aggregate below one of them bounds nothing. */
   private def singleRowBounded(p: SparkPlan): Boolean = p match {
     case h: HashAggregateExec => h.groupingExpressions.isEmpty
     case s: SortAggregateExec => s.groupingExpressions.isEmpty
     case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
     case a: AdaptiveSparkPlanExec => singleRowBounded(a.executedPlan)
     case q: QueryStageExec => singleRowBounded(q.plan)
+    case _: GenerateExec | _: ExpandExec => false
     case u: UnaryExecNode => singleRowBounded(u.child)
     case _ => false
   }

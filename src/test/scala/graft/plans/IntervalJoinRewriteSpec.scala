@@ -92,6 +92,55 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("bin fan-out cap: an interval spanning far more bins than " +
+    "maxBins routes through the hash-keyed fallback branch — exact " +
+    "answer, no Sequence blow-up, no nested loop in the plan") {
+    val huge = Seq[(Long, java.lang.Long, java.lang.Long)](
+      (20L, 0L, Long.MaxValue - 1L), // corrupt upper bound
+      (21L, 0L, 99L)                 // healthy interval alongside it
+    ).toDF("iid", "s", "e")
+    val cond = col("t") >= col("s") && col("t") <= col("e")
+    val naive = pairs(points.join(huge, cond))
+    withRule(100L) {
+      spark.conf.set(IntervalJoinRewrite.maxBinsConf, "16")
+      try {
+        val j = points.join(huge, cond)
+        val p = j.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"), p)
+        assert(p.contains("Generate explode"), p)
+        assert(pairs(j) == naive) // would throw in Sequence without the cap
+      } finally spark.conf.unset(IntervalJoinRewrite.maxBinsConf)
+    }
+  }
+
+  test("invalid conf values log-and-skip instead of failing the query") {
+    val cond = col("t") >= col("s") && col("t") <= col("e")
+    val naive = pairs(points.join(intervals, cond))
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ IntervalJoinRewrite
+    try {
+      spark.conf.set(IntervalJoinRewrite.binWidthConf, "not-a-number")
+      val j = points.join(intervals, cond)
+      assert(pairs(j) == naive) // query still runs, rewrite skipped
+      assert(!j.queryExecution.optimizedPlan.toString
+        .contains("__graft_bin"), "rewrite must not fire on a bad conf")
+      spark.conf.set(IntervalJoinRewrite.binWidthConf, "-5")
+      assert(pairs(points.join(intervals, cond)) == naive)
+      // bad maxBins falls back to the default, rewrite still fires
+      spark.conf.set(IntervalJoinRewrite.binWidthConf, "100")
+      spark.conf.set(IntervalJoinRewrite.maxBinsConf, "zero")
+      val ok = points.join(intervals, cond)
+      assert(ok.queryExecution.optimizedPlan.toString
+        .contains("__graft_bin"))
+      assert(pairs(ok) == naive)
+    } finally {
+      spark.conf.unset(IntervalJoinRewrite.binWidthConf)
+      spark.conf.unset(IntervalJoinRewrite.maxBinsConf)
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
   test("randomized parity: rewrite == naive join on generated data, " +
     "negative longs included") {
     val rnd = new scala.util.Random(11)

@@ -42,6 +42,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!kinds(a.orderBy(col("id")).limit(5)).contains("GLOBAL_SORT"))
   }
 
+  test("single-row exemption does not walk through row-multiplying " +
+    "nodes: an explode over a grouping-less aggregate is still flagged") {
+    // agg -> one row, but the explode fans it back out to many rows —
+    // a loop join against it is NOT linear and must be flagged
+    val exploded = b.agg(collect_list(col("k")).as("ks"))
+      .select(explode(col("ks")).as("k"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(kinds(a.crossJoin(exploded)).contains("CARTESIAN"))
+    finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(kinds(a.crossJoin(exploded))
+      .exists(Set("CARTESIAN", "NESTED_LOOP")))
+    // the genuine single-row shape stays exempt (broadcast-stats idiom)
+    val stats = b.agg(sum(col("v")).as("tot"))
+    assert(!kinds(a.crossJoin(stats))
+      .exists(Set("CARTESIAN", "NESTED_LOOP")))
+  }
+
   test("the engine's own flagship plans audit clean") {
     val sf = "/root/testdata/sf0.001"
     Seq("q_join_stars", "q_agg_pricing", "q_doc_bm25_index",
