@@ -363,28 +363,74 @@ object Retrieval {
     *
     * Scale shape: one tokenize pass over the BATCH — a (id, term)
     * count shuffle bounded by batch tokens and one single-row
-    * aggregate; the existing index is never read. NOT crash-atomic
-    * across the two subdirectory appends (postings land before the
-    * stats row): a killed append leaves N slightly understated —
-    * re-append the batch after deleting the partial files, or rebuild;
-    * callers wanting exactly-once must ensure at-most-once delivery
-    * per logical batch, the [[graft.ops.SpanDedup]] contract. */
+    * aggregate; the existing index is only probed for its tiny stats
+    * table (one row per appended batch) to enforce at-most-once
+    * delivery. NOT crash-atomic across the two subdirectory appends
+    * (postings land before the stats row): a killed append leaves N
+    * slightly understated — re-append the batch after deleting the
+    * partial files, or rebuild.
+    *
+    * At-most-once is CHECKED, not just documented: every stats row
+    * records a `batch_id` — the caller's, or an order-free digest of
+    * the batch's doc ids (`bit_xor` of `xxhash64(id)` + count, the
+    * shard-manifest formula) — and a re-delivered batch fails fast
+    * here instead of silently doubling the doc's postings rows (df is
+    * counted as postings rows in [[bm25Search]], so a double-append
+    * would shift every score with nothing to catch it). With
+    * `skipDuplicate` (the streaming sink's mode) a seen batch is
+    * skipped instead — a checkpoint replay of a fully-appended
+    * micro-batch becomes a no-op (effectively-once), rather than
+    * wedging recovery on the guard. Returns true when the batch was
+    * appended, false when skipped. */
   def appendToBm25Index(batch: DataFrame, path: String,
                         textCol: String = "text",
-                        idCol: String = "doc_id"): Unit = {
+                        idCol: String = "doc_id",
+                        batchId: Option[String] = None,
+                        skipDuplicate: Boolean = false): Boolean = {
     Dedup.recoverIndex(s"$path/postings")
     Dedup.recoverIndex(s"$path/stats")
     val base = batch.select(col(idCol).as("id"),
       Text.tokens(col(textCol)).as("t"))
       .withColumn("dl", size(col("t")).cast("long"))
       .localCheckpoint(true) // one tokenize pass serves both writes
+    val spark = base.sparkSession
+    val bid = batchId.getOrElse {
+      val Array(d, n) = base
+        .select(xxhash64(col("id")).as("__h"))
+        .agg(expr("bit_xor(__h)").cast("string"),
+          count(lit(1)).cast("string"))
+        .head().toSeq.map(String.valueOf).toArray
+      s"keys:$d:$n"
+    }
+    if (seenBatchIds(spark, path).contains(bid)) {
+      if (skipDuplicate) return false
+      throw new IllegalStateException(
+        s"BM25 index at $path already contains batch '$bid' — " +
+          "appending it again would double its postings and shift " +
+          "every score; the append contract is at-most-once per batch")
+    }
     base.select(col("id"), col("dl"), explode(col("t")).as("term"))
       .groupBy(col("term"), col("id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .write.mode("append").parquet(s"$path/postings")
     base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("batch_id", lit(bid))
       .write.mode("append").parquet(s"$path/stats")
+    true
   }
+
+  /** Batch ids already recorded in the index's stats table (empty for
+    * a missing index or a pre-batch-id layout without the column). The
+    * stats table is one row per batch — a driver-side collect here is
+    * bounded by append count, not corpus size. */
+  private def seenBatchIds(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Set[String] =
+    try {
+      val stats = spark.read.parquet(s"$path/stats")
+      if (!stats.columns.contains("batch_id")) Set.empty
+      else stats.select(col("batch_id")).na.drop()
+        .collect().map(_.getString(0)).toSet
+    } catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
 
   /** Okapi BM25 top-k over the persisted index — [[bm25TopK]]'s exact
     * formula (same idf, same 1e-6 floor rounding, same (score desc,
@@ -411,7 +457,20 @@ object Retrieval {
     Dedup.recoverIndex(s"$path/stats")
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("term").isin(queryTerms: _*))
-    val stats = spark.read.parquet(s"$path/stats")
+    val statsRaw = spark.read.parquet(s"$path/stats")
+    // a raced double-append that slipped past the appender's guard
+    // (two writers, same batch) is detectable here: same batch_id twice
+    if (statsRaw.columns.contains("batch_id")) {
+      val dups = statsRaw.filter(col("batch_id").isNotNull)
+        .groupBy(col("batch_id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("batch_id"))
+        .limit(5).collect().map(_.getString(0))
+      if (dups.nonEmpty) throw new IllegalStateException(
+        s"BM25 index at $path contains duplicate batch appends " +
+          s"(${dups.mkString(", ")}) — df/N/avgdl are inflated; " +
+          "rebuild the index or remove the duplicated batch files")
+    }
+    val stats = statsRaw
       .agg(sum(col("n_docs")).cast("double").as("n"),
         sum(col("sum_dl")).cast("double").as("sumdl"))
     val dfs = post.groupBy(col("term"))

@@ -389,9 +389,13 @@ object Monitor {
                     idCol: String = "doc_id"): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        // the micro-batch id IS the logical batch identity: a restart
+        // replaying an already-appended batch becomes a no-op instead
+        // of silently doubling its postings
         graft.ops.Retrieval.appendToBm25Index(batch, indexPath, textCol,
-          idCol)
+          idCol, batchId = Some(s"stream:$bid"), skipDuplicate = true)
+        ()
       }
       .start()
 

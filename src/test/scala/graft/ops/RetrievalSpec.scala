@@ -101,6 +101,37 @@ class RetrievalSpec extends AnyFunSuite {
     assert(without.map(_._1) == want.map(_._1) && without != want)
   }
 
+  test("bm25 index: re-appending a batch fails fast (key digest and " +
+    "caller batch ids); skipDuplicate makes the replay a no-op") {
+    import graft.SparkSpec.tmpDir
+    val docs = Seq((0L, "apple banana"), (1L, "apple cherry"))
+      .toDF("doc_id", "text")
+    val p = tmpDir("graft-bm25-dup-") + "/idx"
+    assert(Retrieval.appendToBm25Index(docs, p))
+    // identical content → same order-free key digest → guard fires
+    val e = intercept[IllegalStateException](
+      Retrieval.appendToBm25Index(docs.orderBy(col("doc_id").desc), p))
+    assert(e.getMessage.contains("at-most-once"))
+    // the streaming-sink mode skips instead, leaving scores unchanged
+    val before = Retrieval.bm25Search(spark, p, Seq("apple"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(!Retrieval.appendToBm25Index(docs, p, skipDuplicate = true))
+    val after = Retrieval.bm25Search(spark, p, Seq("apple"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before)
+    // caller-supplied ids guard independently of content
+    val more = Seq((2L, "banana durian")).toDF("doc_id", "text")
+    assert(Retrieval.appendToBm25Index(more, p, batchId = Some("b2")))
+    intercept[IllegalStateException](Retrieval.appendToBm25Index(
+      Seq((3L, "cherry")).toDF("doc_id", "text"), p, batchId = Some("b2")))
+    // a distinct batch still appends and search sees it
+    assert(Retrieval.appendToBm25Index(
+      Seq((3L, "apple apple")).toDF("doc_id", "text"), p,
+      batchId = Some("b3")))
+    assert(Retrieval.bm25Search(spark, p, Seq("apple"), k = 5)
+      .collect().map(_.getLong(0)).contains(3L))
+  }
+
   test("bm25TopK rejects empty, duplicate, and oversized term sets") {
     val docs = Seq((0L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Retrieval.bm25TopK(docs, Nil, 5))
