@@ -65,7 +65,14 @@ object StreamingDemo {
       val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
       def closedCount(): Long =
         spark.sql("SELECT count(*) FROM sessions").head().getLong(0)
-      while (closedCount() < 6 && System.nanoTime() < deadline) {
+      // the independent native query's append emission waits on ITS
+      // watermark — it can be a micro-batch behind the custom
+      // sessionizer, so the wait gates on BOTH before any assertion
+      def nativeClosed(): Long = spark.sql(
+        "SELECT count(*) FROM sessions_native WHERE n_events = 4")
+        .head().getLong(0)
+      while ((closedCount() < 6 || nativeClosed() < 1) &&
+        System.nanoTime() < deadline) {
         Thread.sleep(250)
       }
       // snapshot ONCE: the memory table keeps growing while the stream
