@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Dsir, Multimodal, Profile, Retrieval, Similarity, Text}
+import graft.ops.{Dedup, Dsir, Multimodal, Profile, Retrieval, Similarity, Sketch, Text}
 
 /** The training-data pipeline operators (dedup / similarity / multimodal /
   * text analysis) exposed as driver-verifiable queries over the documents
@@ -624,6 +624,29 @@ object TrainingData {
         .start()
       q.awaitTermination()
       s.table(name).orderBy(col("rule_idx"))
+    }),
+
+    // KMV/theta sketch audience-overlap matrix: per-event-type distinct
+    // user sketches (one scan, 32 KiB each) -> pairwise exact-regime
+    // intersection/union — the corpus-slice overlap audit that at
+    // 100 TB replaces ten pairwise distinct joins with sketch algebra
+    "q_sketch_audience" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("user_id").cast("long").as("user_id"))
+      Sketch.overlapMatrix(ev, "event_type", col("user_id"), k = 4096)
+        .withColumnRenamed("g_a", "type_a")
+        .withColumnRenamed("g_b", "type_b")
+    }),
+
+    // the same sketch machinery over the text modality: per-source
+    // distinct-vocabulary overlap (tokens as keys) — "do these two
+    // crawls even speak the same words" before any expensive dedup
+    "q_sketch_vocab" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("source"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      Sketch.overlapMatrix(toks, "source", col("tok"), k = 1024)
+        .withColumnRenamed("g_a", "src_a")
+        .withColumnRenamed("g_b", "src_b")
     }),
 
     // one order up: trigram stupid backoff with the recursive
@@ -3226,6 +3249,50 @@ object TrainingData {
 
     // streamed complete-mode drain == the batch attribution
     "q_stream_gate_funnel" -> gateFunnelOracleSql,
+
+    // sketch exact-regime contract: with every group's distinct count
+    // under k, the KMV estimate/union/intersection ARE the true counts
+    "q_sketch_audience" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |), cnt AS (
+        |  SELECT event_type, COUNT(*) AS c FROM d GROUP BY 1
+        |), inter AS (
+        |  SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS c
+        |  FROM d x JOIN d y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |  CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b,
+        |  CAST(COALESCE(i.c, 0) AS BIGINT) AS n_common,
+        |  CAST(ca.c + cb.c - COALESCE(i.c, 0) AS BIGINT) AS n_union
+        |FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
+        |LEFT JOIN inter i
+        |  ON i.ta = ca.event_type AND i.tb = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    "q_sketch_vocab" ->
+      """WITH t AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(text, '\s+')) AS tok
+        |    FROM documents WHERE text IS NOT NULL)
+        |), cnt AS (
+        |  SELECT source, COUNT(*) AS c FROM t GROUP BY 1
+        |), inter AS (
+        |  SELECT x.source AS sa, y.source AS sb, COUNT(*) AS c
+        |  FROM t x JOIN t y ON x.tok = y.tok AND x.source < y.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT ca.source AS src_a, cb.source AS src_b,
+        |  CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b,
+        |  CAST(COALESCE(i.c, 0) AS BIGINT) AS n_common,
+        |  CAST(ca.c + cb.c - COALESCE(i.c, 0) AS BIGINT) AS n_union
+        |FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+        |LEFT JOIN inter i ON i.sa = ca.source AND i.sb = cb.source
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // the order-3 replay: three shifted slices zip into the trigram
     // stream; the backoff CASE chain mirrors trigramLogLoss op-for-op

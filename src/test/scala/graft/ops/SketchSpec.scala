@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KMV/theta sketches: exact below k (the oracle regime), bounded-error
+  * estimates above it, partitioning-invariant results, and set algebra
+  * consistent with the true distinct sets. */
+class SketchSpec extends AnyFunSuite {
+  import graft.SparkSpec.spark
+  import spark.implicits._
+
+  test("exact regime: estimate, overlap matrix, and union equal the " +
+    "true distinct counts; null keys ignored like COUNT(DISTINCT)") {
+    val rnd = new scala.util.Random(7)
+    // three groups with engineered overlap, plus nulls and duplicates
+    val rows = (0 until 4000).map { i =>
+      val g = s"g${i % 3}"
+      val v: java.lang.Long = if (i % 97 == 0) null else (i % 700).toLong
+      (g, v)
+    } ++ Seq(("g0", null: java.lang.Long))
+    val df = rows.toDF("g", "v").repartition(13)
+
+    val est = Sketch.groupDistinct(df, "g", col("v"), k = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = df.groupBy("g").agg(countDistinct(col("v")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == truth)
+
+    val m = Sketch.overlapMatrix(df, "g", col("v"), k = 1024)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    def dset(g: String): Set[Long] = rows
+      .filter(r => r._1 == g && r._2 != null).map(_._2.toLong).toSet
+    for (((a, b), (na, nb, nc, nu)) <- m) {
+      assert(na == dset(a).size && nb == dset(b).size)
+      assert(nc == (dset(a) intersect dset(b)).size)
+      assert(nu == (dset(a) union dset(b)).size)
+    }
+    assert(m.keySet == Set(("g0", "g1"), ("g0", "g2"), ("g1", "g2")))
+  }
+
+  test("sketch blobs are partitioning-invariant (order-free merge)") {
+    val data = (0 until 5000).map(i => ("g", (i * 2654435761L) % 1200))
+    val one = data.toDF("g", "v").coalesce(1)
+      .groupBy("g").agg(Sketch.kmvAgg(col("v"), 256).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val many = data.toDF("g", "v").repartition(17)
+      .groupBy("g").agg(Sketch.kmvAgg(col("v"), 256).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(one, many))
+  }
+
+  test("estimate regime: relative error bounded, union/intersection " +
+    "track the truth, full-KMV theta view excludes the k-th value") {
+    val k = 512
+    // two groups of 40k distinct keys with a 10k-key shared band
+    val rows =
+      (0 until 40000).map(i => ("a", i.toLong)) ++
+      (0 until 40000).map(i => ("b", i.toLong + 30000L))
+    val df = rows.toDF("g", "v").repartition(31)
+    val m = Sketch.overlapMatrix(df, "g", col("v"), k = k).head()
+    val (na, nb, nc, nu) =
+      (m.getLong(2), m.getLong(3), m.getLong(4), m.getLong(5))
+    def relErr(est: Long, truth: Double): Double =
+      math.abs(est - truth) / truth
+    // rse ~ 1/sqrt(k-2) = 4.4%; 5 sigma would be a broken sketch
+    assert(relErr(na, 40000) < 0.15, s"n_a=$na")
+    assert(relErr(nb, 40000) < 0.15, s"n_b=$nb")
+    assert(relErr(nu, 70000) < 0.15, s"n_union=$nu")
+    // intersection error compounds (common-below-theta is a smaller
+    // sample); allow a wider band but demand the right magnitude
+    assert(nc > 4000 && nc < 20000, s"n_common=$nc (truth 10000)")
+    // inclusion-exclusion should roughly close
+    assert(math.abs((na + nb - nc) - nu) < 0.2 * nu)
+  }
+
+  test("sketch algebra edge cases: disjoint sets, identical sets, " +
+    "empty groups, and k-mismatch unions") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L), ("b", 12L))
+      .toDF("g", "v")
+    val m = Sketch.overlapMatrix(df, "g", col("v"), k = 64).head()
+    assert((m.getLong(2), m.getLong(3), m.getLong(4), m.getLong(5)) ==
+      ((2L, 3L, 0L, 5L)))
+    // identical sets: intersection == union == size
+    val same = Seq(("x", 5L), ("y", 5L), ("x", 6L), ("y", 6L))
+      .toDF("g", "v")
+    val ms = Sketch.overlapMatrix(same, "g", col("v"), k = 64).head()
+    assert((ms.getLong(2), ms.getLong(3), ms.getLong(4), ms.getLong(5)) ==
+      ((2L, 2L, 2L, 2L)))
+    // all-null group sketches to zero
+    val withEmpty = Seq[(String, java.lang.Long)](
+      ("e", null), ("f", 1L)).toDF("g", "v")
+    val ge = Sketch.groupDistinct(withEmpty, "g", col("v"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ge == Map("e" -> 0L, "f" -> 1L))
+    // mismatched k: union degrades to the smaller k, stays exact here
+    val skA = Seq(1L, 2L, 3L).toDF("v")
+      .agg(Sketch.kmvAgg(col("v"), 64).as("s"))
+    val skB = Seq(3L, 4L).toDF("v")
+      .agg(Sketch.kmvAgg(col("v"), 128).as("s"))
+    val u = skA.crossJoin(skB.withColumnRenamed("s", "s2"))
+      .select(Sketch.estimate(Sketch.unionSketch(col("s"), col("s2")))
+        .as("u"), Sketch.intersectEstimate(col("s"), col("s2")).as("i"))
+      .head()
+    assert(u.getDouble(0) == 4.0 && u.getDouble(1) == 1.0)
+  }
+}
