@@ -37,6 +37,13 @@ object Relational {
   private val frozenRouters =
     scala.collection.concurrent.TrieMap.empty[(String, Int), graft.ops.Dsir.FrozenRouter]
 
+  /** Per-process memo of the z-ordered events layout + skip manifest
+    * (the bm25Indexes convention): the write is the one-time layout
+    * cost, the steady state a benchmark should charge is the pruned
+    * scan. */
+  private val zorderLayouts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Schema-adaptive probe for the events `ts` column. Testdata
     * generations have shipped `ts` in several physical encodings:
     *
@@ -745,6 +752,58 @@ object Relational {
       }
     }),
 
+    // Morton (Z-order) code as a native codegen'd expression: integer
+    // grid normalization + bit interleave — the clustering key behind
+    // multi-column file skipping. All-integer arithmetic, so the curve
+    // head is deterministic and the oracle replays it bit-for-bit
+    "q_events_zorder" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"))
+      val r = ev.agg(min(col("user_id")), max(col("user_id")),
+        min(col("event_id")), max(col("event_id"))).head()
+      val z = graft.ops.Layout.zValue(Seq(
+        graft.ops.Layout.gridCoord(col("user_id"),
+          r.getLong(0), r.getLong(1), 16),
+        graft.ops.Layout.gridCoord(col("event_id"),
+          r.getLong(2), r.getLong(3), 16)), 16)
+      ev.select(col("event_id"), col("user_id"), z.as("z"))
+        .orderBy(col("z"), col("event_id")).limit(100)
+    }),
+
+    // file-level data skipping end-to-end: z-order events by
+    // (user_id, event_id) once per process, build the _graft_skip
+    // manifest, and serve a 2-D box via skipScan — the pruned-file
+    // read must equal the plain filter (pruning is an optimization,
+    // never a filter). Box bounds derive from the data's own range in
+    // integer arithmetic so one oracle covers every sf
+    "q_events_skipscan" -> ((s, dir) => {
+      val layout = zorderLayouts.getOrElseUpdate(dir, {
+        val p = TrainingData.scratchDir("graft-zorder-") + "/events"
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id").cast("long").as("event_id"),
+            col("user_id").cast("long").as("user_id"),
+            col("event_type"))
+        graft.ops.Layout.zOrderWrite(ev, Seq("user_id", "event_id"), p,
+          numFiles = 16, bits = 12)
+        graft.ops.Layout.writeSkipManifest(s, p,
+          Seq("user_id", "event_id"))
+        p
+      })
+      val r = s.read.parquet(s"$dir/events.parquet")
+        .agg(min(col("user_id").cast("long")),
+          max(col("user_id").cast("long")),
+          min(col("event_id").cast("long")),
+          max(col("event_id").cast("long"))).head()
+      val (umin, umax, emin, emax) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (res, _) = graft.ops.Layout.skipScan(s, layout, Seq(
+        ("user_id", umin + (umax - umin) / 10, umin + (umax - umin) / 3),
+        ("event_id", emin + (emax - emin) / 4, emin + (emax - emin) / 2)))
+      res.select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     // interval-overlap join: purchase trailing windows x click forward
     // windows per user (both sides bin-exploded, first-shared-bin
     // dedup — exactly-once without a distinct)
@@ -1146,6 +1205,45 @@ object Relational {
         |FROM clicks c JOIN purchases p
         |  ON c.t BETWEEN p.w_start AND p.w_end
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+
+    // grid + interleave replayed in SQL: bit j of grid(user_id) lands
+    // at 2j, of grid(event_id) at 2j+1 (InterleaveBits: j*n + i)
+    "q_events_zorder" ->
+      """WITH s AS (
+        |  SELECT min(user_id) AS umin, max(user_id) AS umax,
+        |         min(event_id) AS emin, max(event_id) AS emax
+        |  FROM events
+        |), g AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN umax = umin THEN 0
+        |      ELSE (user_id - umin) * 65535 // (umax - umin) END AS gu,
+        |    CASE WHEN emax = emin THEN 0
+        |      ELSE (event_id - emin) * 65535 // (emax - emin) END AS ge
+        |  FROM events CROSS JOIN s
+        |)
+        |SELECT event_id, user_id,
+        |  CAST(list_sum(list_transform(range(0, 16), j ->
+        |      ((gu >> j) & 1) * (CAST(1 AS BIGINT) << (2 * j))
+        |    + ((ge >> j) & 1) * (CAST(1 AS BIGINT) << (2 * j + 1))))
+        |    AS BIGINT) AS z
+        |FROM g
+        |ORDER BY z, event_id LIMIT 100""".stripMargin,
+
+    // skipScan must equal the plain filter — the pruned read is an
+    // optimization, never a semantic change
+    "q_events_skipscan" ->
+      """WITH s AS (
+        |  SELECT min(user_id) AS umin, max(user_id) AS umax,
+        |         min(event_id) AS emin, max(event_id) AS emax
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, event_type
+        |FROM events CROSS JOIN s
+        |WHERE user_id BETWEEN umin + (umax - umin) // 10
+        |                  AND umin + (umax - umin) // 3
+        |  AND event_id BETWEEN emin + (emax - emin) // 4
+        |                   AND emin + (emax - emin) // 2
+        |ORDER BY event_id""".stripMargin,
 
     // stream-stream join drain == the batch interval join: one oracle
     // (see q_events_attribution — identical trailing-window BETWEEN)

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order clustering + file-skip manifest: Morton codes match a naive
+  * reference (through codegen), skipScan equals the full-scan filter,
+  * and the z layout prunes strictly better than a linear sort on the
+  * same box. */
+class LayoutSpec extends AnyFunSuite {
+  import graft.SparkSpec.{spark, tmpDir}
+  import spark.implicits._
+
+  private def naiveInterleave(vals: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    for (i <- vals.indices; j <- 0 until bits) {
+      z |= (((vals(i) & ((1L << bits) - 1)) >>> j) & 1L) << (j * vals.size + i)
+    }
+    z
+  }
+
+  test("InterleaveBits == naive reference through codegen; null in -> " +
+    "null out; high bits masked") {
+    // fail loudly if the generated java does not compile, instead of
+    // silently falling back to interpreted eval
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try interleaveChecks()
+    finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  private def interleaveChecks(): Unit = {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 500).map { _ =>
+      (rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong,
+        rnd.nextInt(1 << 10).toLong)
+    }
+    val got2 = rows.toDF("a", "b", "c")
+      .select(Layout.zValue(Seq(col("a"), col("b")), 16).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got2.toSeq == rows.map(r => naiveInterleave(Seq(r._1, r._2), 16)))
+    // three-way interleave, and masking of over-grid values
+    val got3 = rows.toDF("a", "b", "c")
+      .select(Layout.zValue(
+        Seq(col("a") + lit(1L << 20), col("b"), col("c")), 10).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got3.toSeq ==
+      rows.map(r => naiveInterleave(Seq(r._1, r._2, r._3), 10)))
+    val n = Seq[(java.lang.Long, java.lang.Long)]((1L, null))
+      .toDF("a", "b")
+      .select(Layout.zValue(Seq(col("a"), col("b")), 8).as("z"))
+      .head()
+    assert(n.isNullAt(0))
+    intercept[IllegalArgumentException](
+      Layout.zValue(Seq(col("a"), col("b")), 32)) // 2*32 > 63
+  }
+
+  test("gridCoord: integer normalization, degenerate range, overflow " +
+    "guard") {
+    val df = Seq(0L, 50L, 100L).toDF("v")
+    val g = df.select(Layout.gridCoord(col("v"), 0L, 100L, 8).as("g"))
+      .collect().map(_.getLong(0))
+    assert(g.toSeq == Seq(0L, 127L, 255L)) // 50*255 div 100 = 127
+    val d = df.select(Layout.gridCoord(col("v"), 7L, 7L, 8).as("g"))
+      .collect().map(_.getLong(0))
+    assert(d.toSeq == Seq(0L, 0L, 0L))
+    intercept[IllegalArgumentException](
+      Layout.gridCoord(col("v"), 0L, Long.MaxValue / 2, 31))
+  }
+
+  test("skipScan == full filter; z-order prunes better than linear " +
+    "sort on a 2-D box; manifest invisible to plain readers") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 20000).map { i =>
+      (i.toLong, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong)
+    }
+    val df = rows.toDF("id", "x", "y").repartition(7)
+    val boxes = Seq(("x", 100L, 199L), ("y", 300L, 399L))
+
+    val zDir = tmpDir("graft-layout-z-")
+    Layout.zOrderWrite(df, Seq("x", "y"), zDir, numFiles = 32, bits = 10)
+    Layout.writeSkipManifest(spark, zDir, Seq("x", "y"))
+    val (zScan, (zKept, zTotal)) = Layout.skipScan(spark, zDir, boxes)
+
+    val linDir = tmpDir("graft-layout-lin-")
+    df.repartitionByRange(32, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(linDir)
+    Layout.writeSkipManifest(spark, linDir, Seq("x", "y"))
+    val (linScan, (linKept, linTotal)) = Layout.skipScan(spark, linDir, boxes)
+
+    val want = rows.filter(r =>
+      r._2 >= 100 && r._2 <= 199 && r._3 >= 300 && r._3 <= 399)
+      .map(_._1).toSet
+    assert(zScan.select("id").collect().map(_.getLong(0)).toSet == want)
+    assert(linScan.select("id").collect().map(_.getLong(0)).toSet == want)
+    assert(zTotal == 32 && linTotal == 32)
+    // the linear layout gives y the full domain in every file: the box
+    // on (x, y) prunes only via x (~10% of files); z-order cuts on both
+    assert(zKept < linKept,
+      s"z-order kept $zKept of $zTotal, linear kept $linKept")
+    assert(zKept <= 8, s"z-order should prune hard, kept $zKept/32")
+    // plain readers never see the manifest
+    assert(spark.read.parquet(zDir).columns.toSet ==
+      Set("id", "x", "y"))
+    // manifest totals reconcile with the table
+    val m = spark.read.parquet(s"$zDir/_graft_skip")
+    assert(m.agg(sum("rows")).head().getLong(0) == 20000L)
+    assert(m.count() == 32L)
+  }
+
+  test("skipScan edge cases: empty box result, single-dimension box, " +
+    "manifest rebuild idempotent") {
+    val dir = tmpDir("graft-layout-edge-")
+    val df = (0 until 100).map(i => (i.toLong, (i % 10).toLong))
+      .toDF("id", "x")
+    df.repartition(4).write.mode("overwrite").parquet(dir)
+    Layout.writeSkipManifest(spark, dir, Seq("x"))
+    Layout.writeSkipManifest(spark, dir, Seq("x")) // idempotent
+    val (hit, _) = Layout.skipScan(spark, dir, Seq(("x", 3L, 3L)))
+    assert(hit.count() == 10L)
+    val (miss, (kept, total)) =
+      Layout.skipScan(spark, dir, Seq(("x", 50L, 60L)))
+    assert(miss.count() == 0L && kept == 0 && total == 4)
+  }
+}
