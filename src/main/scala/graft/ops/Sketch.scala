@@ -216,6 +216,36 @@ object Sketch {
         l: Expression, r: Expression): KmvUnion = copy(left = l, right = r)
   }
 
+  /** Pure-KMV merge: k smallest of the combined value sets, theta kept
+    * at 1.0 — the EXACT buffer-merge the aggregate itself performs, so
+    * folding batch sketches incrementally reproduces the one-shot
+    * aggregate blob bit-for-bit (the contract a streaming sketch sink
+    * pins). Only valid on aggregate-produced (theta = 1.0) sketches;
+    * a theta-union blob has already discarded values it would need. */
+  private[ops] def mergeBlobs(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val da = decode(a); val db = decode(b)
+    require(da.theta >= 1.0 && db.theta >= 1.0,
+      "kmv_merge needs pure-KMV (theta=1) sketches; use kmv_union for " +
+        "theta sketches")
+    val buf = new KmvBuffer(math.min(da.k, db.k))
+    da.values.foreach(buf.add)
+    db.values.foreach(buf.add)
+    val out = new Array[Long](buf.set.size)
+    val it = buf.set.iterator(); var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    toBlob(buf.k, 1.0, out)
+  }
+
+  case class KmvMerge(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      mergeBlobs(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+    override def prettyName: String = "kmv_merge"
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): KmvMerge = copy(left = l, right = r)
+  }
+
   case class KmvIntersectEstimate(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
@@ -246,6 +276,10 @@ object Sketch {
   def unionSketch(a: Column, b: Column): Column =
     shim.column(KmvUnion(shim.expression(a), shim.expression(b)))
 
+  /** Lossless fold of aggregate-produced sketches (see [[KmvMerge]]). */
+  def mergeSketch(a: Column, b: Column): Column =
+    shim.column(KmvMerge(shim.expression(a), shim.expression(b)))
+
   def intersectEstimate(a: Column, b: Column): Column =
     shim.column(KmvIntersectEstimate(shim.expression(a), shim.expression(b)))
 
@@ -273,10 +307,16 @@ object Sketch {
     * bounded and deliberate where a row-level all-pairs would not be.
     * 100 TB cost: the scan; everything after is 32 KiB sketch algebra. */
   def overlapMatrix(df: DataFrame, groupCol: String, key: Column,
-                    k: Int = 4096): DataFrame = {
-    val sk = df.groupBy(col(groupCol)).agg(kmvAgg(key, k).as("__sk"))
-    val a = sk.select(col(groupCol).as("g_a"), col("__sk").as("__sk_a"))
-    val b = sk.select(col(groupCol).as("g_b"), col("__sk").as("__sk_b"))
+                    k: Int = 4096): DataFrame =
+    overlapMatrixFromSketches(
+      df.groupBy(col(groupCol).as("g")).agg(kmvAgg(key, k).as("sk")))
+
+  /** The pair-algebra half of [[overlapMatrix]], over an existing
+    * sketch table `(g, sk)` — e.g. one maintained incrementally by
+    * [[incrementalSketch]] / a streaming sink. */
+  def overlapMatrixFromSketches(sketches: DataFrame): DataFrame = {
+    val a = sketches.select(col("g").as("g_a"), col("sk").as("__sk_a"))
+    val b = sketches.select(col("g").as("g_b"), col("sk").as("__sk_b"))
     a.join(b, col("g_a") < col("g_b"))
       .select(col("g_a"), col("g_b"),
         round(estimate(col("__sk_a"))).cast("long").as("n_a"),
@@ -286,5 +326,53 @@ object Sketch {
         round(estimate(unionSketch(col("__sk_a"), col("__sk_b"))))
           .cast("long").as("n_union"))
       .orderBy(col("g_a"), col("g_b"))
+  }
+
+  /** Fold a batch into the persisted per-group sketch table at
+    * `indexPath` — one `(g string, sk binary)` row per group, rewritten
+    * per batch via the parked-old two-rename swap under a single-writer
+    * lock (the priority-reservoir lifecycle). The fold is the pure-KMV
+    * merge: order-free, associative, and IDEMPOTENT on re-delivered
+    * content (set semantics), so after any batch sequence — including
+    * at-least-once replays — the table is bit-identical to the one-shot
+    * aggregate over the union of everything that arrived. Returns the
+    * updated sketch table. */
+  def incrementalSketch(batch: DataFrame, indexPath: String,
+                        groupCol: String, key: Column,
+                        k: Int = 4096): DataFrame = {
+    import graft.core.Fs
+    val spark = batch.sparkSession
+    Dedup.recoverIndex(indexPath)
+    val incoming = batch.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(kmvAgg(key, k).as("sk"))
+    val merged =
+      if (Fs.exists(indexPath) && Fs.listNames(indexPath).nonEmpty) {
+        val current = spark.read.parquet(indexPath)
+        current.select(col("g"), col("sk").as("__a"))
+          .join(incoming.select(col("g"), col("sk").as("__b")),
+            Seq("g"), "full_outer")
+          .select(col("g"),
+            when(col("__a").isNull, col("__b"))
+              .when(col("__b").isNull, col("__a"))
+              .otherwise(mergeSketch(col("__a"), col("__b"))).as("sk"))
+      } else incoming
+    val lock = s"$indexPath.__lock"
+    if (!Fs.createExclusive(lock, s"pid=${ProcessHandle.current().pid()}"))
+      throw new IllegalStateException(
+        s"sketch table $indexPath is being updated by another writer; " +
+          s"if that process crashed, delete $lock and re-run")
+    try {
+      // tmp write executes the merge plan (which reads the old table)
+      // before any rename touches it — no lineage hazard
+      val tmp = s"$indexPath.__compact_tmp"
+      Fs.delete(tmp)
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val old = s"$indexPath.__old"
+      Fs.delete(old)
+      if (Fs.exists(indexPath)) Fs.rename(indexPath, old)
+      Fs.rename(tmp, indexPath)
+      Fs.delete(old)
+    } finally Fs.delete(lock)
+    spark.read.parquet(indexPath)
   }
 }

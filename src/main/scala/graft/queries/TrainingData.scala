@@ -649,6 +649,27 @@ object TrainingData {
         .withColumnRenamed("g_b", "src_b")
     }),
 
+    // STREAMING sketch maintenance: events flow through the persisted
+    // per-group sketch sink (order-free idempotent KMV fold), and the
+    // drained table serves the SAME overlap matrix — one shared oracle
+    // with the batch query; the cross-batch bit-identity is pinned by
+    // SketchSpec/MonitorSpec
+    "q_stream_sketch_audience" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val evStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("event_type"), col("user_id").cast("long").as("user_id"))
+      val tmp = scratchDir("graft-sketchstream-")
+      val q = graft.streaming.Monitor.sketchSink(evStream,
+        s"$tmp/sketches", s"$tmp/ckpt", "event_type", col("user_id"),
+        k = 4096)
+      try q.processAllAvailable() finally q.stop()
+      Sketch.overlapMatrixFromSketches(
+        s.read.parquet(s"$tmp/sketches"))
+        .withColumnRenamed("g_a", "type_a")
+        .withColumnRenamed("g_b", "type_b")
+    }),
+
     // one order up: trigram stupid backoff with the recursive
     // trigram -> bigram -> smoothed-unigram chain (the shape of the
     // 5-gram KenLM CCNet deploys, demonstrated at order 3)
@@ -1491,6 +1512,30 @@ object TrainingData {
         |)
         |SELECT doc_id FROM kept1
         |UNION ALL SELECT doc_id FROM kept2 ORDER BY doc_id""".stripMargin)
+
+  /** Shared by q_sketch_audience (batch aggregate) and
+    * q_stream_sketch_audience (the persisted-sink fold drained under
+    * AvailableNow — bit-identical table, so one oracle). */
+  private lazy val sketchAudienceOracleSql: String =
+      """WITH d AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |), cnt AS (
+        |  SELECT event_type, COUNT(*) AS c FROM d GROUP BY 1
+        |), inter AS (
+        |  SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS c
+        |  FROM d x JOIN d y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |  CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b,
+        |  CAST(COALESCE(i.c, 0) AS BIGINT) AS n_common,
+        |  CAST(ca.c + cb.c - COALESCE(i.c, 0) AS BIGINT) AS n_union
+        |FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
+        |LEFT JOIN inter i
+        |  ON i.ta = ca.event_type AND i.tb = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin
 
   /** Shared by q_doc_gate_funnel (batch) and q_stream_gate_funnel
     * (the same chain as a complete-mode streaming aggregation). */
@@ -3252,26 +3297,10 @@ object TrainingData {
 
     // sketch exact-regime contract: with every group's distinct count
     // under k, the KMV estimate/union/intersection ARE the true counts
-    "q_sketch_audience" ->
-      """WITH d AS (
-        |  SELECT DISTINCT event_type, user_id FROM events
-        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-        |), cnt AS (
-        |  SELECT event_type, COUNT(*) AS c FROM d GROUP BY 1
-        |), inter AS (
-        |  SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS c
-        |  FROM d x JOIN d y
-        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
-        |  GROUP BY 1, 2
-        |)
-        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
-        |  CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b,
-        |  CAST(COALESCE(i.c, 0) AS BIGINT) AS n_common,
-        |  CAST(ca.c + cb.c - COALESCE(i.c, 0) AS BIGINT) AS n_union
-        |FROM cnt ca JOIN cnt cb ON ca.event_type < cb.event_type
-        |LEFT JOIN inter i
-        |  ON i.ta = ca.event_type AND i.tb = cb.event_type
-        |ORDER BY type_a, type_b""".stripMargin,
+    "q_sketch_audience" -> sketchAudienceOracleSql,
+
+    // streamed idempotent fold drained == the batch aggregate
+    "q_stream_sketch_audience" -> sketchAudienceOracleSql,
 
     "q_sketch_vocab" ->
       """WITH t AS (

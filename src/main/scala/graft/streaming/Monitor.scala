@@ -399,6 +399,30 @@ object Monitor {
       }
       .start()
 
+  /** Stream a corpus into the persisted per-group KMV sketch table
+    * ([[graft.ops.Sketch.incrementalSketch]]): each micro-batch's
+    * per-group sketches fold into the `(g, sk)` parquet at `indexPath`,
+    * and after the stream drains the table is BIT-IDENTICAL to the
+    * one-shot [[graft.ops.Sketch.kmvAgg]] over everything that arrived
+    * (the fold is order-free, associative, and idempotent on
+    * re-delivered content — at-least-once delivery, exactly-once
+    * state, with no duplicate-output caveat because the table is a
+    * rewrite, not an append). Distinct counts and slice overlap stay
+    * queryable mid-stream via
+    * [[graft.ops.Sketch.overlapMatrixFromSketches]]. */
+  def sketchSink(docs: DataFrame, indexPath: String,
+                 checkpointDir: String, groupCol: String,
+                 key: org.apache.spark.sql.Column,
+                 k: Int = 4096): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Sketch.incrementalSketch(batch, indexPath, groupCol,
+          key, k)
+        ()
+      }
+      .start()
+
   /** Stream a corpus through the persisted priority-sampling reservoir
     * ([[graft.ops.Sampling.incrementalPrioritySample]]): each micro-batch
     * folds into the (n+1)-row parquet at `indexPath`, and after the

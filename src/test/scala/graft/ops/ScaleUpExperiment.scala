@@ -648,4 +648,62 @@ class ScaleUpExperiment extends AnyFunSuite {
       "bm25 index scale-up ratio too high")
     base.unpersist(); big.unpersist()
   }
+
+  test("round-9 ops (sketch overlapMatrix, zOrderWrite + skipScan) " +
+    "scale ~linearly") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow (~2 min): opt in with GRAFT_SCALEUP=1 sbt test")
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // sketches: cost is the scan + map-side merges; the pair algebra
+    // is G^2 over 32 KiB blobs regardless of row count
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("source", "text").cache()
+    val docsBig = (0 until 10).map(_ => docs).reduce(_ unionByName _)
+      .repartition(8).cache()
+    docs.count(); docsBig.count()
+    def sketch(d: org.apache.spark.sql.DataFrame): Long =
+      Sketch.overlapMatrix(
+        d.select(col("source"),
+          explode(Text.tokens(col("text"))).as("tok")),
+        "source", col("tok"), k = 1024).count()
+    val t1s = time(sketch(docs))
+    val t10s = time(sketch(docsBig))
+    println(f"[scaleup] sketchOverlap 1x=$t1s%.1fs 10x=$t10s%.1fs ratio=${t10s / t1s}%.1f")
+    assert(t10s / math.max(t1s, 0.5) < 25,
+      "sketch overlap scale-up ratio too high")
+    docs.unpersist(); docsBig.unpersist()
+
+    // layout: the write is one range shuffle on the Morton code (a
+    // global-sort shape); skipScan cost follows KEPT files, not corpus
+    import graft.SparkSpec.tmpDir
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id")).cache()
+    val evBig = (0 until 10).map(i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _).repartition(8).cache()
+    ev.count(); evBig.count()
+    def layout(d: org.apache.spark.sql.DataFrame, tag: String): Double = {
+      val p = tmpDir(s"graft-scale-z-$tag") + "/ev"
+      val tw = time {
+        Layout.zOrderWrite(d, Seq("user_id", "event_id"), p,
+          numFiles = 32, bits = 12)
+        Layout.writeSkipManifest(spark, p, Seq("user_id", "event_id"))
+      }
+      val ts = time(Layout.skipScan(spark, p,
+        Seq(("user_id", 100L, 299L), ("event_id", 1000L, 99999L)))
+        ._1.count())
+      println(f"[scaleup] layout $tag write=$tw%.1fs scan=$ts%.1fs")
+      tw + ts
+    }
+    val t1z = layout(ev, "1x")
+    val t10z = layout(evBig, "10x")
+    println(f"[scaleup] layout 1x=$t1z%.1fs 10x=$t10z%.1fs ratio=${t10z / t1z}%.1f")
+    assert(t10z / math.max(t1z, 0.5) < 25,
+      "layout scale-up ratio too high")
+    ev.unpersist(); evBig.unpersist()
+  }
 }

@@ -75,6 +75,40 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs((na + nb - nc) - nu) < 0.2 * nu)
   }
 
+  test("incremental sketch table: any batch split folds to the " +
+    "one-shot aggregate bit-for-bit; replay is idempotent") {
+    import graft.SparkSpec.tmpDir
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 3000).map { i =>
+      (s"g${i % 4}", rnd.nextInt(900).toLong)
+    }
+    val df = rows.toDF("g", "v")
+    val oneShot = df.groupBy(col("g").cast("string").as("g"))
+      .agg(Sketch.kmvAgg(col("v"), 256).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk"))
+      .toMap
+    val p = tmpDir("graft-sketch-inc-") + "/sk"
+    // three uneven batches, one of them REPLAYED (at-least-once)
+    val b1 = df.filter(col("v") < 300)
+    val b2 = df.filter(col("v") >= 300 && col("v") < 400)
+    val b3 = df.filter(col("v") >= 400)
+    Sketch.incrementalSketch(b1, p, "g", col("v"), k = 256)
+    Sketch.incrementalSketch(b2, p, "g", col("v"), k = 256)
+    Sketch.incrementalSketch(b2, p, "g", col("v"), k = 256) // replay
+    val folded = Sketch.incrementalSketch(b3, p, "g", col("v"), k = 256)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk"))
+      .toMap
+    assert(folded.keySet == oneShot.keySet)
+    for ((g, blob) <- oneShot)
+      assert(java.util.Arrays.equals(folded(g), blob), s"group $g")
+    // the overlap matrix from the table == the batch overlap matrix
+    val fromTable = Sketch.overlapMatrixFromSketches(
+      spark.read.parquet(p)).collect().map(_.toSeq).toSeq
+    val fromBatch = Sketch.overlapMatrix(df, "g", col("v"), k = 256)
+      .collect().map(_.toSeq).toSeq
+    assert(fromTable == fromBatch)
+  }
+
   test("sketch algebra edge cases: disjoint sets, identical sets, " +
     "empty groups, and k-mismatch unions") {
     val df = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L), ("b", 12L))
