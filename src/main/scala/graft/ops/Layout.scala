@@ -185,10 +185,12 @@ object Layout {
 
   /** Box scan through the manifest: keep files whose [min,max] ranges
     * intersect EVERY requested [lo,hi] (a null-stats file — all-null
-    * column — cannot match a box and is pruned), read only those, and
-    * re-apply the exact predicate. Returns the filtered frame; also the
-    * pruning arithmetic `(files kept, files total)` via the counter so
-    * specs and operators can assert on layout quality. */
+    * column — has NULL min/max, so its keep predicate is NULL; it is
+    * coalesced to false and pruned, since an all-null column cannot
+    * match a box), read only those, and re-apply the exact predicate.
+    * Returns the filtered frame; also the pruning arithmetic
+    * `(files kept, files total)` via the counter so specs and operators
+    * can assert on layout quality. */
   def skipScan(spark: SparkSession, dir: String,
                box: Seq[(String, Long, Long)]): (DataFrame, (Int, Int)) = {
     require(box.nonEmpty, "need at least one box dimension")
@@ -198,7 +200,8 @@ object Layout {
     }
     // driver-side file list: bounded by the table's FILE count (what a
     // lakehouse metadata layer holds in memory anyway), not its rows
-    val all = manifest.select(col("file"), keep.as("k")).collect()
+    val all = manifest
+      .select(col("file"), coalesce(keep, lit(false)).as("k")).collect()
     val files = all.filter(_.getBoolean(1)).map(_.getString(0))
     val pruned = (files.length, all.length)
     val precise = box.foldLeft(lit(true)) { case (acc, (c, lo, hi)) =>

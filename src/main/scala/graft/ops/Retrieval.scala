@@ -393,6 +393,11 @@ object Retrieval {
       Text.tokens(col(textCol)).as("t"))
       .withColumn("dl", size(col("t")).cast("long"))
       .localCheckpoint(true) // one tokenize pass serves both writes
+    // empty batch: nothing to append, and the auto-derived digest would
+    // degenerate ("keys:null:0" — bit_xor over zero rows is NULL), so
+    // every empty batch would collide with the first one; short-circuit
+    // before the digest and before a useless n_docs=0 stats row
+    if (base.isEmpty) return false
     val spark = base.sparkSession
     val bid = batchId.getOrElse {
       val Array(d, n) = base

@@ -348,10 +348,15 @@ object Sketch {
     val merged =
       if (Fs.exists(indexPath) && Fs.listNames(indexPath).nonEmpty) {
         val current = spark.read.parquet(indexPath)
-        current.select(col("g"), col("sk").as("__a"))
-          .join(incoming.select(col("g"), col("sk").as("__b")),
-            Seq("g"), "full_outer")
-          .select(col("g"),
+        // null-SAFE group equality (<=>): a null group key must MERGE
+        // with the stored null-group row, not miss (null != null under
+        // plain join equality) and mint a fresh row per batch — that
+        // would break the bit-identical-to-one-shot contract (Spark's
+        // groupBy keeps null as one group) and grow the table unboundedly
+        current.select(col("g").as("__ga"), col("sk").as("__a"))
+          .join(incoming.select(col("g").as("__gb"), col("sk").as("__b")),
+            col("__ga") <=> col("__gb"), "full_outer")
+          .select(coalesce(col("__ga"), col("__gb")).as("g"),
             when(col("__a").isNull, col("__b"))
               .when(col("__b").isNull, col("__a"))
               .otherwise(mergeSketch(col("__a"), col("__b"))).as("sk"))

@@ -386,18 +386,28 @@ object Monitor {
   def bm25IndexSink(docs: DataFrame, indexPath: String,
                     checkpointDir: String,
                     textCol: String = "text",
-                    idCol: String = "doc_id"): StreamingQuery =
+                    idCol: String = "doc_id"): StreamingQuery = {
+    // micro-batch ids restart from 0 per checkpoint lineage, so the
+    // logical batch identity must be (lineage, bid), not bid alone: a
+    // SECOND stream (fresh checkpoint) feeding the same index would
+    // otherwise collide its genuinely-new batches 0/1/2 with the first
+    // stream's stats rows and be silently skipped — data loss, not the
+    // intended replay no-op. The lineage token is a stable hash of the
+    // checkpoint dir's canonical path: replays WITHIN one checkpoint
+    // still dedup, fresh lineages never collide.
+    val lineage = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        new java.io.File(checkpointDir).getCanonicalPath))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        // the micro-batch id IS the logical batch identity: a restart
-        // replaying an already-appended batch becomes a no-op instead
-        // of silently doubling its postings
         graft.ops.Retrieval.appendToBm25Index(batch, indexPath, textCol,
-          idCol, batchId = Some(s"stream:$bid"), skipDuplicate = true)
+          idCol, batchId = Some(s"stream:$lineage:$bid"),
+          skipDuplicate = true)
         ()
       }
       .start()
+  }
 
   /** Stream a corpus into the persisted per-group KMV sketch table
     * ([[graft.ops.Sketch.incrementalSketch]]): each micro-batch's

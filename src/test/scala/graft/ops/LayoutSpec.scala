@@ -107,6 +107,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(m.count() == 32L)
   }
 
+  test("skipScan prunes a null-stats file (all-null column) instead of " +
+    "crashing on the NULL keep predicate") {
+    val dir = tmpDir("graft-layout-nullstats-")
+    // file 1: real values; file 2: all-null x (NULL min/max in manifest)
+    Seq((1L, java.lang.Long.valueOf(5L)), (2L, java.lang.Long.valueOf(7L)))
+      .toDF("id", "x").coalesce(1).write.mode("append").parquet(dir)
+    Seq((3L, null: java.lang.Long), (4L, null: java.lang.Long))
+      .toDF("id", "x").coalesce(1).write.mode("append").parquet(dir)
+    Layout.writeSkipManifest(spark, dir, Seq("x"))
+    val (hit, (kept, total)) = Layout.skipScan(spark, dir, Seq(("x", 0L, 10L)))
+    assert(total == 2 && kept == 1, s"kept $kept of $total")
+    assert(hit.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("skipScan edge cases: empty box result, single-dimension box, " +
     "manifest rebuild idempotent") {
     val dir = tmpDir("graft-layout-edge-")

@@ -132,6 +132,23 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).contains(3L))
   }
 
+  test("bm25 index: empty batches short-circuit — no stats row, no " +
+    "digest collision between two distinct empty batches") {
+    import graft.SparkSpec.tmpDir
+    val p = tmpDir("graft-bm25-empty-") + "/idx"
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // two DISTINCT empty batches: both are no-ops, neither throws (the
+    // old auto-digest degenerated to "keys:null:0" for every empty
+    // batch, so the second collided with the first)
+    assert(!Retrieval.appendToBm25Index(empty, p))
+    assert(!Retrieval.appendToBm25Index(empty, p))
+    assert(!Retrieval.appendToBm25Index(empty, p, batchId = Some("e1")))
+    // a real batch then appends cleanly, and stats holds ONLY its row
+    assert(Retrieval.appendToBm25Index(
+      Seq((0L, "apple banana")).toDF("doc_id", "text"), p))
+    assert(spark.read.parquet(s"$p/stats").count() == 1L)
+  }
+
   test("bm25TopK rejects empty, duplicate, and oversized term sets") {
     val docs = Seq((0L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Retrieval.bm25TopK(docs, Nil, 5))

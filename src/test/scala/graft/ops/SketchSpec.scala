@@ -109,6 +109,30 @@ class SketchSpec extends AnyFunSuite {
     assert(fromTable == fromBatch)
   }
 
+  test("incremental sketch table: a null group key MERGES with the " +
+    "stored null-group row (null-safe join), staying bit-identical to " +
+    "the one-shot aggregate") {
+    import graft.SparkSpec.tmpDir
+    val rows = Seq[(String, Long)](
+      (null, 1L), (null, 2L), ("g", 1L), (null, 3L), ("g", 9L))
+    val df = rows.toDF("g", "v")
+    val p = tmpDir("graft-sketch-nullg-") + "/sk"
+    // two batches that BOTH contain null-group rows: without a null-safe
+    // join the second batch would mint a second null row per fold
+    Sketch.incrementalSketch(df.filter(col("v") < 3), p, "g", col("v"), 64)
+    val folded = Sketch.incrementalSketch(
+      df.filter(col("v") >= 3), p, "g", col("v"), 64)
+      .collect().map(r => Option(r.getString(0)) -> r.getAs[Array[Byte]]("sk"))
+      .toMap
+    val oneShot = df.groupBy(col("g").cast("string").as("g"))
+      .agg(Sketch.kmvAgg(col("v"), 64).as("sk"))
+      .collect().map(r => Option(r.getString(0)) -> r.getAs[Array[Byte]]("sk"))
+      .toMap
+    assert(folded.keySet == oneShot.keySet) // exactly ONE null-group row
+    for ((g, blob) <- oneShot)
+      assert(java.util.Arrays.equals(folded(g), blob), s"group $g")
+  }
+
   test("sketch algebra edge cases: disjoint sets, identical sets, " +
     "empty groups, and k-mismatch unions") {
     val df = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L), ("b", 12L))

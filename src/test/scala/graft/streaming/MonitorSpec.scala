@@ -497,6 +497,35 @@ class MonitorSpec extends AnyFunSuite {
     assert(got == want, s"$got vs $want")
   }
 
+  test("bm25-index sink: a SECOND stream with a fresh checkpoint " +
+    "feeding the same index appends — its batch 0 must not collide " +
+    "with the first lineage's batch 0") {
+    import spark.implicits._
+    val root = tmpDir("graft-bm25lineage-")
+    val idx = s"$root/idx"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def drain(in: String, cp: String): Unit = {
+      val q = Monitor.bm25IndexSink(
+        spark.readStream.schema(schema).parquet(in), idx, cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    Seq((0L, "apple banana")).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$root/in1")
+    drain(s"$root/in1", s"$root/cp1")
+    // second lineage: fresh checkpoint, fresh input, micro-batch id 0 again
+    Seq((1L, "apple cherry")).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$root/in2")
+    drain(s"$root/in2", s"$root/cp2")
+    val got = graft.ops.Retrieval
+      .bm25Search(spark, idx, Seq("apple"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 1L), s"second lineage's batch was dropped: $got")
+    // and a REPLAY within lineage 2 is still the no-op it should be
+    drain(s"$root/in2", s"$root/cp2")
+    assert(spark.read.parquet(s"$idx/stats").count() == 2L)
+  }
+
   test("priority-sample sink: state is the (n+1)-row reservoir file; a " +
     "fresh checkpoint replaying everything moves no decision") {
     import spark.implicits._
