@@ -287,6 +287,43 @@ object Sketch {
   // DataFrame ops
   // ---------------------------------------------------------------- //
 
+  /** Smallest power-of-two sketch size that keeps EVERY group of
+    * `groupCol` in the exact regime: probe `max` per-group
+    * `approx_count_distinct` (1% precision), double it for headroom
+    * (covering the probe's own error, plus growth up to 2x before the
+    * next sizing), and round up to the next power of two, floored at
+    * `minK`. A sketch is exact while a group's distinct count stays
+    * STRICTLY below k (at exactly k the buffer fills and the theta view
+    * kicks in), so the doubling is what makes "sized from the data"
+    * safe rather than flaky at the boundary.
+    *
+    * Throws when the needed k would exceed [[KmvSketchAgg]]'s 2^22 cap
+    * (32 MiB/group): past that the caller must OPT INTO estimates by
+    * passing an explicit k, not silently fall out of the exact regime —
+    * exactly the failure mode that turns a data-scale bump into a
+    * silent wrong answer for consumers pinning exact counts. */
+  def exactRegimeK(df: DataFrame, groupCol: String, key: Column,
+                   minK: Int = 1024): Int = {
+    require(minK >= 16 && (minK & (minK - 1)) == 0,
+      s"minK must be a power of two >= 16, got $minK")
+    val maxDistinct = df.groupBy(col(groupCol))
+      .agg(approx_count_distinct(key, 0.01).as("__d"))
+      .agg(max(col("__d"))).head() match {
+        case r if r.isNullAt(0) => 0L // empty input
+        case r => r.getLong(0)
+      }
+    val need = math.max(minK.toLong, 2L * maxDistinct)
+    if (need > (1L << 22)) throw new IllegalArgumentException(
+      s"largest group of '$groupCol' holds ~$maxDistinct distinct keys; " +
+        s"an exact-regime sketch would need k=$need > 2^22 (32 MiB/group). " +
+        "Pass an explicit k to accept ~1/sqrt(k-2) relative-error " +
+        "estimates instead of exact counts.")
+    java.lang.Integer.highestOneBit(need.toInt - 1) << 1 match {
+      case 0 => minK
+      case p => math.max(p, minK)
+    }
+  }
+
   /** Per-group distinct-count estimates: `(group, est_distinct)`.
     * One scan, sketches merged map-side; exact while each group's
     * distinct count stays under k. */

@@ -630,10 +630,17 @@ object TrainingData {
     // user sketches (one scan, 32 KiB each) -> pairwise exact-regime
     // intersection/union — the corpus-slice overlap audit that at
     // 100 TB replaces ten pairwise distinct joins with sketch algebra
+    // k is SIZED FROM THE DATA (Sketch.exactRegimeK: 2x the largest
+    // group's approx distinct count, next power of two) so the oracle's
+    // exact-integer comparison survives any driver scale bump — a fixed
+    // k would silently leave the exact regime the first time a group
+    // outgrew it
     "q_sketch_audience" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_type"), col("user_id").cast("long").as("user_id"))
-      Sketch.overlapMatrix(ev, "event_type", col("user_id"), k = 4096)
+      val k = Sketch.exactRegimeK(ev, "event_type", col("user_id"),
+        minK = 4096)
+      Sketch.overlapMatrix(ev, "event_type", col("user_id"), k = k)
         .withColumnRenamed("g_a", "type_a")
         .withColumnRenamed("g_b", "type_b")
     }),
@@ -641,10 +648,14 @@ object TrainingData {
     // the same sketch machinery over the text modality: per-source
     // distinct-vocabulary overlap (tokens as keys) — "do these two
     // crawls even speak the same words" before any expensive dedup
+    // same sized-from-the-data rule as q_sketch_audience (the synthetic
+    // vocab is sf-invariant, but the rule costs one aggregate and makes
+    // the exact-regime contract unconditional)
     "q_sketch_vocab" -> ((s, dir) => {
       val toks = docs(s, dir).select(col("source"),
         explode(Text.tokens(col("text"))).as("tok"))
-      Sketch.overlapMatrix(toks, "source", col("tok"), k = 1024)
+      val k = Sketch.exactRegimeK(toks, "source", col("tok"), minK = 1024)
+      Sketch.overlapMatrix(toks, "source", col("tok"), k = k)
         .withColumnRenamed("g_a", "src_a")
         .withColumnRenamed("g_b", "src_b")
     }),
@@ -655,6 +666,12 @@ object TrainingData {
     // with the batch query; the cross-batch bit-identity is pinned by
     // SketchSpec/MonitorSpec
     "q_stream_sketch_audience" -> ((s, dir) => {
+      val batchEv = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("user_id").cast("long").as("user_id"))
+      // size k from the (batch view of the) data, like q_sketch_audience:
+      // the sink must stay in the exact regime for the shared oracle
+      val k = Sketch.exactRegimeK(batchEv, "event_type", col("user_id"),
+        minK = 4096)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val evStream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -662,7 +679,7 @@ object TrainingData {
       val tmp = scratchDir("graft-sketchstream-")
       val q = graft.streaming.Monitor.sketchSink(evStream,
         s"$tmp/sketches", s"$tmp/ckpt", "event_type", col("user_id"),
-        k = 4096)
+        k = k)
       try q.processAllAvailable() finally q.stop()
       Sketch.overlapMatrixFromSketches(
         s.read.parquet(s"$tmp/sketches"))

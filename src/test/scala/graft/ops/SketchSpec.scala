@@ -133,6 +133,36 @@ class SketchSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(folded(g), blob), s"group $g")
   }
 
+  test("exactRegimeK sizes k from the data: a 10x-scaled fixture that " +
+    "would overflow a fixed k stays exact; over-cap groups throw") {
+    // 10x the sf0.1 audience shape: ~15k distinct users in one group —
+    // past the old fixed k=4096, so this is exactly the driver-drift
+    // scenario the sizing rule exists for
+    val rows = (0 until 60000).map { i =>
+      (s"t${i % 3}", (i % (15000 + 2000 * (i % 3))).toLong)
+    }
+    val df = rows.toDF("g", "v").repartition(11)
+    val k = Sketch.exactRegimeK(df, "g", col("v"), minK = 4096)
+    assert(k >= 16384 && (k & (k - 1)) == 0, s"k=$k")
+    val est = Sketch.groupDistinct(df, "g", col("v"), k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = df.groupBy("g").agg(countDistinct(col("v")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == truth, s"sized-k sketch left the exact regime: $est")
+    // minK floor holds for small data; empty input degrades to minK
+    val tiny = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    assert(Sketch.exactRegimeK(tiny, "g", col("v"), minK = 1024) == 1024)
+    assert(Sketch.exactRegimeK(tiny.filter(col("v") < 0), "g", col("v"),
+      minK = 1024) == 1024)
+    // a group too large even for the 2^22 cap must FAIL actionably,
+    // not silently hand back estimates (synthesized via range, cheap)
+    val big = spark.range(0, (1L << 22), 1, 8)
+      .select(lit("g").as("g"), col("id").as("v"))
+    val e = intercept[IllegalArgumentException](
+      Sketch.exactRegimeK(big, "g", col("v")))
+    assert(e.getMessage.contains("explicit k"))
+  }
+
   test("sketch algebra edge cases: disjoint sets, identical sets, " +
     "empty groups, and k-mismatch unions") {
     val df = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L), ("b", 12L))
