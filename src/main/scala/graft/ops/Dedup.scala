@@ -607,6 +607,16 @@ object Dedup {
     // stored-sh mode persists the shingle-hash sets in the index; the
     // reread and estimator modes keep the index signature-only
     val storeSh = exactVerify && rereadFrom.isEmpty
+    if (storeSh)
+      // the one deliberately corpus-scale-footprint structure in the
+      // library — make the default's cost impossible to take silently
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"incrementalMinhashDedup($indexPath): stored-shingle mode " +
+          "persists every kept doc's shingle-hash set — the index grows " +
+          "WITH THE CORPUS (roughly token-count longs), not with the " +
+          "signature count. At corpus scale pass rereadFrom=<kept corpus> " +
+          "(identical decisions, numHashes longs/doc index) or " +
+          "exactVerify=false (estimator decisions, same compact index).")
     def shSet(text: Column): Column =
       sort_array(array_distinct(transform(shingles(text, n),
         s => xxhash64(s, lit(0)))))

@@ -45,11 +45,17 @@ object PlanAudit {
     val nodes = flatten(plan)
     val findings = scala.collection.mutable.ArrayBuffer.empty[Finding]
     nodes.foreach {
-      // a loop join against a PROVABLY single-row side (a grouping-less
-      // aggregate — the broadcast-stats crossJoin idiom) is linear, not
-      // quadratic: exempt
+      // two loop-join exemptions, both shape-provable:
+      //   - one side is PROVABLY single-row (a grouping-less aggregate —
+      //     the broadcast-stats crossJoin idiom): linear, not quadratic;
+      //   - BOTH sides are group tables (grouped aggregates): the loop
+      //     is G x G over group counts, not row counts — the sketch
+      //     overlap-matrix idiom, where the all-pairs is over corpus
+      //     SLICES and deliberately bounded. A row-level side (a scan,
+      //     or anything row-multiplying) on either end still flags.
       case c: CartesianProductExec
-          if !singleRowBounded(c.left) && !singleRowBounded(c.right) =>
+          if !singleRowBounded(c.left) && !singleRowBounded(c.right) &&
+            !(groupTableBounded(c.left) && groupTableBounded(c.right)) =>
         findings += Finding("CARTESIAN", c.nodeName,
           "CartesianProduct visits |left| x |right| row pairs; add a " +
             "join key, or bin a range condition (RangeJoin / " +
@@ -58,7 +64,7 @@ object PlanAudit {
           if !singleRowBounded(b.buildSide match {
             case BuildLeft => b.left
             case BuildRight => b.right
-          }) =>
+          }) && !(groupTableBounded(b.left) && groupTableBounded(b.right)) =>
         findings += Finding("NESTED_LOOP", b.nodeName,
           s"BroadcastNestedLoopJoin (${b.joinType}) scans the streamed " +
             "side once per broadcast row batch with no hash lookup; " +
@@ -97,6 +103,23 @@ object PlanAudit {
     case q: QueryStageExec => singleRowBounded(q.plan)
     case _: GenerateExec | _: ExpandExec => false
     case u: UnaryExecNode => singleRowBounded(u.child)
+    case _ => false
+  }
+
+  /** True when the subtree provably emits one row PER GROUP of some
+    * aggregation: a walk down row-preserving unary operators reaching
+    * an aggregate (grouped or not). The walk refuses row-MULTIPLYING
+    * nodes (GenerateExec / ExpandExec) above the aggregate, so "group
+    * table" really means at-most-|groups| rows. Used to exempt loop
+    * joins whose BOTH sides are group tables — a G x G pair enumeration
+    * over slices, not a row-level quadratic. */
+  private def groupTableBounded(p: SparkPlan): Boolean = p match {
+    case _: HashAggregateExec | _: SortAggregateExec |
+         _: ObjectHashAggregateExec => true
+    case a: AdaptiveSparkPlanExec => groupTableBounded(a.executedPlan)
+    case q: QueryStageExec => groupTableBounded(q.plan)
+    case _: GenerateExec | _: ExpandExec => false
+    case u: UnaryExecNode => groupTableBounded(u.child)
     case _ => false
   }
 

@@ -59,6 +59,26 @@ class PlanAuditSpec extends AnyFunSuite {
       .exists(Set("CARTESIAN", "NESTED_LOOP")))
   }
 
+  test("group-table loop exemption: the sketch overlap matrix audits " +
+    "clean, a row-level BNLJ still flags") {
+    // both sides grouped aggregates -> G x G over slices: exempt
+    val ev = (0 until 200).map(i => (s"t${i % 4}", (i % 37).toLong))
+      .toDF("g", "v")
+    val m = graft.ops.Sketch.overlapMatrix(ev, "g", col("v"), k = 64)
+    assert(!kinds(m).exists(Set("CARTESIAN", "NESTED_LOOP")),
+      PlanAudit.audit(m).toString)
+    // one row-level side (a plain scan) -> still a quadratic hazard
+    val groupTab = ev.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    assert(kinds(a.join(groupTab, col("id") < col("c")))
+      .contains("NESTED_LOOP"))
+    // a grouped aggregate fanned back out by explode is row-level again
+    val fanned = ev.groupBy(col("g"))
+      .agg(collect_list(col("v")).as("vs"))
+      .select(col("g"), explode(col("vs")).as("v"))
+    assert(kinds(fanned.join(fanned.withColumnRenamed("g", "g2"),
+      col("g") < col("g2"))).contains("NESTED_LOOP"))
+  }
+
   test("the engine's own flagship plans audit clean") {
     val sf = "/root/testdata/sf0.001"
     Seq("q_join_stars", "q_agg_pricing", "q_doc_bm25_index",

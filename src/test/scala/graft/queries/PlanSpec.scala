@@ -503,4 +503,51 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(4000))
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
+
+  test("q_sketch_audience: sketches partial-aggregate MAP-SIDE before " +
+    "the exchange; the G x G pair join audits clean") {
+    val p = plan("q_sketch_audience")
+    // TypedImperativeAggregate plans as ObjectHashAggregate pairs:
+    // partial_kmv_sketch below each Exchange, final above — only 32 KiB
+    // blobs per group ever cross the wire, never raw keys
+    assert(p.contains("partial_kmv_sketch"), p.take(4000))
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(4000))
+    // the deliberate group-table pair enumeration is exempt in the
+    // audit (both sides grouped aggregates), not merely tolerated
+    val fs = graft.plans.PlanAudit
+      .audit(graft.SparkEntry.queries("q_sketch_audience")(spark, sf))
+      .filter(f => f.kind == "NESTED_LOOP" || f.kind == "CARTESIAN")
+    assert(fs.isEmpty, fs.toString)
+  }
+
+  test("q_events_zorder: InterleaveBits runs inside WholeStageCodegen " +
+    "and the top-100 cut plans as TakeOrderedAndProject") {
+    val p = plan("q_events_zorder")
+    assert(p.contains("interleave_bits"), p.take(4000))
+    // the Morton Project is starred (codegen'd) — a doGenCode
+    // regression would drop it out of the WholeStageCodegen span
+    assert(p.contains("* Project"), p.take(4000))
+    assert("""Project \[codegen id : \d+\]""".r.findFirstIn(p).isDefined,
+      p.take(4000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(4000))
+    assert(!p.contains("Exchange"), p.take(4000)) // no shuffle at all
+  }
+
+  test("q_events_skipscan: the scan's file list is the manifest's kept " +
+    "set — strictly fewer files than the z-ordered table holds") {
+    val df = graft.SparkEntry.queries("q_events_skipscan")(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles
+    }
+    assert(scans.nonEmpty)
+    val files = scans.flatten.filter(_.contains("part-"))
+    val dirs = files.map(_.replaceAll("/[^/]+$", "")).distinct
+    assert(dirs.size == 1, dirs.toString)
+    val total = new java.io.File(dirs.head.stripPrefix("file:"))
+      .listFiles().count(f => f.getName.startsWith("part-"))
+    assert(total == 16, s"layout should hold 16 files, saw $total")
+    assert(files.length < total,
+      s"scan reads ${files.length} of $total files — no pruning")
+  }
 }
