@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Dsir, Multimodal, Profile, Retrieval, Similarity, Sketch, Text}
+import graft.ops.{Dedup, Dsir, Multimodal, Profile, Quantile, Retrieval, Similarity, Sketch, Text}
 
 /** The training-data pipeline operators (dedup / similarity / multimodal /
   * text analysis) exposed as driver-verifiable queries over the documents
@@ -685,6 +685,53 @@ object TrainingData {
         s.read.parquet(s"$tmp/sketches"))
         .withColumnRenamed("g_a", "type_a")
         .withColumnRenamed("g_b", "type_b")
+    }),
+
+    // KLL/MRL quantile sketch: per-event-type value DISTRIBUTIONS from
+    // one scan, 8 KiB-ish blobs merged map-side — the per-slice
+    // latency/length audit every 100 TB pipeline needs without a
+    // per-slice global sort. k is sized from the data
+    // (Quantile.exactRegimeK, count-based) so the inverted-CDF
+    // discrete quantiles are EXACT elements of the input and the
+    // oracle compares doubles bit-for-bit at any sf
+    "q_sketch_quantiles" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("value").cast("double").as("value"))
+        .filter(col("event_type").isNotNull)
+      val k = Quantile.exactRegimeK(ev, "event_type", col("value"),
+        minK = 4096)
+      Quantile.groupQuantiles(ev, "event_type", col("value"),
+        Seq(0.25, 0.5, 0.75, 0.95), k)
+        .orderBy(col("event_type"))
+    }),
+
+    // STREAMING quantile maintenance: events flow through the
+    // persisted per-group KLL sink (checkpoint = at-most-once, the
+    // span-dedup contract), and the drained table serves the SAME
+    // quantile probe — one shared oracle with the batch query; the
+    // exact-regime fold bit-identity is pinned by QuantileSpec
+    "q_stream_quantiles" -> ((s, dir) => {
+      val batchEv = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("value").cast("double").as("value"))
+        .filter(col("event_type").isNotNull)
+      val k = Quantile.exactRegimeK(batchEv, "event_type", col("value"),
+        minK = 4096)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val evStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("event_type"), col("value").cast("double").as("value"))
+        .filter(col("event_type").isNotNull)
+      val tmp = scratchDir("graft-kllstream-")
+      val q = graft.streaming.Monitor.quantileSketchSink(evStream,
+        s"$tmp/sketches", s"$tmp/ckpt", "event_type", col("value"), k)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$tmp/sketches")
+        .select(col("g").as("event_type"),
+          Quantile.kllQuantile(col("sk"), 0.25).as("p25"),
+          Quantile.kllQuantile(col("sk"), 0.5).as("p50"),
+          Quantile.kllQuantile(col("sk"), 0.75).as("p75"),
+          Quantile.kllQuantile(col("sk"), 0.95).as("p95"))
+        .orderBy(col("event_type"))
     }),
 
     // one order up: trigram stupid backoff with the recursive
@@ -1553,6 +1600,32 @@ object TrainingData {
         |LEFT JOIN inter i
         |  ON i.ta = ca.event_type AND i.tb = cb.event_type
         |ORDER BY type_a, type_b""".stripMargin
+
+  /** Shared by q_sketch_quantiles (batch aggregate) and
+    * q_stream_quantiles (the persisted KLL sink drained under
+    * AvailableNow — exact-regime fold is bit-identical, so one
+    * oracle). The quantile definition is the engine's inverted-CDF
+    * discrete quantile: the element at rank max(1, ceil(q*n)) of the
+    * sorted non-null values — spelled out with row_number instead of
+    * quantile_disc so the rank arithmetic (IEEE double q*n on both
+    * sides) is pinned, not DuckDB's interpolation policy. */
+  private lazy val sketchQuantilesOracleSql: String = {
+    val cols = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75",
+      0.95 -> "p95").map { case (q, name) =>
+      s"""  max(CASE WHEN rn = greatest(1, CAST(ceil($q * n) AS BIGINT))
+         |    THEN value END) AS $name""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ranked AS (
+       |  SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY value)
+       |      AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events
+       |  WHERE value IS NOT NULL AND event_type IS NOT NULL)
+       |SELECT event_type,
+       |$cols
+       |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
 
   /** Shared by q_doc_gate_funnel (batch) and q_stream_gate_funnel
     * (the same chain as a complete-mode streaming aggregation). */
@@ -3311,6 +3384,14 @@ object TrainingData {
 
     // streamed complete-mode drain == the batch attribution
     "q_stream_gate_funnel" -> gateFunnelOracleSql,
+
+    // quantile-sketch exact-regime contract: with every group's count
+    // at or below k, the KLL quantiles ARE the discrete quantiles
+    "q_sketch_quantiles" -> sketchQuantilesOracleSql,
+
+    // streamed sink drain == the batch aggregate (exact-regime fold
+    // bit-identity)
+    "q_stream_quantiles" -> sketchQuantilesOracleSql,
 
     // sketch exact-regime contract: with every group's distinct count
     // under k, the KMV estimate/union/intersection ARE the true counts

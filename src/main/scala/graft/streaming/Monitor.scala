@@ -433,6 +433,34 @@ object Monitor {
       }
       .start()
 
+  /** Stream a corpus into the persisted per-group QUANTILE sketch table
+    * ([[graft.ops.Quantile.incrementalQuantileSketch]]): each
+    * micro-batch's per-group KLL sketches fold into the `(g, sk)`
+    * parquet at `indexPath`; per-slice latency/value distributions stay
+    * queryable mid-stream via [[graft.ops.Quantile.kllQuantile]] over
+    * the table.
+    *
+    * Delivery contract: values are a MULTISET, so the fold is NOT
+    * idempotent on re-delivered content (a replayed batch doubles its
+    * weight) — the streaming checkpoint is the at-most-once mechanism,
+    * exactly the [[spanDedupSink]] contract: resume from the
+    * checkpoint or reset both the checkpoint and the table. Within
+    * that contract the fold is order-free, and in the exact regime
+    * (group count <= k) the drained table is bit-identical to the
+    * one-shot [[graft.ops.Quantile.kllAgg]] (QuantileSpec pins it). */
+  def quantileSketchSink(docs: DataFrame, indexPath: String,
+                         checkpointDir: String, groupCol: String,
+                         value: org.apache.spark.sql.Column,
+                         k: Int = 4096): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Quantile.incrementalQuantileSketch(batch, indexPath,
+          groupCol, value, k)
+        ()
+      }
+      .start()
+
   /** Stream a corpus through the persisted priority-sampling reservoir
     * ([[graft.ops.Sampling.incrementalPrioritySample]]): each micro-batch
     * folds into the (n+1)-row parquet at `indexPath`, and after the

@@ -526,6 +526,40 @@ class MonitorSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/stats").count() == 2L)
   }
 
+  test("quantile-sketch sink: a drained two-batch ingest is " +
+    "bit-identical to the one-shot aggregate (exact regime); a " +
+    "resumed checkpoint folds only the new batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("graft-kllsink-")
+    val in = s"$root/in"; val idx = s"$root/sk"
+    def write(rows: Seq[(String, Double)]): Unit =
+      rows.toDF("g", "v").coalesce(1).write.mode("append").parquet(in)
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("v", DoubleType)))
+    def drain(): Unit = {
+      val q = Monitor.quantileSketchSink(
+        spark.readStream.schema(schema).parquet(in), idx, s"$root/cp",
+        "g", col("v"), k = 64)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val rnd = new scala.util.Random(41)
+    val b1 = (0 until 30).map(i => (s"g${i % 2}", rnd.nextDouble() * 9))
+    val b2 = (0 until 25).map(i => (s"g${i % 2}", rnd.nextDouble() * 9))
+    write(b1); drain()
+    write(b2); drain() // resumed checkpoint: only batch 2 folds
+    val got = spark.read.parquet(idx).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    val want = (b1 ++ b2).toDF("g", "v")
+      .groupBy(col("g").cast("string").as("g"))
+      .agg(graft.ops.Quantile.kllAgg(col("v"), 64).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    assert(got.keySet == want.keySet)
+    for ((g, blob) <- want)
+      assert(java.util.Arrays.equals(got(g), blob), s"group $g")
+  }
+
   test("priority-sample sink: state is the (n+1)-row reservoir file; a " +
     "fresh checkpoint replaying everything moves no decision") {
     import spark.implicits._
