@@ -59,8 +59,16 @@ class Database(val spark: SparkSession, val calcDir: String,
     * mutators fail fast with the holder's identity instead of corrupting
     * the store. A crashed holder leaves a stale lock: remove `lockPath`
     * manually after confirming the writer is gone (recovery of a crashed
-    * SWAP itself is automatic via [[recover]]). */
+    * SWAP itself is automatic via [[recover]]).
+    *
+    * Reentrant WITHIN one Database handle (not across handles or
+    * threads): [[graft.core.Study]] holds the lock across its whole
+    * disk-backed mutation pipeline — counter read, rehash, append —
+    * so the nested per-operation acquisitions inside must pass through
+    * instead of self-deadlocking. Cross-process and cross-handle
+    * exclusion still rides the lock FILE. */
   def withWriteLock[A](f: => A): A = {
+    if (holdsLock) return f
     val info = s"pid=${ProcessHandle.current().pid()} " +
       s"acquired=${java.time.Instant.now()}"
     if (!Fs.createExclusive(lockPath, info)) {
@@ -71,8 +79,11 @@ class Database(val spark: SparkSession, val calcDir: String,
           "the store is single-writer. If that process crashed, delete " +
           s"$lockPath and re-run.")
     }
-    try f finally Fs.delete(lockPath)
+    holdsLock = true
+    try f finally { holdsLock = false; Fs.delete(lockPath) }
   }
+
+  @volatile private var holdsLock = false
 
   /** Swap a fully-written replacement directory into place. Never
     * delete-then-rename on the live path: the previous state is parked at
@@ -119,10 +130,147 @@ class Database(val spark: SparkSession, val calcDir: String,
       case Some(df) => Database.existingAmong(df, colName, values)
     }
 
-  /** Append new rows (one run) as a new `_run_id` partition. */
+  /** Append new rows (one run) as a new `_run_id` partition. When the
+    * opt-in skip manifest exists ([[optimizeLayout]] /
+    * [[rebuildSkipManifest]]), the new files' stats are appended
+    * incrementally — one scan of the NEW files only, never the db. */
   def append(df: DataFrame): Unit = withWriteLock {
     df.write.mode("append").partitionBy("_run_id").parquet(dbPath)
+    updateSkipManifestUnlocked()
   }
+
+  // ---------------------------------------------------------------- //
+  // physical layout: clustering + file-level skip manifest
+  // ---------------------------------------------------------------- //
+
+  /** The db's file-level skip manifest (`_graft_skip` inside the db
+    * dir, so crash-swap parking moves data and manifest atomically):
+    * one row per data file with min/max of `xxhash64(_pset_id)`. With
+    * the db clustered on that hash ([[optimizeLayout]]), a point
+    * lookup ([[lookup]] / [[extractRow]]) prunes to the one file whose
+    * hash range covers the probe — the reference's `_pset_id` row
+    * extraction (ref psweep.py:798-831) served as a manifest-prunable
+    * scan instead of a full pass, which is exactly what it must be at
+    * 100 TB. Underscore-prefixed, so plain readers and [[read]] never
+    * see it. */
+  private val manifestDir: String = s"$dbPath/_graft_skip"
+
+  private def normalizePath(p: String): String =
+    p.replaceFirst("^file:/+", "/")
+
+  def hasSkipManifest: Boolean = { recover(); Fs.exists(manifestDir) }
+
+  private def fileStats(src: DataFrame): DataFrame =
+    src.select(
+        regexp_replace(input_file_name(), "^file:/+", "/").as("file"),
+        xxhash64(col("_pset_id")).as("__h"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("rows"),
+        min(col("__h")).as("pid_hmin"), max(col("__h")).as("pid_hmax"))
+
+  /** Full manifest rebuild: one column-pruned scan of the db. */
+  def rebuildSkipManifest(): Unit = withWriteLock {
+    require(exists, s"no database at $dbPath")
+    rebuildSkipManifestUnlocked()
+  }
+
+  private def rebuildSkipManifestUnlocked(): Unit = {
+    val tmp = s"$dbPath/_graft_skip_tmp"
+    Fs.delete(tmp)
+    fileStats(read()).coalesce(1).write.mode("overwrite").parquet(tmp)
+    Fs.delete(manifestDir)
+    Fs.rename(tmp, manifestDir)
+  }
+
+  /** Incremental maintenance: stat only files absent from the
+    * manifest (an append's new partition). No-op while the manifest
+    * does not exist — the layout machinery is opt-in. */
+  private def updateSkipManifestUnlocked(): Unit = {
+    if (!Fs.exists(manifestDir)) return
+    val known = spark.read.parquet(manifestDir).select(col("file"))
+      .collect().map(r => normalizePath(r.getString(0))).toSet
+    val fresh = read().inputFiles.map(normalizePath).filterNot(known)
+    if (fresh.isEmpty) return
+    val src = spark.read.option("basePath", dbPath)
+      .option("mergeSchema", "true").parquet(fresh.toIndexedSeq: _*)
+    fileStats(src).coalesce(1).write.mode("append").parquet(manifestDir)
+  }
+
+  /** Opt-in clustered rewrite of the whole db into ~`numFiles` files,
+    * plus a fresh skip manifest. Default clustering key is
+    * `xxhash64(_pset_id)` — each file covers a narrow hash range, so
+    * a point lookup touches ONE file per run. Pass numeric `zCols` to
+    * Z-order instead (multi-column box locality, [[graft.ops.Layout]]),
+    * trading point-lookup pruning for range pruning. One range shuffle
+    * (a global sort's cost), paid once at layout time — the
+    * `OPTIMIZE`/`ZORDER` maintenance action of a lakehouse table,
+    * expressed on the plain-parquet db. Values, schema, and the
+    * `_run_id` partitioning are unchanged (DatabaseSpec pins it). */
+  def optimizeLayout(numFiles: Int, zCols: Seq[String] = Seq.empty,
+                     bits: Int = 12): Unit = {
+    require(numFiles >= 1, "numFiles must be positive")
+    if (!exists) return
+    val df = read()
+    val key: Column =
+      if (zCols.isEmpty) xxhash64(col("_pset_id"))
+      else if (zCols.size == 1) col(zCols.head).cast("long")
+      else {
+        val r = df.select(zCols.flatMap(c =>
+          Seq(min(col(c).cast("long")), max(col(c).cast("long")))): _*)
+          .head()
+        val grids = zCols.zipWithIndex.map { case (c, i) =>
+          graft.ops.Layout.gridCoord(col(c).cast("long"),
+            r.getLong(2 * i), r.getLong(2 * i + 1), bits)
+        }
+        graft.ops.Layout.zValue(grids, bits)
+      }
+    val clustered = df.withColumn("__graft_ck", key)
+      .repartitionByRange(numFiles, col("_run_id"), col("__graft_ck"))
+      .sortWithinPartitions(col("_run_id"), col("__graft_ck"))
+      .drop("__graft_ck")
+    withWriteLock {
+      val tmp = s"$dbPath.__layout_tmp"
+      Fs.delete(tmp)
+      clustered.write.mode("overwrite").partitionBy("_run_id").parquet(tmp)
+      swapIn(tmp)
+      rebuildSkipManifestUnlocked()
+    }
+  }
+
+  /** Point lookup by `_pset_id`, served through the skip manifest when
+    * present: keep files whose hash range covers the probe, PLUS any
+    * file the manifest does not know (a crash window between a data
+    * append and its manifest rows must degrade pruning, never
+    * correctness), re-apply the exact predicate. Falls back to a full
+    * filter scan with no manifest — pruning is an optimization, never
+    * a filter. */
+  def lookup(psetId: String): DataFrame = {
+    recover()
+    val probe = col("_pset_id") === psetId
+    if (!Fs.exists(manifestDir)) return read().filter(probe)
+    val m = spark.read.parquet(manifestDir)
+      .select(col("file"), col("pid_hmin"), col("pid_hmax")).collect()
+    val h = spark.range(1).select(xxhash64(lit(psetId)))
+      .head().getLong(0)
+    val kept = m.filter(r => !r.isNullAt(1) &&
+      r.getLong(1) <= h && h <= r.getLong(2)).map(r => r.getString(0))
+    val known = m.map(r => normalizePath(r.getString(0))).toSet
+    val unknown = read().inputFiles.map(normalizePath).filterNot(known)
+    val files = (kept.map(normalizePath) ++ unknown).distinct
+    if (files.isEmpty) read().filter(probe).limit(0)
+    else spark.read.option("basePath", dbPath)
+      .option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
+      .filter(probe)
+  }
+
+  /** Manifest-served variants of the point extractors (the static
+    * [[Database.extractRow]]/[[Database.extractPset]] operate on an
+    * arbitrary frame and cannot prune). */
+  def extractRow(psetId: String): Row =
+    Database.extractRow(lookup(psetId), psetId)
+
+  def extractPset(psetId: String): Map[String, Any] =
+    Database.extractPset(lookup(psetId), psetId)
 
   /** Distributed rewrite recomputing `_pset_hash` over the grown pset
     * column set — triggered only when the pset schema actually grows,
@@ -139,10 +287,13 @@ class Database(val spark: SparkSession, val calcDir: String,
     }
     val rehashed = df.withColumn("_pset_hash", PsetHash.expr(df.columns.toSeq))
     withWriteLock {
+      val hadManifest = Fs.exists(manifestDir)
       val tmp = s"$dbPath.__rewrite_tmp"
       Fs.delete(tmp)
       rehashed.write.mode("overwrite").partitionBy("_run_id").parquet(tmp)
       swapIn(tmp)
+      // the rewrite produced fresh files; a kept manifest must follow
+      if (hadManifest) rebuildSkipManifestUnlocked()
     }
   }
 
@@ -159,6 +310,10 @@ class Database(val spark: SparkSession, val calcDir: String,
     val dst = s"$calcDir.bak_${stamp}_run_id_$lastRun"
     require(!Fs.exists(dst), s"backup destination exists: $dst")
     Fs.copyDir(calcDir, dst)
+    // the backup may have been taken under the run pipeline's live
+    // write lock — a copied lock file would block writes on a restored
+    // backup with a stale-holder message; drop it from the copy
+    Fs.delete(s"$dst/$basename.__lock")
     Some(dst)
   }
 
@@ -287,10 +442,12 @@ class Database(val spark: SparkSession, val calcDir: String,
     val n = if (numPartitions > 0) numPartitions else math.max(1, runs)
     val df = read().repartition(n, col("_run_id"))
     withWriteLock {
+      val hadManifest = Fs.exists(manifestDir)
       val tmp = s"$dbPath.__compact_tmp"
       Fs.delete(tmp)
       df.write.mode("overwrite").partitionBy("_run_id").parquet(tmp)
       swapIn(tmp)
+      if (hadManifest) rebuildSkipManifestUnlocked()
     }
   }
 

@@ -113,9 +113,21 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
     }
     if (cfg.git) Git.enter(cfg.calcDir)
     val db = database
+    val effBase = baseDf.filter(_.columns.nonEmpty)
     val out =
-      try runInner(func, params, db, baseDf.filter(_.columns.nonEmpty))
-      finally if (cfg.git) Git.exit(cfg.calcDir)
+      try {
+        if (cfg.save && effBase.isEmpty)
+          // hold the single-writer lock across the WHOLE disk-backed
+          // mutation pipeline, not just the final append: two
+          // concurrent runs would otherwise both read max(_run_seq),
+          // both dedup against the pre-append base, and commit
+          // duplicate sequence numbers / psets — now the second
+          // fails fast at start (the nested rehash/append
+          // acquisitions pass through, withWriteLock is reentrant
+          // per handle)
+          db.withWriteLock(runInner(func, params, db, None))
+        else runInner(func, params, db, effBase)
+      } finally if (cfg.git) Git.exit(cfg.calcDir)
     out
   }
 

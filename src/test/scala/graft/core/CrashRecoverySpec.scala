@@ -70,6 +70,47 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(db.read().count() == 6)
   }
 
+  test("two racing Study.runs: the run pipeline holds the lock end to " +
+    "end — one wins, the other fails fast, db invariants hold") {
+    val calc = tmpDir("graft-race-")
+    // file-based gate: the func closure must stay serializable (local
+    // mode still serializes tasks), so no latch capture
+    val marker = s"$calc/__a_started"
+    val params = Grid.plist("a", Seq(1, 2, 3))
+    // run A: slow func — holds the pipeline lock while executing
+    val a = new Thread(() => {
+      Study(spark, calc).run(p => {
+        Fs.createExclusive(marker, "") // A is inside the locked pipeline
+        Thread.sleep(1500)
+        Map("r_" -> p("a").asInstanceOf[Long] * 2.0)
+      }, params)
+      ()
+    })
+    a.start()
+    while (!Fs.exists(marker)) Thread.sleep(25)
+    // run B starts while A executes: before the pipeline-scoped lock it
+    // would read the SAME max(_run_seq) and commit duplicate sequence
+    // numbers; now it fails fast at start
+    val e = intercept[IllegalStateException](
+      Study(spark, calc).run(
+        p => Map("r_" -> 0.0), Grid.plist("a", Seq(7, 8))))
+    assert(e.getMessage.contains("locked by another writer"))
+    a.join()
+    // A's run committed alone with the F1 invariant set intact
+    val df = Database(spark, calc).read()
+    assert(df.count() == 3)
+    assert(df.select("_run_id").distinct().count() == 1)
+    assert(df.select("_pset_seq").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 1L, 2L))
+    assert(df.select("_run_seq").distinct().head().getLong(0) == 0L)
+    // the lock is released: a follow-up run appends normally
+    Study(spark, calc).run(
+      p => Map("r_" -> 1.0), Grid.plist("a", Seq(9)))
+    val df2 = Database(spark, calc).read()
+    assert(df2.count() == 4)
+    assert(df2.agg(max(col("_run_seq"))).head().getLong(0) == 1L)
+  }
+
   test("compact and rehash release the lock and keep every row") {
     val db = seeded()
     db.append(ValueSchema.toDF(spark, Seq(Map[String, Any]("a" -> 6L)))

@@ -53,6 +53,65 @@ class DatabaseSpec extends AnyFunSuite {
     }
   }
 
+  test("optimizeLayout + skip manifest: a point lookup reads 1 of 16 " +
+    "files; appends maintain the manifest; unmanifested files degrade " +
+    "pruning, never correctness") {
+    val calc = tmpDir("graft-dblayout-")
+    val db = Database(spark, calc)
+    def runDf(runSeq: Int, n: Int) =
+      spark.range(0, n).select(
+        concat(lit(s"p$runSeq-"), col("id")).as("_pset_id"),
+        col("id").as("_pset_seq"),
+        lit(runSeq.toLong).as("_run_seq"),
+        lit(s"run$runSeq").as("_run_id"),
+        (col("id") * 2).cast("double").as("x"))
+    db.append(runDf(0, 4000))
+    assert(!db.hasSkipManifest) // opt-in: nothing until asked
+
+    db.optimizeLayout(numFiles = 16)
+    assert(db.hasSkipManifest)
+    val total = db.read().inputFiles.length
+    assert(total == 16, s"expected 16 files, got $total")
+    val probe = db.lookup("p0-1234")
+    assert(probe.inputFiles.length == 1,
+      s"lookup read ${probe.inputFiles.length} of $total files")
+    assert(db.extractRow("p0-1234").getAs[Double]("x") == 2468.0)
+    assert(db.extractPset("p0-1234") == Map("x" -> 2468.0))
+    // a missing id prunes to zero rows, and uniqueness still asserts
+    intercept[IllegalArgumentException](db.extractRow("p0-9999999"))
+
+    // append with a live manifest: only the NEW files are statted
+    db.append(runDf(1, 500).coalesce(2))
+    val total2 = db.read().inputFiles.length
+    assert(spark.read.parquet(s"${db.dbPath}/_graft_skip").count()
+      == total2.toLong)
+    val probe2 = db.lookup("p1-77")
+    assert(probe2.inputFiles.length <= 3, // run2's 2 wide files + <=1 of run1
+      s"lookup read ${probe2.inputFiles.length} of $total2 files")
+    assert(db.extractRow("p1-77").getAs[Double]("x") == 154.0)
+
+    // crash-window safety: a file the manifest does not know (a data
+    // append that died before its manifest rows) is ALWAYS scanned
+    runDf(2, 10).coalesce(1).write.mode("append")
+      .partitionBy("_run_id").parquet(db.dbPath)
+    assert(db.extractRow("p2-3").getAs[Double]("x") == 6.0)
+
+    // compact keeps (rebuilds) the manifest; compaction destroys hash
+    // clustering, so the contract here is correctness, and a fresh
+    // optimizeLayout restores pruning (<=1 file per run)
+    db.rebuildSkipManifest()
+    db.compact()
+    assert(db.hasSkipManifest)
+    assert(db.extractRow("p0-1234").getAs[Double]("x") == 2468.0)
+    db.optimizeLayout(numFiles = 8)
+    assert(db.lookup("p0-1234").inputFiles.length <= 3, // <=1 per run
+      db.lookup("p0-1234").inputFiles.length.toString)
+
+    // no manifest -> plain full-scan fallback, same answers
+    Fs.delete(s"${db.dbPath}/_graft_skip")
+    assert(db.extractRow("p1-77").getAs[Double]("x") == 154.0)
+  }
+
   test("existingAmong: dedup membership via semi-join (J1)") {
     val (db, _) = mkDb()
     val hashes = db.read().select("_pset_hash").collect().map(_.getString(0))

@@ -706,4 +706,29 @@ class ScaleUpExperiment extends AnyFunSuite {
       "layout scale-up ratio too high")
     ev.unpersist(); evBig.unpersist()
   }
+
+  test("round-10 op (KLL groupQuantiles) scales ~linearly") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow (~1 min): opt in with GRAFT_SCALEUP=1 sbt test")
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // the sketch is fixed-size per group; 10x rows is 10x scan + the
+    // same per-group blob merges — wall-clock should track the scan
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select(col("event_type"), col("value").cast("double").as("value"))
+      .cache()
+    val evBig = (0 until 10).map(_ => ev).reduce(_ unionByName _)
+      .repartition(8).cache()
+    ev.count(); evBig.count()
+    def quant(d: org.apache.spark.sql.DataFrame): Long =
+      Quantile.groupQuantiles(d, "event_type", col("value"),
+        Seq(0.25, 0.5, 0.95), k = 1024).count()
+    val t1q = time(quant(ev))
+    val t10q = time(quant(evBig))
+    println(f"[scaleup] kllQuantiles 1x=$t1q%.1fs 10x=$t10q%.1fs ratio=${t10q / t1q}%.1f")
+    assert(t10q / math.max(t1q, 0.5) < 25,
+      "kll quantile scale-up ratio too high")
+    ev.unpersist(); evBig.unpersist()
+  }
 }
