@@ -365,6 +365,31 @@ object Sketch {
       .orderBy(col("g_a"), col("g_b"))
   }
 
+  /** One-scan per-slice audit: `(group, n_rows, est_distinct,
+    * p<NN>...)` — row count, distinct-`key` estimate (KMV), and
+    * `value` quantiles (KLL) from a SINGLE pass. Both custom
+    * aggregates ride one ObjectHashAggregate (partial-merged
+    * map-side), so the corpus is read once no matter how many audit
+    * columns the table carries — the shape that matters when "once"
+    * means 100 TB. Exact while each group stays under kDistinct
+    * distinct keys / at most kQuant values (size with
+    * [[exactRegimeK]] / [[Quantile.exactRegimeK]]); PlanSpec gates
+    * the single-scan plan. */
+  def sliceProfile(df: DataFrame, groupCol: String, key: Column,
+                   value: Column, qs: Seq[Double],
+                   kDistinct: Int = 4096, kQuant: Int = 4096): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_rows"),
+      kmvAgg(key, kDistinct).as("__kmv"),
+      Quantile.kllAgg(value, kQuant).as("__kll"))
+    agg.select(
+      Seq(col(groupCol), col("n_rows"),
+        round(estimate(col("__kmv"))).cast("long").as("est_distinct")) ++
+      qs.map(q => Quantile.kllQuantile(col("__kll"), q)
+        .as(s"p${math.round(q * 100)}")): _*)
+  }
+
   /** Fold a batch into the persisted per-group sketch table at
     * `indexPath` — one `(g string, sk binary)` row per group, rewritten
     * per batch via the parked-old two-rename swap under a single-writer

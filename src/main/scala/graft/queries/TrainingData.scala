@@ -705,6 +705,33 @@ object TrainingData {
         .orderBy(col("event_type"))
     }),
 
+    // ONE-SCAN slice audit: row count + KMV distinct-user estimate +
+    // KLL value quantiles per event type from a single pass — both
+    // custom aggregates share one ObjectHashAggregate (PlanSpec gates
+    // the single scan). Sizing probes run once, combined, before the
+    // query is built; exact regime on both sketches, so every column
+    // is an exact integer / an exact input element
+    "q_sketch_profile" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          col("user_id").cast("long").as("user_id"),
+          col("value").cast("double").as("value"))
+        .filter(col("event_type").isNotNull)
+      // one combined probe for both k's (count and distinct max)
+      val r = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("c"),
+          approx_count_distinct(col("user_id"), 0.01).as("d"))
+        .agg(max(col("c")), max(col("d"))).head()
+      def pow2(need: Long, minK: Int): Int =
+        math.max(java.lang.Integer.highestOneBit(
+          math.max(need, minK.toLong).toInt - 1) << 1, minK)
+      val kQ = pow2(2L * (if (r.isNullAt(0)) 0L else r.getLong(0)), 4096)
+      val kD = pow2(2L * (if (r.isNullAt(1)) 0L else r.getLong(1)), 4096)
+      Sketch.sliceProfile(ev, "event_type", col("user_id"), col("value"),
+        Seq(0.5, 0.95), kDistinct = kD, kQuant = kQ)
+        .orderBy(col("event_type"))
+    }),
+
     // STREAMING quantile maintenance: events flow through the
     // persisted per-group KLL sink (checkpoint = at-most-once, the
     // span-dedup contract), and the drained table serves the SAME
@@ -3384,6 +3411,33 @@ object TrainingData {
 
     // streamed complete-mode drain == the batch attribution
     "q_stream_gate_funnel" -> gateFunnelOracleSql,
+
+    // one-scan audit: counts, exact-regime distinct, exact-regime
+    // discrete quantiles — the engine computes all three in ONE pass;
+    // the oracle recomputes each naively and joins
+    "q_sketch_profile" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |), agg AS (
+        |  SELECT event_type, COUNT(*) AS n_rows,
+        |    COUNT(DISTINCT user_id) AS est_distinct
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1
+        |), q AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |      THEN value END) AS p50,
+        |    max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+        |      THEN value END) AS p95
+        |  FROM ranked GROUP BY 1
+        |)
+        |SELECT a.event_type, a.n_rows, a.est_distinct, q.p50, q.p95
+        |FROM agg a JOIN q ON a.event_type = q.event_type
+        |ORDER BY a.event_type""".stripMargin,
 
     // quantile-sketch exact-regime contract: with every group's count
     // at or below k, the KLL quantiles ARE the discrete quantiles

@@ -520,6 +520,18 @@ class PlanSpec extends AnyFunSuite {
     assert(fs.isEmpty, fs.toString)
   }
 
+  test("q_sketch_profile: count + KMV + KLL share ONE scan and one " +
+    "partial/final aggregate pair — the single-pass audit shape") {
+    val p = plan("q_sketch_profile")
+    // ONE scan node = 1 tree line + 1 detail block
+    assert("Scan parquet".r.findAllIn(p).length == 2, p.take(4000))
+    assert(p.contains("partial_kmv_sketch") &&
+      p.contains("partial_kll_sketch") && p.contains("partial_count"),
+      p.take(4000))
+    // exactly one partial/final pair: 2 tree nodes + 2 detail blocks
+    assert("ObjectHashAggregate".r.findAllIn(p).length == 4, p.take(4000))
+  }
+
   test("q_events_zorder: InterleaveBits runs inside WholeStageCodegen " +
     "and the top-100 cut plans as TakeOrderedAndProject") {
     val p = plan("q_events_zorder")
