@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Dsir, Multimodal, Profile, Quantile, Retrieval, Similarity, Sketch, Text}
+import graft.ops.{Dedup, Dsir, Freq, Multimodal, Profile, Quantile, Retrieval, Similarity, Sketch, Text}
 
 /** The training-data pipeline operators (dedup / similarity / multimodal /
   * text analysis) exposed as driver-verifiable queries over the documents
@@ -703,6 +703,18 @@ object TrainingData {
       Quantile.groupQuantiles(ev, "event_type", col("value"),
         Seq(0.25, 0.5, 0.75, 0.95), k)
         .orderBy(col("event_type"))
+    }),
+
+    // Misra-Gries heavy hitters: per-source top-10 tokens from ONE
+    // scan — the distribution-head audit (dominant tokens, domains,
+    // hosts per slice) without materializing a (slice, item) count
+    // table. k sized from the data (Freq.exactRegimeK), so counts are
+    // exact and the oracle's naive GROUP BY replay matches bit-for-bit
+    "q_sketch_heavyhitters" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("source"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      val k = Freq.exactRegimeK(toks, "source", col("tok"), minK = 1024)
+      Freq.groupTopItems(toks, "source", col("tok"), n = 10, k)
     }),
 
     // ONE-SCAN slice audit: row count + KMV distinct-user estimate +
@@ -3411,6 +3423,25 @@ object TrainingData {
 
     // streamed complete-mode drain == the batch attribution
     "q_stream_gate_funnel" -> gateFunnelOracleSql,
+
+    // heavy-hitters exact-regime contract: with every source's
+    // distinct token count under k, the MG counters ARE the counts;
+    // the (cnt desc, item) rank cut is deterministic on both sides
+    "q_sketch_heavyhitters" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT source, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, tok, cnt,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY cnt DESC, tok) AS rk
+        |  FROM c
+        |)
+        |SELECT source, tok AS item, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rk <= 10
+        |ORDER BY source, cnt DESC, item""".stripMargin,
 
     // one-scan audit: counts, exact-regime distinct, exact-regime
     // discrete quantiles — the engine computes all three in ONE pass;
