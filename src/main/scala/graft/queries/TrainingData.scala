@@ -717,6 +717,32 @@ object TrainingData {
       Freq.groupTopItems(toks, "source", col("tok"), n = 10, k)
     }),
 
+    // STREAMING heavy-hitter maintenance: documents flow through the
+    // persisted per-source Misra-Gries sink (checkpoint = at-most-once,
+    // the KLL-sink contract), and the drained table serves the SAME
+    // top-10 probe — one shared oracle with the batch query; the
+    // exact-regime fold bit-identity is pinned by FreqSpec
+    "q_stream_heavyhitters" -> ((s, dir) => {
+      val batchToks = docs(s, dir).select(col("source"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      val k = Freq.exactRegimeK(batchToks, "source", col("tok"),
+        minK = 1024)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      val tmp = scratchDir("graft-mgstream-")
+      val q = graft.streaming.Monitor.freqSketchSink(docStream,
+        s"$tmp/sketches", s"$tmp/ckpt", "source", col("tok"), k)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$tmp/sketches")
+        .select(col("g").as("source"),
+          explode(Freq.topItems(col("sk"), 10)).as("__t"))
+        .select(col("source"), col("__t.item").as("item"),
+          col("__t.est").as("cnt"))
+        .orderBy(col("source"), col("cnt").desc, col("item"))
+    }),
+
     // ONE-SCAN slice audit: row count + KMV distinct-user estimate +
     // KLL value quantiles per event type from a single pass — both
     // custom aggregates share one ObjectHashAggregate (PlanSpec gates
@@ -3428,6 +3454,24 @@ object TrainingData {
     // distinct token count under k, the MG counters ARE the counts;
     // the (cnt desc, item) rank cut is deterministic on both sides
     "q_sketch_heavyhitters" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT source, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, tok, cnt,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY cnt DESC, tok) AS rk
+        |  FROM c
+        |)
+        |SELECT source, tok AS item, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rk <= 10
+        |ORDER BY source, cnt DESC, item""".stripMargin,
+
+    // streamed sink drain == the batch top-10 (exact-regime fold
+    // bit-identity); the query map key reuses the batch oracle text
+    "q_stream_heavyhitters" ->
       """WITH t AS (
         |  SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
         |  FROM documents WHERE text IS NOT NULL

@@ -461,6 +461,33 @@ object Monitor {
       }
       .start()
 
+  /** Stream a corpus into the persisted per-group FREQUENT-ITEMS table
+    * ([[graft.ops.Freq.incrementalFreqSketch]]): each micro-batch's
+    * per-group Misra-Gries sketches fold into the `(g, sk)` parquet at
+    * `indexPath`; per-slice distribution heads stay queryable
+    * mid-stream via [[graft.ops.Freq.topItems]] over the table.
+    *
+    * Delivery contract: counts are a MULTISET (the
+    * [[quantileSketchSink]] situation, not the KMV one) — a replayed
+    * batch double-counts, so the streaming checkpoint is the
+    * at-most-once mechanism: resume from the checkpoint or reset both
+    * the checkpoint and the table. Within that contract the fold is
+    * order-free, and in the exact regime (distinct items <= k) the
+    * drained table is bit-identical to the one-shot
+    * [[graft.ops.Freq.mgAgg]] (FreqSpec pins it). */
+  def freqSketchSink(docs: DataFrame, indexPath: String,
+                     checkpointDir: String, groupCol: String,
+                     item: org.apache.spark.sql.Column,
+                     k: Int = 4096): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Freq.incrementalFreqSketch(batch, indexPath,
+          groupCol, item, k)
+        ()
+      }
+      .start()
+
   /** Stream a corpus through the persisted priority-sampling reservoir
     * ([[graft.ops.Sampling.incrementalPrioritySample]]): each micro-batch
     * folds into the (n+1)-row parquet at `indexPath`, and after the

@@ -520,6 +520,16 @@ class PlanSpec extends AnyFunSuite {
     assert(fs.isEmpty, fs.toString)
   }
 
+  test("q_sketch_quantiles / q_sketch_heavyhitters: sketches " +
+    "partial-aggregate map-side before the exchange") {
+    val pq = plan("q_sketch_quantiles")
+    assert(pq.contains("partial_kll_sketch"), pq.take(4000))
+    assert("ObjectHashAggregate".r.findAllIn(pq).length >= 2, pq.take(4000))
+    val ph = plan("q_sketch_heavyhitters")
+    assert(ph.contains("partial_mg_sketch"), ph.take(4000))
+    assert("ObjectHashAggregate".r.findAllIn(ph).length >= 2, ph.take(4000))
+  }
+
   test("q_sketch_profile: count + KMV + KLL share ONE scan and one " +
     "partial/final aggregate pair — the single-pass audit shape") {
     val p = plan("q_sketch_profile")
