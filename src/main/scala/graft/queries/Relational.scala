@@ -504,6 +504,47 @@ object Relational {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // the custom KLL aggregate INSIDE Structured Streaming state: a
+    // windowed complete-mode aggregation whose buffer is the sketch
+    // blob — per (hour, type) value distributions maintained by the
+    // state store, drained and probed like any sketch table. k sized
+    // from the batch view (exact regime), so the oracle's discrete
+    // quantiles match bit-for-bit
+    "q_stream_windowed_quantiles" -> ((s, dir) => {
+      val batch = events(s, dir)
+        .select(col("ts"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .filter(col("value").isNotNull)
+      val maxN = batch
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("c")).agg(max(col("c"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      val k = math.max(java.lang.Integer.highestOneBit(
+        math.max(2L * maxN, 1024L).toInt - 1) << 1, 1024)
+      val (schema, tsCol) = eventsTs(s, dir)
+      val ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(tsCol.as("ts"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .filter(col("value").isNotNull)
+      val name = s"graft_stream_wq_${streamQueryId.incrementAndGet()}"
+      val q = ev
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(graft.ops.Quantile.kllAgg(col("value"), k).as("sk"))
+        .writeStream
+        .outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("window.start").as("window_start"), col("event_type"),
+          graft.ops.Quantile.kllQuantile(col("sk"), 0.5).as("p50"),
+          graft.ops.Quantile.kllQuantile(col("sk"), 0.95).as("p95"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // STREAMING attribution: the batch q_events_attribution replayed as
     // a genuine stream-stream inner join — clicks and purchases arrive
     // as two branches of the events file stream, matched per user inside
@@ -1187,6 +1228,30 @@ object Relational {
         |    AS value_cents
         |FROM events
         |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // streaming state holds the sketch buffer; the drained complete-
+    // mode table serves exact-regime discrete quantiles — rank
+    // arithmetic spelled out as in q_sketch_quantiles
+    "q_stream_windowed_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |      AS window_start,
+        |    event_type, value,
+        |    row_number() OVER (
+        |      PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |        event_type
+        |      ORDER BY value) AS rn,
+        |    count(*) OVER (
+        |      PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |        event_type) AS n
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT window_start, event_type,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |    THEN value END) AS p50,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+        |    THEN value END) AS p95
+        |FROM ranked GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
 
     // the rewritten plan must equal the naive BETWEEN join verbatim
