@@ -46,25 +46,34 @@ object PlanAudit {
     val findings = scala.collection.mutable.ArrayBuffer.empty[Finding]
     nodes.foreach {
       // two loop-join exemptions, both shape-provable:
-      //   - one side is PROVABLY single-row (a grouping-less aggregate —
-      //     the broadcast-stats crossJoin idiom): linear, not quadratic;
-      //   - BOTH sides are group tables (grouped aggregates): the loop
-      //     is G x G over group counts, not row counts — the sketch
-      //     overlap-matrix idiom, where the all-pairs is over corpus
-      //     SLICES and deliberately bounded. A row-level side (a scan,
-      //     or anything row-multiplying) on either end still flags.
+      //   - one side is PROVABLY a-few-rows ([[staticBound]] <= 3: a
+      //     grouping-less aggregate, a tiny limit/literal, or a cross
+      //     of such — the broadcast-stats idiom, including the nested
+      //     stats-cross-stats builds the LM queries plan): cost is
+      //     linear, not quadratic;
+      //   - BOTH sides are group tables (grouped aggregates, or joins
+      //     of group tables with statically-bounded relations): the
+      //     loop is G x G over group counts, not row counts — the
+      //     sketch overlap-matrix / domain-grid idioms, where the
+      //     all-pairs is over corpus SLICES and deliberately bounded.
+      //     A row-level side (a scan, or anything row-multiplying) on
+      //     either end still flags.
       case c: CartesianProductExec
-          if !singleRowBounded(c.left) && !singleRowBounded(c.right) &&
+          if !Seq(c.left, c.right).exists(singleRowBounded) &&
             !(groupTableBounded(c.left) && groupTableBounded(c.right)) =>
         findings += Finding("CARTESIAN", c.nodeName,
           "CartesianProduct visits |left| x |right| row pairs; add a " +
             "join key, or bin a range condition (RangeJoin / " +
             "IntervalJoinRewrite)")
       case b: BroadcastNestedLoopJoinExec
-          if !singleRowBounded(b.buildSide match {
-            case BuildLeft => b.left
-            case BuildRight => b.right
-          }) && !(groupTableBounded(b.left) && groupTableBounded(b.right)) =>
+          if {
+            val build = b.buildSide match {
+              case BuildLeft => b.left
+              case BuildRight => b.right
+            }
+            !singleRowBounded(build) &&
+              !(groupTableBounded(b.left) && groupTableBounded(b.right))
+          } =>
         findings += Finding("NESTED_LOOP", b.nodeName,
           s"BroadcastNestedLoopJoin (${b.joinType}) scans the streamed " +
             "side once per broadcast row batch with no hash lookup; " +
@@ -90,21 +99,47 @@ object PlanAudit {
     findings.toSeq
   }
 
-  /** True when the subtree provably emits at most one row: a walk
-    * down unary operators reaching a grouping-less aggregate. Only
-    * row-PRESERVING (or row-reducing) unary nodes are walked through —
-    * GenerateExec (explode) and ExpandExec (grouping sets) multiply
-    * rows, so an aggregate below one of them bounds nothing. */
-  private def singleRowBounded(p: SparkPlan): Boolean = p match {
-    case h: HashAggregateExec => h.groupingExpressions.isEmpty
-    case s: SortAggregateExec => s.groupingExpressions.isEmpty
-    case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
-    case a: AdaptiveSparkPlanExec => singleRowBounded(a.executedPlan)
-    case q: QueryStageExec => singleRowBounded(q.plan)
-    case _: GenerateExec | _: ExpandExec => false
-    case u: UnaryExecNode => singleRowBounded(u.child)
-    case _ => false
+  /** Static row-count ceiling of a subtree, when the plan itself
+    * proves one: a grouping-less aggregate emits 1; limits/top-k emit
+    * their literal k; a literal local relation emits its known size;
+    * a loop join of two bounded sides emits at most the product (+2
+    * slack for outer-join unmatched singletons); a union sums;
+    * row-preserving unary nodes pass through. Row-MULTIPLYING nodes
+    * (GenerateExec explode, ExpandExec grouping sets) void the bound.
+    * None = unbounded as far as static shape can tell. Compositional,
+    * so the nested stats-cross-stats build sides the library actually
+    * plans (a BNLJ of two single-row aggregates under a broadcast)
+    * prove out without special cases. */
+  private def staticBound(p: SparkPlan): Option[Long] = p match {
+    case h: HashAggregateExec if h.groupingExpressions.isEmpty => Some(1L)
+    case s: SortAggregateExec if s.groupingExpressions.isEmpty => Some(1L)
+    case o: ObjectHashAggregateExec if o.groupingExpressions.isEmpty =>
+      Some(1L)
+    case g: GlobalLimitExec => Some(g.limit.toLong)
+    case t: TakeOrderedAndProjectExec => Some(t.limit.toLong)
+    case c: CollectLimitExec => Some(c.limit.toLong)
+    case l: LocalTableScanExec => Some(l.rows.size.toLong)
+    case a: AdaptiveSparkPlanExec => staticBound(a.executedPlan)
+    case q: QueryStageExec => staticBound(q.plan)
+    case _: GenerateExec | _: ExpandExec => None
+    case j: BroadcastNestedLoopJoinExec =>
+      for (l <- staticBound(j.left); r <- staticBound(j.right))
+        yield l * r + 2 // outer joins add unmatched singletons
+    case j: CartesianProductExec =>
+      for (l <- staticBound(j.left); r <- staticBound(j.right))
+        yield l * r
+    case u: UnionExec =>
+      u.children.foldLeft(Option(0L)) { (acc, c) =>
+        for (a <- acc; b <- staticBound(c)) yield a + b
+      }
+    case u: UnaryExecNode => staticBound(u.child)
+    case _ => None
   }
+
+  /** Provably at-most-a-few rows (grouping-less aggregates, possibly
+    * crossed — the broadcast-stats idiom). */
+  private def singleRowBounded(p: SparkPlan): Boolean =
+    staticBound(p).exists(_ <= 3) // 1x1 loop joins carry the +2 slack
 
   /** True when the subtree provably emits one row PER GROUP of some
     * aggregation: a walk down row-preserving unary operators reaching
@@ -119,6 +154,13 @@ object PlanAudit {
     case a: AdaptiveSparkPlanExec => groupTableBounded(a.executedPlan)
     case q: QueryStageExec => groupTableBounded(q.plan)
     case _: GenerateExec | _: ExpandExec => false
+    // a JOIN of group-table-or-statically-bounded sides stays
+    // group-table-scale (output <= product of two non-row-level
+    // sides) — the domain-grid shape: literal domain list joined to
+    // per-domain totals
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      (groupTableBounded(j.left) || staticBound(j.left).isDefined) &&
+        (groupTableBounded(j.right) || staticBound(j.right).isDefined)
     case u: UnaryExecNode => groupTableBounded(u.child)
     case _ => false
   }

@@ -93,11 +93,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(zScan.select("id").collect().map(_.getLong(0)).toSet == want)
     assert(linScan.select("id").collect().map(_.getLong(0)).toSet == want)
     assert(zTotal == 32 && linTotal == 32)
-    // the linear layout gives y the full domain in every file: the box
-    // on (x, y) prunes only via x (~10% of files); z-order cuts on both
-    assert(zKept < linKept,
-      s"z-order kept $zKept of $zTotal, linear kept $linKept")
     assert(zKept <= 8, s"z-order should prune hard, kept $zKept/32")
+    // z-vs-linear on a y-ONLY box — the deterministic comparison: the
+    // linear (x-sorted) layout gives y the full domain in EVERY file,
+    // so it can prune nothing, while z-order keeps y locality. (The
+    // 2-D box is not used for the comparison: range-partition sampling
+    // is randomly seeded, so boundary luck can let a selective-x box
+    // prune the linear layout well in some runs.)
+    val yBox = Seq(("y", 300L, 399L))
+    val (_, (zKeptY, _)) = Layout.skipScan(spark, zDir, yBox)
+    val (_, (linKeptY, _)) = Layout.skipScan(spark, linDir, yBox)
+    assert(linKeptY == 32,
+      s"linear layout should keep every file on a y-only box: $linKeptY")
+    assert(zKeptY < linKeptY && zKeptY <= 24,
+      s"z-order kept $zKeptY of 32 on a y-only box, linear kept $linKeptY")
     // plain readers never see the manifest
     assert(spark.read.parquet(zDir).columns.toSet ==
       Set("id", "x", "y"))
