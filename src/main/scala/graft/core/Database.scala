@@ -263,6 +263,37 @@ class Database(val spark: SparkSession, val calcDir: String,
       .filter(probe)
   }
 
+  /** Batch form of [[lookup]]: rows for ANY of `psetIds`, pruned to
+    * the union of each probe's manifest-matching files (plus
+    * unmanifested files, same crash-window rule). With a clustered
+    * layout, m probes read ~m files of a million-file table instead
+    * of scanning it m times — the shape of a training-run's "fetch
+    * these specific psets" follow-up at 100 TB. */
+  def lookupAll(psetIds: Seq[String]): DataFrame = {
+    recover()
+    require(psetIds.nonEmpty, "need at least one _pset_id")
+    val probe = col("_pset_id").isin(psetIds: _*)
+    if (!Fs.exists(manifestDir)) return read().filter(probe)
+    val m = spark.read.parquet(manifestDir)
+      .select(col("file"), col("pid_hmin"), col("pid_hmax")).collect()
+    val hs = spark.createDataset(psetIds)(
+        org.apache.spark.sql.Encoders.STRING)
+      .select(xxhash64(col("value"))).collect().map(_.getLong(0))
+    val kept = m.filter { r =>
+      !r.isNullAt(1) && {
+        val lo = r.getLong(1); val hi = r.getLong(2)
+        hs.exists(h => lo <= h && h <= hi)
+      }
+    }.map(r => r.getString(0))
+    val known = m.map(r => normalizePath(r.getString(0))).toSet
+    val unknown = read().inputFiles.map(normalizePath).filterNot(known)
+    val files = (kept.map(normalizePath) ++ unknown).distinct
+    if (files.isEmpty) read().filter(probe).limit(0)
+    else spark.read.option("basePath", dbPath)
+      .option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
+      .filter(probe)
+  }
+
   /** Manifest-served variants of the point extractors (the static
     * [[Database.extractRow]]/[[Database.extractPset]] operate on an
     * arbitrary frame and cannot prune). */

@@ -107,9 +107,18 @@ class DatabaseSpec extends AnyFunSuite {
     assert(db.lookup("p0-1234").inputFiles.length <= 3, // <=1 per run
       db.lookup("p0-1234").inputFiles.length.toString)
 
+    // batch lookup: m probes read ~m files, not m scans
+    val batch = db.lookupAll(Seq("p0-1234", "p0-42", "p1-77"))
+    assert(batch.select("_pset_id").collect().map(_.getString(0)).toSet
+      == Set("p0-1234", "p0-42", "p1-77"))
+    assert(batch.inputFiles.length <= 6, // <= ~2 files per probe
+      batch.inputFiles.length.toString)
+    assert(db.lookupAll(Seq("absent-id")).count() == 0L)
+
     // no manifest -> plain full-scan fallback, same answers
     Fs.delete(s"${db.dbPath}/_graft_skip")
     assert(db.extractRow("p1-77").getAs[Double]("x") == 154.0)
+    assert(db.lookupAll(Seq("p0-1234", "p1-77")).count() == 2L)
   }
 
   test("existingAmong: dedup membership via semi-join (J1)") {
