@@ -390,6 +390,101 @@ object Sketch {
         .as(s"p${math.round(q * 100)}")): _*)
   }
 
+  /** Sizing probe for [[columnProfile]]: ONE pass computing the table
+    * row count and a ~1%-error distinct estimate per profiled column,
+    * then the family's exact-regime rule (double for headroom, round
+    * up to a power of two) applied to both sketch families at once:
+    * `kDistinct` from the max per-column distinct count (KMV cap
+    * 2^22), `kQuant` from the row count (KLL cap 2^21 — quantile
+    * exactness needs the whole multiset retained, not the distinct
+    * set). Throws past either cap with the same opt-into-estimates
+    * message as [[exactRegimeK]] — a data-scale bump must fail loudly,
+    * never silently leave the exact regime consumers pinned. */
+  def profileK(df: DataFrame, cols: Seq[String],
+               minKDistinct: Int = 1024, minKQuant: Int = 1024)
+      : (Int, Int) = {
+    require(cols.nonEmpty, "need at least one column")
+    def pow2(need: Long, minK: Int): Int =
+      math.max(java.lang.Integer.highestOneBit(need.toInt - 1) << 1, minK)
+    val probe = df.agg(count(lit(1)).as("__n"),
+      cols.map(c => approx_count_distinct(col(c), 0.01).as(s"__d_$c")): _*)
+      .head()
+    val n = probe.getLong(0)
+    val maxDistinct = cols.indices.map(i => probe.getLong(i + 1)).max
+    val needD = math.max(minKDistinct.toLong, 2L * maxDistinct)
+    if (needD > (1L << 22)) throw new IllegalArgumentException(
+      s"widest profiled column holds ~$maxDistinct distinct values; an " +
+        s"exact-regime distinct sketch would need k=$needD > 2^22. Pass " +
+        "an explicit kDistinct to accept ~1/sqrt(k-2) relative error.")
+    val needQ = math.max(minKQuant.toLong, 2L * n)
+    if (needQ > (1L << 21)) throw new IllegalArgumentException(
+      s"table holds $n rows; an exact-regime quantile sketch would " +
+        s"need k=$needQ > 2^21 (16 MiB). Pass an explicit kQuant to " +
+        "accept rank estimates with ~levels/k normalized error.")
+    (pow2(needD, minKDistinct), pow2(needQ, minKQuant))
+  }
+
+  /** Whole-table column audit from ONE scan — the profile a 100 TB
+    * pipeline runs before any training job (the Deequ / TFDV
+    * statistics pass): per column, row count, null count, distinct
+    * estimate (KMV), and for the numeric columns min/max and KLL
+    * quantiles. Every per-column aggregate rides a SINGLE
+    * ObjectHashAggregate partial/final pair, so the corpus is read
+    * once no matter how wide the audit — at 100 TB the scan IS the
+    * cost, and it is paid once here where a naive profiler pays it
+    * per column. The single aggregated row is transposed in-plan
+    * (array-of-structs explode over ONE row) into the long-form
+    * `(col_name, n_rows, n_nulls, est_distinct, vmin, vmax, p<NN>..)`
+    * table, so nothing ever collects to the driver.
+    *
+    * Exact regime (size with [[profileK]]): distinct counts are exact
+    * integers while each column's distinct count stays under
+    * `kDistinct`; quantiles are exact input elements (inverted-CDF
+    * discrete, [[Quantile]]) while the row count stays at or below
+    * `kQuant`. Key columns report null min/max/quantiles.
+    *
+    * Reference anchor: the reference's whole-db audit is pandas
+    * `describe` over the collected frame
+    * (/root/reference/src/psweep/psweep.py df passthrough) — this is
+    * the one-scan distributed analog. */
+  def columnProfile(df: DataFrame, keyCols: Seq[String],
+                    numCols: Seq[String], qs: Seq[Double],
+                    kDistinct: Int = 4096, kQuant: Int = 4096)
+      : DataFrame = {
+    val all = keyCols ++ numCols
+    require(all.nonEmpty, "need at least one column")
+    require(all.distinct.size == all.size,
+      s"duplicate profiled column in ${all.mkString(", ")}")
+    require(qs.nonEmpty, "need at least one quantile")
+    val aggs: Seq[Column] =
+      (count(lit(1)).as("__n") +:
+        all.flatMap(c => Seq(
+          count(col(c)).as(s"__nn_$c"),
+          kmvAgg(col(c), kDistinct).as(s"__kmv_$c")))) ++
+      numCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__min_$c"),
+        max(col(c).cast("double")).as(s"__max_$c"),
+        Quantile.kllAgg(col(c).cast("double"), kQuant).as(s"__kll_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val nullD = lit(null).cast("double")
+    val entries = all.map { c =>
+      val isNum = numCols.contains(c)
+      val fields =
+        Seq(lit(c).as("col_name"),
+          col("__n").as("n_rows"),
+          (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+          round(estimate(col(s"__kmv_$c"))).cast("long")
+            .as("est_distinct"),
+          (if (isNum) col(s"__min_$c") else nullD).as("vmin"),
+          (if (isNum) col(s"__max_$c") else nullD).as("vmax")) ++
+        qs.map(q =>
+          (if (isNum) Quantile.kllQuantile(col(s"__kll_$c"), q)
+           else nullD).as(s"p${math.round(q * 100)}"))
+      struct(fields: _*)
+    }
+    one.select(explode(array(entries: _*)).as("__p")).select(col("__p.*"))
+  }
+
   /** Fold a batch into the persisted per-group sketch table at
     * `indexPath` — one `(g string, sk binary)` row per group, rewritten
     * per batch via the parked-old two-rename swap under a single-writer

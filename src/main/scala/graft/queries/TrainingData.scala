@@ -799,6 +799,26 @@ object TrainingData {
         .orderBy(col("event_type"))
     }),
 
+    // ONE-SCAN whole-table column audit (the Deequ/TFDV statistics
+    // pass): per column, row/null counts, KMV distinct, min/max and
+    // KLL quantiles for the numerics — every aggregate in a single
+    // ObjectHashAggregate pair, transposed in-plan over the one
+    // aggregated row. Both k's are sized from the data in one probe
+    // (Sketch.profileK), so every number is an exact integer or an
+    // exact input element at any sf until the documented caps, where
+    // the probe fails loudly instead of silently estimating
+    "q_table_profile" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("long").as("n_chars"),
+        Text.tokenCount(col("text")).cast("long").as("n_toks"))
+      val cols = Seq("doc_id", "lang", "source", "n_chars", "n_toks")
+      val (kD, kQ) = Sketch.profileK(d, cols)
+      Sketch.columnProfile(d, Seq("doc_id", "lang", "source"),
+        Seq("n_chars", "n_toks"), Seq(0.25, 0.5, 0.95), kD, kQ)
+        .orderBy(col("col_name"))
+    }),
+
     // one order up: trigram stupid backoff with the recursive
     // trigram -> bigram -> smoothed-unigram chain (the shape of the
     // 5-gram KenLM CCNet deploys, demonstrated at order 3)
@@ -1690,6 +1710,54 @@ object TrainingData {
        |SELECT event_type,
        |$cols
        |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** q_table_profile: the one-scan column audit replayed naively —
+    * counts and COUNT(DISTINCT) exactly, min/max as doubles, and the
+    * numeric columns' quantiles with the engine's inverted-CDF rank
+    * arithmetic (rank max(1, ceil(q*n)), IEEE double q*n on both
+    * sides) spelled out per column. The engine pays ONE scan for all
+    * of this; the oracle is free to pay one per statistic. */
+  private lazy val tableProfileOracleSql: String = {
+    val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.95 -> "p95")
+    def branch(c: String, isNum: Boolean): String = {
+      val quants = qs.map { case (q, name) =>
+        if (!isNum) s"    CAST(NULL AS DOUBLE) AS $name"
+        else
+          s"""    (SELECT max(CASE WHEN rn = greatest(1,
+             |        CAST(ceil($q * cnt) AS BIGINT)) THEN v END)
+             |     FROM (SELECT CAST($c AS DOUBLE) AS v,
+             |        row_number() OVER (ORDER BY CAST($c AS DOUBLE))
+             |          AS rn,
+             |        count(*) OVER () AS cnt
+             |      FROM d WHERE $c IS NOT NULL)) AS $name""".stripMargin
+      }.mkString(",\n")
+      val mm =
+        if (isNum)
+          s"    CAST(MIN($c) AS DOUBLE) AS vmin,\n" +
+            s"    CAST(MAX($c) AS DOUBLE) AS vmax,"
+        else
+          "    CAST(NULL AS DOUBLE) AS vmin,\n" +
+            "    CAST(NULL AS DOUBLE) AS vmax,"
+      s"""  SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |    COUNT(*) - COUNT($c) AS n_nulls,
+         |    COUNT(DISTINCT $c) AS est_distinct,
+         |$mm
+         |$quants
+         |  FROM d""".stripMargin
+    }
+    val branches = Seq("doc_id" -> false, "lang" -> false,
+      "source" -> false, "n_chars" -> true, "n_toks" -> true)
+      .map { case (c, n) => branch(c, n) }.mkString("\n  UNION ALL\n")
+    val head =
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |      AS n_toks
+        |  FROM documents
+        |)""".stripMargin
+    head + "\n" + branches + "\nORDER BY col_name"
   }
 
   /** Shared by q_doc_gate_funnel (batch) and q_stream_gate_funnel
@@ -3517,6 +3585,8 @@ object TrainingData {
     // quantile-sketch exact-regime contract: with every group's count
     // at or below k, the KLL quantiles ARE the discrete quantiles
     "q_sketch_quantiles" -> sketchQuantilesOracleSql,
+
+    "q_table_profile" -> tableProfileOracleSql,
 
     // streamed sink drain == the batch aggregate (exact-regime fold
     // bit-identity)

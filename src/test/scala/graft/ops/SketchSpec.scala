@@ -193,4 +193,66 @@ class SketchSpec extends AnyFunSuite {
       .head()
     assert(u.getDouble(0) == 4.0 && u.getDouble(1) == 1.0)
   }
+
+  test("columnProfile: one-scan audit matches naive per-column stats; " +
+    "key columns null out the numeric fields; profileK sizes both " +
+    "sketch families and fails loudly past the caps") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 3000).map { i =>
+      val k = s"k${i % 137}"
+      val s: String = if (i % 31 == 0) null else s"s${i % 5}"
+      val v: java.lang.Double =
+        if (i % 41 == 0) null else rnd.nextInt(500).toDouble
+      (k, s, v)
+    }
+    val df = rows.toDF("key", "src", "v").repartition(7)
+
+    val (kD, kQ) = Sketch.profileK(df, Seq("key", "src", "v"))
+    assert(kD >= 2 * 137 && kQ >= 2 * 3000)
+
+    val prof = Sketch.columnProfile(df, Seq("key", "src"), Seq("v"),
+      Seq(0.25, 0.5, 0.95), kD, kQ)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == Set("key", "src", "v"))
+
+    def naive(vals: Seq[Any]): (Long, Long, Long) = (
+      rows.size.toLong,
+      vals.count(_ == null).toLong,
+      vals.filter(_ != null).distinct.size.toLong)
+    for ((c, vals) <- Seq(
+        "key" -> rows.map(_._1: Any),
+        "src" -> rows.map(_._2: Any),
+        "v" -> rows.map(_._3: Any))) {
+      val r = prof(c)
+      val (n, nulls, d) = naive(vals)
+      assert(r.getLong(1) == n && r.getLong(2) == nulls &&
+        r.getLong(3) == d, s"column $c")
+    }
+    // key columns: no numeric stats
+    assert(prof("key").isNullAt(4) && prof("key").isNullAt(6))
+    // numeric column: min/max and exact inverted-CDF quantiles
+    val vs = rows.map(_._3).filter(_ != null).map(_.toDouble).sorted
+    val rv = prof("v")
+    assert(rv.getDouble(4) == vs.head && rv.getDouble(5) == vs.last)
+    def q(p: Double): Double =
+      vs(math.max(1, math.ceil(p * vs.size).toLong).toInt - 1)
+    assert(rv.getDouble(6) == q(0.25) && rv.getDouble(7) == q(0.5) &&
+      rv.getDouble(8) == q(0.95))
+
+    // empty table: zero counts, null extremes/quantiles
+    val empty = Sketch.columnProfile(df.limit(0), Seq("key"), Seq("v"),
+      Seq(0.5), 64, 64).collect().map(r => r.getString(0) -> r).toMap
+    assert(empty("v").getLong(1) == 0L && empty("v").getLong(3) == 0L &&
+      empty("v").isNullAt(4) && empty("v").isNullAt(6))
+
+    // the caps fail loudly instead of silently estimating
+    val big = spark.range(0, 3000000).select((col("id") % 10).as("v"))
+    val eQ = intercept[IllegalArgumentException](
+      Sketch.profileK(big, Seq("v")))
+    assert(eQ.getMessage.contains("kQuant"))
+    val wide = spark.range(0, 3000000).toDF("v")
+    val eD = intercept[IllegalArgumentException](
+      Sketch.profileK(wide, Seq("v")))
+    assert(eD.getMessage.contains("kDistinct"))
+  }
 }

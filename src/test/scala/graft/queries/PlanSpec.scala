@@ -542,6 +542,21 @@ class PlanSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).length == 4, p.take(4000))
   }
 
+  test("q_table_profile: the whole-table audit reads the corpus ONCE " +
+    "into a single aggregate pair; the transpose explodes one row") {
+    val p = plan("q_table_profile")
+    // ONE scan node = 1 tree line + 1 detail block
+    assert("Scan parquet".r.findAllIn(p).length == 2, p.take(4000))
+    // all three aggregate families fused into the same pair
+    assert(p.contains("partial_kmv_sketch") &&
+      p.contains("partial_kll_sketch") && p.contains("partial_count"),
+      p.take(4000))
+    assert("ObjectHashAggregate".r.findAllIn(p).length == 4, p.take(4000))
+    // the long-form transpose is an explode over the single aggregated
+    // row, not a collect — Generate sits above the aggregate in-plan
+    assert(p.contains("Generate") && p.contains("explode"), p.take(4000))
+  }
+
   test("q_events_zorder: InterleaveBits runs inside WholeStageCodegen " +
     "and the top-100 cut plans as TakeOrderedAndProject") {
     val p = plan("q_events_zorder")
