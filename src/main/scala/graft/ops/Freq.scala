@@ -250,12 +250,17 @@ object Freq {
                    minK: Int = 1024): Int = {
     require(minK >= 8 && (minK & (minK - 1)) == 0,
       s"minK must be a power of two >= 8, got $minK")
-    val maxDistinct = df.groupBy(col(groupCol))
-      .agg(approx_count_distinct(item, 0.01).as("__d"))
-      .agg(max(col("__d"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
+    // probe served through the stats cache ([[Sketch.exactRegimeK]]'s
+    // rule): repeat sizings of the same derivation are driver lookups
+    val maxDistinct = Stats.cachedLong(df,
+      s"mg_max_group_distinct:$groupCol:$item") {
+      df.groupBy(col(groupCol))
+        .agg(approx_count_distinct(item, 0.01).as("__d"))
+        .agg(max(col("__d"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+    }
     val need = math.max(minK.toLong, 2L * maxDistinct)
     if (need > (1L << 18)) throw new IllegalArgumentException(
       s"largest group of '$groupCol' holds ~$maxDistinct distinct items; " +
@@ -283,14 +288,22 @@ object Freq {
     * `indexPath` (the [[Sketch.incrementalSketch]] lifecycle:
     * null-safe group merge, lock + two-rename swap). Like the KLL
     * fold — and unlike KMV — counts are a MULTISET, so re-delivered
-    * content double-counts: deliver each batch at most once (a
-    * streaming caller's checkpoint is that mechanism). */
+    * content double-counts. Pass `batchId` to make re-delivery a
+    * no-op: applied ids ride the [[IncrementalLedger]] file inside the
+    * swapped directory (ledger and data commit in one rename —
+    * exactly-once folds under at-least-once delivery, the
+    * [[Quantile.incrementalQuantileSketch]] contract). Without ids,
+    * deliver each batch at most once. */
   def incrementalFreqSketch(batch: DataFrame, indexPath: String,
                             groupCol: String, item: Column,
-                            k: Int = 4096): DataFrame = {
+                            k: Int = 4096,
+                            batchId: Option[String] = None): DataFrame = {
     import graft.core.Fs
     val spark = batch.sparkSession
     Dedup.recoverIndex(indexPath)
+    val applied = IncrementalLedger.appliedIds(indexPath)
+    if (batchId.exists(applied.contains))
+      return spark.read.parquet(indexPath)
     val incoming = batch.groupBy(col(groupCol).cast("string").as("g"))
       .agg(mgAgg(item, k).as("sk"))
     val merged =
@@ -313,6 +326,7 @@ object Freq {
       val tmp = s"$indexPath.__compact_tmp"
       Fs.delete(tmp)
       merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+      IncrementalLedger.writeInto(tmp, applied, batchId)
       val old = s"$indexPath.__old"
       Fs.delete(old)
       if (Fs.exists(indexPath)) Fs.rename(indexPath, old)

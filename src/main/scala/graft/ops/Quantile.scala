@@ -284,12 +284,17 @@ object Quantile {
                    minK: Int = 1024): Int = {
     require(minK >= 16 && (minK & (minK - 1)) == 0,
       s"minK must be a power of two >= 16, got $minK")
-    val maxCount = df.filter(value.isNotNull).groupBy(col(groupCol))
-      .agg(count(lit(1)).as("__c"))
-      .agg(max(col("__c"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
+    // probe served through the stats cache ([[Sketch.exactRegimeK]]'s
+    // rule): repeat sizings of the same derivation are driver lookups
+    val maxCount = Stats.cachedLong(df,
+      s"kll_max_group_count:$groupCol:$value") {
+      df.filter(value.isNotNull).groupBy(col(groupCol))
+        .agg(count(lit(1)).as("__c"))
+        .agg(max(col("__c"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+    }
     val need = math.max(minK.toLong, 2L * maxCount)
     if (need > (1L << 21)) throw new IllegalArgumentException(
       s"largest group of '$groupCol' holds $maxCount values; an " +
@@ -299,16 +304,29 @@ object Quantile {
     math.max(java.lang.Integer.highestOneBit(need.toInt - 1) << 1, minK)
   }
 
+  /** Output column names `p<NN>` for the requested quantiles, validated
+    * UP FRONT: two quantiles within 0.5% of each other (0.50 and 0.504)
+    * would silently round to the same name and only error downstream as
+    * an ambiguous column reference — fail loudly here instead. */
+  private[ops] def quantileNames(qs: Seq[Double]): Seq[String] = {
+    require(qs.nonEmpty, "need at least one quantile")
+    val names = qs.map(q => s"p${math.round(q * 100)}")
+    require(names.distinct.size == names.size,
+      s"quantiles ${qs.mkString(", ")} collide after rounding to output " +
+        s"column names ${names.mkString(", ")}; request quantiles that " +
+        "differ by at least 0.005")
+    names
+  }
+
   /** Per-group quantile table: `(group, p<NN> ...)` for each requested
     * q. One scan, sketches merged map-side; exact while each group's
     * count stays at or below k. */
   def groupQuantiles(df: DataFrame, groupCol: String, value: Column,
                      qs: Seq[Double], k: Int = 4096): DataFrame = {
-    require(qs.nonEmpty, "need at least one quantile")
+    val names = quantileNames(qs)
     val sk = df.groupBy(col(groupCol)).agg(kllAgg(value, k).as("__sk"))
-    sk.select(col(groupCol) +: qs.map(q =>
-      kllQuantile(col("__sk"), q)
-        .as(s"p${math.round(q * 100)}")): _*)
+    sk.select(col(groupCol) +: qs.zip(names).map { case (q, n) =>
+      kllQuantile(col("__sk"), q).as(n) }: _*)
   }
 
   /** Fold a batch into the persisted per-group quantile-sketch table
@@ -316,15 +334,30 @@ object Quantile {
     * .incrementalSketch]] lifecycle: null-safe group merge, lock +
     * two-rename swap). UNLIKE the KMV fold this one is NOT idempotent
     * on re-delivered content — values are a multiset, so a replayed
-    * batch doubles its weight. Callers must deliver each batch at
-    * most once; the streaming sink's checkpoint is that mechanism
-    * (the [[graft.streaming.Monitor.spanDedupSink]] contract). */
+    * batch doubles its weight.
+    *
+    * Pass `batchId` to make re-delivery a NO-OP: applied ids ride an
+    * [[IncrementalLedger]] file INSIDE the swapped table directory, so
+    * ledger and data commit in the same atomic rename — a crash at any
+    * point leaves either (old table, old ledger) or (new table, new
+    * ledger), never a half state. With ids the fold is exactly-once
+    * under at-least-once delivery (the streaming sink passes a
+    * checkpoint-lineage-qualified id); withOUT ids the caller must
+    * deliver each batch at most once — a replay of an in-flight batch
+    * after a crash between the sink's table swap and its checkpoint
+    * commit double-counts, and the checkpoint alone cannot prevent
+    * that. */
   def incrementalQuantileSketch(batch: DataFrame, indexPath: String,
                                 groupCol: String, value: Column,
-                                k: Int = 4096): DataFrame = {
+                                k: Int = 4096,
+                                batchId: Option[String] = None)
+      : DataFrame = {
     import graft.core.Fs
     val spark = batch.sparkSession
     Dedup.recoverIndex(indexPath)
+    val applied = IncrementalLedger.appliedIds(indexPath)
+    if (batchId.exists(applied.contains))
+      return spark.read.parquet(indexPath)
     val incoming = batch.groupBy(col(groupCol).cast("string").as("g"))
       .agg(kllAgg(value, k).as("sk"))
     val merged =
@@ -348,6 +381,7 @@ object Quantile {
       val tmp = s"$indexPath.__compact_tmp"
       Fs.delete(tmp)
       merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+      IncrementalLedger.writeInto(tmp, applied, batchId)
       val old = s"$indexPath.__old"
       Fs.delete(old)
       if (Fs.exists(indexPath)) Fs.rename(indexPath, old)

@@ -306,12 +306,19 @@ object Sketch {
                    minK: Int = 1024): Int = {
     require(minK >= 16 && (minK & (minK - 1)) == 0,
       s"minK must be a power of two >= 16, got $minK")
-    val maxDistinct = df.groupBy(col(groupCol))
-      .agg(approx_count_distinct(key, 0.01).as("__d"))
-      .agg(max(col("__d"))).head() match {
-        case r if r.isNullAt(0) => 0L // empty input
-        case r => r.getLong(0)
-      }
+    // probe served through the stats cache (plan+file fingerprint): a
+    // repeated sizing of the same derivation over the same bytes costs
+    // a driver lookup, not a second corpus scan; any data/shape change
+    // misses and re-probes (StatsSpec)
+    val maxDistinct = Stats.cachedLong(df,
+      s"kmv_max_group_distinct:$groupCol:$key") {
+      df.groupBy(col(groupCol))
+        .agg(approx_count_distinct(key, 0.01).as("__d"))
+        .agg(max(col("__d"))).head() match {
+          case r if r.isNullAt(0) => 0L // empty input
+          case r => r.getLong(0)
+        }
+    }
     val need = math.max(minK.toLong, 2L * maxDistinct)
     if (need > (1L << 22)) throw new IllegalArgumentException(
       s"largest group of '$groupCol' holds ~$maxDistinct distinct keys; " +
@@ -378,7 +385,7 @@ object Sketch {
   def sliceProfile(df: DataFrame, groupCol: String, key: Column,
                    value: Column, qs: Seq[Double],
                    kDistinct: Int = 4096, kQuant: Int = 4096): DataFrame = {
-    require(qs.nonEmpty, "need at least one quantile")
+    val names = Quantile.quantileNames(qs)
     val agg = df.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n_rows"),
       kmvAgg(key, kDistinct).as("__kmv"),
@@ -386,8 +393,8 @@ object Sketch {
     agg.select(
       Seq(col(groupCol), col("n_rows"),
         round(estimate(col("__kmv"))).cast("long").as("est_distinct")) ++
-      qs.map(q => Quantile.kllQuantile(col("__kll"), q)
-        .as(s"p${math.round(q * 100)}")): _*)
+      qs.zip(names).map { case (q, n) =>
+        Quantile.kllQuantile(col("__kll"), q).as(n) }: _*)
   }
 
   /** Sizing probe for [[columnProfile]]: ONE pass computing the table
@@ -406,11 +413,15 @@ object Sketch {
     require(cols.nonEmpty, "need at least one column")
     def pow2(need: Long, minK: Int): Int =
       math.max(java.lang.Integer.highestOneBit(need.toInt - 1) << 1, minK)
-    val probe = df.agg(count(lit(1)).as("__n"),
-      cols.map(c => approx_count_distinct(col(c), 0.01).as(s"__d_$c")): _*)
-      .head()
-    val n = probe.getLong(0)
-    val maxDistinct = cols.indices.map(i => probe.getLong(i + 1)).max
+    val Seq(n, maxDistinct) = Stats.cachedLongs(df,
+      s"profile_n_maxdistinct:${cols.mkString(",")}") {
+      val probe = df.agg(count(lit(1)).as("__n"),
+        cols.map(c =>
+          approx_count_distinct(col(c), 0.01).as(s"__d_$c")): _*)
+        .head()
+      Seq(probe.getLong(0),
+        cols.indices.map(i => probe.getLong(i + 1)).max)
+    }
     val needD = math.max(minKDistinct.toLong, 2L * maxDistinct)
     if (needD > (1L << 22)) throw new IllegalArgumentException(
       s"widest profiled column holds ~$maxDistinct distinct values; an " +
@@ -421,6 +432,47 @@ object Sketch {
       s"table holds $n rows; an exact-regime quantile sketch would " +
         s"need k=$needQ > 2^21 (16 MiB). Pass an explicit kQuant to " +
         "accept rank estimates with ~levels/k normalized error.")
+    (pow2(needD, minKDistinct), pow2(needQ, minKQuant))
+  }
+
+  /** Combined sizing probe for [[sliceProfile]]: ONE scan (served
+    * through the stats cache) computing the max per-group row count and
+    * the max per-group ~1%-error distinct-`key` estimate, then the
+    * exact-regime rule applied to both sketch families — `kQuant` from
+    * the count (KLL cap 2^21), `kDistinct` from the distinct estimate
+    * (KMV cap 2^22) — with the same fail-loud over-cap contract as
+    * [[exactRegimeK]] (no ad-hoc sizing at call sites: the inline
+    * variant this replaces wrapped `.toInt` past 2^31 and silently
+    * clamped to minK, quietly leaving the exact regime). */
+  def sliceProfileK(df: DataFrame, groupCol: String, key: Column,
+                    minKDistinct: Int = 1024, minKQuant: Int = 1024)
+      : (Int, Int) = {
+    Seq(minKDistinct, minKQuant).foreach(m =>
+      require(m >= 16 && (m & (m - 1)) == 0,
+        s"minK must be a power of two >= 16, got $m"))
+    val Seq(maxCount, maxDistinct) = Stats.cachedLongs(df,
+      s"slice_profile_probe:$groupCol:$key") {
+      val r = df.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("__c"),
+          approx_count_distinct(key, 0.01).as("__d"))
+        .agg(max(col("__c")), max(col("__d"))).head()
+      Seq(if (r.isNullAt(0)) 0L else r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def pow2(need: Long, minK: Int): Int =
+      math.max(java.lang.Integer.highestOneBit(need.toInt - 1) << 1, minK)
+    val needD = math.max(minKDistinct.toLong, 2L * maxDistinct)
+    if (needD > (1L << 22)) throw new IllegalArgumentException(
+      s"largest group of '$groupCol' holds ~$maxDistinct distinct keys; " +
+        s"an exact-regime sketch would need k=$needD > 2^22 (32 MiB/" +
+        "group). Pass an explicit kDistinct to accept ~1/sqrt(k-2) " +
+        "relative-error estimates.")
+    val needQ = math.max(minKQuant.toLong, 2L * maxCount)
+    if (needQ > (1L << 21)) throw new IllegalArgumentException(
+      s"largest group of '$groupCol' holds $maxCount rows; an " +
+        s"exact-regime quantile sketch would need k=$needQ > 2^21 " +
+        "(16 MiB/group). Pass an explicit kQuant to accept rank " +
+        "estimates with ~levels/k normalized error.")
     (pow2(needD, minKDistinct), pow2(needQ, minKQuant))
   }
 
@@ -455,7 +507,7 @@ object Sketch {
     require(all.nonEmpty, "need at least one column")
     require(all.distinct.size == all.size,
       s"duplicate profiled column in ${all.mkString(", ")}")
-    require(qs.nonEmpty, "need at least one quantile")
+    val qNames = Quantile.quantileNames(qs)
     val aggs: Seq[Column] =
       (count(lit(1)).as("__n") +:
         all.flatMap(c => Seq(
@@ -477,9 +529,9 @@ object Sketch {
             .as("est_distinct"),
           (if (isNum) col(s"__min_$c") else nullD).as("vmin"),
           (if (isNum) col(s"__max_$c") else nullD).as("vmax")) ++
-        qs.map(q =>
+        qs.zip(qNames).map { case (q, n) =>
           (if (isNum) Quantile.kllQuantile(col(s"__kll_$c"), q)
-           else nullD).as(s"p${math.round(q * 100)}"))
+           else nullD).as(n) }
       struct(fields: _*)
     }
     one.select(explode(array(entries: _*)).as("__p")).select(col("__p.*"))

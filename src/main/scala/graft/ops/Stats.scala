@@ -1,0 +1,141 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+
+/** Statistics cache for sizing probes (the `exactRegimeK` family).
+  *
+  * The exact-regime contract (round-9/10: sketch capacity is sized from
+  * the data, and outgrowing the cap fails loudly instead of silently
+  * estimating) costs one column-pruned probe scan per sizing call — at
+  * 100 TB that probe is a second audit. This cache keeps the contract
+  * and drops the repeat cost: a probe result is stored under a
+  * fingerprint of (query shape, input data state), so any LATER sizing
+  * of the same derivation over the same bytes is served driver-side,
+  * while any change to the transformation, the file set, or the bytes
+  * under a kept file name changes the fingerprint and falls back to a
+  * fresh probe — a stale entry can never be served (StatsSpec pins
+  * both directions).
+  *
+  * Two tiers:
+  *   - an always-on process-level memo (a warm repeated query — retry
+  *     loops, dashboards, benchmark iterations — pays the probe once);
+  *   - an opt-in persisted tier ([[enablePersistence]]): tiny
+  *     fingerprint-named files in a caller-owned directory, the
+  *     `ANALYZE TABLE`-style stats store that serves fresh processes.
+  *     Opt-in because the right location is deployment policy (next to
+  *     the warehouse, never inside read-only inputs).
+  *
+  * Fingerprint staleness rule: files are identified by (path, length,
+  * modification time). A writer that replaces a file's bytes in place
+  * keeping all three identical defeats the check — real parquet writers
+  * never do (part files get fresh names); the crash-safe stores in this
+  * repo swap whole directories, which changes every path.
+  */
+object Stats {
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+
+  @volatile private var persistDir: Option[String] = None
+
+  /** Enable the persisted tier: probe results land as tiny files under
+    * `dir` (created if absent) and are consulted before probing. */
+  def enablePersistence(dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    persistDir = Some(dir)
+  }
+
+  def disablePersistence(): Unit = persistDir = None
+
+  /** Drop every process-level memo entry (persisted entries stay). */
+  def invalidate(): Unit = memo.clear()
+
+  /** Stable fingerprint of (query shape, input data state):
+    * canonicalized analyzed plan (expression ids normalized, so two
+    * fresh reads of the same path with the same transforms agree) +
+    * sorted input files with length and modification time + the
+    * caller's probe descriptor. Driver cost is one file-status call
+    * per input file — the listing the scan already did, never a data
+    * read. */
+  def fingerprint(df: DataFrame, descriptor: String): String = {
+    val plan = df.queryExecution.analyzed.canonicalized
+    val files = df.inputFiles.sorted
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val md = MessageDigest.getInstance("SHA-1")
+    def feed(s: String): Unit = {
+      md.update(s.getBytes("UTF-8")); md.update(0.toByte)
+    }
+    feed(descriptor)
+    feed(plan.treeString(false, false, Int.MaxValue, false))
+    // the tree rendering truncates long argument SEQUENCES at the
+    // spark.sql.debug.maxToStringFields display limit — two plans
+    // differing only past it would alias; feed every node's top-level
+    // expressions individually (untruncated at this level) plus the
+    // full output schema so a projection/filter difference anywhere
+    // changes the key
+    feed(df.schema.json)
+    plan.foreach { node =>
+      feed(node.nodeName)
+      node.expressions.foreach(e => feed(e.toString))
+    }
+    files.foreach { f =>
+      feed(f)
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(hconf).getFileStatus(p)
+        feed(st.getLen.toString)
+        feed(st.getModificationTime.toString)
+      } catch {
+        // a file that vanished between plan and probe: fingerprint it
+        // as unknown — such a key never matches a healthy one
+        case _: java.io.IOException => feed("?")
+      }
+    }
+    s"${files.length}-" + md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Serve `probe`'s result list from the cache under
+    * (`df`'s fingerprint, `descriptor`), running it on miss. The probe
+    * must be a pure function of `df` and `descriptor` — the descriptor
+    * is the caller's contract that equal descriptors mean equal
+    * derivations. */
+  def cachedLongs(df: DataFrame, descriptor: String)
+                 (probe: => Seq[Long]): Seq[Long] = {
+    val key = fingerprint(df, descriptor)
+    val hit = memo.get(key)
+    if (hit != null) return hit
+    val persisted = persistDir.flatMap(readPersisted(_, key))
+    persisted match {
+      case Some(vs) => memo.put(key, vs); vs
+      case None =>
+        val vs = probe
+        memo.put(key, vs)
+        persistDir.foreach(writePersisted(_, key, vs))
+        vs
+    }
+  }
+
+  /** Single-value convenience over [[cachedLongs]]. */
+  def cachedLong(df: DataFrame, descriptor: String)(probe: => Long): Long =
+    cachedLongs(df, descriptor)(Seq(probe)).head
+
+  private def readPersisted(dir: String, key: String): Option[Seq[Long]] = {
+    val p = java.nio.file.Paths.get(dir, key)
+    if (!java.nio.file.Files.isRegularFile(p)) return None
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      if (s.isEmpty) None else Some(s.split(",").toSeq.map(_.toLong))
+    } catch { case _: Exception => None } // unreadable entry = miss
+  }
+
+  private def writePersisted(dir: String, key: String,
+                             vs: Seq[Long]): Unit =
+    try {
+      val tmp = java.nio.file.Paths.get(dir, s".$key.tmp")
+      java.nio.file.Files.write(tmp, vs.mkString(",").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, key),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: java.io.IOException => () } // cache write is best-effort
+}

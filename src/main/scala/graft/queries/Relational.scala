@@ -515,14 +515,18 @@ object Relational {
         .select(col("ts"), col("event_type"),
           col("value").cast("double").as("value"))
         .filter(col("value").isNotNull)
-      val maxN = batch
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("c")).agg(max(col("c"))).head() match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0)
-        }
-      val k = math.max(java.lang.Integer.highestOneBit(
-        math.max(2L * maxN, 1024L).toInt - 1) << 1, 1024)
+      // size k with the guarded library rule (cache-served probe, the
+      // exactRegimeK over-cap fail-loud contract — the inline pow2 this
+      // replaces wrapped past 2^31); the composite (hour, type) group
+      // collapses to one column: date_trunc = the epoch-aligned 1-hour
+      // tumbling window start, and concat_ws folding a null type into
+      // the hour group can only MERGE groups — max count grows, k is
+      // over- never under-sized
+      val k = graft.ops.Quantile.exactRegimeK(
+        batch.select(concat_ws("",
+          date_trunc("hour", col("ts")).cast("string"),
+          col("event_type")).as("__g"), col("value")),
+        "__g", col("value"), minK = 1024)
       val (schema, tsCol) = eventsTs(s, dir)
       val ev = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)

@@ -755,16 +755,11 @@ object TrainingData {
           col("user_id").cast("long").as("user_id"),
           col("value").cast("double").as("value"))
         .filter(col("event_type").isNotNull)
-      // one combined probe for both k's (count and distinct max)
-      val r = ev.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("c"),
-          approx_count_distinct(col("user_id"), 0.01).as("d"))
-        .agg(max(col("c")), max(col("d"))).head()
-      def pow2(need: Long, minK: Int): Int =
-        math.max(java.lang.Integer.highestOneBit(
-          math.max(need, minK.toLong).toInt - 1) << 1, minK)
-      val kQ = pow2(2L * (if (r.isNullAt(0)) 0L else r.getLong(0)), 4096)
-      val kD = pow2(2L * (if (r.isNullAt(1)) 0L else r.getLong(1)), 4096)
+      // one combined probe for both k's (count and distinct max) —
+      // the library fn, not inline pow2: same over-cap fail-loud
+      // contract as exactRegimeK, and the probe rides the stats cache
+      val (kD, kQ) = Sketch.sliceProfileK(ev, "event_type", col("user_id"),
+        minKDistinct = 4096, minKQuant = 4096)
       Sketch.sliceProfile(ev, "event_type", col("user_id"), col("value"),
         Seq(0.5, 0.95), kDistinct = kD, kQuant = kQ)
         .orderBy(col("event_type"))
