@@ -407,7 +407,23 @@ object Retrieval {
         .head().toSeq.map(String.valueOf).toArray
       s"keys:$d:$n"
     }
-    if (seenBatchIds(spark, path).contains(bid)) {
+    // upgrade compatibility: stream batch ids were `stream:<bid>`
+    // before they became lineage-qualified `stream:<lineage>:<bid>` —
+    // an index whose stats rows still carry the old form must keep its
+    // replay dedup across the upgrade, so the legacy spelling of a
+    // lineage-qualified id is also treated as a duplicate. (The legacy
+    // form had no lineage either, so this matches its original
+    // semantics; indexes with no old-form rows are unaffected.)
+    val legacyAlias = bid match {
+      case s if s.startsWith("stream:") =>
+        s.split(":") match {
+          case Array("stream", _, b) => Some(s"stream:$b")
+          case _ => None
+        }
+      case _ => None
+    }
+    val seen = seenBatchIds(spark, path)
+    if (seen.contains(bid) || legacyAlias.exists(seen.contains)) {
       if (skipDuplicate) return false
       throw new IllegalStateException(
         s"BM25 index at $path already contains batch '$bid' — " +

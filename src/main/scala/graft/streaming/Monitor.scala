@@ -383,21 +383,25 @@ object Monitor {
     * batch would double its postings AND its stats row, inflating tf
     * and N together (scores shift; decisions downstream of a top-k may
     * flip). Resume from the checkpoint or rebuild the index. */
+  /** Stable batch-identity prefix for index-feeding sinks: micro-batch
+    * ids restart from 0 per checkpoint lineage, so the logical batch
+    * identity must be (lineage, bid), not bid alone — a SECOND stream
+    * (fresh checkpoint) feeding the same index would otherwise collide
+    * its genuinely-new batches 0/1/2 with the first stream's recorded
+    * ids and be silently skipped — data loss, not the intended replay
+    * no-op. The lineage token is a stable hash of the checkpoint dir's
+    * canonical path: replays WITHIN one checkpoint still dedup, fresh
+    * lineages never collide. */
+  private def checkpointLineage(checkpointDir: String): String =
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        new java.io.File(checkpointDir).getCanonicalPath))
+
   def bm25IndexSink(docs: DataFrame, indexPath: String,
                     checkpointDir: String,
                     textCol: String = "text",
                     idCol: String = "doc_id"): StreamingQuery = {
-    // micro-batch ids restart from 0 per checkpoint lineage, so the
-    // logical batch identity must be (lineage, bid), not bid alone: a
-    // SECOND stream (fresh checkpoint) feeding the same index would
-    // otherwise collide its genuinely-new batches 0/1/2 with the first
-    // stream's stats rows and be silently skipped — data loss, not the
-    // intended replay no-op. The lineage token is a stable hash of the
-    // checkpoint dir's canonical path: replays WITHIN one checkpoint
-    // still dedup, fresh lineages never collide.
-    val lineage = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        new java.io.File(checkpointDir).getCanonicalPath))
+    val lineage = checkpointLineage(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
@@ -440,26 +444,33 @@ object Monitor {
     * queryable mid-stream via [[graft.ops.Quantile.kllQuantile]] over
     * the table.
     *
-    * Delivery contract: values are a MULTISET, so the fold is NOT
-    * idempotent on re-delivered content (a replayed batch doubles its
-    * weight) — the streaming checkpoint is the at-most-once mechanism,
-    * exactly the [[spanDedupSink]] contract: resume from the
-    * checkpoint or reset both the checkpoint and the table. Within
-    * that contract the fold is order-free, and in the exact regime
-    * (group count <= k) the drained table is bit-identical to the
-    * one-shot [[graft.ops.Quantile.kllAgg]] (QuantileSpec pins it). */
+    * Delivery contract: values are a MULTISET, so the raw fold is NOT
+    * idempotent on re-delivered content — and foreachBatch is
+    * at-least-once: a crash between the fold's table swap and the
+    * checkpoint's offset commit replays the in-flight batch on
+    * restart. The sink therefore records each applied batch's
+    * lineage-qualified identity (`stream:<lineage>:<bid>`, the
+    * [[bm25IndexSink]] scheme) in the table's
+    * [[graft.ops.IncrementalLedger]] — ledger and data commit in the
+    * same atomic swap, so the replayed batch is a no-op and the folds
+    * are exactly-once (QuantileSpec pins the crash-replay case). The
+    * fold is order-free, and in the exact regime (group count <= k)
+    * the drained table is bit-identical to the one-shot
+    * [[graft.ops.Quantile.kllAgg]] (QuantileSpec pins it). */
   def quantileSketchSink(docs: DataFrame, indexPath: String,
                          checkpointDir: String, groupCol: String,
                          value: org.apache.spark.sql.Column,
-                         k: Int = 4096): StreamingQuery =
+                         k: Int = 4096): StreamingQuery = {
+    val lineage = checkpointLineage(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
         graft.ops.Quantile.incrementalQuantileSketch(batch, indexPath,
-          groupCol, value, k)
+          groupCol, value, k, batchId = Some(s"stream:$lineage:$bid"))
         ()
       }
       .start()
+  }
 
   /** Stream a corpus into the persisted per-group FREQUENT-ITEMS table
     * ([[graft.ops.Freq.incrementalFreqSketch]]): each micro-batch's
@@ -469,24 +480,28 @@ object Monitor {
     *
     * Delivery contract: counts are a MULTISET (the
     * [[quantileSketchSink]] situation, not the KMV one) — a replayed
-    * batch double-counts, so the streaming checkpoint is the
-    * at-most-once mechanism: resume from the checkpoint or reset both
-    * the checkpoint and the table. Within that contract the fold is
-    * order-free, and in the exact regime (distinct items <= k) the
-    * drained table is bit-identical to the one-shot
+    * batch would double-count, so the sink records each applied
+    * batch's lineage-qualified identity in the table's
+    * [[graft.ops.IncrementalLedger]] (committed atomically with the
+    * fold's swap): crash-replays are no-ops and the folds are
+    * exactly-once under foreachBatch's at-least-once delivery. The
+    * fold is order-free, and in the exact regime (distinct items <= k)
+    * the drained table is bit-identical to the one-shot
     * [[graft.ops.Freq.mgAgg]] (FreqSpec pins it). */
   def freqSketchSink(docs: DataFrame, indexPath: String,
                      checkpointDir: String, groupCol: String,
                      item: org.apache.spark.sql.Column,
-                     k: Int = 4096): StreamingQuery =
+                     k: Int = 4096): StreamingQuery = {
+    val lineage = checkpointLineage(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
         graft.ops.Freq.incrementalFreqSketch(batch, indexPath,
-          groupCol, item, k)
+          groupCol, item, k, batchId = Some(s"stream:$lineage:$bid"))
         ()
       }
       .start()
+  }
 
   /** Stream a corpus through the persisted priority-sampling reservoir
     * ([[graft.ops.Sampling.incrementalPrioritySample]]): each micro-batch

@@ -70,6 +70,30 @@ class CrashRecoverySpec extends AnyFunSuite {
     assert(db.read().count() == 6)
   }
 
+  test("in-process reentrancy is owner-thread-only: a second THREAD on " +
+    "the same handle fails fast instead of silently passing through") {
+    val db = seeded()
+    @volatile var otherResult: Option[Either[String, Unit]] = None
+    db.withWriteLock {
+      // same thread: nested acquisition passes through (Study's shape)
+      db.withWriteLock(())
+      val t = new Thread(() => {
+        otherResult = Some(
+          try { db.withWriteLock(()); Right(()) }
+          catch { case e: IllegalStateException => Left(e.getMessage) })
+      })
+      t.start(); t.join(30000)
+    }
+    otherResult match {
+      case Some(Left(msg)) =>
+        assert(msg.contains("locked by another writer"))
+      case other => fail(s"expected fail-fast on the lock file, got $other")
+    }
+    // released: any thread can acquire again
+    db.withWriteLock(())
+    assert(!Fs.exists(db.lockPath))
+  }
+
   test("two racing Study.runs: the run pipeline holds the lock end to " +
     "end — one wins, the other fails fast, db invariants hold") {
     val calc = tmpDir("graft-race-")

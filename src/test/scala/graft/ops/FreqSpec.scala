@@ -95,6 +95,28 @@ class FreqSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(folded(g), blob), s"group $g")
   }
 
+  test("batchId ledger: re-delivering a folded batch is a no-op, a new " +
+    "id still folds (the quantile-sink crash-replay contract)") {
+    import graft.SparkSpec.tmpDir
+    val p = tmpDir("graft-mg-ledger-") + "/sk"
+    val b1 = Seq(("g0", "a"), ("g0", "a"), ("g0", "b")).toDF("g", "item")
+    def counts(): Map[(String, String), Long] =
+      spark.read.parquet(p)
+        .select(col("g"), explode(Freq.topItems(col("sk"), 0)).as("t"))
+        .select(col("g"), col("t.item"), col("t.est"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    Freq.incrementalFreqSketch(b1, p, "g", col("item"), k = 64,
+      batchId = Some("stream:x:0"))
+    assert(counts() == Map(("g0", "a") -> 2L, ("g0", "b") -> 1L))
+    Freq.incrementalFreqSketch(b1, p, "g", col("item"), k = 64,
+      batchId = Some("stream:x:0")) // replay: no double-count
+    assert(counts() == Map(("g0", "a") -> 2L, ("g0", "b") -> 1L))
+    Freq.incrementalFreqSketch(b1, p, "g", col("item"), k = 64,
+      batchId = Some("stream:x:1")) // new batch id: folds
+    assert(counts() == Map(("g0", "a") -> 4L, ("g0", "b") -> 2L))
+  }
+
   test("edge cases: empty group, unicode items, ties, capacity guards") {
     val df = Seq[(String, String)](
       ("e", null),

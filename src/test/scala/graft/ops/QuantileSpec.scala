@@ -105,6 +105,37 @@ class QuantileSpec extends AnyFunSuite {
     }
   }
 
+  test("batchId ledger: re-delivering a folded batch is a no-op (the " +
+    "crash-replay case), a NEW id still folds, and the ledger survives " +
+    "an id-less fold in between") {
+    import graft.SparkSpec.tmpDir
+    val p = tmpDir("graft-kll-ledger-") + "/sk"
+    val b1 = Seq(("g0", 1.0), ("g0", 2.0), ("g1", 3.0)).toDF("g", "v")
+    def blobs(): Map[String, Seq[Byte]] =
+      spark.read.parquet(p).collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap
+    Quantile.incrementalQuantileSketch(b1, p, "g", col("v"), k = 64,
+      batchId = Some("stream:abc:0"))
+    val after1 = blobs()
+    // the at-least-once replay: same batch, same id -> bit-identical
+    Quantile.incrementalQuantileSketch(b1, p, "g", col("v"), k = 64,
+      batchId = Some("stream:abc:0"))
+    assert(blobs() == after1)
+    // an id-less fold must not drop the recorded ids
+    Quantile.incrementalQuantileSketch(
+      Seq(("g1", 9.0)).toDF("g", "v"), p, "g", col("v"), k = 64)
+    val after2 = blobs()
+    assert(after2 != after1)
+    Quantile.incrementalQuantileSketch(b1, p, "g", col("v"), k = 64,
+      batchId = Some("stream:abc:0")) // still remembered
+    assert(blobs() == after2)
+    // a genuinely new batch id folds (and double-counts the content,
+    // which is exactly why the id is the dedup key, not the content)
+    Quantile.incrementalQuantileSketch(b1, p, "g", col("v"), k = 64,
+      batchId = Some("stream:abc:1"))
+    assert(blobs() != after2)
+  }
+
   test("edge cases: empty group null quantile, single value, " +
     "duplicate-heavy input, capacity and q guards") {
     val df = Seq[(String, java.lang.Double)](

@@ -132,6 +132,23 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).contains(3L))
   }
 
+  test("bm25 index: a pre-upgrade stream:<bid> stats row still dedups " +
+    "the lineage-qualified stream:<lineage>:<bid> replay") {
+    import graft.SparkSpec.tmpDir
+    val p = tmpDir("graft-bm25-legacy-") + "/idx"
+    val docs = Seq((0L, "apple banana")).toDF("doc_id", "text")
+    // an index fed by the OLD sink format (bid-only identity)
+    assert(Retrieval.appendToBm25Index(docs, p, batchId = Some("stream:0")))
+    // the upgraded sink replays the same committed micro-batch with the
+    // lineage-qualified id: must be a no-op, not a double-append
+    assert(!Retrieval.appendToBm25Index(docs, p,
+      batchId = Some("stream:deadbeef:0"), skipDuplicate = true))
+    // a genuinely new batch under the new format still appends
+    assert(Retrieval.appendToBm25Index(
+      Seq((1L, "cherry")).toDF("doc_id", "text"), p,
+      batchId = Some("stream:deadbeef:1"), skipDuplicate = true))
+  }
+
   test("bm25 index: empty batches short-circuit — no stats row, no " +
     "digest collision between two distinct empty batches") {
     import graft.SparkSpec.tmpDir
