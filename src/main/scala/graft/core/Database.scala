@@ -61,16 +61,21 @@ class Database(val spark: SparkSession, val calcDir: String,
     * manually after confirming the writer is gone (recovery of a crashed
     * SWAP itself is automatic via [[recover]]).
     *
-    * Reentrant WITHIN one Database handle (not across handles or
-    * threads): [[graft.core.Study]] holds the lock across its whole
-    * disk-backed mutation pipeline — counter read, rehash, append —
-    * so the nested per-operation acquisitions inside must pass through
-    * instead of self-deadlocking. Cross-process and cross-handle
-    * exclusion still rides the lock FILE. */
+    * Reentrant WITHIN one Database handle FOR THE OWNING THREAD only:
+    * [[graft.core.Study]] holds the lock across its whole disk-backed
+    * mutation pipeline — counter read, rehash, append — so the nested
+    * per-operation acquisitions on that thread must pass through
+    * instead of self-deadlocking. A DIFFERENT thread of the same
+    * process falls through to the lock-file acquisition and fails fast
+    * there (a handle-wide boolean would silently admit it — silent
+    * concurrent mutation, the exact corruption the lock exists to
+    * prevent). Cross-process and cross-handle exclusion rides the lock
+    * FILE. */
   def withWriteLock[A](f: => A): A = {
-    if (holdsLock) return f
+    val me = Thread.currentThread().getId
+    if (lockOwner.get() == me) return f
     val info = s"pid=${ProcessHandle.current().pid()} " +
-      s"acquired=${java.time.Instant.now()}"
+      s"thread=$me acquired=${java.time.Instant.now()}"
     if (!Fs.createExclusive(lockPath, info)) {
       val holder =
         try Fs.readString(lockPath) catch { case _: Exception => "unknown" }
@@ -79,11 +84,12 @@ class Database(val spark: SparkSession, val calcDir: String,
           "the store is single-writer. If that process crashed, delete " +
           s"$lockPath and re-run.")
     }
-    holdsLock = true
-    try f finally { holdsLock = false; Fs.delete(lockPath) }
+    lockOwner.set(me)
+    try f finally { lockOwner.set(-1L); Fs.delete(lockPath) }
   }
 
-  @volatile private var holdsLock = false
+  /** Thread id of the in-process lock holder, -1 when unheld. */
+  private val lockOwner = new java.util.concurrent.atomic.AtomicLong(-1L)
 
   /** Swap a fully-written replacement directory into place. Never
     * delete-then-rename on the live path: the previous state is parked at
@@ -109,32 +115,69 @@ class Database(val spark: SparkSession, val calcDir: String,
   def readOpt(): Option[DataFrame] = if (exists) Some(read()) else None
 
   /** `(max _pset_seq, max _run_seq)`, or (-1, -1) on an empty database
-    * (ref psweep.py:1409-1415). */
-  def counters(): (Long, Long) = readOpt() match {
-    case None => (-1L, -1L)
-    case Some(df) =>
-      val r = df.agg(
-        max(col("_pset_seq")).cast(LongType),
-        max(col("_run_seq")).cast(LongType)).head()
-      (if (r.isNullAt(0)) -1L else r.getLong(0),
-       if (r.isNullAt(1)) -1L else r.getLong(1))
+    * (ref psweep.py:1409-1415). Served from the skip manifest's
+    * per-file seq maxima when the commit marker attests completeness —
+    * SURVEY §4.3(c)'s "counters from a lightweight metadata read",
+    * zero data files touched (DatabaseSpec pins it); full column-pruned
+    * scan otherwise. */
+  def counters(): (Long, Long) = {
+    recover()
+    if (manifestFresh) {
+      val m = spark.read.parquet(manifestDir)
+      if (Seq("pset_seq_max", "run_seq_max").forall(m.columns.contains)) {
+        val r = m.agg(max(col("pset_seq_max")).cast(LongType),
+          max(col("run_seq_max")).cast(LongType)).head()
+        return (if (r.isNullAt(0)) -1L else r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))
+      }
+    }
+    readOpt() match {
+      case None => (-1L, -1L)
+      case Some(df) =>
+        val r = df.agg(
+          max(col("_pset_seq")).cast(LongType),
+          max(col("_run_seq")).cast(LongType)).head()
+        (if (r.isNullAt(0)) -1L else r.getLong(0),
+         if (r.isNullAt(1)) -1L else r.getLong(1))
+    }
   }
 
   /** Which of `values` already exist in database column `colName`?
     * One column-pruned scan; the small side is broadcast
     * (the J1 dedup anti-join and the `_pset_id` collision re-check,
-    * ref psweep.py:1068-1081,1442-1446). */
-  def existingAmong(colName: String, values: Seq[String]): Set[String] =
-    readOpt() match {
-      case None => Set.empty
-      case Some(df) => Database.existingAmong(df, colName, values)
+    * ref psweep.py:1068-1081,1442-1446). For the two manifest-ranged
+    * columns (`_pset_id`, `_pset_hash`) a fresh manifest prunes the
+    * scan to files whose hash range covers some probe — the per-run
+    * skip_dups pre-check reads touched files, not the corpus. */
+  def existingAmong(colName: String, values: Seq[String]): Set[String] = {
+    recover()
+    if (values.isEmpty || !exists) return Set.empty
+    val pruned = colName match {
+      case "_pset_id" => prunedFiles("pid_hmin", "pid_hmax", values)
+      case "_pset_hash" => prunedFiles("psh_hmin", "psh_hmax", values)
+      case _ => None
     }
+    pruned match {
+      case Some(files) if files.isEmpty => Set.empty
+      case Some(files) =>
+        Database.existingAmong(readFiles(files), colName, values)
+      case None =>
+        readOpt().map(Database.existingAmong(_, colName, values))
+          .getOrElse(Set.empty)
+    }
+  }
 
   /** Append new rows (one run) as a new `_run_id` partition. When the
     * opt-in skip manifest exists ([[optimizeLayout]] /
     * [[rebuildSkipManifest]]), the new files' stats are appended
     * incrementally — one scan of the NEW files only, never the db. */
   def append(df: DataFrame): Unit = withWriteLock {
+    // the commit marker must not attest manifest completeness while the
+    // new partition's files exist without manifest rows — drop it
+    // BEFORE the data lands; updateSkipManifest re-writes it after the
+    // fresh stats commit (a crash in between degrades lookups to the
+    // listing fallback, never to wrong answers)
+    if (Fs.exists(manifestDir)) Fs.delete(commitMarker)
     df.write.mode("append").partitionBy("_run_id").parquet(dbPath)
     updateSkipManifestUnlocked()
   }
@@ -155,18 +198,48 @@ class Database(val spark: SparkSession, val calcDir: String,
     * see it. */
   private val manifestDir: String = s"$dbPath/_graft_skip"
 
+  /** Completeness marker (`_graft_skip_commit` inside the db dir, so
+    * crash-swap parking moves data, manifest, and marker atomically):
+    * present ⇒ every data file is covered by manifest rows, because
+    * every mutation deletes it BEFORE data lands and re-writes it only
+    * AFTER the manifest caught up, all under the single-writer lock.
+    * With the marker, point lookups and the metadata-served reads skip
+    * the per-call full file listing that otherwise finds crash-window
+    * unmanifested files; without it (a crash window, or a pre-marker
+    * manifest) they fall back to the listing — pruning degrades, never
+    * correctness. */
+  private val commitMarker: String = s"$dbPath/_graft_skip_commit"
+
+  /** Columns every post-round-11 manifest carries; an older manifest
+    * lacking them is fully rebuilt on the next maintenance pass. */
+  private val manifestCols = Seq("file", "rows", "pid_hmin", "pid_hmax",
+    "psh_hmin", "psh_hmax", "pset_seq_max", "run_seq_max")
+
   private def normalizePath(p: String): String =
     p.replaceFirst("^file:/+", "/")
 
   def hasSkipManifest: Boolean = { recover(); Fs.exists(manifestDir) }
 
-  private def fileStats(src: DataFrame): DataFrame =
+  /** Manifest present AND attested complete by the commit marker. */
+  def manifestFresh: Boolean =
+    { recover(); Fs.exists(manifestDir) && Fs.exists(commitMarker) }
+
+  private def fileStats(src: DataFrame): DataFrame = {
+    def optLong(name: String, c: Column): Column =
+      if (src.columns.contains(name)) c else lit(null).cast(LongType)
     src.select(
         regexp_replace(input_file_name(), "^file:/+", "/").as("file"),
-        xxhash64(col("_pset_id")).as("__h"))
+        xxhash64(col("_pset_id")).as("__h"),
+        optLong("_pset_hash", xxhash64(col("_pset_hash"))).as("__ph"),
+        optLong("_pset_seq", col("_pset_seq").cast(LongType)).as("__ps"),
+        optLong("_run_seq", col("_run_seq").cast(LongType)).as("__rs"))
       .groupBy(col("file"))
       .agg(count(lit(1)).as("rows"),
-        min(col("__h")).as("pid_hmin"), max(col("__h")).as("pid_hmax"))
+        min(col("__h")).as("pid_hmin"), max(col("__h")).as("pid_hmax"),
+        min(col("__ph")).as("psh_hmin"), max(col("__ph")).as("psh_hmax"),
+        max(col("__ps")).as("pset_seq_max"),
+        max(col("__rs")).as("run_seq_max"))
+  }
 
   /** Full manifest rebuild: one column-pruned scan of the db. */
   def rebuildSkipManifest(): Unit = withWriteLock {
@@ -175,26 +248,68 @@ class Database(val spark: SparkSession, val calcDir: String,
   }
 
   private def rebuildSkipManifestUnlocked(): Unit = {
+    Fs.delete(commitMarker)
     val tmp = s"$dbPath/_graft_skip_tmp"
     Fs.delete(tmp)
     fileStats(read()).coalesce(1).write.mode("overwrite").parquet(tmp)
     Fs.delete(manifestDir)
     Fs.rename(tmp, manifestDir)
+    Fs.writeString(commitMarker, s"committed=${java.time.Instant.now()}")
   }
 
   /** Incremental maintenance: stat only files absent from the
     * manifest (an append's new partition). No-op while the manifest
-    * does not exist — the layout machinery is opt-in. */
+    * does not exist — the layout machinery is opt-in. A pre-marker
+    * manifest (missing the seq/hash-range columns) is fully rebuilt
+    * once instead of appended to with a mismatched schema. */
   private def updateSkipManifestUnlocked(): Unit = {
     if (!Fs.exists(manifestDir)) return
-    val known = spark.read.parquet(manifestDir).select(col("file"))
+    Fs.delete(commitMarker)
+    val m = spark.read.parquet(manifestDir)
+    if (!manifestCols.forall(m.columns.contains)) {
+      rebuildSkipManifestUnlocked(); return
+    }
+    val known = m.select(col("file"))
       .collect().map(r => normalizePath(r.getString(0))).toSet
     val fresh = read().inputFiles.map(normalizePath).filterNot(known)
-    if (fresh.isEmpty) return
-    val src = spark.read.option("basePath", dbPath)
-      .option("mergeSchema", "true").parquet(fresh.toIndexedSeq: _*)
-    fileStats(src).coalesce(1).write.mode("append").parquet(manifestDir)
+    if (fresh.nonEmpty) {
+      val src = spark.read.option("basePath", dbPath)
+        .option("mergeSchema", "true").parquet(fresh.toIndexedSeq: _*)
+      fileStats(src).coalesce(1).write.mode("append").parquet(manifestDir)
+    }
+    Fs.writeString(commitMarker, s"committed=${java.time.Instant.now()}")
   }
+
+  /** Data files whose manifest hash range over (`loCol`, `hiCol`)
+    * covers at least one probe value — served PURELY from manifest
+    * rows, so only meaningful when [[manifestFresh]] attests there are
+    * no unmanifested files; None otherwise (callers fall back to a
+    * scan with listing). */
+  private def prunedFiles(loCol: String, hiCol: String,
+                          probes: Seq[String]): Option[Seq[String]] = {
+    if (!manifestFresh) return None
+    val m = spark.read.parquet(manifestDir)
+    if (!m.columns.contains(loCol)) return None
+    val rows = m.select(col("file"), col(loCol), col(hiCol)).collect()
+    val hs = hashProbes(probes)
+    Some(rows.filter { r =>
+      !r.isNullAt(1) && {
+        val lo = r.getLong(1); val hi = r.getLong(2)
+        hs.exists(h => lo <= h && h <= hi)
+      }
+    }.map(r => normalizePath(r.getString(0))).toSeq)
+  }
+
+  /** xxhash64 of each probe under Spark's own implementation (the one
+    * the manifest ranges were built with). */
+  private def hashProbes(vs: Seq[String]): Array[Long] =
+    spark.createDataset(vs.distinct)(
+        org.apache.spark.sql.Encoders.STRING)
+      .select(xxhash64(col("value"))).collect().map(_.getLong(0))
+
+  private def readFiles(files: Seq[String]): DataFrame =
+    spark.read.option("basePath", dbPath)
+      .option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
 
   /** Opt-in clustered rewrite of the whole db into ~`numFiles` files,
     * plus a fresh skip manifest. Default clustering key is
@@ -244,24 +359,7 @@ class Database(val spark: SparkSession, val calcDir: String,
     * correctness), re-apply the exact predicate. Falls back to a full
     * filter scan with no manifest — pruning is an optimization, never
     * a filter. */
-  def lookup(psetId: String): DataFrame = {
-    recover()
-    val probe = col("_pset_id") === psetId
-    if (!Fs.exists(manifestDir)) return read().filter(probe)
-    val m = spark.read.parquet(manifestDir)
-      .select(col("file"), col("pid_hmin"), col("pid_hmax")).collect()
-    val h = spark.range(1).select(xxhash64(lit(psetId)))
-      .head().getLong(0)
-    val kept = m.filter(r => !r.isNullAt(1) &&
-      r.getLong(1) <= h && h <= r.getLong(2)).map(r => r.getString(0))
-    val known = m.map(r => normalizePath(r.getString(0))).toSet
-    val unknown = read().inputFiles.map(normalizePath).filterNot(known)
-    val files = (kept.map(normalizePath) ++ unknown).distinct
-    if (files.isEmpty) read().filter(probe).limit(0)
-    else spark.read.option("basePath", dbPath)
-      .option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
-      .filter(probe)
-  }
+  def lookup(psetId: String): DataFrame = lookupAll(Seq(psetId))
 
   /** Batch form of [[lookup]]: rows for ANY of `psetIds`, pruned to
     * the union of each probe's manifest-matching files (plus
@@ -276,22 +374,27 @@ class Database(val spark: SparkSession, val calcDir: String,
     if (!Fs.exists(manifestDir)) return read().filter(probe)
     val m = spark.read.parquet(manifestDir)
       .select(col("file"), col("pid_hmin"), col("pid_hmax")).collect()
-    val hs = spark.createDataset(psetIds)(
-        org.apache.spark.sql.Encoders.STRING)
-      .select(xxhash64(col("value"))).collect().map(_.getLong(0))
+    val hs = hashProbes(psetIds)
     val kept = m.filter { r =>
       !r.isNullAt(1) && {
         val lo = r.getLong(1); val hi = r.getLong(2)
         hs.exists(h => lo <= h && h <= hi)
       }
     }.map(r => r.getString(0))
-    val known = m.map(r => normalizePath(r.getString(0))).toSet
-    val unknown = read().inputFiles.map(normalizePath).filterNot(known)
+    // commit marker present: the manifest covers every data file, so
+    // the lookup is served purely from manifest rows — no per-call
+    // full file listing. Absent (a crash window between an append and
+    // its manifest rows, or a pre-marker manifest): enumerate and
+    // include unmanifested files — pruning degrades, never correctness.
+    val unknown =
+      if (Fs.exists(commitMarker)) Array.empty[String]
+      else {
+        val known = m.map(r => normalizePath(r.getString(0))).toSet
+        read().inputFiles.map(normalizePath).filterNot(known)
+      }
     val files = (kept.map(normalizePath) ++ unknown).distinct
     if (files.isEmpty) read().filter(probe).limit(0)
-    else spark.read.option("basePath", dbPath)
-      .option("mergeSchema", "true").parquet(files.toIndexedSeq: _*)
-      .filter(probe)
+    else readFiles(files.toIndexedSeq).filter(probe)
   }
 
   /** Manifest-served variants of the point extractors (the static

@@ -147,14 +147,18 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
     // 3.1-4/5: load-or-create + counter recovery (from the in-memory base
     // when one is given, else from disk).
     var base: Option[DataFrame] = baseDf.orElse(db.readOpt())
-    val (maxPsetSeq, maxRunSeq) = base match {
-      case None => (-1L, -1L)
+    val (maxPsetSeq, maxRunSeq) = baseDf match {
       case Some(bdf) =>
         import org.apache.spark.sql.functions.{col, max}
         val r = bdf.agg(max(col("_pset_seq")).cast(LongType),
           max(col("_run_seq")).cast(LongType)).head()
         (if (r.isNullAt(0)) -1L else r.getLong(0),
          if (r.isNullAt(1)) -1L else r.getLong(1))
+      case None =>
+        // disk-backed: the db serves counters from the skip manifest's
+        // per-file maxima when fresh (SURVEY §4.3(c)'s lightweight
+        // metadata read — zero data files), full scan otherwise
+        db.counters()
     }
 
     // 3.1-6: backup before mutating (ref psweep.py:1417-1427).
@@ -195,10 +199,13 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
     // 3.1-8b: skip_dups — drop incoming psets whose hash already exists
     // (ref psweep.py:1432-1439).
     val dupHashes: Set[String] =
-      if (cfg.skipDups)
+      if (!cfg.skipDups) Set.empty
+      else if (baseDf.isDefined)
         base.map(Database.existingAmong(_, "_pset_hash", hashes))
           .getOrElse(Set.empty)
-      else Set.empty
+      // disk-backed: manifest hash ranges prune the pre-check to
+      // touched files when fresh (full scan fallback inside)
+      else db.existingAmong("_pset_hash", hashes)
     val keptIdx = norm.indices.filter(i => !dupHashes.contains(hashes(i)))
     if (keptIdx.isEmpty)
       return RunOutput(base.getOrElse(ValueSchema.toDF(spark, Seq.empty)),
@@ -210,7 +217,10 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
     if (cfg.git) Git.noteRun(runId)
     var psetIds = keptIdx.map(_ => UUID.randomUUID().toString)
     def collisions(ids: Seq[String]): Set[String] =
-      base.map(Database.existingAmong(_, "_pset_id", ids)).getOrElse(Set.empty)
+      if (baseDf.isDefined)
+        base.map(Database.existingAmong(_, "_pset_id", ids))
+          .getOrElse(Set.empty)
+      else db.existingAmong("_pset_id", ids)
     var colliding = collisions(psetIds)
     while (colliding.nonEmpty) {
       psetIds = psetIds.map(id =>

@@ -90,10 +90,18 @@ class DatabaseSpec extends AnyFunSuite {
       s"lookup read ${probe2.inputFiles.length} of $total2 files")
     assert(db.extractRow("p1-77").getAs[Double]("x") == 154.0)
 
-    // crash-window safety: a file the manifest does not know (a data
-    // append that died before its manifest rows) is ALWAYS scanned
+    // with the commit marker attesting completeness, lookups are
+    // served PURELY from manifest rows — no per-call full listing, so
+    // a file smuggled in behind the protocol's back is not seen...
+    assert(db.manifestFresh)
     runDf(2, 10).coalesce(1).write.mode("append")
       .partitionBy("_run_id").parquet(db.dbPath)
+    assert(db.lookupAll(Seq("p2-3")).count() == 0L)
+    // ...but a REAL crashed append deletes the marker before any data
+    // lands, so the crash state is (unmanifested files, no marker):
+    // simulate it — the unknown file is then ALWAYS scanned
+    Fs.delete(s"${db.dbPath}/_graft_skip_commit")
+    assert(!db.manifestFresh)
     assert(db.extractRow("p2-3").getAs[Double]("x") == 6.0)
 
     // compact keeps (rebuilds) the manifest; compaction destroys hash
@@ -119,6 +127,57 @@ class DatabaseSpec extends AnyFunSuite {
     Fs.delete(s"${db.dbPath}/_graft_skip")
     assert(db.extractRow("p1-77").getAs[Double]("x") == 154.0)
     assert(db.lookupAll(Seq("p0-1234", "p1-77")).count() == 2L)
+  }
+
+  test("metadata-served reads: counters and the ranged existingAmong " +
+    "come from the manifest when the marker attests completeness — " +
+    "zero data files touched; marker gone -> scan fallback sees " +
+    "everything") {
+    val calc = tmpDir("graft-dbmeta-")
+    val db = Database(spark, calc)
+    def runDf(runSeq: Int, n: Int) =
+      spark.range(0, n).select(
+        concat(lit(s"p$runSeq-"), col("id")).as("_pset_id"),
+        concat(lit(s"h$runSeq-"), col("id")).as("_pset_hash"),
+        (col("id") + runSeq * 1000).as("_pset_seq"),
+        lit(runSeq.toLong).as("_run_seq"),
+        lit(s"run$runSeq").as("_run_id"),
+        col("id").cast("double").as("x"))
+    db.append(runDf(0, 200))
+    db.rebuildSkipManifest()
+    db.append(runDf(1, 100)) // incremental manifest rows carry the maxima
+    assert(db.manifestFresh)
+    assert(db.counters() == (1099L, 1L))
+
+    // the zero-data-files pin: smuggle a foreign partition with huge
+    // seqs in behind the protocol's back; manifest-served counters and
+    // membership checks do not see it (no listing, no data read) —
+    // under the single-writer contract such a file cannot exist except
+    // in a crash window, which always removes the marker first
+    runDf(7, 5).coalesce(1).write.mode("append")
+      .partitionBy("_run_id").parquet(db.dbPath)
+    assert(db.counters() == (1099L, 1L))
+    assert(db.existingAmong("_pset_hash", Seq("h7-1", "h1-5")) ==
+      Set("h1-5"))
+    assert(db.existingAmong("_pset_id", Seq("p7-1", "p0-3")) ==
+      Set("p0-3"))
+    // ranged membership reads only covering files, not the corpus
+    assert(db.manifestFresh)
+
+    // crash state (no marker): fallback scan sees the foreign rows
+    Fs.delete(s"${db.dbPath}/_graft_skip_commit")
+    assert(db.counters() == (7004L, 7L))
+    assert(db.existingAmong("_pset_hash", Seq("h7-1")) == Set("h7-1"))
+    // maintenance re-attests and folds the stray files in
+    db.rebuildSkipManifest()
+    assert(db.manifestFresh)
+    assert(db.counters() == (7004L, 7L))
+    assert(db.existingAmong("_pset_id", Seq("p7-1")) == Set("p7-1"))
+
+    // a column the manifest has no ranges for still works (full scan)
+    assert(db.existingAmong("_run_id", Seq("run1", "zzz")) == Set("run1"))
+    // and a db without _pset_hash history: missing column -> empty
+    assert(db.existingAmong("no_such_col", Seq("v")) == Set.empty)
   }
 
   test("existingAmong: dedup membership via semi-join (J1)") {
