@@ -532,22 +532,22 @@ object Dedup {
 
   /** Incremental NEAR-dup dedup across batches: the near-dup analog of
     * [[incrementalExactDedup]]. A parquet signature index at `indexPath`
-    * persists (id, mh0..mh{numHashes-1}) plus — in the default
-    * `exactVerify = true` mode — `sh`, the doc's distinct shingle-hash
-    * set. Each batch
+    * persists (id, mh0..mh{numHashes-1}) plus — in the opt-in
+    * `exactVerify = true` stored-shingle mode — `sh`, the doc's
+    * distinct shingle-hash set. Each batch
     *
     *   1. drops batch docs that near-duplicate any indexed doc —
     *      candidates from the band join of the batch's band table vs the
     *      index's (both reconstructed by the same deterministic
     *      expressions), then verified:
-    *        - `exactVerify = true` (default): EXACT Jaccard between the
+    *        - `exactVerify = true` (opt-in): EXACT Jaccard between the
     *          batch doc's shingle-hash set and the stored `sh` set — the
     *          same full-set measure the in-batch path uses (equal modulo
     *          64-bit xxhash64 shingle collisions, ~2^-64 per distinct
     *          shingle pair), so cross-batch decisions are no weaker than
     *          in-batch ones. Index cost: ~8 bytes per distinct shingle
     *          per kept doc — the same order as the corpus itself.
-    *        - `exactVerify = true` with `rereadFrom = Some(corpus)`: the
+    *        - `rereadFrom = Some(corpus)` (implies exact verify): the
     *          SAME exact full-set Jaccard, but the shingle sets are
     *          recomputed on demand for the CANDIDATE docs only — the
     *          batch side from the batch rows in hand, the index side by
@@ -559,8 +559,9 @@ object Dedup {
     *          proportional to the candidate count, not the corpus. An
     *          indexed candidate id missing from `corpus` fails fast
     *          (silently skipping it would KEEP a doc that may be a dup).
-    *        - `exactVerify = false`: fraction of equal minhash
-    *          components >= threshold (the standard unbiased estimator,
+    *        - `exactVerify = false`, no `rereadFrom` (DEFAULT):
+    *          fraction of equal minhash components >= threshold (the
+    *          standard unbiased estimator,
     *          sigma ~ sqrt(t(1-t)/numHashes), so boundary-Jaccard pairs
     *          can flip either way). The compact fast mode: the index
     *          stays `numHashes` longs per doc regardless of doc size.
@@ -575,12 +576,19 @@ object Dedup {
     * share the compact schema — the verify strategy there is a per-call
     * choice over the same signatures). Returns the kept batch rows.
     *
-    * Which mode at corpus scale: prefer `rereadFrom` — decisions are
-    * provably identical to stored-`sh` (same exact Jaccard, recomputed
-    * for candidates only) while the index stays `numHashes` longs per
-    * doc instead of corpus-sized; stored-`sh` remains the default only
-    * because it needs no kept-corpus handle from the caller. Measured
-    * at sf0.1 (round 8): the two-batch ingest demos run 5.3s stored-sh
+    * Which mode at corpus scale: the DEFAULT is the compact
+    * signature-only index with estimator decisions
+    * (`exactVerify = false`) — `numHashes` longs per doc forever, the
+    * only shape that survives an unbounded ingest. Callers that need
+    * exact decisions opt in: pass `rereadFrom = Some(keptCorpus)` for
+    * exact verify over the SAME compact index (decisions provably
+    * identical to stored-`sh`, OpsSpec parity), or
+    * `exactVerify = true` alone for the stored-shingle index — the one
+    * deliberately corpus-scale-footprint structure in the library,
+    * warned loudly at call time. (Until round 11 stored-`sh` was the
+    * default because it needs no kept-corpus handle; the flip makes
+    * the scale-safe shape the path of least resistance.) Measured at
+    * sf0.1 (round 8): the two-batch ingest demos run 5.3s stored-sh
     * vs 6.9s compact-with-compaction — the compact path's extra wall
     * time is its compactIndex rewrite + candidate re-shingle, bounded
     * work that does not grow with corpus size, while stored-sh carries
@@ -596,27 +604,28 @@ object Dedup {
                               bands: Int = 16, threshold: Double = 0.5,
                               textCol: String = "text",
                               idCol: String = "doc_id",
-                              exactVerify: Boolean = true,
+                              exactVerify: Boolean = false,
                               rereadFrom: Option[DataFrame] = None,
                               sinkFirst: DataFrame => Unit = _ => ()): DataFrame = {
-    require(exactVerify || rereadFrom.isEmpty,
-      "rereadFrom supplies text for EXACT candidate verification; " +
-        "combining it with exactVerify=false is contradictory")
     val spark = batch.sparkSession
     recoverIndex(indexPath)
-    // stored-sh mode persists the shingle-hash sets in the index; the
-    // reread and estimator modes keep the index signature-only
+    // rereadFrom IMPLIES exact candidate verification (it exists for
+    // nothing else); stored-sh is exactVerify=true WITHOUT a corpus
+    // handle — the reread and estimator modes keep the index
+    // signature-only
+    val doExact = exactVerify || rereadFrom.isDefined
     val storeSh = exactVerify && rereadFrom.isEmpty
     if (storeSh)
       // the one deliberately corpus-scale-footprint structure in the
-      // library — make the default's cost impossible to take silently
+      // library, opt-in since round 11 — keep its cost impossible to
+      // take silently
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"incrementalMinhashDedup($indexPath): stored-shingle mode " +
           "persists every kept doc's shingle-hash set — the index grows " +
           "WITH THE CORPUS (roughly token-count longs), not with the " +
           "signature count. At corpus scale pass rereadFrom=<kept corpus> " +
-          "(identical decisions, numHashes longs/doc index) or " +
-          "exactVerify=false (estimator decisions, same compact index).")
+          "(identical decisions, numHashes longs/doc index) or use the " +
+          "default estimator mode (same compact index).")
     def shSet(text: Column): Column =
       sort_array(array_distinct(transform(shingles(text, n),
         s => xxhash64(s, lit(0)))))
@@ -677,7 +686,7 @@ object Dedup {
               .filter(col("uni") > 0 &&
                 col("inter").cast("double") / col("uni") >= threshold)
               .select(col("bid").as("id")).distinct()
-          } else if (exactVerify) {
+          } else if (doExact) {
             // compact exact mode: candidates are pair-bounded — pin them
             // once (they feed two semi-joins and the verify join below)
             val cand = cand0.localCheckpoint(true)

@@ -549,6 +549,42 @@ object Relational {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // the APPEND-mode twin: watermarked windowed KLL aggregation that
+    // emits each (hour, type) sketch ONCE, when the watermark passes
+    // the window end, then evicts its state — the unbounded-ingest
+    // shape (complete mode above re-emits all state every trigger).
+    // The oracle is the same rank arithmetic restricted to windows the
+    // final watermark (max ts - 2h over the value-bearing rows) closed
+    "q_stream_windowed_quantiles_append" -> ((s, dir) => {
+      val batch = events(s, dir)
+        .select(col("ts"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .filter(col("value").isNotNull)
+      val k = graft.ops.Quantile.exactRegimeK(
+        batch.select(concat_ws("",
+          date_trunc("hour", col("ts")).cast("string"),
+          col("event_type")).as("__g"), col("value")),
+        "__g", col("value"), minK = 1024)
+      val (schema, tsCol) = eventsTs(s, dir)
+      val ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(tsCol.as("ts"), col("event_type"),
+          col("value").cast("double").as("value"))
+        .filter(col("value").isNotNull)
+      val name = s"graft_stream_wqa_${streamQueryId.incrementAndGet()}"
+      val q = graft.streaming.Monitor.windowedQuantiles(ev, col("value"), k)
+        .writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("window.start").as("window_start"), col("event_type"),
+          graft.ops.Quantile.kllQuantile(col("sk"), 0.5).as("p50"),
+          graft.ops.Quantile.kllQuantile(col("sk"), 0.95).as("p95"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // STREAMING attribution: the batch q_events_attribution replayed as
     // a genuine stream-stream inner join — clicks and purchases arrive
     // as two branches of the events file stream, matched per user inside
@@ -1256,6 +1292,35 @@ object Relational {
         |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
         |    THEN value END) AS p95
         |FROM ranked GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // append-mode drain: only windows the final watermark closed emit
+    // (window end <= max ts - 2h, the sessionize_native emission rule);
+    // same rank arithmetic as the complete-mode twin above
+    "q_stream_windowed_quantiles_append" ->
+      """WITH ranked AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |      AS window_start,
+        |    event_type, value,
+        |    row_number() OVER (
+        |      PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |        event_type
+        |      ORDER BY value) AS rn,
+        |    count(*) OVER (
+        |      PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |        event_type) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |wm AS (
+        |  SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR AS w
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT window_start, event_type,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |    THEN value END) AS p50,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+        |    THEN value END) AS p95
+        |FROM ranked CROSS JOIN wm
+        |GROUP BY window_start, event_type, w
+        |HAVING window_start + INTERVAL 1 HOUR <= w
         |ORDER BY window_start, event_type""".stripMargin,
 
     // the rewritten plan must equal the naive BETWEEN join verbatim

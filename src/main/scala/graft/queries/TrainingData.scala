@@ -1016,7 +1016,9 @@ object TrainingData {
     }),
 
     // incremental NEAR-dup dedup across two batches via the persisted
-    // signature+shingle index (exactVerify default): batch 1 = even
+    // signature+shingle index (exactVerify=true, the stored-sh opt-in
+    // since the round-11 default flip to the compact estimator index):
+    // batch 1 = even
     // doc_ids; batch 2 = odd doc_ids plus a near-edited re-crawl of
     // every 6th doc (one appended token, J = (L-2)/(L-1)) under shifted
     // ids. The re-crawls are NEAR- (not exact-) dups of batch-1 docs, so
@@ -1035,8 +1037,8 @@ object TrainingData {
           concat(col("text"), lit(" recrawlmarker")).as("text"))
       val b2 = d.filter(col("doc_id") % 2 === 1).unionByName(dups)
       val idx = scratchDir("graft-mhndx-") + "/idx"
-      val s1 = Dedup.incrementalMinhashDedup(b1, idx)
-      val s2 = Dedup.incrementalMinhashDedup(b2, idx)
+      val s1 = Dedup.incrementalMinhashDedup(b1, idx, exactVerify = true)
+      val s2 = Dedup.incrementalMinhashDedup(b2, idx, exactVerify = true)
       s1.unionByName(s2).select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
@@ -1057,7 +1059,7 @@ object TrainingData {
       def drain(): Unit = {
         val stream = s.readStream.schema(b1.schema).parquet(s"$tmp/in")
         val q = graft.streaming.Monitor.minhashDedupSink(stream,
-          s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt")
+          s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt", exactVerify = true)
         try q.processAllAvailable() finally q.stop()
       }
       b1.coalesce(1).write.mode("append").parquet(s"$tmp/in")

@@ -60,6 +60,30 @@ object Monitor {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
 
+  /** Watermarked tumbling-window KLL quantile sketches in APPEND mode —
+    * the unbounded-ingest twin of the complete-mode windowed sketch
+    * query (which re-emits ALL state every trigger: fine for a drain,
+    * wrong for 24/7). The custom `TypedImperativeAggregate` buffer
+    * lives in the window state store across micro-batches; a
+    * (window, group) sketch row is emitted ONCE, when the watermark
+    * passes the window end, and its state is evicted — output volume
+    * and state are bounded by open windows, not stream history.
+    * Downstream probes quantiles off the emitted sketch column
+    * ([[graft.ops.Quantile.kllQuantile]]); in the exact regime the
+    * emitted blob is bit-identical to the one-shot batch aggregate
+    * over the window's rows regardless of how micro-batches split
+    * them (MonitorSpec pins one-emission-per-closed-window and the
+    * cross-batch merge). */
+  def windowedQuantiles(events: DataFrame,
+                        value: org.apache.spark.sql.Column, k: Int,
+                        windowLen: String = "1 hour",
+                        watermark: String = "2 hours",
+                        groupCol: String = "event_type"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col(groupCol))
+      .agg(graft.ops.Quantile.kllAgg(value, k).as("sk"))
+
   /** Native session-window sessionization: Spark's built-in
     * `session_window` state operator, the declarative twin of the
     * custom [[sessionizeStream]] (flatMapGroupsWithState). Prefer THIS
@@ -308,26 +332,32 @@ object Monitor {
       .start()
 
   /** Stream a corpus through the persisted MinHash near-dup index
-    * ([[graft.ops.Dedup.incrementalMinhashDedup]], stored-shingle exact
-    * mode): survivors of each micro-batch — docs near-duplicating
-    * nothing that ever flowed through `indexPath`, one canonical per
-    * in-batch cluster — append to `outPath`, then their signatures to
-    * the index. Output-first ordering ([[incrementalDedupSink]]'s
-    * contract): a crash between the two writes re-delivers the batch
-    * and duplicates output rows (at-least-once), never silently drops
-    * survivors. Completes the near-dup corner of the streaming sink
-    * family (exact / SimHash / semantic / span already stream). */
+    * ([[graft.ops.Dedup.incrementalMinhashDedup]]): survivors of each
+    * micro-batch — docs near-duplicating nothing that ever flowed
+    * through `indexPath`, one canonical per in-batch cluster — append
+    * to `outPath`, then their signatures to the index. Verification
+    * follows the library default (compact signature-only index,
+    * estimator decisions — the only index shape that survives an
+    * unbounded ingest); pass `exactVerify = true` to opt into the
+    * stored-shingle exact mode, whose index grows with the corpus.
+    * Output-first ordering ([[incrementalDedupSink]]'s contract): a
+    * crash between the two writes re-delivers the batch and duplicates
+    * output rows (at-least-once), never silently drops survivors.
+    * Completes the near-dup corner of the streaming sink family
+    * (exact / SimHash / semantic / span already stream). */
   def minhashDedupSink(docs: DataFrame, indexPath: String,
                        outPath: String, checkpointDir: String,
                        n: Int = 3, numHashes: Int = 64, bands: Int = 16,
                        threshold: Double = 0.5,
                        textCol: String = "text",
-                       idCol: String = "doc_id"): StreamingQuery =
+                       idCol: String = "doc_id",
+                       exactVerify: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.ops.Dedup.incrementalMinhashDedup(batch, indexPath, n,
           numHashes, bands, threshold, textCol, idCol,
+          exactVerify = exactVerify,
           sinkFirst = _.write.mode("append").parquet(outPath))
         () // survivors already persisted by the hook
       }

@@ -391,18 +391,19 @@ class OpsSpec extends AnyFunSuite {
       "no estimator boundary flip in 200 deterministic variants")
     val b1 = Seq((1L, baseText)).toDF("doc_id", "text")
     val b2 = Seq((2L, variantText(flipped.get))).toDF("doc_id", "text")
-    // exact mode (default): the variant is NOT a near-dup (J < 0.5) and
-    // must survive batch 2
+    // exact stored-sh mode (opt-in since the round-11 default flip):
+    // the variant is NOT a near-dup (J < 0.5) and must survive batch 2
     val idxE = graft.SparkSpec.tmpDir("graft-mhex-") + "/idx"
-    Dedup.incrementalMinhashDedup(b1, idxE)
-    val keptExact = Dedup.incrementalMinhashDedup(b2, idxE)
+    Dedup.incrementalMinhashDedup(b1, idxE, exactVerify = true)
+    val keptExact = Dedup.incrementalMinhashDedup(b2, idxE,
+        exactVerify = true)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptExact == Set(2L), s"exact mode must keep the variant: $keptExact")
-    // estimator mode on the same two batches drops it — the documented
-    // boundary-flip failure the exact mode exists to fix
+    // estimator mode (the DEFAULT) on the same two batches drops it —
+    // the documented boundary-flip behavior the exact opt-in fixes
     val idxA = graft.SparkSpec.tmpDir("graft-mhap-") + "/idx"
-    Dedup.incrementalMinhashDedup(b1, idxA, exactVerify = false)
-    val keptEst = Dedup.incrementalMinhashDedup(b2, idxA, exactVerify = false)
+    Dedup.incrementalMinhashDedup(b1, idxA)
+    val keptEst = Dedup.incrementalMinhashDedup(b2, idxA)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptEst.isEmpty, s"estimator mode should flip here: $keptEst")
     // index schemas are per-mode; mixing must fail fast, not union-merge
@@ -422,7 +423,8 @@ class OpsSpec extends AnyFunSuite {
     val idxRr = graft.SparkSpec.tmpDir("graft-rr-cp-") + "/idx"
     var corpus = docs.limit(0) // accumulated kept docs for reread mode
     for (b <- batches) {
-      val keptSh = Dedup.incrementalMinhashDedup(b, idxSh)
+      val keptSh = Dedup.incrementalMinhashDedup(b, idxSh,
+          exactVerify = true)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       val keptRr = Dedup.incrementalMinhashDedup(b, idxRr,
         rereadFrom = Some(corpus))
@@ -442,19 +444,24 @@ class OpsSpec extends AnyFunSuite {
     println(f"[footprint] stored-sh=$bSh%d B, compact=$bRr%d B, " +
       f"ratio=${bSh.toDouble / bRr}%.2f")
     assert(bRr < bSh, "compact index should be smaller than stored-sh")
-    // mixing schemas on one path fails fast in both directions
+    // mixing schemas on one path fails fast in both directions (the
+    // round-11 default is the compact schema, so stored-sh must be
+    // requested explicitly to collide with it)
     val b = batches.head
     assert(intercept[IllegalArgumentException] {
       Dedup.incrementalMinhashDedup(b, idxSh, rereadFrom = Some(corpus))
     }.getMessage.contains("schema"))
     assert(intercept[IllegalArgumentException] {
-      Dedup.incrementalMinhashDedup(b, idxRr)
+      Dedup.incrementalMinhashDedup(b, idxSh) // default estimator mode
     }.getMessage.contains("schema"))
-    // rereadFrom implies exact verification
     assert(intercept[IllegalArgumentException] {
-      Dedup.incrementalMinhashDedup(b, idxRr, exactVerify = false,
-        rereadFrom = Some(corpus))
-    }.getMessage.contains("rereadFrom"))
+      Dedup.incrementalMinhashDedup(b, idxRr, exactVerify = true)
+    }.getMessage.contains("schema"))
+    // rereadFrom IMPLIES exact verification: passing it with the
+    // default exactVerify=false is the normal spelling now, shares the
+    // compact schema, and must not throw
+    Dedup.incrementalMinhashDedup(docs.limit(0).toDF(), idxRr,
+      rereadFrom = Some(corpus))
     // a kept id missing from the corpus fails fast, never silently keeps
     val holed = corpus.filter(col("doc_id") =!= corpus
       .orderBy("doc_id").select("doc_id").first().getLong(0))

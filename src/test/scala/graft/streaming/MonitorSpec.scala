@@ -658,6 +658,61 @@ class MonitorSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("append-mode windowed quantiles: one emission per CLOSED window " +
+    "with state merged across micro-batches, bit-identical to the " +
+    "one-shot aggregate; open windows stay unemitted") {
+    val dir = tmpDir("graft-wqa-")
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def write(name: String, rows: Seq[(String, String, Double)]): Unit =
+      rows.toDF("ts_s", "event_type", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp"))
+        .select("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in/$name")
+    // hour-0 rows SPLIT across the two micro-batches (the cross-batch
+    // state merge), hour-1 left open, hour-3 advances the watermark
+    write("f1", Seq(
+      ("2024-01-01 00:05:00", "a", 1.0),
+      ("2024-01-01 00:10:00", "a", 3.0),
+      ("2024-01-01 01:10:00", "a", 50.0)))
+    write("f2", Seq(
+      ("2024-01-01 00:20:00", "a", 2.0),
+      ("2024-01-01 00:40:00", "a", 4.0),
+      // watermark after this batch: 03:30 - 2h = 01:30 — closes the
+      // hour-0 window (end 01:00 <= 01:30), leaves hour-1 (end 02:00)
+      // and hour-3 open
+      ("2024-01-01 03:30:00", "a", 99.0)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+    val q = Monitor.windowedQuantiles(stream, col("value"), k = 64)
+      .writeStream
+      .outputMode("append").format("memory").queryName("wqa_test")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val out = spark.table("wqa_test")
+      .select(col("window.start").cast("string").as("ws"),
+        col("event_type"), col("sk"))
+      .collect()
+    // exactly ONE emission, for the one closed window
+    assert(out.length == 1, out.mkString("; "))
+    assert(out(0).getString(0) == "2024-01-01 00:00:00")
+    // the emitted sketch merged BOTH batches' hour-0 rows: bit-identical
+    // to the one-shot aggregate over {1,3,2,4}
+    val oneShot = Seq(1.0, 3.0, 2.0, 4.0).toDF("value")
+      .agg(graft.ops.Quantile.kllAgg(col("value"), 64).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(out(0).getAs[Array[Byte]]("sk"), oneShot))
+    val med = spark.table("wqa_test")
+      .select(graft.ops.Quantile.kllQuantile(col("sk"), 0.5))
+      .head().getDouble(0)
+    assert(med == 2.0) // inverted-CDF discrete median of 1,2,3,4
+  }
+
   test("span-dedup sink: passages re-arriving in a LATER batch are " +
     "reported keep-one; checkpointed resume re-counts nothing") {
     import spark.implicits._
