@@ -174,6 +174,144 @@ object Tokenize {
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
   }
 
+  // ---------------------------------------------------------------- //
+  // GPT-2-format loader (the published vocab.json + merges.txt pair)
+  // ---------------------------------------------------------------- //
+
+  /** Load a tokenizer from the PUBLISHED GPT-2 BPE file format (Radford
+    * et al. 2019; the `vocab.json` token→id map plus `merges.txt` rank-
+    * ordered pair list every byte-level-BPE release ships): the
+    * production half of the [[BatchTokenizer]] seam — token BUDGETS
+    * contracted in a real model's tokens run on the model's own merge
+    * table, not a heuristic. Files are read driver-side (they are
+    * vocabulary-sized, a few MB); the parsed tables ride the task
+    * closure and the rank index is built once per partition in
+    * `init()`.
+    *
+    * Byte-level semantics, implemented from the published algorithm:
+    * text splits on the GPT-2 pre-tokenizer regex (contractions /
+    * letter runs / digit runs / punctuation runs, each optionally
+    * space-prefixed), each pre-token's UTF-8 bytes map through the
+    * bytes→unicode table (printable bytes to themselves, the rest to
+    * U+0100.., so merges operate on visible characters), then adjacent
+    * pairs merge best-rank-first. Every merge output must be in the
+    * vocab — validated at load, so a mismatched file pair fails fast
+    * here instead of as wrong counts downstream. */
+  def loadGpt2(mergesPath: String, vocabPath: String): Gpt2BpeTokenizer = {
+    val mergeLines = graft.core.Fs.readString(mergesPath)
+      .split("\n").iterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#version"))
+      .toSeq
+    val merges = mergeLines.map { l =>
+      val parts = l.split(" ")
+      require(parts.length == 2,
+        s"malformed merges.txt line (expected 'left right'): '$l'")
+      (parts(0), parts(1))
+    }
+    val vocabJson = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.Fs.readString(vocabPath))
+    require(vocabJson.isObject,
+      s"$vocabPath is not a JSON object (token -> id)")
+    val vocab = {
+      val b = Map.newBuilder[String, Int]
+      vocabJson.properties().forEach(e => b += e.getKey -> e.getValue.asInt())
+      b.result()
+    }
+    merges.foreach { case (l, r) =>
+      require(vocab.contains(l + r),
+        s"merge output '${l + r}' missing from $vocabPath — the files " +
+          "are not a matching vocab/merges pair")
+    }
+    Gpt2BpeTokenizer(merges, vocab)
+  }
+
+  /** The GPT-2 byte-to-unicode table (public algorithm): printable
+    * latin-1 bytes map to themselves; the remaining 68 bytes map to
+    * U+0100.. in order, so every byte has a VISIBLE stand-in and merge
+    * files stay plain text (space becomes U+0120 'Ġ', the famous
+    * leading-space marker). */
+  private[ops] lazy val byteToUnicode: Array[Char] = {
+    val printable = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ'))
+      .map(_.toInt).toSet
+    val out = new Array[Char](256)
+    var next = 0
+    for (b <- 0 until 256) {
+      if (printable(b)) out(b) = b.toChar
+      else { out(b) = (256 + next).toChar; next += 1 }
+    }
+    out
+  }
+
+  /** The published GPT-2 pre-tokenizer pattern (contractions, space-
+    * prefixed letter/digit/punct runs, trailing/other whitespace). */
+  private[ops] val gpt2Pattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
+      "|\\s+(?!\\S)|\\s+"
+
+  /** Byte-level BPE tokenizer over a loaded GPT-2 merge table + vocab
+    * ([[loadGpt2]]). `init()` builds the rank index once per partition
+    * (the seam's model-load slot); `count` is the seam's contract and
+    * [[Gpt2Counter.encode]] exposes the ids for tests and ad-hoc use. */
+  final case class Gpt2BpeTokenizer(merges: Seq[(String, String)],
+                                    vocab: Map[String, Int])
+      extends BatchTokenizer {
+    def init(): Gpt2Counter = new Gpt2Counter(merges, vocab)
+  }
+
+  final class Gpt2Counter(merges: Seq[(String, String)],
+                          vocab: Map[String, Int]) extends TokenCounter {
+    private val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    private val pre = java.util.regex.Pattern.compile(gpt2Pattern)
+
+    def count(text: String): Long = tokens(text).length.toLong
+
+    /** Token ids in order; an unmergeable symbol absent from the vocab
+      * fails fast (a malformed pair of files, not valid input). */
+    def encode(text: String): Seq[Int] = tokens(text).map { t =>
+      vocab.getOrElse(t,
+        throw new IllegalArgumentException(
+          s"token '$t' not in vocab — vocab.json and merges.txt do not " +
+            "form a matching pair for this input"))
+    }
+
+    private def tokens(text: String): Seq[String] = {
+      val m = pre.matcher(text)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) out ++= bpe(mapBytes(m.group()))
+      out.toSeq
+    }
+
+    private def mapBytes(s: String): String = {
+      val bytes = s.getBytes("UTF-8")
+      val sb = new java.lang.StringBuilder(bytes.length)
+      bytes.foreach(b => sb.append(byteToUnicode(b & 0xFF)))
+      sb.toString
+    }
+
+    private def bpe(word: String): Seq[String] = {
+      val syms = scala.collection.mutable.ArrayBuffer.from(
+        word.map(_.toString))
+      var done = syms.length < 2
+      while (!done) {
+        var best = -1
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+          if (r < bestRank) { bestRank = r; best = i }
+          i += 1
+        }
+        if (best < 0) done = true
+        else {
+          syms(best) = syms(best) + syms(best + 1)
+          syms.remove(best + 1)
+          if (syms.length < 2) done = true
+        }
+      }
+      syms.toSeq
+    }
+  }
+
   /** Minimal byte-pair-encoding tokenizer over an explicit merge list —
     * the seam's test implementation (the public BPE algorithm: within
     * each pre-token, repeatedly merge the adjacent symbol pair with the

@@ -41,6 +41,78 @@ object PlanAudit {
   def audit(df: DataFrame): Seq[Finding] =
     auditPlan(df.queryExecution.executedPlan)
 
+  /** Audit a STREAMING DataFrame BEFORE it is started (starting and
+    * draining a stream just to lint it defeats the point of a static
+    * gate). Batch-planning a streaming frame works for most shapes
+    * (streaming sources become placeholder leaves) and reuses the full
+    * physical audit; the stateful shapes batch planning rejects fall
+    * back to a logical-plan lint for the loop-join findings — a join
+    * with no equality conjunct between its sides is exactly what
+    * Catalyst lowers to CartesianProduct / BroadcastNestedLoopJoin.
+    * The fallback lints the ANALYZED plan — optimization also runs the
+    * batch-unsupported check, analysis does not. */
+  def auditStreaming(df: DataFrame): Seq[Finding] =
+    try audit(df)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException |
+           _: UnsupportedOperationException |
+           _: IllegalArgumentException =>
+        auditLogicalLoops(df.queryExecution.analyzed)
+    }
+
+  /** Loop-join lint on a LOGICAL plan (the streaming fallback). */
+  def auditLogicalLoops(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[Finding] = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    plan.collect {
+      case j: logical.Join if !hasEquiConjunct(j) && !logicalBounded(j) =>
+        Finding("NESTED_LOOP", j.nodeName,
+          s"join (${j.joinType}) has no equality conjunct between the " +
+            "sides — Catalyst lowers it to a CartesianProduct / " +
+            "BroadcastNestedLoopJoin; add a join key or bin the range")
+    }
+  }
+
+  private def hasEquiConjunct(
+      j: org.apache.spark.sql.catalyst.plans.logical.Join): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => split(a) ++ split(b)
+      case other => Seq(other)
+    }
+    def acrossSides(l: Expression, r: Expression): Boolean = {
+      val (lo, ro) = (j.left.outputSet, j.right.outputSet)
+      (l.references.subsetOf(lo) && r.references.subsetOf(ro)) ||
+        (l.references.subsetOf(ro) && r.references.subsetOf(lo))
+    }
+    j.condition.toSeq.flatMap(split).exists {
+      case EqualTo(l, r) => acrossSides(l, r)
+      case EqualNullSafe(l, r) => acrossSides(l, r)
+      case _ => false
+    }
+  }
+
+  /** Logical analog of the tiny-side exemption: a join is not a scale
+    * hazard when either side provably emits at most a few rows. */
+  private def logicalBounded(
+      j: org.apache.spark.sql.catalyst.plans.logical.Join): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bound(p: LogicalPlan): Option[Long] = p match {
+      case a: Aggregate if a.groupingExpressions.isEmpty => Some(1L)
+      case l: LocalRelation => Some(l.data.size.toLong)
+      case g: GlobalLimit =>
+        g.limitExpr match {
+          case org.apache.spark.sql.catalyst.expressions
+                .Literal(v: Int, _) => Some(v.toLong)
+          case _ => None
+        }
+      case u: UnaryNode => bound(u.child)
+      case _ => None
+    }
+    Seq(j.left, j.right).exists(s => bound(s).exists(_ <= 3))
+  }
+
   def auditPlan(plan: SparkPlan): Seq[Finding] = {
     val nodes = flatten(plan)
     val findings = scala.collection.mutable.ArrayBuffer.empty[Finding]

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The GPT-2-format BPE loader: published vocab.json + merges.txt files
+  * load through the [[Tokenize.BatchTokenizer]] seam, counts and ids
+  * match hand-computed byte-level BPE, and a token-budget operator runs
+  * end to end on the loaded merges. Fixture built in-repo (a 12-merge
+  * table over a tiny alphabet) — the format is the public one every
+  * byte-level-BPE release ships, so a real model's pair drops in
+  * unchanged. */
+class TokenizeSpec extends AnyFunSuite {
+  import graft.SparkSpec.spark
+  import spark.implicits._
+
+  private def fixture(name: String): String =
+    getClass.getResource(s"/gpt2_fixture/$name").getPath
+
+  private def load() =
+    Tokenize.loadGpt2(fixture("merges.txt"), fixture("vocab.json"))
+
+  test("fixture round-trips: merges in rank order, every merge output " +
+    "in the vocab") {
+    val tok = load()
+    assert(tok.merges.length == 12)
+    assert(tok.merges.head == ("h", "e") && tok.merges(8) == ("Ġ", "world"))
+    assert(tok.vocab("hello") == 16 && tok.vocab("Ġworld") == 21)
+  }
+
+  test("counts and ids match hand-computed byte-level BPE") {
+    val c = load().init()
+    // 'hello' -> [hello]; ' world' -> [Ġ,w,o,r,l,d] -> ... -> [Ġworld]
+    assert(c.count("hello world") == 2L)
+    assert(c.encode("hello world") == Seq(16, 21))
+    // the leading-space marker: a second 'hello' arrives as Ġhello
+    assert(c.encode("hello hello") == Seq(16, 22))
+    // digit run merges 1+2 -> 12, 12+3 -> 123
+    assert(c.encode("hello123") == Seq(16, 24))
+    // double space: pre-tokenizer emits a lone whitespace run (Ġ) then
+    // ' world' — the published \s+(?!\S) behavior
+    assert(c.encode("hello  world") == Seq(16, 10, 21))
+    // multi-byte char: é is two UTF-8 bytes, both printable latin-1,
+    // so they surface as their own symbols (no merges apply to them)
+    assert(c.encode("héllo") == Seq(0, 11, 12, 14, 3)) // h Ã © ll o
+    assert(c.count("") == 0L)
+  }
+
+  test("mismatched vocab/merges pair fails fast at load; an input " +
+    "outside the vocab fails fast at encode") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-gpt2-bad-").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/merges.txt"),
+      "#version: 0.2\nq q\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/vocab.json"),
+      """{"q": 0}""".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](
+      Tokenize.loadGpt2(s"$dir/merges.txt", s"$dir/vocab.json"))
+    assert(e.getMessage.contains("qq"))
+    // counting tolerates unknown symbols (count needs no ids); encode
+    // of a symbol with no id is a loud error, not a silent skip
+    val c = load().init()
+    assert(c.count("zz") == 2L)
+    intercept[IllegalArgumentException](c.encode("zz"))
+  }
+
+  test("budget operator end to end on loaded merges: withTokenCount " +
+    "feeds mixtureByTokens, counts are the tokenizer's own") {
+    val docs = Seq(
+      (0L, "a", "hello world"),        // 2 tokens
+      (1L, "a", "hello hello world"),  // 3 tokens
+      (2L, "a", "hello123"),           // 2 tokens
+      (3L, "b", "hello"),              // 1 token
+      (4L, "b", "hello world world")   // 3 tokens
+    ).toDF("doc_id", "source", "text")
+    val counted = Tokenize.withTokenCount(docs, load())
+    val byId = counted.select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId == Map(0L -> 2L, 1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 3L))
+    // 3:1 token mixture over strata a (7 tokens) and b (4 tokens):
+    // the binding stratum caps the draw; decisions use REAL counts
+    val mix = Sampling.mixtureByTokens(counted, col("source"),
+      col("doc_id"), col("n_tokens"), Map("a" -> 3L, "b" -> 1L))
+    val got = mix.groupBy("source").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet.subsetOf(Set("a", "b")) && got.nonEmpty)
+    val (ta, tb) = (got.getOrElse("a", 0L), got.getOrElse("b", 0L))
+    assert(ta > 0L && ta <= 7L && tb <= 4L)
+  }
+}

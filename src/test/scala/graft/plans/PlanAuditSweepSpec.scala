@@ -13,9 +13,13 @@ import graft.SparkEntry
   * [[PlanAudit]] cover the broadcast-stats and sketch-matrix idioms
   * without entries here.
   *
-  * Streaming queries are excluded (building them starts and drains a
-  * stream; their stateful shapes are pinned by MonitorSpec and the
-  * per-query PlanSpec gates). */
+  * Streaming coverage (round 11): the composable streaming surfaces in
+  * [[graft.streaming.Monitor]] are audited PRE-START via
+  * [[PlanAudit.auditStreaming]] — constructing the frame is enough, no
+  * drain. The registry's `q_stream_*` entries are those surfaces plus
+  * foreachBatch sinks whose per-batch work is the batch fold functions
+  * already linted by the batch sweep above; a new streaming TRANSFORM
+  * gets default lint coverage by being exercised here. */
 class PlanAuditSweepSpec extends AnyFunSuite {
   import graft.SparkSpec.spark
 
@@ -63,5 +67,61 @@ class PlanAuditSweepSpec extends AnyFunSuite {
     val stale = allowed.keySet -- flaggedNames
     assert(stale.isEmpty,
       s"allow-list entries no longer needed (plan improved?): $stale")
+  }
+
+  test("streaming surfaces audit clean of loop-join shapes PRE-START; " +
+    "a deliberately keyless stream-stream join flags") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-streamaudit-").toString
+    val evSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    // the file source resolves its path at analysis: seed both dirs
+    // with an empty file of the right schema (no rows needed — the
+    // audit never starts the streams)
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      evSchema).write.parquet(s"$dir/ev")
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      docSchema).write.parquet(s"$dir/docs")
+    def ev = spark.readStream.schema(evSchema).parquet(s"$dir/ev")
+    def docs = spark.readStream.schema(docSchema).parquet(s"$dir/docs")
+    def clicks = ev.select(col("user_id").as("click_user"),
+      col("ts").as("click_ts"),
+      floor(col("value") * 100).cast("long").as("click_cents"))
+    def purchases = ev.select(col("user_id").as("p_user"),
+      col("ts").as("p_ts"))
+    import graft.streaming.Monitor
+    val surfaces: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "eventsWindowed" -> Monitor.eventsWindowed(ev),
+      "sessionizeNative" -> Monitor.sessionizeNative(ev),
+      "attributionJoin" -> Monitor.attributionJoin(clicks, purchases),
+      "attributionWindowed" ->
+        Monitor.attributionWindowed(clicks, purchases),
+      "mixtureMonitor" -> Monitor.mixtureMonitor(docs),
+      "dedupStream" -> Monitor.dedupStream(docs, Seq("doc_id")),
+      "windowedQuantiles" ->
+        Monitor.windowedQuantiles(ev, col("value"), k = 64),
+      "gateMonitor" -> Monitor.gateMonitor(docs,
+        Seq("nonempty" -> col("text").isNotNull)))
+    val flagged = surfaces.flatMap { case (name, df) =>
+      PlanAudit.auditStreaming(df)
+        .filter(f => f.kind == "CARTESIAN" || f.kind == "NESTED_LOOP")
+        .map(f => (name, f.kind))
+    }
+    assert(flagged.isEmpty, s"streaming loop-join shapes: $flagged")
+    // teeth: a stream-stream join with ONLY a range condition (no
+    // equality conjunct) must flag — the state-unbounded shape the
+    // sweep exists to catch before a deploy does
+    val keyless = clicks.withWatermark("click_ts", "1 hour")
+      .join(purchases.withWatermark("p_ts", "1 hour"),
+        expr("click_ts >= p_ts - INTERVAL 30 MINUTES AND click_ts <= p_ts"))
+    val bad = PlanAudit.auditStreaming(keyless)
+      .filter(f => f.kind == "CARTESIAN" || f.kind == "NESTED_LOOP")
+    assert(bad.nonEmpty, "keyless streaming join should flag")
   }
 }
