@@ -154,11 +154,22 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
           max(col("_run_seq")).cast(LongType)).head()
         (if (r.isNullAt(0)) -1L else r.getLong(0),
          if (r.isNullAt(1)) -1L else r.getLong(1))
-      case None =>
-        // disk-backed: the db serves counters from the skip manifest's
-        // per-file maxima when fresh (SURVEY §4.3(c)'s lightweight
-        // metadata read — zero data files), full scan otherwise
+      case None if db.manifestFresh =>
+        // disk-backed with a fresh manifest: counters from the
+        // per-file maxima (SURVEY §4.3(c)'s lightweight metadata
+        // read — zero data files)
         db.counters()
+      case None => base match {
+        // no manifest: aggregate over the ALREADY-BUILT base frame
+        // (a db.counters() fallback would re-list and re-read the db)
+        case None => (-1L, -1L)
+        case Some(bdf) =>
+          import org.apache.spark.sql.functions.{col, max}
+          val r = bdf.agg(max(col("_pset_seq")).cast(LongType),
+            max(col("_run_seq")).cast(LongType)).head()
+          (if (r.isNullAt(0)) -1L else r.getLong(0),
+           if (r.isNullAt(1)) -1L else r.getLong(1))
+      }
     }
 
     // 3.1-6: backup before mutating (ref psweep.py:1417-1427).
@@ -200,12 +211,14 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
     // (ref psweep.py:1432-1439).
     val dupHashes: Set[String] =
       if (!cfg.skipDups) Set.empty
-      else if (baseDf.isDefined)
+      // disk-backed with a fresh manifest: hash ranges prune the
+      // pre-check to touched files; otherwise the already-built base
+      // frame serves the scan (no per-call re-listing)
+      else if (baseDf.isEmpty && db.manifestFresh)
+        db.existingAmong("_pset_hash", hashes)
+      else
         base.map(Database.existingAmong(_, "_pset_hash", hashes))
           .getOrElse(Set.empty)
-      // disk-backed: manifest hash ranges prune the pre-check to
-      // touched files when fresh (full scan fallback inside)
-      else db.existingAmong("_pset_hash", hashes)
     val keptIdx = norm.indices.filter(i => !dupHashes.contains(hashes(i)))
     if (keptIdx.isEmpty)
       return RunOutput(base.getOrElse(ValueSchema.toDF(spark, Seq.empty)),
@@ -217,10 +230,11 @@ final class Study(val spark: SparkSession, val cfg: StudyConfig) {
     if (cfg.git) Git.noteRun(runId)
     var psetIds = keptIdx.map(_ => UUID.randomUUID().toString)
     def collisions(ids: Seq[String]): Set[String] =
-      if (baseDf.isDefined)
+      if (baseDf.isEmpty && db.manifestFresh)
+        db.existingAmong("_pset_id", ids)
+      else
         base.map(Database.existingAmong(_, "_pset_id", ids))
           .getOrElse(Set.empty)
-      else db.existingAmong("_pset_id", ids)
     var colliding = collisions(psetIds)
     while (colliding.nonEmpty) {
       psetIds = psetIds.map(id =>

@@ -39,6 +39,17 @@ object SketchDemo {
     Sketch.overlapMatrix(ev, "event_type", col("user_id"), kD)
       .show(5, truncate = false)
 
+    println("== audience growth (a-not-b: what each slice ADDS) ==")
+    val sk = ev.groupBy(col("event_type").as("g"))
+      .agg(Sketch.kmvAgg(col("user_id"), kD).as("sk"))
+    sk.select(col("g").as("type_a"), col("sk").as("sa"))
+      .join(sk.select(col("g").as("type_b"), col("sk").as("sb")),
+        col("type_a") =!= col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        round(Sketch.aNotBEstimate(col("sa"), col("sb")))
+          .cast("long").as("n_new"))
+      .orderBy("type_a", "type_b").show(6, truncate = false)
+
     println("== value quantiles (KLL, one scan, no global sort) ==")
     val kQ = Quantile.exactRegimeK(ev, "event_type", col("value"))
     Quantile.groupQuantiles(ev, "event_type", col("value"),

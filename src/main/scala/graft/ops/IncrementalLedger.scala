@@ -32,6 +32,38 @@ private[ops] object IncrementalLedger {
       .map(_.trim).filter(_.nonEmpty).toSet
   }
 
+  // -------------------------------------------------------------- //
+  // append-journal variant, for APPEND-shaped indexes (the span-dedup
+  // count table) where a per-batch swap-rewrite would turn a bounded
+  // append into a corpus-sized rewrite
+  // -------------------------------------------------------------- //
+
+  private def journalDir(indexPath: String): String = s"$indexPath.__applied"
+
+  private def enc(id: String): String =
+    java.net.URLEncoder.encode(id, "UTF-8")
+
+  /** Batch ids recorded in the side journal of an append-shaped index
+    * (one empty marker file per id — bounded by batch count, read as a
+    * driver-side listing). UNLIKE the in-directory ledger, the journal
+    * is not atomic with the index append: a crash between an append
+    * and its record replays that one batch (the bm25 stats-row
+    * discipline — the window is one file-create wide); every recorded
+    * batch stays dedup'd as long as the journal lives beside the
+    * index. */
+  def journalIds(indexPath: String): Set[String] = {
+    val d = journalDir(indexPath)
+    if (!Fs.exists(d)) Set.empty
+    else Fs.listNames(d)
+      .map(n => java.net.URLDecoder.decode(n, "UTF-8")).toSet
+  }
+
+  /** Record `batchId` as applied (call AFTER the index append lands). */
+  def journalRecord(indexPath: String, batchId: String): Unit = {
+    Fs.mkdirs(journalDir(indexPath))
+    Fs.writeString(s"${journalDir(indexPath)}/${enc(batchId)}", "")
+  }
+
   /** Write `applied` + `batchId` as the ledger of the STAGING directory
     * `tmpDir` (called after the merged parquet lands there, before the
     * swap renames it live). An existing ledger is carried forward even

@@ -126,6 +126,22 @@ object Sketch {
     toBlob(k, theta, out)
   }
 
+  /** Theta-sketch a-NOT-b (Dasgupta et al. 2016's third set
+    * operation, completing union/intersection): count a's retained
+    * values below the common theta that b does not hold, scaled by
+    * 1/theta. Exact while both groups are in the exact regime (full
+    * sets retained, theta = 1). */
+  private[ops] def aNotBBlobs(a: Array[Byte], b: Array[Byte]): Double = {
+    val da = decode(a); val db = decode(b)
+    val (ta, va) = da.thetaView; val (tb, vb) = db.thetaView
+    val theta = math.min(ta, tb)
+    val inB = new java.util.HashSet[java.lang.Long]()
+    vb.foreach(v => if (toUnit(v) < theta) inB.add(v))
+    var only = 0
+    va.foreach(v => if (toUnit(v) < theta && !inB.contains(v)) only += 1)
+    if (theta >= 1.0) only.toDouble else only / theta
+  }
+
   private[ops] def intersectBlobs(a: Array[Byte], b: Array[Byte]): Double = {
     val da = decode(a); val db = decode(b)
     val (ta, va) = da.thetaView; val (tb, vb) = db.thetaView
@@ -257,6 +273,17 @@ object Sketch {
       copy(left = l, right = r)
   }
 
+  case class KmvANotBEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      aNotBBlobs(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+    override def prettyName: String = "kmv_a_not_b_estimate"
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): KmvANotBEstimate =
+      copy(left = l, right = r)
+  }
+
   // ---------------------------------------------------------------- //
   // Column API
   // ---------------------------------------------------------------- //
@@ -282,6 +309,13 @@ object Sketch {
 
   def intersectEstimate(a: Column, b: Column): Column =
     shim.column(KmvIntersectEstimate(shim.expression(a), shim.expression(b)))
+
+  /** Estimated |A \ B| — "how many of slice A's keys are NEW relative
+    * to slice B": the audience/vocabulary growth audit, 32 KiB sketch
+    * algebra per pair instead of a distinct anti-join per pair. Exact
+    * integers in the exact regime. */
+  def aNotBEstimate(a: Column, b: Column): Column =
+    shim.column(KmvANotBEstimate(shim.expression(a), shim.expression(b)))
 
   // ---------------------------------------------------------------- //
   // DataFrame ops

@@ -109,19 +109,45 @@ object SpanDedup {
     * re-arrivals, and a double-counted single occurrence marks the
     * passage exactly as its genuine second arrival would have), but
     * with `minOccurrences > 2` duplicate appends inflate history toward
-    * the threshold and over-mark future arrivals. Callers on a
-    * retrying scheduler must ensure at-most-once appends per logical
-    * batch (e.g. stage batch ids and skip replays). */
+    * the threshold and over-mark future arrivals.
+    *
+    * Pass `batchId` to make a DELIVERY-level replay a no-op: applied
+    * ids live in a side journal ([[IncrementalLedger.journalRecord]],
+    * recorded after the append — the double-count window shrinks to
+    * one file-create), and a replayed id returns empty spans without
+    * touching the index. Content-based identity is deliberately NOT
+    * used: a re-crawl re-arriving with identical content is a
+    * legitimate event this operator exists to DETECT, so only the
+    * caller's delivery system (the streaming checkpoint's batch ids)
+    * can name a true replay. `sinkFirst` runs on the computed spans
+    * BEFORE the index append and the journal record — make the output
+    * durable there, so every crash point leaves either duplicate
+    * output rows (at-least-once) or a clean retry, never silent loss
+    * (the [[Dedup.incrementalExactDedup]] ordering contract). */
   def incrementalDuplicatedSpans(batch: DataFrame, indexPath: String,
                                  k: Int, minOccurrences: Long = 2L,
                                  idCol: String = "doc_id",
-                                 textCol: String = "text"): DataFrame = {
+                                 textCol: String = "text",
+                                 batchId: Option[String] = None,
+                                 sinkFirst: DataFrame => Unit = _ => ())
+      : DataFrame = {
     require(k >= 2, s"window of $k tokens cannot overlap-merge; use k >= 2")
     require(minOccurrences >= 2,
       s"minOccurrences=$minOccurrences marks every window as duplicated")
     import graft.core.Fs
     val spark = batch.sparkSession
     Dedup.recoverIndex(indexPath)
+    if (batchId.exists(IncrementalLedger.journalIds(indexPath).contains)) {
+      // fully-applied batch replayed (crash after the journal record):
+      // its spans are already durable via the caller's sinkFirst, its
+      // counts already in the index — emit the empty span frame (same
+      // schema, derived from the same pipeline over zero rows) and
+      // touch nothing
+      val none = windowFingerprints(batch.limit(0), k, idCol, textCol)
+        .select(col("id"), col("pos").cast("long").as("__s"),
+          (col("pos") + lit(k.toLong)).as("__e"))
+      return mergeIntervals(none, idCol)
+    }
     val grams = windowFingerprints(batch, k, idCol, textCol)
     // pinned: the SAME counts feed both the duplicate mark below and
     // the index append — a non-deterministic batch plan (sampling,
@@ -161,7 +187,11 @@ object SpanDedup {
       .select(col("id"), col("pos").cast("long").as("__s"),
         (col("pos") + lit(k.toLong)).as("__e"))
     val spans = mergeIntervals(marked, idCol).localCheckpoint()
+    // output-first: durable spans before the index append (duplicate
+    // rows on retry, never loss), then counts, then the journal record
+    sinkFirst(spans)
     batchCounts.write.mode("append").parquet(indexPath)
+    batchId.foreach(IncrementalLedger.journalRecord(indexPath, _))
     spans
   }
 

@@ -645,6 +645,30 @@ object TrainingData {
         .withColumnRenamed("g_b", "type_b")
     }),
 
+    // the sketch algebra's third set operation: per-type-pair a-NOT-b
+    // (users of A that B never saw — the "what does this slice add"
+    // growth audit). Same one-scan sketch table as the overlap matrix;
+    // every directed pair is 32 KiB algebra, never a distinct
+    // anti-join. Exact regime (sized like q_sketch_audience, shared
+    // probe via the stats cache) -> exact integers for the oracle
+    "q_sketch_newaudience" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("user_id").cast("long").as("user_id"))
+      val k = Sketch.exactRegimeK(ev, "event_type", col("user_id"),
+        minK = 4096)
+      val sk = ev.groupBy(col("event_type").as("g"))
+        .agg(Sketch.kmvAgg(col("user_id"), k).as("sk"))
+      val a = sk.select(col("g").as("type_a"), col("sk").as("__a"))
+      val b = sk.select(col("g").as("type_b"), col("sk").as("__b"))
+      // directed pairs; null types drop out of the inequality join
+      // exactly as they drop from the oracle's NOT NULL filter
+      a.join(b, col("type_a") =!= col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          round(Sketch.aNotBEstimate(col("__a"), col("__b")))
+            .cast("long").as("n_new"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // the same sketch machinery over the text modality: per-source
     // distinct-vocabulary overlap (tokens as keys) — "do these two
     // crawls even speak the same words" before any expensive dedup
@@ -3592,6 +3616,27 @@ object TrainingData {
     // sketch exact-regime contract: with every group's distinct count
     // under k, the KMV estimate/union/intersection ARE the true counts
     "q_sketch_audience" -> sketchAudienceOracleSql,
+
+    // a-not-b replayed exactly: per-type distinct counts minus the
+    // directed-pair common counts
+    "q_sketch_newaudience" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |), cnt AS (
+        |  SELECT event_type, COUNT(*) AS c FROM d GROUP BY 1
+        |), inter AS (
+        |  SELECT x.event_type AS ta, y.event_type AS tb, COUNT(*) AS c
+        |  FROM d x JOIN d y
+        |    ON x.user_id = y.user_id AND x.event_type <> y.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |  CAST(ca.c - COALESCE(i.c, 0) AS BIGINT) AS n_new
+        |FROM cnt ca JOIN cnt cb ON ca.event_type <> cb.event_type
+        |LEFT JOIN inter i
+        |  ON i.ta = ca.event_type AND i.tb = cb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
 
     // streamed idempotent fold drained == the batch aggregate
     "q_stream_sketch_audience" -> sketchAudienceOracleSql,

@@ -566,27 +566,35 @@ object Monitor {
     * count deltas fold into the index. Keep-one semantics per passage:
     * the first arrival is never reported, every re-arrival is.
     *
-    * Delivery contract: the count-delta append is NOT idempotent (see
-    * [[graft.ops.SpanDedup.incrementalDuplicatedSpans]]), so here the
-    * streaming CHECKPOINT is the at-most-once mechanism — a resumed
-    * query never re-runs a committed micro-batch. Discarding the
-    * checkpoint while keeping the index double-counts history (at the
-    * default `minOccurrences = 2` decisions are unchanged; above it
-    * they over-mark) — resume from the checkpoint or reset both. */
+    * Delivery contract: the count-delta append is NOT idempotent, so
+    * each micro-batch's lineage-qualified id rides the index's side
+    * journal ([[graft.ops.IncrementalLedger]]): a crash between the
+    * fold and the checkpoint's offset commit replays the batch, the
+    * journal makes the replay a no-op — the double-count window
+    * shrinks from "any replay" to the one file-create between the
+    * count append and its record. Output ordering is spans-first
+    * (durable in `outPath` before the counts land): every crash point
+    * leaves duplicate output rows or a clean retry, never silent
+    * loss. Discarding the checkpoint while keeping index + journal
+    * remains out of contract (batch ids restart and would wrongly
+    * alias) — reset all three together. */
   def spanDedupSink(docs: DataFrame, indexPath: String, outPath: String,
                     checkpointDir: String, k: Int,
                     minOccurrences: Long = 2L,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): StreamingQuery =
+                    textCol: String = "text"): StreamingQuery = {
+    val lineage = checkpointLineage(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
         graft.ops.SpanDedup.incrementalDuplicatedSpans(batch, indexPath,
-          k, minOccurrences, idCol, textCol)
-          .write.mode("append").parquet(outPath)
-        () // spans persisted by the append; index holds the counts
+          k, minOccurrences, idCol, textCol,
+          batchId = Some(s"stream:$lineage:$bid"),
+          sinkFirst = _.write.mode("append").parquet(outPath))
+        () // spans persisted by the hook; index holds the counts
       }
       .start()
+  }
 
   /** Streaming cross-corpus decontamination against a CORPUS-SCALE
     * reference — the regime where [[graft.queries]]' stateless

@@ -731,4 +731,75 @@ class ScaleUpExperiment extends AnyFunSuite {
       "kll quantile scale-up ratio too high")
     ev.unpersist(); evBig.unpersist()
   }
+
+  test("round-10 second/fourth-wave ops (Misra-Gries, sliceProfile, " +
+    "columnProfile) scale ~linearly; lookupAll under layout stays ~flat") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow (~3 min): opt in with GRAFT_SCALEUP=1 sbt test")
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // fixed k on all sketches: at 10x the exact-regime rule would grow
+    // the buffers and conflate capacity cost with scan cost — the scale
+    // question here is the SCAN, the sketch is fixed-size by design
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select(col("event_type"),
+        col("user_id").cast("long").as("user_id"),
+        col("value").cast("double").as("value")).cache()
+    val evBig = (0 until 10).map(i =>
+        ev.withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _).repartition(8).cache()
+    ev.count(); evBig.count()
+    // warm each codepath once untimed: the round-7 entries recorded
+    // sub-1x ratios because the 1x leg paid first-call JIT/codegen
+    Freq.groupTopItems(ev, "event_type", col("user_id"), 10, 4096).count()
+    Sketch.sliceProfile(ev, "event_type", col("user_id"), col("value"),
+      Seq(0.5), 4096, 4096).count()
+    Sketch.columnProfile(ev, Seq("event_type"), Seq("value"),
+      Seq(0.5), 4096, 4096).count()
+    val t1m = time(Freq.groupTopItems(ev, "event_type", col("user_id"),
+      n = 10, k = 4096).count())
+    val t10m = time(Freq.groupTopItems(evBig, "event_type", col("user_id"),
+      n = 10, k = 4096).count())
+    println(f"[scaleup] misraGries 1x=$t1m%.1fs 10x=$t10m%.1fs ratio=${t10m / t1m}%.1f")
+    assert(t10m / math.max(t1m, 0.5) < 25, "Misra-Gries ratio too high")
+    def prof(d: org.apache.spark.sql.DataFrame): Long =
+      Sketch.sliceProfile(d, "event_type", col("user_id"), col("value"),
+        Seq(0.5, 0.95), kDistinct = 4096, kQuant = 4096).count()
+    val t1p = time(prof(ev)); val t10p = time(prof(evBig))
+    println(f"[scaleup] sliceProfile 1x=$t1p%.1fs 10x=$t10p%.1fs ratio=${t10p / t1p}%.1f")
+    assert(t10p / math.max(t1p, 0.5) < 25, "sliceProfile ratio too high")
+    def cprof(d: org.apache.spark.sql.DataFrame): Long =
+      Sketch.columnProfile(d, Seq("event_type"), Seq("user_id", "value"),
+        Seq(0.5, 0.95), kDistinct = 4096, kQuant = 4096).count()
+    val t1c = time(cprof(ev)); val t10c = time(cprof(evBig))
+    println(f"[scaleup] columnProfile 1x=$t1c%.1fs 10x=$t10c%.1fs ratio=${t10c / t1c}%.1f")
+    assert(t10c / math.max(t1c, 0.5) < 25, "columnProfile ratio too high")
+    ev.unpersist(); evBig.unpersist()
+
+    // lookupAll under a clustered layout: the 10x db has 10x files of
+    // the same size, and m probes should read ~m files EITHER WAY —
+    // point-lookup latency must be (near-)independent of corpus size,
+    // which is the whole point of the manifest. min of 3 reps (driver-
+    // side work dominates at this scale; noise is additive)
+    def mkDb(mult: Int, tag: String): graft.core.Database = {
+      val calc = graft.SparkSpec.tmpDir(s"graft-scale-lookup-$tag-")
+      val db = graft.core.Database(spark, calc)
+      val n = 40000L * mult
+      db.append(spark.range(0, n).select(
+        concat(lit("p"), col("id")).as("_pset_id"),
+        col("id").as("_pset_seq"), lit(0L).as("_run_seq"),
+        lit("run0").as("_run_id"), (col("id") * 2).as("x")))
+      db.optimizeLayout(numFiles = 16 * mult)
+      db
+    }
+    val db1 = mkDb(1, "1x"); val db10 = mkDb(10, "10x")
+    val probes = (0 until 20).map(i => s"p${i * 1777}")
+    def look(db: graft.core.Database): Double =
+      (1 to 3).map(_ => time(db.lookupAll(probes).count())).min
+    val t1l = look(db1); val t10l = look(db10)
+    println(f"[scaleup] lookupAll 1x=$t1l%.2fs 10x=$t10l%.2fs ratio=${t10l / t1l}%.1f")
+    assert(t10l / math.max(t1l, 0.2) < 5,
+      "manifest point lookup must stay ~flat as the db grows 10x")
+  }
 }

@@ -38,6 +38,21 @@ class SketchSpec extends AnyFunSuite {
       assert(nu == (dset(a) union dset(b)).size)
     }
     assert(m.keySet == Set(("g0", "g1"), ("g0", "g2"), ("g1", "g2")))
+
+    // a-not-b completes the algebra: exact |A \ B| per DIRECTED pair
+    val sk = df.groupBy(col("g").as("gg"))
+      .agg(Sketch.kmvAgg(col("v"), 1024).as("sk"))
+    val diff = sk.select(col("gg").as("ga"), col("sk").as("sa"))
+      .join(sk.select(col("gg").as("gb"), col("sk").as("sb")),
+        col("ga") =!= col("gb"))
+      .select(col("ga"), col("gb"),
+        round(Sketch.aNotBEstimate(col("sa"), col("sb")))
+          .cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(diff.size == 6)
+    for (((a, b), n) <- diff)
+      assert(n == (dset(a) -- dset(b)).size, s"$a \\ $b")
   }
 
   test("sketch blobs are partitioning-invariant (order-free merge)") {
@@ -73,6 +88,14 @@ class SketchSpec extends AnyFunSuite {
     assert(nc > 4000 && nc < 20000, s"n_common=$nc (truth 10000)")
     // inclusion-exclusion should roughly close
     assert(math.abs((na + nb - nc) - nu) < 0.2 * nu)
+    // a-not-b in the estimate regime: right magnitude (truth 30000)
+    val sk2 = df.groupBy(col("g").as("gg"))
+      .agg(Sketch.kmvAgg(col("v"), k).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    val est = Seq(("a", "b"), ("b", "a")).map { case (x, y) =>
+      Sketch.aNotBBlobs(sk2(x), sk2(y))
+    }
+    est.foreach(e => assert(e > 20000 && e < 40000, s"a-not-b est=$e"))
   }
 
   test("incremental sketch table: any batch split folds to the " +

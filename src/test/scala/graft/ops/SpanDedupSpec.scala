@@ -113,6 +113,35 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("lock"))
   }
 
+  test("batchId journal: a DELIVERY-level replay of a committed batch " +
+    "is a no-op (empty spans, counts untouched); the same content under " +
+    "a NEW id is a genuine re-arrival and marks fully") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-spanjr-spec-").toString + "/idx"
+    val b1 = Seq((0L, s"${filler("a", 3)} $passage")).toDF("doc_id", "text")
+    var sunk = 0L
+    assert(SpanDedup.incrementalDuplicatedSpans(b1, idx, k = 4,
+      batchId = Some("stream:x:0"),
+      sinkFirst = d => sunk += d.count()).count() == 0)
+    assert(sunk == 0L)
+    val countsAfter1 = graft.SparkSpec.spark.read.parquet(idx).count()
+    // crash-replay: same id — nothing emitted, nothing appended, the
+    // sink hook never fires
+    assert(SpanDedup.incrementalDuplicatedSpans(b1, idx, k = 4,
+      batchId = Some("stream:x:0"),
+      sinkFirst = d => sunk += d.count()).count() == 0)
+    assert(sunk == 0L)
+    assert(graft.SparkSpec.spark.read.parquet(idx).count() == countsAfter1)
+    // the SAME CONTENT under a new batch id is a legitimate re-crawl:
+    // every window is in history now — fully marked, counts appended
+    val s = SpanDedup.incrementalDuplicatedSpans(b1, idx, k = 4,
+      batchId = Some("stream:x:1"),
+      sinkFirst = d => sunk += d.count())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s.toSeq == Seq((0L, 0L, 13L)) && sunk == 1L)
+    assert(graft.SparkSpec.spark.read.parquet(idx).count() > countsAfter1)
+  }
+
   test("minOccurrences raises the corpus-wide bar") {
     val docs = Seq(
       (0L, passage), (1L, passage), (2L, passage),
