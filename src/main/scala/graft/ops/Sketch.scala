@@ -536,12 +536,26 @@ object Sketch {
   def columnProfile(df: DataFrame, keyCols: Seq[String],
                     numCols: Seq[String], qs: Seq[Double],
                     kDistinct: Int = 4096, kQuant: Int = 4096)
+      : DataFrame =
+    columnProfileFromState(
+      profileState(df, keyCols, numCols, kDistinct, kQuant), qs)
+
+  /** The MERGEABLE form behind [[columnProfile]]: per profiled column,
+    * one row `(col_name, n_rows, n_nulls, kmv binary, vmin, vmax,
+    * kll binary)` from ONE scan — the same single ObjectHashAggregate
+    * pair and in-plan explode as the rendered audit, but keeping the
+    * sketch BLOBS so states fold across batches/partitions/days
+    * ([[incrementalColumnProfile]] is the fold,
+    * [[columnProfileFromState]] the render). Key columns carry null
+    * vmin/vmax/kll. */
+  def profileState(df: DataFrame, keyCols: Seq[String],
+                   numCols: Seq[String],
+                   kDistinct: Int = 4096, kQuant: Int = 4096)
       : DataFrame = {
     val all = keyCols ++ numCols
     require(all.nonEmpty, "need at least one column")
     require(all.distinct.size == all.size,
       s"duplicate profiled column in ${all.mkString(", ")}")
-    val qNames = Quantile.quantileNames(qs)
     val aggs: Seq[Column] =
       (count(lit(1)).as("__n") +:
         all.flatMap(c => Seq(
@@ -553,22 +567,109 @@ object Sketch {
         Quantile.kllAgg(col(c).cast("double"), kQuant).as(s"__kll_$c")))
     val one = df.agg(aggs.head, aggs.tail: _*)
     val nullD = lit(null).cast("double")
+    val nullB = lit(null).cast("binary")
     val entries = all.map { c =>
       val isNum = numCols.contains(c)
-      val fields =
-        Seq(lit(c).as("col_name"),
-          col("__n").as("n_rows"),
-          (col("__n") - col(s"__nn_$c")).as("n_nulls"),
-          round(estimate(col(s"__kmv_$c"))).cast("long")
-            .as("est_distinct"),
-          (if (isNum) col(s"__min_$c") else nullD).as("vmin"),
-          (if (isNum) col(s"__max_$c") else nullD).as("vmax")) ++
-        qs.zip(qNames).map { case (q, n) =>
-          (if (isNum) Quantile.kllQuantile(col(s"__kll_$c"), q)
-           else nullD).as(n) }
-      struct(fields: _*)
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__kmv_$c").as("kmv"),
+        (if (isNum) col(s"__min_$c") else nullD).as("vmin"),
+        (if (isNum) col(s"__max_$c") else nullD).as("vmax"),
+        (if (isNum) col(s"__kll_$c") else nullB).as("kll"))
     }
     one.select(explode(array(entries: _*)).as("__p")).select(col("__p.*"))
+  }
+
+  /** Render the long-form audit of [[columnProfile]] from a profile
+    * STATE (one-shot or folded): distinct estimate from the KMV blob,
+    * quantiles probed from the KLL blob (null for key columns — the
+    * probe expression is null-propagating). */
+  def columnProfileFromState(state: DataFrame, qs: Seq[Double])
+      : DataFrame = {
+    val qNames = Quantile.quantileNames(qs)
+    state.select(
+      Seq(col("col_name"), col("n_rows"), col("n_nulls"),
+        round(estimate(col("kmv"))).cast("long").as("est_distinct"),
+        col("vmin"), col("vmax")) ++
+      qs.zip(qNames).map { case (q, n) =>
+        Quantile.kllQuantile(col("kll"), q).as(n) }: _*)
+  }
+
+  /** Fold a batch's [[profileState]] into the persisted profile table
+    * at `indexPath` — the INGEST-TIME data-quality monitor: every
+    * micro-batch/partition/day folds its one-scan state, and the live
+    * table renders the full-history audit ([[columnProfileFromState]])
+    * at any moment without ever rescanning the corpus. Counts add,
+    * min/max extremize, KMV blobs union (set semantics), KLL blobs
+    * merge; in the exact regime the folded state is bit-identical to
+    * the one-shot [[profileState]] over everything that arrived
+    * (SketchSpec pins split-invariance), so batch and streaming
+    * profiles share one oracle.
+    *
+    * The count/KLL halves are MULTISET state — a re-delivered batch
+    * would double-count — so the fold takes the same optional
+    * `batchId` ledger as [[Quantile.incrementalQuantileSketch]]:
+    * applied ids ride `_graft_applied` INSIDE the swapped directory
+    * (atomic with the data), making replays a no-op. The audit's
+    * column set is fixed at table birth: a widened audit needs a new
+    * table (fail-fast on mismatch, never silent partial columns). */
+  def incrementalColumnProfile(batch: DataFrame, indexPath: String,
+                               keyCols: Seq[String], numCols: Seq[String],
+                               kDistinct: Int = 4096, kQuant: Int = 4096,
+                               batchId: Option[String] = None)
+      : DataFrame = {
+    import graft.core.Fs
+    val spark = batch.sparkSession
+    Dedup.recoverIndex(indexPath)
+    val applied = IncrementalLedger.appliedIds(indexPath)
+    if (batchId.exists(applied.contains))
+      return spark.read.parquet(indexPath)
+    val incoming = profileState(batch, keyCols, numCols, kDistinct, kQuant)
+    val merged =
+      if (Fs.exists(indexPath) && Fs.listNames(indexPath).nonEmpty) {
+        val current = spark.read.parquet(indexPath)
+        val have = current.select(col("col_name"))
+          .collect().map(_.getString(0)).toSet
+        require(have == (keyCols ++ numCols).toSet,
+          s"profile table at $indexPath audits columns " +
+            s"${have.toSeq.sorted.mkString(", ")} but the batch audits " +
+            s"${(keyCols ++ numCols).sorted.mkString(", ")} — widen into " +
+            "a NEW table, the fold cannot backfill history")
+        def m2(a: Column, b: Column, f: (Column, Column) => Column) =
+          when(a.isNull, b).when(b.isNull, a).otherwise(f(a, b))
+        current.select(col("col_name").as("__c"), col("n_rows").as("__nr"),
+            col("n_nulls").as("__nl"), col("kmv").as("__kmv"),
+            col("vmin").as("__mn"), col("vmax").as("__mx"),
+            col("kll").as("__kll"))
+          .join(incoming, col("__c") === col("col_name"))
+          .select(col("col_name"),
+            (col("__nr") + col("n_rows")).as("n_rows"),
+            (col("__nl") + col("n_nulls")).as("n_nulls"),
+            mergeSketch(col("__kmv"), col("kmv")).as("kmv"),
+            m2(col("__mn"), col("vmin"), (a, b) => least(a, b)).as("vmin"),
+            m2(col("__mx"), col("vmax"), (a, b) => greatest(a, b)).as("vmax"),
+            m2(col("__kll"), col("kll"),
+              Quantile.mergeQuantileSketch).as("kll"))
+      } else incoming
+    val lock = s"$indexPath.__lock"
+    if (!Fs.createExclusive(lock, s"pid=${ProcessHandle.current().pid()}"))
+      throw new IllegalStateException(
+        s"profile table $indexPath is being updated by another writer; " +
+          s"if that process crashed, delete $lock and re-run")
+    try {
+      val tmp = s"$indexPath.__compact_tmp"
+      Fs.delete(tmp)
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+      IncrementalLedger.writeInto(tmp, applied, batchId)
+      val old = s"$indexPath.__old"
+      Fs.delete(old)
+      if (Fs.exists(indexPath)) Fs.rename(indexPath, old)
+      Fs.rename(tmp, indexPath)
+      Fs.delete(old)
+    } finally Fs.delete(lock)
+    spark.read.parquet(indexPath)
   }
 
   /** Fold a batch into the persisted per-group sketch table at

@@ -3,6 +3,8 @@ package graft.ops
 import java.security.MessageDigest
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Range => LogicalRange}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 
 /** Statistics cache for sizing probes (the `exactRegimeK` family).
   *
@@ -79,6 +81,14 @@ object Stats {
     plan.foreach { node =>
       feed(node.nodeName)
       node.expressions.foreach(e => feed(e.toString))
+      node match {
+        // a LocalRelation's DATA is in neither inputFiles nor the plan
+        // text — without this, two in-memory datasets sharing a schema
+        // would alias; row count is bounded by what the driver already
+        // holds in memory
+        case l: LocalRelation => l.data.foreach(r => feed(r.toString))
+        case _ => ()
+      }
     }
     files.foreach { f =>
       feed(f)
@@ -96,13 +106,28 @@ object Stats {
     s"${files.length}-" + md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Is every leaf of `df`'s plan one whose input data the fingerprint
+    * provably captures? File relations are pinned by (path, len,
+    * mtime), LocalRelations by their driver-resident rows, Range by its
+    * literal bounds in the tree rendering. Anything else (RDD-backed
+    * frames, JDBC, streaming sources) has content the fingerprint
+    * cannot see — such frames are never cached, every sizing probes
+    * fresh. */
+  private def fingerprintable(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectLeaves().forall {
+      case _: LogicalRelation | _: LocalRelation | _: LogicalRange => true
+      case _ => false
+    }
+
   /** Serve `probe`'s result list from the cache under
     * (`df`'s fingerprint, `descriptor`), running it on miss. The probe
     * must be a pure function of `df` and `descriptor` — the descriptor
     * is the caller's contract that equal descriptors mean equal
-    * derivations. */
+    * derivations. Frames whose inputs the fingerprint cannot pin
+    * (see [[fingerprintable]]) bypass the cache entirely. */
   def cachedLongs(df: DataFrame, descriptor: String)
                  (probe: => Seq[Long]): Seq[Long] = {
+    if (!fingerprintable(df)) return probe
     val key = fingerprint(df, descriptor)
     val hit = memo.get(key)
     if (hit != null) return hit

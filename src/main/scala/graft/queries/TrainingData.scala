@@ -838,6 +838,39 @@ object TrainingData {
         .orderBy(col("col_name"))
     }),
 
+    // STREAMING whole-table audit maintenance: documents flow through
+    // the persisted column-profile sink (per batch: ONE scan into the
+    // per-column count/KMV/min-max/KLL state, folded exactly-once via
+    // the ledger), and the drained state renders the SAME audit — one
+    // shared oracle with q_table_profile; the fold's exact-regime
+    // bit-identity to the one-shot state is pinned by SketchSpec
+    "q_stream_table_profile" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("long").as("n_chars"),
+        Text.tokenCount(col("text")).cast("long").as("n_toks"))
+      val cols = Seq("doc_id", "lang", "source", "n_chars", "n_toks")
+      // size from the (batch view of the) data, like q_table_profile:
+      // the folded state must stay in the exact regime for the shared
+      // oracle; the probe rides the stats cache
+      val (kD, kQ) = Sketch.profileK(d, cols)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          Text.tokenCount(col("text")).cast("long").as("n_toks"))
+      val tmp = scratchDir("graft-profstream-")
+      val q = graft.streaming.Monitor.profileSink(docStream,
+        s"$tmp/profile", s"$tmp/ckpt",
+        Seq("doc_id", "lang", "source"), Seq("n_chars", "n_toks"),
+        kD, kQ)
+      try q.processAllAvailable() finally q.stop()
+      Sketch.columnProfileFromState(
+        s.read.parquet(s"$tmp/profile"), Seq(0.25, 0.5, 0.95))
+        .orderBy(col("col_name"))
+    }),
+
     // one order up: trigram stupid backoff with the recursive
     // trigram -> bigram -> smoothed-unigram chain (the shape of the
     // 5-gram KenLM CCNet deploys, demonstrated at order 3)
@@ -3608,6 +3641,9 @@ object TrainingData {
     "q_sketch_quantiles" -> sketchQuantilesOracleSql,
 
     "q_table_profile" -> tableProfileOracleSql,
+
+    // streamed exactly-once profile fold drained == the one-shot audit
+    "q_stream_table_profile" -> tableProfileOracleSql,
 
     // streamed sink drain == the batch aggregate (exact-regime fold
     // bit-identity)

@@ -502,6 +502,42 @@ object Monitor {
       .start()
   }
 
+  /** Stream a corpus into the persisted whole-table COLUMN-PROFILE
+    * state ([[graft.ops.Sketch.incrementalColumnProfile]]): each
+    * micro-batch's one-scan per-column state (count + null count + KMV
+    * + min/max + KLL) folds into the one-row-per-column parquet at
+    * `indexPath` — the INGEST-TIME data-quality monitor: the full-
+    * history Deequ/TFDV-style audit stays queryable mid-stream via
+    * [[graft.ops.Sketch.columnProfileFromState]], and nothing ever
+    * rescans the corpus.
+    *
+    * Delivery contract: counts and KLL values are MULTISET state (the
+    * [[quantileSketchSink]] situation) — a replayed batch would
+    * double-count, so the sink records each applied batch's
+    * lineage-qualified identity in the table's
+    * [[graft.ops.IncrementalLedger]] (committed atomically with the
+    * fold's swap): crash-replays are no-ops and the folds are
+    * exactly-once under foreachBatch's at-least-once delivery. In the
+    * exact regime the drained state is bit-identical to the one-shot
+    * [[graft.ops.Sketch.profileState]] over everything that arrived
+    * (SketchSpec pins split-invariance), so the streamed audit shares
+    * the batch audit's oracle. */
+  def profileSink(docs: DataFrame, indexPath: String,
+                  checkpointDir: String, keyCols: Seq[String],
+                  numCols: Seq[String], kDistinct: Int = 4096,
+                  kQuant: Int = 4096): StreamingQuery = {
+    val lineage = checkpointLineage(checkpointDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.ops.Sketch.incrementalColumnProfile(batch, indexPath,
+          keyCols, numCols, kDistinct, kQuant,
+          batchId = Some(s"stream:$lineage:$bid"))
+        ()
+      }
+      .start()
+  }
+
   /** Stream a corpus into the persisted per-group FREQUENT-ITEMS table
     * ([[graft.ops.Freq.incrementalFreqSketch]]): each micro-batch's
     * per-group Misra-Gries sketches fold into the `(g, sk)` parquet at

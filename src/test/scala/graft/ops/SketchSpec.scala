@@ -278,4 +278,77 @@ class SketchSpec extends AnyFunSuite {
       Sketch.profileK(wide, Seq("v")))
     assert(eD.getMessage.contains("kDistinct"))
   }
+
+  test("incrementalColumnProfile: any batch split folds to the one-shot " +
+    "state bit-for-bit (exact regime); ledger'd replay is a no-op; a " +
+    "widened audit fails fast") {
+    val rnd = new scala.util.Random(12)
+    val rows = (0 until 2000).map { i =>
+      val s: String = if (i % 29 == 0) null else s"s${i % 7}"
+      val v: java.lang.Double =
+        if (i % 37 == 0) null else rnd.nextInt(400).toDouble
+      (s"k$i", s, v)
+    }
+    val df = rows.toDF("key", "src", "v").repartition(5)
+    val keyCols = Seq("key", "src"); val numCols = Seq("v")
+    val (kD, kQ) = Sketch.profileK(df, keyCols ++ numCols)
+
+    val oneShot = Sketch.profileState(df, keyCols, numCols, kD, kQ)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-incprof-").toString + "/state"
+    val (h1, h2) = rows.splitAt(1100)
+    Sketch.incrementalColumnProfile(h1.toDF("key", "src", "v"), dir,
+      keyCols, numCols, kD, kQ, batchId = Some("b0"))
+    Sketch.incrementalColumnProfile(h2.toDF("key", "src", "v"), dir,
+      keyCols, numCols, kD, kQ, batchId = Some("b1"))
+    def folded(): Map[String, org.apache.spark.sql.Row] =
+      spark.read.parquet(dir).collect()
+        .map(r => r.getString(0) -> r).toMap
+    def assertSame(): Unit = for ((c, f) <- folded()) {
+      val o = oneShot(c)
+      assert(f.getLong(1) == o.getLong(1) && f.getLong(2) == o.getLong(2),
+        s"counts for $c")
+      assert(java.util.Arrays.equals(
+        f.getAs[Array[Byte]]("kmv"), o.getAs[Array[Byte]]("kmv")),
+        s"kmv blob for $c")
+      if (numCols.contains(c)) {
+        assert(f.getDouble(4) == o.getDouble(4) &&
+          f.getDouble(5) == o.getDouble(5), s"extremes for $c")
+        // exact regime: the folded KLL holds the same multiset, so
+        // every quantile probe agrees with the one-shot aggregate
+        val probe = Seq(0.1, 0.5, 0.9)
+        val both = spark.read.parquet(dir).filter(col("col_name") === c)
+          .select(probe.map(q =>
+            Quantile.kllQuantile(col("kll"), q)): _*).head()
+        val oneDf = Sketch.profileState(df, keyCols, numCols, kD, kQ)
+          .filter(col("col_name") === c)
+          .select(probe.map(q =>
+            Quantile.kllQuantile(col("kll"), q)): _*).head()
+        probe.indices.foreach(i =>
+          assert(both.getDouble(i) == oneDf.getDouble(i), s"q$i for $c"))
+      } else assert(f.isNullAt(4) && f.isNullAt(6), s"key nulls for $c")
+    }
+    assertSame()
+    // crash-replay of an applied batch: the ledger makes it a no-op
+    Sketch.incrementalColumnProfile(h2.toDF("key", "src", "v"), dir,
+      keyCols, numCols, kD, kQ, batchId = Some("b1"))
+    assertSame()
+    // the rendered audit from the folded state == columnProfile one-shot
+    val rendered = Sketch.columnProfileFromState(
+      spark.read.parquet(dir), Seq(0.5)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val direct = Sketch.columnProfile(df, keyCols, numCols, Seq(0.5),
+      kD, kQ).collect().map(r => r.getString(0) -> r).toMap
+    for (c <- keyCols ++ numCols)
+      assert(rendered(c) == direct(c), s"rendered audit for $c")
+    // a widened audit cannot fold into an existing table
+    val e = intercept[IllegalArgumentException] {
+      Sketch.incrementalColumnProfile(
+        rows.toDF("key", "src", "v").withColumn("extra", lit(1L)),
+        dir, keyCols, numCols :+ "extra", kD, kQ)
+    }
+    assert(e.getMessage.contains("NEW table"))
+  }
 }

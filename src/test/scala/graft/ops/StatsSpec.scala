@@ -97,6 +97,33 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("in-memory inputs never alias: two LocalRelations sharing a " +
+    "schema but not data fingerprint apart; RDD-backed frames bypass " +
+    "the cache entirely") {
+    // local relations: data is driver-resident, so the fingerprint
+    // hashes the rows themselves — same schema, different content
+    // must probe separately and return different sizes
+    val small = (0 until 40).map(i => ("g0", i.toLong)).toDF("g", "v")
+    val big = (0 until 4000).map(i => ("g0", i.toLong)).toDF("g", "v")
+    def probeOf(df: org.apache.spark.sql.DataFrame): Long =
+      Stats.cachedLong(df, "spec:alias") {
+        df.groupBy("g").agg(count(lit(1)).as("c"))
+          .agg(max(col("c"))).head().getLong(0)
+      }
+    assert(probeOf(small) == 40L)
+    assert(probeOf(big) == 4000L) // an aliased cache would serve 40
+    assert(probeOf(small) == 40L) // and the small entry still hits
+    // RDD-backed frame: content invisible to the fingerprint -> the
+    // cache is bypassed, every call probes fresh
+    val rdd = spark.sparkContext.parallelize(Seq(("g0", 1L), ("g0", 2L)))
+    var probes = 0
+    def rddProbe(): Long = {
+      val df = spark.createDataFrame(rdd).toDF("g", "v")
+      Stats.cachedLong(df, "spec:rdd") { probes += 1; probes.toLong }
+    }
+    assert(rddProbe() == 1L && rddProbe() == 2L && probes == 2)
+  }
+
   test("sliceProfileK: both k's from one guarded probe; over-cap on " +
     "either axis fails loudly") {
     val df = (0 until 600).map(i => (s"g${i % 2}", i.toLong, i * 1.0))
