@@ -213,7 +213,7 @@ class Database(val spark: SparkSession, val calcDir: String,
   /** Columns every post-round-11 manifest carries; an older manifest
     * lacking them is fully rebuilt on the next maintenance pass. */
   private val manifestCols = Seq("file", "rows", "pid_hmin", "pid_hmax",
-    "psh_hmin", "psh_hmax", "pset_seq_max", "run_seq_max")
+    "psh_hmin", "psh_hmax", "pset_seq_max", "run_seq_min", "run_seq_max")
 
   private def normalizePath(p: String): String =
     p.replaceFirst("^file:/+", "/")
@@ -238,6 +238,7 @@ class Database(val spark: SparkSession, val calcDir: String,
         min(col("__h")).as("pid_hmin"), max(col("__h")).as("pid_hmax"),
         min(col("__ph")).as("psh_hmin"), max(col("__ph")).as("psh_hmax"),
         max(col("__ps")).as("pset_seq_max"),
+        min(col("__rs")).as("run_seq_min"),
         max(col("__rs")).as("run_seq_max"))
   }
 
@@ -395,6 +396,39 @@ class Database(val spark: SparkSession, val calcDir: String,
     val files = (kept.map(normalizePath) ++ unknown).distinct
     if (files.isEmpty) read().filter(probe).limit(0)
     else readFiles(files.toIndexedSeq).filter(probe)
+  }
+
+  /** Time travel: the database as of run `runSeq` — every row with
+    * `_run_seq <= runSeq`, i.e. exactly the frame a reader saw after
+    * that run committed (the append-only run log never rewrites
+    * history, so every past state is addressable by the reference's
+    * own run counter, ref psweep.py:1409-1415 — the lakehouse
+    * `VERSION AS OF`, for free). Scale path: each `_run_id` partition
+    * carries ONE `_run_seq`, so a fresh manifest resolves the
+    * qualifying files from its per-file `run_seq_min` (a file whose
+    * EARLIEST row is already past `runSeq` holds no history; min, not
+    * max, so a file holding ANY qualifying row is always kept and the
+    * re-applied predicate trims the rest) — zero data
+    * files touched beyond the ones the historical frame actually
+    * holds, and a 10-run read of a 10,000-run db lists nothing.
+    * Fallback without an attested manifest is the plain filter, which
+    * still partition-prunes at execution (per-file constant
+    * `_run_seq` ⇒ row-group stats skip whole files). The predicate is
+    * always re-applied — pruning is an optimization, never a
+    * filter. */
+  def asOf(runSeq: Long): DataFrame = {
+    recover()
+    val probe = col("_run_seq") <= runSeq
+    if (!manifestFresh) return read().filter(probe)
+    val m = spark.read.parquet(manifestDir)
+    if (!m.columns.contains("run_seq_min")) return read().filter(probe)
+    val files = m.select(col("file"), col("run_seq_min")).collect()
+      // a null per-file max cannot attest the file is all-future —
+      // keep it (pruning degrades, the re-applied predicate corrects)
+      .filter(r => r.isNullAt(1) || r.getLong(1) <= runSeq)
+      .map(r => normalizePath(r.getString(0))).toIndexedSeq
+    if (files.isEmpty) read().filter(probe).limit(0)
+    else readFiles(files).filter(probe)
   }
 
   /** Manifest-served variants of the point extractors (the static

@@ -123,6 +123,23 @@ object Core {
         .orderBy(col("a"), asc_nulls_first("b"))
     }),
 
+    // time travel over the append-only run log: after three runs,
+    // read the db AS OF run 1 — exactly the frame a reader saw before
+    // run 2 committed. Manifest-served file pruning (run_seq_min
+    // ranges; DatabaseSpec pins zero future files read), predicate
+    // re-applied
+    "q_run_asof" -> ((s, _) => {
+      val calc = freshDir()
+      val study = Study(s, StudyConfig(calcDir = calc))
+      study.run(f10, Grid.plist("a", Seq(1, 2)))
+      val db = new graft.core.Database(s, calc)
+      db.rebuildSkipManifest() // opt into the layout metadata
+      study.run(f10, Grid.plist("a", Seq(3, 4)))
+      study.run(f10, Grid.plist("a", Seq(5)))
+      db.asOf(1L).select(col("a"), col("result_"), col("_run_seq"))
+        .orderBy(col("a"))
+    }),
+
     // E6: log capture into the _logs column (F7)
     "q_run_logs" -> ((s, _) => {
       val calc = freshDir()
@@ -254,6 +271,13 @@ object Core {
         |FROM (VALUES (1, NULL, 0), (2, NULL, 0),
         |             (1, 10, 1), (2, 10, 1), (3, 10, 1)) t(a, b, r)
         |ORDER BY a, b NULLS FIRST""".stripMargin,
+
+    "q_run_asof" ->
+      """SELECT CAST(a AS BIGINT) AS a,
+        |  CAST(a * 10.0 AS DOUBLE) AS result_,
+        |  CAST(r AS BIGINT) AS "_run_seq"
+        |FROM (VALUES (1, 0), (2, 0), (3, 1), (4, 1)) t(a, r)
+        |ORDER BY a""".stripMargin,
 
     "q_run_logs" ->
       """SELECT CAST(a AS BIGINT) AS a,

@@ -180,6 +180,39 @@ class DatabaseSpec extends AnyFunSuite {
     assert(db.existingAmong("no_such_col", Seq("v")) == Set.empty)
   }
 
+  test("asOf: time travel over the run log — history is exact, future " +
+    "partitions' files are never read with a fresh manifest, and the " +
+    "crash window falls back to the filter scan") {
+    val calc = tmpDir("graft-dbasof-")
+    val db = Database(spark, calc)
+    def runDf(runSeq: Int, n: Int) =
+      spark.range(0, n).select(
+        concat(lit(s"p$runSeq-"), col("id")).as("_pset_id"),
+        col("id").as("_pset_seq"), lit(runSeq.toLong).as("_run_seq"),
+        lit(s"run$runSeq").as("_run_id"),
+        col("id").cast("double").as("x"))
+    db.append(runDf(0, 300))
+    db.rebuildSkipManifest()
+    db.append(runDf(1, 200))
+    db.append(runDf(2, 100))
+    assert(db.manifestFresh)
+    // exact history at every epoch
+    assert(db.asOf(-1L).count() == 0L)
+    assert(db.asOf(0L).count() == 300L)
+    assert(db.asOf(1L).count() == 500L)
+    assert(db.asOf(99L).count() == 600L)
+    // manifest-pruned: the asOf(0) frame holds ONLY run0's files
+    val h = db.asOf(0L)
+    val run0Files = db.read().inputFiles.filter(_.contains("_run_id=run0"))
+    assert(h.inputFiles.sorted.toSeq == run0Files.sorted.toSeq,
+      s"asOf read ${h.inputFiles.length} files, " +
+        s"expected ${run0Files.length} (run0 only)")
+    assert(h.select(sum(col("_run_seq"))).head().getLong(0) == 0L)
+    // crash window (no marker): fallback filter scan, same answer
+    Fs.delete(s"${db.dbPath}/_graft_skip_commit")
+    assert(db.asOf(0L).count() == 300L && db.asOf(1L).count() == 500L)
+  }
+
   test("existingAmong: dedup membership via semi-join (J1)") {
     val (db, _) = mkDb()
     val hashes = db.read().select("_pset_hash").collect().map(_.getString(0))
