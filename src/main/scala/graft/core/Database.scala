@@ -423,9 +423,45 @@ class Database(val spark: SparkSession, val calcDir: String,
     val m = spark.read.parquet(manifestDir)
     if (!m.columns.contains("run_seq_min")) return read().filter(probe)
     val files = m.select(col("file"), col("run_seq_min")).collect()
-      // a null per-file max cannot attest the file is all-future —
+      // a null per-file min cannot attest the file is all-future —
       // keep it (pruning degrades, the re-applied predicate corrects)
       .filter(r => r.isNullAt(1) || r.getLong(1) <= runSeq)
+      .map(r => normalizePath(r.getString(0))).toIndexedSeq
+    if (files.isEmpty) read().filter(probe).limit(0)
+    else readFiles(files).filter(probe)
+  }
+
+  /** Incremental read (change data feed): every row appended strictly
+    * AFTER run `afterRun` committed and no later than run `untilRun` —
+    * `afterRun < _run_seq <= untilRun`. The delta between two
+    * [[asOf]] frames without materializing either: the consumer shape
+    * at 100 TB is "I processed through run n last night; give me only
+    * what landed since", and reading the delta instead of diffing two
+    * full frames is the whole point of the append-only run log.
+    * Pruning mirrors [[asOf]]: with a fresh manifest, keep only files
+    * whose per-file `[run_seq_min, run_seq_max]` range OVERLAPS the
+    * requested interval (a null bound cannot attest non-overlap —
+    * keep, and the re-applied predicate corrects); so a one-run delta
+    * of a 10,000-run db touches one run's files and lists nothing.
+    * Fallback without an attested manifest is the plain filter scan,
+    * which still skips whole files via per-file-constant `_run_seq`
+    * row-group stats. Predicate always re-applied — pruning is an
+    * optimization, never a filter. */
+  def changes(afterRun: Long, untilRun: Long = Long.MaxValue): DataFrame = {
+    recover()
+    require(afterRun <= untilRun,
+      s"empty change interval: afterRun=$afterRun > untilRun=$untilRun")
+    val probe = col("_run_seq") > afterRun && col("_run_seq") <= untilRun
+    if (!manifestFresh) return read().filter(probe)
+    val m = spark.read.parquet(manifestDir)
+    if (!m.columns.contains("run_seq_min")) return read().filter(probe)
+    val files = m.select(col("file"), col("run_seq_min"), col("run_seq_max"))
+      .collect()
+      .filter { r =>
+        val minOk = r.isNullAt(2) || r.getLong(2) > afterRun
+        val maxOk = r.isNullAt(1) || r.getLong(1) <= untilRun
+        minOk && maxOk
+      }
       .map(r => normalizePath(r.getString(0))).toIndexedSeq
     if (files.isEmpty) read().filter(probe).limit(0)
     else readFiles(files).filter(probe)

@@ -40,6 +40,12 @@ object Stats {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
 
+  /** Process-memo bound: entries are tiny (a hash key + a few longs),
+    * but a 24/7 driver sizing ever-fresh inputs must not grow without
+    * bound — past the cap the memo resets wholesale (the next probe of
+    * anything re-primes it; a stale serve is impossible either way). */
+  private val MaxMemoEntries = 65536
+
   @volatile private var persistDir: Option[String] = None
 
   /** Enable the persisted tier: probe results land as tiny files under
@@ -133,13 +139,18 @@ object Stats {
     if (hit != null) return hit
     val persisted = persistDir.flatMap(readPersisted(_, key))
     persisted match {
-      case Some(vs) => memo.put(key, vs); vs
+      case Some(vs) => memoPut(key, vs); vs
       case None =>
         val vs = probe
-        memo.put(key, vs)
+        memoPut(key, vs)
         persistDir.foreach(writePersisted(_, key, vs))
         vs
     }
+  }
+
+  private def memoPut(key: String, vs: Seq[Long]): Unit = {
+    if (memo.size() >= MaxMemoEntries) memo.clear()
+    memo.put(key, vs)
   }
 
   /** Single-value convenience over [[cachedLongs]]. */

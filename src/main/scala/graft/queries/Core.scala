@@ -140,6 +140,23 @@ object Core {
         .orderBy(col("a"))
     }),
 
+    // change data feed over the same log: the rows runs 1..2 appended
+    // — the delta an incremental consumer reads after having processed
+    // through run 0, without touching run 0's partitions (manifest
+    // range-overlap pruning on [run_seq_min, run_seq_max]; DatabaseSpec
+    // pins the file set), predicate re-applied
+    "q_run_changes" -> ((s, _) => {
+      val calc = freshDir()
+      val study = Study(s, StudyConfig(calcDir = calc))
+      study.run(f10, Grid.plist("a", Seq(1, 2)))
+      val db = new graft.core.Database(s, calc)
+      db.rebuildSkipManifest() // opt into the layout metadata
+      study.run(f10, Grid.plist("a", Seq(3, 4)))
+      study.run(f10, Grid.plist("a", Seq(5)))
+      db.changes(0L, 2L).select(col("a"), col("result_"), col("_run_seq"))
+        .orderBy(col("a"))
+    }),
+
     // E6: log capture into the _logs column (F7)
     "q_run_logs" -> ((s, _) => {
       val calc = freshDir()
@@ -277,6 +294,13 @@ object Core {
         |  CAST(a * 10.0 AS DOUBLE) AS result_,
         |  CAST(r AS BIGINT) AS "_run_seq"
         |FROM (VALUES (1, 0), (2, 0), (3, 1), (4, 1)) t(a, r)
+        |ORDER BY a""".stripMargin,
+
+    "q_run_changes" ->
+      """SELECT CAST(a AS BIGINT) AS a,
+        |  CAST(a * 10.0 AS DOUBLE) AS result_,
+        |  CAST(r AS BIGINT) AS "_run_seq"
+        |FROM (VALUES (3, 1), (4, 1), (5, 2)) t(a, r)
         |ORDER BY a""".stripMargin,
 
     "q_run_logs" ->

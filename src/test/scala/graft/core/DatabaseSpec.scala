@@ -213,6 +213,41 @@ class DatabaseSpec extends AnyFunSuite {
     assert(db.asOf(0L).count() == 300L && db.asOf(1L).count() == 500L)
   }
 
+  test("changes: incremental read between run commits — exact delta, " +
+    "range-overlap file pruning, crash-window fallback") {
+    val calc = tmpDir("graft-dbchanges-")
+    val db = Database(spark, calc)
+    def runDf(runSeq: Int, n: Int) =
+      spark.range(0, n).select(
+        concat(lit(s"p$runSeq-"), col("id")).as("_pset_id"),
+        col("id").as("_pset_seq"), lit(runSeq.toLong).as("_run_seq"),
+        lit(s"run$runSeq").as("_run_id"),
+        col("id").cast("double").as("x"))
+    db.append(runDf(0, 300))
+    db.rebuildSkipManifest()
+    db.append(runDf(1, 200))
+    db.append(runDf(2, 100))
+    assert(db.manifestFresh)
+    // exact deltas at every interval
+    assert(db.changes(-1L).count() == 600L)       // everything
+    assert(db.changes(0L).count() == 300L)        // runs 1..
+    assert(db.changes(0L, 1L).count() == 200L)    // run 1 only
+    assert(db.changes(1L, 2L).count() == 100L)    // run 2 only
+    assert(db.changes(2L).count() == 0L)          // nothing new
+    assert(db.changes(0L, 0L).count() == 0L)      // empty interval
+    intercept[IllegalArgumentException](db.changes(3L, 1L))
+    // manifest-pruned: the (0,1] delta holds ONLY run1's files
+    val d = db.changes(0L, 1L)
+    val run1Files = db.read().inputFiles.filter(_.contains("_run_id=run1"))
+    assert(d.inputFiles.sorted.toSeq == run1Files.sorted.toSeq,
+      s"changes read ${d.inputFiles.length} files, " +
+        s"expected ${run1Files.length} (run1 only)")
+    assert(d.select(sum(col("_run_seq"))).head().getLong(0) == 200L)
+    // crash window (no marker): fallback filter scan, same answer
+    Fs.delete(s"${db.dbPath}/_graft_skip_commit")
+    assert(db.changes(0L, 1L).count() == 200L && db.changes(1L).count() == 100L)
+  }
+
   test("existingAmong: dedup membership via semi-join (J1)") {
     val (db, _) = mkDb()
     val hashes = db.read().select("_pset_hash").collect().map(_.getString(0))
