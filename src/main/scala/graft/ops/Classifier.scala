@@ -1,0 +1,328 @@
+package graft.ops
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine trained quality classifier: regularized logistic regression
+  * over text features, trained distributed and scored in-plan.
+  *
+  * This is the published "trained quality filter" of the LLM-pipeline
+  * literature — GPT-3 scored CommonCrawl with a logistic-regression
+  * classifier over hashed text features (Brown et al. 2020, appendix A),
+  * CCNet with an LM-based scorer (Wenzek et al. 2019), fastText-style
+  * linear classifiers fill the same role in later pipelines (Joulin et
+  * al. 2016); the hashed feature map is the hashing trick (Weinberger et
+  * al. 2009). The engine's heuristic signals ([[Text.qualityScore]]) and
+  * the external-model seam ([[Score.BatchScorer]]) cover scoring; this
+  * object closes the loop by TRAINING the linear model on the cluster.
+  *
+  * Scale shapes, by piece:
+  *   - featurization ([[vocabCountFeatures]], [[hashedCountFeatures]],
+  *     [[hashedIndices]]) — per-row codegen'd expressions, no shuffle;
+  *   - dense training ([[trainLogistic]]) — IRLS/Newton with L2 ridge:
+  *     one job per iteration, each job one `mapPartitions` pass
+  *     emitting a per-partition (gradient, Hessian-upper-triangle, n)
+  *     partial, driver solves the (d+1)×(d+1) normal system. ~10
+  *     iterations to convergence; crosses the wire O(parts · d²) —
+  *     right for dense feature maps up to d ≈ 1k. The ridge term keeps
+  *     the separable-data MLE finite (plain Newton diverges there);
+  *   - sparse training ([[trainLogisticSparse]]) — batch gradient
+  *     descent over index features, O(parts · d) per iteration — the
+  *     2^18-bin hashing-trick regime where a Hessian cannot exist;
+  *   - scoring — [[marginExpr]]/[[scoreExpr]] inline small dense models
+  *     into whole-stage codegen; [[scoreSparse]] scores index features
+  *     via explode → broadcast weight join → map-side partial sum, the
+  *     plan that survives a 100 TB corpus and a 2^18-entry model.
+  *
+  * Determinism: partials are summed on the driver in partition-id
+  * order and the solver is pivoted Gaussian elimination, so a retrain
+  * over identical partition contents is bit-identical; repartitioning
+  * moves float summation order and may shift weights by ulps (never
+  * decisions at sane margins — ClassifierSpec pins both).
+  */
+object Classifier {
+
+  /** Trained linear model: `margin(x) = bias + Σ weights(i)·x(i)`,
+    * `p = sigmoid(margin)`. */
+  case class LogisticModel(weights: Array[Double], bias: Double) {
+    def dim: Int = weights.length
+    def margin(x: Seq[Double]): Double = {
+      var m = bias; var i = 0
+      while (i < weights.length) { m += weights(i) * x(i); i += 1 }
+      m
+    }
+  }
+
+  // ---------------------------------------------------------------- //
+  // featurization — per-row, codegen'd, shuffle-free
+  // ---------------------------------------------------------------- //
+
+  /** Dense count features over a fixed vocabulary: `array<double>` of
+    * per-word occurrence counts in the token array. One codegen'd
+    * projection; the dim is the vocab size, so this is the
+    * interpretable small-model path. */
+  def vocabCountFeatures(tokens: Column, vocab: Seq[String]): Column = {
+    require(vocab.nonEmpty && vocab.distinct.size == vocab.size,
+      "vocab must be non-empty and duplicate-free")
+    array(vocab.map(w =>
+      size(filter(tokens, t => t === lit(w))).cast("double")): _*)
+  }
+
+  /** Sparse hashed features (the hashing trick): each token maps to
+    * bin `xxhash64(token) mod dim`; the result is the index ARRAY with
+    * one entry per token occurrence (implicit value 1 each), the input
+    * shape of [[trainLogisticSparse]]/[[scoreSparse]]. No vocabulary,
+    * no fit step, any dim — the 100 TB featurizer. */
+  def hashedIndices(tokens: Column, dim: Int): Column = {
+    require(dim > 0, "dim must be positive")
+    transform(tokens, t => pmod(xxhash64(t), lit(dim.toLong)).cast("int"))
+  }
+
+  /** Dense binned counts: [[hashedIndices]] folded to an
+    * `array<double>` histogram of length `dim` — hashed features in
+    * the shape [[trainLogistic]] (IRLS) consumes. O(dim) per row: for
+    * small dims (≤ a few hundred) where Newton's few-iteration
+    * convergence beats GD; past that, stay sparse. */
+  def hashedCountFeatures(tokens: Column, dim: Int): Column = {
+    val idx = hashedIndices(tokens, dim)
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      size(filter(idx, j => j === i)).cast("double"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // training
+  // ---------------------------------------------------------------- //
+
+  /** Train by IRLS (Newton) with L2 ridge `l2 > 0`. `featuresCol` is a
+    * fixed-width `array<double>` of width `dim`; `labelCol` casts to
+    * {0.0, 1.0}. Runs `iters` full Newton steps (no early stop —
+    * deterministic job count); the input projection is cached for the
+    * duration and unpersisted after. */
+  def trainLogistic(df: DataFrame, featuresCol: String, labelCol: String,
+                    dim: Int, iters: Int = 12,
+                    l2: Double = 1e-2): LogisticModel = {
+    require(dim > 0 && iters > 0, "dim and iters must be positive")
+    require(l2 > 0.0, "IRLS on separable data needs l2 > 0 (finite MLE)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = dim + 1 // bias last
+    val data = df.select(col(labelCol).cast("double"),
+      col(featuresCol).cast("array<double>")).as[(Double, Seq[Double])]
+    data.persist()
+    try {
+      var w = new Array[Double](d)
+      for (_ <- 0 until iters) {
+        val bw = spark.sparkContext.broadcast(w)
+        val partials = data.mapPartitions { it =>
+          val wv = bw.value
+          val g = new Array[Double](d)
+          val h = new Array[Double](d * (d + 1) / 2)
+          var n = 0L
+          it.foreach { case (y, f) =>
+            require(f.length == dim,
+              s"feature width ${f.length} != dim $dim")
+            var m = wv(d - 1); var i = 0
+            while (i < dim) { m += wv(i) * f(i); i += 1 }
+            val p = 1.0 / (1.0 + math.exp(-m))
+            val r = p - y
+            i = 0
+            while (i < dim) { g(i) += r * f(i); i += 1 }
+            g(d - 1) += r
+            val s = p * (1.0 - p)
+            var a = 0; var k = 0
+            while (a < d) {
+              val xa = if (a == dim) 1.0 else f(a)
+              val sxa = s * xa
+              var b = a
+              while (b < d) {
+                val xb = if (b == dim) 1.0 else f(b)
+                h(k) += sxa * xb; k += 1; b += 1
+              }
+              a += 1
+            }
+            n += 1
+          }
+          Iterator.single((TaskContext.getPartitionId(), g, h, n))
+        }.collect().sortBy(_._1)
+        bw.destroy()
+        val n = partials.map(_._4).sum.toDouble
+        require(n > 0, "cannot train on an empty frame")
+        val g = new Array[Double](d)
+        val hTri = new Array[Double](d * (d + 1) / 2)
+        partials.foreach { case (_, pg, ph, _) =>
+          var i = 0
+          while (i < d) { g(i) += pg(i); i += 1 }
+          i = 0
+          while (i < hTri.length) { hTri(i) += ph(i); i += 1 }
+        }
+        // ridge-regularized Newton system: (H/n + l2·I) δ = g/n + l2·w
+        val hm = Array.ofDim[Double](d, d)
+        var k = 0; var a = 0
+        while (a < d) {
+          var b = a
+          while (b < d) {
+            hm(a)(b) = hTri(k) / n; hm(b)(a) = hm(a)(b); k += 1; b += 1
+          }
+          hm(a)(a) += l2
+          a += 1
+        }
+        val rhs = Array.tabulate(d)(i => g(i) / n + l2 * w(i))
+        val delta = solve(hm, rhs)
+        val next = new Array[Double](d)
+        var i = 0
+        while (i < d) { next(i) = w(i) - delta(i); i += 1 }
+        w = next
+      }
+      LogisticModel(w.take(dim), w(dim))
+    } finally { data.unpersist(): Unit }
+  }
+
+  /** Train by full-batch gradient descent over SPARSE index features
+    * (`array<int>`, one entry per feature occurrence — the
+    * [[hashedIndices]] shape). Per iteration: one `mapPartitions` pass
+    * scattering `(p−y)` into a length-`dim+1` gradient, partials
+    * summed driver-side in partition order — O(parts · d) on the wire,
+    * no Hessian, so `dim` can be the 2^18-bin hashing-trick regime.
+    * Slower to converge than Newton; use [[trainLogistic]] when the
+    * dense dim is small enough to afford it. */
+  def trainLogisticSparse(df: DataFrame, idxCol: String, labelCol: String,
+                          dim: Int, iters: Int = 200, lr: Double = 0.5,
+                          l2: Double = 0.0): LogisticModel = {
+    require(dim > 0 && iters > 0 && lr > 0, "dim/iters/lr must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = dim + 1
+    val data = df.select(col(labelCol).cast("double"), col(idxCol))
+      .as[(Double, Seq[Int])]
+    data.persist()
+    try {
+      var w = new Array[Double](d)
+      for (_ <- 0 until iters) {
+        val bw = spark.sparkContext.broadcast(w)
+        val partials = data.mapPartitions { it =>
+          val wv = bw.value
+          val g = new Array[Double](d)
+          var n = 0L
+          it.foreach { case (y, idx) =>
+            var m = wv(d - 1)
+            idx.foreach { i =>
+              require(i >= 0 && i < dim, s"index $i outside [0, $dim)")
+              m += wv(i)
+            }
+            val r = 1.0 / (1.0 + math.exp(-m)) - y
+            idx.foreach(i => g(i) += r)
+            g(d - 1) += r
+            n += 1
+          }
+          Iterator.single((TaskContext.getPartitionId(), g, n))
+        }.collect().sortBy(_._1)
+        bw.destroy()
+        val n = partials.map(_._3).sum.toDouble
+        require(n > 0, "cannot train on an empty frame")
+        val g = new Array[Double](d)
+        partials.foreach { case (_, pg, _) =>
+          var i = 0
+          while (i < d) { g(i) += pg(i); i += 1 }
+        }
+        val next = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          next(i) = w(i) - lr * (g(i) / n + l2 * w(i)); i += 1
+        }
+        w = next
+      }
+      LogisticModel(w.take(dim), w(dim))
+    } finally { data.unpersist(): Unit }
+  }
+
+  /** In-place pivoted Gaussian elimination — the (d+1)×(d+1) Newton
+    * solve. Deterministic; fails loudly on a (numerically) singular
+    * system rather than returning garbage weights. */
+  private def solve(a: Array[Array[Double]],
+                    b: Array[Double]): Array[Double] = {
+    val n = b.length
+    val x = b.clone()
+    var col = 0
+    while (col < n) {
+      var piv = col; var r = col + 1
+      while (r < n) {
+        if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
+        r += 1
+      }
+      require(math.abs(a(piv)(col)) > 1e-12,
+        "singular Newton system (raise l2)")
+      if (piv != col) {
+        val t = a(piv); a(piv) = a(col); a(col) = t
+        val tb = x(piv); x(piv) = x(col); x(col) = tb
+      }
+      r = col + 1
+      while (r < n) {
+        val f = a(r)(col) / a(col)(col)
+        if (f != 0.0) {
+          var c = col
+          while (c < n) { a(r)(c) -= f * a(col)(c); c += 1 }
+          x(r) -= f * x(col)
+        }
+        r += 1
+      }
+      col += 1
+    }
+    var i = n - 1
+    while (i >= 0) {
+      var s = x(i); var j = i + 1
+      while (j < n) { s -= a(i)(j) * x(j); j += 1 }
+      x(i) = s / a(i)(i)
+      i -= 1
+    }
+    x
+  }
+
+  // ---------------------------------------------------------------- //
+  // scoring — in-plan
+  // ---------------------------------------------------------------- //
+
+  /** `bias + Σ w(i)·features[i]` as a left-associated literal
+    * expression chain — fully codegen'd, oracle-expressible (the same
+    * chain in ANSI SQL), exact for dyadic weights over integer counts.
+    * For small dense models; a 2^18-weight literal belongs in
+    * [[scoreSparse]]'s broadcast join instead. */
+  def marginExpr(features: Column, model: LogisticModel): Column =
+    model.weights.zipWithIndex.foldLeft(lit(model.bias)) {
+      case (acc, (w, i)) => acc + lit(w) * element_at(features, i + 1)
+    }
+
+  /** `sigmoid(margin)` over [[marginExpr]]. */
+  def scoreExpr(features: Column, model: LogisticModel): Column =
+    lit(1.0) / (lit(1.0) + exp(-marginExpr(features, model)))
+
+  /** Score sparse index features at scale: explode the indices, join
+    * the broadcast (index → weight) table, re-aggregate per row key —
+    * partial map-side sums, one small shuffle on `idCol`, model size
+    * bounded by the broadcast (a 2^18-double model is 2 MiB). Rows
+    * with EMPTY index arrays still score (margin = bias). Returns
+    * `(idCol, margin)`; join it back or feed a threshold directly. */
+  def scoreSparse(df: DataFrame, idCol: String, idxCol: String,
+                  model: LogisticModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = spark.createDataset(
+      model.weights.toIndexedSeq.zipWithIndex.map { case (w, i) => (i, w) })
+      .toDF("__i", "__w")
+    df.select(col(idCol), explode_outer(col(idxCol)).as("__i"))
+      .join(broadcast(wdf), Seq("__i"), "left")
+      .groupBy(col(idCol))
+      .agg((coalesce(sum(col("__w")), lit(0.0)) + lit(model.bias))
+        .as("margin"))
+  }
+
+  /** Fraction of rows the model classifies correctly (`margin > 0`
+    * vs truthy label) — the fail-loud convergence check for pipelines
+    * contracted on a separable concept. */
+  def trainAccuracy(df: DataFrame, featuresCol: String, labelCol: String,
+                    model: LogisticModel): Double =
+    df.select(avg(
+      when((marginExpr(col(featuresCol), model) > 0) ===
+        col(labelCol).cast("boolean"), 1.0).otherwise(0.0)).as("acc"))
+      .head().getDouble(0)
+}

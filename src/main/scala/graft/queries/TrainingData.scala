@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Dsir, Freq, Multimodal, Profile, Quantile, Retrieval, Similarity, Sketch, Text}
+import graft.ops.{Classifier, Dedup, Dsir, Freq, Multimodal, Profile, Quantile, Retrieval, Similarity, Sketch, Text}
 
 /** The training-data pipeline operators (dedup / similarity / multimodal /
   * text analysis) exposed as driver-verifiable queries over the documents
@@ -45,6 +45,12 @@ object TrainingData {
   private val bm25Indexes =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Trained quality-classifier models, memoized per sf dir (steady
+    * state is scoring; a fresh process — the correctness run — always
+    * retrains). */
+  private val lrModels = scala.collection.concurrent.TrieMap
+    .empty[String, graft.ops.Classifier.LogisticModel]
+
   /** Unique memory-sink names for repeated streaming runs within one
     * session (the Relational.streamQueryId convention). */
   private val streamQueryId = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -84,6 +90,77 @@ object TrainingData {
       docs(s, dir)
         .select(col("doc_id"), Text.qualityScore(col("text")).as("quality"))
         .filter(col("quality") >= 0.7)
+        .orderBy(col("doc_id"))
+    }),
+
+    // GPT-3-style TRAINED quality classifier (Brown et al. 2020 App. A):
+    // logistic regression over vocab-count features, trained in-engine
+    // by distributed IRLS (one mapPartitions partial per iteration), on
+    // a separable concept the oracle can state independently — "text
+    // mentions 'hash' at least twice". The query FAILS LOUDLY if
+    // training under-converges (acc < 100%), so a data change can never
+    // silently red the oracle; predictions come from the codegen'd
+    // in-plan margin chain
+    "q_doc_quality_classifier" -> ((s, dir) => {
+      val vocab = Seq("hash", "join", "sort", "scan",
+        "batch", "data", "merge", "filter")
+      val feats = docs(s, dir).select(col("doc_id"),
+        Classifier.vocabCountFeatures(Text.tokens(col("text")), vocab)
+          .as("f"))
+        .withColumn("label", element_at(col("f"), 1) >= 2.0)
+      val model = lrModels.getOrElseUpdate(s"$dir#vocab",
+        Classifier.trainLogistic(feats, "f", "label", dim = vocab.size))
+      val acc = Classifier.trainAccuracy(feats, "f", "label", model)
+      require(acc == 1.0,
+        s"classifier under-converged on the oracle concept: acc=$acc")
+      feats.select(col("doc_id"),
+        element_at(col("f"), 1).cast("long").as("n_hash"),
+        (Classifier.marginExpr(col("f"), model) > 0).as("predicted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the scoring half in isolation: a FIXED dyadic-weight model (every
+    // weight a binary fraction, counts integers, so the margin doubles
+    // are exact in any engine) scored by the in-plan literal chain —
+    // selection is margin > 0
+    "q_doc_classifier_score" -> ((s, dir) => {
+      val vocab = Seq("hash", "join", "sort", "scan",
+        "batch", "data", "merge", "filter")
+      val model = Classifier.LogisticModel(
+        Array(1.0, 0.5, -0.5, 0.25, -0.25, 0.75, -0.75, 0.125), -1.5)
+      val f = Classifier.vocabCountFeatures(Text.tokens(col("text")), vocab)
+      docs(s, dir)
+        .withColumn("f", f)
+        .select(col("doc_id"),
+          Classifier.marginExpr(col("f"), model).as("margin"),
+          (Classifier.marginExpr(col("f"), model) > 0).as("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // hashing-trick twin: the same concept learned over xxhash64-binned
+    // features (vocab-restricted tokens -> 64 bins), trained dense
+    // (IRLS over binned counts) and PREDICTED through the sparse path —
+    // explode -> broadcast weight join -> per-doc margin — the plan
+    // shape a 2^18-bin model needs at 100 TB. Same fail-loud
+    // convergence gate, same engine-independent oracle rule
+    "q_doc_classifier_hashed" -> ((s, dir) => {
+      val vocab = Seq("hash", "join", "sort", "scan",
+        "batch", "data", "merge", "filter")
+      val dim = 64
+      val kept = filter(Text.tokens(col("text")),
+        t => t.isin(vocab.map(v => v: Any): _*))
+      val feats = docs(s, dir).select(col("doc_id"),
+        Classifier.hashedCountFeatures(kept, dim).as("f"),
+        Classifier.hashedIndices(kept, dim).as("idx"),
+        (size(filter(Text.tokens(col("text")), t => t === "hash")) >= 2)
+          .as("label"))
+      val model = lrModels.getOrElseUpdate(s"$dir#hashed",
+        Classifier.trainLogistic(feats, "f", "label", dim = dim))
+      val acc = Classifier.trainAccuracy(feats, "f", "label", model)
+      require(acc == 1.0,
+        s"hashed classifier under-converged (bin collision?): acc=$acc")
+      Classifier.scoreSparse(feats, "doc_id", "idx", model)
+        .select(col("doc_id"), (col("margin") > 0).as("predicted"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2526,6 +2603,48 @@ object TrainingData {
         |FROM t)
         |SELECT doc_id, quality FROM q WHERE quality >= 0.7
         |ORDER BY doc_id""".stripMargin,
+
+    // the trained classifier must recover the labeling concept exactly
+    // (the query fails loudly otherwise), so the oracle states the
+    // concept itself — engine-independent of the training arithmetic
+    "q_doc_quality_classifier" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t = 'hash')) AS BIGINT) AS n_hash,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t = 'hash')) >= 2 AS predicted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_doc_classifier_hashed" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t = 'hash')) >= 2 AS predicted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // fixed dyadic weights over integer counts: both engines' doubles
+    // are exact, the left-associated chain mirrors marginExpr verbatim
+    "q_doc_classifier_score" ->
+      """WITH c AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS l
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(len(list_filter(l, t -> t = 'hash'))   AS DOUBLE) AS f0,
+        |  CAST(len(list_filter(l, t -> t = 'join'))   AS DOUBLE) AS f1,
+        |  CAST(len(list_filter(l, t -> t = 'sort'))   AS DOUBLE) AS f2,
+        |  CAST(len(list_filter(l, t -> t = 'scan'))   AS DOUBLE) AS f3,
+        |  CAST(len(list_filter(l, t -> t = 'batch'))  AS DOUBLE) AS f4,
+        |  CAST(len(list_filter(l, t -> t = 'data'))   AS DOUBLE) AS f5,
+        |  CAST(len(list_filter(l, t -> t = 'merge'))  AS DOUBLE) AS f6,
+        |  CAST(len(list_filter(l, t -> t = 'filter')) AS DOUBLE) AS f7
+        |FROM c)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(-1.5 AS DOUBLE) + 1.0 * f0 + 0.5 * f1 + -0.5 * f2
+        |    + 0.25 * f3 + -0.25 * f4 + 0.75 * f5 + -0.75 * f6
+        |    + 0.125 * f7 AS margin,
+        |  (CAST(-1.5 AS DOUBLE) + 1.0 * f0 + 0.5 * f1 + -0.5 * f2
+        |    + 0.25 * f3 + -0.25 * f4 + 0.75 * f5 + -0.75 * f6
+        |    + 0.125 * f7) > 0 AS selected
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // the same six-line synthesis, line filter, and integer/string rule
     // arithmetic replayed in SQL

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-engine logistic-regression quality classifier: IRLS and sparse-GD
+  * trainers converge on separable concepts, training is deterministic,
+  * dense in-plan scoring and the sparse broadcast-join scorer agree, and
+  * the featurizers count what they claim. */
+class ClassifierSpec extends AnyFunSuite {
+  import graft.SparkSpec.spark
+  import spark.implicits._
+
+  /** Synthetic separable corpus: label = text mentions "spark" at least
+    * twice; vocab features carry the concept plus noise words. */
+  private val vocab = Seq("spark", "flink", "duck", "noise")
+  private def corpus(n: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val ns = rnd.nextInt(5)
+      val words = Seq.fill(ns)("spark") ++
+        Seq.fill(rnd.nextInt(4))("flink") ++
+        Seq.fill(rnd.nextInt(3))("duck") ++ Seq("pad")
+      (i.toLong, rnd.shuffle(words).mkString(" "), ns >= 2)
+    }.toDF("id", "text", "label")
+  }
+
+  test("vocabCountFeatures: exact per-word counts, fixed width") {
+    val df = Seq((1L, "spark spark duck"), (2L, ""), (3L, "flink"))
+      .toDF("id", "text")
+    val f = df.select(col("id"), Classifier.vocabCountFeatures(
+      Text.tokens(col("text")), vocab).as("f")).orderBy("id")
+      .collect().map(r => r.getSeq[Double](1))
+    assert(f(0) == Seq(2.0, 0.0, 1.0, 0.0))
+    // empty text: split yields one "" token — counts of real words are 0
+    assert(f(1) == Seq(0.0, 0.0, 0.0, 0.0))
+    assert(f(2) == Seq(0.0, 1.0, 0.0, 0.0))
+  }
+
+  test("trainLogistic (IRLS): separable concept reaches 100% training " +
+    "accuracy; retrain is bit-identical; ridge shrinks weights") {
+    val df = corpus(400, seed = 7)
+    val feats = df.select(col("id"), col("label"),
+      Classifier.vocabCountFeatures(Text.tokens(col("text")), vocab)
+        .as("f"))
+    val m = Classifier.trainLogistic(feats, "f", "label", dim = 4)
+    assert(Classifier.trainAccuracy(feats, "f", "label", m) == 1.0)
+    // the concept's word dominates the learned direction
+    assert(m.weights(0) > 0 && m.weights(0) > m.weights.tail.map(
+      math.abs).max)
+    // determinism: identical partition contents => identical bits
+    val m2 = Classifier.trainLogistic(feats, "f", "label", dim = 4)
+    assert(m.bias == m2.bias && m.weights.sameElements(m2.weights))
+    // stronger ridge => smaller norm, same decisions here
+    val mReg = Classifier.trainLogistic(feats, "f", "label", dim = 4,
+      l2 = 1.0)
+    def norm(w: Array[Double]) = math.sqrt(w.map(x => x * x).sum)
+    assert(norm(mReg.weights) < norm(m.weights))
+  }
+
+  test("repartitioning moves float summation order: weights agree to " +
+    "1e-9 and decisions are identical") {
+    val df = corpus(400, seed = 11)
+    val feats = df.select(col("id"), col("label"),
+      Classifier.vocabCountFeatures(Text.tokens(col("text")), vocab)
+        .as("f"))
+    val a = Classifier.trainLogistic(feats.repartition(2), "f", "label", 4)
+    val b = Classifier.trainLogistic(feats.repartition(8), "f", "label", 4)
+    (a.weights :+ a.bias).zip(b.weights :+ b.bias).foreach {
+      case (x, y) => assert(math.abs(x - y) < 1e-9, s"$x vs $y")
+    }
+    val pa = feats.select(col("id"),
+      (Classifier.marginExpr(col("f"), a) > 0).as("p"))
+    val pb = feats.select(col("id"),
+      (Classifier.marginExpr(col("f"), b) > 0).as("p"))
+    assert(pa.except(pb).count() == 0 && pb.except(pa).count() == 0)
+  }
+
+  test("trainLogisticSparse (GD over hashed indices): converges on the " +
+    "separable concept; empty index arrays train and score") {
+    val df = corpus(300, seed = 13)
+    val dim = 64
+    val feats = df.select(col("id"), col("label"),
+      Classifier.hashedIndices(Text.tokens(col("text")), dim).as("idx"))
+    val m = Classifier.trainLogisticSparse(feats, "idx", "label", dim,
+      iters = 300, lr = 1.0)
+    // accuracy via the sparse scorer
+    val scored = Classifier.scoreSparse(feats, "id", "idx", m)
+    val acc = feats.join(scored, "id")
+      .select(avg(when((col("margin") > 0) === col("label"), 1.0)
+        .otherwise(0.0))).head().getDouble(0)
+    assert(acc == 1.0, s"sparse GD under-converged: acc=$acc")
+  }
+
+  test("dense IRLS model scored sparsely: scoreSparse over binned " +
+    "indices equals the dense marginExpr over binned counts") {
+    val df = corpus(200, seed = 17)
+    val dim = 32
+    val withBoth = df.select(col("id"), col("label"),
+      Classifier.hashedCountFeatures(Text.tokens(col("text")), dim)
+        .as("f"),
+      Classifier.hashedIndices(Text.tokens(col("text")), dim).as("idx"))
+    val m = Classifier.trainLogistic(withBoth, "f", "label", dim)
+    val dense = withBoth.select(col("id"),
+      Classifier.marginExpr(col("f"), m).as("md"))
+    val sparse = Classifier.scoreSparse(withBoth, "id", "idx", m)
+    val joined = dense.join(sparse, "id")
+      .select(max(abs(col("md") - col("margin")))).head().getDouble(0)
+    assert(joined < 1e-9, s"dense/sparse margin drift: $joined")
+  }
+
+  test("edge cases: empty frame fails loudly; width mismatch fails " +
+    "loudly; out-of-range sparse index fails loudly") {
+    val empty = Seq.empty[(Long, Boolean, Seq[Double])]
+      .toDF("id", "label", "f")
+    intercept[Exception](
+      Classifier.trainLogistic(empty, "f", "label", dim = 4, iters = 1))
+    val bad = Seq((1L, true, Seq(1.0, 2.0))).toDF("id", "label", "f")
+    intercept[Exception](
+      Classifier.trainLogistic(bad, "f", "label", dim = 4, iters = 1))
+    val badIdx = Seq((1L, true, Seq(99))).toDF("id", "label", "idx")
+    intercept[Exception](Classifier.trainLogisticSparse(
+      badIdx, "idx", "label", dim = 4, iters = 1))
+  }
+}
