@@ -188,8 +188,12 @@ object Classifier {
     * dense dim is small enough to afford it. */
   def trainLogisticSparse(df: DataFrame, idxCol: String, labelCol: String,
                           dim: Int, iters: Int = 200, lr: Double = 0.5,
-                          l2: Double = 0.0): LogisticModel = {
+                          l2: Double = 0.0,
+                          init: Option[LogisticModel] = None)
+      : LogisticModel = {
     require(dim > 0 && iters > 0 && lr > 0, "dim/iters/lr must be positive")
+    init.foreach(m => require(m.dim == dim,
+      s"warm-start model dim ${m.dim} != $dim"))
     val spark = df.sparkSession
     import spark.implicits._
     val d = dim + 1
@@ -197,7 +201,8 @@ object Classifier {
       .as[(Double, Seq[Int])]
     data.persist()
     try {
-      var w = new Array[Double](d)
+      var w = init.map(m => m.weights :+ m.bias)
+        .getOrElse(new Array[Double](d))
       for (_ <- 0 until iters) {
         val bw = spark.sparkContext.broadcast(w)
         val partials = data.mapPartitions { it =>
@@ -314,6 +319,73 @@ object Classifier {
       .groupBy(col(idCol))
       .agg((coalesce(sum(col("__w")), lit(0.0)) + lit(model.bias))
         .as("margin"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // the model as an incremental index — persistence + online updates
+  // ---------------------------------------------------------------- //
+
+  /** Serialize `model` under `dir` (a directory, so the applied-batch
+    * ledger travels with it through the atomic swap). Text format:
+    * bias then weights, one `Double.toString` per line — round-trips
+    * bit-exactly. */
+  private def writeModelInto(dir: String, model: LogisticModel): Unit =
+    graft.core.Fs.writeString(s"$dir/model.txt",
+      (model.bias +: model.weights.toSeq).mkString("\n"))
+
+  /** Load the model persisted at `dir` (None when absent). */
+  def loadModel(dir: String): Option[LogisticModel] = {
+    val p = s"$dir/model.txt"
+    if (!graft.core.Fs.exists(p)) return None
+    val vs = graft.core.Fs.readString(p).split("\n").map(_.trim)
+      .filter(_.nonEmpty).map(_.toDouble)
+    Some(LogisticModel(vs.tail, vs.head))
+  }
+
+  /** Online (mini-batch) training: fold one labeled batch into the
+    * persisted model at `modelPath` — `iters` warm-started GD steps
+    * over the batch's sparse index features, then an atomic
+    * swap-commit of model + applied-batch ledger (the
+    * [[Quantile.incrementalQuantileSketch]] lifecycle: crash on either
+    * side of the swap leaves a consistent pair, a re-delivered
+    * `batchId` is a no-op returning the already-committed model, and a
+    * racing writer fails fast on the lock file). This is the
+    * continual-quality-filter shape: the model IS an incremental
+    * index, refreshed at ingest from weak labels, never rescanning the
+    * corpus. Empty batches short-circuit. */
+  def updateModelOnline(batch: DataFrame, modelPath: String,
+                        idxCol: String, labelCol: String, dim: Int,
+                        iters: Int = 50, lr: Double = 1.0,
+                        l2: Double = 0.0,
+                        batchId: Option[String] = None): LogisticModel = {
+    import graft.core.Fs
+    Dedup.recoverIndex(modelPath)
+    val applied = IncrementalLedger.appliedIds(modelPath)
+    val current = loadModel(modelPath)
+    if (batchId.exists(applied.contains))
+      return current.getOrElse(LogisticModel(new Array[Double](dim), 0.0))
+    if (batch.isEmpty)
+      return current.getOrElse(LogisticModel(new Array[Double](dim), 0.0))
+    val next = trainLogisticSparse(batch, idxCol, labelCol, dim, iters,
+      lr, l2, init = current)
+    val lock = s"$modelPath.__lock"
+    if (!Fs.createExclusive(lock, s"pid=${ProcessHandle.current().pid()}"))
+      throw new IllegalStateException(
+        s"classifier model $modelPath is being updated by another " +
+          s"writer; if that process crashed, delete $lock and re-run")
+    try {
+      val tmp = s"$modelPath.__compact_tmp"
+      Fs.delete(tmp)
+      Fs.mkdirs(tmp)
+      writeModelInto(tmp, next)
+      IncrementalLedger.writeInto(tmp, applied, batchId)
+      val old = s"$modelPath.__old"
+      Fs.delete(old)
+      if (Fs.exists(modelPath)) Fs.rename(modelPath, old)
+      Fs.rename(tmp, modelPath)
+      Fs.delete(old)
+    } finally Fs.delete(lock)
+    next
   }
 
   /** Fraction of rows the model classifies correctly (`margin > 0`

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Classifier, Dedup, Dsir, Freq, Multimodal, Profile, Quantile, Retrieval, Similarity, Sketch, Text}
@@ -161,6 +161,84 @@ object TrainingData {
         s"hashed classifier under-converged (bin collision?): acc=$acc")
       Classifier.scoreSparse(feats, "doc_id", "idx", model)
         .select(col("doc_id"), (col("margin") > 0).as("predicted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING score-at-ingest: the batch-trained model rides the
+    // stream's plan as a literal margin chain — a STATELESS projection,
+    // no state store, append mode, constant memory forever (the
+    // offline-train / online-score split of a production quality
+    // filter). Same fail-loud convergence gate on the offline half,
+    // same engine-independent oracle rule
+    "q_stream_classifier" -> ((s, dir) => {
+      val vocab = Seq("hash", "join", "sort", "scan",
+        "batch", "data", "merge", "filter")
+      val featsB = docs(s, dir).select(col("doc_id"),
+        Classifier.vocabCountFeatures(Text.tokens(col("text")), vocab)
+          .as("f"))
+        .withColumn("label", element_at(col("f"), 1) >= 2.0)
+      val model = lrModels.getOrElseUpdate(s"$dir#vocab",
+        Classifier.trainLogistic(featsB, "f", "label", dim = vocab.size))
+      val acc = Classifier.trainAccuracy(featsB, "f", "label", model)
+      require(acc == 1.0,
+        s"classifier under-converged on the oracle concept: acc=$acc")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          Classifier.vocabCountFeatures(Text.tokens(col("text")), vocab)
+            .as("f"))
+        .select(col("doc_id"),
+          (Classifier.marginExpr(col("f"), model) > 0).as("predicted"))
+      val name = s"graft_stream_clf_${streamQueryId.incrementAndGet()}"
+      val q = stream.writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).select(col("doc_id"), col("predicted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ONLINE training at ingest: weak labels computed in-stream, each
+    // micro-batch folds warm-started GD steps into the persisted model
+    // (exactly-once via the ledger — a crash-replayed batch returns the
+    // committed weights), two checkpointed drains = two passes; the
+    // final model must classify the whole corpus to the concept
+    // (fail-loud), so the oracle stays the engine-independent rule.
+    // Predictions go through the sparse broadcast-join scorer
+    "q_stream_classifier_online" -> ((s, dir) => {
+      val vocab = Seq("hash", "join", "sort", "scan",
+        "batch", "data", "merge", "filter")
+      val dim = 64
+      def kept(c: Column) = filter(Text.tokens(c),
+        t => t.isin(vocab.map(v => v: Any): _*))
+      def labeled(idc: Column, txt: Column) = Seq(
+        idc.cast("long").as("doc_id"),
+        Classifier.hashedIndices(kept(txt), dim).as("idx"),
+        (size(filter(Text.tokens(txt), t => t === "hash")) >= 2)
+          .as("label"))
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      def stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(labeled(col("doc_id"), col("text")): _*)
+      val tmp = scratchDir("graft-clfonline-")
+      val q1 = graft.streaming.Monitor.classifierSink(stream,
+        s"$tmp/model", s"$tmp/ckpt1", "idx", "label", dim, iters = 120)
+      try q1.processAllAvailable() finally q1.stop()
+      val q2 = graft.streaming.Monitor.classifierSink(stream,
+        s"$tmp/model", s"$tmp/ckpt2", "idx", "label", dim, iters = 120)
+      try q2.processAllAvailable() finally q2.stop()
+      val model = Classifier.loadModel(s"$tmp/model").getOrElse(
+        sys.error("online classifier never committed a model"))
+      val featsB = docs(s, dir)
+        .select(labeled(col("doc_id"), col("text")): _*)
+      val scored = Classifier.scoreSparse(featsB, "doc_id", "idx", model)
+      val acc = featsB.join(scored, "doc_id")
+        .select(avg(when((col("margin") > 0) === col("label"), 1.0)
+          .otherwise(0.0))).head().getDouble(0)
+      require(acc == 1.0, s"online classifier under-converged: acc=$acc")
+      scored.select(col("doc_id"), (col("margin") > 0).as("predicted"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2616,6 +2694,20 @@ object TrainingData {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_doc_classifier_hashed" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t = 'hash')) >= 2 AS predicted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // both streaming variants must land on the same concept (the
+    // queries fail loudly otherwise) — one shared rule oracle
+    "q_stream_classifier" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t = 'hash')) >= 2 AS predicted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_stream_classifier_online" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'),
         |    t -> t = 'hash')) >= 2 AS predicted

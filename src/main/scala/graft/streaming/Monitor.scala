@@ -522,6 +522,39 @@ object Monitor {
     * [[graft.ops.Sketch.profileState]] over everything that arrived
     * (SketchSpec pins split-invariance), so the streamed audit shares
     * the batch audit's oracle. */
+  /** Stream labeled documents into the persisted ONLINE CLASSIFIER at
+    * `modelPath` ([[graft.ops.Classifier.updateModelOnline]]): each
+    * micro-batch warm-starts the logistic model and folds `iters` GD
+    * steps over its sparse index features — the continual quality-
+    * filter refresh, where the model is an incremental index updated
+    * at ingest from weak labels and nothing rescans the corpus. The
+    * model stays loadable mid-stream
+    * ([[graft.ops.Classifier.loadModel]]) for concurrent scorers.
+    *
+    * Delivery contract: GD steps are NOT idempotent on re-delivered
+    * batches (a replay would walk the weights further), so the sink
+    * records each applied batch's lineage-qualified identity in the
+    * model directory's [[graft.ops.IncrementalLedger]], committed in
+    * the same atomic swap as the weights — crash-replays return the
+    * committed model unchanged and the updates are exactly-once under
+    * foreachBatch's at-least-once delivery (ClassifierSpec pins the
+    * replay no-op). */
+  def classifierSink(docs: DataFrame, modelPath: String,
+                     checkpointDir: String, idxCol: String,
+                     labelCol: String, dim: Int, iters: Int = 50,
+                     lr: Double = 1.0): StreamingQuery = {
+    val lineage = checkpointLineage(checkpointDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.ops.Classifier.updateModelOnline(batch, modelPath, idxCol,
+          labelCol, dim, iters, lr,
+          batchId = Some(s"stream:$lineage:$bid"))
+        ()
+      }
+      .start()
+  }
+
   def profileSink(docs: DataFrame, indexPath: String,
                   checkpointDir: String, keyCols: Seq[String],
                   numCols: Seq[String], kDistinct: Int = 4096,

@@ -109,6 +109,51 @@ class ClassifierSpec extends AnyFunSuite {
     assert(joined < 1e-9, s"dense/sparse margin drift: $joined")
   }
 
+  test("updateModelOnline: warm-started folds converge across batches; " +
+    "a re-delivered batch id is a no-op returning the committed bits; " +
+    "empty batches are no-ops; the crash window recovers") {
+    import graft.core.Fs
+    val dim = 32
+    val root = java.nio.file.Files.createTempDirectory("graft-clf-online-")
+      .toString
+    val modelPath = s"$root/model"
+    val df = corpus(300, seed = 23)
+    val feats = df.select(col("id"), col("label"),
+      Classifier.hashedIndices(Text.tokens(col("text")), dim).as("idx"))
+    val b1 = feats.filter(col("id") % 2 === 0)
+    val b2 = feats.filter(col("id") % 2 === 1)
+    val m1 = Classifier.updateModelOnline(b1, modelPath, "idx", "label",
+      dim, iters = 150, batchId = Some("s:1"))
+    val m2 = Classifier.updateModelOnline(b2, modelPath, "idx", "label",
+      dim, iters = 150, batchId = Some("s:2"))
+    // warm start: batch 2 continued from batch 1's weights, not zero
+    assert(!m2.weights.sameElements(
+      Classifier.trainLogisticSparse(b2, "idx", "label", dim, 150, 1.0)
+        .weights))
+    // replay of batch 2 returns the committed model bit-identically
+    // without touching the weights (the GD fold is non-idempotent)
+    val replay = Classifier.updateModelOnline(b2, modelPath, "idx",
+      "label", dim, iters = 150, batchId = Some("s:2"))
+    assert(replay.bias == m2.bias &&
+      replay.weights.sameElements(m2.weights))
+    // empty batch: committed model unchanged
+    val mEmpty = Classifier.updateModelOnline(feats.filter(lit(false)),
+      modelPath, "idx", "label", dim, iters = 10, batchId = Some("s:3"))
+    assert(mEmpty.weights.sameElements(m2.weights))
+    // the two folds classify the full corpus (two passes over halves)
+    val scored = Classifier.scoreSparse(feats, "id", "idx", m2)
+    val acc = feats.join(scored, "id")
+      .select(avg(when((col("margin") > 0) === col("label"), 1.0)
+        .otherwise(0.0))).head().getDouble(0)
+    assert(acc == 1.0, s"online folds under-converged: acc=$acc")
+    // crash window: a parked swap (model at __old, live dir missing)
+    // recovers to the committed state on the next call
+    Fs.rename(modelPath, s"$modelPath.__old")
+    val recovered = Classifier.updateModelOnline(b2, modelPath, "idx",
+      "label", dim, iters = 150, batchId = Some("s:2"))
+    assert(recovered.weights.sameElements(m2.weights))
+  }
+
   test("edge cases: empty frame fails loudly; width mismatch fails " +
     "loudly; out-of-range sparse index fails loudly") {
     val empty = Seq.empty[(Long, Boolean, Seq[Double])]
