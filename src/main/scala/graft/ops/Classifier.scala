@@ -100,18 +100,28 @@ object Classifier {
     * deterministic job count); the input projection is cached for the
     * duration and unpersisted after. */
   def trainLogistic(df: DataFrame, featuresCol: String, labelCol: String,
-                    dim: Int, iters: Int = 12,
-                    l2: Double = 1e-2): LogisticModel = {
+                    dim: Int, iters: Int = 12, l2: Double = 1e-2,
+                    init: Option[LogisticModel] = None): LogisticModel = {
     require(dim > 0 && iters > 0, "dim and iters must be positive")
     require(l2 > 0.0, "IRLS on separable data needs l2 > 0 (finite MLE)")
+    init.foreach(m => require(m.dim == dim,
+      s"warm-start model dim ${m.dim} != $dim"))
     val spark = df.sparkSession
     import spark.implicits._
     val d = dim + 1 // bias last
-    val data = df.select(col(labelCol).cast("double"),
+    val data0 = df.select(col(labelCol).cast("double"),
       col(featuresCol).cast("array<double>")).as[(Double, Seq[Double])]
+    // a narrow input (a single parquet file, a one-partition micro-
+    // batch) would run every iteration's partial on one thread — spread
+    // it across the cluster once, before the cache (round-robin
+    // repartition is sort-stabilized, so determinism holds)
+    val par = spark.sparkContext.defaultParallelism
+    val data = if (data0.rdd.getNumPartitions < par)
+      data0.repartition(par) else data0
     data.persist()
     try {
-      var w = new Array[Double](d)
+      var w = init.map(m => m.weights :+ m.bias)
+        .getOrElse(new Array[Double](d))
       for (_ <- 0 until iters) {
         val bw = spark.sparkContext.broadcast(w)
         val partials = data.mapPartitions { it =>
@@ -197,8 +207,12 @@ object Classifier {
     val spark = df.sparkSession
     import spark.implicits._
     val d = dim + 1
-    val data = df.select(col(labelCol).cast("double"), col(idxCol))
+    val data0 = df.select(col(labelCol).cast("double"), col(idxCol))
       .as[(Double, Seq[Int])]
+    // same narrow-input spread as trainLogistic
+    val par = spark.sparkContext.defaultParallelism
+    val data = if (data0.rdd.getNumPartitions < par)
+      data0.repartition(par) else data0
     data.persist()
     try {
       var w = init.map(m => m.weights :+ m.bias)
@@ -356,7 +370,7 @@ object Classifier {
   def updateModelOnline(batch: DataFrame, modelPath: String,
                         idxCol: String, labelCol: String, dim: Int,
                         iters: Int = 50, lr: Double = 1.0,
-                        l2: Double = 0.0,
+                        l2: Double = 0.0, newton: Boolean = false,
                         batchId: Option[String] = None): LogisticModel = {
     import graft.core.Fs
     Dedup.recoverIndex(modelPath)
@@ -366,8 +380,20 @@ object Classifier {
       return current.getOrElse(LogisticModel(new Array[Double](dim), 0.0))
     if (batch.isEmpty)
       return current.getOrElse(LogisticModel(new Array[Double](dim), 0.0))
-    val next = trainLogisticSparse(batch, idxCol, labelCol, dim, iters,
-      lr, l2, init = current)
+    // `newton = true` folds warm-started IRLS steps instead of GD —
+    // ~5 steps reach what hundreds of GD steps walk toward, at one job
+    // each, for dims small enough to afford the O(parts·d²) Hessian
+    // partials (online Newton). The indices densify to per-bin counts
+    // in-plan; past ~1k bins stay on GD.
+    val next =
+      if (newton) {
+        val dense = batch.withColumn("__f",
+          transform(sequence(lit(0), lit(dim - 1)), i =>
+            size(filter(col(idxCol), j => j === i)).cast("double")))
+        trainLogistic(dense, "__f", labelCol, dim, iters,
+          l2 = math.max(l2, 1e-2), init = current)
+      } else trainLogisticSparse(batch, idxCol, labelCol, dim, iters,
+        lr, l2, init = current)
     val lock = s"$modelPath.__lock"
     if (!Fs.createExclusive(lock, s"pid=${ProcessHandle.current().pid()}"))
       throw new IllegalStateException(

@@ -156,10 +156,17 @@ object TrainingData {
           .as("label"))
       val model = lrModels.getOrElseUpdate(s"$dir#hashed",
         Classifier.trainLogistic(feats, "f", "label", dim = dim))
-      val acc = Classifier.trainAccuracy(feats, "f", "label", model)
+      // the convergence gate reads the SPARSE margins the query already
+      // computes (the dense chain would re-expand the 64-bin histogram
+      // featurization once per weight reference — plan bloat for zero
+      // information; ClassifierSpec pins dense/sparse margin parity)
+      val scored = Classifier.scoreSparse(feats, "doc_id", "idx", model)
+      val acc = feats.join(scored, "doc_id")
+        .select(avg(when((col("margin") > 0) === col("label"), 1.0)
+          .otherwise(0.0))).head().getDouble(0)
       require(acc == 1.0,
         s"hashed classifier under-converged (bin collision?): acc=$acc")
-      Classifier.scoreSparse(feats, "doc_id", "idx", model)
+      scored
         .select(col("doc_id"), (col("margin") > 0).as("predicted"))
         .orderBy(col("doc_id"))
     }),
@@ -223,11 +230,16 @@ object TrainingData {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .select(labeled(col("doc_id"), col("text")): _*)
       val tmp = scratchDir("graft-clfonline-")
+      // online NEWTON folds: ~6 warm-started IRLS steps per batch reach
+      // what hundreds of GD steps walk toward, one job each (the GD
+      // path stays the >1k-bin regime's default)
       val q1 = graft.streaming.Monitor.classifierSink(stream,
-        s"$tmp/model", s"$tmp/ckpt1", "idx", "label", dim, iters = 120)
+        s"$tmp/model", s"$tmp/ckpt1", "idx", "label", dim, iters = 5,
+        newton = true)
       try q1.processAllAvailable() finally q1.stop()
       val q2 = graft.streaming.Monitor.classifierSink(stream,
-        s"$tmp/model", s"$tmp/ckpt2", "idx", "label", dim, iters = 120)
+        s"$tmp/model", s"$tmp/ckpt2", "idx", "label", dim, iters = 5,
+        newton = true)
       try q2.processAllAvailable() finally q2.stop()
       val model = Classifier.loadModel(s"$tmp/model").getOrElse(
         sys.error("online classifier never committed a model"))

@@ -542,13 +542,14 @@ object Monitor {
   def classifierSink(docs: DataFrame, modelPath: String,
                      checkpointDir: String, idxCol: String,
                      labelCol: String, dim: Int, iters: Int = 50,
-                     lr: Double = 1.0): StreamingQuery = {
+                     lr: Double = 1.0,
+                     newton: Boolean = false): StreamingQuery = {
     val lineage = checkpointLineage(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
         graft.ops.Classifier.updateModelOnline(batch, modelPath, idxCol,
-          labelCol, dim, iters, lr,
+          labelCol, dim, iters, lr, newton = newton,
           batchId = Some(s"stream:$lineage:$bid"))
         ()
       }
