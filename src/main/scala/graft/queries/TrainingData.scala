@@ -171,6 +171,28 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // the classifier driving SELECTION: per-source token budgets filled
+    // in classifier-margin order (GPT-3's "select by classifier score"
+    // step as a budgeted stratified selection) — the fixed dyadic model
+    // keeps the ranking margins exact in both engines, so the oracle is
+    // the single-window replay with the same (margin desc, hash, id)
+    // order the op's bucketed fan-out provably equals
+    "q_doc_classifier_budget" -> ((s, dir) => {
+      val vocab = Seq("hash", "join", "sort", "scan",
+        "batch", "data", "merge", "filter")
+      val model = Classifier.LogisticModel(
+        Array(1.0, 0.5, -0.5, 0.25, -0.25, 0.75, -0.75, 0.125), -1.5)
+      val f = Classifier.vocabCountFeatures(Text.tokens(col("text")), vocab)
+      graft.ops.Sampling.selectByQualityBudget(
+        docs(s, dir).withColumn("f", f),
+        col("source"), col("doc_id"), Text.tokenCount(col("text")),
+        Classifier.marginExpr(col("f"), model),
+        Map("src0" -> 400L, "src1" -> 300L, "src2" -> 200L),
+        qMin = -2.0, qMax = 25.0)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING score-at-ingest: the batch-trained model rides the
     // stream's plan as a literal margin chain — a STATELESS projection,
     // no state store, append mode, constant memory forever (the
@@ -2710,6 +2732,38 @@ object TrainingData {
         |  len(list_filter(string_split_regex(text, '\s+'),
         |    t -> t = 'hash')) >= 2 AS predicted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the q_doc_qualitysel single-window replay with quality = the
+    // exact dyadic margin chain
+    "q_doc_classifier_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS l
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        |), q AS (
+        |  SELECT doc_id, source, CAST(len(l) AS BIGINT) AS tok,
+        |    CAST(-1.5 AS DOUBLE)
+        |      + 1.0   * CAST(len(list_filter(l, t -> t = 'hash'))   AS DOUBLE)
+        |      + 0.5   * CAST(len(list_filter(l, t -> t = 'join'))   AS DOUBLE)
+        |      + -0.5  * CAST(len(list_filter(l, t -> t = 'sort'))   AS DOUBLE)
+        |      + 0.25  * CAST(len(list_filter(l, t -> t = 'scan'))   AS DOUBLE)
+        |      + -0.25 * CAST(len(list_filter(l, t -> t = 'batch'))  AS DOUBLE)
+        |      + 0.75  * CAST(len(list_filter(l, t -> t = 'data'))   AS DOUBLE)
+        |      + -0.75 * CAST(len(list_filter(l, t -> t = 'merge'))  AS DOUBLE)
+        |      + 0.125 * CAST(len(list_filter(l, t -> t = 'filter')) AS DOUBLE)
+        |      AS quality
+        |  FROM t WHERE len(l) > 0
+        |), c AS (
+        |  SELECT doc_id, source,
+        |    SUM(tok) OVER (PARTITION BY source
+        |      ORDER BY quality DESC,
+        |               substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM q
+        |)
+        |SELECT doc_id, source FROM c
+        |WHERE cum <= CASE source WHEN 'src0' THEN 400
+        |                         WHEN 'src1' THEN 300 ELSE 200 END
+        |ORDER BY doc_id""".stripMargin,
 
     // both streaming variants must land on the same concept (the
     // queries fail loudly otherwise) — one shared rule oracle
