@@ -35,6 +35,10 @@ object Core {
   private val historyDbs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Unique memory-sink names for repeated streaming runs within one
+    * session (the Relational.streamQueryId convention). */
+  private val tailQueryId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def historyDb(s: SparkSession): Database = {
     val calc = historyDbs.getOrElseUpdate("db", {
       val c = freshDir()
@@ -164,6 +168,24 @@ object Core {
       historyDb(s).changes(0L, 2L)
         .select(col("a"), col("result_"), col("_run_seq"))
         .orderBy(col("a"))
+    }),
+
+    // the run log AS A STREAM: tailDatabase delivers every run
+    // partition as file-stream micro-batches (the changes() feed,
+    // continuously); a full drain of the 3-run history db must
+    // reproduce the whole log exactly once — the incremental
+    // drain-append-drain contract is pinned in MonitorSpec
+    "q_stream_run_tail" -> ((s, _) => {
+      val db = historyDb(s)
+      val name = s"graft_run_tail_${tailQueryId.incrementAndGet()}"
+      val q = graft.streaming.Monitor.tailDatabase(db)
+        .select(col("a"), col("result_"), col("_run_seq"))
+        .writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("a"))
     }),
 
     // E6: log capture into the _logs column (F7)
@@ -310,6 +332,13 @@ object Core {
         |  CAST(a * 10.0 AS DOUBLE) AS result_,
         |  CAST(r AS BIGINT) AS "_run_seq"
         |FROM (VALUES (3, 1), (4, 1), (5, 2)) t(a, r)
+        |ORDER BY a""".stripMargin,
+
+    "q_stream_run_tail" ->
+      """SELECT CAST(a AS BIGINT) AS a,
+        |  CAST(a * 10.0 AS DOUBLE) AS result_,
+        |  CAST(r AS BIGINT) AS "_run_seq"
+        |FROM (VALUES (1, 0), (2, 0), (3, 1), (4, 1), (5, 2)) t(a, r)
         |ORDER BY a""".stripMargin,
 
     "q_run_logs" ->

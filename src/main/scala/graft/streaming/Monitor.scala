@@ -522,6 +522,26 @@ object Monitor {
     * [[graft.ops.Sketch.profileState]] over everything that arrived
     * (SketchSpec pins split-invariance), so the streamed audit shares
     * the batch audit's oracle. */
+  /** Tail the run-log database as a STREAM: every run partition the
+    * append-only db gains after the stream starts arrives as a new
+    * micro-batch — the change data feed of [[graft.core.Database
+    * .changes]] delivered continuously, with the file-stream source's
+    * seen-files log as the cursor (each data file is delivered exactly
+    * once per checkpoint; a drain-append-drain cycle under one
+    * checkpoint yields only the new runs' rows). The underscore-
+    * prefixed metadata (skip manifest, commit marker, locks) is
+    * invisible to the source by Spark's own metadata-path filtering,
+    * while `_run_id=...` partition directories survive it (the `=`
+    * exemption), so the tail sees exactly the data. Feed it to any of
+    * the sink family — the run log becomes a live input to dedup /
+    * sketch / profile / classifier maintenance with zero extra
+    * bookkeeping. */
+  def tailDatabase(db: graft.core.Database): DataFrame =
+    db.spark.readStream
+      .schema(db.read().schema)
+      .option("mergeSchema", "true")
+      .parquet(db.dbPath)
+
   /** Stream labeled documents into the persisted ONLINE CLASSIFIER at
     * `modelPath` ([[graft.ops.Classifier.updateModelOnline]]): each
     * micro-batch warm-starts the logistic model and folds `iters` GD
