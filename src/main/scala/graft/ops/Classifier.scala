@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** In-engine trained quality classifier: regularized logistic regression
@@ -412,6 +413,75 @@ object Classifier {
       Fs.delete(old)
     } finally Fs.delete(lock)
     next
+  }
+
+  // ---------------------------------------------------------------- //
+  // evaluation — integer-exact, oracle-expressible
+  // ---------------------------------------------------------------- //
+
+  /** One-row confusion matrix + derived rates for boolean
+    * `predictedCol` vs truthy `labelCol`: `(tp, fp, tn, fn, precision,
+    * recall, f1)`. Counts are one map-side-combined aggregate; the
+    * rates are IEEE divisions of those exact integers, so every output
+    * is reproducible bit-for-bit by any engine. Null label or
+    * prediction rows are excluded from every cell (they are neither
+    * correct nor incorrect). */
+  def confusion(df: DataFrame, labelCol: String,
+                predictedCol: String): DataFrame = {
+    val y = col(labelCol).cast("boolean")
+    val p = col(predictedCol).cast("boolean")
+    val defined = y.isNotNull && p.isNotNull
+    def cell(c: Column) =
+      sum(when(defined && c, 1L).otherwise(0L))
+    df.agg(
+        cell(y && p).as("tp"), cell(!y && p).as("fp"),
+        cell(!y && !p).as("tn"), cell(y && !p).as("fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        (col("tp").cast("double") / (col("tp") + col("fp")))
+          .as("precision"),
+        (col("tp").cast("double") / (col("tp") + col("fn")))
+          .as("recall"),
+        (lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp")
+          + col("fn"))).as("f1"))
+  }
+
+  /** Exact Mann-Whitney AUC as a one-row frame `(n_pos, n_neg, auc)`:
+    * `AUC = (Σ_{positives} tie-averaged rank − nPos(nPos+1)/2) /
+    * (nPos·nNeg)`, computed from per-DISTINCT-SCORE group counts — one
+    * keyed aggregate, then rank arithmetic over the (much smaller)
+    * group relation. All integer until the final division, so the
+    * value is engine-reproducible at the bit level. Scale shape: the
+    * group relation is bounded by DISTINCT scores — right for
+    * quantized scores (integer-count margins, binned/decile scores);
+    * raw continuous scores should be binned first (the ordering window
+    * over the group relation is single-partition by construction).
+    * Null scores/labels are excluded. */
+  def aucExact(df: DataFrame, scoreCol: String,
+               labelCol: String): DataFrame = {
+    val y = col(labelCol).cast("boolean")
+    val s = col(scoreCol).cast("double")
+    val groups = df.filter(s.isNotNull && y.isNotNull)
+      .groupBy(s.as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(y, 1L).otherwise(0L)).as("__np"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // tie-averaged rank of a score group = rows before it + (n+1)/2
+    val ranked = groups
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .select((col("__np") *
+        ((col("__cum") - col("__n")).cast("double")
+          + (col("__n") + lit(1)).cast("double") / lit(2.0)))
+        .as("__rsum"),
+        col("__np"), col("__n"))
+    ranked.agg(sum(col("__np")).as("n_pos"),
+        (sum(col("__n")) - sum(col("__np"))).as("n_neg"),
+        sum(col("__rsum")).as("__r"))
+      .select(col("n_pos"), col("n_neg"),
+        ((col("__r") - col("n_pos").cast("double") *
+          (col("n_pos") + lit(1)).cast("double") / lit(2.0))
+          / (col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"))
   }
 
   /** Fraction of rows the model classifies correctly (`margin > 0`

@@ -171,6 +171,27 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // classifier EVALUATION: confusion counts, precision/recall/F1, and
+    // exact Mann-Whitney AUC of the fixed dyadic model's margins against
+    // the concept labels — every number integer-derived (counts, then
+    // IEEE divisions of exact ints; AUC from tie-averaged ranks over
+    // distinct quantized margins), so the whole metrics row is
+    // engine-reproducible bit-for-bit
+    "q_doc_classifier_metrics" -> ((s, dir) => {
+      val vocab = Seq("hash", "join", "sort", "scan",
+        "batch", "data", "merge", "filter")
+      val model = Classifier.LogisticModel(
+        Array(1.0, 0.5, -0.5, 0.25, -0.25, 0.75, -0.75, 0.125), -1.5)
+      val f = Classifier.vocabCountFeatures(Text.tokens(col("text")), vocab)
+      val scored = docs(s, dir).withColumn("f", f)
+        .select(col("doc_id"),
+          (element_at(col("f"), 1) >= 2.0).as("label"),
+          Classifier.marginExpr(col("f"), model).as("margin"))
+        .withColumn("predicted", col("margin") > 0)
+      Classifier.confusion(scored, "label", "predicted")
+        .crossJoin(Classifier.aucExact(scored, "margin", "label"))
+    }),
+
     // the classifier driving SELECTION: per-source token budgets filled
     // in classifier-margin order (GPT-3's "select by classifier score"
     // step as a budgeted stratified selection) — the fixed dyadic model
@@ -2732,6 +2753,56 @@ object TrainingData {
         |  len(list_filter(string_split_regex(text, '\s+'),
         |    t -> t = 'hash')) >= 2 AS predicted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // confusion cells as filtered counts; AUC via the same
+    // tie-averaged-rank arithmetic over distinct margins
+    "q_doc_classifier_metrics" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'hash')) >= 2 AS label,
+        |    CAST(-1.5 AS DOUBLE)
+        |      + 1.0   * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'hash'))   AS DOUBLE)
+        |      + 0.5   * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'join'))   AS DOUBLE)
+        |      + -0.5  * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'sort'))   AS DOUBLE)
+        |      + 0.25  * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'scan'))   AS DOUBLE)
+        |      + -0.25 * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'batch'))  AS DOUBLE)
+        |      + 0.75  * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'data'))   AS DOUBLE)
+        |      + -0.75 * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'merge'))  AS DOUBLE)
+        |      + 0.125 * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'filter')) AS DOUBLE)
+        |      AS margin
+        |  FROM documents
+        |), p AS (SELECT label, margin, margin > 0 AS predicted FROM s),
+        |conf AS (
+        |  SELECT
+        |    SUM(CASE WHEN label AND predicted THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |    SUM(CASE WHEN NOT label AND predicted THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |    SUM(CASE WHEN NOT label AND NOT predicted THEN 1 ELSE 0 END)::BIGINT AS tn,
+        |    SUM(CASE WHEN label AND NOT predicted THEN 1 ELSE 0 END)::BIGINT AS fn
+        |  FROM p
+        |), g AS (
+        |  SELECT margin AS s_, COUNT(*)::BIGINT AS n_,
+        |    SUM(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS np_
+        |  FROM p GROUP BY margin
+        |), r AS (
+        |  SELECT np_, n_,
+        |    np_ * (CAST(SUM(n_) OVER (ORDER BY s_
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_
+        |      AS DOUBLE) + CAST(n_ + 1 AS DOUBLE) / 2.0) AS rsum
+        |  FROM g
+        |), a AS (
+        |  SELECT SUM(np_)::BIGINT AS n_pos,
+        |    (SUM(n_) - SUM(np_))::BIGINT AS n_neg, SUM(rsum) AS r_
+        |  FROM r
+        |)
+        |SELECT tp, fp, tn, fn,
+        |  CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+        |  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+        |  2.0 * tp / (2.0 * tp + fp + fn) AS f1,
+        |  n_pos, n_neg,
+        |  (r_ - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2.0)
+        |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+        |FROM conf, a""".stripMargin,
 
     // the q_doc_qualitysel single-window replay with quality = the
     // exact dyadic margin chain

@@ -154,6 +154,46 @@ class ClassifierSpec extends AnyFunSuite {
     assert(recovered.weights.sameElements(m2.weights))
   }
 
+  test("confusion + aucExact: hand-computed cells, tie-averaged ranks, " +
+    "null rows excluded, perfect/inverted/random AUC anchors") {
+    // 8 rows: scores with a tie straddling the labels
+    //   label:  1    1    0    1    0    0   null  1(score null)
+    //   score: 0.9  0.7  0.7  0.4  0.3  0.1  0.8   null
+    val rows = Seq[(java.lang.Boolean, java.lang.Double)](
+      (true, 0.9), (true, 0.7), (false, 0.7), (true, 0.4),
+      (false, 0.3), (false, 0.1), (null, 0.8), (true, null))
+      .toDF("label", "score")
+    val withPred = rows.withColumn("predicted", col("score") > 0.5)
+    val c = Classifier.confusion(withPred, "label", "predicted")
+      .head()
+    // defined rows: scores .9T .7T .7F .4T .3F .1F -> pred T,T,T,F,F,F
+    // => tp=2 (.9,.7), fp=1 (.7F), tn=2 (.3,.1), fn=1 (.4)
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3))
+      == ((2L, 1L, 2L, 1L)))
+    assert(c.getDouble(4) == 2.0 / 3.0)          // precision
+    assert(c.getDouble(5) == 2.0 / 3.0)          // recall
+    assert(c.getDouble(6) == 4.0 / (4.0 + 1 + 1)) // f1
+    val a = Classifier.aucExact(rows, "score", "label").head()
+    // ranks asc: .1->1, .3->2, .4->3, .7 tie->(4+5)/2=4.5, .9->6
+    // positives: .4(3) + .7(4.5) + .9(6) = 13.5; nPos=3, nNeg=3
+    // AUC = (13.5 - 3*4/2) / 9 = 7.5/9
+    assert((a.getLong(0), a.getLong(1)) == ((3L, 3L)))
+    assert(a.getDouble(2) == 7.5 / 9.0)
+    // anchors: perfectly separated = 1.0, inverted = 0.0
+    val sep = Seq((true, 2.0), (true, 3.0), (false, 1.0), (false, 0.5))
+      .toDF("label", "score")
+    assert(Classifier.aucExact(sep, "score", "label")
+      .head().getDouble(2) == 1.0)
+    val inv = sep.withColumn("score", -col("score"))
+    assert(Classifier.aucExact(inv, "score", "label")
+      .head().getDouble(2) == 0.0)
+    // all-tied scores: AUC = 0.5 exactly (pure tie mass)
+    val tied = Seq((true, 1.0), (false, 1.0), (true, 1.0), (false, 1.0))
+      .toDF("label", "score")
+    assert(Classifier.aucExact(tied, "score", "label")
+      .head().getDouble(2) == 0.5)
+  }
+
   test("edge cases: empty frame fails loudly; width mismatch fails " +
     "loudly; out-of-range sparse index fails loudly") {
     val empty = Seq.empty[(Long, Boolean, Seq[Double])]
