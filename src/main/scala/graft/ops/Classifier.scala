@@ -320,8 +320,11 @@ object Classifier {
     * the broadcast (index → weight) table, re-aggregate per row key —
     * partial map-side sums, one small shuffle on `idCol`, model size
     * bounded by the broadcast (a 2^18-double model is 2 MiB). Rows
-    * with EMPTY index arrays still score (margin = bias). Returns
-    * `(idCol, margin)`; join it back or feed a threshold directly. */
+    * with EMPTY index arrays still score (margin = bias). `idCol` must
+    * be unique per row — colliding ids would silently merge their
+    * margins into one (the re-aggregation cannot tell them apart).
+    * Returns `(idCol, margin)`; join it back or feed a threshold
+    * directly. */
   def scoreSparse(df: DataFrame, idCol: String, idxCol: String,
                   model: LogisticModel): DataFrame = {
     val spark = df.sparkSession
@@ -367,7 +370,10 @@ object Classifier {
     * racing writer fails fast on the lock file). This is the
     * continual-quality-filter shape: the model IS an incremental
     * index, refreshed at ingest from weak labels, never rescanning the
-    * corpus. Empty batches short-circuit. */
+    * corpus. Empty batches short-circuit. With `newton = true` the fold
+    * is warm-started IRLS over in-plan densified bin counts (small
+    * dims); note IRLS requires ridge, so `l2` is floored at 1e-2 on
+    * that path. */
   def updateModelOnline(batch: DataFrame, modelPath: String,
                         idxCol: String, labelCol: String, dim: Int,
                         iters: Int = 50, lr: Double = 1.0,
@@ -425,14 +431,15 @@ object Classifier {
     * rates are IEEE divisions of those exact integers, so every output
     * is reproducible bit-for-bit by any engine. Null label or
     * prediction rows are excluded from every cell (they are neither
-    * correct nor incorrect). */
+    * correct nor incorrect); an empty frame yields zero counts (and
+    * NaN rates — none is defined there). */
   def confusion(df: DataFrame, labelCol: String,
                 predictedCol: String): DataFrame = {
     val y = col(labelCol).cast("boolean")
     val p = col(predictedCol).cast("boolean")
     val defined = y.isNotNull && p.isNotNull
     def cell(c: Column) =
-      sum(when(defined && c, 1L).otherwise(0L))
+      coalesce(sum(when(defined && c, 1L).otherwise(0L)), lit(0L))
     df.agg(
         cell(y && p).as("tp"), cell(!y && p).as("fp"),
         cell(!y && !p).as("tn"), cell(y && !p).as("fn"))
@@ -455,7 +462,9 @@ object Classifier {
     * quantized scores (integer-count margins, binned/decile scores);
     * raw continuous scores should be binned first (the ordering window
     * over the group relation is single-partition by construction).
-    * Null scores/labels are excluded. */
+    * Null scores/labels are excluded; a frame with no positives or no
+    * negatives has no defined AUC (the output divides by zero — NaN),
+    * which the `n_pos`/`n_neg` columns make diagnosable. */
   def aucExact(df: DataFrame, scoreCol: String,
                labelCol: String): DataFrame = {
     val y = col(labelCol).cast("boolean")

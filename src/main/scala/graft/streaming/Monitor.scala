@@ -535,7 +535,14 @@ object Monitor {
     * exemption), so the tail sees exactly the data. Feed it to any of
     * the sink family — the run log becomes a live input to dedup /
     * sketch / profile / classifier maintenance with zero extra
-    * bookkeeping. */
+    * bookkeeping.
+    *
+    * Contract: exactly-once holds for the APPEND-ONLY lifecycle. A
+    * maintenance REWRITE ([[graft.core.Database.compact]] /
+    * `optimizeLayout` / `rehashWith`) replaces every data file, so an
+    * already-running tail re-delivers the whole db under fresh file
+    * names — run rewrites before starting tails, or dedup downstream
+    * on `_pset_id` if they must overlap. */
   def tailDatabase(db: graft.core.Database): DataFrame =
     db.spark.readStream
       .schema(db.read().schema)
