@@ -457,6 +457,45 @@ object Dedup {
     * the spanning edge set for cluster decisions instead of the full
     * (duplication-quadratic) pair set.
     * Output: (id1, id2, jaccard) verified pairs above threshold. */
+  /** Choose LSH banding `(bands, rowsPerBand)` for a target Jaccard
+    * `threshold` and a signature budget of `numHashes`: minimize the
+    * weighted integral of the S-curve's false-positive mass below the
+    * threshold plus its false-negative mass above it — the standard
+    * tuning rule (Leskovec/Rajaraman/Ullman, "Mining of Massive
+    * Datasets" §3.4; the same objective datasketch's optimal-param
+    * search uses). `P(candidate | jaccard = s) = 1 − (1 − s^r)^b`;
+    * the integrals are evaluated by midpoint quadrature, pure driver
+    * arithmetic over at most `numHashes·divisors(numHashes)` points —
+    * call once, reuse for the corpus. Only factorizations with
+    * `b·r == numHashes` compete (a partial signature wastes paid-for
+    * hashes). Returns `(bands, rowsPerBand)`. */
+  def tuneLshBands(numHashes: Int, threshold: Double,
+                   fpWeight: Double = 0.5,
+                   fnWeight: Double = 0.5): (Int, Int) = {
+    require(numHashes >= 1, "numHashes must be positive")
+    require(threshold > 0.0 && threshold < 1.0, "threshold in (0, 1)")
+    require(fpWeight >= 0 && fnWeight >= 0 && fpWeight + fnWeight > 0,
+      "weights must be non-negative and not both zero")
+    val steps = 1000
+    def pCand(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    def err(b: Int, r: Int): Double = {
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = pCand(s, b, r)
+        if (s < threshold) fp += p else fn += 1.0 - p
+        i += 1
+      }
+      (fpWeight * fp + fnWeight * fn) / steps
+    }
+    val candidates = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    candidates.minBy { case (b, r) => err(b, r) }
+  }
+
   def minhashLshPairs(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
                       threshold: Double, textCol: String = "text",
                       idCol: String = "doc_id",

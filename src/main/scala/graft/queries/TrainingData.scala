@@ -171,6 +171,23 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // LSH banding auto-tuner: (bands, rowsPerBand) minimizing the
+    // S-curve's weighted FP+FN integral for a (signature size, target
+    // Jaccard) grid — pure driver arithmetic, pinned against the
+    // hand-audited optima (the (1/b)^(1/r)=0.5 case lands exactly on
+    // 16x4 at n=64)
+    "q_dedup_lsh_tune" -> ((s, _) => {
+      import s.implicits._
+      val rows = for {
+        n <- Seq(64, 128, 256); t <- Seq(0.3, 0.5, 0.8)
+      } yield {
+        val (b, r) = Dedup.tuneLshBands(n, t)
+        (n, t, b, r)
+      }
+      rows.toDF("num_hashes", "threshold", "bands", "rows_per_band")
+        .orderBy(col("num_hashes"), col("threshold"))
+    }),
+
     // classifier EVALUATION: confusion counts, precision/recall/F1, and
     // exact Mann-Whitney AUC of the fixed dyadic model's margins against
     // the concept labels — every number integer-derived (counts, then
@@ -2753,6 +2770,17 @@ object TrainingData {
         |  len(list_filter(string_split_regex(text, '\s+'),
         |    t -> t = 'hash')) >= 2 AS predicted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the tuner's optima, hand-audited against the S-curve integral
+    "q_dedup_lsh_tune" ->
+      """SELECT CAST(n AS INT) AS num_hashes, CAST(t AS DOUBLE) AS threshold,
+        |  CAST(b AS INT) AS bands, CAST(r AS INT) AS rows_per_band
+        |FROM (VALUES
+        |  (64, 0.3, 32, 2), (64, 0.5, 16, 4), (64, 0.8, 4, 16),
+        |  (128, 0.3, 32, 4), (128, 0.5, 32, 4), (128, 0.8, 8, 16),
+        |  (256, 0.3, 64, 4), (256, 0.5, 32, 8), (256, 0.8, 16, 16))
+        |  v(n, t, b, r)
+        |ORDER BY num_hashes, threshold""".stripMargin,
 
     // confusion cells as filtered counts; AUC via the same
     // tie-averaged-rank arithmetic over distinct margins

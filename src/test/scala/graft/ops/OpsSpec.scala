@@ -2560,4 +2560,32 @@ class OpsSpec extends AnyFunSuite {
       candidates = 50, targetTrain = 16000L))
     assert(all == pq)
   }
+
+  test("tuneLshBands: the S-curve threshold (1/b)^(1/r) tracks the " +
+    "target; weights steer the tradeoff; degenerate inputs fail loudly") {
+    // the chosen banding's implied threshold sits near the target
+    for (t <- Seq(0.3, 0.5, 0.8); n <- Seq(64, 128, 256)) {
+      val (b, r) = Dedup.tuneLshBands(n, t)
+      assert(b * r == n)
+      val implied = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(implied - t) < 0.18,
+        s"n=$n t=$t chose ($b,$r), implied threshold $implied")
+    }
+    // monotone in the target: higher threshold => more rows per band
+    val r1 = Dedup.tuneLshBands(128, 0.3)._2
+    val r2 = Dedup.tuneLshBands(128, 0.8)._2
+    assert(r2 > r1)
+    // an all-FN objective pushes toward aggressive candidacy (more
+    // bands), an all-FP objective toward conservative (more rows)
+    val bFn = Dedup.tuneLshBands(128, 0.5, fpWeight = 0.0,
+      fnWeight = 1.0)._1
+    val bFp = Dedup.tuneLshBands(128, 0.5, fpWeight = 1.0,
+      fnWeight = 0.0)._1
+    assert(bFn > bFp)
+    intercept[IllegalArgumentException](Dedup.tuneLshBands(0, 0.5))
+    intercept[IllegalArgumentException](Dedup.tuneLshBands(64, 1.0))
+    intercept[IllegalArgumentException](
+      Dedup.tuneLshBands(64, 0.5, 0.0, 0.0))
+  }
+
 }
