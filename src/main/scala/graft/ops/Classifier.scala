@@ -493,6 +493,61 @@ object Classifier {
           .as("auc"))
   }
 
+  /** Calibration (reliability) curve: rows bucketed into `bins`
+    * equal-count score bands (`ntile` over score order, ties broken by
+    * `tieCol` for a deterministic assignment), each band reporting its
+    * row count, mean score, and empirical positive rate — the
+    * reliability diagram that says whether "0.9" means 90%. Means are
+    * sums of exact inputs divided by exact counts, so with quantized
+    * scores the whole curve reproduces bit-for-bit. One sort-bounded
+    * window (the ntile) + one keyed aggregate. Null scores/labels are
+    * excluded. */
+  def calibrationCurve(df: DataFrame, scoreCol: String, labelCol: String,
+                       tieCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be positive")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    df.filter(s.isNotNull && y.isNotNull)
+      .withColumn("__bin", ntile(bins).over(
+        Window.orderBy(s.asc, col(tieCol).asc)))
+      .groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        avg(s).as("mean_score"),
+        avg(when(y, 1.0).otherwise(0.0)).as("pos_rate"))
+      .orderBy(col("bin"))
+  }
+
+  /** K-fold cross-validated OUT-OF-FOLD predictions: rows are assigned
+    * folds by `xxhash64(idCol) mod k` (deterministic, reproducible,
+    * stratum-free — the leakage-safe default when rows are
+    * exchangeable; use [[Sampling]]'s cluster-aware splits first when
+    * near-duplicates exist), one [[trainLogistic]] per fold on the
+    * complement, and every row is scored by the model that never saw
+    * it. Returns `(idCol, fold, margin)` — feed [[confusion]] /
+    * [[aucExact]] / [[calibrationCurve]] for honest generalization
+    * metrics instead of training-set ones. Cost: k trainings (k·iters
+    * jobs) + k scoring passes; the input projection is cached across
+    * folds. */
+  def crossValidate(df: DataFrame, featuresCol: String, labelCol: String,
+                    idCol: String, dim: Int, k: Int = 5,
+                    iters: Int = 12, l2: Double = 1e-2): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    val folded = df.select(col(idCol), col(labelCol),
+      col(featuresCol).as("__f"),
+      pmod(xxhash64(col(idCol)), lit(k.toLong)).cast("int").as("__fold"))
+    folded.persist()
+    try {
+      val oof = (0 until k).map { fold =>
+        val model = trainLogistic(folded.filter(col("__fold") =!= fold),
+          "__f", labelCol, dim, iters, l2)
+        folded.filter(col("__fold") === fold)
+          .select(col(idCol), col("__fold").as("fold"),
+            marginExpr(col("__f"), model).as("margin"))
+      }
+      oof.reduce(_.unionByName(_))
+    } finally { folded.unpersist(): Unit }
+  }
+
   /** Fraction of rows the model classifies correctly (`margin > 0`
     * vs truthy label) — the fail-loud convergence check for pipelines
     * contracted on a separable concept. */

@@ -209,6 +209,50 @@ object TrainingData {
         .crossJoin(Classifier.aucExact(scored, "margin", "label"))
     }),
 
+    // k-fold cross-validation: every doc predicted by the model that
+    // NEVER saw it (hash-fold assignment, one IRLS per complement) —
+    // out-of-fold predictions must still recover the separable concept
+    // (fail-loud gate), making the oracle the engine-independent rule;
+    // the honest-generalization twin of q_doc_quality_classifier
+    "q_doc_classifier_cv" -> ((s, dir) => {
+      val vocab = Seq("hash", "join", "sort", "scan",
+        "batch", "data", "merge", "filter")
+      val feats = docs(s, dir).select(col("doc_id"),
+        Classifier.vocabCountFeatures(Text.tokens(col("text")), vocab)
+          .as("f"))
+        .withColumn("label", element_at(col("f"), 1) >= 2.0)
+      // lighter ridge than the fit-only query: the OOF gate needs the
+      // boundary placed from 2/3 of the data to hold on the held-out
+      // third, and 1e-2 shrinkage misplaces unit-margin edge docs
+      val oof = Classifier.crossValidate(feats, "f", "label", "doc_id",
+        dim = vocab.size, k = 3, iters = 16, l2 = 1e-3)
+      val out = feats.select(col("doc_id"), col("label"))
+        .join(oof, "doc_id")
+        .select(col("doc_id"), col("label"), (col("margin") > 0)
+          .as("predicted"))
+      val acc = out.select(avg(when(col("predicted") === col("label"),
+        1.0).otherwise(0.0))).head().getDouble(0)
+      require(acc == 1.0, s"out-of-fold under-generalization: acc=$acc")
+      out.select(col("doc_id"), col("predicted")).orderBy(col("doc_id"))
+    }),
+
+    // calibration: decile reliability curve of the fixed model's
+    // margins vs the concept rate — ntile bands over (margin, doc_id)
+    // total order; every mean is a sum of exact dyadic margins over an
+    // integer count, bit-reproducible in both engines
+    "q_doc_classifier_calibration" -> ((s, dir) => {
+      val vocab = Seq("hash", "join", "sort", "scan",
+        "batch", "data", "merge", "filter")
+      val model = Classifier.LogisticModel(
+        Array(1.0, 0.5, -0.5, 0.25, -0.25, 0.75, -0.75, 0.125), -1.5)
+      val f = Classifier.vocabCountFeatures(Text.tokens(col("text")), vocab)
+      val scored = docs(s, dir).withColumn("f", f)
+        .select(col("doc_id"),
+          (element_at(col("f"), 1) >= 2.0).as("label"),
+          Classifier.marginExpr(col("f"), model).as("margin"))
+      Classifier.calibrationCurve(scored, "margin", "label", "doc_id")
+    }),
+
     // the classifier driving SELECTION: per-source token budgets filled
     // in classifier-margin order (GPT-3's "select by classifier score"
     // step as a budgeted stratified selection) — the fixed dyadic model
@@ -2831,6 +2875,40 @@ object TrainingData {
         |  (r_ - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2.0)
         |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
         |FROM conf, a""".stripMargin,
+
+    // out-of-fold predictions gated to equal the concept
+    "q_doc_classifier_cv" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |    t -> t = 'hash')) >= 2 AS predicted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ntile decile replay over the same margin chain and total order
+    "q_doc_classifier_calibration" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'hash')) >= 2 AS label,
+        |    CAST(-1.5 AS DOUBLE)
+        |      + 1.0   * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'hash'))   AS DOUBLE)
+        |      + 0.5   * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'join'))   AS DOUBLE)
+        |      + -0.5  * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'sort'))   AS DOUBLE)
+        |      + 0.25  * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'scan'))   AS DOUBLE)
+        |      + -0.25 * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'batch'))  AS DOUBLE)
+        |      + 0.75  * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'data'))   AS DOUBLE)
+        |      + -0.75 * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'merge'))  AS DOUBLE)
+        |      + 0.125 * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'filter')) AS DOUBLE)
+        |      AS margin
+        |  FROM documents
+        |), b AS (
+        |  SELECT label, margin,
+        |    ntile(10) OVER (ORDER BY margin ASC, doc_id ASC) AS bin
+        |  FROM s
+        |)
+        |SELECT CAST(bin AS INT) AS bin, COUNT(*)::BIGINT AS n,
+        |  AVG(margin) AS mean_score,
+        |  AVG(CASE WHEN label THEN 1.0 ELSE 0.0 END) AS pos_rate
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     // the q_doc_qualitysel single-window replay with quality = the
     // exact dyadic margin chain

@@ -194,6 +194,48 @@ class ClassifierSpec extends AnyFunSuite {
       .head().getDouble(2) == 0.5)
   }
 
+  test("calibrationCurve: hand-computed bands — equal-count ntile, " +
+    "exact means, nulls excluded") {
+    // 6 defined rows into 3 bins of 2, ordered by (score, id)
+    val rows = Seq[(Long, java.lang.Double, java.lang.Boolean)](
+      (1L, 0.0, false), (2L, 1.0, false), (3L, 2.0, true),
+      (4L, 3.0, false), (5L, 4.0, true), (6L, 5.0, true),
+      (7L, null, true), (8L, 6.0, null))
+      .toDF("id", "score", "label")
+    val c = Classifier.calibrationCurve(rows, "score", "label", "id",
+      bins = 3).collect()
+    assert(c.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(c.forall(_.getLong(1) == 2L))
+    assert(c.map(_.getDouble(2)).toSeq == Seq(0.5, 2.5, 4.5))
+    assert(c.map(_.getDouble(3)).toSeq == Seq(0.0, 0.5, 1.0))
+  }
+
+  test("crossValidate: every row scored out-of-fold exactly once; " +
+    "folds partition by the id hash; OOF decisions recover a " +
+    "well-separated concept") {
+    val df = corpus(400, seed = 29)
+    val feats = df.select(col("id"), col("label"),
+      Classifier.vocabCountFeatures(Text.tokens(col("text")), vocab)
+        .as("f"))
+    val oof = Classifier.crossValidate(feats, "f", "label", "id",
+      dim = 4, k = 3, iters = 16, l2 = 1e-3)
+    val rows = oof.collect()
+    assert(rows.length == 400)
+    assert(rows.map(_.getLong(0)).distinct.length == 400) // once each
+    // fold column matches the hash assignment
+    val folds = oof.select(col("id"),
+      pmod(xxhash64(col("id")), lit(3L)).cast("int").as("expect"),
+      col("fold")).collect()
+    assert(folds.forall(r => r.getInt(1) == r.getInt(2)))
+    // the synthetic concept (margin 1 count, strong signal) holds OOF
+    val acc = feats.join(oof, "id")
+      .select(avg(when((col("margin") > 0) === col("label"), 1.0)
+        .otherwise(0.0))).head().getDouble(0)
+    assert(acc == 1.0, s"OOF under-generalization: acc=$acc")
+    intercept[IllegalArgumentException](
+      Classifier.crossValidate(feats, "f", "label", "id", 4, k = 1))
+  }
+
   test("edge cases: empty frame fails loudly; width mismatch fails " +
     "loudly; out-of-range sparse index fails loudly") {
     val empty = Seq.empty[(Long, Boolean, Seq[Double])]
