@@ -99,10 +99,15 @@ object Classifier {
     * fixed-width `array<double>` of width `dim`; `labelCol` casts to
     * {0.0, 1.0}. Runs `iters` full Newton steps (no early stop —
     * deterministic job count); the input projection is cached for the
-    * duration and unpersisted after. */
+    * duration and unpersisted after. `weightCol` (optional) scales each
+    * row's loss contribution — the importance-weighted fit
+    * (DSIR/DoReMi weights, class rebalancing): weight w behaves exactly
+    * like w copies of the row (ClassifierSpec pins the equivalence);
+    * non-positive/null weights fail loudly. */
   def trainLogistic(df: DataFrame, featuresCol: String, labelCol: String,
                     dim: Int, iters: Int = 12, l2: Double = 1e-2,
-                    init: Option[LogisticModel] = None): LogisticModel = {
+                    init: Option[LogisticModel] = None,
+                    weightCol: Option[String] = None): LogisticModel = {
     require(dim > 0 && iters > 0, "dim and iters must be positive")
     require(l2 > 0.0, "IRLS on separable data needs l2 > 0 (finite MLE)")
     init.foreach(m => require(m.dim == dim,
@@ -110,8 +115,16 @@ object Classifier {
     val spark = df.sparkSession
     import spark.implicits._
     val d = dim + 1 // bias last
+    // per-row importance weight (a DSIR/DoReMi weight column, class
+    // rebalancing): multiplies the row's gradient and Hessian
+    // contribution and its share of n — weight w is exactly w copies
+    // of the row. Non-positive or null weights fail loudly (a silently
+    // dropped row would be indistinguishable from converged training).
+    val wexpr = weightCol.map(c => col(c).cast("double"))
+      .getOrElse(lit(1.0))
     val data0 = df.select(col(labelCol).cast("double"),
-      col(featuresCol).cast("array<double>")).as[(Double, Seq[Double])]
+      col(featuresCol).cast("array<double>"), wexpr)
+      .as[(Double, Seq[Double], Double)]
     // a narrow input (a single parquet file, a one-partition micro-
     // batch) would run every iteration's partial on one thread — spread
     // it across the cluster once, before the cache (round-robin
@@ -129,18 +142,20 @@ object Classifier {
           val wv = bw.value
           val g = new Array[Double](d)
           val h = new Array[Double](d * (d + 1) / 2)
-          var n = 0L
-          it.foreach { case (y, f) =>
+          var n = 0.0
+          it.foreach { case (y, f, rw) =>
             require(f.length == dim,
               s"feature width ${f.length} != dim $dim")
+            require(rw > 0.0 && !rw.isNaN && !rw.isInfinite,
+              s"row weight must be finite positive, got $rw")
             var m = wv(d - 1); var i = 0
             while (i < dim) { m += wv(i) * f(i); i += 1 }
             val p = 1.0 / (1.0 + math.exp(-m))
-            val r = p - y
+            val r = rw * (p - y)
             i = 0
             while (i < dim) { g(i) += r * f(i); i += 1 }
             g(d - 1) += r
-            val s = p * (1.0 - p)
+            val s = rw * p * (1.0 - p)
             var a = 0; var k = 0
             while (a < d) {
               val xa = if (a == dim) 1.0 else f(a)
@@ -152,12 +167,12 @@ object Classifier {
               }
               a += 1
             }
-            n += 1
+            n += rw
           }
           Iterator.single((TaskContext.getPartitionId(), g, h, n))
         }.collect().sortBy(_._1)
         bw.destroy()
-        val n = partials.map(_._4).sum.toDouble
+        val n = partials.map(_._4).sum
         require(n > 0, "cannot train on an empty frame")
         val g = new Array[Double](d)
         val hTri = new Array[Double](d * (d + 1) / 2)
@@ -200,7 +215,8 @@ object Classifier {
   def trainLogisticSparse(df: DataFrame, idxCol: String, labelCol: String,
                           dim: Int, iters: Int = 200, lr: Double = 0.5,
                           l2: Double = 0.0,
-                          init: Option[LogisticModel] = None)
+                          init: Option[LogisticModel] = None,
+                          weightCol: Option[String] = None)
       : LogisticModel = {
     require(dim > 0 && iters > 0 && lr > 0, "dim/iters/lr must be positive")
     init.foreach(m => require(m.dim == dim,
@@ -208,8 +224,11 @@ object Classifier {
     val spark = df.sparkSession
     import spark.implicits._
     val d = dim + 1
-    val data0 = df.select(col(labelCol).cast("double"), col(idxCol))
-      .as[(Double, Seq[Int])]
+    // per-row importance weight — see trainLogistic
+    val wexpr = weightCol.map(c => col(c).cast("double"))
+      .getOrElse(lit(1.0))
+    val data0 = df.select(col(labelCol).cast("double"), col(idxCol), wexpr)
+      .as[(Double, Seq[Int], Double)]
     // same narrow-input spread as trainLogistic
     val par = spark.sparkContext.defaultParallelism
     val data = if (data0.rdd.getNumPartitions < par)
@@ -223,22 +242,24 @@ object Classifier {
         val partials = data.mapPartitions { it =>
           val wv = bw.value
           val g = new Array[Double](d)
-          var n = 0L
-          it.foreach { case (y, idx) =>
+          var n = 0.0
+          it.foreach { case (y, idx, rw) =>
+            require(rw > 0.0 && !rw.isNaN && !rw.isInfinite,
+              s"row weight must be finite positive, got $rw")
             var m = wv(d - 1)
             idx.foreach { i =>
               require(i >= 0 && i < dim, s"index $i outside [0, $dim)")
               m += wv(i)
             }
-            val r = 1.0 / (1.0 + math.exp(-m)) - y
+            val r = rw * (1.0 / (1.0 + math.exp(-m)) - y)
             idx.foreach(i => g(i) += r)
             g(d - 1) += r
-            n += 1
+            n += rw
           }
           Iterator.single((TaskContext.getPartitionId(), g, n))
         }.collect().sortBy(_._1)
         bw.destroy()
-        val n = partials.map(_._3).sum.toDouble
+        val n = partials.map(_._3).sum
         require(n > 0, "cannot train on an empty frame")
         val g = new Array[Double](d)
         partials.foreach { case (_, pg, _) =>

@@ -194,6 +194,38 @@ class ClassifierSpec extends AnyFunSuite {
       .head().getDouble(2) == 0.5)
   }
 
+  test("weighted training: weight w == w copies of the row (IRLS and " +
+    "sparse GD); bad weights fail loudly") {
+    val base = corpus(200, seed = 31)
+    val feats = base.select(col("id"), col("label"),
+      Classifier.vocabCountFeatures(Text.tokens(col("text")), vocab)
+        .as("f"),
+      Classifier.hashedIndices(Text.tokens(col("text")), 16).as("idx"))
+    // triple-weight the even ids vs physically tripling those rows
+    val weighted = feats.withColumn("w",
+      when(col("id") % 2 === 0, 3.0).otherwise(1.0))
+    val tripled = feats.unionByName(
+      feats.filter(col("id") % 2 === 0)).unionByName(
+      feats.filter(col("id") % 2 === 0))
+    val mw = Classifier.trainLogistic(weighted, "f", "label", dim = 4,
+      weightCol = Some("w"))
+    val mt = Classifier.trainLogistic(tripled, "f", "label", dim = 4)
+    (mw.weights :+ mw.bias).zip(mt.weights :+ mt.bias).foreach {
+      case (a, b) => assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+    }
+    val sw = Classifier.trainLogisticSparse(weighted, "idx", "label",
+      16, iters = 40, lr = 0.5, weightCol = Some("w"))
+    val st = Classifier.trainLogisticSparse(tripled, "idx", "label",
+      16, iters = 40, lr = 0.5)
+    (sw.weights :+ sw.bias).zip(st.weights :+ st.bias).foreach {
+      case (a, b) => assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+    }
+    val bad = feats.withColumn("w",
+      when(col("id") === 7, 0.0).otherwise(1.0))
+    intercept[Exception](Classifier.trainLogistic(bad, "f", "label",
+      dim = 4, iters = 1, weightCol = Some("w")))
+  }
+
   test("calibrationCurve: hand-computed bands — equal-count ntile, " +
     "exact means, nulls excluded") {
     // 6 defined rows into 3 bins of 2, ordered by (score, id)
