@@ -72,6 +72,41 @@ class MonitorSpec extends AnyFunSuite {
     assert(seen.map(_._1).distinct.length == 50)
   }
 
+  test("tailDatabase feeds the sink family: tail -> profileSink over " +
+    "two appends equals the one-shot whole-table audit") {
+    import graft.core.Database
+    import graft.ops.Sketch
+    val calc = tmpDir("graft-dbtailprof-")
+    val db = Database(spark, calc)
+    def runDf(runSeq: Int, n: Int, off: Int) =
+      spark.range(0, n).select(
+        concat(lit(s"p$runSeq-"), col("id")).as("_pset_id"),
+        col("id").as("_pset_seq"), lit(runSeq.toLong).as("_run_seq"),
+        lit(s"run$runSeq").as("_run_id"),
+        (col("id") + off).cast("double").as("x"))
+    db.append(runDf(0, 40, 0))
+    val tmp = tmpDir("graft-dbtailprof-state-")
+    def drain(): Unit = {
+      val q = Monitor.profileSink(
+        Monitor.tailDatabase(db).select(col("_pset_id"), col("x")),
+        s"$tmp/state", s"$tmp/ckpt", keyCols = Seq("_pset_id"),
+        numCols = Seq("x"), kDistinct = 1024, kQuant = 1024)
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    db.append(runDf(1, 25, 1000))
+    drain() // same checkpoint: only run1's files fold in
+    val streamed = Sketch.columnProfileFromState(
+      spark.read.parquet(s"$tmp/state"), Seq(0.5))
+    val oneShot = Sketch.columnProfile(
+      db.read().select(col("_pset_id"), col("x")),
+      Seq("_pset_id"), Seq("x"), Seq(0.5), 1024, 1024)
+    val a = streamed.orderBy("col_name").collect().map(_.toSeq)
+    val b = oneShot.orderBy("col_name").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq,
+      s"streamed audit != one-shot:\n${a.toSeq}\nvs\n${b.toSeq}")
+  }
+
   test("stateful streaming sessionization closes sessions across batches") {
     val dir = tmpDir("graft-sess-")
     import spark.implicits._
