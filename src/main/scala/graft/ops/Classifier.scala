@@ -360,6 +360,170 @@ object Classifier {
         .as("margin"))
   }
 
+  /** Multinomial (softmax) model: `weights(c)` is class `c`'s
+    * `dim + 1` coefficients (bias last) for classes `0 .. C-2`; class
+    * `C-1` is the reference with implicit zero logits. */
+  case class SoftmaxModel(weights: Array[Array[Double]], numClasses: Int) {
+    require(weights.length == numClasses - 1, "need C-1 weight rows")
+    def dim: Int = weights.head.length - 1
+  }
+
+  /** Train a multinomial logistic (softmax) classifier by Newton/IRLS
+    * with L2 ridge — the domain/language-bucket classifier of a
+    * curation pipeline (CCNet-style routing) when the label space is
+    * more than keep/drop. `labelCol` casts to int in `[0, numClasses)`.
+    * One `mapPartitions` job per iteration emitting the full
+    * `((C−1)(d+1))²` Hessian + gradient partial — right for the small
+    * dense feature maps this is for (the per-row cost is that square;
+    * require `(C−1)(d+1) ≤ 256`), driver solves the block system.
+    * Ridge keeps the separable-data MLE finite; partials sum in
+    * partition-id order (deterministic bits, the [[trainLogistic]]
+    * discipline). `weightCol` scales per-row loss as in the binary
+    * trainer. */
+  def trainSoftmax(df: DataFrame, featuresCol: String, labelCol: String,
+                   dim: Int, numClasses: Int, iters: Int = 20,
+                   l2: Double = 1e-4,
+                   weightCol: Option[String] = None): SoftmaxModel = {
+    require(dim > 0 && iters > 0, "dim and iters must be positive")
+    require(numClasses >= 2, "need at least 2 classes")
+    require(l2 > 0.0, "IRLS on separable data needs l2 > 0 (finite MLE)")
+    val d = dim + 1
+    val m = (numClasses - 1) * d
+    require(m <= 256,
+      s"softmax Newton solves a ${m}x$m system per iteration — " +
+        "keep (numClasses-1)*(dim+1) <= 256 (bin features first)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wexpr = weightCol.map(c => col(c).cast("double"))
+      .getOrElse(lit(1.0))
+    val data0 = df.select(col(labelCol).cast("int"),
+      col(featuresCol).cast("array<double>"), wexpr)
+      .as[(Int, Seq[Double], Double)]
+    val par = spark.sparkContext.defaultParallelism
+    val data = if (data0.rdd.getNumPartitions < par)
+      data0.repartition(par) else data0
+    data.persist()
+    try {
+      val C = numClasses
+      var w = new Array[Double](m) // class-major: c*d + i
+      for (_ <- 0 until iters) {
+        val bw = spark.sparkContext.broadcast(w)
+        val partials = data.mapPartitions { it =>
+          val wv = bw.value
+          val g = new Array[Double](m)
+          val h = new Array[Double](m * m)
+          var n = 0.0
+          val logits = new Array[Double](C)
+          val p = new Array[Double](C)
+          val x = new Array[Double](d)
+          it.foreach { case (y, f, rw) =>
+            require(f.length == dim,
+              s"feature width ${f.length} != dim $dim")
+            require(y >= 0 && y < C, s"label $y outside [0, $C)")
+            require(rw > 0.0 && !rw.isNaN && !rw.isInfinite,
+              s"row weight must be finite positive, got $rw")
+            var i = 0
+            while (i < dim) { x(i) = f(i); i += 1 }
+            x(dim) = 1.0
+            var c = 0; var mx = 0.0
+            while (c < C - 1) {
+              var s = 0.0; i = 0
+              while (i < d) { s += wv(c * d + i) * x(i); i += 1 }
+              logits(c) = s
+              if (s > mx) mx = s
+              c += 1
+            }
+            logits(C - 1) = 0.0
+            var z = 0.0; c = 0
+            while (c < C) {
+              p(c) = math.exp(logits(c) - mx); z += p(c); c += 1
+            }
+            c = 0
+            while (c < C) { p(c) /= z; c += 1 }
+            // gradient blocks
+            var a = 0
+            while (a < C - 1) {
+              val ra = rw * (p(a) - (if (y == a) 1.0 else 0.0))
+              i = 0
+              while (i < d) { g(a * d + i) += ra * x(i); i += 1 }
+              a += 1
+            }
+            // Hessian blocks: S_ab = w * p_a (δ_ab − p_b)
+            a = 0
+            while (a < C - 1) {
+              var b = 0
+              while (b < C - 1) {
+                val s = rw * p(a) * ((if (a == b) 1.0 else 0.0) - p(b))
+                if (s != 0.0) {
+                  i = 0
+                  while (i < d) {
+                    val sxi = s * x(i)
+                    var j = 0
+                    while (j < d) {
+                      h((a * d + i) * m + b * d + j) += sxi * x(j)
+                      j += 1
+                    }
+                    i += 1
+                  }
+                }
+                b += 1
+              }
+              a += 1
+            }
+            n += rw
+          }
+          Iterator.single((TaskContext.getPartitionId(), g, h, n))
+        }.collect().sortBy(_._1)
+        bw.destroy()
+        val n = partials.map(_._4).sum
+        require(n > 0, "cannot train on an empty frame")
+        val g = new Array[Double](m)
+        val hFlat = new Array[Double](m * m)
+        partials.foreach { case (_, pg, ph, _) =>
+          var i = 0
+          while (i < m) { g(i) += pg(i); i += 1 }
+          i = 0
+          while (i < m * m) { hFlat(i) += ph(i); i += 1 }
+        }
+        val hm = Array.tabulate(m, m)((i, j) => hFlat(i * m + j) / n)
+        var i = 0
+        while (i < m) { hm(i)(i) += l2; i += 1 }
+        val rhs = Array.tabulate(m)(i => g(i) / n + l2 * w(i))
+        val delta = solve(hm, rhs)
+        val next = new Array[Double](m)
+        i = 0
+        while (i < m) { next(i) = w(i) - delta(i); i += 1 }
+        w = next
+      }
+      SoftmaxModel(Array.tabulate(numClasses - 1)(c =>
+        w.slice(c * d, (c + 1) * d)), numClasses)
+    } finally { data.unpersist(): Unit }
+  }
+
+  /** Per-class logits of a [[SoftmaxModel]] as literal expression
+    * chains (reference class last, logit 0). */
+  def softmaxLogits(features: Column, model: SoftmaxModel): Seq[Column] =
+    model.weights.toIndexedSeq.map { row =>
+      row.init.zipWithIndex.foldLeft(lit(row.last)) {
+        case (acc, (w, i)) => acc + lit(w) * element_at(features, i + 1)
+      }
+    } :+ lit(0.0)
+
+  /** Predicted class index: argmax of the logits with FIRST-max
+    * tie-break (deterministic, matches the `np.argmax`/SQL CASE
+    * convention) — one codegen'd expression, no shuffle. */
+  def softmaxPredictExpr(features: Column, model: SoftmaxModel): Column = {
+    val logits = softmaxLogits(features, model)
+    var best: Column = lit(0)
+    var bestScore: Column = logits.head
+    for (c <- 1 until model.numClasses) {
+      val better = logits(c) > bestScore
+      best = when(better, lit(c)).otherwise(best)
+      bestScore = when(better, logits(c)).otherwise(bestScore)
+    }
+    best
+  }
+
   // ---------------------------------------------------------------- //
   // the model as an incremental index — persistence + online updates
   // ---------------------------------------------------------------- //

@@ -51,6 +51,9 @@ object TrainingData {
   private val lrModels = scala.collection.concurrent.TrieMap
     .empty[String, graft.ops.Classifier.LogisticModel]
 
+  private val softmaxModels = scala.collection.concurrent.TrieMap
+    .empty[String, graft.ops.Classifier.SoftmaxModel]
+
   /** Unique memory-sink names for repeated streaming runs within one
     * session (the Relational.streamQueryId convention). */
   private val streamQueryId = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -207,6 +210,37 @@ object TrainingData {
         .withColumn("predicted", col("margin") > 0)
       Classifier.confusion(scored, "label", "predicted")
         .crossJoin(Classifier.aucExact(scored, "margin", "label"))
+    }),
+
+    // MULTICLASS (softmax) domain routing: class = argmax of three word
+    // counts (first-max tie-break), learned by multinomial IRLS over
+    // the raw counts and gated at 100% on the UNIQUELY-argmaxed docs
+    // (tie docs sit exactly on softmax decision boundaries — no finite
+    // model pins their side, so they are excluded from both the gate
+    // and the output); the oracle states the argmax rule itself
+    "q_doc_domain_classifier" -> ((s, dir) => {
+      val words = Seq("hash", "join", "sort")
+      val f = Classifier.vocabCountFeatures(Text.tokens(col("text")), words)
+      val c0 = element_at(col("f"), 1); val c1 = element_at(col("f"), 2)
+      val c2 = element_at(col("f"), 3)
+      val feats = docs(s, dir).withColumn("f", f)
+        .withColumn("label",
+          when(c0 >= c1 && c0 >= c2, 0)
+            .when(c1 >= c2, 1).otherwise(2))
+        .withColumn("unique_max",
+          (c0 > c1 && c0 > c2) || (c1 > c0 && c1 > c2) ||
+            (c2 > c0 && c2 > c1))
+      val model = softmaxModels.getOrElseUpdate(dir,
+        Classifier.trainSoftmax(feats, "f", "label", dim = words.size,
+          numClasses = 3))
+      val out = feats.filter(col("unique_max"))
+        .select(col("doc_id"), col("label"),
+          Classifier.softmaxPredictExpr(col("f"), model).as("predicted"))
+      val acc = out.select(avg(when(col("predicted") === col("label"),
+        1.0).otherwise(0.0))).head().getDouble(0)
+      require(acc == 1.0,
+        s"softmax under-converged on uniquely-argmaxed docs: acc=$acc")
+      out.select(col("doc_id"), col("predicted")).orderBy(col("doc_id"))
     }),
 
     // k-fold cross-validation: every doc predicted by the model that
@@ -2875,6 +2909,27 @@ object TrainingData {
         |  (r_ - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE) / 2.0)
         |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
         |FROM conf, a""".stripMargin,
+
+    // the argmax rule over uniquely-argmaxed docs, first-max tie-break
+    // mirrored in the CASE order
+    "q_doc_domain_classifier" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'hash')) AS c0,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'join')) AS c1,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'sort')) AS c2
+        |  FROM documents
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(CASE WHEN c0 >= c1 AND c0 >= c2 THEN 0
+        |            WHEN c1 >= c2 THEN 1 ELSE 2 END AS INT) AS predicted
+        |FROM c
+        |WHERE (c0 > c1 AND c0 > c2) OR (c1 > c0 AND c1 > c2)
+        |   OR (c2 > c0 AND c2 > c1)
+        |ORDER BY doc_id""".stripMargin,
 
     // out-of-fold predictions gated to equal the concept
     "q_doc_classifier_cv" ->

@@ -194,6 +194,52 @@ class ClassifierSpec extends AnyFunSuite {
       .head().getDouble(2) == 0.5)
   }
 
+  test("trainSoftmax: argmax concept recovered on unique-max rows; " +
+    "C=2 softmax agrees with the binary trainer; retrain bit-identical; " +
+    "predict tie-breaks to the first max; bad labels fail loudly") {
+    val rnd = new scala.util.Random(37)
+    val df = (0 until 400).map { i =>
+      val a = rnd.nextInt(5); val b = rnd.nextInt(5); val c = rnd.nextInt(5)
+      val label = if (a >= b && a >= c) 0 else if (b >= c) 1 else 2
+      val unique = (a > b && a > c) || (b > a && b > c) || (c > a && c > b)
+      (i.toLong, Seq(a.toDouble, b.toDouble, c.toDouble), label, unique)
+    }.toDF("id", "f", "label", "unique_max")
+    val m = Classifier.trainSoftmax(df, "f", "label", dim = 3,
+      numClasses = 3)
+    val acc = df.filter(col("unique_max"))
+      .select(avg(when(Classifier.softmaxPredictExpr(col("f"), m) ===
+        col("label"), 1.0).otherwise(0.0))).head().getDouble(0)
+    assert(acc == 1.0, s"softmax under-converged: acc=$acc")
+    // determinism
+    val m2 = Classifier.trainSoftmax(df, "f", "label", 3, 3)
+    assert(m.weights.flatMap(_.toSeq)
+      .sameElements(m2.weights.flatMap(_.toSeq)))
+    // C=2 softmax (reference class 1) == binary logistic, same ridge
+    val bin = corpus(300, seed = 41)
+    val bf = bin.select(col("id"),
+      when(col("label"), 0).otherwise(1).as("y01"),
+      Classifier.vocabCountFeatures(Text.tokens(col("text")), vocab)
+        .as("f"))
+    val sm = Classifier.trainSoftmax(bf, "f", "y01", dim = 4,
+      numClasses = 2, iters = 12, l2 = 1e-2)
+    val lr = Classifier.trainLogistic(
+      bf.withColumn("pos", col("y01") === 0), "f", "pos", dim = 4,
+      iters = 12, l2 = 1e-2)
+    (sm.weights.head.init :+ sm.weights.head.last)
+      .zip(lr.weights :+ lr.bias).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"softmax $a vs logistic $b")
+      }
+    // first-max tie-break: all-zero model => every logit ties => class 0
+    val zero = Classifier.SoftmaxModel(
+      Array(Array(0.0, 0.0, 0.0, 0.0), Array(0.0, 0.0, 0.0, 0.0)), 3)
+    val pred = df.select(Classifier.softmaxPredictExpr(
+      col("f").cast("array<double>"), zero)).distinct().collect()
+    assert(pred.map(_.getInt(0)).toSeq == Seq(0))
+    val bad = Seq((1L, Seq(1.0, 0.0, 0.0), 9)).toDF("id", "f", "label")
+    intercept[Exception](
+      Classifier.trainSoftmax(bad, "f", "label", 3, 3, iters = 1))
+  }
+
   test("weighted training: weight w == w copies of the row (IRLS and " +
     "sparse GD); bad weights fail loudly") {
     val base = corpus(200, seed = 31)
