@@ -46,12 +46,36 @@ object ClassifierDemo {
       println(f"  w($w%-6s) = $v%+.3f")
     }
 
-    println("== evaluate: confusion + exact AUC ==")
+    println("== evaluate: confusion + exact AUC + calibration ==")
     val scored = feats
       .withColumn("margin", Classifier.marginExpr(col("f"), model))
       .withColumn("predicted", col("margin") > 0)
     Classifier.confusion(scored, "label", "predicted").show()
     Classifier.aucExact(scored, "margin", "label").show()
+    Classifier.calibrationCurve(scored, "margin", "label", "doc_id",
+      bins = 5).show()
+
+    println("== cross-validate: out-of-fold honesty ==")
+    val oof = Classifier.crossValidate(feats, "f", "label", "doc_id",
+      dim = vocab.size, k = 3, iters = 16, l2 = 1e-3)
+    val oofAcc = feats.join(oof, "doc_id")
+      .select(avg(when((col("margin") > 0) === col("label"), 1.0)
+        .otherwise(0.0))).head().getDouble(0)
+    println(f"out-of-fold accuracy: $oofAcc%.4f")
+
+    println("== multiclass: softmax domain routing ==")
+    val words3 = Seq("hash", "join", "sort")
+    val f3 = Classifier.vocabCountFeatures(Text.tokens(col("text")), words3)
+    val c0 = element_at(col("f3"), 1); val c1 = element_at(col("f3"), 2)
+    val c2 = element_at(col("f3"), 3)
+    val multi = docs.withColumn("f3", f3)
+      .withColumn("label3",
+        when(c0 >= c1 && c0 >= c2, 0).when(c1 >= c2, 1).otherwise(2))
+    val sm = Classifier.trainSoftmax(multi, "f3", "label3",
+      dim = 3, numClasses = 3)
+    multi.select(Classifier.softmaxPredictExpr(col("f3"), sm)
+      .as("predicted"))
+      .groupBy(col("predicted")).count().orderBy(col("predicted")).show()
 
     println("== select: per-source token budgets in margin order ==")
     Sampling.selectByQualityBudget(scored, col("source"), col("doc_id"),
