@@ -802,4 +802,42 @@ class ScaleUpExperiment extends AnyFunSuite {
     assert(t10l / math.max(t1l, 0.2) < 5,
       "manifest point lookup must stay ~flat as the db grows 10x")
   }
+
+  test("round-11 ops (trainLogistic IRLS, aucExact) scale ~linearly") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow (~1 min): opt in with GRAFT_SCALEUP=1 sbt test")
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // training is iteration-bounded: 10x rows is 10x per-iteration scan
+    // over the cached projection, same driver solve — wall-clock should
+    // track the scan, not blow up
+    val vocab = Seq("hash", "join", "sort", "scan")
+    val d1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id"),
+        graft.ops.Classifier.vocabCountFeatures(
+          Text.tokens(col("text")), vocab).as("f"))
+      .withColumn("label", element_at(col("f"), 1) >= 2.0)
+      .cache()
+    val d10 = (0 until 10).map(i => d1.withColumn("doc_id",
+      col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+      .repartition(16).cache()
+    d1.count(); d10.count()
+    def train(d: org.apache.spark.sql.DataFrame): Unit = {
+      val m = Classifier.trainLogistic(d, "f", "label", dim = 4,
+        iters = 8)
+      assert(m.weights(0) > 0)
+    }
+    val t1 = time(train(d1)); val t10 = time(train(d10))
+    println(f"[scaleup] trainLogistic 1x=$t1%.1fs 10x=$t10%.1fs ratio=${t10 / t1}%.1f")
+    assert(t10 / math.max(t1, 0.5) < 25, "IRLS scale-up ratio too high")
+    def auc(d: org.apache.spark.sql.DataFrame): Double =
+      Classifier.aucExact(
+        d.withColumn("s", element_at(col("f"), 1)), "s", "label")
+        .head().getDouble(2)
+    val t1a = time(auc(d1)); val t10a = time(auc(d10))
+    println(f"[scaleup] aucExact 1x=$t1a%.1fs 10x=$t10a%.1fs ratio=${t10a / t1a}%.1f")
+    assert(t10a / math.max(t1a, 0.5) < 25, "AUC scale-up ratio too high")
+    d1.unpersist(); d10.unpersist()
+  }
 }
