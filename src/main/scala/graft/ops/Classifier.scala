@@ -545,6 +545,27 @@ object Classifier {
     Some(LogisticModel(vs.tail, vs.head))
   }
 
+  /** Persist a [[SoftmaxModel]] under `dir` (same bit-exact text
+    * discipline as the binary model: one class row per line,
+    * space-separated `Double.toString`). */
+  def saveSoftmax(m: SoftmaxModel, dir: String): Unit = {
+    graft.core.Fs.mkdirs(dir)
+    graft.core.Fs.writeString(s"$dir/softmax.txt",
+      s"${m.numClasses}\n" +
+        m.weights.map(_.mkString(" ")).mkString("\n"))
+  }
+
+  /** Load the softmax model persisted at `dir` (None when absent). */
+  def loadSoftmax(dir: String): Option[SoftmaxModel] = {
+    val p = s"$dir/softmax.txt"
+    if (!graft.core.Fs.exists(p)) return None
+    val lines = graft.core.Fs.readString(p).split("\n")
+      .map(_.trim).filter(_.nonEmpty)
+    val c = lines.head.toInt
+    Some(SoftmaxModel(
+      lines.tail.map(_.split(" ").map(_.toDouble)), c))
+  }
+
   /** Online (mini-batch) training: fold one labeled batch into the
     * persisted model at `modelPath` — `iters` warm-started GD steps
     * over the batch's sparse index features, then an atomic

@@ -238,6 +238,15 @@ class ClassifierSpec extends AnyFunSuite {
     val bad = Seq((1L, Seq(1.0, 0.0, 0.0), 9)).toDF("id", "f", "label")
     intercept[Exception](
       Classifier.trainSoftmax(bad, "f", "label", 3, 3, iters = 1))
+    // persistence round-trips bit-exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft-sm-")
+      .toString
+    Classifier.saveSoftmax(m, dir)
+    val back = Classifier.loadSoftmax(dir).get
+    assert(back.numClasses == m.numClasses)
+    assert(back.weights.flatMap(_.toSeq)
+      .sameElements(m.weights.flatMap(_.toSeq)))
+    assert(Classifier.loadSoftmax(dir + "/nope").isEmpty)
   }
 
   test("weighted training: weight w == w copies of the row (IRLS and " +
