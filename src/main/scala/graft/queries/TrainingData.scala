@@ -243,6 +243,48 @@ object TrainingData {
       out.select(col("doc_id"), col("predicted")).orderBy(col("doc_id"))
     }),
 
+    // STREAMING domain routing: the batch-trained softmax rides the
+    // stream as a codegen'd argmax chain — stateless projection, no
+    // state store, the multiclass twin of q_stream_classifier; gate
+    // and output restricted to uniquely-argmaxed docs as in the batch
+    // query, one shared argmax-rule oracle
+    "q_stream_domain_classifier" -> ((s, dir) => {
+      val words = Seq("hash", "join", "sort")
+      def f(c: Column) = Classifier.vocabCountFeatures(Text.tokens(c),
+        words)
+      val c0 = element_at(col("f"), 1); val c1 = element_at(col("f"), 2)
+      val c2 = element_at(col("f"), 3)
+      val feats = docs(s, dir).withColumn("f", f(col("text")))
+        .withColumn("label",
+          when(c0 >= c1 && c0 >= c2, 0).when(c1 >= c2, 1).otherwise(2))
+      val model = softmaxModels.getOrElseUpdate(dir,
+        Classifier.trainSoftmax(feats, "f", "label", dim = words.size,
+          numClasses = 3))
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .withColumn("f", f(col("text")))
+        .filter((c0 > c1 && c0 > c2) || (c1 > c0 && c1 > c2) ||
+          (c2 > c0 && c2 > c1))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          Classifier.softmaxPredictExpr(col("f"), model).as("predicted"),
+          when(c0 >= c1 && c0 >= c2, 0).when(c1 >= c2, 1).otherwise(2)
+            .as("label"))
+      val name = s"graft_stream_domclf_${streamQueryId.incrementAndGet()}"
+      val q = stream.writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val drained = s.table(name)
+      val acc = drained.select(avg(when(col("predicted") === col("label"),
+        1.0).otherwise(0.0))).head().getDouble(0)
+      require(acc == 1.0,
+        s"streamed softmax diverged from the argmax rule: acc=$acc")
+      drained.select(col("doc_id"), col("predicted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // k-fold cross-validation: every doc predicted by the model that
     // NEVER saw it (hash-fold assignment, one IRLS per complement) —
     // out-of-fold predictions must still recover the separable concept
@@ -2913,6 +2955,26 @@ object TrainingData {
     // the argmax rule over uniquely-argmaxed docs, first-max tie-break
     // mirrored in the CASE order
     "q_doc_domain_classifier" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'hash')) AS c0,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'join')) AS c1,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'sort')) AS c2
+        |  FROM documents
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(CASE WHEN c0 >= c1 AND c0 >= c2 THEN 0
+        |            WHEN c1 >= c2 THEN 1 ELSE 2 END AS INT) AS predicted
+        |FROM c
+        |WHERE (c0 > c1 AND c0 > c2) OR (c1 > c0 AND c1 > c2)
+        |   OR (c2 > c0 AND c2 > c1)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the streamed router shares the batch argmax oracle
+    "q_stream_domain_classifier" ->
       """WITH c AS (
         |  SELECT doc_id,
         |    len(list_filter(string_split_regex(text, '\s+'),
