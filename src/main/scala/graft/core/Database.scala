@@ -454,13 +454,20 @@ class Database(val spark: SparkSession, val calcDir: String,
     val probe = col("_run_seq") > afterRun && col("_run_seq") <= untilRun
     if (!manifestFresh) return read().filter(probe)
     val m = spark.read.parquet(manifestDir)
-    if (!m.columns.contains("run_seq_min")) return read().filter(probe)
+    // both range bounds must exist (an older or externally-built
+    // manifest carrying only the min must degrade to the filter scan,
+    // not throw — mirrors the counters() schema guard)
+    if (!Seq("run_seq_min", "run_seq_max").forall(m.columns.contains))
+      return read().filter(probe)
     val files = m.select(col("file"), col("run_seq_min"), col("run_seq_max"))
       .collect()
       .filter { r =>
-        val minOk = r.isNullAt(2) || r.getLong(2) > afterRun
-        val maxOk = r.isNullAt(1) || r.getLong(1) <= untilRun
-        minOk && maxOk
+        // keep a file iff [min, max] OVERLAPS (afterRun, untilRun]:
+        // its latest row is past afterRun AND its earliest row is
+        // within untilRun (a null bound cannot attest non-overlap)
+        val maxAfter = r.isNullAt(2) || r.getLong(2) > afterRun
+        val minUntil = r.isNullAt(1) || r.getLong(1) <= untilRun
+        maxAfter && minUntil
       }
       .map(r => normalizePath(r.getString(0))).toIndexedSeq
     if (files.isEmpty) read().filter(probe).limit(0)

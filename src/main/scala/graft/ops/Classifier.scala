@@ -573,7 +573,10 @@ object Classifier {
     * [[Quantile.incrementalQuantileSketch]] lifecycle: crash on either
     * side of the swap leaves a consistent pair, a re-delivered
     * `batchId` is a no-op returning the already-committed model, and a
-    * racing writer fails fast on the lock file). This is the
+    * racing writer fails fast on the lock file — the lock is held
+    * across read-train-swap, so serialized-but-overlapping writers
+    * cannot lose an update either: the second reads the first's
+    * committed model and ledger). This is the
     * continual-quality-filter shape: the model IS an incremental
     * index, refreshed at ingest from weak labels, never rescanning the
     * corpus. Empty batches short-circuit. With `newton = true` the fold
@@ -586,33 +589,37 @@ object Classifier {
                         l2: Double = 0.0, newton: Boolean = false,
                         batchId: Option[String] = None): LogisticModel = {
     import graft.core.Fs
-    Dedup.recoverIndex(modelPath)
-    val applied = IncrementalLedger.appliedIds(modelPath)
-    val current = loadModel(modelPath)
-    if (batchId.exists(applied.contains))
-      return current.getOrElse(LogisticModel(new Array[Double](dim), 0.0))
-    if (batch.isEmpty)
-      return current.getOrElse(LogisticModel(new Array[Double](dim), 0.0))
-    // `newton = true` folds warm-started IRLS steps instead of GD —
-    // ~5 steps reach what hundreds of GD steps walk toward, at one job
-    // each, for dims small enough to afford the O(parts·d²) Hessian
-    // partials (online Newton). The indices densify to per-bin counts
-    // in-plan; past ~1k bins stay on GD.
-    val next =
-      if (newton) {
-        val dense = batch.withColumn("__f",
-          transform(sequence(lit(0), lit(dim - 1)), i =>
-            size(filter(col(idxCol), j => j === i)).cast("double")))
-        trainLogistic(dense, "__f", labelCol, dim, iters,
-          l2 = math.max(l2, 1e-2), init = current)
-      } else trainLogisticSparse(batch, idxCol, labelCol, dim, iters,
-        lr, l2, init = current)
+    // the lock brackets the WHOLE read-train-swap cycle (not just the
+    // swap): a second writer that raced the training window would
+    // otherwise fold from a stale model and silently drop the first
+    // writer's update and its ledger entry on commit
     val lock = s"$modelPath.__lock"
     if (!Fs.createExclusive(lock, s"pid=${ProcessHandle.current().pid()}"))
       throw new IllegalStateException(
         s"classifier model $modelPath is being updated by another " +
           s"writer; if that process crashed, delete $lock and re-run")
     try {
+      Dedup.recoverIndex(modelPath)
+      val applied = IncrementalLedger.appliedIds(modelPath)
+      val current = loadModel(modelPath)
+      if (batchId.exists(applied.contains))
+        return current.getOrElse(LogisticModel(new Array[Double](dim), 0.0))
+      if (batch.isEmpty)
+        return current.getOrElse(LogisticModel(new Array[Double](dim), 0.0))
+      // `newton = true` folds warm-started IRLS steps instead of GD —
+      // ~5 steps reach what hundreds of GD steps walk toward, at one job
+      // each, for dims small enough to afford the O(parts·d²) Hessian
+      // partials (online Newton). The indices densify to per-bin counts
+      // in-plan; past ~1k bins stay on GD.
+      val next =
+        if (newton) {
+          val dense = batch.withColumn("__f",
+            transform(sequence(lit(0), lit(dim - 1)), i =>
+              size(filter(col(idxCol), j => j === i)).cast("double")))
+          trainLogistic(dense, "__f", labelCol, dim, iters,
+            l2 = math.max(l2, 1e-2), init = current)
+        } else trainLogisticSparse(batch, idxCol, labelCol, dim, iters,
+          lr, l2, init = current)
       val tmp = s"$modelPath.__compact_tmp"
       Fs.delete(tmp)
       Fs.mkdirs(tmp)
@@ -623,8 +630,8 @@ object Classifier {
       if (Fs.exists(modelPath)) Fs.rename(modelPath, old)
       Fs.rename(tmp, modelPath)
       Fs.delete(old)
+      next
     } finally Fs.delete(lock)
-    next
   }
 
   // ---------------------------------------------------------------- //
@@ -670,12 +677,16 @@ object Classifier {
     * over the group relation is single-partition by construction).
     * Null scores/labels are excluded; a frame with no positives or no
     * negatives has no defined AUC (the output divides by zero — NaN),
-    * which the `n_pos`/`n_neg` columns make diagnosable. */
+    * which the `n_pos`/`n_neg` columns make diagnosable. NaN scores
+    * are excluded like nulls (a NaN would otherwise form its own
+    * score group and sort last in Spark's total order — exactly the
+    * cross-engine divergence the bit-reproducibility contract bars;
+    * exclusion treats "no comparable score" uniformly). */
   def aucExact(df: DataFrame, scoreCol: String,
                labelCol: String): DataFrame = {
     val y = col(labelCol).cast("boolean")
     val s = col(scoreCol).cast("double")
-    val groups = df.filter(s.isNotNull && y.isNotNull)
+    val groups = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
       .groupBy(s.as("__s"))
       .agg(count(lit(1)).as("__n"),
         sum(when(y, 1L).otherwise(0L)).as("__np"))
@@ -700,27 +711,87 @@ object Classifier {
   }
 
   /** Calibration (reliability) curve: rows bucketed into `bins`
-    * equal-count score bands (`ntile` over score order, ties broken by
-    * `tieCol` for a deterministic assignment), each band reporting its
+    * equal-count score bands (exact SQL `NTILE` semantics over the
+    * (score asc, `tieCol` asc) total order), each band reporting its
     * row count, mean score, and empirical positive rate — the
     * reliability diagram that says whether "0.9" means 90%. Means are
     * sums of exact inputs divided by exact counts, so with quantized
-    * scores the whole curve reproduces bit-for-bit. One sort-bounded
-    * window (the ntile) + one keyed aggregate. Null scores/labels are
-    * excluded. */
+    * scores the whole curve reproduces bit-for-bit. Null/NaN scores
+    * and null labels are excluded (a NaN would otherwise sort last in
+    * Spark's total order but elsewhere in another engine's — the
+    * cross-engine divergence the reproducibility contract bars).
+    *
+    * Scale shape: a bare `ntile` window has no partition key, so Spark
+    * would move the WHOLE relation to one task and sort it there — the
+    * driver-era bottleneck a 100 TB reliability curve cannot afford.
+    * Instead the global rank comes from the distributed prefix-sum
+    * fan-out (the [[Sampling.selectByQualityBudget]] /
+    * [[Packing.concatChunks]] shape): approximate range edges split
+    * the score domain into ~4·parallelism buckets (the edges choose
+    * only WHERE the parallel sort splits — any edge set yields the
+    * same ranks, so approximate quantiles are exactly right here), a
+    * per-bucket count gives each bucket its exclusive rank offset
+    * (driver collect bounded by the bucket count), and bucket-local
+    * `row_number` + offset equals the global rank EXACTLY: bucket
+    * assignment is monotone in score and never splits tied scores.
+    * The `ntile` band is then pure integer arithmetic on that rank.
+    * Three passes (edges, counts, rank + aggregate), every sort
+    * bucket-local; PlanSpec gates the absence of a global window. */
   def calibrationCurve(df: DataFrame, scoreCol: String, labelCol: String,
                        tieCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 1, "bins must be positive")
+    val spark = df.sparkSession
     val s = col(scoreCol).cast("double")
     val y = col(labelCol).cast("boolean")
-    df.filter(s.isNotNull && y.isNotNull)
-      .withColumn("__bin", ntile(bins).over(
-        Window.orderBy(s.asc, col(tieCol).asc)))
-      .groupBy(col("__bin").as("bin"))
+    val valid = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
+      .select(s.as("__s"), y.as("__y"), col(tieCol).as("__t"))
+    val nb = math.max(2, math.min(256,
+      spark.sparkContext.defaultParallelism * 4))
+    val edges = valid.stat.approxQuantile("__s",
+      (1 until nb).map(_.toDouble / nb).toArray, 0.01).distinct.sorted
+    val bkt =
+      if (edges.isEmpty) lit(0)
+      else size(filter(typedLit(edges.toSeq), e => col("__s") > e))
+    val tagged = valid.withColumn("__b", bkt)
+    def grouped(binned: DataFrame, bin: Column) = binned
+      .groupBy(bin.cast("int").as("bin"))
       .agg(count(lit(1)).as("n"),
-        avg(s).as("mean_score"),
-        avg(when(y, 1.0).otherwise(0.0)).as("pos_rate"))
+        avg(col("__s")).as("mean_score"),
+        avg(when(col("__y"), 1.0).otherwise(0.0)).as("pos_rate"))
       .orderBy(col("bin"))
+    val counts = tagged.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    // empty input: the grouped shape of an empty frame IS the answer
+    if (total == 0L) return grouped(tagged, col("__b"))
+    val offsets = {
+      var acc = 0L
+      counts.toSeq.map { case (b, n) => val o = acc; acc += n; (b, o) }
+    }
+    import spark.implicits._
+    val offDF = broadcast(offsets.toDF("__b", "__off"))
+    val rankW = Window.partitionBy(col("__b"))
+      .orderBy(col("__s").asc, col("__t").asc)
+    // exact integer floor division: the numerator is reduced to a
+    // multiple of the divisor first, so the double division is exact
+    // for any rank below 2^53 (a bare `/` rounds)
+    def idiv(a: Column, b: Long): Column =
+      ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+    // SQL NTILE(bins) over global rank rn in [1, total]: the first
+    // (total mod bins) bands hold ceil(total/bins) rows, the rest floor
+    val q = total / bins
+    val r = total % bins
+    def band(rn: Column): Column =
+      if (q == 0L) rn // fewer rows than bands: band i = row i
+      else if (r == 0L) idiv(rn - 1L, q) + 1L
+      else when(rn <= lit(r * (q + 1)),
+        idiv(rn - 1L, q + 1) + 1L)
+        .otherwise(lit(r) + idiv(rn - lit(r * (q + 1)) - 1L, q) + 1L)
+    val ranked = tagged.join(offDF, Seq("__b"))
+      .withColumn("__rn", row_number().over(rankW).cast("long")
+        + col("__off"))
+    grouped(ranked, band(col("__rn")))
   }
 
   /** K-fold cross-validated OUT-OF-FOLD predictions: rows are assigned

@@ -297,6 +297,49 @@ class ClassifierSpec extends AnyFunSuite {
     assert(c.map(_.getDouble(3)).toSeq == Seq(0.0, 0.5, 1.0))
   }
 
+  test("calibrationCurve: exact NTILE parity with the single-window " +
+    "replay on a non-divisible N; NaN excluded; fewer rows than bins; " +
+    "no global window in the plan") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(41)
+    // quantized (dyadic) scores with heavy ties — the regime the
+    // bit-reproducibility contract targets; 103 rows / 10 bins leaves
+    // a remainder, exercising the ceil/floor band split
+    val rows = (0 until 103).map { i =>
+      (i.toLong, math.floor(rnd.nextDouble() * 8) / 4.0,
+        rnd.nextBoolean())
+    }.toDF("id", "score", "label")
+    val got = Classifier.calibrationCurve(rows, "score", "label", "id",
+      bins = 10)
+    val expect = rows
+      .withColumn("bin", ntile(10).over(
+        Window.orderBy(col("score").asc, col("id").asc)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), avg(col("score")).as("mean_score"),
+        avg(when(col("label"), 1.0).otherwise(0.0)).as("pos_rate"))
+      .orderBy(col("bin"))
+    assert(got.collect().toSeq == expect.collect().toSeq)
+    // a NaN score is excluded like a null, not sorted into a band
+    val withNaN = rows.union(
+      Seq((999L, Double.NaN, true)).toDF("id", "score", "label"))
+    val got2 = Classifier.calibrationCurve(withNaN, "score", "label",
+      "id", bins = 10)
+    assert(got2.collect().toSeq == expect.collect().toSeq)
+    // N < bins: band i holds exactly row i
+    val tiny = Seq((1L, 2.0, true), (2L, 1.0, false), (3L, 3.0, true))
+      .toDF("id", "score", "label")
+    val t = Classifier.calibrationCurve(tiny, "score", "label", "id",
+      bins = 10).collect()
+    assert(t.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(t.forall(_.getLong(1) == 1L))
+    // the scale gate: every window in the plan is PARTITIONED — the
+    // unpartitioned ntile this op replaced moved the full relation to
+    // one task
+    val findings = graft.plans.PlanAudit.audit(got)
+    assert(!findings.exists(_.kind == "GLOBAL_WINDOW"),
+      findings.mkString("\n"))
+  }
+
   test("crossValidate: every row scored out-of-fold exactly once; " +
     "folds partition by the id hash; OOF decisions recover a " +
     "well-separated concept") {

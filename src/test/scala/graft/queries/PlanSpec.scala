@@ -587,4 +587,23 @@ class PlanSpec extends AnyFunSuite {
     assert(files.length < total,
       s"scan reads ${files.length} of $total files — no pruning")
   }
+
+  test("q_doc_classifier_calibration: no single-partition window over " +
+    "the row relation — every ntile band comes from the bucketed rank " +
+    "fan-out") {
+    // the naive reliability curve is ntile() with no PARTITION BY:
+    // Spark moves the whole corpus to ONE task and sorts it there. The
+    // op computes the identical bands from bucket-local row_number +
+    // broadcast offsets; this gate keeps it that way.
+    val df = SparkEntry.queries("q_doc_classifier_calibration")(spark, sf)
+    val findings = graft.plans.PlanAudit.audit(df)
+      .filter(_.kind == "GLOBAL_WINDOW")
+    assert(findings.isEmpty, findings.mkString("\n"))
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("row_number"), p.take(4000))
+    // offsets re-applied by broadcast, never shuffled through the rows
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(4000))
+  }
 }
