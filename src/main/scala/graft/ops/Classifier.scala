@@ -500,6 +500,144 @@ object Classifier {
     } finally { data.unpersist(): Unit }
   }
 
+  /** Train a multinomial softmax classifier by full-batch gradient
+    * descent over SPARSE index features (`array<int>`, the
+    * [[hashedIndices]] shape) — the multiclass twin of
+    * [[trainLogisticSparse]], for the hashed-feature regime
+    * [[trainSoftmax]]'s Newton solve cannot reach (its per-iteration
+    * system is ((C−1)(d+1))², capped at 256; a 2^18-bin domain router
+    * needs a gradient method). Per iteration: one `mapPartitions` pass
+    * scattering per-class `(p_c − [y=c])` into a class-major gradient,
+    * partials summed driver-side in partition order — O(parts · (C−1)
+    * · (dim+1)) on the wire, no Hessian. The partial size is bounded
+    * loudly: (C−1)(dim+1) ≤ 2^22 doubles (32 MiB per partition partial
+    * — a 2^18-bin 9-class router is 2.1M, well inside). With C = 2 the
+    * update is the exact negation of [[trainLogisticSparse]]'s
+    * (class 0 here is the binary model's negative logit; spec pins the
+    * agreement), so the two optimizers form one family. */
+  def trainSoftmaxSparse(df: DataFrame, idxCol: String, labelCol: String,
+                         dim: Int, numClasses: Int, iters: Int = 200,
+                         lr: Double = 0.5, l2: Double = 0.0,
+                         init: Option[SoftmaxModel] = None,
+                         weightCol: Option[String] = None): SoftmaxModel = {
+    require(dim > 0 && iters > 0 && lr > 0, "dim/iters/lr must be positive")
+    require(numClasses >= 2, "need at least 2 classes")
+    val d = dim + 1
+    val mLen = (numClasses - 1).toLong * d
+    require(mLen <= (1L << 22),
+      s"gradient partial is $mLen doubles per partition — keep " +
+        s"(numClasses-1)*(dim+1) <= ${1L << 22}")
+    val m = mLen.toInt
+    init.foreach(mo => require(
+      mo.dim == dim && mo.numClasses == numClasses,
+      s"warm-start model shape (${mo.dim}, ${mo.numClasses}) != " +
+        s"($dim, $numClasses)"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wexpr = weightCol.map(c => col(c).cast("double"))
+      .getOrElse(lit(1.0))
+    val data0 = df.select(col(labelCol).cast("int"), col(idxCol), wexpr)
+      .as[(Int, Seq[Int], Double)]
+    // same narrow-input spread as trainLogistic
+    val par = spark.sparkContext.defaultParallelism
+    val data = if (data0.rdd.getNumPartitions < par)
+      data0.repartition(par) else data0
+    data.persist()
+    try {
+      val C = numClasses
+      var w = init.map(_.weights.flatten.toArray)
+        .getOrElse(new Array[Double](m)) // class-major: c*d + i, bias last
+      for (_ <- 0 until iters) {
+        val bw = spark.sparkContext.broadcast(w)
+        val partials = data.mapPartitions { it =>
+          val wv = bw.value
+          val g = new Array[Double](m)
+          var n = 0.0
+          val logits = new Array[Double](C)
+          val p = new Array[Double](C)
+          it.foreach { case (y, idx, rw) =>
+            require(y >= 0 && y < C, s"label $y outside [0, $C)")
+            require(rw > 0.0 && !rw.isNaN && !rw.isInfinite,
+              s"row weight must be finite positive, got $rw")
+            idx.foreach(i =>
+              require(i >= 0 && i < dim, s"index $i outside [0, $dim)"))
+            var c = 0; var mx = 0.0
+            while (c < C - 1) {
+              var s = wv(c * d + dim) // bias
+              idx.foreach(i => s += wv(c * d + i))
+              logits(c) = s
+              if (s > mx) mx = s
+              c += 1
+            }
+            logits(C - 1) = 0.0
+            var z = 0.0; c = 0
+            while (c < C) {
+              p(c) = math.exp(logits(c) - mx); z += p(c); c += 1
+            }
+            c = 0
+            while (c < C) { p(c) /= z; c += 1 }
+            var a = 0
+            while (a < C - 1) {
+              val ra = rw * (p(a) - (if (y == a) 1.0 else 0.0))
+              idx.foreach(i => g(a * d + i) += ra)
+              g(a * d + dim) += ra
+              a += 1
+            }
+            n += rw
+          }
+          Iterator.single((TaskContext.getPartitionId(), g, n))
+        }.collect().sortBy(_._1)
+        bw.destroy()
+        val n = partials.map(_._3).sum
+        require(n > 0, "cannot train on an empty frame")
+        val g = new Array[Double](m)
+        partials.foreach { case (_, pg, _) =>
+          var i = 0
+          while (i < m) { g(i) += pg(i); i += 1 }
+        }
+        val next = new Array[Double](m)
+        var i = 0
+        while (i < m) {
+          next(i) = w(i) - lr * (g(i) / n + l2 * w(i)); i += 1
+        }
+        w = next
+      }
+      SoftmaxModel(Array.tabulate(numClasses - 1)(c =>
+        w.slice(c * d, (c + 1) * d)), numClasses)
+    } finally { data.unpersist(): Unit }
+  }
+
+  /** Score sparse index features against a [[SoftmaxModel]] at scale —
+    * the multiclass twin of [[scoreSparse]]: explode the indices, join
+    * the broadcast (index → per-class weights) table, re-aggregate the
+    * per-class sums per row key (partial map-side sums, one small
+    * shuffle on `idCol`), add the biases, argmax with FIRST-max
+    * tie-break. The model broadcast is (C−1)·dim doubles — a 2^18-bin
+    * 9-class router is 16 MiB. Rows with EMPTY index arrays still
+    * score (logit = bias). `idCol` must be unique per row (colliding
+    * ids would merge their sums). Returns `(idCol, logits, predicted)`
+    * where `logits` carries all C logits (reference class last, 0). */
+  def scoreSoftmaxSparse(df: DataFrame, idCol: String, idxCol: String,
+                         model: SoftmaxModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val C = model.numClasses
+    val wrows = (0 until model.dim).map { i =>
+      (i, model.weights.toIndexedSeq.map(_(i)))
+    }
+    val wdf = spark.createDataset(wrows).toDF("__i", "__w")
+    val sumCols = (0 until C - 1).map(c =>
+      (coalesce(sum(element_at(col("__w"), c + 1)), lit(0.0))
+        + lit(model.weights(c).last)).as(s"__l$c"))
+    val sums = df.select(col(idCol), explode_outer(col(idxCol)).as("__i"))
+      .join(broadcast(wdf), Seq("__i"), "left")
+      .groupBy(col(idCol))
+      .agg(sumCols.head, sumCols.tail: _*)
+    val logits = (0 until C - 1).map(c => col(s"__l$c")) :+ lit(0.0)
+    sums.select(col(idCol), array(logits: _*).as("logits"),
+      argmaxExpr(logits).as("predicted"))
+  }
+
   /** Per-class logits of a [[SoftmaxModel]] as literal expression
     * chains (reference class last, logit 0). */
   def softmaxLogits(features: Column, model: SoftmaxModel): Seq[Column] =
@@ -509,20 +647,23 @@ object Classifier {
       }
     } :+ lit(0.0)
 
-  /** Predicted class index: argmax of the logits with FIRST-max
-    * tie-break (deterministic, matches the `np.argmax`/SQL CASE
-    * convention) — one codegen'd expression, no shuffle. */
-  def softmaxPredictExpr(features: Column, model: SoftmaxModel): Column = {
-    val logits = softmaxLogits(features, model)
+  /** Argmax over logit columns with FIRST-max tie-break
+    * (deterministic, matches the `np.argmax`/SQL CASE convention) —
+    * one codegen'd expression, no shuffle. */
+  private def argmaxExpr(logits: Seq[Column]): Column = {
     var best: Column = lit(0)
     var bestScore: Column = logits.head
-    for (c <- 1 until model.numClasses) {
+    for (c <- 1 until logits.length) {
       val better = logits(c) > bestScore
       best = when(better, lit(c)).otherwise(best)
       bestScore = when(better, logits(c)).otherwise(bestScore)
     }
     best
   }
+
+  /** Predicted class index: [[argmaxExpr]] over [[softmaxLogits]]. */
+  def softmaxPredictExpr(features: Column, model: SoftmaxModel): Column =
+    argmaxExpr(softmaxLogits(features, model))
 
   // ---------------------------------------------------------------- //
   // the model as an incremental index — persistence + online updates
@@ -589,17 +730,19 @@ object Classifier {
                         l2: Double = 0.0, newton: Boolean = false,
                         batchId: Option[String] = None): LogisticModel = {
     import graft.core.Fs
-    // the lock brackets the WHOLE read-train-swap cycle (not just the
-    // swap): a second writer that raced the training window would
-    // otherwise fold from a stale model and silently drop the first
-    // writer's update and its ledger entry on commit
+    // crash repair first (it fails fast on a LIVE lock, so it must run
+    // before we create ours), then the lock brackets the WHOLE
+    // read-train-swap cycle (not just the swap): a second writer that
+    // raced the training window would otherwise fold from a stale
+    // model and silently drop the first writer's update and its ledger
+    // entry on commit
+    Dedup.recoverIndex(modelPath)
     val lock = s"$modelPath.__lock"
     if (!Fs.createExclusive(lock, s"pid=${ProcessHandle.current().pid()}"))
       throw new IllegalStateException(
         s"classifier model $modelPath is being updated by another " +
           s"writer; if that process crashed, delete $lock and re-run")
     try {
-      Dedup.recoverIndex(modelPath)
       val applied = IncrementalLedger.appliedIds(modelPath)
       val current = loadModel(modelPath)
       if (batchId.exists(applied.contains))
@@ -673,7 +816,9 @@ object Classifier {
     * value is engine-reproducible at the bit level. Scale shape: the
     * group relation is bounded by DISTINCT scores — right for
     * quantized scores (integer-count margins, binned/decile scores);
-    * raw continuous scores should be binned first (the ordering window
+    * raw continuous scores should be binned first — [[aucBinned]] does
+    * exactly that (KLL quantile edges → bucket → this) and is the safe
+    * default when the score domain is unknown (the ordering window
     * over the group relation is single-partition by construction).
     * Null scores/labels are excluded; a frame with no positives or no
     * negatives has no defined AUC (the output divides by zero — NaN),
@@ -708,6 +853,41 @@ object Classifier {
           (col("n_pos") + lit(1)).cast("double") / lit(2.0))
           / (col("n_pos").cast("double") * col("n_neg").cast("double")))
           .as("auc"))
+  }
+
+  /** [[aucExact]] with the "bin continuous scores first" contract
+    * built in: a KLL sketch ([[Quantile]]) of the score distribution
+    * yields `bins − 1` quantile edges (one map-side-combined
+    * aggregate, a few-KiB blob to the driver), scores are bucketed by
+    * edge count — a codegen'd monotone projection, ties never split —
+    * and [[aucExact]] runs over the BIN INDICES, so its group relation
+    * is bounded by `bins` regardless of how many distinct raw scores
+    * the corpus holds. The binning coarsens ties: pairs whose scores
+    * fall in one bin count ½ instead of their true order, an error
+    * that vanishes as `bins` grows (spec pins ≈ at 1024 bins on a
+    * continuous margin, and EQUALITY when the distinct scores already
+    * fit the bins and each carries enough mass for an edge). Scores
+    * already quantized (integer-count margins, deciles) can call
+    * [[aucExact]] directly. */
+  def aucBinned(df: DataFrame, scoreCol: String, labelCol: String,
+                bins: Int = 1024, sketchK: Int = 4096): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val valid = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
+      .select(s.as("__s"), y.as("__y"))
+    val blob = valid.agg(Quantile.kllAgg(col("__s"), sketchK).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val buf = Quantile.fromBlob(blob)
+    val edges = (1 until bins).iterator
+      .map(i => Quantile.quantileOf(buf, i.toDouble / bins))
+      .collect { case d: Double => d }.toSeq.distinct.sorted
+    // empty/constant-score input: no edges — one bin IS the binning
+    val bin =
+      if (edges.isEmpty) lit(0.0)
+      else size(filter(typedLit(edges), e => col("__s") > e))
+        .cast("double")
+    aucExact(valid.select(bin.as("__bin"), col("__y")), "__bin", "__y")
   }
 
   /** Calibration (reliability) curve: rows bucketed into `bins`

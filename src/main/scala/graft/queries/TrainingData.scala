@@ -243,6 +243,68 @@ object TrainingData {
       out.select(col("doc_id"), col("predicted")).orderBy(col("doc_id"))
     }),
 
+    // the SPARSE multiclass router: the q_doc_domain_classifier
+    // concept served from a 2^12-bin hashed index space — the
+    // CCNet-style domain-router shape at corpus scale (the dense
+    // Newton path caps at (C-1)(d+1) <= 256; the hashed space has no
+    // Hessian). Production lifecycle demonstrated end to end: train
+    // the small dense router by Newton, DISTILL it into the hashed
+    // bins (each vocab word's weight lands at its xxhash bin — exact,
+    // since the hashed logit is the same linear form), then POLISH
+    // with warm-started sparse GD (the from-scratch sparse convergence
+    // is ClassifierSpec's pin; pure GD needs thousands of steps to
+    // place margin-1 boundary docs that Newton places in 20).
+    // Prediction through the broadcast-join multiclass scorer. Gate
+    // and output restricted to uniquely-argmaxed docs; the oracle
+    // states the argmax rule itself
+    "q_doc_domain_classifier_sparse" -> ((s, dir) => {
+      val words = Seq("hash", "join", "sort")
+      val dim = 4096
+      val f = Classifier.vocabCountFeatures(Text.tokens(col("text")), words)
+      val c0 = element_at(col("f"), 1); val c1 = element_at(col("f"), 2)
+      val c2 = element_at(col("f"), 3)
+      val feats = docs(s, dir).withColumn("f", f)
+        .withColumn("idx", Classifier.hashedIndices(
+          filter(Text.tokens(col("text")),
+            t => t.isin(words.map(w => w: Any): _*)), dim))
+        .withColumn("label",
+          when(c0 >= c1 && c0 >= c2, 0).when(c1 >= c2, 1).otherwise(2))
+        .withColumn("unique_max",
+          (c0 > c1 && c0 > c2) || (c1 > c0 && c1 > c2) ||
+            (c2 > c0 && c2 > c1))
+      val model = softmaxModels.getOrElseUpdate(s"$dir#sparse", {
+        // the dense Newton router (shared with q_doc_domain_classifier)
+        val dense = softmaxModels.getOrElseUpdate(dir,
+          Classifier.trainSoftmax(feats, "f", "label", dim = words.size,
+            numClasses = 3))
+        // distill: word i's class weight lands at bin xxhash64(w_i)
+        // mod dim (+= guards the astronomically-unlikely collision)
+        val bins = s.range(1).select(words.map(w =>
+          pmod(xxhash64(lit(w)), lit(dim.toLong)).cast("int").as(w)): _*)
+          .head()
+        val wInit = Array.tabulate(2) { c =>
+          val row = new Array[Double](dim + 1)
+          words.indices.foreach(i =>
+            row(bins.getInt(i)) += dense.weights(c)(i))
+          row(dim) = dense.weights(c)(words.size) // bias last
+          row
+        }
+        Classifier.trainSoftmaxSparse(feats, "idx", "label", dim,
+          numClasses = 3, iters = 30, lr = 0.5,
+          init = Some(Classifier.SoftmaxModel(wInit, 3)))
+      })
+      val uniq = feats.filter(col("unique_max"))
+      val out = uniq.select(col("doc_id"), col("label"))
+        .join(Classifier.scoreSoftmaxSparse(uniq, "doc_id", "idx", model)
+          .select(col("doc_id"), col("predicted")), "doc_id")
+      val acc = out.select(avg(when(col("predicted") === col("label"),
+        1.0).otherwise(0.0))).head().getDouble(0)
+      require(acc == 1.0,
+        s"sparse softmax under-converged on uniquely-argmaxed docs: " +
+          s"acc=$acc")
+      out.select(col("doc_id"), col("predicted")).orderBy(col("doc_id"))
+    }),
+
     // STREAMING domain routing: the batch-trained softmax rides the
     // stream as a codegen'd argmax chain — stateless projection, no
     // state store, the multiclass twin of q_stream_classifier; gate
@@ -349,6 +411,55 @@ object TrainingData {
         qMin = -2.0, qMax = 25.0)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // the trained-quality-filter LIFECYCLE as one composed query (the
+    // Brown et al. 2020 App. A workflow end to end): train the
+    // classifier on the labeled seed, GATE deployment on out-of-fold
+    // accuracy (models that never saw a row must still recover the
+    // concept — the honest-generalization check, fail-loud), let the
+    // TRAINED decisions drive the budgeted selection (approved docs
+    // fill each source's token budget first, hash-first within a
+    // class — the bucketed fan-out, never a single-task sort), and
+    // emit the mixture report. The gate pins decisions to the concept,
+    // so the oracle is the same selection replay with quality = the
+    // rule — every output an exact integer
+    "q_doc_classifier_pipeline" -> ((s, dir) => {
+      val vocab = Seq("hash", "join", "sort", "scan",
+        "batch", "data", "merge", "filter")
+      val feats = docs(s, dir).select(col("doc_id"), col("source"),
+        col("text"),
+        Classifier.vocabCountFeatures(Text.tokens(col("text")), vocab)
+          .as("f"))
+        .withColumn("label", element_at(col("f"), 1) >= 2.0)
+      // stage 1: train (shared with the flagship classifier query)
+      val model = lrModels.getOrElseUpdate(s"$dir#vocab",
+        Classifier.trainLogistic(feats, "f", "label", dim = vocab.size))
+      // stage 2: deployment gates — OOF and fit accuracy both 100%
+      val oof = Classifier.crossValidate(feats, "f", "label", "doc_id",
+        dim = vocab.size, k = 3, iters = 16, l2 = 1e-3)
+      val oofAcc = feats.select(col("doc_id"), col("label"))
+        .join(oof, "doc_id")
+        .select(avg(when((col("margin") > 0) === col("label"), 1.0)
+          .otherwise(0.0))).head().getDouble(0)
+      require(oofAcc == 1.0,
+        s"pipeline gate: out-of-fold accuracy $oofAcc < 1 — do not " +
+          "deploy this classifier")
+      val fitAcc = Classifier.trainAccuracy(feats, "f", "label", model)
+      require(fitAcc == 1.0, s"pipeline gate: fit accuracy $fitAcc < 1")
+      // stage 3: trained decisions drive the budget selection
+      val scored = feats.withColumn("q",
+        when(Classifier.marginExpr(col("f"), model) > 0, 1.0)
+          .otherwise(0.0))
+      val sel = graft.ops.Sampling.selectByQualityBudget(scored,
+        col("source"), col("doc_id"), Text.tokenCount(col("text")),
+        col("q"), Map("src0" -> 400L, "src1" -> 300L, "src2" -> 200L),
+        qMin = 0.0, qMax = 1.0)
+      // stage 4: the mixture report
+      sel.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy(col("source"))
     }),
 
     // STREAMING score-at-ingest: the batch-trained model rides the
@@ -2973,6 +3084,27 @@ object TrainingData {
         |   OR (c2 > c0 AND c2 > c1)
         |ORDER BY doc_id""".stripMargin,
 
+    // the sparse router converges to the same rule (the query fails
+    // loudly otherwise) — the shared argmax oracle
+    "q_doc_domain_classifier_sparse" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'hash')) AS c0,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'join')) AS c1,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'sort')) AS c2
+        |  FROM documents
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(CASE WHEN c0 >= c1 AND c0 >= c2 THEN 0
+        |            WHEN c1 >= c2 THEN 1 ELSE 2 END AS INT) AS predicted
+        |FROM c
+        |WHERE (c0 > c1 AND c0 > c2) OR (c1 > c0 AND c1 > c2)
+        |   OR (c2 > c0 AND c2 > c1)
+        |ORDER BY doc_id""".stripMargin,
+
     // the streamed router shares the batch argmax oracle
     "q_stream_domain_classifier" ->
       """WITH c AS (
@@ -3058,6 +3190,34 @@ object TrainingData {
         |WHERE cum <= CASE source WHEN 'src0' THEN 400
         |                         WHEN 'src1' THEN 300 ELSE 200 END
         |ORDER BY doc_id""".stripMargin,
+
+    // the composed lifecycle: the deployment gates pin the trained
+    // decisions to the concept, so the oracle replays the budget
+    // selection with quality = the rule and reports the mixture —
+    // exact integers end to end
+    "q_doc_classifier_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\s+') AS l
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        |), q AS (
+        |  SELECT doc_id, source, CAST(len(l) AS BIGINT) AS tok,
+        |    CASE WHEN len(list_filter(l, t -> t = 'hash')) >= 2
+        |         THEN 1.0 ELSE 0.0 END AS quality
+        |  FROM t WHERE len(l) > 0
+        |), c AS (
+        |  SELECT doc_id, source, tok,
+        |    SUM(tok) OVER (PARTITION BY source
+        |      ORDER BY quality DESC,
+        |               substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM q
+        |)
+        |SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS n_tokens
+        |FROM c
+        |WHERE cum <= CASE source WHEN 'src0' THEN 400
+        |                         WHEN 'src1' THEN 300 ELSE 200 END
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // both streaming variants must land on the same concept (the
     // queries fail loudly otherwise) — one shared rule oracle

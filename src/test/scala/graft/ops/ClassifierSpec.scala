@@ -340,6 +340,107 @@ class ClassifierSpec extends AnyFunSuite {
       findings.mkString("\n"))
   }
 
+  test("trainSoftmaxSparse: C=2 recovers trainLogisticSparse (class 0 " +
+    "= the binary logit); 3-class hashed router converges and " +
+    "scoreSoftmaxSparse argmax matches; weight w = w copies; loud " +
+    "guards") {
+    val df = corpus(300, seed = 11)
+    val feats = df.select(col("id"), col("label"),
+      Classifier.hashedIndices(filter(Text.tokens(col("text")),
+        t => t.isin(vocab.map(v => v: Any): _*)), 16).as("idx"))
+    val bin = Classifier.trainLogisticSparse(feats, "idx", "label", 16,
+      iters = 60, lr = 0.5)
+    // softmax class 0 := binary positive (class 1 the zero-logit
+    // reference), so l0 = the binary margin and the GD updates are the
+    // same arithmetic — agreement to float tolerance (the sigmoid is
+    // computed via the max-subtracted softmax, not bit-identically)
+    val sm = Classifier.trainSoftmaxSparse(
+      feats.withColumn("y", when(col("label"), 0).otherwise(1)),
+      "idx", "y", dim = 16, numClasses = 2, iters = 60, lr = 0.5)
+    sm.weights(0).zip(bin.weights :+ bin.bias).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+    }
+    // 3-class separable concept over a 4096-bin hashed space — the
+    // domain-router regime the dense Newton trainer's 256-cap bars
+    val words = Seq("red", "green", "blue")
+    val rnd = new scala.util.Random(5)
+    val docs3 = (0 until 300).map { i =>
+      val c = i % 3
+      val base = Seq.fill(3 + rnd.nextInt(3))(words(c))
+      val other = Seq.fill(rnd.nextInt(2))(words((c + 1) % 3))
+      (i.toLong, rnd.shuffle(base ++ other ++ Seq("pad")).mkString(" "), c)
+    }.toDF("id", "text", "y")
+    val dim = 4096
+    val idx3 = docs3.select(col("id"), col("y"),
+      Classifier.hashedIndices(filter(Text.tokens(col("text")),
+        t => t.isin(words.map(w => w: Any): _*)), dim).as("idx"))
+    val m3 = Classifier.trainSoftmaxSparse(idx3, "idx", "y", dim,
+      numClasses = 3, iters = 150, lr = 0.5)
+    assert(m3.dim == dim && m3.numClasses == 3)
+    val scored = Classifier.scoreSoftmaxSparse(idx3, "id", "idx", m3)
+    assert(scored.columns.toSeq == Seq("id", "logits", "predicted"))
+    val acc = idx3.join(scored, "id")
+      .select(avg(when(col("predicted") === col("y"), 1.0)
+        .otherwise(0.0))).head().getDouble(0)
+    assert(acc == 1.0, s"sparse softmax under-converged: acc=$acc")
+    assert(scored.head().getSeq[Double](1).length == 3)
+    // importance weight w behaves exactly like w copies of the row
+    val weighted = idx3.withColumn("w",
+      when(col("id") < 30, 3.0).otherwise(1.0))
+    val tripled = idx3.filter(col("id") < 30)
+      .union(idx3.filter(col("id") < 30)).union(idx3)
+    val mw = Classifier.trainSoftmaxSparse(weighted, "idx", "y", dim,
+      numClasses = 3, iters = 20, lr = 0.5, weightCol = Some("w"))
+    val mt = Classifier.trainSoftmaxSparse(tripled, "idx", "y", dim,
+      numClasses = 3, iters = 20, lr = 0.5)
+    mw.weights.flatMap(_.toSeq).zip(mt.weights.flatMap(_.toSeq))
+      .foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"$a vs $b")
+      }
+    // loud guards: label outside [0, C); partial-size cap
+    intercept[Exception](Classifier.trainSoftmaxSparse(
+      idx3.withColumn("y", lit(7)), "idx", "y", dim, numClasses = 3,
+      iters = 1))
+    intercept[IllegalArgumentException](Classifier.trainSoftmaxSparse(
+      idx3, "idx", "y", dim = 1 << 22, numClasses = 3, iters = 1))
+  }
+
+  test("aucBinned: equals aucExact when the distinct scores fit the " +
+    "bins; tracks it within tolerance on a continuous margin") {
+    val rnd = new scala.util.Random(17)
+    // quantized regime: 8 distinct scores, each with real mass — every
+    // value lands on a KLL edge, the binning is a bijection on values,
+    // so binned AUC is bit-equal to exact
+    val quant = (0 until 500).map { i =>
+      val sc = rnd.nextInt(8).toDouble
+      (i.toLong, sc, sc + rnd.nextDouble() * 4.0 > 5.5)
+    }.toDF("id", "score", "label")
+    val ex = Classifier.aucExact(quant, "score", "label").head()
+    val bi = Classifier.aucBinned(quant, "score", "label").head()
+    assert(ex.getLong(0) == bi.getLong(0))
+    assert(ex.getLong(1) == bi.getLong(1))
+    assert(ex.getDouble(2) == bi.getDouble(2))
+    // continuous regime: ~2000 distinct doubles — the caller trap
+    // aucExact documents; binned stays within a percent at 1024 bins
+    val cont = (0 until 2000).map { i =>
+      val sc = rnd.nextGaussian()
+      (i.toLong, sc, sc + rnd.nextGaussian() * 0.5 > 0.0)
+    }.toDF("id", "score", "label")
+    val exC = Classifier.aucExact(cont, "score", "label").head().getDouble(2)
+    val biC = Classifier.aucBinned(cont, "score", "label").head().getDouble(2)
+    assert(math.abs(exC - biC) < 0.01, s"exact=$exC binned=$biC")
+    // NaN scores are excluded on both paths
+    val withNaN = cont.union(Seq((9999L, Double.NaN, true))
+      .toDF("id", "score", "label"))
+    assert(Classifier.aucBinned(withNaN, "score", "label")
+      .head().getDouble(2) == biC)
+    // constant scores: no edges, one bin, AUC is the coin-flip 0.5
+    val const = (0 until 50).map(i => (i.toLong, 1.0, i % 2 == 0))
+      .toDF("id", "score", "label")
+    assert(Classifier.aucBinned(const, "score", "label")
+      .head().getDouble(2) == 0.5)
+  }
+
   test("crossValidate: every row scored out-of-fold exactly once; " +
     "folds partition by the id hash; OOF decisions recover a " +
     "well-separated concept") {
