@@ -1,12 +1,59 @@
 package graft.cli
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.Database
 
 /** Thin CLI mains over the database (ref bin/psweep-db2json,
-  * bin/psweep-db2table, cli.py check-calc-dir). */
+  * bin/psweep-db2table, cli.py check-calc-dir).
+  *
+  * The export mains accept time-travel flags (the shell-pipeline
+  * face of [[Database.asOf]]/[[Database.changes]]):
+  *   - `--as-of <runSeq>` — the db exactly as that run left it;
+  *   - `--changes <afterRun>[,<untilRun>]` — only rows appended in
+  *     the interval.
+  * Both are manifest-pruned: a one-run dump of a 10,000-run db reads
+  * one run's files. */
 object Cli {
+  /** Split `--flag value` pairs from positional args. */
+  private[cli] def splitFlags(args: Array[String], flags: Set[String])
+      : (Map[String, String], Array[String]) = {
+    val fl = scala.collection.mutable.Map.empty[String, String]
+    val pos = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      if (flags(args(i))) {
+        require(i + 1 < args.length, s"${args(i)} needs a value")
+        fl(args(i)) = args(i + 1); i += 2
+      } else { pos += args(i); i += 1 }
+    }
+    (fl.toMap, pos.toArray)
+  }
+
+  /** Resolve the frame an export main should dump: full read by
+    * default, [[Database.asOf]] under `--as-of`, [[Database.changes]]
+    * under `--changes from[,to]`. */
+  private[cli] def frame(db: Database,
+                         flags: Map[String, String]): DataFrame = {
+    val asOf = flags.get("--as-of")
+    val ch = flags.get("--changes")
+    require(asOf.isEmpty || ch.isEmpty,
+      "--as-of and --changes are mutually exclusive")
+    (asOf, ch) match {
+      case (Some(r), _) => db.asOf(r.toLong)
+      case (_, Some(iv)) =>
+        iv.split(",").map(_.trim) match {
+          case Array(from) => db.changes(from.toLong)
+          case Array(from, to) => db.changes(from.toLong, to.toLong)
+          case _ => throw new IllegalArgumentException(
+            s"--changes wants from[,to], got '$iv'")
+        }
+      case _ => db.read()
+    }
+  }
+
+  private[cli] val timeFlags = Set("--as-of", "--changes")
+
   private[cli] def session(): SparkSession = {
     val s = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -21,24 +68,32 @@ object Cli {
   }
 }
 
-/** `db2json <calcDir> <outPath>` — JSON export (ref bin/psweep-db2json). */
+/** `db2json <calcDir> <outPath> [--as-of <run> | --changes <from>[,<to>]]`
+  * — JSON export (ref bin/psweep-db2json), optionally of a historical
+  * or delta frame. */
 object Db2Json {
   def main(args: Array[String]): Unit = {
-    val Array(calcDir, outPath) = args.take(2)
+    val (flags, pos) = Cli.splitFlags(args, Cli.timeFlags)
+    val Array(calcDir, outPath) = pos.take(2)
     val spark = Cli.session()
-    Database(spark, calcDir).writeJson(outPath)
+    val db = Database(spark, calcDir)
+    db.writeJson(outPath, Cli.frame(db, flags))
     spark.stop()
   }
 }
 
-/** `db2table <calcDir> [n]` — tabular display, prefix cols hidden, sorted
-  * column names (ref bin/psweep-db2table). */
+/** `db2table <calcDir> [n] [--as-of <run> | --changes <from>[,<to>]]` —
+  * tabular display, prefix cols hidden, sorted column names
+  * (ref bin/psweep-db2table), optionally of a historical or delta
+  * frame. */
 object Db2Table {
   def main(args: Array[String]): Unit = {
-    val calcDir = args(0)
-    val n = if (args.length > 1) args(1).toInt else 20
+    val (flags, pos) = Cli.splitFlags(args, Cli.timeFlags)
+    val calcDir = pos(0)
+    val n = if (pos.length > 1) pos(1).toInt else 20
     val spark = Cli.session()
-    Database.printableDF(Database(spark, calcDir).read()).show(n, truncate = false)
+    val db = Database(spark, calcDir)
+    Database.printableDF(Cli.frame(db, flags)).show(n, truncate = false)
     spark.stop()
   }
 }

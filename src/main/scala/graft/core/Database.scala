@@ -24,6 +24,15 @@ class Database(val spark: SparkSession, val calcDir: String,
 
   val dbPath: String = s"$calcDir/$basename"
 
+  // this db is an ENGINE-OWNED store: sizing probes over frames read
+  // from it persist under `$dbPath/_graft_stats` by default (the
+  // underscore dir is invisible to the parquet reader, like
+  // `_graft_skip`), so a fresh process serves them without re-probing;
+  // read-only inputs stay opt-in via Stats.enablePersistence. The
+  // fingerprint (path + len + mtime of every input file) makes a stale
+  // serve impossible across appends/rewrites.
+  graft.ops.Stats.registerStore(dbPath, s"$dbPath/_graft_stats")
+
   /** Single-writer lock file. The database supports ONE writer at a time
     * (same contract as the reference's pickle database); the lock turns a
     * silent race into a loud error. */
@@ -530,8 +539,13 @@ class Database(val spark: SparkSession, val calcDir: String,
 
   /** JSON export of the database (the `psweep-db2json` sink, ref
     * bin/psweep-db2json:48-51): records orient, ISO timestamps. */
-  def writeJson(outPath: String): Unit =
-    read().coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+  def writeJson(outPath: String): Unit = writeJson(outPath, read())
+
+  /** [[writeJson]] over an explicit frame — the seam the CLI's
+    * `--as-of` / `--changes` flags use to export a historical or
+    * delta view with the same formatting contract. */
+  def writeJson(outPath: String, frame: DataFrame): Unit =
+    frame.coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
       .write.mode("overwrite")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
       .json(outPath)

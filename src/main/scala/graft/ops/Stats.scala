@@ -48,14 +48,54 @@ object Stats {
 
   @volatile private var persistDir: Option[String] = None
 
-  /** Enable the persisted tier: probe results land as tiny files under
-    * `dir` (created if absent) and are consulted before probing. */
+  /** Enable the persisted tier GLOBALLY: probe results land as tiny
+    * files under `dir` (created if absent) and are consulted before
+    * probing. Deployment policy — takes precedence over registered
+    * per-store tiers. */
   def enablePersistence(dir: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     persistDir = Some(dir)
   }
 
   def disablePersistence(): Unit = persistDir = None
+
+  /** Per-store persisted tiers: an ENGINE-OWNED store (a [[graft.core
+    * .Database]]) registers its path so sizing probes over frames read
+    * entirely from under it persist next to the store by default — a
+    * fresh process then serves them without the global opt-in (which
+    * stays the policy knob for read-only inputs, where writing a stats
+    * dir is not ours to decide). A probe persists to a store's dir
+    * only when EVERY input file of the probed frame lives under that
+    * store (longest registered prefix wins); anything else keeps the
+    * old behavior. Writes are best-effort and atomic; the fingerprint
+    * already guarantees a stale entry can never be served. */
+  private val stores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def registerStore(pathPrefix: String, statsDir: String): Unit =
+    stores.put(stripScheme(pathPrefix).stripSuffix("/"), statsDir)
+
+  def unregisterStore(pathPrefix: String): Unit =
+    stores.remove(stripScheme(pathPrefix).stripSuffix("/")): Unit
+
+  /** Normalize a path or file URI to its plain path ("file:/a",
+    * "file:///a" and "/a" all compare equal); unparseable strings pass
+    * through raw (they then only ever match themselves). */
+  private def stripScheme(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      if (u.getScheme == null || u.getPath == null) p else u.getPath
+    } catch { case _: java.net.URISyntaxException => p }
+
+  private def storeDirFor(files: Array[String]): Option[String] = {
+    if (stores.isEmpty || files.isEmpty) return None
+    import scala.jdk.CollectionConverters._
+    stores.asScala.toSeq.sortBy(-_._1.length).collectFirst {
+      case (prefix, dir)
+          if files.forall(f => stripScheme(f).startsWith(prefix + "/")) =>
+        dir
+    }
+  }
 
   /** Drop every process-level memo entry (persisted entries stay). */
   def invalidate(): Unit = memo.clear()
@@ -137,13 +177,16 @@ object Stats {
     val key = fingerprint(df, descriptor)
     val hit = memo.get(key)
     if (hit != null) return hit
-    val persisted = persistDir.flatMap(readPersisted(_, key))
+    // effective persisted tier: the global dir (deployment policy)
+    // wins; otherwise an engine-owned store containing ALL input files
+    val dir = persistDir.orElse(storeDirFor(df.inputFiles))
+    val persisted = dir.flatMap(readPersisted(_, key))
     persisted match {
       case Some(vs) => memoPut(key, vs); vs
       case None =>
         val vs = probe
         memoPut(key, vs)
-        persistDir.foreach(writePersisted(_, key, vs))
+        dir.foreach(writePersisted(_, key, vs))
         vs
     }
   }
@@ -169,6 +212,8 @@ object Stats {
   private def writePersisted(dir: String, key: String,
                              vs: Seq[Long]): Unit =
     try {
+      // store-registered dirs are created lazily, on first write
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       val tmp = java.nio.file.Paths.get(dir, s".$key.tmp")
       java.nio.file.Files.write(tmp, vs.mkString(",").getBytes("UTF-8"))
       java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, key),

@@ -97,6 +97,50 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("engine-owned store: a Database's sizing probes persist under " +
+    "$db/_graft_stats by DEFAULT — a memo wipe (fresh process) serves " +
+    "with zero probe jobs; appends still invalidate; read-only inputs " +
+    "stay opt-in") {
+    import graft.core.Database
+    Stats.disablePersistence(); Stats.invalidate()
+    val calc = tmpDir()
+    val db = Database(spark, calc)
+    def runDf(r: Int, n: Int) = spark.range(0, n).select(
+      concat(lit(s"p$r-"), col("id")).as("_pset_id"),
+      col("id").as("_pset_seq"), lit(r.toLong).as("_run_seq"),
+      lit(s"run$r").as("_run_id"), col("id").cast("double").as("x"))
+    db.append(runDf(0, 200))
+    var probes = 0
+    def size(): Long = {
+      val df = db.read()
+      Stats.cachedLong(df, "spec:store") { probes += 1; df.count() }
+    }
+    assert(size() == 200L && probes == 1)
+    val statsDir = java.nio.file.Paths.get(s"${db.dbPath}/_graft_stats")
+    assert(java.nio.file.Files.isDirectory(statsDir),
+      "probe result did not persist next to the store")
+    Stats.invalidate() // fresh process: memo gone, store tier remains
+    assert(size() == 200L && probes == 1) // zero probe jobs
+    // staleness contract unchanged: new files => new fingerprint
+    db.append(runDf(1, 100))
+    Stats.invalidate()
+    assert(size() == 300L && probes == 2)
+    // a plain parquet input OUTSIDE any registered store persists
+    // nothing (writing a stats dir into read-only inputs is not ours
+    // to decide) — a memo wipe re-probes
+    val plain = tmpDir()
+    (0 until 50).map(i => ("g0", i.toLong)).toDF("g", "v")
+      .write.parquet(s"$plain/t")
+    var p2 = 0
+    def plainSize(): Long = {
+      val df = spark.read.parquet(s"$plain/t")
+      Stats.cachedLong(df, "spec:plain-store") { p2 += 1; df.count() }
+    }
+    assert(plainSize() == 50L && p2 == 1)
+    Stats.invalidate()
+    assert(plainSize() == 50L && p2 == 2)
+  }
+
   test("in-memory inputs never alias: two LocalRelations sharing a " +
     "schema but not data fingerprint apart; RDD-backed frames bypass " +
     "the cache entirely") {
