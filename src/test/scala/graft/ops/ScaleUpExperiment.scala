@@ -840,4 +840,114 @@ class ScaleUpExperiment extends AnyFunSuite {
     assert(t10a / math.max(t1a, 0.5) < 25, "AUC scale-up ratio too high")
     d1.unpersist(); d10.unpersist()
   }
+
+  test("round-12 ops (trainSoftmax dense + sparse 2^12-dim router, " +
+    "crossValidate, calibrationCurve, online ledgered fold) scale " +
+    "~linearly") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow (~2 min): opt in with GRAFT_SCALEUP=1 sbt test")
+    import graft.SparkSpec.tmpDir
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val words = Seq("hash", "join", "sort")
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Classifier.vocabCountFeatures(Text.tokens(col("text")), words)
+          .as("f"),
+        Classifier.hashedIndices(filter(Text.tokens(col("text")),
+          t => t.isin(words.map(w => w: Any): _*)), 4096).as("idx"))
+    val c0 = element_at(col("f"), 1); val c1 = element_at(col("f"), 2)
+    val c2 = element_at(col("f"), 3)
+    val d1 = base
+      .withColumn("y",
+        when(c0 >= c1 && c0 >= c2, 0).when(c1 >= c2, 1).otherwise(2))
+      .withColumn("label", c0 >= 2.0)
+      .withColumn("margin", c0 * lit(0.25) - lit(0.375))
+      .cache()
+    val d10 = (0 until 10).map(i => d1.withColumn("doc_id",
+      col("doc_id") + lit(i * 10000000L))).reduce(_ unionByName _)
+      .repartition(16).cache()
+    d1.count(); d10.count()
+    // iteration-bounded trainers: 10x rows = 10x per-iteration scan
+    def softDense(d: org.apache.spark.sql.DataFrame): Unit =
+      assert(Classifier.trainSoftmax(d, "f", "y", dim = 3,
+        numClasses = 3, iters = 8).numClasses == 3)
+    val ts1 = time(softDense(d1)); val ts10 = time(softDense(d10))
+    println(f"[scaleup] trainSoftmax 1x=$ts1%.1fs 10x=$ts10%.1fs " +
+      f"ratio=${ts10 / ts1}%.1f")
+    assert(ts10 / math.max(ts1, 0.5) < 25)
+    def softSparse(d: org.apache.spark.sql.DataFrame): Unit =
+      assert(Classifier.trainSoftmaxSparse(d, "idx", "y", dim = 4096,
+        numClasses = 3, iters = 8).dim == 4096)
+    val tp1 = time(softSparse(d1)); val tp10 = time(softSparse(d10))
+    println(f"[scaleup] trainSoftmaxSparse 1x=$tp1%.1fs 10x=$tp10%.1fs " +
+      f"ratio=${tp10 / tp1}%.1f")
+    assert(tp10 / math.max(tp1, 0.5) < 25)
+    def cv(d: org.apache.spark.sql.DataFrame): Long =
+      Classifier.crossValidate(d, "f", "label", "doc_id", dim = 3,
+        k = 3, iters = 4).count()
+    val tc1 = time(cv(d1)); val tc10 = time(cv(d10))
+    println(f"[scaleup] crossValidate 1x=$tc1%.1fs 10x=$tc10%.1fs " +
+      f"ratio=${tc10 / tc1}%.1f")
+    assert(tc10 / math.max(tc1, 0.5) < 25)
+    // the bucketed-rank reliability curve: the shape that replaced the
+    // single-task ntile — 10x rows must NOT behave like a 10x single
+    // sort
+    def calib(d: org.apache.spark.sql.DataFrame): Long =
+      Classifier.calibrationCurve(d, "margin", "label", "doc_id").count()
+    val tb1 = time(calib(d1)); val tb10 = time(calib(d10))
+    println(f"[scaleup] calibrationCurve 1x=$tb1%.1fs 10x=$tb10%.1fs " +
+      f"ratio=${tb10 / tb1}%.1f")
+    assert(tb10 / math.max(tb1, 0.5) < 25)
+    // exactly-once online fold: batch 10x = 10x per-GD-step scan plus
+    // the constant swap-commit
+    def fold(d: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val p = s"${tmpDir(s"graft-su12-$tag-")}/model"
+      Classifier.updateModelOnline(d.select(col("idx"), col("label")),
+        p, "idx", "label", dim = 4096, iters = 8, lr = 0.5,
+        batchId = Some("b0")): Unit
+    }
+    val tf1 = time(fold(d1, "1x")); val tf10 = time(fold(d10, "10x"))
+    println(f"[scaleup] onlineFold 1x=$tf1%.1fs 10x=$tf10%.1fs " +
+      f"ratio=${tf10 / tf1}%.1f")
+    assert(tf10 / math.max(tf1, 0.5) < 25)
+    d1.unpersist(); d10.unpersist()
+  }
+
+  test("round-12: asOf/changes files-read stays one run's files on a " +
+    "10x-deeper run log") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow (~1.5 min): opt in with GRAFT_SCALEUP=1 sbt test")
+    import graft.SparkSpec.tmpDir
+    import graft.core.Database
+    def mk(runs: Int): Database = {
+      val db = Database(spark, tmpDir(s"graft-su12-log$runs-"))
+      (0 until runs).foreach { r =>
+        db.append(spark.range(0, 40).select(
+          concat(lit(s"p$r-"), col("id")).as("_pset_id"),
+          col("id").as("_pset_seq"), lit(r.toLong).as("_run_seq"),
+          lit(s"run$r").as("_run_id"),
+          col("id").cast("double").as("x")))
+        if (r == 0) db.rebuildSkipManifest()
+      }
+      db
+    }
+    val db1 = mk(10); val db10 = mk(100)
+    assert(db1.manifestFresh && db10.manifestFresh)
+    // a ONE-RUN delta touches one run's files no matter how deep the
+    // log is — the pruning contract that makes the CDC read O(delta)
+    val f1 = db1.changes(7L, 8L).inputFiles.length
+    val f10 = db10.changes(97L, 98L).inputFiles.length
+    println(s"[scaleup] changes one-run delta files: 10-run log=$f1, " +
+      s"100-run log=$f10")
+    assert(f10 == f1, s"delta read $f10 files on the deep log vs $f1")
+    assert(db10.changes(97L, 98L).count() == 40L)
+    // asOf(0) likewise reads run 0 only
+    val a1 = db1.asOf(0L).inputFiles.length
+    val a10 = db10.asOf(0L).inputFiles.length
+    assert(a10 == a1, s"asOf(0) read $a10 files on the deep log vs $a1")
+    assert(db10.asOf(0L).count() == 40L)
+  }
 }

@@ -124,4 +124,165 @@ class PlanAuditSweepSpec extends AnyFunSuite {
       .filter(f => f.kind == "CARTESIAN" || f.kind == "NESTED_LOOP")
     assert(bad.nonEmpty, "keyless streaming join should flag")
   }
+
+  test("foreachBatch sink folds: every plan each sink ACTUALLY " +
+    "executes per micro-batch audits clean of row-level loop joins; " +
+    "a deliberately keyless batch join inside a sink flags") {
+    // The pre-start audit above lints the stream's TRANSFORM plan, but
+    // a foreachBatch sink's real work is the batch composition inside
+    // the closure (score+fold, probe+anti-join, ...), which only
+    // materializes per micro-batch. Capture those plans with a
+    // QueryExecutionListener while running each sink's fold function
+    // once on a static micro-batch stand-in, and audit every captured
+    // physical plan. Listener delivery is async but FIFO, so a marker
+    // action with a unique literal flushes the queue deterministically.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions._
+    import graft.ops._
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { captured.add(qe.executedPlan); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    var marker = 7654000L
+    def flush(): Unit = {
+      marker += 1
+      val m = marker
+      spark.range(1).filter(col("id") =!= m).count(): Unit
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!captured.asScala.exists(_.toString.contains(m.toString)) &&
+        System.nanoTime() < deadline) Thread.sleep(25)
+      assert(captured.asScala.exists(_.toString.contains(m.toString)),
+        "listener flush timed out")
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-fbaudit-").toString
+      val batch = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("text")).limit(80).cache()
+      batch.count(): Unit
+      val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        .limit(60).cache()
+      vecs.count(): Unit
+      // one-time offline setup the bloom/PQ sinks assume
+      val (bloom, refSh) = Contamination.buildReferenceBloom(
+        batch.limit(10), n = 5, expectedItems = 10000L)
+      refSh.cache().count(): Unit
+      Similarity.buildPqIndex(vecs, s"$dir/pq", m = 2, codewords = 4,
+        iters = 1)
+      val clfBatch = batch.select(col("doc_id"),
+        Classifier.hashedIndices(Text.tokens(col("text")), 64).as("idx"),
+        (size(filter(Text.tokens(col("text")), t => t === "hash")) >= 2)
+          .as("label"))
+      // each entry runs EXACTLY the composition its Monitor sink's
+      // foreachBatch closure performs, once
+      val folds: Seq[(String, () => Unit)] = Seq(
+        "incrementalDedupSink" -> (() => {
+          Dedup.incrementalExactDedup(batch, s"$dir/exact", "text",
+            "doc_id",
+            sinkFirst = _.write.mode("append").parquet(s"$dir/exact_out"))
+          ()
+        }),
+        "minhashDedupSink" -> (() => {
+          Dedup.incrementalMinhashDedup(batch, s"$dir/near",
+            sinkFirst = _.write.mode("append").parquet(s"$dir/near_out"))
+          ()
+        }),
+        "simhashDedupSink" -> (() => {
+          Dedup.incrementalSimhashDedup(batch, s"$dir/sim",
+            sinkFirst = _.write.mode("append").parquet(s"$dir/sim_out"))
+          ()
+        }),
+        "bm25IndexSink" -> (() => {
+          Retrieval.appendToBm25Index(batch, s"$dir/bm25",
+            batchId = Some("b0"), skipDuplicate = true)
+          ()
+        }),
+        "sketchSink" -> (() => {
+          Sketch.incrementalSketch(batch, s"$dir/kmv", "source",
+            col("doc_id"), 64)
+          ()
+        }),
+        "quantileSketchSink" -> (() => {
+          Quantile.incrementalQuantileSketch(
+            batch.withColumn("v", col("doc_id").cast("double")),
+            s"$dir/kll", "source", col("v"), 64, batchId = Some("b0"))
+          ()
+        }),
+        "classifierSink" -> (() => {
+          Classifier.updateModelOnline(clfBatch, s"$dir/model", "idx",
+            "label", 64, iters = 2, batchId = Some("b0"))
+          ()
+        }),
+        "profileSink" -> (() => {
+          Sketch.incrementalColumnProfile(batch, s"$dir/prof",
+            Seq("source"), Seq("doc_id"), 64, 64, batchId = Some("b0"))
+          ()
+        }),
+        "freqSketchSink" -> (() => {
+          Freq.incrementalFreqSketch(batch, s"$dir/freq", "source",
+            col("doc_id"), 64, batchId = Some("b0"))
+          ()
+        }),
+        "prioritySampleSink" -> (() => {
+          Sampling.incrementalPrioritySample(batch, s"$dir/res",
+            col("doc_id"), lit(1.0), 10)
+          ()
+        }),
+        "spanDedupSink" -> (() => {
+          SpanDedup.incrementalDuplicatedSpans(batch, s"$dir/span", 8,
+            batchId = Some("b0"),
+            sinkFirst = _.write.mode("append").parquet(s"$dir/span_out"))
+          ()
+        }),
+        "bloomDecontaminationSink" -> (() => {
+          val bad = Contamination.bloomReportWith(batch, bloom, refSh,
+            minShared = 1, n = 5).select(col("id").as("doc_id"))
+          batch.join(bad, Seq("doc_id"), "left_anti")
+            .selectExpr("doc_id", "source")
+            .write.mode("append").parquet(s"$dir/bloom_out")
+        }),
+        "pqIndexSink" -> (() => {
+          Similarity.appendToPqIndex(vecs, s"$dir/pq")
+          ()
+        }),
+        "semanticDedupSink" -> (() => {
+          Similarity.incrementalSemanticDedup(vecs, s"$dir/sem", 0.95)
+            .write.mode("append").parquet(s"$dir/sem_out")
+        }))
+      val audited = folds.map { case (name, run) =>
+        captured.clear()
+        run()
+        flush()
+        val plans = captured.asScala.toSeq
+        assert(plans.size >= 2, // the fold's own plans + the marker
+          s"$name: no micro-batch plan captured")
+        val bad = plans.flatMap(PlanAudit.auditPlan)
+          .filter(f => f.kind == "CARTESIAN" || f.kind == "NESTED_LOOP")
+        (name, plans.size - 1, bad)
+      }
+      val flagged = audited.filter(_._3.nonEmpty)
+      assert(flagged.isEmpty, "sink micro-batch loop-join shapes:\n" +
+        flagged.map(t => s"${t._1}: ${t._3}").mkString("\n"))
+      info(audited.map(t => s"${t._1}=${t._2} plans").mkString(", "))
+      // teeth: a sink whose per-batch composition joins without a key
+      // must flag through the same capture
+      captured.clear()
+      val other = batch.select(col("doc_id").as("other_id"))
+      batch.join(other, col("doc_id") =!= col("other_id")).count(): Unit
+      flush()
+      val teeth = captured.asScala.toSeq.flatMap(PlanAudit.auditPlan)
+        .filter(f => f.kind == "CARTESIAN" || f.kind == "NESTED_LOOP")
+      assert(teeth.nonEmpty,
+        "the deliberately keyless batch join did not flag")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
