@@ -52,6 +52,8 @@ object ClassifierDemo {
       .withColumn("predicted", col("margin") > 0)
     Classifier.confusion(scored, "label", "predicted").show()
     Classifier.aucExact(scored, "margin", "label").show()
+    // continuous-score-safe AUC: KLL edges bound the group relation
+    Classifier.aucBinned(scored, "margin", "label", bins = 256).show()
     Classifier.calibrationCurve(scored, "margin", "label", "doc_id",
       bins = 5).show()
 
@@ -75,6 +77,30 @@ object ClassifierDemo {
       dim = 3, numClasses = 3)
     multi.select(Classifier.softmaxPredictExpr(col("f3"), sm)
       .as("predicted"))
+      .groupBy(col("predicted")).count().orderBy(col("predicted")).show()
+
+    println("== multiclass at hashed scale: distill + sparse GD polish ==")
+    // the dense router's weights land at their words' xxhash bins
+    // (same linear form, so the distilled logits are exact), then
+    // warm-started sparse GD polishes in the 4096-bin serving space —
+    // the CCNet-at-scale shape the dense Newton cap bars
+    val hdim = 4096
+    val multiIdx = multi.withColumn("idx", Classifier.hashedIndices(
+      filter(Text.tokens(col("text")),
+        t => t.isin(words3.map(w => w: Any): _*)), hdim))
+    val bins3 = spark.range(1).select(words3.map(w =>
+      pmod(xxhash64(lit(w)), lit(hdim.toLong)).cast("int").as(w)): _*)
+      .head()
+    val wInit = Array.tabulate(2) { c =>
+      val row = new Array[Double](hdim + 1)
+      words3.indices.foreach(i => row(bins3.getInt(i)) += sm.weights(c)(i))
+      row(hdim) = sm.weights(c)(words3.size)
+      row
+    }
+    val smSparse = Classifier.trainSoftmaxSparse(multiIdx, "idx",
+      "label3", hdim, numClasses = 3, iters = 20, lr = 0.5,
+      init = Some(Classifier.SoftmaxModel(wInit, 3)))
+    Classifier.scoreSoftmaxSparse(multiIdx, "doc_id", "idx", smSparse)
       .groupBy(col("predicted")).count().orderBy(col("predicted")).show()
 
     println("== select: per-source token budgets in margin order ==")
