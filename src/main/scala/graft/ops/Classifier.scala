@@ -983,8 +983,12 @@ object Classifier {
     * it. Returns `(idCol, fold, margin)` — feed [[confusion]] /
     * [[aucExact]] / [[calibrationCurve]] for honest generalization
     * metrics instead of training-set ones. Cost: k trainings (k·iters
-    * jobs) + k scoring passes; the input projection is cached across
-    * folds. */
+    * jobs) + k scoring passes over one cached projection — and the
+    * folds are INDEPENDENT, so they train as k concurrent driver
+    * threads submitting jobs against the shared cluster (wall-clock
+    * tracks the slowest fold, not the sum; each fold's result is a
+    * pure function of its own partition contents, so concurrency
+    * cannot move a bit — ClassifierSpec pins the OOF frame). */
   def crossValidate(df: DataFrame, featuresCol: String, labelCol: String,
                     idCol: String, dim: Int, k: Int = 5,
                     iters: Int = 12, l2: Double = 1e-2): DataFrame = {
@@ -994,13 +998,24 @@ object Classifier {
       pmod(xxhash64(col(idCol)), lit(k.toLong)).cast("int").as("__fold"))
     folded.persist()
     try {
-      val oof = (0 until k).map { fold =>
-        val model = trainLogistic(folded.filter(col("__fold") =!= fold),
-          "__f", labelCol, dim, iters, l2)
-        folded.filter(col("__fold") === fold)
-          .select(col(idCol), col("__fold").as("fold"),
-            marginExpr(col("__f"), model).as("margin"))
-      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(k)
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val oof =
+        try {
+          import scala.concurrent.{Await, Future}
+          val futs = (0 until k).map { fold =>
+            Future {
+              val model = trainLogistic(
+                folded.filter(col("__fold") =!= fold),
+                "__f", labelCol, dim, iters, l2)
+              folded.filter(col("__fold") === fold)
+                .select(col(idCol), col("__fold").as("fold"),
+                  marginExpr(col("__f"), model).as("margin"))
+            }(ec)
+          }
+          futs.map(f =>
+            Await.result(f, scala.concurrent.duration.Duration.Inf))
+        } finally { pool.shutdown() }
       oof.reduce(_.unionByName(_))
     } finally { folded.unpersist(): Unit }
   }
