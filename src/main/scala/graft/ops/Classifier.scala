@@ -925,13 +925,29 @@ object Classifier {
     val y = col(labelCol).cast("boolean")
     val valid = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
       .select(s.as("__s"), y.as("__y"), col(tieCol).as("__t"))
-    val nb = math.max(2, math.min(256,
-      spark.sparkContext.defaultParallelism * 4))
-    val edges = valid.stat.approxQuantile("__s",
-      (1 until nb).map(_.toDouble / nb).toArray, 0.01).distinct.sorted
+    // the two driver-side phases (edges, counts) would otherwise each
+    // re-evaluate the caller's upstream (a tokenize + margin chain is
+    // typical) — cache the narrow 3-column projection across them and
+    // release it before returning (the lazy result recomputes once)
+    valid.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (edges, counts) =
+      try {
+        val nb = math.max(2, math.min(256,
+          spark.sparkContext.defaultParallelism * 4))
+        val e = valid.stat.approxQuantile("__s",
+          (1 until nb).map(_.toDouble / nb).toArray, 0.01)
+          .distinct.sorted.toSeq
+        val bktE =
+          if (e.isEmpty) lit(0)
+          else size(filter(typedLit(e), x => col("__s") > x))
+        val c = valid.groupBy(bktE.as("__b"))
+          .agg(count(lit(1)).as("__n"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        (e, c)
+      } finally { valid.unpersist(): Unit }
     val bkt =
       if (edges.isEmpty) lit(0)
-      else size(filter(typedLit(edges.toSeq), e => col("__s") > e))
+      else size(filter(typedLit(edges), e => col("__s") > e))
     val tagged = valid.withColumn("__b", bkt)
     def grouped(binned: DataFrame, bin: Column) = binned
       .groupBy(bin.cast("int").as("bin"))
@@ -939,9 +955,6 @@ object Classifier {
         avg(col("__s")).as("mean_score"),
         avg(when(col("__y"), 1.0).otherwise(0.0)).as("pos_rate"))
       .orderBy(col("bin"))
-    val counts = tagged.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val total = counts.map(_._2).sum
     // empty input: the grouped shape of an empty frame IS the answer
     if (total == 0L) return grouped(tagged, col("__b"))
