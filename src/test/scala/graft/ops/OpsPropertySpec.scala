@@ -436,4 +436,34 @@ class OpsPropertySpec extends AnyFunSuite {
         s"local edit farther than rewrite for words=$words")
     }
   }
+
+  test("calibrationCurve == single-window NTILE replay for random " +
+    "sizes, bins, and tie-heavy quantized scores") {
+    // the bucketed prefix-sum fan-out must be indistinguishable from
+    // the naive unpartitioned ntile for ANY (N, bins) split — odd
+    // remainders, more bins than rows, every row tied, one row
+    import org.apache.spark.sql.expressions.Window
+    val caseGen = for {
+      n <- Gen.choose(1, 160)
+      bins <- Gen.choose(1, 13)
+      distinct <- Gen.oneOf(1, 2, 5, 40) // 1 = all scores tied
+    } yield (n, bins, distinct)
+    sample(caseGen, 8).foreach { case (n, bins, distinct) =>
+      val rnd = new scala.util.Random(n * 31 + bins)
+      val rows = (0 until n).map { i =>
+        (i.toLong, rnd.nextInt(distinct).toDouble / 4.0,
+          rnd.nextBoolean())
+      }.toDF("id", "score", "label")
+      val got = Classifier.calibrationCurve(rows, "score", "label",
+        "id", bins).collect().toSeq
+      val expect = rows
+        .withColumn("bin", ntile(bins).over(
+          Window.orderBy(col("score").asc, col("id").asc)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), avg(col("score")).as("mean_score"),
+          avg(when(col("label"), 1.0).otherwise(0.0)).as("pos_rate"))
+        .orderBy(col("bin")).collect().toSeq
+      assert(got == expect, s"n=$n bins=$bins distinct=$distinct")
+    }
+  }
 }
