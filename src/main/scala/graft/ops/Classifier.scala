@@ -665,6 +665,28 @@ object Classifier {
   def softmaxPredictExpr(features: Column, model: SoftmaxModel): Column =
     argmaxExpr(softmaxLogits(features, model))
 
+  /** Per-class logits of a [[SoftmaxModel]] over SPARSE index features
+    * as literal-ARRAY expressions: `logit_c = bias_c + Σ_{i∈idx}
+    * w_c[i]`, each class's weight vector inlined as an array literal
+    * and folded per row by `aggregate` — fully codegen'd and
+    * STATELESS (no explode, no re-aggregation, no shuffle), so it
+    * rides a streaming plan in append mode with no state store: the
+    * score-at-ingest shape for the distilled router. Plan size
+    * carries (C−1)·dim literal doubles — right for the ≤ few-K dim
+    * regime; a 2^18-entry model belongs in [[scoreSoftmaxSparse]]'s
+    * broadcast join instead. Summation is array order (vs the
+    * scorer's shuffle order), so logits may differ in ulps; decisions
+    * at sane margins do not (spec-pinned). */
+  def softmaxLogitsSparse(idx: Column, model: SoftmaxModel): Seq[Column] =
+    model.weights.toIndexedSeq.map { row =>
+      aggregate(idx, lit(row.last),
+        (acc, i) => acc + element_at(typedLit(row.init.toSeq), i + 1))
+    } :+ lit(0.0)
+
+  /** Predicted class: [[argmaxExpr]] over [[softmaxLogitsSparse]]. */
+  def softmaxPredictSparseExpr(idx: Column, model: SoftmaxModel): Column =
+    argmaxExpr(softmaxLogitsSparse(idx, model))
+
   // ---------------------------------------------------------------- //
   // the model as an incremental index — persistence + online updates
   // ---------------------------------------------------------------- //

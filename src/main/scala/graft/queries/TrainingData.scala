@@ -54,6 +54,37 @@ object TrainingData {
   private val softmaxModels = scala.collection.concurrent.TrieMap
     .empty[String, graft.ops.Classifier.SoftmaxModel]
 
+  /** The distilled-and-polished hashed-bin sparse domain router shared
+    * by the batch and streaming sparse-router queries, memoized per sf
+    * dir: dense Newton router (itself memoized with the dense query)
+    * distilled into the hashed bins — each vocab word's class weight
+    * lands at its xxhash bin, exact since the hashed logit is the same
+    * linear form — then polished by warm-started sparse GD. `feats`
+    * must carry `f` (vocab counts), `idx` (hashed indices), `label`. */
+  private def sparseDomainModel(s: SparkSession, dir: String,
+                                feats: DataFrame, words: Seq[String],
+                                dim: Int)
+      : graft.ops.Classifier.SoftmaxModel =
+    softmaxModels.getOrElseUpdate(s"$dir#sparse", {
+      val dense = softmaxModels.getOrElseUpdate(dir,
+        Classifier.trainSoftmax(feats, "f", "label", dim = words.size,
+          numClasses = 3))
+      // += guards the astronomically-unlikely word-bin collision
+      val bins = s.range(1).select(words.map(w =>
+        pmod(xxhash64(lit(w)), lit(dim.toLong)).cast("int").as(w)): _*)
+        .head()
+      val wInit = Array.tabulate(2) { c =>
+        val row = new Array[Double](dim + 1)
+        words.indices.foreach(i =>
+          row(bins.getInt(i)) += dense.weights(c)(i))
+        row(dim) = dense.weights(c)(words.size) // bias last
+        row
+      }
+      Classifier.trainSoftmaxSparse(feats, "idx", "label", dim,
+        numClasses = 3, iters = 30, lr = 0.5,
+        init = Some(Classifier.SoftmaxModel(wInit, 3)))
+    })
+
   /** Unique memory-sink names for repeated streaming runs within one
     * session (the Relational.streamQueryId convention). */
   private val streamQueryId = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -272,27 +303,7 @@ object TrainingData {
         .withColumn("unique_max",
           (c0 > c1 && c0 > c2) || (c1 > c0 && c1 > c2) ||
             (c2 > c0 && c2 > c1))
-      val model = softmaxModels.getOrElseUpdate(s"$dir#sparse", {
-        // the dense Newton router (shared with q_doc_domain_classifier)
-        val dense = softmaxModels.getOrElseUpdate(dir,
-          Classifier.trainSoftmax(feats, "f", "label", dim = words.size,
-            numClasses = 3))
-        // distill: word i's class weight lands at bin xxhash64(w_i)
-        // mod dim (+= guards the astronomically-unlikely collision)
-        val bins = s.range(1).select(words.map(w =>
-          pmod(xxhash64(lit(w)), lit(dim.toLong)).cast("int").as(w)): _*)
-          .head()
-        val wInit = Array.tabulate(2) { c =>
-          val row = new Array[Double](dim + 1)
-          words.indices.foreach(i =>
-            row(bins.getInt(i)) += dense.weights(c)(i))
-          row(dim) = dense.weights(c)(words.size) // bias last
-          row
-        }
-        Classifier.trainSoftmaxSparse(feats, "idx", "label", dim,
-          numClasses = 3, iters = 30, lr = 0.5,
-          init = Some(Classifier.SoftmaxModel(wInit, 3)))
-      })
+      val model = sparseDomainModel(s, dir, feats, words, dim)
       val uniq = feats.filter(col("unique_max"))
       val out = uniq.select(col("doc_id"), col("label"))
         .join(Classifier.scoreSoftmaxSparse(uniq, "doc_id", "idx", model)
@@ -343,6 +354,57 @@ object TrainingData {
         1.0).otherwise(0.0))).head().getDouble(0)
       require(acc == 1.0,
         s"streamed softmax diverged from the argmax rule: acc=$acc")
+      drained.select(col("doc_id"), col("predicted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // STREAMING sparse routing: the distilled 2^12-bin router rides
+    // the stream as the STATELESS literal-array logit fold
+    // (softmaxPredictSparseExpr) — no explode, no re-aggregation, no
+    // state store, append mode, constant memory: score-at-ingest for
+    // the hashed serving space (the broadcast-join scorer stays the
+    // batch/2^18 path). Offline half trains via the shared
+    // distill-and-polish helper; gate and oracle are the argmax rule
+    // on uniquely-argmaxed docs, shared with the batch router
+    "q_stream_domain_classifier_sparse" -> ((s, dir) => {
+      val words = Seq("hash", "join", "sort")
+      val dim = 4096
+      def f(c: Column) = Classifier.vocabCountFeatures(Text.tokens(c),
+        words)
+      def kept(c: Column) = filter(Text.tokens(c),
+        t => t.isin(words.map(w => w: Any): _*))
+      val c0 = element_at(col("f"), 1); val c1 = element_at(col("f"), 2)
+      val c2 = element_at(col("f"), 3)
+      val label = when(c0 >= c1 && c0 >= c2, 0).when(c1 >= c2, 1)
+        .otherwise(2)
+      val featsB = docs(s, dir).withColumn("f", f(col("text")))
+        .withColumn("idx", Classifier.hashedIndices(kept(col("text")),
+          dim))
+        .withColumn("label", label)
+      val model = sparseDomainModel(s, dir, featsB, words, dim)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .withColumn("f", f(col("text")))
+        .withColumn("idx", Classifier.hashedIndices(kept(col("text")),
+          dim))
+        .filter((c0 > c1 && c0 > c2) || (c1 > c0 && c1 > c2) ||
+          (c2 > c0 && c2 > c1))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          Classifier.softmaxPredictSparseExpr(col("idx"), model)
+            .as("predicted"),
+          label.as("label"))
+      val name = s"graft_stream_domsparse_${streamQueryId.incrementAndGet()}"
+      val q = stream.writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val drained = s.table(name)
+      val acc = drained.select(avg(when(col("predicted") === col("label"),
+        1.0).otherwise(0.0))).head().getDouble(0)
+      require(acc == 1.0,
+        s"streamed sparse router diverged from the argmax rule: acc=$acc")
       drained.select(col("doc_id"), col("predicted"))
         .orderBy(col("doc_id"))
     }),
@@ -3087,6 +3149,26 @@ object TrainingData {
     // the sparse router converges to the same rule (the query fails
     // loudly otherwise) — the shared argmax oracle
     "q_doc_domain_classifier_sparse" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'hash')) AS c0,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'join')) AS c1,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'sort')) AS c2
+        |  FROM documents
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(CASE WHEN c0 >= c1 AND c0 >= c2 THEN 0
+        |            WHEN c1 >= c2 THEN 1 ELSE 2 END AS INT) AS predicted
+        |FROM c
+        |WHERE (c0 > c1 AND c0 > c2) OR (c1 > c0 AND c1 > c2)
+        |   OR (c2 > c0 AND c2 > c1)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the streamed sparse router shares the argmax oracle too
+    "q_stream_domain_classifier_sparse" ->
       """WITH c AS (
         |  SELECT doc_id,
         |    len(list_filter(string_split_regex(text, '\s+'),

@@ -384,6 +384,14 @@ class ClassifierSpec extends AnyFunSuite {
         .otherwise(0.0))).head().getDouble(0)
     assert(acc == 1.0, s"sparse softmax under-converged: acc=$acc")
     assert(scored.head().getSeq[Double](1).length == 3)
+    // the STATELESS literal-array scorer (the streaming shape) decides
+    // identically to the broadcast-join scorer on the same model
+    val statelessAcc = idx3.select(col("y"),
+      Classifier.softmaxPredictSparseExpr(col("idx"), m3).as("p"))
+      .select(avg(when(col("p") === col("y"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(statelessAcc == 1.0,
+      s"stateless sparse scorer disagreed: acc=$statelessAcc")
     // importance weight w behaves exactly like w copies of the row
     val weighted = idx3.withColumn("w",
       when(col("id") < 30, 3.0).otherwise(1.0))
