@@ -152,6 +152,19 @@ class ClassifierSpec extends AnyFunSuite {
     val recovered = Classifier.updateModelOnline(b2, modelPath, "idx",
       "label", dim, iters = 150, batchId = Some("s:2"))
     assert(recovered.weights.sameElements(m2.weights))
+    // a LIVE writer's lock makes a second writer fail fast BEFORE it
+    // reads or trains (the lock brackets read-train-swap, so an
+    // overlapping writer can never fold from a stale model); a crashed
+    // holder is repaired by deleting the lock, per the message
+    assert(Fs.createExclusive(s"$modelPath.__lock", "pid=test"))
+    val raced = intercept[IllegalStateException](
+      Classifier.updateModelOnline(b1, modelPath, "idx", "label", dim,
+        iters = 1, batchId = Some("s:9")))
+    assert(raced.getMessage.contains("lock"), raced.getMessage)
+    Fs.delete(s"$modelPath.__lock")
+    val after = Classifier.updateModelOnline(b2, modelPath, "idx",
+      "label", dim, iters = 150, batchId = Some("s:2"))
+    assert(after.weights.sameElements(m2.weights))
   }
 
   test("confusion + aucExact: hand-computed cells, tie-averaged ranks, " +
