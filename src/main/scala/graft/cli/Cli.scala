@@ -15,7 +15,11 @@ import graft.core.Database
   * Both are manifest-pruned: a one-run dump of a 10,000-run db reads
   * one run's files. */
 object Cli {
-  /** Split `--flag value` pairs from positional args. */
+  /** Split `--flag value` pairs from positional args. Malformed
+    * invocations fail loudly instead of exporting the wrong frame: a
+    * repeated flag is an error (silent last-wins would dump a
+    * different history than the operator inspected), and a flag token
+    * in value position is an error (not silently consumed). */
   private[cli] def splitFlags(args: Array[String], flags: Set[String])
       : (Map[String, String], Array[String]) = {
     val fl = scala.collection.mutable.Map.empty[String, String]
@@ -24,6 +28,9 @@ object Cli {
     while (i < args.length) {
       if (flags(args(i))) {
         require(i + 1 < args.length, s"${args(i)} needs a value")
+        require(!args(i + 1).startsWith("--"),
+          s"${args(i)} needs a value, got flag '${args(i + 1)}'")
+        require(!fl.contains(args(i)), s"duplicate flag ${args(i)}")
         fl(args(i)) = args(i + 1); i += 2
       } else { pos += args(i); i += 1 }
     }

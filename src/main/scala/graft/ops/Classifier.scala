@@ -344,8 +344,10 @@ object Classifier {
     * with EMPTY index arrays still score (margin = bias). `idCol` must
     * be unique per row — colliding ids would silently merge their
     * margins into one (the re-aggregation cannot tell them apart).
-    * Returns `(idCol, margin)`; join it back or feed a threshold
-    * directly. */
+    * An index outside `[0, dim)` FAILS LOUDLY in-plan (a dim-mismatched
+    * featurizer would otherwise score as silently-dropped features —
+    * indistinguishable from a trained zero weight). Returns
+    * `(idCol, margin)`; join it back or feed a threshold directly. */
   def scoreSparse(df: DataFrame, idCol: String, idxCol: String,
                   model: LogisticModel): DataFrame = {
     val spark = df.sparkSession
@@ -357,7 +359,15 @@ object Classifier {
       .join(broadcast(wdf), Seq("__i"), "left")
       .groupBy(col(idCol))
       .agg((coalesce(sum(col("__w")), lit(0.0)) + lit(model.bias))
-        .as("margin"))
+        .as("__m"),
+        // a present index that matched no weight row is out of range
+        max(when(col("__i").isNotNull && col("__w").isNull, 1)
+          .otherwise(0)).as("__oob"))
+      .select(col(idCol),
+        when(col("__oob") === 1, raise_error(concat(
+          lit(s"sparse index outside model dim ${model.dim} at id "),
+          col(idCol).cast("string"))))
+          .otherwise(col("__m")).as("margin"))
   }
 
   /** Multinomial (softmax) model: `weights(c)` is class `c`'s
@@ -615,8 +625,9 @@ object Classifier {
     * tie-break. The model broadcast is (C−1)·dim doubles — a 2^18-bin
     * 9-class router is 16 MiB. Rows with EMPTY index arrays still
     * score (logit = bias). `idCol` must be unique per row (colliding
-    * ids would merge their sums). Returns `(idCol, logits, predicted)`
-    * where `logits` carries all C logits (reference class last, 0). */
+    * ids would merge their sums); an index outside `[0, dim)` fails
+    * loudly in-plan. Returns `(idCol, logits, predicted)` where
+    * `logits` carries all C logits (reference class last, 0). */
   def scoreSoftmaxSparse(df: DataFrame, idCol: String, idxCol: String,
                          model: SoftmaxModel): DataFrame = {
     val spark = df.sparkSession
@@ -626,16 +637,28 @@ object Classifier {
       (i, model.weights.toIndexedSeq.map(_(i)))
     }
     val wdf = spark.createDataset(wrows).toDF("__i", "__w")
+    // a present index matching no weight row is out of range — fail
+    // loudly in-plan (scoreSparse's contract; the stateless
+    // softmaxLogitsSparse path gets the same outcome from ANSI
+    // element_at, so the two scorers cannot silently disagree on a
+    // dim-mismatched featurizer)
     val sumCols = (0 until C - 1).map(c =>
       (coalesce(sum(element_at(col("__w"), c + 1)), lit(0.0))
-        + lit(model.weights(c).last)).as(s"__l$c"))
+        + lit(model.weights(c).last)).as(s"__l$c")) :+
+      max(when(col("__i").isNotNull && col("__w").isNull, 1)
+        .otherwise(0)).as("__oob")
     val sums = df.select(col(idCol), explode_outer(col(idxCol)).as("__i"))
       .join(broadcast(wdf), Seq("__i"), "left")
       .groupBy(col(idCol))
       .agg(sumCols.head, sumCols.tail: _*)
     val logits = (0 until C - 1).map(c => col(s"__l$c")) :+ lit(0.0)
-    sums.select(col(idCol), array(logits: _*).as("logits"),
-      argmaxExpr(logits).as("predicted"))
+    def guard(out: Column) = when(col("__oob") === 1,
+      raise_error(concat(
+        lit(s"sparse index outside model dim ${model.dim} at id "),
+        col(idCol).cast("string"))))
+      .otherwise(out)
+    sums.select(col(idCol), guard(array(logits: _*)).as("logits"),
+      guard(argmaxExpr(logits)).as("predicted"))
   }
 
   /** Per-class logits of a [[SoftmaxModel]] as literal expression
@@ -677,11 +700,20 @@ object Classifier {
     * broadcast join instead. Summation is array order (vs the
     * scorer's shuffle order), so logits may differ in ulps; decisions
     * at sane margins do not (spec-pinned). */
-  def softmaxLogitsSparse(idx: Column, model: SoftmaxModel): Seq[Column] =
+  def softmaxLogitsSparse(idx: Column, model: SoftmaxModel): Seq[Column] = {
+    val dim = model.dim
     model.weights.toIndexedSeq.map { row =>
-      aggregate(idx, lit(row.last),
-        (acc, i) => acc + element_at(typedLit(row.init.toSeq), i + 1))
+      aggregate(idx, lit(row.last), (acc, i) =>
+        // explicit bounds check: an index outside [0, dim) fails
+        // loudly regardless of ANSI mode (scoreSoftmaxSparse's
+        // contract — the two scorers must never silently disagree)
+        acc + when(i >= 0 && i < lit(dim),
+          element_at(typedLit(row.init.toSeq), i + 1))
+          .otherwise(raise_error(concat(
+            lit(s"sparse index outside model dim $dim: "),
+            i.cast("string")))))
     } :+ lit(0.0)
+  }
 
   /** Predicted class: [[argmaxExpr]] over [[softmaxLogitsSparse]]. */
   def softmaxPredictSparseExpr(idx: Column, model: SoftmaxModel): Column =
@@ -938,7 +970,19 @@ object Classifier {
     * assignment is monotone in score and never splits tied scores.
     * The `ntile` band is then pure integer arithmetic on that rank.
     * Three passes (edges, counts, rank + aggregate), every sort
-    * bucket-local; PlanSpec gates the absence of a global window. */
+    * bucket-local; PlanSpec gates the absence of a global window.
+    * Heavy TIE BLOCKS (one score carrying a large share of the rows —
+    * the quantized-score regime's normal shape) are sub-split by
+    * ranges of `tieCol` when it casts to double, so a dominant value
+    * cannot funnel its block through one task; a non-numeric tie
+    * column degrades that block to a single sorted bucket (documented,
+    * loud in the plan, still correct).
+    *
+    * Contract: the input must be deterministic across executions (the
+    * engine-wide reproducibility assumption — same as every
+    * hash-ordered selection op): the offsets are collected once and
+    * re-applied to a lazy plan, so a score column derived from `rand`
+    * or an unstable shuffle is out of contract. */
   def calibrationCurve(df: DataFrame, scoreCol: String, labelCol: String,
                        tieCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 1, "bins must be positive")
@@ -947,30 +991,101 @@ object Classifier {
     val y = col(labelCol).cast("boolean")
     val valid = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
       .select(s.as("__s"), y.as("__y"), col(tieCol).as("__t"))
-    // the two driver-side phases (edges, counts) would otherwise each
-    // re-evaluate the caller's upstream (a tokenize + margin chain is
-    // typical) — cache the narrow 3-column projection across them and
-    // release it before returning (the lazy result recomputes once)
+    // a monotone tie key: only a NUMERIC-family tie column can
+    // sub-split a tie block (its double cast preserves the window's
+    // __t order; a string of digits would not — "10" < "9" as strings)
+    val tieNumeric = valid.schema("__t").dataType match {
+      case _: org.apache.spark.sql.types.NumericType |
+          org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
+    val td = col("__t").cast("double")
+    val nb = math.max(2, math.min(256,
+      spark.sparkContext.defaultParallelism * 4))
+    // the driver-side phases (edges, bucket stats, refined counts)
+    // would otherwise each re-evaluate the caller's upstream (a
+    // tokenize + margin chain is typical) — cache the narrow
+    // projection across them and release it before returning (the
+    // lazy result recomputes once)
     valid.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (edges, counts) =
+    val (edges, tieSplits, counts) =
       try {
-        val nb = math.max(2, math.min(256,
-          spark.sparkContext.defaultParallelism * 4))
         val e = valid.stat.approxQuantile("__s",
           (1 until nb).map(_.toDouble / nb).toArray, 0.01)
           .distinct.sorted.toSeq
         val bktE =
           if (e.isEmpty) lit(0)
           else size(filter(typedLit(e), x => col("__s") > x))
-        val c = valid.groupBy(bktE.as("__b"))
-          .agg(count(lit(1)).as("__n"))
-          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-        (e, c)
+        // one aggregate serves counts, the pure-tie-block detector
+        // (min == max), and — for a numeric tie key only (an ANSI
+        // string→double cast would throw on non-numeric values) — a
+        // per-bucket tie sketch for the sub-split
+        val aggCols = Seq(count(lit(1)).as("__n"),
+          min(col("__s")).as("__lo"), max(col("__s")).as("__hi")) ++
+          (if (tieNumeric) Seq(Quantile.kllAgg(td, 2048).as("__tk"))
+           else Nil)
+        val stat = valid.groupBy(bktE.as("__b"))
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+            r.getDouble(3),
+            if (tieNumeric) r.getAs[Array[Byte]](4)
+            else Array.empty[Byte]))
+          .sortBy(_._1)
+        val total = stat.map(_._2).sum
+        // a PURE tie block (one score value) holding far more than a
+        // range bucket's share would funnel its whole sort through one
+        // task — sub-split it by tie-key ranges from its KLL sketch.
+        // (Only pure blocks qualify: a mixed bucket's tie order is not
+        // the (score, tie) order. Range buckets with distinct scores
+        // are already bounded by the quantile grid, so nothing else
+        // can be this heavy.)
+        val ideal = math.max(1L, total / nb)
+        val splits: Map[Int, Seq[Double]] =
+          if (!tieNumeric) Map.empty
+          else stat.iterator
+            .filter { case (_, n, lo, hi, _) => lo == hi && n > 2 * ideal }
+            .flatMap { case (b, n, _, _, blob) =>
+              val buf = Quantile.fromBlob(blob)
+              // a sketch that saw fewer values than rows means null
+              // tie keys — their sub-bucket would not match their sort
+              // position; keep that block whole (correct, just serial)
+              if (buf.n != n) None
+              else {
+                val m = math.min(64L, (n + ideal - 1) / ideal).toInt
+                val es = (1 until m).iterator
+                  .map(i => Quantile.quantileOf(buf, i.toDouble / m))
+                  .collect { case d: Double => d }
+                  .toSeq.distinct.sorted
+                if (es.isEmpty) None else Some(b -> es)
+              }
+            }.toMap
+        // refined counts only when a block actually split
+        val c: Seq[(Int, Long)] =
+          if (splits.isEmpty) stat.map(t => (t._1 * 128, t._2)).toSeq
+          else {
+            val sub = splits.foldLeft(lit(0)) { case (acc, (b, es)) =>
+              when(bktE === b,
+                size(filter(typedLit(es), x => td > x))).otherwise(acc)
+            }
+            valid.groupBy((bktE * lit(128) + sub).as("__b2"))
+              .agg(count(lit(1)).as("__n"))
+              .collect().map(r => (r.getInt(0), r.getLong(1)))
+              .sortBy(_._1).toSeq
+          }
+        (e, splits, c)
       } finally { valid.unpersist(): Unit }
     val bkt =
       if (edges.isEmpty) lit(0)
       else size(filter(typedLit(edges), e => col("__s") > e))
-    val tagged = valid.withColumn("__b", bkt)
+    val subExpr = tieSplits.foldLeft(lit(0)) { case (acc, (b, es)) =>
+      when(bkt === b, size(filter(typedLit(es), x => td > x)))
+        .otherwise(acc)
+    }
+    // composite bucket id: (score bucket, tie sub-bucket), sub < 64,
+    // lexicographic in the (__s, __t) total order by construction
+    val tagged = valid.withColumn("__b", bkt * lit(128) + subExpr)
     def grouped(binned: DataFrame, bin: Column) = binned
       .groupBy(bin.cast("int").as("bin"))
       .agg(count(lit(1)).as("n"),
@@ -982,7 +1097,7 @@ object Classifier {
     if (total == 0L) return grouped(tagged, col("__b"))
     val offsets = {
       var acc = 0L
-      counts.toSeq.map { case (b, n) => val o = acc; acc += n; (b, o) }
+      counts.map { case (b, n) => val o = acc; acc += n; (b, o) }
     }
     import spark.implicits._
     val offDF = broadcast(offsets.toDF("__b", "__off"))
@@ -1033,6 +1148,8 @@ object Classifier {
       pmod(xxhash64(col(idCol)), lit(k.toLong)).cast("int").as("__fold"))
     folded.persist()
     try {
+      val sc = df.sparkSession.sparkContext
+      val group = s"graft-cv-${java.util.UUID.randomUUID()}"
       val pool = java.util.concurrent.Executors.newFixedThreadPool(k)
       val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
       val oof =
@@ -1040,6 +1157,11 @@ object Classifier {
           import scala.concurrent.{Await, Future}
           val futs = (0 until k).map { fold =>
             Future {
+              // job-group per fold thread: one failed fold cancels the
+              // siblings' running jobs instead of letting k-1 orphan
+              // trainings keep burning the cluster after the throw
+              sc.setJobGroup(group, s"crossValidate fold $fold",
+                interruptOnCancel = true)
               val model = trainLogistic(
                 folded.filter(col("__fold") =!= fold),
                 "__f", labelCol, dim, iters, l2)
@@ -1048,8 +1170,11 @@ object Classifier {
                   marginExpr(col("__f"), model).as("margin"))
             }(ec)
           }
-          futs.map(f =>
+          try futs.map(f =>
             Await.result(f, scala.concurrent.duration.Duration.Inf))
+          catch {
+            case e: Throwable => sc.cancelJobGroup(group); throw e
+          }
         } finally { pool.shutdown() }
       oof.reduce(_.unionByName(_))
     } finally { folded.unpersist(): Unit }

@@ -72,11 +72,31 @@ object Stats {
   private val stores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def registerStore(pathPrefix: String, statsDir: String): Unit =
-    stores.put(stripScheme(pathPrefix).stripSuffix("/"), statsDir)
+  /** Register an engine-owned store. LOCAL filesystem only: the
+    * persisted tier is java.nio file I/O, so a remote-scheme store
+    * (s3a://, hdfs://, ...) is silently NOT registered — a remote
+    * warehouse chooses its stats location explicitly via
+    * [[enablePersistence]] (deployment policy). Relative paths are
+    * absolutized so they match Spark's absolute `file:` input URIs. */
+  def registerStore(pathPrefix: String, statsDir: String): Unit = {
+    if (remoteScheme(pathPrefix) || remoteScheme(statsDir)) return
+    stores.put(absolutize(pathPrefix), absolutize(statsDir))
+  }
 
   def unregisterStore(pathPrefix: String): Unit =
-    stores.remove(stripScheme(pathPrefix).stripSuffix("/")): Unit
+    if (!remoteScheme(pathPrefix))
+      stores.remove(absolutize(pathPrefix)): Unit
+
+  /** Any scheme other than none/`file:` — a URI java.nio cannot treat
+    * as a local path. */
+  private def remoteScheme(p: String): Boolean = {
+    val i = p.indexOf(':')
+    i > 1 && !p.startsWith("file:") // single letter = windows drive
+  }
+
+  private def absolutize(p: String): String =
+    java.nio.file.Paths.get(stripScheme(p))
+      .toAbsolutePath.normalize.toString.stripSuffix("/")
 
   /** Normalize a path or file URI to its plain path ("file:/a",
     * "file:///a" and "/a" all compare equal); unparseable strings pass

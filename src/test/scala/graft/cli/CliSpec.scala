@@ -33,6 +33,13 @@ class CliSpec extends AnyFunSuite {
     assert(p.toSeq == Seq("/a", "/b"))
     intercept[IllegalArgumentException](
       Cli.splitFlags(Array("/a", "--as-of"), Cli.timeFlags))
+    // a repeated flag is an error, not silent last-wins (the operator
+    // would export a different history than they inspected)
+    intercept[IllegalArgumentException](Cli.splitFlags(
+      Array("/a", "--as-of", "3", "--as-of", "7"), Cli.timeFlags))
+    // a flag token in value position is an error, not a value
+    intercept[IllegalArgumentException](Cli.splitFlags(
+      Array("--as-of", "--changes", "3"), Cli.timeFlags))
   }
 
   test("frame: full read by default; --as-of/--changes resolve the " +

@@ -426,6 +426,64 @@ class ClassifierSpec extends AnyFunSuite {
       idx3, "idx", "y", dim = 1 << 22, numClasses = 3, iters = 1))
   }
 
+  test("calibrationCurve: a dominant tie block (the quantized-score " +
+    "regime's normal shape) still matches the NTILE replay — the tie " +
+    "sub-split is exact; a non-numeric tie column degrades gracefully") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(9)
+    // 95% of rows share one score: without the tie sub-split this
+    // block funnels through ONE bucket-local sort task
+    val rows = (0 until 2000).map { i =>
+      val sc = if (i % 20 == 0) rnd.nextInt(4) + 1.0 else 0.25
+      (i.toLong, sc, rnd.nextBoolean())
+    }.toDF("id", "score", "label")
+    def replay(df: org.apache.spark.sql.DataFrame, tie: String) = df
+      .withColumn("bin", ntile(10).over(
+        Window.orderBy(col("score").asc, col(tie).asc)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), avg(col("score")).as("mean_score"),
+        avg(when(col("label"), 1.0).otherwise(0.0)).as("pos_rate"))
+      .orderBy(col("bin"))
+    val got = Classifier.calibrationCurve(rows, "score", "label", "id",
+      bins = 10)
+    assert(got.collect().toSeq == replay(rows, "id").collect().toSeq)
+    // string tie key: the sub-split disables itself (a double cast
+    // would not preserve string order); zero-padded ids keep the
+    // replay's order comparable — result still exact, just serial for
+    // the tie block
+    val rowsS = rows.withColumn("ids",
+      concat(lit("k"), lpad(col("id").cast("string"), 6, "0")))
+    val gotS = Classifier.calibrationCurve(rowsS, "score", "label",
+      "ids", bins = 10)
+    assert(gotS.collect().toSeq == replay(rowsS, "ids").collect().toSeq)
+    // all-tied corpus (constant score): bands are pure tie arithmetic
+    val const = (0 until 997).map(i => (i.toLong, 1.5, i % 3 == 0))
+      .toDF("id", "score", "label")
+    val gotC = Classifier.calibrationCurve(const, "score", "label",
+      "id", bins = 10)
+    assert(gotC.collect().toSeq == replay(const, "id").collect().toSeq)
+  }
+
+  test("sparse scorers fail loudly on an index outside the model dim " +
+    "— a dim-mismatched featurizer cannot silently score as dropped " +
+    "features") {
+    val m = Classifier.LogisticModel(new Array[Double](64), 0.0)
+    val sm = Classifier.SoftmaxModel(Array(new Array[Double](65)), 2)
+    val bad = Seq((1L, Seq(0, 5000)), (2L, Seq(1))).toDF("id", "idx")
+    intercept[Exception](
+      Classifier.scoreSparse(bad, "id", "idx", m).collect())
+    intercept[Exception](
+      Classifier.scoreSoftmaxSparse(bad, "id", "idx", sm).collect())
+    intercept[Exception](bad.select(
+      Classifier.softmaxPredictSparseExpr(col("idx"), sm)).collect())
+    // in-range (and empty-array) rows still score
+    val ok = Seq((1L, Seq(0, 1)), (2L, Seq.empty[Int])).toDF("id", "idx")
+    assert(Classifier.scoreSparse(ok, "id", "idx", m)
+      .collect().map(_.getDouble(1)).toSeq == Seq(0.0, 0.0))
+    assert(Classifier.scoreSoftmaxSparse(ok, "id", "idx", sm)
+      .collect().length == 2)
+  }
+
   test("aucBinned: equals aucExact when the distinct scores fit the " +
     "bins; tracks it within tolerance on a continuous margin") {
     val rnd = new scala.util.Random(17)
