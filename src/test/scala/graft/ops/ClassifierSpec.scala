@@ -462,6 +462,17 @@ class ClassifierSpec extends AnyFunSuite {
     val gotC = Classifier.calibrationCurve(const, "score", "label",
       "id", bins = 10)
     assert(gotC.collect().toSeq == replay(const, "id").collect().toSeq)
+    // infinite scores participate in the total order (only NaN is
+    // excluded) — ±Inf rows band like any extreme value
+    val inf = ((0 until 200).map { i =>
+      (i.toLong, rnd.nextInt(3).toDouble, i % 2 == 0)
+    } ++ Seq((900L, Double.NegativeInfinity, true),
+      (901L, Double.PositiveInfinity, false),
+      (902L, Double.PositiveInfinity, true)))
+      .toDF("id", "score", "label")
+    val gotI = Classifier.calibrationCurve(inf, "score", "label", "id",
+      bins = 10)
+    assert(gotI.collect().toSeq == replay(inf, "id").collect().toSeq)
   }
 
   test("sparse scorers fail loudly on an index outside the model dim " +
