@@ -355,7 +355,11 @@ object Classifier {
     val wdf = spark.createDataset(
       model.weights.toIndexedSeq.zipWithIndex.map { case (w, i) => (i, w) })
       .toDF("__i", "__w")
-    df.select(col(idCol), explode_outer(col(idxCol)).as("__i"))
+    // a null ELEMENT inside the array fails loudly BEFORE the explode
+    // (a null exploded row is indistinguishable from a null/empty
+    // array, which legitimately scores as bias-only)
+    df.select(col(idCol), nullElementGuard(col(idxCol)).as("__idx"))
+      .select(col(idCol), explode_outer(col("__idx")).as("__i"))
       .join(broadcast(wdf), Seq("__i"), "left")
       .groupBy(col(idCol))
       .agg((coalesce(sum(col("__w")), lit(0.0)) + lit(model.bias))
@@ -369,6 +373,17 @@ object Classifier {
           col(idCol).cast("string"))))
           .otherwise(col("__m")).as("margin"))
   }
+
+  /** Fail loudly on a null ELEMENT inside a sparse index array (a
+    * featurizer bug the broadcast-join scorers would otherwise
+    * silently mask as a missing feature, while the literal-fold
+    * scorer errors — the scorers must never silently disagree). A
+    * null or empty ARRAY is legitimate (scores as bias-only) on every
+    * path. */
+  private def nullElementGuard(idx: Column): Column =
+    when(idx.isNotNull && exists(idx, i => i.isNull),
+      raise_error(lit("null element in sparse index array")))
+      .otherwise(idx)
 
   /** Multinomial (softmax) model: `weights(c)` is class `c`'s
     * `dim + 1` coefficients (bias last) for classes `0 .. C-2`; class
@@ -647,7 +662,9 @@ object Classifier {
         + lit(model.weights(c).last)).as(s"__l$c")) :+
       max(when(col("__i").isNotNull && col("__w").isNull, 1)
         .otherwise(0)).as("__oob")
-    val sums = df.select(col(idCol), explode_outer(col(idxCol)).as("__i"))
+    val sums = df
+      .select(col(idCol), nullElementGuard(col(idxCol)).as("__idx"))
+      .select(col(idCol), explode_outer(col("__idx")).as("__i"))
       .join(broadcast(wdf), Seq("__i"), "left")
       .groupBy(col(idCol))
       .agg(sumCols.head, sumCols.tail: _*)
@@ -702,16 +719,18 @@ object Classifier {
     * at sane margins do not (spec-pinned). */
   def softmaxLogitsSparse(idx: Column, model: SoftmaxModel): Seq[Column] = {
     val dim = model.dim
+    // null ARRAY scores as bias-only (same as the broadcast scorer's
+    // explode_outer); a null ELEMENT or out-of-range index fails
+    // loudly regardless of ANSI mode (scoreSoftmaxSparse's contract —
+    // the two scorers must never silently disagree)
+    val safeIdx = coalesce(idx, typedLit(Seq.empty[Int]))
     model.weights.toIndexedSeq.map { row =>
-      aggregate(idx, lit(row.last), (acc, i) =>
-        // explicit bounds check: an index outside [0, dim) fails
-        // loudly regardless of ANSI mode (scoreSoftmaxSparse's
-        // contract — the two scorers must never silently disagree)
+      aggregate(safeIdx, lit(row.last), (acc, i) =>
         acc + when(i >= 0 && i < lit(dim),
           element_at(typedLit(row.init.toSeq), i + 1))
           .otherwise(raise_error(concat(
-            lit(s"sparse index outside model dim $dim: "),
-            i.cast("string")))))
+            lit(s"null or out-of-[0, $dim) sparse index: "),
+            coalesce(i.cast("string"), lit("null"))))))
     } :+ lit(0.0)
   }
 
@@ -1061,7 +1080,10 @@ object Classifier {
                 if (es.isEmpty) None else Some(b -> es)
               }
             }.toMap
-        // refined counts only when a block actually split
+        // refined counts only when a block actually split — and only
+        // over the split blocks' rows (every other bucket's count is
+        // already in `stat`; re-aggregating the whole relation for
+        // them would be a pure waste)
         val c: Seq[(Int, Long)] =
           if (splits.isEmpty) stat.map(t => (t._1 * 128, t._2)).toSeq
           else {
@@ -1069,10 +1091,15 @@ object Classifier {
               when(bktE === b,
                 size(filter(typedLit(es), x => td > x))).otherwise(acc)
             }
-            valid.groupBy((bktE * lit(128) + sub).as("__b2"))
+            val splitCounts = valid
+              .filter(bktE.isin(splits.keySet.toSeq: _*))
+              .groupBy((bktE * lit(128) + sub).as("__b2"))
               .agg(count(lit(1)).as("__n"))
               .collect().map(r => (r.getInt(0), r.getLong(1)))
-              .sortBy(_._1).toSeq
+            val kept = stat.iterator
+              .filterNot(t => splits.contains(t._1))
+              .map(t => (t._1 * 128, t._2))
+            (kept ++ splitCounts).toSeq.sortBy(_._1)
           }
         (e, splits, c)
       } finally { valid.unpersist(): Unit }
@@ -1154,12 +1181,19 @@ object Classifier {
       val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
       val oof =
         try {
-          import scala.concurrent.{Await, Future}
-          val futs = (0 until k).map { fold =>
+          import scala.concurrent.{Await, Future, Promise}
+          // fail-FAST collection: the first failed fold completes the
+          // promise immediately (a sequential await would not notice a
+          // mid-index failure until every earlier fold finished)
+          val done = Promise[Seq[DataFrame]]()
+          val results = new Array[DataFrame](k)
+          val remaining = new java.util.concurrent.atomic.AtomicInteger(k)
+          (0 until k).foreach { fold =>
             Future {
               // job-group per fold thread: one failed fold cancels the
-              // siblings' running jobs instead of letting k-1 orphan
-              // trainings keep burning the cluster after the throw
+              // siblings' jobs — including ones they have not
+              // submitted yet — instead of leaving k-1 orphan
+              // trainings burning the cluster after the throw
               sc.setJobGroup(group, s"crossValidate fold $fold",
                 interruptOnCancel = true)
               val model = trainLogistic(
@@ -1168,12 +1202,19 @@ object Classifier {
               folded.filter(col("__fold") === fold)
                 .select(col(idCol), col("__fold").as("fold"),
                   marginExpr(col("__f"), model).as("margin"))
+            }(ec).onComplete {
+              case scala.util.Success(df) =>
+                results(fold) = df
+                if (remaining.decrementAndGet() == 0)
+                  done.trySuccess(results.toIndexedSeq): Unit
+              case scala.util.Failure(e) => done.tryFailure(e): Unit
             }(ec)
           }
-          try futs.map(f =>
-            Await.result(f, scala.concurrent.duration.Duration.Inf))
+          try Await.result(done.future,
+            scala.concurrent.duration.Duration.Inf)
           catch {
-            case e: Throwable => sc.cancelJobGroup(group); throw e
+            case e: Throwable =>
+              sc.cancelJobGroupAndFutureJobs(group); throw e
           }
         } finally { pool.shutdown() }
       oof.reduce(_.unionByName(_))

@@ -88,10 +88,13 @@ object Stats {
       stores.remove(absolutize(pathPrefix)): Unit
 
   /** Any scheme other than none/`file:` — a URI java.nio cannot treat
-    * as a local path. */
+    * as a local path. A ':' is a scheme separator only BEFORE the
+    * first '/' (a timestamped dir like /data/snap-10:30/db is a plain
+    * local path); a single leading letter is a windows drive. */
   private def remoteScheme(p: String): Boolean = {
-    val i = p.indexOf(':')
-    i > 1 && !p.startsWith("file:") // single letter = windows drive
+    val c = p.indexOf(':')
+    val s = p.indexOf('/')
+    c > 1 && (s < 0 || c < s) && !p.startsWith("file:")
   }
 
   private def absolutize(p: String): String =

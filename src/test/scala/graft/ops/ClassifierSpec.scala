@@ -493,6 +493,25 @@ class ClassifierSpec extends AnyFunSuite {
       .collect().map(_.getDouble(1)).toSeq == Seq(0.0, 0.0))
     assert(Classifier.scoreSoftmaxSparse(ok, "id", "idx", sm)
       .collect().length == 2)
+    // a null ARRAY scores as bias-only on BOTH multiclass paths (the
+    // scorers must agree); bias(class 0) = -1 < 0 => predicted 1
+    val smB = Classifier.SoftmaxModel(
+      Array(Array.fill(64)(0.0) :+ -1.0), 2)
+    val nullArr = Seq((1L, null.asInstanceOf[Seq[Int]]))
+      .toDF("id", "idx")
+    assert(Classifier.scoreSoftmaxSparse(nullArr, "id", "idx", smB)
+      .head().getInt(2) == 1)
+    assert(nullArr.select(
+      Classifier.softmaxPredictSparseExpr(col("idx"), smB))
+      .head().getInt(0) == 1)
+    // a null ELEMENT is a featurizer bug — loud on all three paths
+    val nullEl = Seq((1L, Seq[Integer](0, null))).toDF("id", "idx")
+    intercept[Exception](
+      Classifier.scoreSparse(nullEl, "id", "idx", m).collect())
+    intercept[Exception](
+      Classifier.scoreSoftmaxSparse(nullEl, "id", "idx", sm).collect())
+    intercept[Exception](nullEl.select(
+      Classifier.softmaxPredictSparseExpr(col("idx"), sm)).collect())
   }
 
   test("aucBinned: equals aucExact when the distinct scores fit the " +
