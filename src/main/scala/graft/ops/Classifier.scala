@@ -1151,6 +1151,75 @@ object Classifier {
     grouped(ranked, band(col("__rn")))
   }
 
+  /** Histogram-binning calibration map (Zadrozny & Elkan 2001): score
+    * range `(edges(i-1), edges(i)]`-style bands (strict `> edge`
+    * bucketing, same convention as every range bucketing in this
+    * file) each carry their empirical positive rate. `rates(b)` is
+    * bin b's rate; an EMPTY bin inherits the global prior (documented
+    * fallback — a calibrator must answer for every score). All rates
+    * are exact-integer divisions, bit-reproducible in any engine. */
+  case class CalibrationModel(edges: Seq[Double], rates: Seq[Double],
+                              prior: Double) {
+    require(edges == edges.distinct.sorted, "edges must be strictly " +
+      "increasing")
+    require(rates.length == edges.length + 1, "need edges+1 rates")
+  }
+
+  /** Fit a histogram-binning calibrator on labeled scores: one
+    * map-side-combined keyed aggregate (driver collect bounded by the
+    * bin count), rates = exact positives/n per bin. Null/NaN scores
+    * and null labels are excluded (the [[aucExact]] discipline). With
+    * caller-chosen literal `edges` the whole model is
+    * oracle-reproducible; derive edges from a KLL sketch
+    * ([[Quantile]]) when the score domain is unknown. Scale shape:
+    * one aggregate pass, nothing driver-side beyond bins+1 longs. */
+  def fitHistogramCalibration(df: DataFrame, scoreCol: String,
+                              labelCol: String, edges: Seq[Double])
+      : CalibrationModel = {
+    require(edges.nonEmpty && edges == edges.distinct.sorted,
+      "edges must be non-empty and strictly increasing")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val bin = size(filter(typedLit(edges), e => col("__s") > e))
+    val rows = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
+      .select(s.as("__s"), y.as("__y"))
+      .groupBy(bin.as("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__np"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val n = rows.map(_._2).sum
+    val np = rows.map(_._3).sum
+    require(n > 0, "cannot calibrate on an empty frame")
+    val prior = np.toDouble / n
+    val byBin = rows.map(t => t._1 -> (t._2, t._3)).toMap
+    val rates = (0 to edges.length).map { b =>
+      byBin.get(b) match {
+        case Some((bn, bp)) => bp.toDouble / bn
+        case None => prior // empty bin: the documented prior fallback
+      }
+    }
+    CalibrationModel(edges, rates, prior)
+  }
+
+  /** The calibrated probability of a score — a codegen'd literal
+    * array lookup (edge-count bucketing into the rate table), zero
+    * shuffle, streams in append mode. A NaN score fails loudly: under
+    * Spark's NaN-greatest comparison it would silently land in the
+    * top bin while other engines disagree — exactly the divergence
+    * the reproducibility contract bars. Null scores calibrate to
+    * null. */
+  def calibratedExpr(score: Column, m: CalibrationModel): Column = {
+    val sd = score.cast("double")
+    // explicit null-first: the edge-count bucketing would otherwise
+    // silently file a null score under bin 0 (every null predicate
+    // drops its element)
+    when(sd.isNull, lit(null).cast("double"))
+      .when(isnan(sd), raise_error(lit(
+        "cannot calibrate a NaN score (exclude or repair upstream)")))
+      .otherwise(element_at(typedLit(m.rates),
+        size(filter(typedLit(m.edges), e => sd > e)) + 1))
+  }
+
   /** K-fold cross-validated OUT-OF-FOLD predictions: rows are assigned
     * folds by `xxhash64(idCol) mod k` (deterministic, reproducible,
     * stratum-free — the leakage-safe default when rows are

@@ -453,6 +453,30 @@ object TrainingData {
       Classifier.calibrationCurve(scored, "margin", "label", "doc_id")
     }),
 
+    // histogram-binning CALIBRATION (Zadrozny & Elkan 2001) deployed:
+    // fit per-bin empirical rates over literal dyadic margin edges
+    // (one keyed aggregate, driver holds bins+1 exact fractions), then
+    // serve every doc its bin's rate through a codegen'd literal
+    // lookup — no join in the serving plan. Rates are exact integer
+    // divisions over exact dyadic bin assignments, so the oracle
+    // replays them with a GROUP BY + join
+    "q_doc_classifier_calibrated" -> ((s, dir) => {
+      val vocab = Seq("hash", "join", "sort", "scan",
+        "batch", "data", "merge", "filter")
+      val model = Classifier.LogisticModel(
+        Array(1.0, 0.5, -0.5, 0.25, -0.25, 0.75, -0.75, 0.125), -1.5)
+      val f = Classifier.vocabCountFeatures(Text.tokens(col("text")), vocab)
+      val scored = docs(s, dir).withColumn("f", f)
+        .select(col("doc_id"),
+          (element_at(col("f"), 1) >= 2.0).as("label"),
+          Classifier.marginExpr(col("f"), model).as("margin"))
+      val cal = Classifier.fitHistogramCalibration(scored, "margin",
+        "label", edges = Seq(-1.0, 0.0, 1.0, 2.5))
+      scored.select(col("doc_id"),
+        Classifier.calibratedExpr(col("margin"), cal).as("calibrated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the classifier driving SELECTION: per-source token budgets filled
     // in classifier-margin order (GPT-3's "select by classifier score"
     // step as a budgeted stratified selection) — the fixed dyadic model
@@ -3272,6 +3296,40 @@ object TrainingData {
         |WHERE cum <= CASE source WHEN 'src0' THEN 400
         |                         WHEN 'src1' THEN 300 ELSE 200 END
         |ORDER BY doc_id""".stripMargin,
+
+    // calibration replay: same dyadic margin chain, bin by the literal
+    // edges, per-bin empirical rate via GROUP BY, each doc joined to
+    // its bin's rate (the engine serves the same rates via a literal
+    // lookup — no join — but the values are identical exact fractions)
+    "q_doc_classifier_calibrated" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'hash')) >= 2 AS label,
+        |    CAST(-1.5 AS DOUBLE)
+        |      + 1.0   * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'hash'))   AS DOUBLE)
+        |      + 0.5   * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'join'))   AS DOUBLE)
+        |      + -0.5  * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'sort'))   AS DOUBLE)
+        |      + 0.25  * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'scan'))   AS DOUBLE)
+        |      + -0.25 * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'batch'))  AS DOUBLE)
+        |      + 0.75  * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'data'))   AS DOUBLE)
+        |      + -0.75 * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'merge'))  AS DOUBLE)
+        |      + 0.125 * CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t = 'filter')) AS DOUBLE)
+        |      AS margin
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, label, margin,
+        |    CASE WHEN margin > 2.5 THEN 4 WHEN margin > 1.0 THEN 3
+        |         WHEN margin > 0.0 THEN 2 WHEN margin > -1.0 THEN 1
+        |         ELSE 0 END AS bin
+        |  FROM s
+        |), r AS (
+        |  SELECT bin, AVG(CASE WHEN label THEN 1.0 ELSE 0.0 END) AS rate
+        |  FROM b GROUP BY bin
+        |)
+        |SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+        |  r.rate AS calibrated
+        |FROM b JOIN r USING (bin) ORDER BY doc_id""".stripMargin,
 
     // the composed lifecycle: the deployment gates pin the trained
     // decisions to the concept, so the oracle replays the budget

@@ -550,6 +550,35 @@ class ClassifierSpec extends AnyFunSuite {
       .head().getDouble(2) == 0.5)
   }
 
+  test("histogram calibration: hand-computed bin rates, empty-bin " +
+    "prior fallback, exact lookup expression, loud NaN, null " +
+    "passthrough, loud guards") {
+    val rows = Seq[(Long, java.lang.Double, java.lang.Boolean)](
+      (1L, -2.0, false), (2L, -1.5, false), (3L, 0.5, true),
+      (4L, 0.5, false), (5L, 2.0, true), (6L, 3.0, true),
+      (7L, null, true), (8L, 1.0, null)).toDF("id", "score", "label")
+    val m = Classifier.fitHistogramCalibration(rows, "score", "label",
+      edges = Seq(-1.0, 0.0, 1.0))
+    // valid rows 1-6; bins (<=-1, (-1,0], (0,1], >1): counts 2,0,2,2;
+    // positives 0,-,1,2; the empty bin inherits the prior 3/6
+    assert(m.prior == 0.5)
+    assert(m.rates == Seq(0.0, 0.5, 0.5, 1.0))
+    val scored = Seq[(Long, java.lang.Double)](
+      (1L, -2.0), (2L, -0.5), (3L, 0.5), (4L, 3.0), (5L, null))
+      .toDF("id", "s")
+      .select(col("id"), Classifier.calibratedExpr(col("s"), m).as("c"))
+      .orderBy(col("id")).collect()
+    assert(scored.map(r =>
+      if (r.isNullAt(1)) null else r.getDouble(1)).toSeq ==
+      Seq(0.0, 0.5, 0.5, 1.0, null))
+    intercept[Exception](Seq((1L, Double.NaN)).toDF("id", "s")
+      .select(Classifier.calibratedExpr(col("s"), m)).collect())
+    intercept[IllegalArgumentException](Classifier
+      .fitHistogramCalibration(rows, "score", "label", Seq(1.0, 1.0)))
+    intercept[Exception](Classifier.fitHistogramCalibration(
+      rows.filter(lit(false)), "score", "label", Seq(0.0)))
+  }
+
   test("crossValidate: every row scored out-of-fold exactly once; " +
     "folds partition by the id hash; OOF decisions recover a " +
     "well-separated concept") {
