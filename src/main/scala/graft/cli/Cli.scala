@@ -81,7 +81,14 @@ object Cli {
 object Db2Json {
   def main(args: Array[String]): Unit = {
     val (flags, pos) = Cli.splitFlags(args, Cli.timeFlags)
-    val Array(calcDir, outPath) = pos.take(2)
+    // exact arity, fail-loud (splitFlags' doctrine): a missing arg must
+    // not die as an opaque MatchError, and an EXTRA positional must not
+    // be silently ignored — the operator typo'd something
+    require(pos.length == 2,
+      s"usage: db2json <calcDir> <outPath> [--as-of <run> | " +
+        s"--as-of-time <ts> | --changes <from>[,<to>]] — got " +
+        s"${pos.length} positionals: ${pos.mkString(" ")}")
+    val Array(calcDir, outPath) = pos
     val spark = Cli.session()
     val db = Database(spark, calcDir)
     db.writeJson(outPath, Cli.frame(db, flags))
@@ -96,6 +103,10 @@ object Db2Json {
 object Db2Table {
   def main(args: Array[String]): Unit = {
     val (flags, pos) = Cli.splitFlags(args, Cli.timeFlags)
+    require(pos.length == 1 || pos.length == 2,
+      s"usage: db2table <calcDir> [n] [--as-of <run> | --as-of-time " +
+        s"<ts> | --changes <from>[,<to>]] — got ${pos.length} " +
+        s"positionals: ${pos.mkString(" ")}")
     val calcDir = pos(0)
     val n = if (pos.length > 1) pos(1).toInt else 20
     val spark = Cli.session()

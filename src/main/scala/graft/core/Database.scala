@@ -30,8 +30,20 @@ class Database(val spark: SparkSession, val calcDir: String,
   // `_graft_skip`), so a fresh process serves them without re-probing;
   // read-only inputs stay opt-in via Stats.enablePersistence. The
   // fingerprint (path + len + mtime of every input file) makes a stale
-  // serve impossible across appends/rewrites.
-  graft.ops.Stats.registerStore(dbPath, s"$dbPath/_graft_stats")
+  // serve impossible across appends/rewrites. Construction registers
+  // the tier READ-ONLY (a purely read-only consumer serves persisted
+  // entries but never writes into a directory it does not own); the
+  // first write-lock acquisition — the single-writer claim every
+  // mutation passes through — upgrades it writable. [[close]]
+  // unregisters, so long-lived sessions over many transient dbs do
+  // not accumulate registry entries.
+  graft.ops.Stats.registerStore(dbPath, s"$dbPath/_graft_stats",
+    writable = false)
+
+  /** Release this handle's process-global side effects (the stats-
+    * store registration). Idempotent; the handle stays usable for
+    * reads afterwards, just without the persisted stats tier. */
+  def close(): Unit = graft.ops.Stats.unregisterStore(dbPath)
 
   /** Single-writer lock file. The database supports ONE writer at a time
     * (same contract as the reference's pickle database); the lock turns a
@@ -94,6 +106,9 @@ class Database(val spark: SparkSession, val calcDir: String,
           s"$lockPath and re-run.")
     }
     lockOwner.set(me)
+    // write intent proven: this handle owns the store — its stats tier
+    // may now write (lazily created under the existing db dir)
+    graft.ops.Stats.registerStore(dbPath, s"$dbPath/_graft_stats")
     try f finally { lockOwner.set(-1L); Fs.delete(lockPath) }
   }
 

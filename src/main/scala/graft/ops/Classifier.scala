@@ -95,7 +95,11 @@ object Classifier {
   // training
   // ---------------------------------------------------------------- //
 
-  /** Train by IRLS (Newton) with L2 ridge `l2 > 0`. `featuresCol` is a
+  /** Train by IRLS (Newton) with L2 ridge `l2 > 0` over the WEIGHTS
+    * only — the intercept is never penalized, the sklearn/reference-
+    * solver convention shared by every trainer in this file (a
+    * regularized bias would bias calibrated probabilities toward 1/2
+    * at high l2). `featuresCol` is a
     * fixed-width `array<double>` of width `dim`; `labelCol` casts to
     * {0.0, 1.0}. Runs `iters` full Newton steps (no early stop —
     * deterministic job count); the input projection is cached for the
@@ -182,7 +186,13 @@ object Classifier {
           i = 0
           while (i < hTri.length) { hTri(i) += ph(i); i += 1 }
         }
-        // ridge-regularized Newton system: (H/n + l2·I) δ = g/n + l2·w
+        // ridge-regularized Newton system: (H/n + l2·I') δ = g/n + l2·I'w
+        // with I' zero at the BIAS index — the intercept is never
+        // penalized (the sklearn/reference-solver convention; a
+        // regularized bias would shrink calibrated probabilities
+        // toward 1/2 at high l2). Separability still needs l2 > 0 on
+        // the weights; the bias diagonal Σ w·p(1−p) > 0 keeps the
+        // system nonsingular on any non-degenerate frame.
         val hm = Array.ofDim[Double](d, d)
         var k = 0; var a = 0
         while (a < d) {
@@ -190,10 +200,11 @@ object Classifier {
           while (b < d) {
             hm(a)(b) = hTri(k) / n; hm(b)(a) = hm(a)(b); k += 1; b += 1
           }
-          hm(a)(a) += l2
+          if (a < dim) hm(a)(a) += l2
           a += 1
         }
-        val rhs = Array.tabulate(d)(i => g(i) / n + l2 * w(i))
+        val rhs = Array.tabulate(d)(i =>
+          g(i) / n + (if (i < dim) l2 * w(i) else 0.0))
         val delta = solve(hm, rhs)
         val next = new Array[Double](d)
         var i = 0
@@ -269,7 +280,10 @@ object Classifier {
         val next = new Array[Double](d)
         var i = 0
         while (i < d) {
-          next(i) = w(i) - lr * (g(i) / n + l2 * w(i)); i += 1
+          // bias (index dim) unpenalized — the family-wide convention
+          next(i) = w(i) - lr *
+            (g(i) / n + (if (i < dim) l2 * w(i) else 0.0))
+          i += 1
         }
         w = next
       }
@@ -510,10 +524,13 @@ object Classifier {
           i = 0
           while (i < m * m) { hFlat(i) += ph(i); i += 1 }
         }
+        // per-class bias entries (i mod d == dim) unpenalized — the
+        // family-wide intercept convention (see trainLogistic)
         val hm = Array.tabulate(m, m)((i, j) => hFlat(i * m + j) / n)
         var i = 0
-        while (i < m) { hm(i)(i) += l2; i += 1 }
-        val rhs = Array.tabulate(m)(i => g(i) / n + l2 * w(i))
+        while (i < m) { if (i % d != dim) hm(i)(i) += l2; i += 1 }
+        val rhs = Array.tabulate(m)(i =>
+          g(i) / n + (if (i % d != dim) l2 * w(i) else 0.0))
         val delta = solve(hm, rhs)
         val next = new Array[Double](m)
         i = 0
@@ -623,7 +640,10 @@ object Classifier {
         val next = new Array[Double](m)
         var i = 0
         while (i < m) {
-          next(i) = w(i) - lr * (g(i) / n + l2 * w(i)); i += 1
+          // per-class bias (i mod d == dim) unpenalized — family-wide
+          next(i) = w(i) - lr *
+            (g(i) / n + (if (i % d != dim) l2 * w(i) else 0.0))
+          i += 1
         }
         w = next
       }
@@ -1145,9 +1165,22 @@ object Classifier {
       else when(rn <= lit(r * (q + 1)),
         idiv(rn - 1L, q + 1) + 1L)
         .otherwise(lit(r) + idiv(rn - lit(r * (q + 1)) - 1L, q) + 1L)
-    val ranked = tagged.join(offDF, Seq("__b"))
+    // LEFT join + loud null guard: an inner join would silently DROP
+    // rows landing in a bucket absent from the collected counts (an
+    // out-of-contract nondeterministic input — rand-derived scores, a
+    // concurrent append — recomputing differently after unpersist),
+    // shifting every band without a trace. Every other contract
+    // violation in this op fails loudly; so must this one.
+    val ranked = tagged.join(offDF, Seq("__b"), "left")
       .withColumn("__rn", row_number().over(rankW).cast("long")
-        + col("__off"))
+        + when(col("__off").isNull, raise_error(concat(
+            lit("calibrationCurve: rows landed in a bucket the counting" +
+              " pass never saw (bucket id "),
+            col("__b").cast("string"),
+            lit(") — the input recomputed differently across passes;" +
+              " the op requires a deterministic input (no rand-derived" +
+              " scores, no concurrent appends)"))))
+          .otherwise(col("__off")))
     grouped(ranked, band(col("__rn")))
   }
 

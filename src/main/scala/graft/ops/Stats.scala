@@ -70,31 +70,48 @@ object Stats {
     * old behavior. Writes are best-effort and atomic; the fingerprint
     * already guarantees a stale entry can never be served. */
   private val stores =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
 
   /** Register an engine-owned store. LOCAL filesystem only: the
     * persisted tier is java.nio file I/O, so a remote-scheme store
     * (s3a://, hdfs://, ...) is silently NOT registered — a remote
     * warehouse chooses its stats location explicitly via
     * [[enablePersistence]] (deployment policy). Relative paths are
-    * absolutized so they match Spark's absolute `file:` input URIs. */
-  def registerStore(pathPrefix: String, statsDir: String): Unit = {
+    * absolutized so they match Spark's absolute `file:` input URIs.
+    *
+    * `writable = false` registers a READ-ONLY tier: persisted entries
+    * under `statsDir` are served, but a cache miss never writes there
+    * — the registration shape for a consumer that merely READS a
+    * store it does not own (a read-only db handle must not create
+    * `_graft_stats` inside someone else's directory, and a best-effort
+    * write must never resurrect a deleted store path). Re-registering
+    * the same prefix upgrades/downgrades writability in place. */
+  def registerStore(pathPrefix: String, statsDir: String,
+                    writable: Boolean = true): Unit = {
     if (remoteScheme(pathPrefix) || remoteScheme(statsDir)) return
-    stores.put(absolutize(pathPrefix), absolutize(statsDir))
+    stores.put(absolutize(pathPrefix), (absolutize(statsDir), writable))
   }
 
   def unregisterStore(pathPrefix: String): Unit =
     if (!remoteScheme(pathPrefix))
       stores.remove(absolutize(pathPrefix)): Unit
 
-  /** Any scheme other than none/`file:` — a URI java.nio cannot treat
-    * as a local path. A ':' is a scheme separator only BEFORE the
-    * first '/' (a timestamped dir like /data/snap-10:30/db is a plain
-    * local path); a single leading letter is a windows drive. */
+  /** Remote iff the string carries a KNOWN remote filesystem scheme.
+    * Scheme syntax alone cannot decide: a RELATIVE local path whose
+    * first segment holds a ':' (`snap-10:30/db`) parses as a
+    * syntactically valid URI scheme, so a syntax test would silently
+    * skip registering a plain local store. The explicit allowlist
+    * (the Hadoop-ecosystem remote schemes) classifies exactly the
+    * paths java.nio cannot serve; anything else — including odd local
+    * names and windows drives — stays local. */
+  private val RemoteSchemes = Set("s3", "s3a", "s3n", "hdfs", "abfs",
+    "abfss", "wasb", "wasbs", "gs", "oss", "cos", "obs", "viewfs",
+    "webhdfs", "swebhdfs", "ftp", "sftp", "http", "https", "dbfs",
+    "alluxio", "o3fs", "ofs")
+
   private def remoteScheme(p: String): Boolean = {
     val c = p.indexOf(':')
-    val s = p.indexOf('/')
-    c > 1 && (s < 0 || c < s) && !p.startsWith("file:")
+    c > 0 && RemoteSchemes.contains(p.substring(0, c).toLowerCase)
   }
 
   private def absolutize(p: String): String =
@@ -110,13 +127,16 @@ object Stats {
       if (u.getScheme == null || u.getPath == null) p else u.getPath
     } catch { case _: java.net.URISyntaxException => p }
 
-  private def storeDirFor(files: Array[String]): Option[String] = {
+  /** `(statsDir, writable)` of the longest registered prefix holding
+    * EVERY input file, if any. */
+  private def storeDirFor(files: Array[String])
+      : Option[(String, Boolean)] = {
     if (stores.isEmpty || files.isEmpty) return None
     import scala.jdk.CollectionConverters._
     stores.asScala.toSeq.sortBy(-_._1.length).collectFirst {
-      case (prefix, dir)
+      case (prefix, dw)
           if files.forall(f => stripScheme(f).startsWith(prefix + "/")) =>
-        dir
+        dw
     }
   }
 
@@ -200,16 +220,18 @@ object Stats {
     val key = fingerprint(df, descriptor)
     val hit = memo.get(key)
     if (hit != null) return hit
-    // effective persisted tier: the global dir (deployment policy)
-    // wins; otherwise an engine-owned store containing ALL input files
-    val dir = persistDir.orElse(storeDirFor(df.inputFiles))
-    val persisted = dir.flatMap(readPersisted(_, key))
+    // effective persisted tier: the global dir (deployment policy,
+    // always writable) wins; otherwise an engine-owned store
+    // containing ALL input files, writing only under write intent
+    val tier = persistDir.map(d => (d, true))
+      .orElse(storeDirFor(df.inputFiles))
+    val persisted = tier.flatMap { case (d, _) => readPersisted(d, key) }
     persisted match {
       case Some(vs) => memoPut(key, vs); vs
       case None =>
         val vs = probe
         memoPut(key, vs)
-        dir.foreach(writePersisted(_, key, vs))
+        tier.foreach { case (d, w) => if (w) writePersisted(d, key, vs) }
         vs
     }
   }
@@ -235,8 +257,14 @@ object Stats {
   private def writePersisted(dir: String, key: String,
                              vs: Seq[Long]): Unit =
     try {
-      // store-registered dirs are created lazily, on first write
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      // store-registered dirs are created lazily, on first write — but
+      // never under a PARENT that no longer exists: a best-effort stats
+      // write must not resurrect a deleted store path as a bare
+      // `_graft_stats` skeleton
+      val p = java.nio.file.Paths.get(dir)
+      if (p.getParent != null &&
+          !java.nio.file.Files.isDirectory(p.getParent)) return
+      java.nio.file.Files.createDirectories(p)
       val tmp = java.nio.file.Paths.get(dir, s".$key.tmp")
       java.nio.file.Files.write(tmp, vs.mkString(",").getBytes("UTF-8"))
       java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, key),

@@ -65,4 +65,21 @@ class CliSpec extends AnyFunSuite {
     db.writeJson(s"$out/j", h)
     assert(spark.read.json(s"$out/j").count() == 30L)
   }
+
+  test("export mains: positional arity is exact and loud — a missing " +
+    "arg is a usage error (not a MatchError), an extra positional is " +
+    "rejected (not silently ignored)") {
+    val missing = intercept[IllegalArgumentException](
+      Db2Json.main(Array("/only-one")))
+    assert(missing.getMessage.contains("usage: db2json"))
+    val extra = intercept[IllegalArgumentException](
+      Db2Json.main(Array("/a", "/b", "/stray")))
+    assert(extra.getMessage.contains("usage: db2json"))
+    val tblNone = intercept[IllegalArgumentException](
+      Db2Table.main(Array.empty[String]))
+    assert(tblNone.getMessage.contains("usage: db2table"))
+    val tblExtra = intercept[IllegalArgumentException](
+      Db2Table.main(Array("/a", "5", "/stray")))
+    assert(tblExtra.getMessage.contains("usage: db2table"))
+  }
 }

@@ -294,6 +294,64 @@ class ClassifierSpec extends AnyFunSuite {
       dim = 4, iters = 1, weightCol = Some("w")))
   }
 
+  test("the intercept is NEVER penalized: under crushing l2 the " +
+    "weights vanish but the bias still carries the class prior " +
+    "(all four trainers)") {
+    // 75% positive, features informative — with l2 huge the weights
+    // must shrink to ~0 while the UNREGULARIZED bias converges to the
+    // prior's log-odds logit(0.75) ≈ 1.0986 (a penalized bias would be
+    // dragged toward 0, predicting p ≈ 1/2 on an obviously 3:1 frame)
+    val logOdds = math.log(3.0)
+    val df = (0 until 400).map { i =>
+      val pos = i % 4 != 0
+      (i.toLong, if (pos) "spark spark" else "flink", pos)
+    }.toDF("id", "text", "label")
+    val feats = df.select(col("id"), col("label"),
+      Classifier.vocabCountFeatures(Text.tokens(col("text")), vocab)
+        .as("f"),
+      Classifier.hashedIndices(Text.tokens(col("text")), 16).as("idx"))
+    val dense = Classifier.trainLogistic(feats, "f", "label", dim = 4,
+      iters = 30, l2 = 1e6)
+    assert(dense.weights.map(math.abs).max < 1e-3,
+      s"l2=1e6 left weights at ${dense.weights.mkString(",")}")
+    assert(math.abs(dense.bias - logOdds) < 1e-3,
+      s"dense bias ${dense.bias} != log-odds $logOdds")
+    // dense softmax twin: C=2, class 0 logit vs reference class 1;
+    // its unpenalized bias must land at -log-odds
+    val y = feats.withColumn("y", when(col("label"), 1).otherwise(0))
+    val sm = Classifier.trainSoftmax(y, "f", "y", dim = 4,
+      numClasses = 2, iters = 30, l2 = 1e6)
+    assert(sm.weights(0).init.map(math.abs).max < 1e-3)
+    assert(math.abs(sm.weights(0).last + logOdds) < 1e-3,
+      s"softmax bias ${sm.weights(0).last} != ${-logOdds}")
+    // GD twins pin ONE update step algebraically (crushing l2 would
+    // make GD diverge — lr·l2 > 1 oscillates): one row y=1, idx=[0],
+    // warm start (0.5, 0.25, bias 1.0). The weight at idx 0 takes
+    // gradient + ridge, the untouched weight takes pure ridge decay,
+    // the bias takes the gradient and NO ridge term.
+    val one = Seq((1L, Seq(0), true)).toDF("id", "idx", "label")
+    val lr = 0.1; val l2s = 0.5
+    val init = Classifier.LogisticModel(Array(0.5, 0.25), 1.0)
+    val g1 = Classifier.trainLogisticSparse(one, "idx", "label", dim = 2,
+      iters = 1, lr = lr, l2 = l2s, init = Some(init))
+    val r = 1.0 / (1.0 + math.exp(-1.5)) - 1.0
+    assert(g1.weights(0) == 0.5 - lr * (r + l2s * 0.5))
+    assert(g1.weights(1) == 0.25 - lr * (l2s * 0.25))
+    assert(g1.bias == 1.0 - lr * r,
+      s"sparse GD bias ${g1.bias} carries a ridge term")
+    val smInit = Classifier.SoftmaxModel(
+      Array(Array(0.5, 0.25, 1.0)), 2)
+    val one2 = Seq((1L, Seq(0), 1)).toDF("id", "idx", "y")
+    val g2 = Classifier.trainSoftmaxSparse(one2, "idx", "y", dim = 2,
+      numClasses = 2, iters = 1, lr = lr, l2 = l2s,
+      init = Some(smInit))
+    val p0 = 1.0 / (1.0 + math.exp(-1.5)) // σ of class-0 logit 1.5
+    assert(g2.weights(0)(0) == 0.5 - lr * (p0 + l2s * 0.5))
+    assert(g2.weights(0)(1) == 0.25 - lr * (l2s * 0.25))
+    assert(g2.weights(0)(2) == 1.0 - lr * p0,
+      s"sparse softmax bias ${g2.weights(0)(2)} carries a ridge term")
+  }
+
   test("calibrationCurve: hand-computed bands — equal-count ntile, " +
     "exact means, nulls excluded") {
     // 6 defined rows into 3 bins of 2, ordered by (score, id)

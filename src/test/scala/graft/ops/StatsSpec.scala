@@ -185,4 +185,100 @@ class StatsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("2^21"))
   }
+
+  test("store registration: a RELATIVE local path with ':' in a segment " +
+    "registers (only the known remote schemes are skipped); a read-only " +
+    "registration serves but never writes; a write under a DELETED " +
+    "store parent does not resurrect the path") {
+        Stats.disablePersistence(); Stats.invalidate()
+    // relative path whose first segment contains ':' — a URI-syntax
+    // scheme test would misclassify it as remote and silently skip
+    val cwd = java.nio.file.Paths.get("").toAbsolutePath.toString
+    val rel = s"graft-stats-colon-${System.nanoTime()}/snap-10:30"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$cwd/$rel"))
+    try {
+      (0 until 20).map(i => ("g", i.toLong)).toDF("g", "v")
+        .write.parquet(s"$cwd/$rel/t")
+      Stats.registerStore(rel, s"$rel/_stats")
+      var probes = 0
+      def size(): Long = {
+        val df = spark.read.parquet(s"$cwd/$rel/t")
+        Stats.cachedLong(df, "spec:colon") { probes += 1; df.count() }
+      }
+      assert(size() == 20L && probes == 1)
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$cwd/$rel/_stats")),
+        "colon-segment relative path was misclassified as remote — " +
+          "no stats persisted")
+      Stats.invalidate()
+      assert(size() == 20L && probes == 1) // served from the persisted tier
+    } finally {
+      Stats.unregisterStore(rel)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(s"$cwd/${rel.split("/").head}"))
+    }
+    // a true remote scheme still never registers
+    Stats.registerStore("s3a://bucket/db", "s3a://bucket/db/_stats")
+    // read-only registration: entries are served, misses never write
+    val ro = graft.SparkSpec.tmpDir("graft-stats-ro-")
+    (0 until 10).map(i => ("g", i.toLong)).toDF("g", "v")
+      .write.parquet(s"$ro/db/t")
+    Stats.registerStore(s"$ro/db", s"$ro/db/_stats", writable = false)
+    try {
+      val df = spark.read.parquet(s"$ro/db/t")
+      assert(Stats.cachedLong(df, "spec:ro") { df.count() } == 10L)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$ro/db/_stats")),
+        "a READ-ONLY store registration wrote into the store directory")
+      // upgrade in place: the same prefix re-registered writable writes
+      Stats.registerStore(s"$ro/db", s"$ro/db/_stats")
+      Stats.invalidate()
+      assert(Stats.cachedLong(df, "spec:ro") { df.count() } == 10L)
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$ro/db/_stats")))
+    } finally Stats.unregisterStore(s"$ro/db")
+    // deleted parent: a best-effort stats write must not recreate it
+    val gone = graft.SparkSpec.tmpDir("graft-stats-gone-")
+    (0 until 5).map(i => ("g", i.toLong)).toDF("g", "v")
+      .write.parquet(s"$gone/db/t")
+    Stats.registerStore(s"$gone/db", s"$gone/db/_stats")
+    try {
+      val df = spark.read.parquet(s"$gone/db/t")
+      df.count() // materialize the plan before deleting the files
+      graft.core.Fs.delete(s"$gone/db")
+      Stats.invalidate()
+      Stats.cachedLong(df, "spec:gone") { 5L }
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$gone/db")),
+        "a stats write resurrected a deleted store path")
+    } finally Stats.unregisterStore(s"$gone/db")
+  }
+
+  test("Database: construction registers the stats tier READ-ONLY (a " +
+    "pure reader never writes _graft_stats); the first write upgrades " +
+    "it; close() unregisters") {
+        import graft.core.Database
+    Stats.disablePersistence(); Stats.invalidate()
+    val calc = graft.SparkSpec.tmpDir("graft-stats-rodb-")
+    val writer = Database(spark, calc)
+    writer.append(spark.range(0, 40).select(
+      concat(lit("p-"), col("id")).as("_pset_id"),
+      col("id").as("_pset_seq"), lit(0L).as("_run_seq"),
+      lit("run0").as("_run_id"), col("id").cast("double").as("x")))
+    graft.core.Fs.delete(s"${writer.dbPath}/_graft_stats")
+    writer.close()
+    Stats.invalidate()
+    // a SECOND handle that only reads: probes are served/memoized but
+    // nothing lands in the db dir
+    val reader = Database(spark, calc)
+    try {
+      val df = reader.read()
+      assert(Stats.cachedLong(df, "spec:rodb") { df.count() } == 40L)
+      assert(!graft.core.Fs.exists(s"${reader.dbPath}/_graft_stats"),
+        "a read-only Database handle wrote stats into the db directory")
+    } finally reader.close()
+  }
 }
