@@ -136,22 +136,49 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // round-13 measurement fix (the round-12 verdict's top item): the
+    // heavy streaming/dedup family wobbled 157-183s across
+    // identical-code full benches, burying real regressions in noise.
+    // Three levers:
+    //   - per-query SPREAD ([min, max, runs]) lands in the artifact, so
+    //     a cross-round delta can be read against the query's own
+    //     within-process variability instead of guessed at;
+    //   - the q_stream_* family reports the MEDIAN of a fixed 3 runs:
+    //     each run pays fresh checkpoint/state-store setup whose cost is
+    //     environment-bound (temp-dir FS metadata), so the corroborated-
+    //     min loop rarely stabilizes there — a median over a fixed run
+    //     count is the robust estimator for that additive+occasionally-
+    //     bimodal shape (the verdict's prescription);
+    //   - calib normalization is emitted ready-made: calib_ref pins the
+    //     round-12 host constant, drift = calib_s/calib_ref, and
+    //     total_norm = total/drift — cross-round comparisons read
+    //     total_norm (and per-query t/drift) instead of raw seconds.
+    val spread =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Int)]()
     val results = qs.flatMap { name =>
       System.gc() // previous query's garbage must not bill this one
       try {
         runOnce(name) // per-query warmup: JIT, codegen cache, FS metadata
         val times = scala.collection.mutable.ArrayBuffer[Double]()
-        var go = true
-        while (go) {
-          times += timeOnce(name)
-          val sorted = times.sorted
-          // a single run can never corroborate itself — require two
-          // samples before reading sorted(1), whatever minRuns says
-          val stable = times.size >= minRuns && times.size >= 2 &&
-            (sorted(1) - sorted(0)) / sorted(0) <= 0.05
-          go = !stable && times.size < maxRuns
+        val streaming = name.startsWith("q_stream")
+        if (streaming) {
+          while (times.size < 3) times += timeOnce(name)
+        } else {
+          var go = true
+          while (go) {
+            times += timeOnce(name)
+            val sorted = times.sorted
+            // a single run can never corroborate itself — require two
+            // samples before reading sorted(1), whatever minRuns says
+            val stable = times.size >= minRuns && times.size >= 2 &&
+              (sorted(1) - sorted(0)) / sorted(0) <= 0.05
+            go = !stable && times.size < maxRuns
+          }
         }
-        Some(name -> times.min)
+        spread(name) = (times.min, times.max, times.size)
+        val value =
+          if (streaming) times.sorted.apply(times.size / 2) else times.min
+        Some(name -> value)
       } catch {
         case e: Throwable =>
           errors(name) = e.getClass.getSimpleName
@@ -162,13 +189,22 @@ object Bench {
     val qJson = results
       .map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
+    val spreadJson = spread
+      .map { case (k, (lo, hi, n)) =>
+        "\"" + k + f"""\":[$lo%.4f,$hi%.4f,$n]""" }
+      .mkString("{", ",", "}")
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val calib = calibrate()
+    // round-12 host constant (BENCH_r12 calib_s): divide this artifact's
+    // times by `drift` before comparing them with a round whose own
+    // drift-normalized times are computed the same way
+    val calibRef = 0.352
+    val drift = calib / calibRef
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib_s":$calib%.4f,"queries":$qJson,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib_s":$calib%.4f,"calib_ref":$calibRef%.4f,"drift":$drift%.4f,"total_norm":${total / drift}%.4f,"queries":$qJson,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // the same line goes to a file: BENCH_r05.json's captured stdout tail
     // was truncated mid-stream and lost 28 of 106 per-query times, so
