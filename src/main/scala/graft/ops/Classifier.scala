@@ -870,6 +870,63 @@ object Classifier {
     } finally Fs.delete(lock)
   }
 
+  /** Online (mini-batch) MULTICLASS training: fold one labeled batch
+    * into the persisted [[SoftmaxModel]] at `modelPath` — the
+    * [[updateModelOnline]] lifecycle mirrored over
+    * [[trainSoftmaxSparse]]/[[saveSoftmax]], so the domain router the
+    * sparse trainers made trainable at 2^18 dims can also TRACK a
+    * drifting domain mix at ingest: `iters` warm-started GD steps over
+    * the batch's sparse index features, then an atomic swap-commit of
+    * model + applied-batch ledger. Same guarantees as the binary
+    * path: crash repair first ([[Dedup.recoverIndex]] fails fast on a
+    * live lock, so it runs before ours), the lock brackets the WHOLE
+    * read-train-swap cycle (serialized-but-overlapping writers cannot
+    * lose an update), a re-delivered `batchId` is a no-op returning
+    * the committed model bit-identically, and empty batches
+    * short-circuit. A fresh path with no committed model starts from
+    * zero weights — seed it with [[saveSoftmax]] (an offline
+    * distilled router) for the warm-start-offline / refresh-online
+    * deployment. */
+  def updateSoftmaxOnline(batch: DataFrame, modelPath: String,
+                          idxCol: String, labelCol: String, dim: Int,
+                          numClasses: Int, iters: Int = 50,
+                          lr: Double = 1.0, l2: Double = 0.0,
+                          batchId: Option[String] = None): SoftmaxModel = {
+    import graft.core.Fs
+    def zero = SoftmaxModel(
+      Array.fill(numClasses - 1)(new Array[Double](dim + 1)), numClasses)
+    Dedup.recoverIndex(modelPath)
+    val lock = s"$modelPath.__lock"
+    if (!Fs.createExclusive(lock, s"pid=${ProcessHandle.current().pid()}"))
+      throw new IllegalStateException(
+        s"softmax model $modelPath is being updated by another " +
+          s"writer; if that process crashed, delete $lock and re-run")
+    try {
+      val applied = IncrementalLedger.appliedIds(modelPath)
+      val current = loadSoftmax(modelPath)
+      current.foreach(m => require(
+        m.dim == dim && m.numClasses == numClasses,
+        s"persisted model shape (${m.dim}, ${m.numClasses}) != " +
+          s"($dim, $numClasses)"))
+      if (batchId.exists(applied.contains))
+        return current.getOrElse(zero)
+      if (batch.isEmpty)
+        return current.getOrElse(zero)
+      val next = trainSoftmaxSparse(batch, idxCol, labelCol, dim,
+        numClasses, iters, lr, l2, init = current)
+      val tmp = s"$modelPath.__compact_tmp"
+      Fs.delete(tmp)
+      saveSoftmax(next, tmp)
+      IncrementalLedger.writeInto(tmp, applied, batchId)
+      val old = s"$modelPath.__old"
+      Fs.delete(old)
+      if (Fs.exists(modelPath)) Fs.rename(modelPath, old)
+      Fs.rename(tmp, modelPath)
+      Fs.delete(old)
+      next
+    } finally Fs.delete(lock)
+  }
+
   // ---------------------------------------------------------------- //
   // evaluation — integer-exact, oracle-expressible
   // ---------------------------------------------------------------- //
@@ -1234,6 +1291,45 @@ object Classifier {
     CalibrationModel(edges, rates, prior)
   }
 
+  /** [[fitHistogramCalibration]] with the edges DERIVED from the score
+    * distribution — the [[aucBinned]] discipline applied to
+    * calibration: a KLL sketch (one map-side-combined aggregate, a
+    * few-KiB blob to the driver) yields up to `bins − 1` quantile
+    * edges, so the bins are equal-mass wherever the scores allow and
+    * the caller never has to know the score domain. A constant-score
+    * frame degrades to one bin carrying the prior (documented, still a
+    * total calibrator). Edge derivation is data-dependent — use the
+    * literal-edges overload when the calibrator must be
+    * oracle-reproducible. */
+  def fitHistogramCalibration(df: DataFrame, scoreCol: String,
+                              labelCol: String, bins: Int,
+                              sketchK: Int): CalibrationModel = {
+    require(bins >= 2, "need at least 2 bins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val valid = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
+      .select(s.as("__s"), y.as("__y"))
+    val blob = valid.agg(Quantile.kllAgg(col("__s"), sketchK).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val buf = Quantile.fromBlob(blob)
+    val edges = (1 until bins).iterator
+      .map(i => Quantile.quantileOf(buf, i.toDouble / bins))
+      .collect { case d: Double => d }.toSeq.distinct.sorted
+    if (edges.isEmpty) {
+      // constant-score/empty-edge frame: one bin IS the binning — fit
+      // the single rate directly (the literal overload requires a
+      // non-empty edge set)
+      val r = valid.agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("np")).head()
+      require(r.getLong(0) > 0, "cannot calibrate on an empty frame")
+      val prior = r.getLong(1).toDouble / r.getLong(0)
+      // a single-bin model still needs one edge below every score so
+      // both rates serve the prior
+      CalibrationModel(Seq(Double.NegativeInfinity),
+        Seq(prior, prior), prior)
+    } else fitHistogramCalibration(valid, "__s", "__y", edges)
+  }
+
   /** The calibrated probability of a score — a codegen'd literal
     * array lookup (edge-count bucketing into the rate table), zero
     * shuffle, streams in append mode. A NaN score fails loudly: under
@@ -1270,7 +1366,49 @@ object Classifier {
     * cannot move a bit — ClassifierSpec pins the OOF frame). */
   def crossValidate(df: DataFrame, featuresCol: String, labelCol: String,
                     idCol: String, dim: Int, k: Int = 5,
-                    iters: Int = 12, l2: Double = 1e-2): DataFrame = {
+                    iters: Int = 12, l2: Double = 1e-2): DataFrame =
+    crossValidateWith(df, featuresCol, labelCol, idCol, k) {
+      (folded, fold) =>
+        val model = trainLogistic(folded.filter(col("__fold") =!= fold),
+          "__f", labelCol, dim, iters, l2)
+        folded.filter(col("__fold") === fold)
+          .select(col(idCol), col("__fold").as("fold"),
+            marginExpr(col("__f"), model).as("margin"))
+    }
+
+  /** [[crossValidate]] for the SPARSE hashed-feature regime — the
+    * 2^18-bin featurizer the engine calls the 100 TB shape
+    * ([[hashedIndices]]) gets the same honest OOF metrics the dense
+    * path has, so a deployment gate (the q_doc_classifier_pipeline
+    * discipline) can be built for a sparse router too. Per fold:
+    * [[trainLogisticSparse]] on the complement, OOF margins through
+    * [[scoreSparse]]'s broadcast-join plan (never a 2^18-literal
+    * chain). Same concurrent fail-fast fold pool, same deterministic
+    * hash-fold assignment, same `(idCol, fold, margin)` frame. */
+  def crossValidateSparse(df: DataFrame, idxCol: String, labelCol: String,
+                          idCol: String, dim: Int, k: Int = 5,
+                          iters: Int = 200, lr: Double = 0.5,
+                          l2: Double = 0.0): DataFrame =
+    crossValidateWith(df, idxCol, labelCol, idCol, k) { (folded, fold) =>
+      val model = trainLogisticSparse(
+        folded.filter(col("__fold") =!= fold), "__f", labelCol, dim,
+        iters, lr, l2)
+      scoreSparse(folded.filter(col("__fold") === fold), idCol, "__f",
+        model)
+        .select(col(idCol), lit(fold).as("fold"), col("margin"))
+    }
+
+  /** The shared fold pool: hash-fold assignment, one cached projection,
+    * k concurrent fail-fast driver threads (one job group — the first
+    * failed fold cancels the siblings' jobs, submitted or not), OOF
+    * union. `trainScore(folded, fold)` trains on the complement and
+    * returns that fold's `(idCol, fold, margin)` frame; it must be a
+    * pure function of its fold's partition contents (concurrency then
+    * cannot move a bit — ClassifierSpec pins both OOF frames). */
+  private def crossValidateWith(df: DataFrame, featuresCol: String,
+                                labelCol: String, idCol: String, k: Int)
+                               (trainScore: (DataFrame, Int) => DataFrame)
+      : DataFrame = {
     require(k >= 2, "need at least 2 folds")
     val folded = df.select(col(idCol), col(labelCol),
       col(featuresCol).as("__f"),
@@ -1298,12 +1436,7 @@ object Classifier {
               // trainings burning the cluster after the throw
               sc.setJobGroup(group, s"crossValidate fold $fold",
                 interruptOnCancel = true)
-              val model = trainLogistic(
-                folded.filter(col("__fold") =!= fold),
-                "__f", labelCol, dim, iters, l2)
-              folded.filter(col("__fold") === fold)
-                .select(col(idCol), col("__fold").as("fold"),
-                  marginExpr(col("__f"), model).as("margin"))
+              trainScore(folded, fold)
             }(ec).onComplete {
               case scala.util.Success(df) =>
                 results(fold) = df

@@ -61,29 +61,40 @@ object TrainingData {
     * lands at its xxhash bin, exact since the hashed logit is the same
     * linear form — then polished by warm-started sparse GD. `feats`
     * must carry `f` (vocab counts), `idx` (hashed indices), `label`. */
+  /** The distillation half alone: dense Newton router transported into
+    * the hashed bins (exact — the hashed logit is the same linear
+    * form), NOT yet polished. The online-router query seeds its
+    * persisted model with this and lets the STREAMED GD folds do the
+    * polishing the batch path does in one warm-started call. */
+  private def distilledDomainInit(s: SparkSession, dir: String,
+                                  feats: DataFrame, words: Seq[String],
+                                  dim: Int)
+      : graft.ops.Classifier.SoftmaxModel = {
+    val dense = softmaxModels.getOrElseUpdate(dir,
+      Classifier.trainSoftmax(feats, "f", "label", dim = words.size,
+        numClasses = 3))
+    // += guards the astronomically-unlikely word-bin collision
+    val bins = s.range(1).select(words.map(w =>
+      pmod(xxhash64(lit(w)), lit(dim.toLong)).cast("int").as(w)): _*)
+      .head()
+    val wInit = Array.tabulate(2) { c =>
+      val row = new Array[Double](dim + 1)
+      words.indices.foreach(i =>
+        row(bins.getInt(i)) += dense.weights(c)(i))
+      row(dim) = dense.weights(c)(words.size) // bias last
+      row
+    }
+    Classifier.SoftmaxModel(wInit, 3)
+  }
+
   private def sparseDomainModel(s: SparkSession, dir: String,
                                 feats: DataFrame, words: Seq[String],
                                 dim: Int)
       : graft.ops.Classifier.SoftmaxModel =
-    softmaxModels.getOrElseUpdate(s"$dir#sparse", {
-      val dense = softmaxModels.getOrElseUpdate(dir,
-        Classifier.trainSoftmax(feats, "f", "label", dim = words.size,
-          numClasses = 3))
-      // += guards the astronomically-unlikely word-bin collision
-      val bins = s.range(1).select(words.map(w =>
-        pmod(xxhash64(lit(w)), lit(dim.toLong)).cast("int").as(w)): _*)
-        .head()
-      val wInit = Array.tabulate(2) { c =>
-        val row = new Array[Double](dim + 1)
-        words.indices.foreach(i =>
-          row(bins.getInt(i)) += dense.weights(c)(i))
-        row(dim) = dense.weights(c)(words.size) // bias last
-        row
-      }
+    softmaxModels.getOrElseUpdate(s"$dir#sparse",
       Classifier.trainSoftmaxSparse(feats, "idx", "label", dim,
         numClasses = 3, iters = 30, lr = 0.5,
-        init = Some(Classifier.SoftmaxModel(wInit, 3)))
-    })
+        init = Some(distilledDomainInit(s, dir, feats, words, dim))))
 
   /** Unique memory-sink names for repeated streaming runs within one
     * session (the Relational.streamQueryId convention). */
@@ -409,6 +420,66 @@ object TrainingData {
         .orderBy(col("doc_id"))
     }),
 
+    // ONLINE multiclass routing: the domain router REFRESHED at ingest
+    // with the full ledger/lock/swap discipline the binary model has
+    // (updateSoftmaxOnline) — warm-start-offline / refresh-online: the
+    // persisted model is seeded with the DISTILLED dense router
+    // (exact weight transport, unpolished), then each micro-batch
+    // folds warm-started sparse-GD steps over weak labels computed
+    // in-stream (the argmax rule), two checkpointed drains = two
+    // folds; a crash-replayed batch returns the committed weights
+    // (exactly-once via the ledger). The final model must classify
+    // every uniquely-argmaxed doc to the rule (fail-loud), so the
+    // oracle is the shared engine-independent argmax rule
+    "q_stream_domain_router_online" -> ((s, dir) => {
+      val words = Seq("hash", "join", "sort")
+      val dim = 4096
+      def f(c: Column) = Classifier.vocabCountFeatures(Text.tokens(c),
+        words)
+      def kept(c: Column) = filter(Text.tokens(c),
+        t => t.isin(words.map(w => w: Any): _*))
+      val c0 = element_at(col("f"), 1); val c1 = element_at(col("f"), 2)
+      val c2 = element_at(col("f"), 3)
+      val label = when(c0 >= c1 && c0 >= c2, 0).when(c1 >= c2, 1)
+        .otherwise(2)
+      val featsB = docs(s, dir).withColumn("f", f(col("text")))
+        .withColumn("idx", Classifier.hashedIndices(kept(col("text")),
+          dim))
+        .withColumn("label", label)
+        .withColumn("unique_max",
+          (c0 > c1 && c0 > c2) || (c1 > c0 && c1 > c2) ||
+            (c2 > c0 && c2 > c1))
+      val seed = distilledDomainInit(s, dir, featsB, words, dim)
+      val tmp = scratchDir("graft-domonline-")
+      Classifier.saveSoftmax(seed, s"$tmp/model")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      def stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .withColumn("f", f(col("text")))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          Classifier.hashedIndices(kept(col("text")), dim).as("idx"),
+          label.as("label"))
+      val q1 = graft.streaming.Monitor.softmaxSink(stream, s"$tmp/model",
+        s"$tmp/ckpt1", "idx", "label", dim, numClasses = 3, iters = 15,
+        lr = 0.5)
+      try q1.processAllAvailable() finally q1.stop()
+      val q2 = graft.streaming.Monitor.softmaxSink(stream, s"$tmp/model",
+        s"$tmp/ckpt2", "idx", "label", dim, numClasses = 3, iters = 15,
+        lr = 0.5)
+      try q2.processAllAvailable() finally q2.stop()
+      val model = Classifier.loadSoftmax(s"$tmp/model").getOrElse(
+        sys.error("online domain router never committed a model"))
+      val uniq = featsB.filter(col("unique_max"))
+      val out = uniq.select(col("doc_id"), col("label"))
+        .join(Classifier.scoreSoftmaxSparse(uniq, "doc_id", "idx", model)
+          .select(col("doc_id"), col("predicted")), "doc_id")
+      val acc = out.select(avg(when(col("predicted") === col("label"),
+        1.0).otherwise(0.0))).head().getDouble(0)
+      require(acc == 1.0,
+        s"online domain router diverged from the argmax rule: acc=$acc")
+      out.select(col("doc_id"), col("predicted")).orderBy(col("doc_id"))
+    }),
+
     // k-fold cross-validation: every doc predicted by the model that
     // NEVER saw it (hash-fold assignment, one IRLS per complement) —
     // out-of-fold predictions must still recover the separable concept
@@ -503,13 +574,15 @@ object TrainingData {
     // Brown et al. 2020 App. A workflow end to end): train the
     // classifier on the labeled seed, GATE deployment on out-of-fold
     // accuracy (models that never saw a row must still recover the
-    // concept — the honest-generalization check, fail-loud), let the
-    // TRAINED decisions drive the budgeted selection (approved docs
-    // fill each source's token budget first, hash-first within a
-    // class — the bucketed fan-out, never a single-task sort), and
-    // emit the mixture report. The gate pins decisions to the concept,
-    // so the oracle is the same selection replay with quality = the
-    // rule — every output an exact integer
+    // concept — the honest-generalization check, fail-loud), CALIBRATE
+    // the gated margins (histogram binning, served as a codegen'd
+    // literal lookup), let the CALIBRATED PROBABILITY drive the
+    // budgeted selection (approved docs fill each source's token
+    // budget first, hash-first within a class — the bucketed fan-out,
+    // never a single-task sort), and emit the mixture report. The
+    // gates pin decisions to the concept and the calibrated rates to
+    // the exact integers 1/0, so the oracle is the same selection
+    // replay with quality = the rule — every output an exact integer
     "q_doc_classifier_pipeline" -> ((s, dir) => {
       val vocab = Seq("hash", "join", "sort", "scan",
         "batch", "data", "merge", "filter")
@@ -533,15 +606,28 @@ object TrainingData {
           "deploy this classifier")
       val fitAcc = Classifier.trainAccuracy(feats, "f", "label", model)
       require(fitAcc == 1.0, s"pipeline gate: fit accuracy $fitAcc < 1")
-      // stage 3: trained decisions drive the budget selection
-      val scored = feats.withColumn("q",
-        when(Classifier.marginExpr(col("f"), model) > 0, 1.0)
-          .otherwise(0.0))
+      // stage 3: CALIBRATE the gated model (Zadrozny & Elkan histogram
+      // binning on the trained margins, one keyed aggregate) — the
+      // Brown et al. 2020 shape thresholds a calibrated PROBABILITY,
+      // not a raw margin. With the deployment gates green the margin>0
+      // bin holds only positives and the other only negatives, so the
+      // served rates are the exact integers 1.0/0.0 — the oracle
+      // replays the selection with quality = the rule unchanged
+      val withMargin = feats.withColumn("margin",
+        Classifier.marginExpr(col("f"), model))
+      val cal = Classifier.fitHistogramCalibration(withMargin, "margin",
+        "label", edges = Seq(0.0))
+      require(cal.rates.toSet == Set(0.0, 1.0),
+        s"pipeline gate: calibrated rates ${cal.rates} are not the " +
+          "gated 0/1 split — gates and calibration disagree")
+      // stage 4: the CALIBRATED probability drives the budget selection
+      val scored = withMargin.withColumn("q",
+        Classifier.calibratedExpr(col("margin"), cal))
       val sel = graft.ops.Sampling.selectByQualityBudget(scored,
         col("source"), col("doc_id"), Text.tokenCount(col("text")),
         col("q"), Map("src0" -> 400L, "src1" -> 300L, "src2" -> 200L),
         qMin = 0.0, qMax = 1.0)
-      // stage 4: the mixture report
+      // stage 5: the mixture report
       sel.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(Text.tokenCount(col("text"))).as("n_tokens"))
@@ -3193,6 +3279,27 @@ object TrainingData {
 
     // the streamed sparse router shares the argmax oracle too
     "q_stream_domain_classifier_sparse" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'hash')) AS c0,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'join')) AS c1,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'sort')) AS c2
+        |  FROM documents
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(CASE WHEN c0 >= c1 AND c0 >= c2 THEN 0
+        |            WHEN c1 >= c2 THEN 1 ELSE 2 END AS INT) AS predicted
+        |FROM c
+        |WHERE (c0 > c1 AND c0 > c2) OR (c1 > c0 AND c1 > c2)
+        |   OR (c2 > c0 AND c2 > c1)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the ONLINE-refreshed router must land on the same rule (the
+    // query fails loudly otherwise) — the shared argmax oracle
+    "q_stream_domain_router_online" ->
       """WITH c AS (
         |  SELECT doc_id,
         |    len(list_filter(string_split_regex(text, '\s+'),

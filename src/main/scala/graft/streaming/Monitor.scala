@@ -583,6 +583,37 @@ object Monitor {
       .start()
   }
 
+  /** Multiclass twin of [[classifierSink]]: stream labeled documents
+    * into the persisted ONLINE DOMAIN ROUTER at `modelPath`
+    * ([[graft.ops.Classifier.updateSoftmaxOnline]]) — each micro-batch
+    * warm-starts the softmax model and folds `iters` GD steps over its
+    * sparse index features, so a drifting domain mix is tracked at
+    * ingest without rescanning the corpus. Same delivery contract:
+    * GD folds are NOT idempotent, so each applied batch's
+    * lineage-qualified identity commits in the model's
+    * [[graft.ops.IncrementalLedger]] atomically with the weights —
+    * crash-replays return the committed model unchanged
+    * (exactly-once under foreachBatch's at-least-once delivery;
+    * MonitorSpec pins the replay no-op). The model stays loadable
+    * mid-stream ([[graft.ops.Classifier.loadSoftmax]]) for concurrent
+    * scorers. */
+  def softmaxSink(docs: DataFrame, modelPath: String,
+                  checkpointDir: String, idxCol: String,
+                  labelCol: String, dim: Int, numClasses: Int,
+                  iters: Int = 50, lr: Double = 1.0,
+                  l2: Double = 0.0): StreamingQuery = {
+    val lineage = checkpointLineage(checkpointDir)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.ops.Classifier.updateSoftmaxOnline(batch, modelPath,
+          idxCol, labelCol, dim, numClasses, iters, lr, l2,
+          batchId = Some(s"stream:$lineage:$bid"))
+        ()
+      }
+      .start()
+  }
+
   def profileSink(docs: DataFrame, indexPath: String,
                   checkpointDir: String, keyCols: Seq[String],
                   numCols: Seq[String], kDistinct: Int = 4096,

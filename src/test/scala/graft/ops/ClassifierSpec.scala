@@ -294,6 +294,98 @@ class ClassifierSpec extends AnyFunSuite {
       dim = 4, iters = 1, weightCol = Some("w")))
   }
 
+  test("crossValidateSparse: OOF margins recover the concept through " +
+    "the broadcast-join scorer; the OOF frame is deterministic across " +
+    "runs and matches fold-by-fold sequential training") {
+    val df = corpus(300, seed = 31)
+    val dim = 64
+    val feats = df.select(col("id"), col("label"),
+      Classifier.hashedIndices(Text.tokens(col("text")), dim).as("idx"))
+    def oof() = Classifier.crossValidateSparse(feats, "idx", "label",
+      "id", dim, k = 3, iters = 300, lr = 1.0)
+    val a = oof().orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // honest generalization: every out-of-fold margin sides with the
+    // concept (the models never saw their scored rows)
+    val labels = df.select(col("id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    a.foreach { case (id, _, m) =>
+      assert((m > 0) == labels(id), s"OOF miss at id=$id margin=$m")
+    }
+    // concurrency moves no bit: a second run is identical
+    val b = oof().orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(a.sameElements(b))
+    // and equals the sequential per-fold replay (same hash folds)
+    val fold0 = feats
+      .filter(pmod(xxhash64(col("id")), lit(3L)).cast("int") === 0)
+    val m0 = Classifier.trainLogisticSparse(
+      feats.filter(pmod(xxhash64(col("id")), lit(3L)).cast("int") =!= 0),
+      "idx", "label", dim, iters = 300, lr = 1.0)
+    val seq0 = Classifier.scoreSparse(fold0, "id", "idx", m0)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val par0 = a.filter(_._2 == 0).map(t => (t._1, t._3))
+    assert(seq0.sameElements(par0))
+  }
+
+  test("updateSoftmaxOnline: warm-started folds converge across " +
+    "batches; a re-delivered batch id is a no-op returning the " +
+    "committed bits; empty batches are no-ops; a racing writer fails " +
+    "fast; a shape-mismatched persisted model is loud") {
+    import graft.core.Fs
+    val dim = 32
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-smx-online-").toString
+    val modelPath = s"$root/model"
+    // 3-class concept: argmax of (spark, flink, duck) counts
+    val df = corpus(300, seed = 29)
+    val f = Classifier.vocabCountFeatures(Text.tokens(col("text")),
+      vocab)
+    val c0 = element_at(col("f"), 1); val c1 = element_at(col("f"), 2)
+    val c2 = element_at(col("f"), 3)
+    val feats = df.withColumn("f", f)
+      .select(col("id"),
+        Classifier.hashedIndices(Text.tokens(col("text")), dim)
+          .as("idx"),
+        when(c0 >= c1 && c0 >= c2, 0).when(c1 >= c2, 1).otherwise(2)
+          .as("y"))
+    val b1 = feats.filter(col("id") % 2 === 0)
+    val b2 = feats.filter(col("id") % 2 === 1)
+    val m1 = Classifier.updateSoftmaxOnline(b1, modelPath, "idx", "y",
+      dim, numClasses = 3, iters = 100, batchId = Some("s:1"))
+    val m2 = Classifier.updateSoftmaxOnline(b2, modelPath, "idx", "y",
+      dim, numClasses = 3, iters = 100, batchId = Some("s:2"))
+    // warm start: batch 2 continued from batch 1's weights, not zero
+    assert(!m2.weights(0).sameElements(
+      Classifier.trainSoftmaxSparse(b2, "idx", "y", dim, 3, 100)
+        .weights(0)))
+    // replay of batch 2 — with DIFFERENT data in hand — returns the
+    // committed model bit-identically without folding
+    val replay = Classifier.updateSoftmaxOnline(b1, modelPath, "idx",
+      "y", dim, numClasses = 3, iters = 100, batchId = Some("s:2"))
+    assert(replay.weights.length == m2.weights.length &&
+      replay.weights.indices.forall(c =>
+        replay.weights(c).sameElements(m2.weights(c))))
+    // empty batch: committed model unchanged
+    val empty = Classifier.updateSoftmaxOnline(
+      feats.filter(lit(false)), modelPath, "idx", "y", dim,
+      numClasses = 3, iters = 100, batchId = Some("s:3"))
+    assert(empty.weights(0).sameElements(m2.weights(0)))
+    // racing writer: a live lock fails fast (recoverIndex's crash-
+    // repair guard fires first — same loud outcome as the binary path)
+    assert(Fs.createExclusive(s"$modelPath.__lock", "pid=other"))
+    val race = intercept[IllegalStateException](
+      Classifier.updateSoftmaxOnline(b1, modelPath, "idx", "y", dim,
+        numClasses = 3, iters = 1, batchId = Some("s:4")))
+    assert(race.getMessage.contains("lock"))
+    Fs.delete(s"$modelPath.__lock")
+    // shape mismatch against the persisted model is loud, not silent
+    intercept[IllegalArgumentException](
+      Classifier.updateSoftmaxOnline(b1, modelPath, "idx", "y", dim,
+        numClasses = 4, iters = 1, batchId = Some("s:5")))
+  }
+
   test("the intercept is NEVER penalized: under crushing l2 the " +
     "weights vanish but the bias still carries the class prior " +
     "(all four trainers)") {
@@ -635,6 +727,39 @@ class ClassifierSpec extends AnyFunSuite {
       .fitHistogramCalibration(rows, "score", "label", Seq(1.0, 1.0)))
     intercept[Exception](Classifier.fitHistogramCalibration(
       rows.filter(lit(false)), "score", "label", Seq(0.0)))
+  }
+
+  test("auto-edges calibration (KLL): bins are ~equal-mass over an " +
+    "unknown score domain and rates are monotone on a monotone " +
+    "concept; a constant-score frame degrades to one prior bin") {
+    // scores 0..999, concept = score >= 600: a 10-bin equal-mass
+    // calibrator must place ~100 per bin, rates stepping 0 -> 1
+    val rows = (0 until 1000).map(i => (i.toLong, i.toDouble, i >= 600))
+      .toDF("id", "score", "label")
+    val m = Classifier.fitHistogramCalibration(rows, "score", "label",
+      bins = 10, sketchK = 4096)
+    assert(m.edges.size >= 8 && m.edges.size <= 9,
+      s"expected ~9 quantile edges, got ${m.edges}")
+    assert(m.rates == m.rates.sorted,
+      s"rates not monotone on a monotone concept: ${m.rates}")
+    assert(m.rates.head == 0.0 && m.rates.last == 1.0)
+    // each bin's mass is within KLL tolerance of equal (group by BIN,
+    // not by served rate — same-rate bins would collapse)
+    val counts = rows
+      .select(size(filter(typedLit(m.edges), e => col("score") > e))
+        .as("b"))
+      .groupBy(col("b")).count().collect().map(_.getLong(1))
+    assert(counts.length >= 9 && counts.forall(n => n > 50 && n < 200),
+      s"bins far from equal-mass: ${counts.toSeq}")
+    // constant scores: no derivable edges — one bin serving the prior
+    val const = (0 until 40).map(i => (i.toLong, 7.0, i % 4 == 0))
+      .toDF("id", "score", "label")
+    val mc = Classifier.fitHistogramCalibration(const, "score", "label",
+      bins = 10, sketchK = 4096)
+    assert(mc.rates.forall(_ == 0.25) && mc.prior == 0.25)
+    val served = const
+      .select(Classifier.calibratedExpr(col("score"), mc)).head()
+    assert(served.getDouble(0) == 0.25)
   }
 
   test("crossValidate: every row scored out-of-fold exactly once; " +

@@ -942,4 +942,56 @@ class MonitorSpec extends AnyFunSuite {
     assert(codes(s"$dir/idx").map(_._1) ==
       ((0L until 20L) ++ (100L until 110L)).toSet)
   }
+
+  test("softmax sink: online folds refresh the persisted router; a " +
+    "resumed checkpoint folds only the new batch; a re-delivered " +
+    "drain with no new data leaves the committed bits untouched") {
+    import spark.implicits._
+    import graft.ops.Classifier
+    val root = tmpDir("graft-smxsink-")
+    val in = s"$root/in"; val modelPath = s"$root/model"
+    val dim = 16
+    // sparse 3-class rows: class c's rows carry index c (+ a shared
+    // noise index), so GD separates them quickly
+    def rows(ids: Range): Seq[(Long, Seq[Int], Int)] =
+      ids.map { i =>
+        val c = i % 3
+        (i.toLong, Seq(c, c, 3 + (i % 2)), c)
+      }
+    def write(ids: Range): Unit =
+      rows(ids).toDF("doc_id", "idx", "y").coalesce(1)
+        .write.mode("append").parquet(in)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("idx", ArrayType(IntegerType)),
+      StructField("y", IntegerType)))
+    def drain(cp: String): Unit = {
+      val q = Monitor.softmaxSink(
+        spark.readStream.schema(schema).parquet(in), modelPath,
+        cp, "idx", "y", dim, numClasses = 3, iters = 200)
+      try q.processAllAvailable() finally q.stop()
+    }
+    write(0 until 60)
+    drain(s"$root/cp")
+    val m1 = Classifier.loadSoftmax(modelPath).get
+    // model is live for concurrent scorers and already separates
+    val scored = Classifier.scoreSoftmaxSparse(
+      rows(0 until 60).toDF("doc_id", "idx", "y"), "doc_id", "idx", m1)
+    val acc = rows(0 until 60).toDF("doc_id", "idx", "y")
+      .join(scored, "doc_id")
+      .select(avg(when(col("predicted") === col("y"), 1.0)
+        .otherwise(0.0))).head().getDouble(0)
+    assert(acc == 1.0, s"online softmax under-converged: acc=$acc")
+    // resumed checkpoint with NO new data: nothing re-folds — the
+    // committed weights are bit-identical after the drain
+    drain(s"$root/cp")
+    val m1b = Classifier.loadSoftmax(modelPath).get
+    assert(m1b.weights.indices.forall(c =>
+      m1b.weights(c).sameElements(m1.weights(c))))
+    // append: the resumed checkpoint folds ONLY the new batch (the
+    // weights move — warm-started, not retrained from zero)
+    write(60 until 90)
+    drain(s"$root/cp")
+    val m2 = Classifier.loadSoftmax(modelPath).get
+    assert(!m2.weights(0).sameElements(m1.weights(0)))
+  }
 }
