@@ -8,12 +8,15 @@ import graft.core.Database
   * bin/psweep-db2table, cli.py check-calc-dir).
   *
   * The export mains accept time-travel flags (the shell-pipeline
-  * face of [[Database.asOf]]/[[Database.changes]]):
+  * face of [[Database.asOf]]/[[Database.asOfTime]]/
+  * [[Database.changes]]):
   *   - `--as-of <runSeq>` — the db exactly as that run left it;
+  *   - `--as-of-time <ISO-8601 instant>` — the db as of that wall-
+  *     clock moment (resolved to the latest run committed by then);
   *   - `--changes <afterRun>[,<untilRun>]` — only rows appended in
   *     the interval.
-  * Both are manifest-pruned: a one-run dump of a 10,000-run db reads
-  * one run's files. */
+  * All are manifest-pruned: a one-run dump of a 10,000-run db reads
+  * one run's files (and the timestamp resolution reads none). */
 object Cli {
   /** Split `--flag value` pairs from positional args. Malformed
     * invocations fail loudly instead of exporting the wrong frame: a
@@ -38,17 +41,30 @@ object Cli {
   }
 
   /** Resolve the frame an export main should dump: full read by
-    * default, [[Database.asOf]] under `--as-of`, [[Database.changes]]
-    * under `--changes from[,to]`. */
+    * default, [[Database.asOf]] under `--as-of <runSeq>`,
+    * [[Database.asOfTime]] under `--as-of-time <ISO-8601 instant>`
+    * (operators think in wall clock; the db resolves it to the run
+    * log), [[Database.changes]] under `--changes from[,to]`. */
   private[cli] def frame(db: Database,
                          flags: Map[String, String]): DataFrame = {
     val asOf = flags.get("--as-of")
+    val asOfT = flags.get("--as-of-time")
     val ch = flags.get("--changes")
-    require(asOf.isEmpty || ch.isEmpty,
-      "--as-of and --changes are mutually exclusive")
-    (asOf, ch) match {
-      case (Some(r), _) => db.asOf(r.toLong)
-      case (_, Some(iv)) =>
+    require(Seq(asOf, asOfT, ch).count(_.nonEmpty) <= 1,
+      "--as-of, --as-of-time and --changes are mutually exclusive")
+    (asOf, asOfT, ch) match {
+      case (Some(r), _, _) => db.asOf(r.toLong)
+      case (_, Some(t), _) =>
+        val ts =
+          try java.time.Instant.parse(t)
+          catch {
+            case e: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"--as-of-time wants an ISO-8601 instant " +
+                  s"(2026-08-15T12:00:00Z), got '$t'", e)
+          }
+        db.asOfTime(ts)
+      case (_, _, Some(iv)) =>
         iv.split(",").map(_.trim) match {
           case Array(from) => db.changes(from.toLong)
           case Array(from, to) => db.changes(from.toLong, to.toLong)
@@ -59,7 +75,7 @@ object Cli {
     }
   }
 
-  private[cli] val timeFlags = Set("--as-of", "--changes")
+  private[cli] val timeFlags = Set("--as-of", "--as-of-time", "--changes")
 
   private[cli] def session(): SparkSession = {
     val s = SparkSession.builder()

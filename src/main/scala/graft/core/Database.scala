@@ -234,10 +234,11 @@ class Database(val spark: SparkSession, val calcDir: String,
     * correctness. */
   private val commitMarker: String = s"$dbPath/_graft_skip_commit"
 
-  /** Columns every post-round-11 manifest carries; an older manifest
+  /** Columns every post-round-12 manifest carries; an older manifest
     * lacking them is fully rebuilt on the next maintenance pass. */
   private val manifestCols = Seq("file", "rows", "pid_hmin", "pid_hmax",
-    "psh_hmin", "psh_hmax", "pset_seq_max", "run_seq_min", "run_seq_max")
+    "psh_hmin", "psh_hmax", "pset_seq_max", "run_seq_min", "run_seq_max",
+    "time_utc_max")
 
   private def normalizePath(p: String): String =
     p.replaceFirst("^file:/+", "/")
@@ -249,21 +250,25 @@ class Database(val spark: SparkSession, val calcDir: String,
     { recover(); Fs.exists(manifestDir) && Fs.exists(commitMarker) }
 
   private def fileStats(src: DataFrame): DataFrame = {
-    def optLong(name: String, c: Column): Column =
-      if (src.columns.contains(name)) c else lit(null).cast(LongType)
+    def opt(name: String, c: Column, t: DataType): Column =
+      if (src.columns.contains(name)) c else lit(null).cast(t)
+    def optLong(name: String, c: Column): Column = opt(name, c, LongType)
     src.select(
         regexp_replace(input_file_name(), "^file:/+", "/").as("file"),
         xxhash64(col("_pset_id")).as("__h"),
         optLong("_pset_hash", xxhash64(col("_pset_hash"))).as("__ph"),
         optLong("_pset_seq", col("_pset_seq").cast(LongType)).as("__ps"),
-        optLong("_run_seq", col("_run_seq").cast(LongType)).as("__rs"))
+        optLong("_run_seq", col("_run_seq").cast(LongType)).as("__rs"),
+        opt("_time_utc", col("_time_utc").cast(TimestampType),
+          TimestampType).as("__t"))
       .groupBy(col("file"))
       .agg(count(lit(1)).as("rows"),
         min(col("__h")).as("pid_hmin"), max(col("__h")).as("pid_hmax"),
         min(col("__ph")).as("psh_hmin"), max(col("__ph")).as("psh_hmax"),
         max(col("__ps")).as("pset_seq_max"),
         min(col("__rs")).as("run_seq_min"),
-        max(col("__rs")).as("run_seq_max"))
+        max(col("__rs")).as("run_seq_max"),
+        max(col("__t")).as("time_utc_max"))
   }
 
   /** Full manifest rebuild: one column-pruned scan of the db. */
@@ -453,6 +458,60 @@ class Database(val spark: SparkSession, val calcDir: String,
       .map(r => normalizePath(r.getString(0))).toIndexedSeq
     if (files.isEmpty) read().filter(probe).limit(0)
     else readFiles(files).filter(probe)
+  }
+
+  /** Time travel by WALL CLOCK: the database as of instant `ts` —
+    * [[asOf]] of the latest run whose COMMIT TIME (the max `_time_utc`
+    * across its rows, the reference's own per-run bookkeeping,
+    * ref psweep.py:1216-1217) is ≤ `ts`. Operators think in
+    * timestamps ("the db as of last night's snapshot"), the run log in
+    * run numbers; this is the resolver between them. Scale path: with
+    * a fresh manifest the per-run commit times come from the per-file
+    * `time_utc_max` column — a driver-side fold over manifest rows,
+    * zero data files touched; the fallback is one column-pruned
+    * `groupBy(_run_seq).max(_time_utc)` scan. A run whose commit time
+    * is unknown (null `_time_utc` throughout) cannot be ATTESTED ≤ ts
+    * and never resolves as the boundary run — but it is still
+    * INCLUDED whenever a later attested run resolves (asOf is a prefix
+    * of the run log). Fails loudly when NO run committed by `ts`
+    * (asking for history before the database existed is a caller bug,
+    * not an empty frame). */
+  def asOfTime(ts: java.time.Instant): DataFrame = {
+    recover()
+    val commits: Seq[(Long, java.sql.Timestamp)] = {
+      val m =
+        if (!manifestFresh) None
+        else {
+          val mf = spark.read.parquet(manifestDir)
+          if (!Seq("run_seq_max", "time_utc_max")
+              .forall(mf.columns.contains)) None
+          else Some(mf.select(col("run_seq_max"), col("time_utc_max"))
+            .collect()
+            .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+            .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq)
+        }
+      m.getOrElse {
+        readOpt() match {
+          case None => Seq.empty
+          case Some(df) =>
+            if (!df.columns.contains("_time_utc")) Seq.empty
+            else df.groupBy(col("_run_seq").cast(LongType).as("__r"))
+              .agg(max(col("_time_utc").cast(TimestampType)).as("__t"))
+              .collect()
+              .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+              .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+        }
+      }
+    }
+    // per-run commit time = max over that run's files/rows
+    val byRun = commits.groupBy(_._1)
+      .map { case (r, ts) => r -> ts.map(_._2.toInstant).max }
+    val resolved = byRun.filter { case (_, t) => !t.isAfter(ts) }.keys
+    require(resolved.nonEmpty,
+      s"no run in $dbPath had committed by $ts — earliest commit is " +
+        byRun.values.minOption.map(_.toString).getOrElse("unknown") +
+        " (or the db records no _time_utc)")
+    asOf(resolved.max)
   }
 
   /** Incremental read (change data feed): every row appended strictly

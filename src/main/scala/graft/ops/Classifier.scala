@@ -1069,10 +1069,14 @@ object Classifier {
     * bucket-local; PlanSpec gates the absence of a global window.
     * Heavy TIE BLOCKS (one score carrying a large share of the rows —
     * the quantized-score regime's normal shape) are sub-split by
-    * ranges of `tieCol` when it casts to double, so a dominant value
-    * cannot funnel its block through one task; a non-numeric tie
-    * column degrades that block to a single sorted bucket (documented,
-    * loud in the plan, still correct).
+    * ranges of `tieCol`, so a dominant value cannot funnel its block
+    * through one task: numeric-family tie keys split on KLL quantile
+    * edges of the double cast; STRING tie keys (quantized score +
+    * string doc-id, the common real shape) split on prefix boundaries
+    * sampled from the block (native string order — the same order the
+    * rank window sorts by). Any other tie type degrades that block to
+    * a single sorted bucket (documented, loud in the plan, still
+    * correct).
     *
     * Contract: the input must be deterministic across executions (the
     * engine-wide reproducibility assumption — same as every
@@ -1087,16 +1091,37 @@ object Classifier {
     val y = col(labelCol).cast("boolean")
     val valid = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
       .select(s.as("__s"), y.as("__y"), col(tieCol).as("__t"))
-    // a monotone tie key: only a NUMERIC-family tie column can
-    // sub-split a tie block (its double cast preserves the window's
-    // __t order; a string of digits would not — "10" < "9" as strings)
+    // a monotone tie key: a NUMERIC-family tie column sub-splits a tie
+    // block via its double cast (order-preserving; a string of digits
+    // would not be — "10" < "9" as strings); a STRING tie column
+    // sub-splits via native string comparison (the same UTF8 binary
+    // order the rank window sorts by), with boundaries from a sampled
+    // prefix instead of a KLL sketch (KLL is numeric). Other types
+    // keep heavy blocks whole (correct, serial, loud in the plan).
     val tieNumeric = valid.schema("__t").dataType match {
       case _: org.apache.spark.sql.types.NumericType |
           org.apache.spark.sql.types.TimestampType |
           org.apache.spark.sql.types.BooleanType => true
       case _ => false
     }
+    val tieString =
+      valid.schema("__t").dataType == org.apache.spark.sql.types.StringType
     val td = col("__t").cast("double")
+    // tie sub-bucket of a row given both split maps (disjoint keys):
+    // numeric blocks bucket on the double cast, string blocks on the
+    // native string order; everything else stays sub-bucket 0
+    def subSplitExpr(bktCol: Column, sn: Map[Int, Seq[Double]],
+                     ss: Map[Int, Seq[String]]): Column = {
+      val base = sn.foldLeft(lit(0)) { case (acc, (b, es)) =>
+        when(bktCol === b, size(filter(typedLit(es), x => td > x)))
+          .otherwise(acc)
+      }
+      ss.foldLeft(base) { case (acc, (b, es)) =>
+        when(bktCol === b,
+          size(filter(typedLit(es), x => col("__t").cast("string") > x)))
+          .otherwise(acc)
+      }
+    }
     val nb = math.max(2, math.min(256,
       spark.sparkContext.defaultParallelism * 4))
     // the driver-side phases (edges, bucket stats, refined counts)
@@ -1138,10 +1163,12 @@ object Classifier {
         // are already bounded by the quantile grid, so nothing else
         // can be this heavy.)
         val ideal = math.max(1L, total / nb)
-        val splits: Map[Int, Seq[Double]] =
+        val heavy = stat.iterator
+          .filter { case (_, n, lo, hi, _) => lo == hi && n > 2 * ideal }
+          .toSeq
+        val splitsNum: Map[Int, Seq[Double]] =
           if (!tieNumeric) Map.empty
-          else stat.iterator
-            .filter { case (_, n, lo, hi, _) => lo == hi && n > 2 * ideal }
+          else heavy.iterator
             .flatMap { case (b, n, _, _, blob) =>
               val buf = Quantile.fromBlob(blob)
               // a sketch that saw fewer values than rows means null
@@ -1157,36 +1184,65 @@ object Classifier {
                 if (es.isEmpty) None else Some(b -> es)
               }
             }.toMap
+        // the STRING path (quantized score + string doc-id is the
+        // common real shape): boundaries from a deterministic
+        // hash-sample of the block's tie keys (~4k strings to the
+        // driver), sorted, prefix order statistics. Strings compare
+        // lexicographically in the same UTF8 binary order the rank
+        // window sorts by, and ANY boundary set yields the same global
+        // ranks (bucket assignment is monotone in __t and never splits
+        // equal keys) — sampling error costs balance, never bits.
+        // Null tie keys sort FIRST under asc and land in sub-bucket 0
+        // (every boundary comparison is null → dropped), so unlike the
+        // KLL path nulls need no whole-block fallback.
+        val splitsStr: Map[Int, Seq[String]] =
+          if (!tieString) Map.empty
+          else heavy.iterator
+            .flatMap { case (b, n, _, _, _) =>
+              val rate = math.max(1L, n / 4096)
+              val sample = valid
+                .filter(bktE === b && col("__t").isNotNull &&
+                  pmod(xxhash64(col("__t"), lit(0x517cc1b7L)),
+                    lit(rate)) === 0)
+                .select(col("__t").cast("string"))
+                .collect().map(_.getString(0)).sorted
+              if (sample.isEmpty) None
+              else {
+                val m = math.min(64L, (n + ideal - 1) / ideal).toInt
+                val es = (1 until m).iterator
+                  .map(i => sample(
+                    ((i.toLong * sample.length) / m).toInt))
+                  .toSeq.distinct.sorted
+                if (es.isEmpty) None else Some(b -> es)
+              }
+            }.toMap
         // refined counts only when a block actually split — and only
         // over the split blocks' rows (every other bucket's count is
         // already in `stat`; re-aggregating the whole relation for
         // them would be a pure waste)
         val c: Seq[(Int, Long)] =
-          if (splits.isEmpty) stat.map(t => (t._1 * 128, t._2)).toSeq
+          if (splitsNum.isEmpty && splitsStr.isEmpty)
+            stat.map(t => (t._1 * 128, t._2)).toSeq
           else {
-            val sub = splits.foldLeft(lit(0)) { case (acc, (b, es)) =>
-              when(bktE === b,
-                size(filter(typedLit(es), x => td > x))).otherwise(acc)
-            }
+            val sub = subSplitExpr(bktE, splitsNum, splitsStr)
+            val splitKeys = (splitsNum.keySet ++ splitsStr.keySet).toSeq
             val splitCounts = valid
-              .filter(bktE.isin(splits.keySet.toSeq: _*))
+              .filter(bktE.isin(splitKeys: _*))
               .groupBy((bktE * lit(128) + sub).as("__b2"))
               .agg(count(lit(1)).as("__n"))
               .collect().map(r => (r.getInt(0), r.getLong(1)))
             val kept = stat.iterator
-              .filterNot(t => splits.contains(t._1))
+              .filterNot(t => splitsNum.contains(t._1) ||
+                splitsStr.contains(t._1))
               .map(t => (t._1 * 128, t._2))
             (kept ++ splitCounts).toSeq.sortBy(_._1)
           }
-        (e, splits, c)
+        (e, (splitsNum, splitsStr), c)
       } finally { valid.unpersist(): Unit }
     val bkt =
       if (edges.isEmpty) lit(0)
       else size(filter(typedLit(edges), e => col("__s") > e))
-    val subExpr = tieSplits.foldLeft(lit(0)) { case (acc, (b, es)) =>
-      when(bkt === b, size(filter(typedLit(es), x => td > x)))
-        .otherwise(acc)
-    }
+    val subExpr = subSplitExpr(bkt, tieSplits._1, tieSplits._2)
     // composite bucket id: (score bucket, tie sub-bucket), sub < 64,
     // lexicographic in the (__s, __t) total order by construction
     val tagged = valid.withColumn("__b", bkt * lit(128) + subExpr)

@@ -12,12 +12,17 @@ import graft.core.Database
 class CliSpec extends AnyFunSuite {
   import graft.SparkSpec.{spark, tmpDir}
 
+  private val t0 = java.time.Instant.parse("2026-08-15T10:00:00Z")
+
   private def mkDb(): Database = {
     val db = Database(spark, tmpDir("graft-cli-"))
     def runDf(r: Int, n: Int) = spark.range(0, n).select(
       concat(lit(s"p$r-"), col("id")).as("_pset_id"),
       col("id").as("_pset_seq"), lit(r.toLong).as("_run_seq"),
-      lit(s"run$r").as("_run_id"), col("id").cast("double").as("x"))
+      lit(s"run$r").as("_run_id"),
+      timestamp_seconds(lit(t0.getEpochSecond + r * 60L))
+        .as("_time_utc"),
+      col("id").cast("double").as("x"))
     db.append(runDf(0, 30))
     db.rebuildSkipManifest()
     db.append(runDf(1, 20))
@@ -50,8 +55,20 @@ class CliSpec extends AnyFunSuite {
     assert(Cli.frame(db, Map("--as-of" -> "1")).count() == 50L)
     assert(Cli.frame(db, Map("--changes" -> "0")).count() == 30L)
     assert(Cli.frame(db, Map("--changes" -> "0,1")).count() == 20L)
+    // wall-clock addressing: at run 1's commit instant, between runs,
+    // and a malformed timestamp is loud
+    assert(Cli.frame(db,
+      Map("--as-of-time" -> t0.plusSeconds(60).toString)).count() == 50L)
+    assert(Cli.frame(db,
+      Map("--as-of-time" -> t0.plusSeconds(90).toString)).count() == 50L)
+    val badTs = intercept[IllegalArgumentException](
+      Cli.frame(db, Map("--as-of-time" -> "yesterday")))
+    assert(badTs.getMessage.contains("ISO-8601"))
     intercept[IllegalArgumentException](
       Cli.frame(db, Map("--as-of" -> "1", "--changes" -> "0")))
+    intercept[IllegalArgumentException](
+      Cli.frame(db, Map("--as-of" -> "1",
+        "--as-of-time" -> t0.toString)))
     intercept[IllegalArgumentException](
       Cli.frame(db, Map("--changes" -> "0,1,2")))
     // the historical dump IS asOf's frame: same rows, and with a fresh

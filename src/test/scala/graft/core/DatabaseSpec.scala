@@ -213,6 +213,50 @@ class DatabaseSpec extends AnyFunSuite {
     assert(db.asOf(0L).count() == 300L && db.asOf(1L).count() == 500L)
   }
 
+  test("asOfTime: wall-clock addressing resolves to the latest run " +
+    "committed by ts — exact at the commit instant, between runs, and " +
+    "loud before the first run; manifest-served resolution reads no " +
+    "data files") {
+    val calc = tmpDir("graft-dbasoftime-")
+    val db = Database(spark, calc)
+    // three runs committed a minute apart
+    val t0 = java.time.Instant.parse("2026-08-15T10:00:00Z")
+    def runDf(runSeq: Int, n: Int) = {
+      val commit = t0.plusSeconds(runSeq * 60L)
+      spark.range(0, n).select(
+        concat(lit(s"p$runSeq-"), col("id")).as("_pset_id"),
+        col("id").as("_pset_seq"), lit(runSeq.toLong).as("_run_seq"),
+        lit(s"run$runSeq").as("_run_id"),
+        // rows carry timestamps up to the run's commit instant
+        timestamp_seconds(lit(commit.minusSeconds(30).getEpochSecond)
+          + col("id") % 31).as("_time_utc"),
+        col("id").cast("double").as("x"))
+    }
+    db.append(runDf(0, 60))
+    db.rebuildSkipManifest()
+    db.append(runDf(1, 40))
+    db.append(runDf(2, 20))
+    assert(db.manifestFresh)
+    // exactly AT run 1's commit instant: runs 0 and 1
+    assert(db.asOfTime(t0.plusSeconds(60)).count() == 100L)
+    // between run 1 and run 2: still runs 0 and 1
+    assert(db.asOfTime(t0.plusSeconds(90)).count() == 100L)
+    // far future: everything
+    assert(db.asOfTime(t0.plusSeconds(3600)).count() == 120L)
+    // one instant BEFORE run 0's commit: run 0 not yet attested
+    val e = intercept[IllegalArgumentException](
+      db.asOfTime(t0.minusSeconds(31)))
+    assert(e.getMessage.contains("no run"))
+    // manifest-served: the resolved frame reads only the history's
+    // files (run 0 at t0 = run 0's commit instant)
+    val h = db.asOfTime(t0)
+    val run0Files = db.read().inputFiles.filter(_.contains("_run_id=run0"))
+    assert(h.inputFiles.sorted.toSeq == run0Files.sorted.toSeq)
+    // crash window (no marker): the scan fallback resolves identically
+    Fs.delete(s"${db.dbPath}/_graft_skip_commit")
+    assert(db.asOfTime(t0.plusSeconds(60)).count() == 100L)
+  }
+
   test("changes: incremental read between run commits — exact delta, " +
     "range-overlap file pruning, crash-window fallback") {
     val calc = tmpDir("graft-dbchanges-")

@@ -597,15 +597,34 @@ class ClassifierSpec extends AnyFunSuite {
     val got = Classifier.calibrationCurve(rows, "score", "label", "id",
       bins = 10)
     assert(got.collect().toSeq == replay(rows, "id").collect().toSeq)
-    // string tie key: the sub-split disables itself (a double cast
-    // would not preserve string order); zero-padded ids keep the
-    // replay's order comparable — result still exact, just serial for
-    // the tie block
+    // string tie key: the dominant block SUB-SPLITS on sampled prefix
+    // boundaries (native string order — the same order the replay's
+    // window sorts by); zero-padded ids keep the replay's order
+    // comparable — result exact AND the block no longer serial
     val rowsS = rows.withColumn("ids",
       concat(lit("k"), lpad(col("id").cast("string"), 6, "0")))
     val gotS = Classifier.calibrationCurve(rowsS, "score", "label",
       "ids", bins = 10)
+    // the sampled string boundaries are plan literals — their presence
+    // IS the >1-sub-bucket proof (the no-split path tags sub = 0 with
+    // no string literals)
+    assert(gotS.queryExecution.analyzed.toString.contains("k0"),
+      "string tie block was not sub-split")
     assert(gotS.collect().toSeq == replay(rowsS, "ids").collect().toSeq)
+    // ALL-TIED frame with STRING ties (one pure tie block holding
+    // everything) + null tie keys: nulls sort first in both the op's
+    // rank window and the replay, land in sub-bucket 0, and the bands
+    // still match NTILE exactly
+    val allTied = (0 until 1500).map { i =>
+      val ids = if (i % 97 == 0) null
+        else s"d${"%05d".format(i)}"
+      (ids, 2.5, i % 3 == 0)
+    }.toDF("ids", "score", "label")
+    val gotT = Classifier.calibrationCurve(allTied, "score", "label",
+      "ids", bins = 10)
+    assert(gotT.queryExecution.analyzed.toString.contains("d0"),
+      "all-tied string block was not sub-split")
+    assert(gotT.collect().toSeq == replay(allTied, "ids").collect().toSeq)
     // all-tied corpus (constant score): bands are pure tie arithmetic
     val const = (0 until 997).map(i => (i.toLong, 1.5, i % 3 == 0))
       .toDF("id", "score", "label")
