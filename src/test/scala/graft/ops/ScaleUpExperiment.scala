@@ -916,6 +916,100 @@ class ScaleUpExperiment extends AnyFunSuite {
     d1.unpersist(); d10.unpersist()
   }
 
+  test("round-13 serving paths (scoreSoftmaxSparse 10x corpus, " +
+    "softmaxLogitsSparse plan-size vs dim, crossValidateSparse, " +
+    "updateSoftmaxOnline, string-tie calibrationCurve) scale") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow (~2 min): opt in with GRAFT_SCALEUP=1 sbt test")
+    import graft.SparkSpec.tmpDir
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val words = Seq("hash", "join", "sort")
+    val dim = 4096
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Classifier.vocabCountFeatures(Text.tokens(col("text")), words)
+          .as("f"),
+        Classifier.hashedIndices(filter(Text.tokens(col("text")),
+          t => t.isin(words.map(w => w: Any): _*)), dim).as("idx"))
+    val c0 = element_at(col("f"), 1); val c1 = element_at(col("f"), 2)
+    val c2 = element_at(col("f"), 3)
+    val d1 = base
+      .withColumn("y",
+        when(c0 >= c1 && c0 >= c2, 0).when(c1 >= c2, 1).otherwise(2))
+      .withColumn("label", c0 >= 2.0)
+      .withColumn("margin", c0 * lit(0.25) - lit(0.375))
+      .withColumn("sid", concat(lit("doc-"),
+        lpad(col("doc_id").cast("string"), 9, "0")))
+      .cache()
+    val d10 = (0 until 10).map(i => d1.withColumn("doc_id",
+      col("doc_id") + lit(i * 10000000L))
+      .withColumn("sid", concat(lit("doc-"),
+        lpad(col("doc_id").cast("string"), 9, "0"))))
+      .reduce(_ unionByName _).repartition(16).cache()
+    d1.count(); d10.count()
+    // a fixed router (deterministic pseudo-weights) for the scorers
+    val model = Classifier.SoftmaxModel(Array.tabulate(2) { c =>
+      Array.tabulate(dim + 1)(i => ((i * 31 + c * 7) % 17 - 8) / 16.0)
+    }, 3)
+    // broadcast-join scorer: 10x rows = 10x explode+partial-agg work,
+    // one small shuffle on doc_id — must track the scan, not blow up
+    def score(d: org.apache.spark.sql.DataFrame): Long =
+      Classifier.scoreSoftmaxSparse(d, "doc_id", "idx", model).count()
+    val tsc1 = time(score(d1)); val tsc10 = time(score(d10))
+    println(f"[scaleup] scoreSoftmaxSparse 1x=$tsc1%.1fs 10x=$tsc10%.1fs " +
+      f"ratio=${tsc10 / tsc1}%.1f")
+    assert(tsc10 / math.max(tsc1, 0.5) < 25)
+    // stateless literal-fold scorer: plan SIZE carries (C-1)*dim
+    // literal doubles — pin that analysis stays tractable as dim grows
+    // 8x (the serving-shape contract: <= few-K dims ride this path)
+    def planOf(dm: Int): Double = {
+      val m = Classifier.SoftmaxModel(Array.tabulate(2)(c =>
+        Array.tabulate(dm + 1)(i => (i % 13 - 6) / 8.0)), 3)
+      time {
+        d1.limit(100).select(col("doc_id"),
+          Classifier.softmaxPredictSparseExpr(col("idx"), m)
+            .as("p")).count()
+      }
+    }
+    val tp512 = planOf(512); val tp4096 = planOf(4096)
+    println(f"[scaleup] softmaxLogitsSparse plan dim=512 $tp512%.1fs " +
+      f"dim=4096 $tp4096%.1fs ratio=${tp4096 / tp512}%.1f")
+    assert(tp4096 / math.max(tp512, 0.5) < 25,
+      "literal-fold scorer analysis blows up with dim")
+    // sparse CV: k trainings over 10x rows, concurrent folds
+    def cv(d: org.apache.spark.sql.DataFrame): Long =
+      Classifier.crossValidateSparse(d, "idx", "label", "doc_id",
+        dim, k = 3, iters = 4).count()
+    val tcv1 = time(cv(d1)); val tcv10 = time(cv(d10))
+    println(f"[scaleup] crossValidateSparse 1x=$tcv1%.1fs " +
+      f"10x=$tcv10%.1fs ratio=${tcv10 / tcv1}%.1f")
+    assert(tcv10 / math.max(tcv1, 0.5) < 25)
+    // online multiclass fold: 10x batch = 10x per-GD-step scan plus
+    // the constant swap-commit
+    def fold(d: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val p = s"${tmpDir(s"graft-su13-$tag-")}/model"
+      Classifier.updateSoftmaxOnline(d.select(col("idx"), col("y")),
+        p, "idx", "y", dim, numClasses = 3, iters = 8, lr = 0.5,
+        batchId = Some("b0")): Unit
+    }
+    val tf1 = time(fold(d1, "1x")); val tf10 = time(fold(d10, "10x"))
+    println(f"[scaleup] softmaxOnlineFold 1x=$tf1%.1fs 10x=$tf10%.1fs " +
+      f"ratio=${tf10 / tf1}%.1f")
+    assert(tf10 / math.max(tf1, 0.5) < 25)
+    // string-tie calibration curve: the quantized-margin corpus with a
+    // STRING doc-id — the sub-split must keep 10x off a single task
+    def calibS(d: org.apache.spark.sql.DataFrame): Long =
+      Classifier.calibrationCurve(d, "margin", "label", "sid").count()
+    val tb1 = time(calibS(d1)); val tb10 = time(calibS(d10))
+    println(f"[scaleup] calibrationCurve(string tie) 1x=$tb1%.1fs " +
+      f"10x=$tb10%.1fs ratio=${tb10 / tb1}%.1f")
+    assert(tb10 / math.max(tb1, 0.5) < 25)
+    d1.unpersist(); d10.unpersist()
+  }
+
   test("round-12: asOf/changes files-read stays one run's files on a " +
     "10x-deeper run log") {
     assume(sys.env.contains("GRAFT_SCALEUP"),
