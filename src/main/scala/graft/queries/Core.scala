@@ -159,6 +159,39 @@ object Core {
         .orderBy(col("a"))
     }),
 
+    // time travel by WALL CLOCK: a 3-run db with pinned per-run commit
+    // instants (direct appends — Study's _time_utc is the actual run
+    // moment, which no oracle can replay), read AS OF one second after
+    // run 1's commit — asOfTime resolves the timestamp to run 1
+    // against the manifest's per-file time_utc_max (zero data files
+    // touched by the resolution; DatabaseSpec pins the file set and
+    // the boundary cases) and serves the asOf(1) frame
+    "q_run_asof_time" -> ((s, _) => {
+      val calc = freshDir()
+      val db = new Database(s, calc)
+      val t0 = java.time.Instant.parse("2026-08-15T10:00:00Z")
+      def runDf(runSeq: Int, as: Seq[Int]) = {
+        import s.implicits._
+        as.toDF("a").select(
+          concat(lit("p"), col("a")).as("_pset_id"),
+          (col("a") - 1).cast("long").as("_pset_seq"),
+          lit(runSeq.toLong).as("_run_seq"),
+          lit(s"run$runSeq").as("_run_id"),
+          timestamp_seconds(
+            lit(t0.plusSeconds(runSeq * 60L).getEpochSecond))
+            .as("_time_utc"),
+          (col("a") * 10.0).as("result_"))
+      }
+      db.append(runDf(0, Seq(1, 2)))
+      db.rebuildSkipManifest()
+      db.append(runDf(1, Seq(3, 4)))
+      db.append(runDf(2, Seq(5)))
+      db.asOfTime(t0.plusSeconds(61))
+        .select(col("_pset_seq").cast("long").as("a_seq"),
+          col("result_"), col("_run_seq"))
+        .orderBy(col("a_seq"))
+    }),
+
     // change data feed over the same log: the rows runs 1..2 appended
     // — the delta an incremental consumer reads after having processed
     // through run 0, without touching run 0's partitions (manifest
@@ -326,6 +359,13 @@ object Core {
         |  CAST(r AS BIGINT) AS "_run_seq"
         |FROM (VALUES (1, 0), (2, 0), (3, 1), (4, 1)) t(a, r)
         |ORDER BY a""".stripMargin,
+
+    "q_run_asof_time" ->
+      """SELECT CAST(sq AS BIGINT) AS a_seq,
+        |  CAST((sq + 1) * 10.0 AS DOUBLE) AS result_,
+        |  CAST(r AS BIGINT) AS "_run_seq"
+        |FROM (VALUES (0, 0), (1, 0), (2, 1), (3, 1)) t(sq, r)
+        |ORDER BY a_seq""".stripMargin,
 
     "q_run_changes" ->
       """SELECT CAST(a AS BIGINT) AS a,
