@@ -90,6 +90,36 @@ object Bench {
     Seq(once(), once(), once()).min
   }
 
+  /** MULTI-threaded calibration: the same loop on `threads` concurrent
+    * threads, wall time until all finish. Round-13 lesson: two
+    * back-to-back identical-code benches agreed per-query WITHIN each
+    * process (tight [min,max] spreads) but their LEVELS shifted up to
+    * 1.7x — while the single-thread constant moved 0.5%. A 32-thread
+    * Spark stage feels co-tenant load and frequency scaling that one
+    * pinned thread never sees, so drift normalization needs a probe
+    * with the same parallelism as the workload. Measured BEFORE and
+    * AFTER the query loop (load varies over a 30-min bench); compare
+    * rounds on times divided by (calib_mt/calib_mt_ref). */
+  private def calibrateMt(threads: Int): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { k =>
+        new Thread(() => {
+          var h = 0x9E3779B97F4A7C15L + k
+          var i = 0
+          while (i < 200000000) {
+            h = h * 0x100000001B3L; h ^= (h >>> 33); i += 1
+          }
+          calibSink = h
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // JIT + thread-pool warmup
+    Seq(once(), once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -135,6 +165,7 @@ object Bench {
       runOnce(name)
       (System.nanoTime() - t0) / 1e9
     }
+    val calibMtPre = calibrateMt(cpus.toInt)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // round-13 measurement fix (the round-12 verdict's top item): the
     // heavy streaming/dedup family wobbled 157-183s across
@@ -198,13 +229,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val calib = calibrate()
-    // round-12 host constant (BENCH_r12 calib_s): divide this artifact's
-    // times by `drift` before comparing them with a round whose own
+    val calibMtPost = calibrateMt(cpus.toInt)
+    val calibMt = math.min(calibMtPre, calibMtPost)
+    // round-12 host constant (BENCH_r12 calib_s) and the round-13
+    // 32-thread constant: divide this artifact's times by `drift_mt`
+    // (fallback `drift`) before comparing with a round whose own
     // drift-normalized times are computed the same way
     val calibRef = 0.352
+    val calibMtRef = 0.370 // measured on the round-13 host, idle
     val drift = calib / calibRef
+    val driftMt = calibMt / calibMtRef
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib_s":$calib%.4f,"calib_ref":$calibRef%.4f,"drift":$drift%.4f,"total_norm":${total / drift}%.4f,"queries":$qJson,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","calib_s":$calib%.4f,"calib_ref":$calibRef%.4f,"drift":$drift%.4f,"calib_mt_pre":$calibMtPre%.4f,"calib_mt_post":$calibMtPost%.4f,"calib_mt_ref":$calibMtRef%.4f,"drift_mt":$driftMt%.4f,"total_norm":${total / driftMt}%.4f,"queries":$qJson,"spread":$spreadJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // the same line goes to a file: BENCH_r05.json's captured stdout tail
     // was truncated mid-stream and lost 28 of 106 per-query times, so

@@ -1414,56 +1414,101 @@ object Classifier {
     * it. Returns `(idCol, fold, margin)` — feed [[confusion]] /
     * [[aucExact]] / [[calibrationCurve]] for honest generalization
     * metrics instead of training-set ones. Cost: k trainings (k·iters
-    * jobs) + k scoring passes over one cached projection — and the
-    * folds are INDEPENDENT, so they train as k concurrent driver
-    * threads submitting jobs against the shared cluster (wall-clock
-    * tracks the slowest fold, not the sum; each fold's result is a
-    * pure function of its own partition contents, so concurrency
-    * cannot move a bit — ClassifierSpec pins the OOF frame). */
+    * jobs) over one cached projection, then ONE combined scoring pass
+    * (a CASE chain over the k literal margin expressions — a k-branch
+    * filtered union would re-scan the input k times at every
+    * downstream action). The folds are INDEPENDENT, so they train as
+    * k concurrent driver threads submitting jobs against the shared
+    * cluster (wall-clock tracks the slowest fold, not the sum; each
+    * fold's model is a pure function of its complement's partition
+    * contents, so concurrency cannot move a bit — ClassifierSpec pins
+    * the OOF frame). */
   def crossValidate(df: DataFrame, featuresCol: String, labelCol: String,
                     idCol: String, dim: Int, k: Int = 5,
                     iters: Int = 12, l2: Double = 1e-2): DataFrame =
     crossValidateWith(df, featuresCol, labelCol, idCol, k) {
       (folded, fold) =>
-        val model = trainLogistic(folded.filter(col("__fold") =!= fold),
+        trainLogistic(folded.filter(col("__fold") =!= fold),
           "__f", labelCol, dim, iters, l2)
-        folded.filter(col("__fold") === fold)
-          .select(col(idCol), col("__fold").as("fold"),
-            marginExpr(col("__f"), model).as("margin"))
+    } { (folded, models) =>
+      // ONE pass scores every row with its own fold's model: a CASE
+      // chain over the k small literal margin expressions. (A k-branch
+      // filtered union would re-scan the input k times at every
+      // downstream action — the pipeline gate pays that scan after the
+      // internal cache is released.)
+      val margin = models.zipWithIndex
+        .foldLeft(lit(null).cast("double")) { case (acc, (m, f)) =>
+          when(col("__fold") === f, marginExpr(col("__f"), m))
+            .otherwise(acc)
+        }
+      folded.select(col(idCol), col("__fold").as("fold"),
+        margin.as("margin"))
     }
 
   /** [[crossValidate]] for the SPARSE hashed-feature regime — the
     * 2^18-bin featurizer the engine calls the 100 TB shape
     * ([[hashedIndices]]) gets the same honest OOF metrics the dense
     * path has, so a deployment gate (the q_doc_classifier_pipeline
-    * discipline) can be built for a sparse router too. Per fold:
-    * [[trainLogisticSparse]] on the complement, OOF margins through
-    * [[scoreSparse]]'s broadcast-join plan (never a 2^18-literal
-    * chain). Same concurrent fail-fast fold pool, same deterministic
-    * hash-fold assignment, same `(idCol, fold, margin)` frame. */
+    * discipline) can be built for a sparse router too. Fold models
+    * train concurrently ([[trainLogisticSparse]] on each complement);
+    * OOF margins come from ONE [[scoreSparse]]-shaped pass — explode
+    * the indices, broadcast the composite (fold, index) → weight
+    * table of ALL k models (k· dim doubles: a 5-fold 2^18 model is
+    * 10 MiB, still broadcast-bounded), re-aggregate per (id, fold) —
+    * never a 2^18-literal chain and never k scans of the corpus.
+    * Same deterministic hash-fold assignment, same
+    * `(idCol, fold, margin)` frame, same loud OOB contract. */
   def crossValidateSparse(df: DataFrame, idxCol: String, labelCol: String,
                           idCol: String, dim: Int, k: Int = 5,
                           iters: Int = 200, lr: Double = 0.5,
                           l2: Double = 0.0): DataFrame =
     crossValidateWith(df, idxCol, labelCol, idCol, k) { (folded, fold) =>
-      val model = trainLogisticSparse(
-        folded.filter(col("__fold") =!= fold), "__f", labelCol, dim,
-        iters, lr, l2)
-      scoreSparse(folded.filter(col("__fold") === fold), idCol, "__f",
-        model)
-        .select(col(idCol), lit(fold).as("fold"), col("margin"))
+      trainLogisticSparse(folded.filter(col("__fold") =!= fold), "__f",
+        labelCol, dim, iters, lr, l2)
+    } { (folded, models) =>
+      val spark = folded.sparkSession
+      import spark.implicits._
+      val wdf = spark.createDataset(
+        models.zipWithIndex.flatMap { case (m, f) =>
+          m.weights.toIndexedSeq.zipWithIndex.map { case (w, i) =>
+            (f, i, w)
+          }
+        }).toDF("__fold", "__i", "__w")
+      val bias = models.zipWithIndex.foldLeft(lit(0.0)) {
+        case (acc, (m, f)) =>
+          when(col("__fold") === f, lit(m.bias)).otherwise(acc)
+      }
+      folded
+        .select(col(idCol), col("__fold"),
+          nullElementGuard(col("__f")).as("__idx"))
+        .select(col(idCol), col("__fold"),
+          explode_outer(col("__idx")).as("__i"))
+        .join(broadcast(wdf), Seq("__fold", "__i"), "left")
+        .groupBy(col(idCol), col("__fold"))
+        .agg(coalesce(sum(col("__w")), lit(0.0)).as("__m"),
+          max(when(col("__i").isNotNull && col("__w").isNull, 1)
+            .otherwise(0)).as("__oob"))
+        .select(col(idCol), col("__fold").as("fold"),
+          when(col("__oob") === 1, raise_error(concat(
+            lit(s"sparse index outside model dim $dim at id "),
+            col(idCol).cast("string"))))
+            .otherwise(col("__m") + bias).as("margin"))
     }
 
-  /** The shared fold pool: hash-fold assignment, one cached projection,
-    * k concurrent fail-fast driver threads (one job group — the first
-    * failed fold cancels the siblings' jobs, submitted or not), OOF
-    * union. `trainScore(folded, fold)` trains on the complement and
-    * returns that fold's `(idCol, fold, margin)` frame; it must be a
-    * pure function of its fold's partition contents (concurrency then
-    * cannot move a bit — ClassifierSpec pins both OOF frames). */
-  private def crossValidateWith(df: DataFrame, featuresCol: String,
-                                labelCol: String, idCol: String, k: Int)
-                               (trainScore: (DataFrame, Int) => DataFrame)
+  /** The shared fold pool: hash-fold assignment, one cached
+    * projection, k concurrent fail-fast driver threads training the
+    * fold models (one job group — the first failed fold cancels the
+    * siblings' jobs, submitted or not), then `combine(folded, models)`
+    * builds the OOF frame in ONE pass over the projection (models are
+    * driver values, so the returned plan scans the input once per
+    * downstream action, not k times). Each model is a pure function of
+    * its complement's partition contents, so concurrency cannot move a
+    * bit (ClassifierSpec pins both OOF frames). */
+  private def crossValidateWith[M](df: DataFrame, featuresCol: String,
+                                   labelCol: String, idCol: String,
+                                   k: Int)
+                                  (trainFold: (DataFrame, Int) => M)
+                                  (combine: (DataFrame, Seq[M]) => DataFrame)
       : DataFrame = {
     require(k >= 2, "need at least 2 folds")
     val folded = df.select(col(idCol), col(labelCol),
@@ -1475,14 +1520,14 @@ object Classifier {
       val group = s"graft-cv-${java.util.UUID.randomUUID()}"
       val pool = java.util.concurrent.Executors.newFixedThreadPool(k)
       val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      val oof =
+      val models =
         try {
           import scala.concurrent.{Await, Future, Promise}
           // fail-FAST collection: the first failed fold completes the
           // promise immediately (a sequential await would not notice a
           // mid-index failure until every earlier fold finished)
-          val done = Promise[Seq[DataFrame]]()
-          val results = new Array[DataFrame](k)
+          val done = Promise[Seq[M]]()
+          val results = new Array[Any](k)
           val remaining = new java.util.concurrent.atomic.AtomicInteger(k)
           (0 until k).foreach { fold =>
             Future {
@@ -1492,12 +1537,13 @@ object Classifier {
               // trainings burning the cluster after the throw
               sc.setJobGroup(group, s"crossValidate fold $fold",
                 interruptOnCancel = true)
-              trainScore(folded, fold)
+              trainFold(folded, fold)
             }(ec).onComplete {
-              case scala.util.Success(df) =>
-                results(fold) = df
+              case scala.util.Success(m) =>
+                results(fold) = m
                 if (remaining.decrementAndGet() == 0)
-                  done.trySuccess(results.toIndexedSeq): Unit
+                  done.trySuccess(
+                    results.toIndexedSeq.map(_.asInstanceOf[M])): Unit
               case scala.util.Failure(e) => done.tryFailure(e): Unit
             }(ec)
           }
@@ -1508,7 +1554,7 @@ object Classifier {
               sc.cancelJobGroupAndFutureJobs(group); throw e
           }
         } finally { pool.shutdown() }
-      oof.reduce(_.unionByName(_))
+      combine(folded, models)
     } finally { folded.unpersist(): Unit }
   }
 

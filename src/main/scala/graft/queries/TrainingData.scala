@@ -594,44 +594,63 @@ object TrainingData {
       // stage 1: train (shared with the flagship classifier query)
       val model = lrModels.getOrElseUpdate(s"$dir#vocab",
         Classifier.trainLogistic(feats, "f", "label", dim = vocab.size))
-      // stage 2: deployment gates — OOF and fit accuracy both 100%
+      // stage 2: deployment gates — OOF and fit accuracy both 100%.
+      // Everything downstream of training consumes the NARROW cached
+      // projection (id, source, label, token count, margin) — the
+      // gates, the calibration fit, and the budget selection's
+      // driver-side phases each take a full pass, and re-tokenizing
+      // the corpus per pass dominated the composed query's cost
+      // (round-13 bench: 12s -> the components' ~6s once cached). The
+      // cache is released before returning; the lazy result recomputes
+      // the projection once.
       val oof = Classifier.crossValidate(feats, "f", "label", "doc_id",
         dim = vocab.size, k = 3, iters = 16, l2 = 1e-3)
-      val oofAcc = feats.select(col("doc_id"), col("label"))
-        .join(oof, "doc_id")
-        .select(avg(when((col("margin") > 0) === col("label"), 1.0)
-          .otherwise(0.0))).head().getDouble(0)
-      require(oofAcc == 1.0,
-        s"pipeline gate: out-of-fold accuracy $oofAcc < 1 — do not " +
-          "deploy this classifier")
-      val fitAcc = Classifier.trainAccuracy(feats, "f", "label", model)
-      require(fitAcc == 1.0, s"pipeline gate: fit accuracy $fitAcc < 1")
-      // stage 3: CALIBRATE the gated model (Zadrozny & Elkan histogram
-      // binning on the trained margins, one keyed aggregate) — the
-      // Brown et al. 2020 shape thresholds a calibrated PROBABILITY,
-      // not a raw margin. With the deployment gates green the margin>0
-      // bin holds only positives and the other only negatives, so the
-      // served rates are the exact integers 1.0/0.0 — the oracle
-      // replays the selection with quality = the rule unchanged
-      val withMargin = feats.withColumn("margin",
-        Classifier.marginExpr(col("f"), model))
-      val cal = Classifier.fitHistogramCalibration(withMargin, "margin",
-        "label", edges = Seq(0.0))
-      require(cal.rates.toSet == Set(0.0, 1.0),
-        s"pipeline gate: calibrated rates ${cal.rates} are not the " +
-          "gated 0/1 split — gates and calibration disagree")
-      // stage 4: the CALIBRATED probability drives the budget selection
-      val scored = withMargin.withColumn("q",
-        Classifier.calibratedExpr(col("margin"), cal))
-      val sel = graft.ops.Sampling.selectByQualityBudget(scored,
-        col("source"), col("doc_id"), Text.tokenCount(col("text")),
-        col("q"), Map("src0" -> 400L, "src1" -> 300L, "src2" -> 200L),
-        qMin = 0.0, qMax = 1.0)
-      // stage 5: the mixture report
-      sel.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(Text.tokenCount(col("text"))).as("n_tokens"))
-        .orderBy(col("source"))
+      val proj = feats.select(col("doc_id"), col("source"), col("label"),
+        Text.tokenCount(col("text")).as("tok"),
+        Classifier.marginExpr(col("f"), model).as("margin"))
+      proj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val report =
+        try {
+          val oofAcc = proj.select(col("doc_id"), col("label"))
+            .join(oof, "doc_id")
+            .select(avg(when((col("margin") > 0) === col("label"), 1.0)
+              .otherwise(0.0))).head().getDouble(0)
+          require(oofAcc == 1.0,
+            s"pipeline gate: out-of-fold accuracy $oofAcc < 1 — do not " +
+              "deploy this classifier")
+          val fitAcc = proj.select(avg(
+            when((col("margin") > 0) === col("label"), 1.0)
+              .otherwise(0.0))).head().getDouble(0)
+          require(fitAcc == 1.0,
+            s"pipeline gate: fit accuracy $fitAcc < 1")
+          // stage 3: CALIBRATE the gated model (Zadrozny & Elkan
+          // histogram binning on the trained margins, one keyed
+          // aggregate) — the Brown et al. 2020 shape thresholds a
+          // calibrated PROBABILITY, not a raw margin. With the
+          // deployment gates green the margin>0 bin holds only
+          // positives and the other only negatives, so the served
+          // rates are the exact integers 1.0/0.0 — the oracle replays
+          // the selection with quality = the rule unchanged
+          val cal = Classifier.fitHistogramCalibration(proj, "margin",
+            "label", edges = Seq(0.0))
+          require(cal.rates.toSet == Set(0.0, 1.0),
+            s"pipeline gate: calibrated rates ${cal.rates} are not " +
+              "the gated 0/1 split — gates and calibration disagree")
+          // stage 4: the CALIBRATED probability drives the budget
+          // selection
+          val scored = proj.withColumn("q",
+            Classifier.calibratedExpr(col("margin"), cal))
+          val sel = graft.ops.Sampling.selectByQualityBudget(scored,
+            col("source"), col("doc_id"), col("tok"), col("q"),
+            Map("src0" -> 400L, "src1" -> 300L, "src2" -> 200L),
+            qMin = 0.0, qMax = 1.0)
+          // stage 5: the mixture report
+          sel.groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("tok")).as("n_tokens"))
+            .orderBy(col("source"))
+        } finally { proj.unpersist(): Unit }
+      report
     }),
 
     // STREAMING score-at-ingest: the batch-trained model rides the
