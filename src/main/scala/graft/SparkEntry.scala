@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Core.queries ++
-      graft.queries.TrainingData.queries
+      graft.queries.TrainingData.queries ++
+      graft.queries.Tokenizer.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Core.oracle ++
-      graft.queries.TrainingData.oracle
+      graft.queries.TrainingData.oracle ++
+      graft.queries.Tokenizer.oracle
 }

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 /** Pluggable real-tokenizer seam for token-budget operators.
@@ -310,6 +311,160 @@ object Tokenize {
       }
       syms.toSeq
     }
+  }
+
+  // ---------------------------------------------------------------- //
+  // Distributed trainer + codegen serving expressions
+  // ---------------------------------------------------------------- //
+
+  /** Wrapped symbol-string form used by the distributed trainer and the
+    * serving expressions: each symbol wrapped in single spaces, so the
+    * list `[s1, s2]` serializes as `" s1  s2 "` (two spaces BETWEEN
+    * symbols). [[Text.bpeTokenPattern]] pre-tokens never contain
+    * whitespace, so the encoding is unambiguous, and because each
+    * boundary space is duplicated, one non-regex `replace(" l  r ",
+    * " lr ")` pass merges every (l, r) adjacency greedily left-to-right
+    * without two matches ever sharing a character — exactly the BPE
+    * merge-application rule (a merge of (l, r) cannot create a new
+    * (l, r) adjacency, so a single pass is exhaustive). */
+  private def wrapSymbols(word: Column): Column =
+    concat(lit(" "),
+      array_join(regexp_extract_all(word, lit("."), lit(0)), "  "),
+      lit(" "))
+
+  private def mergeOnce(sym: Column, l: String, r: String): Column =
+    call_function("replace", sym, lit(s" $l  $r "), lit(s" $l$r "))
+
+  /** Symbols of a wrapped string, back as an array. */
+  private def unwrapSymbols(sym: Column): Column =
+    split(trim(sym), "  ")
+
+  /** How many pending merge-application expressions stack on the
+    * persisted histogram before the chain is re-materialized: keeps the
+    * per-iteration plan inside whole-stage codegen instead of growing a
+    * thousand-deep `replace` nest. */
+  private val rematerializeEvery = 16
+
+  /** [[trainBpe]] without the driver histogram: the `(pre-token, count)`
+    * histogram STAYS a DataFrame, and each merge iteration is one
+    * vocabulary-sized aggregation (adjacent-pair explode → sum → top-1,
+    * a SINGLE row to the driver) followed by a codegen'd `replace` over
+    * the symbol strings. Use it when the distinct-pre-token vocabulary
+    * outgrows [[trainBpe]]'s `maxWords` driver guard (boilerplate-heavy
+    * or multilingual corpora at 100 TB); for bounded vocabularies and
+    * large merge counts the driver loop is faster (this path runs
+    * `numMerges` Spark jobs).
+    *
+    * Parity with [[trainBpe]] is exact on corpora whose pre-tokens stay
+    * in the Basic Multilingual Plane (spec-pinned): same pre-tokenizer,
+    * same greedy merge application, same count-then-lexicographic
+    * tie-break. Outside the BMP the two paths may order ties differently
+    * (Spark compares UTF-8 bytes = code points; the driver loop compares
+    * UTF-16 code units and seeds surrogate halves as separate symbols).
+    *
+    * Stops early once no pair reaches `minPairCount`, like the driver
+    * loop. The working set is one persisted vocabulary-sized frame;
+    * every [[rematerializeEvery]] merges the replace chain folds into a
+    * fresh persist so plan depth stays constant. */
+  def trainBpeDistributed(docs: DataFrame, numMerges: Int,
+                          textCol: String = "text",
+                          minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val hist0 = docs
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(Text.bpeTokenPattern), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(wrapSymbols(col("w")).as("sym"), col("freq"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var base = hist0
+    var pending = List.empty[(String, String)] // newest first
+    def current: DataFrame = {
+      val symExpr = pending.reverse.foldLeft(col("sym")) {
+        case (c, (l, r)) => mergeOnce(c, l, r)
+      }
+      base.select(symExpr.as("sym"), col("freq"))
+    }
+    try {
+      var exhausted = false
+      while (merges.length < numMerges && !exhausted) {
+        val syms = unwrapSymbols(col("sym"))
+        val top = current
+          .select(syms.as("s"), col("freq"))
+          .select(explode(zip_with(
+            slice(col("s"), lit(1), size(col("s")) - 1),
+            slice(col("s"), lit(2), size(col("s")) - 1),
+            (l, r) => struct(l.as("l"), r.as("r")))).as("p"), col("freq"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("cnt"))
+          .where(col("cnt") >= minPairCount)
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val best = (top(0).getString(0), top(0).getString(1))
+          merges += best
+          pending = best :: pending
+          if (pending.length >= rematerializeEvery) {
+            val next = current.persist()
+            next.count() // materialize before dropping the old lineage
+            base.unpersist()
+            base = next
+            pending = Nil
+          }
+        }
+      }
+      merges.toSeq
+    } finally {
+      base.unpersist()
+      if (!(base eq hist0)) hist0.unpersist()
+    }
+  }
+
+  /** Ceiling on the literal merge chain the codegen serving expressions
+    * accept: each merge is one `replace` call, and past a few hundred
+    * the generated method outgrows whole-stage codegen. Larger tables
+    * belong on the [[BatchTokenizer]] seam ([[withTokenCount]]). */
+  val exprMergeCeiling = 512
+
+  private def tokensOfPreToken(w: Column,
+                               merges: Seq[(String, String)]): Column =
+    unwrapSymbols(merges.foldLeft(wrapSymbols(w)) {
+      case (c, (l, r)) => mergeOnce(c, l, r)
+    })
+
+  /** Tokens of `text` under a trained merge table, as a PURE Column —
+    * the fit-once / serve-literal shape: pre-tokenize with
+    * [[Text.bpeTokenPattern]], then apply the merges in rank order as a
+    * chain of codegen'd non-regex `replace`s (no UDF, no mapPartitions,
+    * rides batch and streaming plans alike). Merge application is
+    * greedy left-to-right per merge in rank order — the segmentation
+    * [[trainBpe]]/[[trainBpeDistributed]] produce on their own training
+    * corpus. Null text yields null. */
+  def bpeTokensExpr(text: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.length <= exprMergeCeiling,
+      s"merge table has ${merges.length} entries — past " +
+        s"$exprMergeCeiling the literal replace chain outgrows codegen; " +
+        "tokenize through the Tokenize.withTokenCount seam instead")
+    flatten(transform(
+      regexp_extract_all(text, lit(Text.bpeTokenPattern), lit(0)),
+      w => tokensOfPreToken(w, merges)))
+  }
+
+  /** Token COUNT of `text` under a trained merge table, as a pure
+    * Column. Null text counts 0, matching [[withTokenCount]]'s contract
+    * so the budget operators ([[Sampling.mixtureByTokens]],
+    * [[Packing.packSequences]]) can consume either path unchanged. */
+  def bpeCountExpr(text: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.length <= exprMergeCeiling,
+      s"merge table has ${merges.length} entries — past " +
+        s"$exprMergeCeiling the literal replace chain outgrows codegen; " +
+        "count through the Tokenize.withTokenCount seam instead")
+    coalesce(aggregate(
+      regexp_extract_all(text, lit(Text.bpeTokenPattern), lit(0)),
+      lit(0L),
+      (acc, w) => acc + size(tokensOfPreToken(w, merges)).cast(LongType)),
+      lit(0L))
   }
 
   /** Minimal byte-pair-encoding tokenizer over an explicit merge list —

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tokenize
+
+/** Tokenizer-training queries: the distributed BPE merge loop
+  * ([[Tokenize.trainBpeDistributed]] — the histogram never leaves the
+  * cluster) and its fit-once / serve-literal encode path
+  * ([[Tokenize.bpeCountExpr]] / [[Tokenize.bpeTokensExpr]] — the learned
+  * table served as a codegen'd `replace` chain, no UDF in the plan).
+  *
+  * The DuckDB oracles replay the merge loop layer by layer with
+  * MATERIALIZED CTEs over the same wrapped-symbol-string encoding —
+  * `replace` is greedy left-to-right non-overlapping in both engines,
+  * which IS the BPE merge-application rule, so the replays are exact,
+  * not approximate. (Reference scope note: psweep has no tokenizer —
+  * this family is part of the large-scale training-data surface the
+  * engine adds on top, like the dedup and mixture packs.)
+  */
+object Tokenizer {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Merges trained per sf dir once per process (steady state is
+    * ENCODING with a trained table; the train loop is the fit step). */
+  private val mergeTables = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, String)]]
+
+  private val nMerges = 8
+
+  private def merges(s: SparkSession, dir: String): Seq[(String, String)] =
+    mergeTables.getOrElseUpdate(dir,
+      Tokenize.trainBpeDistributed(docs(s, dir), nMerges))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The trained merge table itself — the distributed loop's output
+    // checked merge by merge (rank order, tie-breaks, greedy
+    // application all have to agree for later ranks to match).
+    "q_doc_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      merges(s, dir).zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "left", "right")
+        .orderBy("rank")
+    }),
+
+    // Serve the trained table as a pure expression: per-document token
+    // counts from the literal replace chain — whole-stage codegen, no
+    // join and no mapPartitions in the scoring plan.
+    "q_doc_bpe_encode" -> ((s, dir) => {
+      val m = merges(s, dir)
+      docs(s, dir)
+        .select(col("doc_id"),
+          Tokenize.bpeCountExpr(col("text"), m).as("n_tok"))
+        .orderBy("doc_id")
+    }),
+
+    // Post-merge vocabulary mass: the top-20 subword tokens by corpus
+    // frequency after the learned merges — computed over the
+    // vocabulary-sized histogram, never the corpus.
+    "q_doc_bpe_vocab" -> ((s, dir) => {
+      val m = merges(s, dir)
+      docs(s, dir)
+        .select(explode(regexp_extract_all(col("text"),
+          lit(graft.ops.Text.bpeTokenPattern), lit(0))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(explode(Tokenize.bpeTokensExpr(col("w"), m)).as("tok"),
+          col("freq"))
+        .groupBy("tok").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(20)
+    })
+  )
+
+  // ------------------------------------------------------------------ //
+  // DuckDB oracle SQL
+  // ------------------------------------------------------------------ //
+
+  /** [[Text.bpeTokenPattern]] verbatim — RE2 and java.util.regex agree
+    * on this alphabet (literal classes + `\s`). */
+  private val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Shared CTE chain: the word histogram in wrapped-symbol-string form
+    * (`w` kept as the join key for the encode replay), then one
+    * pair-count / top-1 / replace layer per merge. MATERIALIZED is
+    * load-bearing: each layer references its predecessor from two CTEs
+    * and the merge from two more, so inlining would re-expand the scan
+    * 3^N times. The `cnt >= 2` guard replays minPairCount's early stop
+    * (never hit on this corpus — the Spark side would return fewer rows
+    * and fail the row-count compare if it ever fired). */
+  private def mergeCtes(n: Int): String = {
+    val base = s"""WITH words_0 AS MATERIALIZED (
+      |  SELECT w,
+      |    ' ' || array_to_string(regexp_extract_all(w, '.'), '  ') || ' '
+      |      AS sym,
+      |    freq
+      |  FROM (
+      |    SELECT w, COUNT(*) AS freq FROM (
+      |      SELECT unnest(regexp_extract_all(text, '$pat')) AS w
+      |      FROM documents) GROUP BY w)
+      |)""".stripMargin
+    val layers = (0 until n).map { k =>
+      s""",
+      |pairs_$k AS MATERIALIZED (
+      |  SELECT s.syms[u.i] AS l, s.syms[u.i + 1] AS r, SUM(s.freq) AS cnt
+      |  FROM (SELECT string_split(trim(sym, ' '), '  ') AS syms, freq
+      |        FROM words_$k) s,
+      |       UNNEST(range(1, len(s.syms))) AS u(i)
+      |  GROUP BY 1, 2
+      |), merge_$k AS MATERIALIZED (
+      |  SELECT l, r FROM pairs_$k WHERE cnt >= 2
+      |  ORDER BY cnt DESC, l, r LIMIT 1
+      |), words_${k + 1} AS MATERIALIZED (
+      |  SELECT w.w,
+      |    replace(w.sym, ' ' || m.l || '  ' || m.r || ' ',
+      |            ' ' || m.l || m.r || ' ') AS sym,
+      |    w.freq
+      |  FROM words_$k w CROSS JOIN merge_$k m
+      |)""".stripMargin
+    }.mkString
+    base + layers
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q_doc_bpe_merges" -> (mergeCtes(nMerges) + s"""
+      |SELECT * FROM (
+      |  ${(0 until nMerges).map(k =>
+           s"SELECT $k AS rank, l AS \"left\", r AS \"right\" FROM merge_$k")
+           .mkString(" UNION ALL ")}
+      |) ORDER BY rank""".stripMargin),
+
+    "q_doc_bpe_encode" -> (mergeCtes(nMerges) + s"""
+      |, doc_toks AS MATERIALIZED (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS w
+      |  FROM documents
+      |), tok_counts AS MATERIALIZED (
+      |  SELECT d.doc_id,
+      |    len(string_split(trim(v.sym, ' '), '  ')) AS n
+      |  FROM doc_toks d JOIN words_$nMerges v USING (w)
+      |)
+      |SELECT doc.doc_id,
+      |  COALESCE(CAST(SUM(t.n) AS BIGINT), 0) AS n_tok
+      |FROM documents doc LEFT JOIN tok_counts t USING (doc_id)
+      |GROUP BY doc.doc_id ORDER BY doc.doc_id""".stripMargin),
+
+    "q_doc_bpe_vocab" -> (mergeCtes(nMerges) + s"""
+      |SELECT tok, cnt FROM (
+      |  SELECT s.syms[u.i] AS tok, CAST(SUM(s.freq) AS BIGINT) AS cnt
+      |  FROM (SELECT string_split(trim(sym, ' '), '  ') AS syms, freq
+      |        FROM words_$nMerges) s,
+      |       UNNEST(range(1, len(s.syms) + 1)) AS u(i)
+      |  GROUP BY 1
+      |) ORDER BY cnt DESC, tok LIMIT 20""".stripMargin)
+  )
+}
