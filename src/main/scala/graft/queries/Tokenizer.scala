@@ -58,6 +58,19 @@ object Tokenizer {
         .orderBy("doc_id")
     }),
 
+    // The composition the seam exists for: a per-source token-budget
+    // mixture CONTRACTED in trained-tokenizer tokens — the learned
+    // merge table's count expression feeds mixtureByTokens unchanged
+    // (the fit-once/serve-literal count is just another tokens column).
+    "q_doc_bpe_mixture" -> ((s, dir) => {
+      val m = merges(s, dir)
+      graft.ops.Sampling.mixtureByTokens(docs(s, dir), col("source"),
+        col("doc_id"), Tokenize.bpeCountExpr(col("text"), m),
+        Map("src0" -> 6L, "src1" -> 3L, "src2" -> 1L))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Post-merge vocabulary mass: the top-20 subword tokens by corpus
     // frequency after the learned merges — computed over the
     // vocabulary-sized histogram, never the corpus.
@@ -145,6 +158,46 @@ object Tokenizer {
       |  COALESCE(CAST(SUM(t.n) AS BIGINT), 0) AS n_tok
       |FROM documents doc LEFT JOIN tok_counts t USING (doc_id)
       |GROUP BY doc.doc_id ORDER BY doc.doc_id""".stripMargin),
+
+    // the q_doc_token_mixture replay (same weighted-supply integer
+    // arithmetic and hash-first cumulative order) with tok = the BPE
+    // count under the learned table — the encode replay's join chain
+    "q_doc_bpe_mixture" -> (mergeCtes(nMerges) + s"""
+      |, doc_toks AS MATERIALIZED (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS w
+      |  FROM documents
+      |), tok_counts AS MATERIALIZED (
+      |  SELECT d.doc_id,
+      |    len(string_split(trim(v.sym, ' '), '  ')) AS n
+      |  FROM doc_toks d JOIN words_$nMerges v USING (w)
+      |), sel AS MATERIALIZED (
+      |  SELECT doc.doc_id, doc.source,
+      |    COALESCE(CAST(SUM(t.n) AS BIGINT), 0) AS tok
+      |  FROM documents doc LEFT JOIN tok_counts t USING (doc_id)
+      |  WHERE doc.source IN ('src0', 'src1', 'src2')
+      |  GROUP BY doc.doc_id, doc.source
+      |  HAVING COALESCE(CAST(SUM(t.n) AS BIGINT), 0) > 0
+      |), sup AS (
+      |  SELECT source, SUM(tok) AS t FROM sel GROUP BY source
+      |), w AS (
+      |  SELECT * FROM (VALUES ('src0', 6), ('src1', 3), ('src2', 1))
+      |    AS v(source, wt)
+      |), tt AS (
+      |  SELECT MIN(COALESCE(s.t, 0) * 10 // w.wt) AS t
+      |  FROM w LEFT JOIN sup s ON w.source = s.source
+      |), lim AS (
+      |  SELECT 6 * t // 10 AS l0, 3 * t // 10 AS l1, 1 * t // 10 AS l2
+      |  FROM tt
+      |), c AS (
+      |  SELECT doc_id, source,
+      |    SUM(tok) OVER (PARTITION BY source
+      |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM sel)
+      |SELECT doc_id, source FROM c, lim
+      |WHERE cum <= CASE source WHEN 'src0' THEN l0
+      |                         WHEN 'src1' THEN l1 ELSE l2 END
+      |ORDER BY doc_id""".stripMargin),
 
     "q_doc_bpe_vocab" -> (mergeCtes(nMerges) + s"""
       |SELECT tok, cnt FROM (

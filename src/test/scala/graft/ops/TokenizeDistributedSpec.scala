@@ -120,6 +120,62 @@ class TokenizeDistributedSpec extends AnyFunSuite {
     base.unpersist(); big.unpersist()
   }
 
+  test("randomized parity: distributed == driver trainer, and the " +
+    "literal-chain count == a naive sequential-merge reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    // the straightforward list implementation of "apply each merge in
+    // rank order, greedy left-to-right" — the semantic the wrapped-
+    // string replace chain claims
+    def naiveApply(word: String,
+                   merges: Seq[(String, String)]): Vector[String] = {
+      var syms = word.map(_.toString).toVector
+      for ((l, r) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val pre = java.util.regex.Pattern.compile(Text.bpeTokenPattern)
+    def naiveCount(text: String, merges: Seq[(String, String)]): Long = {
+      val m = pre.matcher(text); var n = 0L
+      while (m.find()) n += naiveApply(m.group(), merges).length
+      n
+    }
+    // small alphabet with digits and punctuation so pre-token class
+    // boundaries and single-mark tokens are exercised, heavy repetition
+    // so merges overlap
+    val wordGen = Gen.choose(1, 6).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf('a', 'b', 'c', '1', '.')).map(_.mkString))
+    val docGen = Gen.frequency(
+      9 -> Gen.choose(1, 6).flatMap(k =>
+        Gen.listOfN(k, wordGen).map(_.mkString(" "))),
+      1 -> Gen.const(""))
+    val corpusGen = Gen.choose(2, 20).flatMap(n => Gen.listOfN(n, docGen))
+    sample(corpusGen, 6).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val drv = Tokenize.trainBpe(df, numMerges = 5)
+      assert(Tokenize.trainBpeDistributed(df, numMerges = 5) == drv,
+        s"trainer divergence on corpus $texts")
+      val got = df.select(col("doc_id"),
+        Tokenize.bpeCountExpr(col("text"), drv).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == naiveCount(t, drv),
+          s"count divergence on '$t' under $drv")
+      }
+    }
+  }
+
   test("bpeCountExpr null/empty semantics match the seam (0, not null) " +
     "and the merge ceiling is loud") {
     val d = Seq((0L, null: String), (1L, ""), (2L, "ab"))
