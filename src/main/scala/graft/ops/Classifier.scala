@@ -1070,8 +1070,10 @@ object Classifier {
     * Heavy TIE BLOCKS (one score carrying a large share of the rows —
     * the quantized-score regime's normal shape) are sub-split by
     * ranges of `tieCol`, so a dominant value cannot funnel its block
-    * through one task: numeric-family tie keys split on KLL quantile
-    * edges of the double cast; STRING tie keys (quantized score +
+    * through one task: numeric-family tie keys (numerics, booleans,
+    * timestamps, dates — the temporal types through an order-
+    * preserving double image) split on KLL quantile edges of that
+    * image; STRING tie keys (quantized score +
     * string doc-id, the common real shape) split on prefix boundaries
     * sampled from the block (native string order — the same order the
     * rank window sorts by). Any other tie type degrades that block to
@@ -1101,12 +1103,25 @@ object Classifier {
     val tieNumeric = valid.schema("__t").dataType match {
       case _: org.apache.spark.sql.types.NumericType |
           org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType |
+          org.apache.spark.sql.types.DateType |
           org.apache.spark.sql.types.BooleanType => true
       case _ => false
     }
     val tieString =
       valid.schema("__t").dataType == org.apache.spark.sql.types.StringType
-    val td = col("__t").cast("double")
+    // order-preserving double image of the tie key. DATE has no direct
+    // double cast — unix_date (days since epoch, exact in a double) is
+    // its monotone image; TIMESTAMP_NTZ likewise routes through
+    // unix_micros of its UTC reinterpretation (sessions run UTC, so the
+    // image order IS the column order)
+    val td = valid.schema("__t").dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        unix_date(col("__t")).cast("double")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("__t").cast("timestamp")).cast("double")
+      case _ => col("__t").cast("double")
+    }
     // tie sub-bucket of a row given both split maps (disjoint keys):
     // numeric blocks bucket on the double cast, string blocks on the
     // native string order; everything else stays sub-bucket 0

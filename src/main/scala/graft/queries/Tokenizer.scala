@@ -35,7 +35,32 @@ object Tokenizer {
     mergeTables.getOrElseUpdate(dir,
       Tokenize.trainBpeDistributed(docs(s, dir), nMerges))
 
+  /** Unique memory-sink names for repeated streaming runs in-process. */
+  private val streamQueryId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Score-at-ingest with the trained tokenizer: the merge table rides
+    // the STREAM's plan as the same literal replace chain — a stateless
+    // projection, no state store, append mode, constant memory (the
+    // offline-train / online-count split of a production token-budget
+    // meter). The oracle is the batch encode replay — identical output.
+    "q_stream_bpe_encode" -> ((s, dir) => {
+      val m = merges(s, dir)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          Tokenize.bpeCountExpr(col("text"), m).as("n_tok"))
+      val name = s"graft_stream_bpe_${streamQueryId.incrementAndGet()}"
+      val q = stream.writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).select(col("doc_id"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The trained merge table itself — the distributed loop's output
     // checked merge by merge (rank order, tie-breaks, greedy
     // application all have to agree for later ranks to match).
@@ -137,15 +162,9 @@ object Tokenizer {
     base + layers
   }
 
-  def oracle: Map[String, String] = Map(
-    "q_doc_bpe_merges" -> (mergeCtes(nMerges) + s"""
-      |SELECT * FROM (
-      |  ${(0 until nMerges).map(k =>
-           s"SELECT $k AS rank, l AS \"left\", r AS \"right\" FROM merge_$k")
-           .mkString(" UNION ALL ")}
-      |) ORDER BY rank""".stripMargin),
-
-    "q_doc_bpe_encode" -> (mergeCtes(nMerges) + s"""
+  /** Shared by the batch and streaming encode queries — the stream is a
+    * stateless projection over the same table, so the replay is one. */
+  private def encodeOracleSql: String = mergeCtes(nMerges) + s"""
       |, doc_toks AS MATERIALIZED (
       |  SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS w
       |  FROM documents
@@ -157,7 +176,21 @@ object Tokenizer {
       |SELECT doc.doc_id,
       |  COALESCE(CAST(SUM(t.n) AS BIGINT), 0) AS n_tok
       |FROM documents doc LEFT JOIN tok_counts t USING (doc_id)
-      |GROUP BY doc.doc_id ORDER BY doc.doc_id""".stripMargin),
+      |GROUP BY doc.doc_id ORDER BY doc.doc_id""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q_doc_bpe_merges" -> (mergeCtes(nMerges) + s"""
+      |SELECT * FROM (
+      |  ${(0 until nMerges).map(k =>
+           s"SELECT $k AS rank, l AS \"left\", r AS \"right\" FROM merge_$k")
+           .mkString(" UNION ALL ")}
+      |) ORDER BY rank""".stripMargin),
+
+    "q_doc_bpe_encode" -> encodeOracleSql,
+
+    // streaming score-at-ingest drains to the same rows as the batch
+    // encode (stateless projection, AvailableNow over the same parquet)
+    "q_stream_bpe_encode" -> encodeOracleSql,
 
     // the q_doc_token_mixture replay (same weighted-supply integer
     // arithmetic and hash-first cumulative order) with tok = the BPE

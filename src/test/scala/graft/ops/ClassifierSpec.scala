@@ -644,6 +644,46 @@ class ClassifierSpec extends AnyFunSuite {
     assert(gotI.collect().toSeq == replay(inf, "id").collect().toSeq)
   }
 
+  test("calibrationCurve: DATE and TIMESTAMP_NTZ tie keys ride the " +
+    "numeric sub-split through an order-preserving double image") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    def replay(df: org.apache.spark.sql.DataFrame, tie: String) = df
+      .withColumn("bin", ntile(10).over(
+        Window.orderBy(col("score").asc, col(tie).asc)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), avg(col("score")).as("mean_score"),
+        avg(when(col("label"), 1.0).otherwise(0.0)).as("pos_rate"))
+      .orderBy(col("bin"))
+    // 96% of rows share one score — the dominant block must sub-split
+    // on the DATE tie key (no double cast exists for dates; unix_date
+    // is the monotone image the KLL edges and bucketing share)
+    val dated = (0 until 1500).map { i =>
+      val sc = if (i % 25 == 0) rnd.nextInt(3) + 1.0 else 0.5
+      (java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(1000L + i)),
+        sc, i % 3 == 0)
+    }.toDF("d", "score", "label")
+    val gotD = Classifier.calibrationCurve(dated, "score", "label", "d",
+      bins = 10)
+    // the image function appears in the plan only when the heavy block
+    // actually split (the no-split path tags sub = 0 with no tie expr)
+    assert(gotD.queryExecution.analyzed.toString.contains("unix_date"),
+      "date tie block was not sub-split")
+    assert(gotD.collect().toSeq == replay(dated, "d").collect().toSeq)
+    // TIMESTAMP_NTZ tie key (LocalDateTime column): unix_micros of the
+    // session-UTC reinterpretation is its monotone image
+    val ntz = (0 until 1500).map { i =>
+      val sc = if (i % 25 == 0) rnd.nextInt(3) + 1.0 else 0.5
+      (java.time.LocalDateTime.of(2025, 1, 1, 0, 0, 0)
+        .plusMinutes(i.toLong), sc, i % 3 == 0)
+    }.toDF("t", "score", "label")
+    val gotN = Classifier.calibrationCurve(ntz, "score", "label", "t",
+      bins = 10)
+    assert(gotN.queryExecution.analyzed.toString.contains("unix_micros"),
+      "timestamp_ntz tie block was not sub-split")
+    assert(gotN.collect().toSeq == replay(ntz, "t").collect().toSeq)
+  }
+
   test("sparse scorers fail loudly on an index outside the model dim " +
     "— a dim-mismatched featurizer cannot silently score as dropped " +
     "features") {
