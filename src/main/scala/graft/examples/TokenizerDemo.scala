@@ -1,0 +1,86 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sampling, Text, Tokenize}
+
+/** Tokenizer training end to end — the fit-once / serve-everywhere
+  * lifecycle a training-data pipeline runs before any token budget
+  * means anything:
+  *
+  *   - trainBpeDistributed: the merge loop with the histogram held in
+  *     the cluster (the vocab-unbounded path)
+  *   - saveBpe / loadBpe: the merge table IS the model — persist it,
+  *     serve from the loaded copy
+  *   - compression curve: corpus tokens under growing merge prefixes
+  *     (the vocab-size tradeoff read off the same literal chains)
+  *   - bpeCountExpr: the trained count as a pure Column feeding a
+  *     token-budget mixture — no UDF, no seam, whole-stage codegen
+  *   - the same expression over readStream: score-at-ingest counting
+  *
+  * Run: `sbt "runMain graft.examples.TokenizerDemo [sfDir]"`. */
+object TokenizerDemo {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-tokenizer-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+    println("== train (distributed merge loop) -> persist -> load ==")
+    val trained = Tokenize.trainBpeDistributed(docs, numMerges = 12)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bpe-demo-").toString
+    Tokenize.saveBpe(spark, trained, s"$dir/merges")
+    val merges = Tokenize.loadBpe(spark, s"$dir/merges")
+    require(merges == trained, "persisted table must round-trip")
+    merges.zipWithIndex.take(6).foreach { case ((l, r), i) =>
+      println(f"  rank $i%2d: '$l' + '$r' -> '${l + r}'")
+    }
+
+    println("== compression curve (tokens under merge prefixes) ==")
+    val hist = docs
+      .select(explode(regexp_extract_all(col("text"),
+        lit(Text.bpeTokenPattern), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val ks = Seq(0, 4, 8, 12)
+    val aggs = ks.map(k => sum(col("freq") *
+      Tokenize.bpeCountExpr(col("w"), merges.take(k))).as(s"t$k")) :+
+      sum(col("freq")).as("nw")
+    val row = hist.agg(aggs.head, aggs.tail: _*).head()
+    ks.foreach { k =>
+      val t = row.getAs[Long](s"t$k")
+      println(f"  $k%2d merges: $t%7d tokens  " +
+        f"(${t.toDouble / row.getAs[Long]("nw")}%.3f per word)")
+    }
+
+    println("== token-budget mixture contracted in TRAINED tokens ==")
+    Sampling.mixtureByTokens(docs, col("source"), col("doc_id"),
+      Tokenize.bpeCountExpr(col("text"), merges),
+      Map("src0" -> 6L, "src1" -> 3L, "src2" -> 1L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source").show()
+
+    println("== the same expression at ingest (stateless stream) ==")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf)
+      .select(col("doc_id"),
+        Tokenize.bpeCountExpr(col("text"), merges).as("n_tok"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("bpe_demo")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("bpe_demo")
+      .agg(count(lit(1)).as("docs"), sum("n_tok").as("tokens")).show()
+
+    graft.core.Fs.delete(dir)
+    spark.stop()
+  }
+}

@@ -96,6 +96,31 @@ object Tokenizer {
         .orderBy(col("doc_id"))
     }),
 
+    // The tokenizer-training tradeoff curve: total corpus tokens (and
+    // tokens per word) under the first 0 / 4 / 8 merges — ONE aggregate
+    // over the vocabulary histogram evaluates all three prefixes of the
+    // learned chain side by side (each prefix is just a shorter literal
+    // replace chain in the same projection).
+    "q_doc_bpe_compression" -> ((s, dir) => {
+      import s.implicits._
+      val m = merges(s, dir)
+      val ks = Seq(0, 4, 8)
+      val hist = docs(s, dir)
+        .select(explode(regexp_extract_all(col("text"),
+          lit(graft.ops.Text.bpeTokenPattern), lit(0))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val aggs = ks.map(k => sum(col("freq") *
+        Tokenize.bpeCountExpr(col("w"), m.take(k))).as(s"t$k")) :+
+        sum(col("freq")).as("nw")
+      val row = hist.agg(aggs.head, aggs.tail: _*).head()
+      val nw = row.getAs[Long]("nw")
+      ks.map { k =>
+        val t = row.getAs[Long](s"t$k")
+        (k, t, t.toDouble / nw)
+      }.toDF("n_merges", "total_tokens", "tokens_per_word")
+        .orderBy("n_merges")
+    }),
+
     // Post-merge vocabulary mass: the top-20 subword tokens by corpus
     // frequency after the learned merges — computed over the
     // vocabulary-sized histogram, never the corpus.
@@ -231,6 +256,21 @@ object Tokenizer {
       |WHERE cum <= CASE source WHEN 'src0' THEN l0
       |                         WHEN 'src1' THEN l1 ELSE l2 END
       |ORDER BY doc_id""".stripMargin),
+
+    // per-prefix symbol totals read from the chain's own layers
+    "q_doc_bpe_compression" -> (mergeCtes(nMerges) + s"""
+      |, nw AS (SELECT CAST(SUM(freq) AS BIGINT) AS nw FROM words_0)
+      |${Seq(0, 4, 8).map(k => s""", tot_$k AS (
+      |  SELECT CAST(SUM(freq * len(string_split(trim(sym, ' '), '  ')))
+      |    AS BIGINT) AS t
+      |  FROM words_$k
+      |)""").mkString}
+      |SELECT * FROM (
+      |  ${Seq(0, 4, 8).map(k =>
+           s"SELECT $k AS n_merges, t AS total_tokens, " +
+             s"CAST(t AS DOUBLE) / nw AS tokens_per_word " +
+             s"FROM tot_$k, nw").mkString(" UNION ALL ")}
+      |) ORDER BY n_merges""".stripMargin),
 
     "q_doc_bpe_vocab" -> (mergeCtes(nMerges) + s"""
       |SELECT tok, cnt FROM (
