@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Sampling, Text, Tokenize}
+import graft.ops.{Sampling, Tokenize}
 
 /** Tokenizer training end to end — the fit-once / serve-everywhere
   * lifecycle a training-data pipeline runs before any token budget
@@ -33,7 +33,10 @@ object TokenizerDemo {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
 
     println("== train (distributed merge loop) -> persist -> load ==")
-    val trained = Tokenize.trainBpeDistributed(docs, numMerges = 12)
+    // the word histogram is the ONE corpus-sized pass — build it once,
+    // share it between training and the compression curve below
+    val hist = Tokenize.wordHistogram(docs).persist()
+    val trained = Tokenize.trainBpeFromHistogram(hist, numMerges = 12)
     val dir = java.nio.file.Files
       .createTempDirectory("graft-bpe-demo-").toString
     Tokenize.saveBpe(spark, trained, s"$dir/merges")
@@ -44,10 +47,6 @@ object TokenizerDemo {
     }
 
     println("== compression curve (tokens under merge prefixes) ==")
-    val hist = docs
-      .select(explode(regexp_extract_all(col("text"),
-        lit(Text.bpeTokenPattern), lit(0))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
     val ks = Seq(0, 4, 8, 12)
     val aggs = ks.map(k => sum(col("freq") *
       Tokenize.bpeCountExpr(col("w"), merges.take(k))).as(s"t$k")) :+
@@ -80,6 +79,7 @@ object TokenizerDemo {
     spark.table("bpe_demo")
       .agg(count(lit(1)).as("docs"), sum("n_tok").as("tokens")).show()
 
+    hist.unpersist()
     graft.core.Fs.delete(dir)
     spark.stop()
   }

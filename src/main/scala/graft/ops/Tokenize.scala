@@ -345,6 +345,17 @@ object Tokenize {
     * thousand-deep `replace` nest. */
   private val rematerializeEvery = 16
 
+  /** The `(w, freq)` pre-token histogram of a corpus — the ONE
+    * corpus-sized pass every tokenizer operation shares (merge
+    * training, post-merge vocabulary mass, compression curves).
+    * Pipelines running several of them should materialize this once
+    * (persist, or write to parquet) and feed the histogram-consuming
+    * entry points instead of re-scanning the corpus per operation. */
+  def wordHistogram(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(regexp_extract_all(col(textCol),
+      lit(Text.bpeTokenPattern), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
   /** [[trainBpe]] without the driver histogram: the `(pre-token, count)`
     * histogram STAYS a DataFrame, and each merge iteration is one
     * vocabulary-sized aggregation (adjacent-pair explode → sum → top-1,
@@ -368,12 +379,24 @@ object Tokenize {
     * fresh persist so plan depth stays constant. */
   def trainBpeDistributed(docs: DataFrame, numMerges: Int,
                           textCol: String = "text",
-                          minPairCount: Long = 2L): Seq[(String, String)] = {
+                          minPairCount: Long = 2L): Seq[(String, String)] =
+    trainBpeFromHistogram(wordHistogram(docs, textCol), numMerges,
+      minPairCount)
+
+  /** [[trainBpeDistributed]] over a pre-built [[wordHistogram]] — the
+    * merge loop's real input IS the histogram, so a pipeline that
+    * already maintains one (or shares it across the vocabulary /
+    * compression consumers) skips the corpus pass entirely. Expects
+    * columns `w` (pre-token) and `freq` (count); anything else fails
+    * fast. */
+  def trainBpeFromHistogram(hist: DataFrame, numMerges: Int,
+                            minPairCount: Long = 2L)
+      : Seq[(String, String)] = {
     require(numMerges >= 0, "numMerges must be >= 0")
-    val hist0 = docs
-      .select(explode(regexp_extract_all(col(textCol),
-        lit(Text.bpeTokenPattern), lit(0))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    require(hist.columns.contains("w") && hist.columns.contains("freq"),
+      s"histogram must have columns (w, freq), got " +
+        hist.columns.mkString(","))
+    val hist0 = hist
       .select(wrapSymbols(col("w")).as("sym"), col("freq"))
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

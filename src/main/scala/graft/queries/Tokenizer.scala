@@ -29,11 +29,32 @@ object Tokenizer {
   private val mergeTables = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, String)]]
 
+  /** The word histogram is the one CORPUS-sized pass every tokenizer
+    * operation shares — materialized to parquet once per sf dir (the
+    * pqIndexes build-once discipline) so training, vocabulary mass,
+    * and the compression curve all read the vocab-sized artifact
+    * instead of re-scanning the corpus. */
+  private val histPaths = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+
+  private def hist(s: SparkSession, dir: String): DataFrame = {
+    val p = histPaths.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-bpehist-")
+      sys.addShutdownHook {
+        graft.core.Fs.delete(d.toString)
+      }
+      val path = s"$d/hist"
+      Tokenize.wordHistogram(docs(s, dir)).write.parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
+
   private val nMerges = 8
 
   private def merges(s: SparkSession, dir: String): Seq[(String, String)] =
     mergeTables.getOrElseUpdate(dir,
-      Tokenize.trainBpeDistributed(docs(s, dir), nMerges))
+      Tokenize.trainBpeFromHistogram(hist(s, dir), nMerges))
 
   /** Unique memory-sink names for repeated streaming runs in-process. */
   private val streamQueryId = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -105,14 +126,10 @@ object Tokenizer {
       import s.implicits._
       val m = merges(s, dir)
       val ks = Seq(0, 4, 8)
-      val hist = docs(s, dir)
-        .select(explode(regexp_extract_all(col("text"),
-          lit(graft.ops.Text.bpeTokenPattern), lit(0))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
       val aggs = ks.map(k => sum(col("freq") *
         Tokenize.bpeCountExpr(col("w"), m.take(k))).as(s"t$k")) :+
         sum(col("freq")).as("nw")
-      val row = hist.agg(aggs.head, aggs.tail: _*).head()
+      val row = hist(s, dir).agg(aggs.head, aggs.tail: _*).head()
       val nw = row.getAs[Long]("nw")
       ks.map { k =>
         val t = row.getAs[Long](s"t$k")
@@ -126,10 +143,7 @@ object Tokenizer {
     // vocabulary-sized histogram, never the corpus.
     "q_doc_bpe_vocab" -> ((s, dir) => {
       val m = merges(s, dir)
-      docs(s, dir)
-        .select(explode(regexp_extract_all(col("text"),
-          lit(graft.ops.Text.bpeTokenPattern), lit(0))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
+      hist(s, dir)
         .select(explode(Tokenize.bpeTokensExpr(col("w"), m)).as("tok"),
           col("freq"))
         .groupBy("tok").agg(sum("freq").as("cnt"))

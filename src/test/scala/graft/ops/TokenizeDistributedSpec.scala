@@ -39,6 +39,19 @@ class TokenizeDistributedSpec extends AnyFunSuite {
     assert(dist.length == 20)
   }
 
+  test("trainBpeFromHistogram: a weighted histogram trains the same " +
+    "table as the expanded corpus; malformed columns fail fast") {
+    // the fixture corpus as its (w, freq) histogram — the merge loop's
+    // real input, so feeding it directly must be equivalent
+    val h = Seq(("low", 4L), ("lower", 2L), ("new", 3L))
+      .toDF("w", "freq")
+    assert(Tokenize.trainBpeFromHistogram(h, numMerges = 5) ==
+      Seq(("l", "o"), ("lo", "w"), ("e", "w"), ("n", "ew"), ("e", "r")))
+    assertThrows[IllegalArgumentException](
+      Tokenize.trainBpeFromHistogram(
+        Seq(("x", 1L)).toDF("word", "n"), numMerges = 1))
+  }
+
   test("merge application is greedy left-to-right: overlapping runs " +
     "pair up like the reference algorithm") {
     // "aaa" x3: pair (a,a)=6 -> merge; then (aa,a)=3 -> merge. The
