@@ -1510,6 +1510,81 @@ object Classifier {
             .otherwise(col("__m") + bias).as("margin"))
     }
 
+  /** [[crossValidateSparse]] for the MULTICLASS router — the domain-
+    * routing lifecycle (train → calibrate → online fold) gets the same
+    * honest OOF deployment gate the binary classifier has. Fold models
+    * train concurrently ([[trainSoftmaxSparse]] on each complement);
+    * OOF predictions come from ONE [[scoreSoftmaxSparse]]-shaped pass —
+    * explode the indices, broadcast the composite (fold, index) →
+    * per-class-weights table of ALL k models (k·dim·(C−1) doubles: a
+    * 5-fold 2^18 × 3-class table is ~20 MiB, broadcast-bounded),
+    * re-aggregate per (id, fold), codegen argmax. Output
+    * `(idCol, fold, logits, predicted)`; an OOB index fails loudly
+    * in-plan (the scorer contract).
+    *
+    * `init(fold)` optionally warm-starts that fold's GD (the
+    * distill-then-polish recipe cold sparse GD needs at corpus scale).
+    * HONESTY CONTRACT: the warm start must be derived from data
+    * excluding that fold — build it on `df.filter(foldExpr(id, k) =!=
+    * fold)` (the exact assignment this pool uses) or the OOF metric
+    * silently stops being out-of-fold. */
+  def crossValidateSoftmaxSparse(df: DataFrame, idxCol: String,
+                                 labelCol: String, idCol: String,
+                                 dim: Int, numClasses: Int, k: Int = 5,
+                                 iters: Int = 200, lr: Double = 0.5,
+                                 l2: Double = 0.0,
+                                 init: Int => Option[SoftmaxModel] =
+                                   _ => None): DataFrame =
+    crossValidateWith(df, idxCol, labelCol, idCol, k) { (folded, fold) =>
+      trainSoftmaxSparse(folded.filter(col("__fold") =!= fold), "__f",
+        labelCol, dim, numClasses, iters, lr, l2, init = init(fold))
+    } { (folded, models) =>
+      val spark = folded.sparkSession
+      import spark.implicits._
+      val C = numClasses
+      val wdf = spark.createDataset(
+        models.zipWithIndex.flatMap { case (m, f) =>
+          (0 until dim).map { i =>
+            (f, i, m.weights.toIndexedSeq.map(_(i)))
+          }
+        }).toDF("__fold", "__i", "__w")
+      val sumCols = (0 until C - 1).map(c =>
+        coalesce(sum(element_at(col("__w"), c + 1)), lit(0.0))
+          .as(s"__s$c")) :+
+        max(when(col("__i").isNotNull && col("__w").isNull, 1)
+          .otherwise(0)).as("__oob")
+      val sums = folded
+        .select(col(idCol), col("__fold"),
+          nullElementGuard(col("__f")).as("__idx"))
+        .select(col(idCol), col("__fold"),
+          explode_outer(col("__idx")).as("__i"))
+        .join(broadcast(wdf), Seq("__fold", "__i"), "left")
+        .groupBy(col(idCol), col("__fold"))
+        .agg(sumCols.head, sumCols.tail: _*)
+      val logits = (0 until C - 1).map { c =>
+        val bias = models.zipWithIndex.foldLeft(lit(0.0)) {
+          case (acc, (m, f)) =>
+            when(col("__fold") === f, lit(m.weights(c).last))
+              .otherwise(acc)
+        }
+        col(s"__s$c") + bias
+      } :+ lit(0.0)
+      def guard(out: Column) = when(col("__oob") === 1,
+        raise_error(concat(
+          lit(s"sparse index outside model dim $dim at id "),
+          col(idCol).cast("string"))))
+        .otherwise(out)
+      sums.select(col(idCol), col("__fold").as("fold"),
+        guard(array(logits: _*)).as("logits"),
+        guard(argmaxExpr(logits)).as("predicted"))
+    }
+
+  /** The deterministic fold assignment every crossValidate* entry
+    * point uses — public so a warm-start provider can build each
+    * fold's complement with the EXACT split the pool will use. */
+  def foldExpr(id: Column, k: Int): Column =
+    pmod(xxhash64(id), lit(k.toLong)).cast("int")
+
   /** The shared fold pool: hash-fold assignment, one cached
     * projection, k concurrent fail-fast driver threads training the
     * fold models (one job group — the first failed fold cancels the
@@ -1528,7 +1603,7 @@ object Classifier {
     require(k >= 2, "need at least 2 folds")
     val folded = df.select(col(idCol), col(labelCol),
       col(featuresCol).as("__f"),
-      pmod(xxhash64(col(idCol)), lit(k.toLong)).cast("int").as("__fold"))
+      foldExpr(col(idCol), k).as("__fold"))
     folded.persist()
     try {
       val sc = df.sparkSession.sparkContext

@@ -73,6 +73,15 @@ object TrainingData {
     val dense = softmaxModels.getOrElseUpdate(dir,
       Classifier.trainSoftmax(feats, "f", "label", dim = words.size,
         numClasses = 3))
+    distillDense(s, dense, words, dim)
+  }
+
+  /** Transport a vocab-space dense router into the hashed bins —
+    * exact, since the hashed logit is the same linear form. */
+  private def distillDense(s: SparkSession,
+                           dense: graft.ops.Classifier.SoftmaxModel,
+                           words: Seq[String], dim: Int)
+      : graft.ops.Classifier.SoftmaxModel = {
     // += guards the astronomically-unlikely word-bin collision
     val bins = s.range(1).select(words.map(w =>
       pmod(xxhash64(lit(w)), lit(dim.toLong)).cast("int").as(w)): _*)
@@ -325,6 +334,58 @@ object TrainingData {
         s"sparse softmax under-converged on uniquely-argmaxed docs: " +
           s"acc=$acc")
       out.select(col("doc_id"), col("predicted")).orderBy(col("doc_id"))
+    }),
+
+    // OOF deployment gate for the SPARSE domain router — the
+    // q_doc_classifier_cv discipline on the multiclass lifecycle: k
+    // hash folds, each fold's model trained on its COMPLEMENT only
+    // (dense Newton on the complement → exact distillation into the
+    // hashed bins → warm-started sparse-GD polish: the deployed
+    // router's own recipe, honest because every ingredient sees only
+    // the complement — foldExpr reproduces the pool's assignment), OOF
+    // predictions from ONE broadcast (fold, index)→weights pass.
+    // Gate: held-out accuracy 1.0 on uniquely-argmaxed docs → the
+    // oracle states the argmax rule itself
+    "q_doc_domain_router_cv" -> ((s, dir) => {
+      val words = Seq("hash", "join", "sort")
+      val dim = 4096
+      val kF = 3
+      val f = Classifier.vocabCountFeatures(Text.tokens(col("text")), words)
+      val c0 = element_at(col("f"), 1); val c1 = element_at(col("f"), 2)
+      val c2 = element_at(col("f"), 3)
+      val feats = docs(s, dir).withColumn("f", f)
+        .withColumn("idx", Classifier.hashedIndices(
+          filter(Text.tokens(col("text")),
+            t => t.isin(words.map(w => w: Any): _*)), dim))
+        .withColumn("label",
+          when(c0 >= c1 && c0 >= c2, 0).when(c1 >= c2, 1).otherwise(2))
+        .withColumn("unique_max",
+          (c0 > c1 && c0 > c2) || (c1 > c0 && c1 > c2) ||
+            (c2 > c0 && c2 > c1))
+      // shared by k complement Newton trainings + the CV pool's passes
+      feats.persist()
+      try {
+        val inits = (0 until kF).map { fold =>
+          val comp = feats.filter(
+            Classifier.foldExpr(col("doc_id"), kF) =!= fold)
+          val dense = Classifier.trainSoftmax(comp, "f", "label",
+            dim = words.size, numClasses = 3)
+          fold -> distillDense(s, dense, words, dim)
+        }.toMap
+        val oof = Classifier.crossValidateSoftmaxSparse(feats, "idx",
+          "label", "doc_id", dim, numClasses = 3, k = kF, iters = 30,
+          lr = 0.5, init = fold => Some(inits(fold)))
+        val out = feats.filter(col("unique_max"))
+          .select(col("doc_id"), col("label"))
+          .join(oof.select(col("doc_id"), col("predicted")), "doc_id")
+        val acc = out.select(avg(when(col("predicted") === col("label"),
+          1.0).otherwise(0.0))).head().getDouble(0)
+        require(acc == 1.0,
+          "router OOF under-generalization on uniquely-argmaxed docs: " +
+            s"acc=$acc — do not deploy this router")
+        out.select(col("doc_id"), col("predicted"))
+          .orderBy(col("doc_id"))
+      } finally { feats.unpersist(): Unit }
     }),
 
     // STREAMING domain routing: the batch-trained softmax rides the
@@ -3298,6 +3359,28 @@ object TrainingData {
 
     // the streamed sparse router shares the argmax oracle too
     "q_stream_domain_classifier_sparse" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'hash')) AS c0,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'join')) AS c1,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'sort')) AS c2
+        |  FROM documents
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(CASE WHEN c0 >= c1 AND c0 >= c2 THEN 0
+        |            WHEN c1 >= c2 THEN 1 ELSE 2 END AS INT) AS predicted
+        |FROM c
+        |WHERE (c0 > c1 AND c0 > c2) OR (c1 > c0 AND c1 > c2)
+        |   OR (c2 > c0 AND c2 > c1)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the OOF-gated router CV: the gate pins held-out predictions to
+    // the concept on uniquely-argmaxed docs, so the oracle is the same
+    // argmax rule
+    "q_doc_domain_router_cv" ->
       """WITH c AS (
         |  SELECT doc_id,
         |    len(list_filter(string_split_regex(text, '\s+'),

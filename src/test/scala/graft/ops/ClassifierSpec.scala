@@ -329,6 +329,59 @@ class ClassifierSpec extends AnyFunSuite {
     assert(seq0.sameElements(par0))
   }
 
+  test("crossValidateSoftmaxSparse: OOF predictions recover the " +
+    "3-class concept; deterministic across runs; fold-0 matches " +
+    "sequential training; the warm-start hook reaches its fold") {
+    val words = Seq("red", "green", "blue")
+    val rnd = new scala.util.Random(6)
+    val docs3 = (0 until 360).map { i =>
+      val c = i % 3
+      val base = Seq.fill(4 + rnd.nextInt(3))(words(c))
+      val other = Seq.fill(rnd.nextInt(2))(words((c + 1) % 3))
+      (i.toLong, rnd.shuffle(base ++ other ++ Seq("pad")).mkString(" "), c)
+    }.toDF("id", "text", "y")
+    val dim = 512
+    val idx3 = docs3.select(col("id"), col("y"),
+      Classifier.hashedIndices(filter(Text.tokens(col("text")),
+        t => t.isin(words.map(w => w: Any): _*)), dim).as("idx"))
+    def oof() = Classifier.crossValidateSoftmaxSparse(idx3, "idx", "y",
+      "id", dim, numClasses = 3, k = 3, iters = 150, lr = 0.5)
+    val a = oof().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(3)))
+    // honest generalization: every OUT-OF-FOLD prediction recovers the
+    // concept (the fold models never saw their scored rows)
+    val labels = docs3.select(col("id"), col("y")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    a.foreach { case (id, _, p) =>
+      assert(p == labels(id), s"OOF miss at id=$id predicted=$p")
+    }
+    // concurrency moves no bit
+    val b = oof().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(3)))
+    assert(a.sameElements(b))
+    // fold-0 parity with the sequential replay over the SAME split
+    // (foldExpr is the public face of the pool's assignment)
+    val m0 = Classifier.trainSoftmaxSparse(
+      idx3.filter(Classifier.foldExpr(col("id"), 3) =!= 0), "idx", "y",
+      dim, numClasses = 3, iters = 150, lr = 0.5)
+    val seq0 = Classifier.scoreSoftmaxSparse(
+      idx3.filter(Classifier.foldExpr(col("id"), 3) === 0),
+      "id", "idx", m0)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(2)))
+    val par0 = a.filter(_._2 == 0).map(t => (t._1, t._3))
+    assert(seq0.sameElements(par0))
+    // the warm-start hook is wired per fold: an init crushing classes
+    // 0/1 with one near-zero GD step makes every OOF prediction the
+    // reference class — only possible if init() reached the trainers
+    val biased = Classifier.SoftmaxModel(
+      Array.fill(2)(Array.fill(dim + 1)(-100.0)), 3)
+    val w = Classifier.crossValidateSoftmaxSparse(idx3, "idx", "y",
+      "id", dim, numClasses = 3, k = 3, iters = 1, lr = 1e-9,
+      init = _ => Some(biased))
+    assert(w.select(col("predicted")).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
+  }
+
   test("updateSoftmaxOnline: warm-started folds converge across " +
     "batches; a re-delivered batch id is a no-op returning the " +
     "committed bits; empty batches are no-ops; a racing writer fails " +
