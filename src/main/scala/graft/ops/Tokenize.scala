@@ -396,6 +396,14 @@ object Tokenize {
     require(hist.columns.contains("w") && hist.columns.contains("freq"),
       s"histogram must have columns (w, freq), got " +
         hist.columns.mkString(","))
+    // a null pre-token or non-positive count would skew pair counts
+    // SILENTLY (nulls drop out of the explode, freq <= 0 subtracts
+    // mass) — out-of-contract input fails loudly instead; one bounded
+    // job over the vocab-sized frame
+    val bad = hist.where(col("w").isNull || col("freq").isNull ||
+      col("freq") <= 0L).limit(1).collect()
+    require(bad.isEmpty,
+      s"histogram row out of contract (null w or freq <= 0): ${bad.toSeq}")
     val hist0 = hist
       .select(wrapSymbols(col("w")).as("sym"), col("freq"))
       .persist()

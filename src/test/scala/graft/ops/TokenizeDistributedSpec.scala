@@ -50,6 +50,16 @@ class TokenizeDistributedSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Tokenize.trainBpeFromHistogram(
         Seq(("x", 1L)).toDF("word", "n"), numMerges = 1))
+    // out-of-contract rows fail loudly instead of silently skewing
+    // pair counts (a null pre-token drops out of the explode; a
+    // non-positive count SUBTRACTS mass)
+    assertThrows[IllegalArgumentException](
+      Tokenize.trainBpeFromHistogram(
+        Seq(("ab", 2L), ("cd", 0L)).toDF("w", "freq"), numMerges = 1))
+    assertThrows[IllegalArgumentException](
+      Tokenize.trainBpeFromHistogram(
+        Seq(("ab", 2L), (null: String, 3L)).toDF("w", "freq"),
+        numMerges = 1))
   }
 
   test("merge application is greedy left-to-right: overlapping runs " +
