@@ -245,6 +245,63 @@ object Stats {
   def cachedLong(df: DataFrame, descriptor: String)(probe: => Long): Long =
     cachedLongs(df, descriptor)(Seq(probe)).head
 
+  /** Persisted ARTIFACT tier over the same fingerprint + store
+    * discipline as the sizing probes: serve a derived, materialized
+    * artifact of `df` (a parquet directory — e.g. the shared BPE word
+    * histogram every tokenizer operation reads) keyed by
+    * `fingerprint(df, descriptor)`. On miss with a writable tier,
+    * `build(tmpPath)` materializes into a temp sibling which is then
+    * atomically renamed into place — two racing processes both build,
+    * one rename wins, both serve a complete artifact. Returns None
+    * when no tier applies (no global dir, no registered store covering
+    * every input, or the frame is not fingerprintable) or when the
+    * only tier is read-only and cold — the caller then owns its
+    * fallback (a process-scratch build), exactly like a sizing probe
+    * that cannot persist.
+    *
+    * The artifact lands as `<key>.artifact/` next to the sizing
+    * entries; the fingerprint captures input files (path, len, mtime)
+    * and the derivation plan, so a stale artifact can never be served
+    * — edits to the inputs change the key and the old directory is
+    * simply dead weight (the store owner's retention problem, same as
+    * stale sizing entries). */
+  def cachedArtifact(df: DataFrame, descriptor: String)
+                    (build: String => Unit): Option[String] = {
+    if (!fingerprintable(df)) return None
+    val key = fingerprint(df, descriptor)
+    val tier = persistDir.map(d => (d, true))
+      .orElse(storeDirFor(df.inputFiles))
+    tier.flatMap { case (dir, writable) =>
+      val dest = java.nio.file.Paths.get(dir, s"$key.artifact")
+      if (java.nio.file.Files.isDirectory(dest)) Some(dest.toString)
+      else if (!writable) None
+      else {
+        val p = java.nio.file.Paths.get(dir)
+        // same no-resurrection rule as sizing writes: never re-create
+        // a stats skeleton under a parent that no longer exists
+        if (p.getParent != null &&
+            !java.nio.file.Files.isDirectory(p.getParent)) return None
+        try {
+          java.nio.file.Files.createDirectories(p)
+          val tmp = java.nio.file.Paths.get(dir,
+            s".$key.artifact.tmp-${java.util.UUID.randomUUID()}")
+          build(tmp.toString)
+          try {
+            java.nio.file.Files.move(tmp, dest,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                _: java.nio.file.FileSystemException =>
+              // a racing builder won; serve theirs, drop ours
+              graft.core.Fs.delete(tmp.toString)
+          }
+          if (java.nio.file.Files.isDirectory(dest)) Some(dest.toString)
+          else None
+        } catch { case _: java.io.IOException => None } // best-effort
+      }
+    }
+  }
+
   private def readPersisted(dir: String, key: String): Option[Seq[Long]] = {
     val p = java.nio.file.Paths.get(dir, key)
     if (!java.nio.file.Files.isRegularFile(p)) return None

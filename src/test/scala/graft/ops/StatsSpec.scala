@@ -97,6 +97,53 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("artifact tier: built once, a fresh process reuses the parquet " +
+    "artifact; input edits change the key; no tier => None") {
+    val dir = tmpDir()
+    val statsDir = s"$dir/stats"
+    (0 until 200).map(i => (i.toLong, s"w${i % 7}")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/docs")
+    def source = spark.read.parquet(s"$dir/docs")
+    var builds = 0
+    def histOf(df: org.apache.spark.sql.DataFrame): Option[String] =
+      Stats.cachedArtifact(df, "spec:hist") { path =>
+        builds += 1
+        df.groupBy("text").agg(count(lit(1)).as("freq"))
+          .write.parquet(path)
+      }
+    // no tier: caller owns the fallback
+    assert(histOf(source).isEmpty && builds == 0)
+    Stats.enablePersistence(statsDir)
+    try {
+      val p1 = histOf(source)
+      assert(p1.nonEmpty && builds == 1)
+      assert(spark.read.parquet(p1.get).count() == 7)
+      // fresh read of the same bytes (a fresh process has no memo to
+      // wipe here — the artifact IS the persisted tier): same path,
+      // no rebuild
+      val p2 = histOf(source)
+      assert(p2 == p1 && builds == 1)
+      // appending input files changes the fingerprint: a rebuild, and
+      // the stale artifact is simply not served
+      (200 until 300).map(i => (i.toLong, "w0")).toDF("doc_id", "text")
+        .write.mode("append").parquet(s"$dir/docs")
+      val p3 = histOf(source)
+      assert(p3.nonEmpty && p3 != p1 && builds == 2)
+      assert(spark.read.parquet(p3.get)
+        .where(col("text") === "w0").head().getLong(1) == 129L)
+    } finally {
+      Stats.disablePersistence()
+      Stats.invalidate()
+    }
+    // read-only store tier: a warm artifact serves, a cold one does NOT
+    // build (never write into a store we don't own)
+    val roDir = s"$dir/ro-stats"
+    Stats.registerStore(s"$dir/docs", roDir, writable = false)
+    try {
+      assert(histOf(source).isEmpty && builds == 2)
+    } finally Stats.unregisterStore(s"$dir/docs")
+  }
+
   test("engine-owned store: a Database's sizing probes persist under " +
     "$db/_graft_stats by DEFAULT — a memo wipe (fresh process) serves " +
     "with zero probe jobs; appends still invalidate; read-only inputs " +
