@@ -326,10 +326,17 @@ object Tokenize {
     * " lr ")` pass merges every (l, r) adjacency greedily left-to-right
     * without two matches ever sharing a character — exactly the BPE
     * merge-application rule (a merge of (l, r) cannot create a new
-    * (l, r) adjacency, so a single pass is exhaustive). */
+    * (l, r) adjacency, so a single pass is exhaustive).
+    *
+    * `(?s)` (DOTALL) is load-bearing: Java's plain `.` skips the line
+    * terminators U+0085/U+2028/U+2029, yet those are valid pre-tokens
+    * under [[Text.bpeTokenPattern]] (Java `\s` excludes them) and real
+    * web corpora contain them — without DOTALL they wrapped to an
+    * empty symbol list, diverging from the driver trainer, the seam
+    * counter, and the RE2-based oracle (whose `.` matches U+2028). */
   private def wrapSymbols(word: Column): Column =
     concat(lit(" "),
-      array_join(regexp_extract_all(word, lit("."), lit(0)), "  "),
+      array_join(regexp_extract_all(word, lit("(?s)."), lit(0)), "  "),
       lit(" "))
 
   private def mergeOnce(sym: Column, l: String, r: String): Column =
@@ -379,20 +386,79 @@ object Tokenize {
     * fresh persist so plan depth stays constant. */
   def trainBpeDistributed(docs: DataFrame, numMerges: Int,
                           textCol: String = "text",
-                          minPairCount: Long = 2L): Seq[(String, String)] =
+                          minPairCount: Long = 2L,
+                          batchTopM: Int = 256,
+                          onRound: (Int, Int) => Unit = (_, _) => ())
+      : Seq[(String, String)] =
     trainBpeFromHistogram(wordHistogram(docs, textCol), numMerges,
-      minPairCount)
+      minPairCount, batchTopM, onRound)
 
   /** [[trainBpeDistributed]] over a pre-built [[wordHistogram]] — the
     * merge loop's real input IS the histogram, so a pipeline that
     * already maintains one (or shares it across the vocabulary /
     * compression consumers) skips the corpus pass entirely. Expects
     * columns `w` (pre-token) and `freq` (count); anything else fails
-    * fast. */
+    * fast.
+    *
+    * == Batched merge rounds ==
+    *
+    * A naive distributed loop runs one vocabulary-sized Spark job per
+    * merge — at a production 32k-merge vocabulary that is ~32k jobs of
+    * pure scheduler overhead. Each round here instead computes the pair
+    * table ONCE, pulls the top `batchTopM + 1` rows to the driver (a
+    * bounded collect), and accepts the longest SAFE PREFIX of the
+    * sequential (count desc, left, right) order, so one round commits
+    * many merges with two jobs. Safety is proved, not assumed — the
+    * accepted batch reproduces the one-at-a-time greedy trainer's
+    * output EXACTLY (spec-pinned at 512+ merges against [[trainBpe]]):
+    *
+    * Let rows be the eligible pairs in sequential order and `B` the
+    * count of the first row NOT accepted (first AFFECTED row, the
+    * collect horizon, or `minPairCount - 1` when the table is
+    * exhausted). Merging (a, b) absorbs exactly the a's followed by b
+    * and the b's preceded by a, so the only pairs whose counts (or
+    * textual adjacencies) it can change are (x, a) — their a may be
+    * absorbed leftward — and (b, y) — their b may be absorbed
+    * rightward; (a, y != b) and (x != a, b) are untouched. A row is
+    * AFFECTED when its right symbol is an accepted LEFT or its left
+    * symbol is an accepted RIGHT. The batch keeps row 0 plus every
+    * later unaffected row with `count > B` STRICTLY. Why this is
+    * exact, per sequential step j:
+    *   - accepted pairs are mutually unaffected, so merging
+    *     p_1..p_{j-1} leaves count(p_j) unchanged, and applying them in
+    *     batch order equals applying them one at a time;
+    *   - every original pair outside the batch has count <= B (the
+    *     order is descending and the batch is a prefix), and merges
+    *     only ever DECREASE an existing pair's count (given the concat
+    *     guard below), so none can reach count(p_j) > B;
+    *   - a merge of (l, r) can only CREATE pairs (x, lr) / (lr, y),
+    *     and each such occurrence was an (x, l) / (r, y) adjacency
+    *     before the merge, so the new pair's count is bounded by a
+    *     pre-merge AFFECTED pair — which is outside the batch, hence
+    *     <= B < count(p_j). The strict inequality also settles ties: a
+    *     new pair can never equal count(p_j) and steal the pick
+    *     lexicographically.
+    *
+    * The one case where an existing pair's count can INCREASE is a
+    * concatenation `l + r` that already exists as a symbol elsewhere
+    * (merging (l, r) then mints new copies of that symbol, boosting
+    * pairs that contain it by up to count(l, r)). One bounded job per
+    * multi-merge round checks the accepted concats against the pair
+    * table's symbols and truncates the batch at the first offender —
+    * the offender's own merge is still exact (boosts only manifest
+    * after it applies), everything after it re-enters the next round.
+    *
+    * Job count: ~2 jobs per round + one per [[rematerializeEvery]]
+    * merges, against one per merge before — on natural text the batch
+    * width grows as counts spread out, and the spec's SparkListener
+    * gate pins jobs well under merges. */
   def trainBpeFromHistogram(hist: DataFrame, numMerges: Int,
-                            minPairCount: Long = 2L)
+                            minPairCount: Long = 2L,
+                            batchTopM: Int = 256,
+                            onRound: (Int, Int) => Unit = (_, _) => ())
       : Seq[(String, String)] = {
     require(numMerges >= 0, "numMerges must be >= 0")
+    require(batchTopM >= 1, "batchTopM must be >= 1")
     require(hist.columns.contains("w") && hist.columns.contains("freq"),
       s"histogram must have columns (w, freq), got " +
         hist.columns.mkString(","))
@@ -408,6 +474,7 @@ object Tokenize {
       .select(wrapSymbols(col("w")).as("sym"), col("freq"))
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var rounds = 0
     var base = hist0
     var pending = List.empty[(String, String)] // newest first
     def current: DataFrame = {
@@ -420,7 +487,7 @@ object Tokenize {
       var exhausted = false
       while (merges.length < numMerges && !exhausted) {
         val syms = unwrapSymbols(col("sym"))
-        val top = current
+        val pairs = current
           .select(syms.as("s"), col("freq"))
           .select(explode(zip_with(
             slice(col("s"), lit(1), size(col("s")) - 1),
@@ -429,16 +496,72 @@ object Tokenize {
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum("freq").as("cnt"))
           .where(col("cnt") >= minPairCount)
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val best = (top(0).getString(0), top(0).getString(1))
-          merges += best
-          pending = best :: pending
+          .persist()
+        val batch = try {
+          val want = math.min(batchTopM, numMerges - merges.length)
+          val top = pairs
+            .orderBy(col("cnt").desc, col("l"), col("r"))
+            .limit(want + 1).collect()
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          if (top.isEmpty) { exhausted = true; Nil }
+          else {
+            // maximal UNAFFECTED prefix of the sequential order: merging
+            // (a, b) only changes the counts of pairs (x, a) — their a
+            // may be absorbed leftward — and (b, y) — their b may be
+            // absorbed rightward; pairs (a, y != b) / (x != a, b) keep
+            // their counts exactly (the a there is never followed by b,
+            // the b never preceded by a). Tracking the accepted LEFT and
+            // RIGHT symbol sets separately roughly doubles batch widths
+            // over whole-symbol disjointness, still provably exact.
+            val lefts = scala.collection.mutable.HashSet.empty[String]
+            val rights = scala.collection.mutable.HashSet.empty[String]
+            val prefix =
+              scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+            var bound = minPairCount - 1 // table exhausted => no constraint
+            var stopped = false
+            top.foreach { case p @ (l, r, cnt) =>
+              if (!stopped) {
+                if (prefix.nonEmpty && (lefts(r) || rights(l))) {
+                  bound = cnt; stopped = true
+                } else if (prefix.length >= want) {
+                  // the +1 row only exists to bound what lies below it
+                  bound = cnt; stopped = true
+                } else { prefix += p; lefts += l; rights += r }
+              }
+            }
+            // strictness: only counts ABOVE every unaccepted pair are
+            // immune to post-merge reordering (see scaladoc proof)
+            var safe = (prefix.head +:
+              prefix.tail.takeWhile(_._3 > bound)).map(p => (p._1, p._2))
+            if (safe.length > 1) {
+              // concat guard: an accepted l+r already living in the pair
+              // table means merges after it could boost existing pairs —
+              // truncate at the first offender (its own merge is exact)
+              val concats = safe.map { case (l, r) => l + r }.toSeq
+              val hit = pairs
+                .select(explode(array(col("l"), col("r"))).as("s"))
+                .where(col("s").isin(concats: _*))
+                .distinct().collect().map(_.getString(0)).toSet
+              if (hit.nonEmpty) {
+                val i = safe.indexWhere { case (l, r) => hit(l + r) }
+                safe = safe.take(i + 1)
+              }
+            }
+            safe.toSeq
+          }
+        } finally pairs.unpersist()
+        if (batch.nonEmpty) {
+          rounds += 1
+          onRound(rounds, batch.length)
+          merges ++= batch
+          pending = batch.reverse.toList ::: pending
           if (pending.length >= rematerializeEvery) {
             val next = current.persist()
-            next.count() // materialize before dropping the old lineage
+            // materialize before dropping the old lineage; a failed job
+            // must release the fresh persist, not leak a cached
+            // vocab-sized frame (the finally below only knows `base`)
+            try next.count()
+            catch { case t: Throwable => next.unpersist(); throw t }
             base.unpersist()
             base = next
             pending = Nil
@@ -496,6 +619,62 @@ object Tokenize {
       lit(0L),
       (acc, w) => acc + size(tokensOfPreToken(w, merges)).cast(LongType)),
       lit(0L))
+  }
+
+  /** Token → id assignment for a NATIVELY trained merge table — the id
+    * surface the GPT-2 loader path already has ([[Gpt2Counter.encode]]),
+    * derived instead of loaded: ids `0 .. A-1` for the base alphabet
+    * (the histogram pre-tokens' distinct single symbols, sorted by
+    * UTF-8 bytes — the binary collation DuckDB and Spark string sorts
+    * share, so the assignment is oracle-replayable rank arithmetic),
+    * then `A + rank` for each merge output in rank order. With this,
+    * sequence building ([[Packing.packSequences]]-style id arrays)
+    * runs off a trained table exactly as it would off a published
+    * vocab.json. The alphabet collect is charset-bounded (distinct
+    * single symbols, not words). A duplicate token string — two merges
+    * whose outputs collide, or a merge output equal to a base symbol —
+    * fails loudly: an id table with ambiguous strings would decode
+    * wrongly downstream. */
+  def bpeVocabFromHistogram(hist: DataFrame,
+                            merges: Seq[(String, String)])
+      : Seq[(String, Int)] = {
+    require(hist.columns.contains("w"),
+      s"histogram must have column w, got ${hist.columns.mkString(",")}")
+    val alpha = hist
+      .select(explode(unwrapSymbols(wrapSymbols(col("w")))).as("s"))
+      .distinct().collect().map(_.getString(0))
+    val sorted = alpha.sortWith { (a, b) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8")) < 0
+    }
+    val toks = sorted.toSeq ++ merges.map { case (l, r) => l + r }
+    val dups = toks.groupBy(identity).filter(_._2.length > 1).keys
+    require(dups.isEmpty,
+      s"duplicate token strings in derived vocab: " +
+        s"${dups.take(5).mkString(", ")} — two merge outputs (or a merge " +
+        "output and a base symbol) collide; an id table with ambiguous " +
+        "strings cannot decode")
+    toks.zipWithIndex
+  }
+
+  /** Token IDS of `text` under a trained merge table and a derived
+    * vocab ([[bpeVocabFromHistogram]]), as a pure Column: the token
+    * strings of [[bpeTokensExpr]] mapped through one literal map (a
+    * single MapType literal, not a codegen'd lookup chain). A token
+    * absent from the vocab — text containing symbols the training
+    * histogram never saw — raises in-plan rather than emitting nulls
+    * that would silently corrupt packed sequences. Null text yields
+    * null, matching [[bpeTokensExpr]]. */
+  def bpeIdsExpr(text: Column, merges: Seq[(String, String)],
+                 vocab: Seq[(String, Int)]): Column = {
+    require(vocab.nonEmpty, "vocab is empty")
+    val m = typedLit(vocab.toMap)
+    transform(bpeTokensExpr(text, merges), t =>
+      when(element_at(m, t).isNull, raise_error(concat(
+        lit("token not in derived vocab: '"), t,
+        lit("' — the text contains symbols the training histogram " +
+          "never saw; extend the histogram or pre-filter"))).cast("int"))
+        .otherwise(element_at(m, t)))
   }
 
   /** Minimal byte-pair-encoding tokenizer over an explicit merge list —

@@ -30,22 +30,33 @@ object Tokenizer {
     .empty[String, Seq[(String, String)]]
 
   /** The word histogram is the one CORPUS-sized pass every tokenizer
-    * operation shares — materialized to parquet once per sf dir (the
-    * pqIndexes build-once discipline) so training, vocabulary mass,
-    * and the compression curve all read the vocab-sized artifact
-    * instead of re-scanning the corpus. */
+    * operation shares — materialized to parquet once per sf dir so
+    * training, vocabulary mass, and the compression curve all read the
+    * vocab-sized artifact instead of re-scanning the corpus. It lives
+    * on the engine's OWN artifact tier ([[graft.ops.Stats
+    * .cachedArtifact]] — the `_graft_stats` fingerprint discipline, so
+    * a fresh process over unchanged inputs reuses the materialized
+    * histogram instead of re-aggregating); when no stats tier covers
+    * the input (read-only corpus dir, no global stats dir) it falls
+    * back to a process-scratch build, the pqIndexes discipline. */
   private val histPaths = scala.collection.concurrent.TrieMap
     .empty[String, String]
 
   private def hist(s: SparkSession, dir: String): DataFrame = {
     val p = histPaths.getOrElseUpdate(dir, {
-      val d = java.nio.file.Files.createTempDirectory("graft-bpehist-")
-      sys.addShutdownHook {
-        graft.core.Fs.delete(d.toString)
-      }
-      val path = s"$d/hist"
-      Tokenize.wordHistogram(docs(s, dir)).write.parquet(path)
-      path
+      val source = docs(s, dir)
+      def write(path: String): Unit =
+        Tokenize.wordHistogram(source).write.parquet(path)
+      graft.ops.Stats.cachedArtifact(source, "bpe-word-histogram")(write)
+        .getOrElse {
+          val d = java.nio.file.Files.createTempDirectory("graft-bpehist-")
+          sys.addShutdownHook {
+            graft.core.Fs.delete(d.toString)
+          }
+          val path = s"$d/hist"
+          write(path)
+          path
+        }
     })
     s.read.parquet(p)
   }
@@ -55,6 +66,14 @@ object Tokenizer {
   private def merges(s: SparkSession, dir: String): Seq[(String, String)] =
     mergeTables.getOrElseUpdate(dir,
       Tokenize.trainBpeFromHistogram(hist(s, dir), nMerges))
+
+  /** Derived token→id table per sf dir (fit-once like the merges). */
+  private val vocabTables = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, Int)]]
+
+  private def vocab(s: SparkSession, dir: String): Seq[(String, Int)] =
+    vocabTables.getOrElseUpdate(dir,
+      Tokenize.bpeVocabFromHistogram(hist(s, dir), merges(s, dir)))
 
   /** Unique memory-sink names for repeated streaming runs in-process. */
   private val streamQueryId = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -138,6 +157,25 @@ object Tokenizer {
         .orderBy("n_merges")
     }),
 
+    // The id surface for a NATIVELY trained table: token ids per
+    // position, from the derived vocab (base alphabet in UTF-8 order,
+    // then merge outputs at alphabet_size + rank) — the rank arithmetic
+    // a packed-sequence builder consumes, served as the same literal
+    // chain plus ONE map literal (still a pure projection, no join).
+    // Deterministic 1-in-5 doc subset keeps the oracle compare bounded
+    // at sf0.01 without changing the plan shape.
+    "q_doc_bpe_ids" -> ((s, dir) => {
+      val m = merges(s, dir)
+      val v = vocab(s, dir)
+      docs(s, dir)
+        .where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          posexplode(Tokenize.bpeIdsExpr(col("text"), m, v)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").cast("long").as("tok_id"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // Post-merge vocabulary mass: the top-20 subword tokens by corpus
     // frequency after the learned merges — computed over the
     // vocabulary-sized histogram, never the corpus.
@@ -165,9 +203,14 @@ object Tokenizer {
     * pair-count / top-1 / replace layer per merge. MATERIALIZED is
     * load-bearing: each layer references its predecessor from two CTEs
     * and the merge from two more, so inlining would re-expand the scan
-    * 3^N times. The `cnt >= 2` guard replays minPairCount's early stop
-    * (never hit on this corpus — the Spark side would return fewer rows
-    * and fail the row-count compare if it ever fired). */
+    * 3^N times. The `cnt >= 2` guard replays minPairCount's early stop;
+    * each replace layer is a LEFT JOIN + COALESCE so an EMPTY merge_k
+    * (early stop fired) degrades the layer to a no-op and the replay
+    * serves the same shorter chain as the engine — a CROSS JOIN would
+    * annihilate every row and return misleading all-empty oracles
+    * (never hit on this corpus, where q_doc_bpe_merges' row-count
+    * compare would also flag it, but the encode/vocab/compression
+    * replays must not depend on that). */
   private def mergeCtes(n: Int): String = {
     val base = s"""WITH words_0 AS MATERIALIZED (
       |  SELECT w,
@@ -192,10 +235,10 @@ object Tokenizer {
       |  ORDER BY cnt DESC, l, r LIMIT 1
       |), words_${k + 1} AS MATERIALIZED (
       |  SELECT w.w,
-      |    replace(w.sym, ' ' || m.l || '  ' || m.r || ' ',
-      |            ' ' || m.l || m.r || ' ') AS sym,
+      |    COALESCE(replace(w.sym, ' ' || m.l || '  ' || m.r || ' ',
+      |                     ' ' || m.l || m.r || ' '), w.sym) AS sym,
       |    w.freq
-      |  FROM words_$k w CROSS JOIN merge_$k m
+      |  FROM words_$k w LEFT JOIN merge_$k m ON TRUE
       |)""".stripMargin
     }.mkString
     base + layers
@@ -285,6 +328,44 @@ object Tokenizer {
              s"CAST(t AS DOUBLE) / nw AS tokens_per_word " +
              s"FROM tot_$k, nw").mkString(" UNION ALL ")}
       |) ORDER BY n_merges""".stripMargin),
+
+    // id assignment is pure rank arithmetic: base alphabet =
+    // ROW_NUMBER over the distinct words_0 symbols in binary collation
+    // (the same UTF-8 byte order the Spark side sorts by), merge
+    // outputs at alphabet_size + rank; positions replay the encode
+    // chain with per-pre-token then per-symbol ordinals
+    "q_doc_bpe_ids" -> (mergeCtes(nMerges) + s"""
+      |, alpha AS MATERIALIZED (
+      |  SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) - 1 AS id FROM (
+      |    SELECT DISTINCT s.syms[u.i] AS tok
+      |    FROM (SELECT string_split(trim(sym, ' '), '  ') AS syms
+      |          FROM words_0) s,
+      |         UNNEST(range(1, len(s.syms) + 1)) AS u(i))
+      |), vocab AS MATERIALIZED (
+      |  SELECT tok, id FROM alpha
+      |  UNION ALL
+      |  SELECT l || r AS tok, rank + (SELECT COUNT(*) FROM alpha) AS id
+      |  FROM (${(0 until nMerges).map(k =>
+             s"SELECT $k AS rank, l, r FROM merge_$k")
+             .mkString(" UNION ALL ")})
+      |), doc_toks AS MATERIALIZED (
+      |  SELECT doc_id, ws[u.i] AS w, u.i AS i
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '$pat') AS ws
+      |        FROM documents WHERE doc_id % 5 = 0),
+      |       UNNEST(range(1, len(ws) + 1)) AS u(i)
+      |), toks AS MATERIALIZED (
+      |  SELECT d.doc_id, d.i, u.j, v.syms[u.j] AS tok
+      |  FROM doc_toks d
+      |  JOIN (SELECT w, string_split(trim(sym, ' '), '  ') AS syms
+      |        FROM words_$nMerges) v USING (w),
+      |       UNNEST(range(1, len(v.syms) + 1)) AS u(j)
+      |)
+      |SELECT t.doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY t.i, t.j) - 1
+      |    AS pos,
+      |  CAST(vv.id AS BIGINT) AS tok_id
+      |FROM toks t JOIN vocab vv ON t.tok = vv.tok
+      |ORDER BY t.doc_id, pos""".stripMargin),
 
     "q_doc_bpe_vocab" -> (mergeCtes(nMerges) + s"""
       |SELECT tok, cnt FROM (

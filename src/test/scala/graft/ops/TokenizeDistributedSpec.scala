@@ -143,6 +143,36 @@ class TokenizeDistributedSpec extends AnyFunSuite {
     base.unpersist(); big.unpersist()
   }
 
+  test("batched rounds on the real corpus: 512 merges over sf0.1 " +
+    "documents — rounds, widths, wall (GRAFT_SCALEUP opt-in)") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow: opt in with GRAFT_SCALEUP=1 sbt test")
+    val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val widths = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val t0 = System.nanoTime()
+    val m = Tokenize.trainBpeDistributed(d, numMerges = 512,
+      onRound = (_, k) => { widths += k; () })
+    val wall = (System.nanoTime() - t0) / 1e9
+    val half = {
+      var acc = 0
+      widths.takeWhile { w => acc += w; acc <= m.length / 2 }.length
+    }
+    println(f"[scaleup] bpeBatchedTrainReal merges=${m.length} " +
+      f"rounds=${widths.length} meanWidth=${m.length.toDouble / widths.length}%.2f " +
+      f"maxWidth=${widths.max} firstHalfRounds=$half " +
+      f"secondHalfRounds=${widths.length - half} wall=$wall%.1fs")
+    // the sf corpus's small word vocabulary exhausts before 512 (early
+    // stop is part of the contract) — the entry records the rounds and
+    // widths the corpus DOES sustain; the 512-merge width behavior is
+    // gated by the synthetic-corpus spec above. Early char-pair rounds
+    // are inherently narrow (top pairs chain through shared symbols);
+    // widths open as merges become disjoint word fragments — the
+    // regime where a production 32k-merge vocabulary spends 97% of
+    // its merges.
+    assert(m.nonEmpty && widths.sum == m.length)
+  }
+
   test("randomized parity: distributed == driver trainer, and the " +
     "literal-chain count == a naive sequential-merge reference") {
     import org.scalacheck.Gen
@@ -197,6 +227,143 @@ class TokenizeDistributedSpec extends AnyFunSuite {
           s"count divergence on '$t' under $drv")
       }
     }
+  }
+
+  test("batched merge rounds: exact parity with the sequential driver " +
+    "trainer at 512 merges, in a fraction of the Spark jobs") {
+    // a zipfian synthetic corpus (the count spread of natural text —
+    // wide batches need non-tied counts): 3000 distinct letter words,
+    // freq ~ 1/rank, rich enough to sustain 512 merges at minPairCount=2
+    val rnd = new scala.util.Random(41)
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val words = (0 until 3000).map { i =>
+      val len = 4 + rnd.nextInt(9)
+      (0 until len).map(_ => letters(rnd.nextInt(letters.length))).mkString
+    }.distinct
+    val hist = words.zipWithIndex.map { case (w, i) =>
+      (w, math.max(2L, 6000L / (i + 3)))
+    }
+    // the driver reference: expand the histogram into documents and run
+    // the in-memory greedy loop (the algorithm's ground truth)
+    val docs512 = hist.flatMap { case (w, f) =>
+      Seq.fill(f.toInt)(w)
+    }.grouped(60).map(_.mkString(" ")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+    val drv = Tokenize.trainBpe(docs512, numMerges = 512)
+    assert(drv.length == 512, s"corpus too poor: ${drv.length} merges")
+    // count Spark jobs across the distributed batched run
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val widths = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val dist = try {
+      val h = hist.toDF("w", "freq")
+      Tokenize.trainBpeFromHistogram(h, numMerges = 512,
+        onRound = (_, k) => { widths += k; () })
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(dist == drv, {
+      val i = dist.zip(drv).indexWhere { case (a, b) => a != b }
+      s"batched trainer diverged from sequential greedy at merge $i: " +
+        s"${dist.slice(i - 2, i + 2)} vs ${drv.slice(i - 2, i + 2)}"
+    })
+    // the round-13 shape was one round per merge (~32k rounds at a real
+    // vocabulary); batched rounds must commit several merges each. The
+    // first/second half split shows WHERE batches widen: early rounds
+    // are inherently narrow (top pairs share symbols), late rounds are
+    // disjoint word fragments with spread counts — the regime where the
+    // other 31k merges of a production vocabulary live.
+    val firstHalfRounds = {
+      var acc = 0; widths.takeWhile { w => acc += w; acc <= 256 }.length
+    }
+    println(s"[scaleup] bpeBatchedTrain merges=512 rounds=${widths.length} " +
+      f"meanWidth=${512.0 / widths.length}%.2f jobs=${jobs.get} " +
+      s"firstHalfRounds=$firstHalfRounds " +
+      s"secondHalfRounds=${widths.length - firstHalfRounds}")
+    assert(widths.sum == 512)
+    assert(widths.length <= 256,
+      s"expected batched rounds to commit >=2 merges on average, " +
+        s"got ${widths.length} rounds for 512 merges")
+  }
+
+  test("line-terminator pre-tokens (U+0085/U+2028/U+2029) survive the " +
+    "wrapped-symbol encoding: expr path == driver trainer == seam") {
+    // Java \s excludes these three, so bpeTokenPattern admits them as
+    // single-mark pre-tokens — but Java's plain '.' (unlike RE2's)
+    // skips line terminators, so without DOTALL in wrapSymbols they
+    // wrapped to an empty token and the expr path diverged from every
+    // other implementation of the algorithm (ADVICE r13).
+    // the pre-tokenizer admits each separator only as a SINGLE-mark
+    // pre-token ([^A-Za-z0-9\s] matches one char), so training can
+    // never merge one \u2014 the bug surface is the token STRING the expr
+    // path emits for it ("" without DOTALL, the char itself with)
+    val nel = "\u0085"; val lsep = "\u2028"; val psep = "\u2029"
+    val d = Seq((0L, s"ab${lsep}ab$lsep"), (1L, s"cd$nel$psep$lsep"),
+      (2L, s"$lsep$lsep$lsep"))
+      .toDF("doc_id", "text")
+    val drv = Tokenize.trainBpe(d, numMerges = 2)
+    assert(Tokenize.trainBpeDistributed(d, numMerges = 2) == drv)
+    // tokens: each separator comes back as itself, never an empty string
+    val toks = d.where(col("doc_id") === 1L)
+      .select(Tokenize.bpeTokensExpr(col("text"), drv).as("t"))
+      .head().getSeq[String](0)
+    // (c,d) count 1 is below minPairCount, so "cd" stays split
+    assert(toks == Seq("c", "d", nel, psep, lsep),
+      s"expected the separators as literal tokens, got $toks")
+    // the q_doc_bpe_vocab shape: exploding histogram words through the
+    // expr yields the separator symbol, not ""
+    val vocabToks = Tokenize.wordHistogram(d)
+      .select(explode(Tokenize.bpeTokensExpr(col("w"), drv)).as("tok"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(!vocabToks.contains("") && vocabToks.contains(lsep))
+    // counts: expr == the ToyBpe seam counter under the trained table
+    val viaExpr = d.select(col("doc_id"),
+      Tokenize.bpeCountExpr(col("text"), drv).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSeam = Tokenize.withTokenCount(d, Tokenize.ToyBpeTokenizer(drv),
+      outCol = "n")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    assert(viaExpr == viaSeam)
+  }
+
+  test("bpeVocabFromHistogram/bpeIdsExpr: rank-arithmetic ids off a " +
+    "trained table; collisions and unseen tokens are loud") {
+    val h = Seq(("low", 4L), ("lower", 2L), ("new", 3L)).toDF("w", "freq")
+    val fm = Tokenize.trainBpeFromHistogram(h, numMerges = 5)
+    assert(fm == Seq(("l", "o"), ("lo", "w"), ("e", "w"), ("n", "ew"),
+      ("e", "r")))
+    val v = Tokenize.bpeVocabFromHistogram(h, fm)
+    // base alphabet {e,l,n,o,r,w} in UTF-8 order gets 0..5, then merge
+    // outputs at 6 + rank — the GPT-2 vocab convention, hand-checkable
+    assert(v == Seq("e" -> 0, "l" -> 1, "n" -> 2, "o" -> 3, "r" -> 4,
+      "w" -> 5, "lo" -> 6, "low" -> 7, "ew" -> 8, "new" -> 9, "er" -> 10))
+    val ids = Seq(("lower new", 0L)).toDF("text", "id")
+      .select(Tokenize.bpeIdsExpr(col("text"), fm, v).as("ids"))
+      .head().getSeq[Int](0)
+    assert(ids == Seq(7, 10, 9)) // [low, er, new]
+    // ids are a plain array<int> column — the packed-sequence shape
+    // (flatten id arrays per bin) consumes it with no seam
+    val arr = Seq(("low low", 0L), ("new", 1L)).toDF("text", "id")
+      .select(flatten(collect_list(
+        Tokenize.bpeIdsExpr(col("text"), fm, v))).as("packed"))
+      .head().getSeq[Int](0)
+    assert(arr.sorted == Seq(7, 7, 9))
+    // a token the training histogram never saw raises in-plan instead
+    // of minting nulls that would corrupt packed sequences
+    val ex = intercept[Exception] {
+      Seq(("zzz", 0L)).toDF("text", "id")
+        .select(Tokenize.bpeIdsExpr(col("text"), fm, v)).collect()
+    }
+    assert(ex.getMessage.contains("not in derived vocab") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not in derived vocab")))
+    // duplicate token strings (colliding merge outputs) fail loudly
+    assertThrows[IllegalArgumentException](
+      Tokenize.bpeVocabFromHistogram(h,
+        Seq(("l", "o"), ("lo", "w"), ("l", "ow"))))
   }
 
   test("bpeCountExpr null/empty semantics match the seam (0, not null) " +
