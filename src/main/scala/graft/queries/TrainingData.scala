@@ -672,28 +672,54 @@ object TrainingData {
       proj.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val report =
         try {
-          val oofAcc = proj.select(col("doc_id"), col("label"))
-            .join(oof, "doc_id")
-            .select(avg(when((col("margin") > 0) === col("label"), 1.0)
-              .otherwise(0.0))).head().getDouble(0)
+          // stages 2+3 FUSED: both deployment gates and the
+          // calibration's bin counts are plain aggregates over the same
+          // cached projection (joined with the OOF margins), so ONE
+          // driver action serves all three — the round-13 shape was
+          // three scheduler round-trips (OOF head, fit head, calibration
+          // fit) over the same cache. The LEFT join keeps a missing OOF
+          // margin visible: it scores as a wrong prediction and fails
+          // the gate loudly instead of vanishing from an inner join.
+          val g = proj
+            .join(oof.select(col("doc_id"), col("margin").as("__oofm")),
+              Seq("doc_id"), "left")
+            .agg(
+              avg(when((col("__oofm") > 0) === col("label"), 1.0)
+                .otherwise(0.0)).as("oof_acc"),
+              avg(when((col("margin") > 0) === col("label"), 1.0)
+                .otherwise(0.0)).as("fit_acc"),
+              count(lit(1)).as("n"),
+              sum(when(col("label"), 1L).otherwise(0L)).as("np"),
+              sum(when(col("margin") > 0, 1L).otherwise(0L)).as("n_hi"),
+              sum(when(col("margin") > 0 && col("label"), 1L)
+                .otherwise(0L)).as("np_hi"))
+            .head()
+          val oofAcc = g.getAs[Double]("oof_acc")
           require(oofAcc == 1.0,
             s"pipeline gate: out-of-fold accuracy $oofAcc < 1 — do not " +
               "deploy this classifier")
-          val fitAcc = proj.select(avg(
-            when((col("margin") > 0) === col("label"), 1.0)
-              .otherwise(0.0))).head().getDouble(0)
+          val fitAcc = g.getAs[Double]("fit_acc")
           require(fitAcc == 1.0,
             s"pipeline gate: fit accuracy $fitAcc < 1")
           // stage 3: CALIBRATE the gated model (Zadrozny & Elkan
-          // histogram binning on the trained margins, one keyed
-          // aggregate) — the Brown et al. 2020 shape thresholds a
-          // calibrated PROBABILITY, not a raw margin. With the
-          // deployment gates green the margin>0 bin holds only
-          // positives and the other only negatives, so the served
-          // rates are the exact integers 1.0/0.0 — the oracle replays
-          // the selection with quality = the rule unchanged
-          val cal = Classifier.fitHistogramCalibration(proj, "margin",
-            "label", edges = Seq(0.0))
+          // histogram binning on the trained margins — the same bin
+          // counts fitHistogramCalibration(edges=Seq(0.0)) aggregates,
+          // read from the fused row: bin 1 is margin>0, bin 0 the
+          // rest, an empty bin serves the prior). The Brown et al.
+          // 2020 shape thresholds a calibrated PROBABILITY, not a raw
+          // margin. With the deployment gates green the margin>0 bin
+          // holds only positives and the other only negatives, so the
+          // served rates are the exact integers 1.0/0.0 — the oracle
+          // replays the selection with quality = the rule unchanged
+          val (n, np) = (g.getAs[Long]("n"), g.getAs[Long]("np"))
+          val (nHi, npHi) = (g.getAs[Long]("n_hi"), g.getAs[Long]("np_hi"))
+          require(n > 0, "cannot calibrate on an empty frame")
+          val prior = np.toDouble / n
+          val rateLo =
+            if (n - nHi > 0) (np - npHi).toDouble / (n - nHi) else prior
+          val rateHi = if (nHi > 0) npHi.toDouble / nHi else prior
+          val cal = Classifier.CalibrationModel(Seq(0.0),
+            Seq(rateLo, rateHi), prior)
           require(cal.rates.toSet == Set(0.0, 1.0),
             s"pipeline gate: calibrated rates ${cal.rates} are not " +
               "the gated 0/1 split — gates and calibration disagree")
