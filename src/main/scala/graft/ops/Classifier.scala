@@ -1076,9 +1076,12 @@ object Classifier {
     * image; STRING tie keys (quantized score +
     * string doc-id, the common real shape) split on prefix boundaries
     * sampled from the block (native string order — the same order the
-    * rank window sorts by). Any other tie type degrades that block to
-    * a single sorted bucket (documented, loud in the plan, still
-    * correct).
+    * rank window sorts by); BINARY tie keys (content hashes — the
+    * dedup-adjacent scoring shape) split on sampled byte-string
+    * boundaries in the same unsigned byte-lexicographic order Spark
+    * sorts BinaryType by. Any other tie type (structs, arrays)
+    * degrades that block to a single sorted bucket (documented, loud
+    * in the plan, still correct).
     *
     * Contract: the input must be deterministic across executions (the
     * engine-wide reproducibility assumption — same as every
@@ -1110,6 +1113,12 @@ object Classifier {
     }
     val tieString =
       valid.schema("__t").dataType == org.apache.spark.sql.types.StringType
+    // BINARY tie keys (content hashes — the dedup-adjacent scoring
+    // shape) sort by unsigned byte-lexicographic order in Spark, so
+    // sampled byte-string boundaries are the same construction as the
+    // string path, compared natively (no cast)
+    val tieBinary =
+      valid.schema("__t").dataType == org.apache.spark.sql.types.BinaryType
     // order-preserving double image of the tie key. DATE has no direct
     // double cast — unix_date (days since epoch, exact in a double) is
     // its monotone image; TIMESTAMP_NTZ likewise routes through
@@ -1122,18 +1131,25 @@ object Classifier {
         unix_micros(col("__t").cast("timestamp")).cast("double")
       case _ => col("__t").cast("double")
     }
-    // tie sub-bucket of a row given both split maps (disjoint keys):
+    // tie sub-bucket of a row given the split maps (disjoint keys):
     // numeric blocks bucket on the double cast, string blocks on the
-    // native string order; everything else stays sub-bucket 0
+    // native string order, binary blocks on the native unsigned
+    // byte-lexicographic order; everything else stays sub-bucket 0
     def subSplitExpr(bktCol: Column, sn: Map[Int, Seq[Double]],
-                     ss: Map[Int, Seq[String]]): Column = {
+                     ss: Map[Int, Seq[String]],
+                     sb: Map[Int, Seq[Array[Byte]]]): Column = {
       val base = sn.foldLeft(lit(0)) { case (acc, (b, es)) =>
         when(bktCol === b, size(filter(typedLit(es), x => td > x)))
           .otherwise(acc)
       }
-      ss.foldLeft(base) { case (acc, (b, es)) =>
+      val withStr = ss.foldLeft(base) { case (acc, (b, es)) =>
         when(bktCol === b,
           size(filter(typedLit(es), x => col("__t").cast("string") > x)))
+          .otherwise(acc)
+      }
+      sb.foldLeft(withStr) { case (acc, (b, es)) =>
+        when(bktCol === b,
+          size(filter(typedLit(es), x => col("__t") > x)))
           .otherwise(acc)
       }
     }
@@ -1231,16 +1247,51 @@ object Classifier {
                 if (es.isEmpty) None else Some(b -> es)
               }
             }.toMap
+        // the BINARY path: the string construction with byte-string
+        // boundaries, sorted and compared in the same unsigned
+        // byte-lexicographic order the rank window sorts BinaryType by.
+        // Null tie keys land in sub-bucket 0 like the string path.
+        val splitsBin: Map[Int, Seq[Array[Byte]]] =
+          if (!tieBinary) Map.empty
+          else heavy.iterator
+            .flatMap { case (b, n, _, _, _) =>
+              val rate = math.max(1L, n / 4096)
+              val byteOrd = new Ordering[Array[Byte]] {
+                def compare(a: Array[Byte], c: Array[Byte]): Int =
+                  java.util.Arrays.compareUnsigned(a, c)
+              }
+              val sample = valid
+                .filter(bktE === b && col("__t").isNotNull &&
+                  pmod(xxhash64(col("__t"), lit(0x517cc1b7L)),
+                    lit(rate)) === 0)
+                .select(col("__t"))
+                .collect().map(_.getAs[Array[Byte]](0)).sorted(byteOrd)
+              if (sample.isEmpty) None
+              else {
+                val m = math.min(64L, (n + ideal - 1) / ideal).toInt
+                val es = (1 until m).iterator
+                  .map(i => sample(
+                    ((i.toLong * sample.length) / m).toInt))
+                  .toSeq
+                val distinct = es.foldLeft(Seq.empty[Array[Byte]]) {
+                  (acc, e) =>
+                    if (acc.exists(a => java.util.Arrays.equals(a, e))) acc
+                    else acc :+ e
+                }.sorted(byteOrd)
+                if (distinct.isEmpty) None else Some(b -> distinct)
+              }
+            }.toMap
         // refined counts only when a block actually split — and only
         // over the split blocks' rows (every other bucket's count is
         // already in `stat`; re-aggregating the whole relation for
         // them would be a pure waste)
         val c: Seq[(Int, Long)] =
-          if (splitsNum.isEmpty && splitsStr.isEmpty)
+          if (splitsNum.isEmpty && splitsStr.isEmpty && splitsBin.isEmpty)
             stat.map(t => (t._1 * 128, t._2)).toSeq
           else {
-            val sub = subSplitExpr(bktE, splitsNum, splitsStr)
-            val splitKeys = (splitsNum.keySet ++ splitsStr.keySet).toSeq
+            val sub = subSplitExpr(bktE, splitsNum, splitsStr, splitsBin)
+            val splitKeys = (splitsNum.keySet ++ splitsStr.keySet ++
+              splitsBin.keySet).toSeq
             val splitCounts = valid
               .filter(bktE.isin(splitKeys: _*))
               .groupBy((bktE * lit(128) + sub).as("__b2"))
@@ -1248,16 +1299,17 @@ object Classifier {
               .collect().map(r => (r.getInt(0), r.getLong(1)))
             val kept = stat.iterator
               .filterNot(t => splitsNum.contains(t._1) ||
-                splitsStr.contains(t._1))
+                splitsStr.contains(t._1) || splitsBin.contains(t._1))
               .map(t => (t._1 * 128, t._2))
             (kept ++ splitCounts).toSeq.sortBy(_._1)
           }
-        (e, (splitsNum, splitsStr), c)
+        (e, (splitsNum, splitsStr, splitsBin), c)
       } finally { valid.unpersist(): Unit }
     val bkt =
       if (edges.isEmpty) lit(0)
       else size(filter(typedLit(edges), e => col("__s") > e))
-    val subExpr = subSplitExpr(bkt, tieSplits._1, tieSplits._2)
+    val subExpr = subSplitExpr(bkt, tieSplits._1, tieSplits._2,
+      tieSplits._3)
     // composite bucket id: (score bucket, tie sub-bucket), sub < 64,
     // lexicographic in the (__s, __t) total order by construction
     val tagged = valid.withColumn("__b", bkt * lit(128) + subExpr)

@@ -737,6 +737,50 @@ class ClassifierSpec extends AnyFunSuite {
     assert(gotN.collect().toSeq == replay(ntz, "t").collect().toSeq)
   }
 
+  test("calibrationCurve: BINARY tie keys (content hashes) sub-split " +
+    "a dominant tie block on sampled byte-string boundaries — exact " +
+    "NTILE parity, >1 sub-bucket in the plan") {
+    import org.apache.spark.sql.expressions.Window
+    def replay(df: org.apache.spark.sql.DataFrame, tie: String) = df
+      .withColumn("bin", ntile(10).over(
+        Window.orderBy(col("score").asc, col(tie).asc)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), avg(col("score")).as("mean_score"),
+        avg(when(col("label"), 1.0).otherwise(0.0)).as("pos_rate"))
+      .orderBy(col("bin"))
+    // ALL-TIED frame keyed by a sha1-style digest: one pure tie block
+    // holds everything — the exact shape of scoring keyed on a content
+    // hash. Unsigned byte order matters: digests with high bit set
+    // (>= 0x80) must sort AFTER ascii-range ones, as Spark's BinaryType
+    // comparator does — a signed-byte comparison would flip them.
+    val allTied = (0 until 1500).map { i =>
+      val h = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(s"doc-$i".getBytes("UTF-8"))
+      (h, 2.5, i % 3 == 0)
+    }.toDF("hash", "score", "label")
+    val gotB = Classifier.calibrationCurve(allTied, "score", "label",
+      "hash", bins = 10)
+    // sampled binary boundaries are plan literals — their presence IS
+    // the >1-sub-bucket proof (the no-split path tags sub = 0 with no
+    // binary array literal)
+    assert(gotB.queryExecution.analyzed.toString.toLowerCase
+      .contains("[b@"),
+      "binary tie block was not sub-split:\n" +
+        gotB.queryExecution.analyzed.toString.take(2000))
+    assert(gotB.collect().toSeq == replay(allTied, "hash").collect().toSeq)
+    // null hashes sort first in both the op and the replay
+    val withNulls = (0 until 1200).map { i =>
+      val h = if (i % 89 == 0) null
+        else java.security.MessageDigest.getInstance("SHA-1")
+          .digest(s"d$i".getBytes("UTF-8"))
+      (h, 1.0, i % 2 == 0)
+    }.toDF("hash", "score", "label")
+    val gotN = Classifier.calibrationCurve(withNulls, "score", "label",
+      "hash", bins = 10)
+    assert(gotN.collect().toSeq ==
+      replay(withNulls, "hash").collect().toSeq)
+  }
+
   test("sparse scorers fail loudly on an index outside the model dim " +
     "— a dim-mismatched featurizer cannot silently score as dropped " +
     "features") {
