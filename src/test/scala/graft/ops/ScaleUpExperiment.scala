@@ -40,12 +40,19 @@ class ScaleUpExperiment extends AnyFunSuite {
     }
     base.cache().count()
     // flagship config: hot-shingle cap on (the skew guard q_dedup_ngram
-    // ships with), candidates pruned by the interc + min(h1,h2) bound
+    // ships with), candidates pruned by the interc + min(h1,h2) bound.
+    // The exact-ngram RATIO is a guard against an all-pairs candidate
+    // blowup, but its ~4s denominator amplified suite-load noise into a
+    // 24.6x-43.4x swing on unchanged code (round 13), forcing the
+    // ceiling to 60 and eroding the guard — noise in a loaded JVM is
+    // additive, so corroborate with minima: min-of-3 on the small
+    // denominator, min-of-2 on the numerator, ceiling restored to 40
+    // (recorded stable band ~25-30x; a real all-pairs shape is >100x).
     val cap = Some(500)
-    val t1n = time(Dedup.ngramJaccardPairs(base, 3, 0.5,
-      maxShingleFreq = cap).count())
-    val t10n = time(Dedup.ngramJaccardPairs(big, 3, 0.5,
-      maxShingleFreq = cap).count())
+    val t1n = (1 to 3).map(_ => time(Dedup.ngramJaccardPairs(base, 3, 0.5,
+      maxShingleFreq = cap).count())).min
+    val t10n = (1 to 2).map(_ => time(Dedup.ngramJaccardPairs(big, 3, 0.5,
+      maxShingleFreq = cap).count())).min
     val t1m = time(Dedup.minhashLshPairs(base, 3, 64, 16, 0.5).count())
     val t10m = time(Dedup.minhashLshPairs(big, 3, 64, 16, 0.5).count())
     println(f"[scaleup] ngram 1x=$t1n%.1fs 10x=$t10n%.1fs ratio=${t10n / t1n}%.1f")
@@ -66,12 +73,11 @@ class ScaleUpExperiment extends AnyFunSuite {
     // group (every copy matches every other copy), so some superlinearity
     // in the PAIR OUTPUT is inherent to this synthetic replication (TRUE
     // pair output grows ~45x); the ceiling below still catches an
-    // all-pairs-style blowup. Measured band for the unchanged code:
-    // 24.6x alone, 43.4x inside the full GRAFT_SCALEUP suite (round 13;
-    // 29x/34x in rounds 1-2) — the denominator is a ~4s run, so suite-
-    // load noise swings the ratio by ~1.8x. An all-pairs candidate shape
-    // would be >~100x; 60 keeps real margin over the honest band.
-    assert(t10n / math.max(t1n, 0.5) < 60, s"ngram scale-up ratio too high")
+    // all-pairs-style blowup. With corroborated minima (above) the
+    // single-run 24.6x-43.4x swing collapses to a stable band; an
+    // all-pairs candidate shape would be >~100x, so 40 keeps real
+    // margin over the honest band without the round-13 erosion.
+    assert(t10n / math.max(t1n, 0.5) < 40, s"ngram scale-up ratio too high")
     assert(t10m / math.max(t1m, 0.5) < 40, s"minhash scale-up ratio too high")
   }
 

@@ -46,6 +46,52 @@ class TokenizeSpec extends AnyFunSuite {
     assert(c.count("") == 0L)
   }
 
+  test("byte-to-unicode table matches the published GPT-2 mapping: " +
+    "golden-pinned bytes, 68 remaps, order preserved") {
+    val t = Tokenize.byteToUnicode
+    // the famous published values: space is Ġ (U+0120), newline is Ċ
+    // (U+010A) — control bytes 0x00..0x20 map to U+0100..U+0120 in
+    // byte order
+    assert(t(' '.toInt) == 'Ġ')
+    assert(t('\n'.toInt) == 'Ċ')
+    assert(t('\t'.toInt) == 'ĉ')
+    assert(t(0) == 'Ā')
+    // DEL is the 34th non-printable, the 0x80..0xA0 block and SOFT
+    // HYPHEN (0xAD) follow
+    assert(t(0x7f) == 'ġ')
+    assert(t(0x80) == 'Ģ')
+    assert(t(0xad) == 'Ń')
+    // printable latin-1 maps to itself across all three ranges
+    assert(t('!'.toInt) == '!' && t('A'.toInt) == 'A' &&
+      t('~'.toInt) == '~')
+    assert(t(0xa1) == '¡' && t(0xa9) == '©' &&
+      t(0xac) == '¬')
+    assert(t(0xae) == '®' && t(0xff) == 'ÿ')
+    // exactly 68 bytes remap (the published count), each to a distinct
+    // char >= U+0100, and the whole table is injective
+    val remapped = (0 until 256).filter(b => t(b).toInt != b)
+    assert(remapped.length == 68)
+    assert(remapped.forall(b => t(b) >= 'Ā'))
+    assert(t.distinct.length == 256)
+  }
+
+  test("pre-tokenizer golden cases: contractions split, newlines and " +
+    "3-byte UTF-8 count like the published tokenizer") {
+    val c = load().init()
+    // "it's" -> pre-tokens [it, 's] -> symbols [i,t] + [',s] (no
+    // merges apply): 4 tokens — the contraction alternation fires
+    // before the letter run
+    assert(c.count("it's") == 4L)
+    // newline is its own pre-token (\s+ run), arriving as Ċ: 1 token;
+    // "a\nb" -> [a, Ċ, b]
+    assert(c.count("\n") == 1L)
+    assert(c.count("a\nb") == 3L)
+    // euro sign: 3 UTF-8 bytes (E2 82 AC) -> 3 byte-symbols, none
+    // merged: printable E2 ('â') and AC ('¬') map to themselves, 82
+    // remaps into the U+0122 block
+    assert(c.count("€") == 3L)
+  }
+
   test("mismatched vocab/merges pair fails fast at load; an input " +
     "outside the vocab fails fast at encode") {
     val dir = java.nio.file.Files
