@@ -27,16 +27,25 @@ object Packing {
 
   /** Pack documents into token-budget bins. A single document larger than
     * `maxTokens` gets its own bin (chunk oversized docs upstream with
-    * [[chunkOversized]]). Output: (bin_id, doc_ids, n_docs, total_tokens). */
+    * [[chunkOversized]]). Output: (bin_id, doc_ids, n_docs, total_tokens).
+    *
+    * `tokens` overrides the default heuristic count with a REAL
+    * tokenizer's — [[Tokenize.bpeCountExpr]] under a natively trained
+    * merge table, or a column appended by the
+    * [[Tokenize.withTokenCount]] seam — so packed sequences budget in
+    * the tokens the model will actually see (pair with
+    * [[Tokenize.bpeIdsExpr]] to materialize the bins as id arrays). */
   def packSequences(docs: DataFrame, maxTokens: Long,
                     numPartitions: Int = 0,
                     textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id",
+                    tokens: Option[Column] = None): DataFrame = {
     val parts =
       if (numPartitions > 0) numPartitions
       else docs.sparkSession.sparkContext.defaultParallelism
     val sized = docs.select(col(idCol).as("id"),
-      Text.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      tokens.getOrElse(Text.tokenCount(col(textCol)))
+        .cast("long").as("n_tok"))
       .repartition(parts, pmod(col("id"), lit(parts.toLong)))
       .sortWithinPartitions(col("id"))
     implicit val enc = RowEncoder.encoderFor(binSchema)
@@ -130,7 +139,8 @@ object Packing {
   def concatChunks(docs: DataFrame, maxTokens: Long, orderKey: Column,
                    textCol: String = "text",
                    idCol: String = "doc_id",
-                   bucketChars: Int = 0): DataFrame = {
+                   bucketChars: Int = 0,
+                   tokens: Option[Column] = None): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
     require(bucketChars >= 0 && bucketChars <= 4,
       "bucketChars in [0,4] (0 = derive from parallelism)")
@@ -138,7 +148,8 @@ object Packing {
       if (bucketChars > 0) bucketChars
       else deriveBucketChars(docs.sparkSession.sparkContext.defaultParallelism)
     val sized = docs.select(col(idCol).as("id"), orderKey.as("pos"),
-      Text.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      tokens.getOrElse(Text.tokenCount(col(textCol)))
+        .cast("long").as("n_tok"))
       .withColumn("bucket", substring(col("pos"), 1, chars))
     // phase 1: per-bucket totals -> exclusive running offsets. At most
     // 16^chars <= 65536 driver rows of (bucket, total, count).

@@ -366,6 +366,36 @@ class TokenizeDistributedSpec extends AnyFunSuite {
         Seq(("l", "o"), ("lo", "w"), ("l", "ow"))))
   }
 
+  test("packSequences budgets in TRAINED-tokenizer tokens via the " +
+    "tokens override, and bins materialize as id arrays") {
+    val h = Seq(("low", 4L), ("lower", 2L), ("new", 3L)).toDF("w", "freq")
+    val fm = Tokenize.trainBpeFromHistogram(h, numMerges = 5)
+    val v = Tokenize.bpeVocabFromHistogram(h, fm)
+    // under the trained table every doc is exactly 2 tokens
+    // ([low, er] / [new, low]); the heuristic would count 1-2 words —
+    // a maxTokens=4 budget must pack exactly 2 docs per bin
+    val d = (0 until 8).map(i =>
+      (i.toLong, if (i % 2 == 0) "lower" else "new low"))
+      .toDF("doc_id", "text")
+    val packed = graft.ops.Packing.packSequences(d, maxTokens = 4,
+      numPartitions = 1,
+      tokens = Some(Tokenize.bpeCountExpr(col("text"), fm)))
+    val bins = packed.orderBy("bin_id").collect()
+    assert(bins.length == 4 &&
+      bins.forall(b => b.getAs[Long]("n_docs") == 2L &&
+        b.getAs[Long]("total_tokens") == 4L))
+    // the bins rehydrate as id arrays off the SAME trained table — the
+    // GPT-2-loader id surface, natively
+    val ids = d.join(
+      packed.select(explode(col("doc_ids")).as("doc_id"), col("bin_id")),
+      "doc_id")
+      .groupBy("bin_id")
+      .agg(flatten(collect_list(
+        Tokenize.bpeIdsExpr(col("text"), fm, v))).as("ids"))
+      .collect()
+    assert(ids.forall(_.getSeq[Int](1).length == 4))
+  }
+
   test("bpeCountExpr null/empty semantics match the seam (0, not null) " +
     "and the merge ceiling is loud") {
     val d = Seq((0L, null: String), (1L, ""), (2L, "ab"))
