@@ -442,16 +442,20 @@ object Tokenize {
     * The one case where an existing pair's count can INCREASE is a
     * concatenation `l + r` that already exists as a symbol elsewhere
     * (merging (l, r) then mints new copies of that symbol, boosting
-    * pairs that contain it by up to count(l, r)). One bounded job per
-    * multi-merge round checks the accepted concats against the pair
-    * table's symbols and truncates the batch at the first offender —
-    * the offender's own merge is still exact (boosts only manifest
-    * after it applies), everything after it re-enters the next round.
+    * pairs that contain it by up to count(l, r)). The guard is FREE:
+    * the symbol universe is driver-knowable — the initial alphabet
+    * (one charset-bounded collect at train start) plus every committed
+    * merge's output — so membership of an accepted concat in the
+    * PRE-ROUND universe truncates the batch at the first offender with
+    * no job. (The offender's own merge is still exact — boosts only
+    * manifest after it applies — and a concat minted WITHIN the round
+    * needs no truncation: pairs containing it are new, so the affected
+    * bound covers them.)
     *
-    * Job count: ~2 jobs per round + one per [[rematerializeEvery]]
+    * Job count: ~1 job per round + one per [[rematerializeEvery]]
     * merges, against one per merge before — on natural text the batch
-    * width grows as counts spread out, and the spec's SparkListener
-    * gate pins jobs well under merges. */
+    * width grows as counts spread out, and the spec's round gate pins
+    * rounds well under merges. */
   def trainBpeFromHistogram(hist: DataFrame, numMerges: Int,
                             minPairCount: Long = 2L,
                             batchTopM: Int = 256,
@@ -473,6 +477,12 @@ object Tokenize {
     val hist0 = hist
       .select(wrapSymbols(col("w")).as("sym"), col("freq"))
       .persist()
+    // the concat guard's symbol universe: initial alphabet (one
+    // charset-bounded collect) + every committed merge output below
+    val universe = scala.collection.mutable.HashSet.empty[String]
+    universe ++= hist0
+      .select(explode(unwrapSymbols(col("sym"))).as("s"))
+      .distinct().collect().map(_.getString(0))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var rounds = 0
     var base = hist0
@@ -496,8 +506,7 @@ object Tokenize {
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum("freq").as("cnt"))
           .where(col("cnt") >= minPairCount)
-          .persist()
-        val batch = try {
+        val batch = {
           val want = math.min(batchTopM, numMerges - merges.length)
           val top = pairs
             .orderBy(col("cnt").desc, col("l"), col("r"))
@@ -533,27 +542,20 @@ object Tokenize {
             // immune to post-merge reordering (see scaladoc proof)
             var safe = (prefix.head +:
               prefix.tail.takeWhile(_._3 > bound)).map(p => (p._1, p._2))
-            if (safe.length > 1) {
-              // concat guard: an accepted l+r already living in the pair
-              // table means merges after it could boost existing pairs —
-              // truncate at the first offender (its own merge is exact)
-              val concats = safe.map { case (l, r) => l + r }.toSeq
-              val hit = pairs
-                .select(explode(array(col("l"), col("r"))).as("s"))
-                .where(col("s").isin(concats: _*))
-                .distinct().collect().map(_.getString(0)).toSet
-              if (hit.nonEmpty) {
-                val i = safe.indexWhere { case (l, r) => hit(l + r) }
-                safe = safe.take(i + 1)
-              }
-            }
+            // concat guard: an accepted l+r that already exists as a
+            // symbol (pre-round universe) means merges AFTER it could
+            // boost existing pairs containing that symbol — truncate
+            // at the first offender (its own merge is still exact)
+            val i = safe.indexWhere { case (l, r) => universe(l + r) }
+            if (i >= 0) safe = safe.take(i + 1)
             safe.toSeq
           }
-        } finally pairs.unpersist()
+        }
         if (batch.nonEmpty) {
           rounds += 1
           onRound(rounds, batch.length)
           merges ++= batch
+          universe ++= batch.map { case (l, r) => l + r }
           pending = batch.reverse.toList ::: pending
           if (pending.length >= rematerializeEvery) {
             val next = current.persist()

@@ -41,18 +41,27 @@ class ScaleUpExperiment extends AnyFunSuite {
     base.cache().count()
     // flagship config: hot-shingle cap on (the skew guard q_dedup_ngram
     // ships with), candidates pruned by the interc + min(h1,h2) bound.
-    // The exact-ngram RATIO is a guard against an all-pairs candidate
-    // blowup, but its ~4s denominator amplified suite-load noise into a
-    // 24.6x-43.4x swing on unchanged code (round 13), forcing the
-    // ceiling to 60 and eroding the guard — noise in a loaded JVM is
-    // additive, so corroborate with minima: min-of-3 on the small
-    // denominator, min-of-2 on the numerator, ceiling restored to 40
-    // (recorded stable band ~25-30x; a real all-pairs shape is >100x).
+    // Round-14 re-derivation of this guard: with a properly WARM
+    // denominator (min-of-3: 2.3s vs the old single cold-ish 4.4s) the
+    // raw ratio measures ~48x — which is the OUTPUT ratio (~45x true
+    // pairs: every doc becomes a 10-way dup group, C(10,2)/C(1,...)),
+    // not a candidate blowup. Round 13's "24.6x alone" was itself a
+    // cold-denominator artifact, so a raw ceiling <= 40 is structurally
+    // impossible to restore honestly. The sharp, load-stable guard is
+    // PER-OUTPUT-PAIR cost: time/pair at 10x over time/pair at 1x —
+    // measured ~1.1x; an all-pairs candidate shape (candidates ~100x
+    // while output stays ~45x) is >= 2.2x, so 2.0 catches it with the
+    // measured band at half the ceiling.
     val cap = Some(500)
-    val t1n = (1 to 3).map(_ => time(Dedup.ngramJaccardPairs(base, 3, 0.5,
-      maxShingleFreq = cap).count())).min
-    val t10n = (1 to 2).map(_ => time(Dedup.ngramJaccardPairs(big, 3, 0.5,
-      maxShingleFreq = cap).count())).min
+    var p1 = 0L; var p10 = 0L
+    val t1n = (1 to 3).map(_ => time {
+      p1 = Dedup.ngramJaccardPairs(base, 3, 0.5, maxShingleFreq = cap)
+        .count()
+    }).min
+    val t10n = (1 to 2).map(_ => time {
+      p10 = Dedup.ngramJaccardPairs(big, 3, 0.5, maxShingleFreq = cap)
+        .count()
+    }).min
     val t1m = time(Dedup.minhashLshPairs(base, 3, 64, 16, 0.5).count())
     val t10m = time(Dedup.minhashLshPairs(big, 3, 64, 16, 0.5).count())
     println(f"[scaleup] ngram 1x=$t1n%.1fs 10x=$t10n%.1fs ratio=${t10n / t1n}%.1f")
@@ -69,15 +78,16 @@ class ScaleUpExperiment extends AnyFunSuite {
     assert(t10s / math.max(t1s, 0.5) < 25,
       "spanning-mode minhash scale-up ratio too high")
     base.unpersist(); big.unpersist()
-    // note: replication multiplies near-dup pairs ~quadratically per dup
-    // group (every copy matches every other copy), so some superlinearity
-    // in the PAIR OUTPUT is inherent to this synthetic replication (TRUE
-    // pair output grows ~45x); the ceiling below still catches an
-    // all-pairs-style blowup. With corroborated minima (above) the
-    // single-run 24.6x-43.4x swing collapses to a stable band; an
-    // all-pairs candidate shape would be >~100x, so 40 keeps real
-    // margin over the honest band without the round-13 erosion.
-    assert(t10n / math.max(t1n, 0.5) < 40, s"ngram scale-up ratio too high")
+    // replication multiplies near-dup pairs ~quadratically per dup
+    // group (every copy matches every other copy), so the raw ratio IS
+    // the output ratio on this fixture — normalize by true pair counts
+    // and guard the per-pair cost (see the derivation above)
+    val perPair = (t10n / p10.toDouble) / (math.max(t1n, 0.5) / p1.toDouble)
+    println(f"[scaleup] ngram pairs 1x=$p1 10x=$p10 " +
+      f"outputRatio=${p10.toDouble / p1}%.1f perPairCostRatio=$perPair%.2f")
+    assert(perPair < 2.0,
+      f"ngram per-output-pair cost ratio $perPair%.2f >= 2.0 — " +
+        "candidate work is outgrowing true pair output (all-pairs shape)")
     assert(t10m / math.max(t1m, 0.5) < 40, s"minhash scale-up ratio too high")
   }
 
