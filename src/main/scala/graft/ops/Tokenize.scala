@@ -41,6 +41,13 @@ object Tokenize {
     def count(text: String): Long
   }
 
+  /** A counter that can also emit token IDS — the seam's sequence-
+    * building face ([[withTokenIds]]); [[Gpt2Counter]] and
+    * [[TrainedBpeTokenizer]]'s counter implement it. */
+  trait TokenEncoder extends TokenCounter {
+    def encode(text: String): Seq[Int]
+  }
+
   /** Append `outCol` = the tokenizer's token count of `textCol` (null
     * text counts 0, matching the budget operators' drop semantics for
     * non-positive counts). One `mapPartitions` pass; all other columns
@@ -59,6 +66,44 @@ object Tokenize {
         val n =
           if (r.isNullAt(idx)) 0L else counter.count(r.getString(idx))
         Row.fromSeq(r.toSeq :+ n)
+      }
+    }
+  }
+
+  /** Append `outCol` = the tokenizer's token ID ARRAY of `textCol`
+    * (null text yields an empty array, matching the count seam's
+    * 0-for-null so downstream flattens agree) — the sequence-building
+    * seam for merge tables past [[exprMergeCeiling]], where
+    * [[bpeIdsExpr]]'s literal chain no longer serves. One
+    * `mapPartitions` pass; the tokenizer's `init()` must return a
+    * [[TokenEncoder]] (ids need a vocab) — anything else fails loudly
+    * at the first partition, not as silent nulls. */
+  def withTokenIds(df: DataFrame, tokenizer: BatchTokenizer,
+                   textCol: String = "text",
+                   outCol: String = "token_ids"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists")
+    val idx = df.schema.fieldIndex(textCol)
+    val outSchema = df.schema.add(outCol,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false),
+      nullable = false)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      val counter = tokenizer.init() // once per partition
+      val encoder = counter match {
+        case e: TokenEncoder => e
+        case other => throw new IllegalArgumentException(
+          s"withTokenIds needs a TokenEncoder (ids require a vocab); " +
+            s"${other.getClass.getName} only counts — use " +
+            "withTokenCount, or a tokenizer with an id table " +
+            "(TrainedBpeTokenizer, Gpt2BpeTokenizer)")
+      }
+      it.map { r =>
+        val ids =
+          if (r.isNullAt(idx)) Seq.empty[Int]
+          else encoder.encode(r.getString(idx))
+        Row.fromSeq(r.toSeq :+ ids)
       }
     }
   }
@@ -260,7 +305,7 @@ object Tokenize {
   }
 
   final class Gpt2Counter(merges: Seq[(String, String)],
-                          vocab: Map[String, Int]) extends TokenCounter {
+                          vocab: Map[String, Int]) extends TokenEncoder {
     private val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
     private val pre = java.util.regex.Pattern.compile(gpt2Pattern)
 
@@ -677,6 +722,70 @@ object Tokenize {
         lit("' — the text contains symbols the training histogram " +
           "never saw; extend the histogram or pre-filter"))).cast("int"))
         .otherwise(element_at(m, t)))
+  }
+
+  /** The NATIVELY-trained tokenizer on the [[BatchTokenizer]] seam:
+    * a merge table from [[trainBpe]]/[[trainBpeDistributed]] plus its
+    * derived id table ([[bpeVocabFromHistogram]]), serving counts AND
+    * ids ([[withTokenCount]] / [[withTokenIds]]) with no merge-count
+    * ceiling — the deploy shape for tables past [[exprMergeCeiling]],
+    * where the literal replace chain outgrows codegen. Pre-tokenization
+    * and merge application match the expr path exactly on tables this
+    * trainer produced (spec-pinned: best-rank-first inference equals
+    * the rank-ordered chain on a self-trained table). A token missing
+    * from the vocab fails loudly, mirroring [[bpeIdsExpr]]. */
+  final case class TrainedBpeTokenizer(merges: Seq[(String, String)],
+                                       vocab: Seq[(String, Int)])
+      extends BatchTokenizer {
+    def init(): TokenEncoder = new TokenEncoder {
+      private val rank: Map[(String, String), Int] =
+        merges.zipWithIndex.toMap
+      private val ids: Map[String, Int] = vocab.toMap
+      private val pre = java.util.regex.Pattern.compile(Text.bpeTokenPattern)
+
+      def count(text: String): Long = {
+        val m = pre.matcher(text)
+        var n = 0L
+        while (m.find()) n += bpe(m.group()).length
+        n
+      }
+
+      def encode(text: String): Seq[Int] = {
+        val m = pre.matcher(text)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        while (m.find()) bpe(m.group()).foreach { t =>
+          out += ids.getOrElse(t,
+            throw new IllegalArgumentException(
+              s"token '$t' not in derived vocab — the text contains " +
+                "symbols the training histogram never saw; extend the " +
+                "histogram or pre-filter"))
+        }
+        out.toSeq
+      }
+
+      private def bpe(word: String): Seq[String] = {
+        val syms = scala.collection.mutable.ArrayBuffer.from(
+          word.map(_.toString))
+        var done = syms.length < 2
+        while (!done) {
+          var best = -1
+          var bestRank = Int.MaxValue
+          var i = 0
+          while (i < syms.length - 1) {
+            val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+            if (r < bestRank) { bestRank = r; best = i }
+            i += 1
+          }
+          if (best < 0) done = true
+          else {
+            syms(best) = syms(best) + syms(best + 1)
+            syms.remove(best + 1)
+            if (syms.length < 2) done = true
+          }
+        }
+        syms.toSeq
+      }
+    }
   }
 
   /** Minimal byte-pair-encoding tokenizer over an explicit merge list —

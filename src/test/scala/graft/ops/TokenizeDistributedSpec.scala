@@ -396,6 +396,40 @@ class TokenizeDistributedSpec extends AnyFunSuite {
     assert(ids.forall(_.getSeq[Int](1).length == 4))
   }
 
+  test("withTokenIds: the seam's id face — TrainedBpeTokenizer matches " +
+    "bpeIdsExpr on a trained table; counters without a vocab are loud") {
+    val h = Seq(("low", 4L), ("lower", 2L), ("new", 3L)).toDF("w", "freq")
+    val fm = Tokenize.trainBpeFromHistogram(h, numMerges = 5)
+    val v = Tokenize.bpeVocabFromHistogram(h, fm)
+    val d = Seq((0L, "lower new"), (1L, "low low"), (2L, null: String),
+      (3L, "")).toDF("doc_id", "text")
+    // seam ids == expr-path ids (best-rank-first inference equals the
+    // rank-ordered literal chain on a self-trained table); null text
+    // is an EMPTY array on the seam (expr yields null — the budget
+    // operators' drop semantics either way)
+    val viaSeam = Tokenize.withTokenIds(d, Tokenize.TrainedBpeTokenizer(fm, v))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Int](r.fieldIndex("token_ids"))).toMap
+    val viaExpr = d.select(col("doc_id"),
+      coalesce(Tokenize.bpeIdsExpr(col("text"), fm, v),
+        typedLit(Seq.empty[Int])).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(viaSeam == viaExpr)
+    assert(viaSeam(2L).isEmpty && viaSeam(3L).isEmpty)
+    // counts agree with the id lengths (one tokenizer, two faces)
+    val counts = Tokenize.withTokenCount(d,
+      Tokenize.TrainedBpeTokenizer(fm, v), outCol = "n")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n"))
+      .toMap
+    assert(counts == viaSeam.map { case (k, ids) => k -> ids.length.toLong })
+    // a counter with no vocab cannot emit ids — loud, not null
+    val ex = intercept[Exception](
+      Tokenize.withTokenIds(d, Tokenize.ToyBpeTokenizer(fm)).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("TokenEncoder")))
+  }
+
   test("bpeCountExpr null/empty semantics match the seam (0, not null) " +
     "and the merge ceiling is loud") {
     val d = Seq((0L, null: String), (1L, ""), (2L, "ab"))
