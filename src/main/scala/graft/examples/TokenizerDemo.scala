@@ -17,6 +17,9 @@ import graft.ops.{Sampling, Tokenize}
   *     (the vocab-size tradeoff read off the same literal chains)
   *   - bpeCountExpr: the trained count as a pure Column feeding a
   *     token-budget mixture — no UDF, no seam, whole-stage codegen
+  *   - bpeVocabFromHistogram / bpeIdsExpr / packSequences(tokens=):
+  *     derive the id table, pack bins in trained-tokenizer tokens,
+  *     rehydrate bins as id arrays — sequence building end to end
   *   - the same expression over readStream: score-at-ingest counting
   *
   * Run: `sbt "runMain graft.examples.TokenizerDemo [sfDir]"`. */
@@ -65,6 +68,26 @@ object TokenizerDemo {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("source").show()
+
+    println("== sequence building: ids + token-budget packing ==")
+    // the id table is derived, not loaded: alphabet ids 0..A-1 in
+    // UTF-8 order, merge outputs at A + rank (the GPT-2 convention)
+    val vocab = Tokenize.bpeVocabFromHistogram(hist, merges)
+    println(s"  vocab: ${vocab.length} tokens " +
+      s"(alphabet ${vocab.length - merges.length} + ${merges.length} merges)")
+    val packed = graft.ops.Packing.packSequences(docs, maxTokens = 512,
+      tokens = Some(Tokenize.bpeCountExpr(col("text"), merges)))
+    packed.agg(count(lit(1)).as("bins"),
+      avg("total_tokens").as("avg_fill")).show()
+    // bins rehydrate as id arrays off the same trained table
+    val seqs = docs.join(
+      packed.select(explode(col("doc_ids")).as("doc_id"), col("bin_id")),
+      "doc_id")
+      .groupBy("bin_id")
+      .agg(flatten(collect_list(
+        Tokenize.bpeIdsExpr(col("text"), merges, vocab))).as("ids"))
+    seqs.select(col("bin_id"), size(col("ids")).as("n_ids"))
+      .orderBy("bin_id").show(3)
 
     println("== the same expression at ingest (stateless stream) ==")
     val stream = spark.readStream.schema(docs.schema)
