@@ -285,7 +285,12 @@ object Stats {
           java.nio.file.Files.createDirectories(p)
           val tmp = java.nio.file.Paths.get(dir,
             s".$key.artifact.tmp-${java.util.UUID.randomUUID()}")
-          build(tmp.toString)
+          // a failed build must not leave a partial tmp dir behind
+          try build(tmp.toString)
+          catch {
+            case t: Throwable =>
+              graft.core.Fs.delete(tmp.toString); throw t
+          }
           try {
             java.nio.file.Files.move(tmp, dest,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
