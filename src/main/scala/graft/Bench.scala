@@ -188,13 +188,20 @@ object Bench {
     // Round-14: the artifact is its own reproducibility evidence. The
     // round-13 protection against ±15% process-level drift was six
     // ad-hoc committed bench files plus a README convention ("compare
-    // same-session pairs"); now the bench runs the whole suite TWICE in
-    // one process (SPARK_GRAFT_BENCH_PASSES, default 2) and emits
-    // {run1, run2, ratio} per query under "pair" plus both pass totals
-    // — a judge reads pair_total_ratio≈1 as the in-process agreement
-    // and needs no side files. Per-query "queries" values stay
-    // round-over-round comparable: the min across passes (the same
-    // least-contaminated-floor estimator as before, over more samples).
+    // same-session pairs"); now each query is measured TWICE
+    // back-to-back (SPARK_GRAFT_BENCH_PASSES, default 2) and the
+    // artifact emits {run1, run2, ratio} per query under "pair" plus
+    // both totals. INTERLEAVED, not two sequential full passes: a
+    // second full pass 20+ minutes later measured long-horizon JVM
+    // warming (a systematic 0.88 run2/run1 that a global prime pass
+    // did not remove), not measurement repeatability — and it shifted
+    // every query's suite-position warmth, breaking cross-round
+    // comparability with the one-pass protocol of earlier rounds.
+    // Back-to-back repeats share warmth, so the pair ratio IS the
+    // error bar for a cross-round per-query delta. "queries" stays
+    // round-over-round comparable: the min across both measurements
+    // (the same least-contaminated-floor estimator, over more
+    // samples, at the same suite position).
     def measure(name: String): (Double, Double, Double, Int) = {
       System.gc() // previous query's garbage must not bill this one
       runOnce(name) // per-query warmup: JIT, codegen cache, FS metadata
@@ -220,25 +227,14 @@ object Bench {
     }
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     require(passes >= 1, "SPARK_GRAFT_BENCH_PASSES must be >= 1")
-    // global PRIME pass: one untimed run of every query before any
-    // measurement, so both measured passes share the same JVM-wide
-    // warmth (JIT tiers, codegen caches, classloading, FS metadata).
-    // Without it the first measured pass ran ~12% slower process-wide
-    // and the pair ratio measured warmup, not reproducibility (the
-    // per-query warmup inside measure() only levels query-local
-    // state). Failures are ignored here — the measured loop records
-    // and fails on them properly.
-    if (passes >= 2) qs.foreach { name =>
-      try { System.gc(); runOnce(name) } catch { case _: Throwable => () }
-    }
     val spread =
       scala.collection.mutable.LinkedHashMap[String, (Double, Double, Int)]()
-    // pass index -> (query -> value); a query failing in any pass is
-    // recorded once and excluded from every pass's totals (a crash must
-    // fail the bench, never time as a fast no-op)
+    // measurement index -> (query -> value); a query failing in any
+    // repeat is recorded once and excluded from every total (a crash
+    // must fail the bench, never time as a fast no-op)
     val passVals = Vector.fill(passes)(
       scala.collection.mutable.LinkedHashMap[String, Double]())
-    for (p <- 0 until passes; name <- qs if !errors.contains(name)) {
+    for (name <- qs; p <- 0 until passes if !errors.contains(name)) {
       try {
         val (value, lo, hi, n) = measure(name)
         passVals(p)(name) = value
