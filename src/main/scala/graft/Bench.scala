@@ -202,12 +202,20 @@ object Bench {
     // round-over-round comparable: the min across both measurements
     // (the same least-contaminated-floor estimator, over more
     // samples, at the same suite position).
-    def measure(name: String): (Double, Double, Double, Int) = {
+    // `light` is the second back-to-back repeat: the query is already
+    // warm from the full first measurement, so it skips the warmup run
+    // and takes a fixed 2 timed runs (min) — enough for an error-bar
+    // ratio at ~60% less cost, keeping the paired bench's wall close
+    // to the one-pass protocol's.
+    def measure(name: String,
+                light: Boolean): (Double, Double, Double, Int) = {
       System.gc() // previous query's garbage must not bill this one
-      runOnce(name) // per-query warmup: JIT, codegen cache, FS metadata
+      if (!light) runOnce(name) // warmup: JIT, codegen cache, FS metadata
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       val streaming = name.startsWith("q_stream")
-      if (streaming) {
+      if (light) {
+        while (times.size < 2) times += timeOnce(name)
+      } else if (streaming) {
         while (times.size < 3) times += timeOnce(name)
       } else {
         var go = true
@@ -222,7 +230,8 @@ object Bench {
         }
       }
       val value =
-        if (streaming) times.sorted.apply(times.size / 2) else times.min
+        if (streaming && !light) times.sorted.apply(times.size / 2)
+        else times.min
       (value, times.min, times.max, times.size)
     }
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
@@ -236,7 +245,7 @@ object Bench {
       scala.collection.mutable.LinkedHashMap[String, Double]())
     for (name <- qs; p <- 0 until passes if !errors.contains(name)) {
       try {
-        val (value, lo, hi, n) = measure(name)
+        val (value, lo, hi, n) = measure(name, light = p > 0)
         passVals(p)(name) = value
         spread.get(name) match {
           case Some((plo, phi, pn)) =>
