@@ -147,8 +147,58 @@ object Tokenize {
       s"pre-token histogram exceeds maxWords=$maxWords — raise the " +
         "guard if the driver is sized for it, or pre-filter the corpus " +
         "(rare hapaxes do not move early merges)")
+    greedyMerges(hist.map(r => (r.getString(0), r.getLong(1))),
+      numMerges, minPairCount)
+  }
+
+  /** Split a string into one symbol per Unicode CODE POINT — the same
+    * seeding the distributed trainer's `(?s).` regex and DuckDB's RE2
+    * produce. A per-UTF-16-code-unit split (`s.map(_.toString)`) would
+    * seed a supplementary character (emoji) as two lone surrogates and
+    * diverge from every other implementation of the algorithm. */
+  private[ops] def codePointSyms(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += s.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** Code-point-order string comparison — identical to UTF-8 byte
+    * order (the binary collation Spark string sorts and DuckDB share),
+    * WITHOUT the per-comparison byte-array allocation. Java's native
+    * `String.compareTo` is UTF-16 code-UNIT order, which disagrees
+    * beyond the BMP (a supplementary character's surrogates sort below
+    * [U+E000, U+FFFF]); using it for the merge tie-break would diverge
+    * from the distributed trainer's Spark-side `orderBy`. */
+  private[ops] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** The sequential greedy merge loop over an in-memory `(word, freq)`
+    * histogram — [[trainBpe]]'s core, shared with the batched-trainer
+    * parity specs (the algorithm's ground truth at any merge count
+    * without expanding a histogram back into documents). Symbols seed
+    * per code point and ties break in code-point (= UTF-8 byte) order,
+    * so parity with [[trainBpeFromHistogram]] is exact on ANY corpus,
+    * supplementary characters included. */
+  private[ops] def greedyMerges(hist: Seq[(String, Long)], numMerges: Int,
+                                minPairCount: Long): Seq[(String, String)] = {
     var words: Array[(Array[String], Long)] =
-      hist.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      hist.iterator.map { case (w, c) => (codePointSyms(w), c) }.toArray
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
@@ -162,11 +212,18 @@ object Tokenize {
           i += 1
         }
       }
-      val eligible = pairCounts.filter(_._2 >= minPairCount)
-      if (eligible.isEmpty) exhausted = true
+      // max count; ties take the code-point-smallest (left, right)
+      var best: (String, String) = null
+      var bestC = minPairCount - 1
+      pairCounts.foreach { case (p, c) =>
+        if (c > bestC) { best = p; bestC = c }
+        else if (c == bestC && best != null) {
+          val lc = cpCompare(p._1, best._1)
+          if (lc < 0 || (lc == 0 && cpCompare(p._2, best._2) < 0)) best = p
+        }
+      }
+      if (best == null) exhausted = true
       else {
-        // max count; ties take the lexicographically smallest pair
-        val best = eligible.minBy { case ((l, r), c) => (-c, l, r) }._1
         merges += best
         words = words.map { case (syms, c) =>
           if (syms.length < 2) (syms, c)
@@ -418,12 +475,12 @@ object Tokenize {
     * large merge counts the driver loop is faster (this path runs
     * `numMerges` Spark jobs).
     *
-    * Parity with [[trainBpe]] is exact on corpora whose pre-tokens stay
-    * in the Basic Multilingual Plane (spec-pinned): same pre-tokenizer,
-    * same greedy merge application, same count-then-lexicographic
-    * tie-break. Outside the BMP the two paths may order ties differently
-    * (Spark compares UTF-8 bytes = code points; the driver loop compares
-    * UTF-16 code units and seeds surrogate halves as separate symbols).
+    * Parity with [[trainBpe]] is exact on ANY corpus (spec-pinned,
+    * supplementary characters included): same pre-tokenizer, same
+    * greedy merge application, and the same count-then-lexicographic
+    * tie-break — the driver loop seeds symbols per CODE POINT and
+    * breaks ties in code-point order ([[cpCompare]]), which is the
+    * UTF-8 byte order Spark's string sort uses here.
     *
     * Stops early once no pair reaches `minPairCount`, like the driver
     * loop. The working set is one persisted vocabulary-sized frame;
@@ -493,9 +550,13 @@ object Tokenize {
     * merge's output — so membership of an accepted concat in the
     * PRE-ROUND universe truncates the batch at the first offender with
     * no job. (The offender's own merge is still exact — boosts only
-    * manifest after it applies — and a concat minted WITHIN the round
-    * needs no truncation: pairs containing it are new, so the affected
-    * bound covers them.)
+    * manifest after it applies.) The FIRST concat minted within the
+    * round needs no truncation — pairs containing it are new, so the
+    * affected bound covers them — but a SECOND accepted pair minting
+    * the SAME concat string (e.g. (a, bc) after (ab, c)) is a
+    * universe hit in all but timing and truncates identically: its
+    * application boosts the pairs the first mint created, up to
+    * 2·bound ([[acceptBatch]], ADVICE r14).
     *
     * Job count: ~1 job per round + one per [[rematerializeEvery]]
     * merges, against one per merge before — on natural text the batch
@@ -558,43 +619,7 @@ object Tokenize {
             .limit(want + 1).collect()
             .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
           if (top.isEmpty) { exhausted = true; Nil }
-          else {
-            // maximal UNAFFECTED prefix of the sequential order: merging
-            // (a, b) only changes the counts of pairs (x, a) — their a
-            // may be absorbed leftward — and (b, y) — their b may be
-            // absorbed rightward; pairs (a, y != b) / (x != a, b) keep
-            // their counts exactly (the a there is never followed by b,
-            // the b never preceded by a). Tracking the accepted LEFT and
-            // RIGHT symbol sets separately roughly doubles batch widths
-            // over whole-symbol disjointness, still provably exact.
-            val lefts = scala.collection.mutable.HashSet.empty[String]
-            val rights = scala.collection.mutable.HashSet.empty[String]
-            val prefix =
-              scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-            var bound = minPairCount - 1 // table exhausted => no constraint
-            var stopped = false
-            top.foreach { case p @ (l, r, cnt) =>
-              if (!stopped) {
-                if (prefix.nonEmpty && (lefts(r) || rights(l))) {
-                  bound = cnt; stopped = true
-                } else if (prefix.length >= want) {
-                  // the +1 row only exists to bound what lies below it
-                  bound = cnt; stopped = true
-                } else { prefix += p; lefts += l; rights += r }
-              }
-            }
-            // strictness: only counts ABOVE every unaccepted pair are
-            // immune to post-merge reordering (see scaladoc proof)
-            var safe = (prefix.head +:
-              prefix.tail.takeWhile(_._3 > bound)).map(p => (p._1, p._2))
-            // concat guard: an accepted l+r that already exists as a
-            // symbol (pre-round universe) means merges AFTER it could
-            // boost existing pairs containing that symbol — truncate
-            // at the first offender (its own merge is still exact)
-            val i = safe.indexWhere { case (l, r) => universe(l + r) }
-            if (i >= 0) safe = safe.take(i + 1)
-            safe.toSeq
-          }
+          else acceptBatch(top.toSeq, want, minPairCount, universe)
         }
         if (batch.nonEmpty) {
           rounds += 1
@@ -620,6 +645,70 @@ object Tokenize {
       base.unpersist()
       if (!(base eq hist0)) hist0.unpersist()
     }
+  }
+
+  /** The batched trainer's acceptance rule, extracted pure so the
+    * exactness argument is unit-testable row by row (not only via
+    * end-to-end corpus parity): given the round's top pairs in
+    * sequential (count desc, left, right) order, return the longest
+    * SAFE prefix — the maximal mutually-UNAFFECTED prefix (merging
+    * (a, b) only changes pairs (x, a) / (b, y), so tracking accepted
+    * LEFT and RIGHT symbol sets separately roughly doubles widths over
+    * whole-symbol disjointness, still exact), truncated to counts
+    * STRICTLY above every unaccepted row's bound, then truncated at
+    * the first concat collision. TWO collision classes, same
+    * treatment (the offender's own merge is still exact — boosts only
+    * manifest after it applies):
+    *   - an accepted l+r already in the PRE-ROUND symbol universe
+    *     (merging then mints new copies of an existing symbol,
+    *     boosting pairs that contain it);
+    *   - an accepted l+r equal to a concat minted EARLIER IN THIS
+    *     BATCH (e.g. (a, bc) then (ab, c), both → "abc", mutually
+    *     unaffected so the affectedness rule alone admits both — but
+    *     the second mint can raise a new pair containing that symbol
+    *     to up to 2·bound, which may overtake a later accepted row;
+    *     ADVICE r14). The first mint needs no truncation: pairs
+    *     containing a within-round concat are NEW, so the affected
+    *     bound already covers them.
+    * `top` must be non-empty; `want` caps accepted width (the +1 row
+    * past it only bounds what lies below). */
+  private[ops] def acceptBatch(top: Seq[(String, String, Long)], want: Int,
+                               minPairCount: Long,
+                               universe: String => Boolean)
+      : Seq[(String, String)] = {
+    require(top.nonEmpty, "acceptBatch needs at least one candidate row")
+    val lefts = scala.collection.mutable.HashSet.empty[String]
+    val rights = scala.collection.mutable.HashSet.empty[String]
+    val prefix =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var bound = minPairCount - 1 // table exhausted => no constraint
+    var stopped = false
+    top.foreach { case p @ (l, r, cnt) =>
+      if (!stopped) {
+        if (prefix.nonEmpty && (lefts(r) || rights(l))) {
+          bound = cnt; stopped = true
+        } else if (prefix.length >= want) {
+          bound = cnt; stopped = true
+        } else { prefix += p; lefts += l; rights += r }
+      }
+    }
+    // strictness: only counts ABOVE every unaccepted pair are immune
+    // to post-merge reordering (see trainBpeFromHistogram's proof)
+    var safe: Seq[(String, String)] = (prefix.head +:
+      prefix.tail.takeWhile(_._3 > bound)).map(p => (p._1, p._2)).toSeq
+    // concat guards: pre-round universe hits and within-batch minted
+    // collisions truncate at the first offender, offender included
+    val minted = scala.collection.mutable.HashSet.empty[String]
+    var cut = -1
+    var j = 0
+    while (j < safe.length && cut < 0) {
+      val c = safe(j)._1 + safe(j)._2
+      if (universe(c) || minted(c)) cut = j
+      minted += c
+      j += 1
+    }
+    if (cut >= 0) safe = safe.take(cut + 1)
+    safe
   }
 
   /** Ceiling on the literal merge chain the codegen serving expressions
@@ -763,9 +852,16 @@ object Tokenize {
         out.toSeq
       }
 
+      // symbols seed per CODE POINT, matching the expr path's `(?s).`
+      // regex, the distributed trainer, and bpeVocabFromHistogram — a
+      // per-code-unit split would turn a supplementary character (a
+      // single pre-token under bpeTokenPattern's single-mark class)
+      // into two lone surrogates: count() would diverge from
+      // bpeCountExpr and encode() would throw on valid text the expr
+      // path encodes fine (ADVICE r14)
       private def bpe(word: String): Seq[String] = {
         val syms = scala.collection.mutable.ArrayBuffer.from(
-          word.map(_.toString))
+          codePointSyms(word))
         var done = syms.length < 2
         while (!done) {
           var best = -1
@@ -795,7 +891,7 @@ object Tokenize {
     * is the token count). Pre-tokenization reuses
     * [[Text.bpeTokenPattern]] (letter runs / digit runs / single
     * marks), so with an EMPTY merge table the count equals the number
-    * of characters in those runs. Production tokenizers implement
+    * of code points in those runs. Production tokenizers implement
     * [[BatchTokenizer]] directly; this class exists so the seam's
     * contract is executable and spec'd. */
   final case class ToyBpeTokenizer(merges: Seq[(String, String)])
@@ -814,8 +910,9 @@ object Tokenize {
       }
 
       private def bpe(word: String): Long = {
+        // per-code-point seeding, like every other face of the seam
         val syms = scala.collection.mutable.ArrayBuffer.from(
-          word.map(_.toString))
+          codePointSyms(word))
         var done = syms.length < 2
         while (!done) {
           var best = -1

@@ -430,6 +430,77 @@ class TokenizeDistributedSpec extends AnyFunSuite {
     assert(msgs(ex).exists(m => m != null && m.contains("TokenEncoder")))
   }
 
+  test("supplementary characters: driver trainer, seam count/encode and " +
+    "expr path agree per CODE POINT (ADVICE r14)") {
+    // an emoji is a single pre-token under bpeTokenPattern's
+    // single-mark class, but a per-UTF-16-code-unit split seeds it as
+    // two lone surrogates: count() diverged from bpeCountExpr and
+    // encode() threw on text the expr path encodes fine
+    val emoji = "😀" // U+1F600
+    val emoji2 = "😁" // U+1F601
+    val d = Seq((0L, s"abab abab $emoji"), (1L, s"$emoji$emoji2 cd"),
+      (2L, s"x$emoji"), (3L, "abab"))
+      .toDF("doc_id", "text")
+    val drv = Tokenize.trainBpe(d, numMerges = 2)
+    assert(Tokenize.trainBpeDistributed(d, numMerges = 2) == drv)
+    val h = Tokenize.wordHistogram(d)
+    val v = Tokenize.bpeVocabFromHistogram(h, drv)
+    assert(v.exists(_._1 == emoji), s"alphabet missing the emoji: $v")
+    val seam = Tokenize.TrainedBpeTokenizer(drv, v)
+    val viaExprN = d.select(col("doc_id"),
+      Tokenize.bpeCountExpr(col("text"), drv).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSeamN = Tokenize.withTokenCount(d, seam, outCol = "n")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n"))
+      .toMap
+    assert(viaExprN == viaSeamN)
+    // doc 2 is one letter run + one emoji = 2 tokens, not 3
+    assert(viaSeamN(2L) == 2L)
+    val viaExprIds = d.select(col("doc_id"),
+      Tokenize.bpeIdsExpr(col("text"), drv, v).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val viaSeamIds = Tokenize.withTokenIds(d, seam)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Int](r.fieldIndex("token_ids"))).toMap
+    assert(viaExprIds == viaSeamIds)
+    // the tie-break rationale: code-point order == UTF-8 byte order,
+    // while Java's native UTF-16 comparison disagrees past the BMP
+    val pua = "\uE000" // BMP private-use char above the surrogates
+    assert(Tokenize.cpCompare(pua, emoji) < 0 && pua > emoji)
+    assert(Tokenize.codePointSyms(s"x$emoji").toSeq == Seq("x", emoji))
+  }
+
+  test("acceptBatch: affectedness, strict bound, universe hit, and the " +
+    "within-batch minted-concat guard (ADVICE r14)") {
+    def uni(ss: String*): String => Boolean = ss.toSet
+    // mutually unaffected spread counts: full width accepted
+    assert(Tokenize.acceptBatch(Seq(("p", "q", 100L), ("r", "s", 90L),
+      ("t", "u", 80L)), 3, 2L, uni("p", "q", "r", "s", "t", "u")) ==
+      Seq(("p", "q"), ("r", "s"), ("t", "u")))
+    // an affected row stops acceptance AND bounds what lies below
+    assert(Tokenize.acceptBatch(Seq(("p", "q", 100L), ("q", "r", 90L),
+      ("t", "u", 80L)), 3, 2L, uni("p", "q", "r", "t", "u")) ==
+      Seq(("p", "q")))
+    // strictness: a count EQUAL to the bound is not immune to
+    // post-merge reordering — dropped
+    assert(Tokenize.acceptBatch(Seq(("p", "q", 100L), ("r", "s", 90L),
+      ("t", "u", 90L)), 2, 2L, uni("p", "q", "r", "s", "t", "u")) ==
+      Seq(("p", "q")))
+    // pre-round universe hit truncates at the offender, offender kept
+    assert(Tokenize.acceptBatch(Seq(("p", "q", 100L), ("r", "s", 90L)),
+      2, 2L, uni("p", "q", "r", "s", "pq")) == Seq(("p", "q")))
+    // THE ADVICE CASE: (a, bc) then (ab, c) both mint "abc" — mutually
+    // unaffected so affectedness alone admits both plus the rows below,
+    // but the second mint can boost a pair containing "abc" to up to
+    // 2×bound; acceptance truncates at the second mint, keeping it
+    assert(Tokenize.acceptBatch(Seq(("a", "bc", 100L), ("ab", "c", 95L),
+      ("x", "y", 90L)), 3, 2L,
+      uni("a", "b", "c", "ab", "bc", "x", "y")) ==
+      Seq(("a", "bc"), ("ab", "c")))
+    assertThrows[IllegalArgumentException](
+      Tokenize.acceptBatch(Nil, 1, 2L, uni()))
+  }
+
   test("bpeCountExpr null/empty semantics match the seam (0, not null) " +
     "and the merge ceiling is loud") {
     val d = Seq((0L, null: String), (1L, ""), (2L, "ab"))
