@@ -680,8 +680,17 @@ object TrainingData {
           // fit) over the same cache. The LEFT join keeps a missing OOF
           // margin visible: it scores as a wrong prediction and fails
           // the gate loudly instead of vanishing from an inner join.
+          // The OOF side pre-aggregates to ONE row per doc_id (a
+          // partial-agg on the same join key, no extra shuffle) so a
+          // duplicated OOF row cannot silently inflate the fit-accuracy
+          // denominator or the calibration counts; __oofc > 1 is the
+          // loud witness (ADVICE r14). fitHistogramCalibration's
+          // null/NaN-margin filter is likewise preserved as a loud
+          // count instead of silently dropped by the fusion.
           val g = proj
-            .join(oof.select(col("doc_id"), col("margin").as("__oofm")),
+            .join(oof.groupBy(col("doc_id"))
+                .agg(max(col("margin")).as("__oofm"),
+                  count(lit(1)).as("__oofc")),
               Seq("doc_id"), "left")
             .agg(
               avg(when((col("__oofm") > 0) === col("label"), 1.0)
@@ -692,8 +701,19 @@ object TrainingData {
               sum(when(col("label"), 1L).otherwise(0L)).as("np"),
               sum(when(col("margin") > 0, 1L).otherwise(0L)).as("n_hi"),
               sum(when(col("margin") > 0 && col("label"), 1L)
-                .otherwise(0L)).as("np_hi"))
+                .otherwise(0L)).as("np_hi"),
+              max(col("__oofc")).as("__oofdup"),
+              sum(when(col("margin").isNull || isnan(col("margin")), 1L)
+                .otherwise(0L)).as("__badm"))
             .head()
+          require(g.isNullAt(g.fieldIndex("__oofdup")) ||
+            g.getAs[Long]("__oofdup") == 1L,
+            "pipeline gate: duplicate doc_ids in the OOF frame " +
+              s"(max ${g.getAs[Long]("__oofdup")} rows per doc) — the " +
+              "fused gate/calibration aggregates would be inflated")
+          require(g.getAs[Long]("__badm") == 0L,
+            s"pipeline gate: ${g.getAs[Long]("__badm")} null/NaN fit " +
+              "margins — repair the feature chain before calibrating")
           val oofAcc = g.getAs[Double]("oof_acc")
           require(oofAcc == 1.0,
             s"pipeline gate: out-of-fold accuracy $oofAcc < 1 — do not " +
