@@ -345,6 +345,94 @@ object Tokenize {
     out
   }
 
+  /** Inverse of [[byteToUnicode]] — total on exactly the 256 mapped
+    * characters, so any character outside the table in a byte-level
+    * file is a corruption and fails loudly. */
+  private[ops] lazy val unicodeToByte: Map[Char, Int] =
+    (0 until 256).map(b => byteToUnicode(b) -> b).toMap
+
+  /** A raw symbol string's UTF-8 bytes through the byte→unicode table —
+    * the representation GPT-2-format files store. Mapped strings never
+    * contain whitespace or control characters, which is what makes the
+    * line-and-space-delimited merges.txt format bulletproof (a raw
+    * U+2028 pre-token symbol — valid under [[Text.bpeTokenPattern]] —
+    * would corrupt a naive writer). */
+  private[ops] def toByteLevel(s: String): String = {
+    val bytes = s.getBytes("UTF-8")
+    val sb = new java.lang.StringBuilder(bytes.length)
+    bytes.foreach(b => sb.append(byteToUnicode(b & 0xFF)))
+    sb.toString
+  }
+
+  /** Inverse of [[toByteLevel]]; a character outside the byte table
+    * means the file was not written byte-level — loud, not mangled. */
+  private[ops] def fromByteLevel(s: String): String = {
+    val bytes = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      bytes(i) = unicodeToByte.getOrElse(s.charAt(i),
+        throw new IllegalArgumentException(
+          s"character U+${s.charAt(i).toInt.toHexString} is not in the " +
+            "GPT-2 byte table — the file is not byte-level encoded")).toByte
+      i += 1
+    }
+    new String(bytes, "UTF-8")
+  }
+
+  /** Persist a NATIVELY trained tokenizer (merge table +
+    * [[bpeVocabFromHistogram]] id table) in the published GPT-2
+    * interchange format — `merges.txt` (rank-ordered `left right`
+    * lines) and `vocab.json` (token → id) under `dir`, with every
+    * symbol byte-level encoded through [[toByteLevel]] so the files
+    * are whitespace-free plain text any published-format consumer can
+    * parse (and [[loadGpt2]]'s own validation accepts). This is the
+    * fit-once-serve-for-months half the in-process memo could not
+    * give: train once, [[saveTrained]], and every later driver process
+    * [[loadTrained]]s tables bit-equal to the fit. */
+  def saveTrained(merges: Seq[(String, String)], vocab: Seq[(String, Int)],
+                  dir: String): Unit = {
+    require(vocab.nonEmpty, "vocab is empty")
+    val toks = vocab.map(_._1)
+    require(toks.distinct.length == toks.length,
+      "duplicate token strings in vocab")
+    val ids = vocab.map(_._2)
+    require(ids.distinct.length == ids.length, "duplicate ids in vocab")
+    val vset = toks.toSet
+    merges.foreach { case (l, r) =>
+      require(vset.contains(l + r),
+        s"merge output '${l + r}' missing from the vocab — save would " +
+          "produce a file pair loadGpt2/loadTrained reject")
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val mergeText = new StringBuilder("#version: 0.2\n")
+    merges.foreach { case (l, r) =>
+      mergeText ++= toByteLevel(l); mergeText += ' '
+      mergeText ++= toByteLevel(r); mergeText += '\n'
+    }
+    graft.core.Fs.writeString(s"$dir/merges.txt", mergeText.toString)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .createObjectNode()
+    vocab.foreach { case (t, i) => node.put(toByteLevel(t), i): Unit }
+    graft.core.Fs.writeString(s"$dir/vocab.json", node.toString)
+  }
+
+  /** Load a tokenizer persisted by [[saveTrained]] back to the raw
+    * symbol domain: the same file parsing and vocab-coverage
+    * validation as [[loadGpt2]], then [[fromByteLevel]] on every
+    * symbol, returning a [[TrainedBpeTokenizer]] whose tables are
+    * bit-equal to the ones saved — so [[bpeIdsExpr]] /
+    * [[withTokenIds]] under the loaded tables reproduce the training
+    * process's ids exactly (spec-pinned). Use [[loadGpt2]] instead
+    * when the files are a PUBLISHED byte-level release and the GPT-2
+    * pre-tokenizer semantics are wanted. */
+  def loadTrained(dir: String): TrainedBpeTokenizer = {
+    val raw = loadGpt2(s"$dir/merges.txt", s"$dir/vocab.json")
+    TrainedBpeTokenizer(
+      raw.merges.map { case (l, r) => (fromByteLevel(l), fromByteLevel(r)) },
+      raw.vocab.toSeq.map { case (t, i) => (fromByteLevel(t), i) }
+        .sortBy(_._2))
+  }
+
   /** The published GPT-2 pre-tokenizer pattern (contractions, space-
     * prefixed letter/digit/punct runs, trailing/other whitespace). */
   private[ops] val gpt2Pattern: String =
