@@ -858,9 +858,20 @@ object Tokenize {
     * single symbols, not words). A duplicate token string — two merges
     * whose outputs collide, or a merge output equal to a base symbol —
     * fails loudly: an id table with ambiguous strings would decode
-    * wrongly downstream. */
+    * wrongly downstream.
+    *
+    * `specials` reserves control tokens (BOS/EOS/PAD — the ids an LM
+    * dataloader needs for document boundaries and padding) at the
+    * FIXED ids `0 .. specials.length - 1`, ahead of the alphabet —
+    * deterministic, so the reserved ids are oracle-replayable as a
+    * constant shift of the derived ranks. A special that collides
+    * with a derivable token string (or another special) fails loudly
+    * like any other duplicate: the tokenizer could otherwise MINT a
+    * control token from plain text — the classic special-token
+    * injection bug. */
   def bpeVocabFromHistogram(hist: DataFrame,
-                            merges: Seq[(String, String)])
+                            merges: Seq[(String, String)],
+                            specials: Seq[String] = Nil)
       : Seq[(String, Int)] = {
     require(hist.columns.contains("w"),
       s"histogram must have column w, got ${hist.columns.mkString(",")}")
@@ -871,13 +882,14 @@ object Tokenize {
       java.util.Arrays.compareUnsigned(
         a.getBytes("UTF-8"), b.getBytes("UTF-8")) < 0
     }
-    val toks = sorted.toSeq ++ merges.map { case (l, r) => l + r }
+    val toks = specials ++ sorted.toSeq ++ merges.map { case (l, r) => l + r }
     val dups = toks.groupBy(identity).filter(_._2.length > 1).keys
     require(dups.isEmpty,
       s"duplicate token strings in derived vocab: " +
-        s"${dups.take(5).mkString(", ")} — two merge outputs (or a merge " +
-        "output and a base symbol) collide; an id table with ambiguous " +
-        "strings cannot decode")
+        s"${dups.take(5).mkString(", ")} — two merge outputs, a merge " +
+        "output and a base symbol, or a reserved special and a derivable " +
+        "token collide; an id table with ambiguous strings cannot decode " +
+        "(and a mintable special is an injection hole)")
     toks.zipWithIndex
   }
 

@@ -75,6 +75,18 @@ object Tokenizer {
     vocabTables.getOrElseUpdate(dir,
       Tokenize.bpeVocabFromHistogram(hist(s, dir), merges(s, dir)))
 
+  /** The sequence-building vocab: one reserved special (`<eos>` at the
+    * fixed id 0) ahead of the derived table — every derived id shifts
+    * by exactly 1, so the oracle replays the reservation as a constant
+    * offset on the rank arithmetic. */
+  private val eosVocabTables = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, Int)]]
+
+  private def eosVocab(s: SparkSession, dir: String): Seq[(String, Int)] =
+    eosVocabTables.getOrElseUpdate(dir,
+      Tokenize.bpeVocabFromHistogram(hist(s, dir), merges(s, dir),
+        specials = Seq("<eos>")))
+
   /** Unique memory-sink names for repeated streaming runs in-process. */
   private val streamQueryId = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -174,6 +186,31 @@ object Tokenizer {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").cast("long").as("tok_id"))
         .orderBy("doc_id", "pos")
+    }),
+
+    // Sequence building for the LM dataloader: documents in epoch-1
+    // shuffle order, token counts from the TRAINED table under a vocab
+    // with one reserved special ("<eos>" at id 0 — every derived id
+    // shifts by 1), each document costing its ids PLUS the trailing
+    // separator; the two-phase distributed prefix sum assigns each doc
+    // its training sequence and offset (documents straddle, the
+    // concat-and-chunk discipline). tok_first pins the reserved-id
+    // shift in the output; everything is rank/position arithmetic, so
+    // the oracle replays it exactly.
+    "q_doc_pack_ids" -> ((s, dir) => {
+      val m = merges(s, dir)
+      val v = eosVocab(s, dir)
+      val sub = docs(s, dir).where(col("doc_id") % 5 === 0)
+      val packed = graft.ops.Packing.concatChunks(sub, maxTokens = 256,
+        orderKey = graft.ops.Sampling.shufflePosition(col("doc_id"), 1),
+        tokens = Some(Tokenize.bpeCountExpr(col("text"), m) + lit(1L)))
+      val firsts = sub.select(col("doc_id"),
+        get(Tokenize.bpeIdsExpr(col("text"), m, v), lit(0))
+          .cast("long").as("tok_first"))
+      packed.join(firsts, "doc_id")
+        .select(col("doc_id"), col("n_tok"), col("seq_id"),
+          col("seq_off"), col("tok_first"))
+        .orderBy("doc_id")
     }),
 
     // Post-merge vocabulary mass: the top-20 subword tokens by corpus
@@ -366,6 +403,62 @@ object Tokenizer {
       |  CAST(vv.id AS BIGINT) AS tok_id
       |FROM toks t JOIN vocab vv ON t.tok = vv.tok
       |ORDER BY t.doc_id, pos""".stripMargin),
+
+    // the concat-and-chunk replay (q_doc_pack's naive global window)
+    // with n_tok = the BPE id count + 1 separator, and the reserved
+    // special replayed as a constant +1 shift on the id arithmetic
+    "q_doc_pack_ids" -> (mergeCtes(nMerges) + s"""
+      |, alpha AS MATERIALIZED (
+      |  SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) - 1 AS id FROM (
+      |    SELECT DISTINCT s.syms[u.i] AS tok
+      |    FROM (SELECT string_split(trim(sym, ' '), '  ') AS syms
+      |          FROM words_0) s,
+      |         UNNEST(range(1, len(s.syms) + 1)) AS u(i))
+      |), vocab AS MATERIALIZED (
+      |  SELECT tok, id + 1 AS id FROM alpha
+      |  UNION ALL
+      |  SELECT l || r AS tok,
+      |    rank + 1 + (SELECT COUNT(*) FROM alpha) AS id
+      |  FROM (${(0 until nMerges).map(k =>
+             s"SELECT $k AS rank, l, r FROM merge_$k")
+             .mkString(" UNION ALL ")})
+      |), sub AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |), doc_toks AS MATERIALIZED (
+      |  SELECT doc_id, ws[u.i] AS w, u.i AS i
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '$pat') AS ws
+      |        FROM sub),
+      |       UNNEST(range(1, len(ws) + 1)) AS u(i)
+      |), toks AS MATERIALIZED (
+      |  SELECT d.doc_id, d.i, u.j, v.syms[u.j] AS tok
+      |  FROM doc_toks d
+      |  JOIN (SELECT w, string_split(trim(sym, ' '), '  ') AS syms
+      |        FROM words_$nMerges) v USING (w),
+      |       UNNEST(range(1, len(v.syms) + 1)) AS u(j)
+      |), enc AS MATERIALIZED (
+      |  SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+      |), firsts AS MATERIALIZED (
+      |  SELECT doc_id, tok_id AS tok_first FROM (
+      |    SELECT t.doc_id, CAST(vv.id AS BIGINT) AS tok_id,
+      |      ROW_NUMBER() OVER (PARTITION BY t.doc_id
+      |        ORDER BY t.i, t.j) AS rn
+      |    FROM toks t JOIN vocab vv ON t.tok = vv.tok)
+      |  WHERE rn = 1
+      |), sized AS MATERIALIZED (
+      |  SELECT s.doc_id, COALESCE(e.n, 0) + 1 AS n_tok, f.tok_first,
+      |    md5('1:' || CAST(s.doc_id AS VARCHAR)) AS pos
+      |  FROM sub s LEFT JOIN enc e USING (doc_id)
+      |  LEFT JOIN firsts f USING (doc_id)
+      |), c AS (
+      |  SELECT doc_id, n_tok, tok_first,
+      |    SUM(n_tok) OVER (ORDER BY pos, doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tok AS start
+      |  FROM sized)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+      |  CAST(start // 256 AS BIGINT) AS seq_id,
+      |  CAST(start % 256 AS BIGINT) AS seq_off,
+      |  tok_first
+      |FROM c ORDER BY doc_id""".stripMargin),
 
     "q_doc_bpe_vocab" -> (mergeCtes(nMerges) + s"""
       |SELECT tok, cnt FROM (

@@ -396,6 +396,64 @@ class TokenizeDistributedSpec extends AnyFunSuite {
     assert(ids.forall(_.getSeq[Int](1).length == 4))
   }
 
+  test("reserved specials + separator-delimited packed sequences: ids " +
+    "shift by the special count, bins carry token_ids/doc_offsets, and " +
+    "the budget bounds the LM-visible length") {
+    val h = Seq(("low", 4L), ("lower", 2L), ("new", 3L)).toDF("w", "freq")
+    val fm = Tokenize.trainBpeFromHistogram(h, numMerges = 5)
+    val v0 = Tokenize.bpeVocabFromHistogram(h, fm)
+    val v = Tokenize.bpeVocabFromHistogram(h, fm,
+      specials = Seq("<pad>", "<eos>"))
+    // specials at FIXED ids 0..1; every derived id shifts by 2 — the
+    // oracle-replayable constant-shift convention
+    assert(v.take(2) == Seq("<pad>" -> 0, "<eos>" -> 1))
+    assert(v.drop(2) == v0.map { case (t, i) => (t, i + 2) })
+    // a MINTABLE special (or a duplicate special) is an injection
+    // hole — loud at derivation, not as corrupt sequences
+    assertThrows[IllegalArgumentException](
+      Tokenize.bpeVocabFromHistogram(h, fm, specials = Seq("low")))
+    assertThrows[IllegalArgumentException](
+      Tokenize.bpeVocabFromHistogram(h, fm,
+        specials = Seq("<eos>", "<eos>")))
+    // docs are 2 tokens each under the table ([low, er] / [new, low]);
+    // with a separator each costs 3 — maxTokens=6 packs exactly 2 docs
+    val d = (0 until 4).map(i =>
+      (i.toLong, if (i % 2 == 0) "lower" else "new low"))
+      .toDF("doc_id", "text")
+    val eos = 1
+    val packed = Packing.packSequences(d, maxTokens = 6,
+      numPartitions = 1,
+      ids = Some(Tokenize.bpeIdsExpr(col("text"), fm, v)),
+      sepId = Some(eos))
+    val bins = packed.orderBy("bin_id").collect()
+    assert(bins.length == 2)
+    val idsByDoc = d.select(col("doc_id"),
+      Tokenize.bpeIdsExpr(col("text"), fm, v).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    bins.foreach { b =>
+      assert(b.getAs[Long]("n_docs") == 2L)
+      assert(b.getAs[Long]("total_tokens") == 6L)
+      val toks = b.getSeq[Int](b.fieldIndex("token_ids"))
+      val offs = b.getSeq[Long](b.fieldIndex("doc_offsets"))
+      assert(toks.length == 6 && toks(2) == eos && toks(5) == eos)
+      assert(offs == Seq(0L, 3L))
+      // the sequence IS each doc's expr-path ids + trailing separator
+      val docIds = b.getSeq[Long](b.fieldIndex("doc_ids"))
+      assert(toks == docIds.flatMap(id => idsByDoc(id) :+ eos))
+    }
+    // without sepId: no separator cost, arrays still materialized and
+    // total_tokens is the emitted-sequence length
+    val b2 = Packing.packSequences(d, maxTokens = 4, numPartitions = 1,
+      ids = Some(Tokenize.bpeIdsExpr(col("text"), fm, v))).collect()
+    assert(b2.forall(b =>
+      b.getSeq[Int](b.fieldIndex("token_ids")).length ==
+        b.getAs[Long]("total_tokens")))
+    assert(b2.map(_.getAs[Long]("n_docs")).sum == 4L)
+    // a separator with no materialized sequence is a contract error
+    assertThrows[IllegalArgumentException](
+      Packing.packSequences(d, 4, sepId = Some(1)))
+  }
+
   test("withTokenIds: the seam's id face — TrainedBpeTokenizer matches " +
     "bpeIdsExpr on a trained table; counters without a vocab are loud") {
     val h = Seq(("low", 4L), ("lower", 2L), ("new", 3L)).toDF("w", "freq")
