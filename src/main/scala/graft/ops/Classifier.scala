@@ -1079,9 +1079,13 @@ object Classifier {
     * rank window sorts by); BINARY tie keys (content hashes — the
     * dedup-adjacent scoring shape) split on sampled byte-string
     * boundaries in the same unsigned byte-lexicographic order Spark
-    * sorts BinaryType by. Any other tie type (structs, arrays)
-    * degrades that block to a single sorted bucket (documented, loud
-    * in the plan, still correct).
+    * sorts BinaryType by; STRUCT/ARRAY tie keys (composite keys,
+    * feature vectors) split on sampled boundary VALUES compared with
+    * Spark's own nested ordering — the sample is sorted by Spark and
+    * re-injected as typed literals, so the sub-split cannot drift
+    * from the window's sort. Only genuinely unorderable tie types
+    * (maps, and nests containing them) are out of scope — those
+    * already fail loudly at the rank window's orderBy.
     *
     * Contract: the input must be deterministic across executions (the
     * engine-wide reproducibility assumption — same as every
@@ -1119,6 +1123,24 @@ object Classifier {
     // string path, compared natively (no cast)
     val tieBinary =
       valid.schema("__t").dataType == org.apache.spark.sql.types.BinaryType
+    // STRUCT/ARRAY tie keys (composite keys, feature vectors) are
+    // ORDERABLE in Spark (field-by-field / element-wise, the same
+    // interpreted ordering the rank window sorts by), so a dominant
+    // block sub-splits on sampled boundary VALUES compared natively.
+    // The driver never re-implements the nested ordering: the sample
+    // is sorted BY SPARK and its order statistics come back as typed
+    // literals. A canonical-encode-to-bytes scheme would have to be
+    // ORDER-preserving to be exact — a content-hash encoding is not —
+    // so native comparison is the only construction that cannot drift
+    // from the window's sort. Only genuinely unorderable tie types
+    // (maps, and nests containing them) remain out of scope — those
+    // already fail at the rank window's orderBy, loudly.
+    val tieComplex = (valid.schema("__t").dataType match {
+      case _: org.apache.spark.sql.types.StructType |
+          _: org.apache.spark.sql.types.ArrayType => true
+      case _ => false
+    }) && org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(valid.schema("__t").dataType)
     // order-preserving double image of the tie key. DATE has no direct
     // double cast — unix_date (days since epoch, exact in a double) is
     // its monotone image; TIMESTAMP_NTZ likewise routes through
@@ -1137,7 +1159,8 @@ object Classifier {
     // byte-lexicographic order; everything else stays sub-bucket 0
     def subSplitExpr(bktCol: Column, sn: Map[Int, Seq[Double]],
                      ss: Map[Int, Seq[String]],
-                     sb: Map[Int, Seq[Array[Byte]]]): Column = {
+                     sb: Map[Int, Seq[Array[Byte]]],
+                     sc: Map[Int, Seq[Column]]): Column = {
       val base = sn.foldLeft(lit(0)) { case (acc, (b, es)) =>
         when(bktCol === b, size(filter(typedLit(es), x => td > x)))
           .otherwise(acc)
@@ -1147,9 +1170,18 @@ object Classifier {
           size(filter(typedLit(es), x => col("__t").cast("string") > x)))
           .otherwise(acc)
       }
-      sb.foldLeft(withStr) { case (acc, (b, es)) =>
+      val withBin = sb.foldLeft(withStr) { case (acc, (b, es)) =>
         when(bktCol === b,
           size(filter(typedLit(es), x => col("__t") > x)))
+          .otherwise(acc)
+      }
+      // complex boundaries arrive as typed literal COLUMNS (typedLit
+      // has no encoder for an arbitrary nested runtime type); a null
+      // tie key fails every > and lands in sub-bucket 0 as elsewhere
+      sc.foldLeft(withBin) { case (acc, (b, es)) =>
+        when(bktCol === b,
+          es.map(e => when(col("__t") > e, 1).otherwise(0))
+            .reduce(_ + _))
           .otherwise(acc)
       }
     }
@@ -1281,17 +1313,53 @@ object Classifier {
                 if (distinct.isEmpty) None else Some(b -> distinct)
               }
             }.toMap
+        // the COMPLEX path: sample the block's tie keys, let SPARK sort
+        // them (orderBy __t — the exact ordering the rank window uses),
+        // take order statistics back as typed literals. Duplicate
+        // boundaries cost only empty sub-buckets (assignment stays
+        // monotone and never splits equal keys), so no dedupe — nested
+        // external equality is not worth relying on.
+        val splitsCx: Map[Int, Seq[Column]] =
+          if (!tieComplex) Map.empty
+          else {
+            val tieType = valid.schema("__t").dataType
+            heavy.iterator
+              .flatMap { case (b, n, _, _, _) =>
+                val rate = math.max(1L, n / 4096)
+                val sample = valid
+                  .filter(bktE === b && col("__t").isNotNull &&
+                    pmod(xxhash64(col("__t"), lit(0x517cc1b7L)),
+                      lit(rate)) === 0)
+                  .select(col("__t")).orderBy(col("__t"))
+                  .collect().map(_.get(0))
+                if (sample.isEmpty) None
+                else {
+                  val m = math.min(64L, (n + ideal - 1) / ideal).toInt
+                  val es = (1 until m).iterator
+                    .map(i => sample(
+                      ((i.toLong * sample.length) / m).toInt))
+                    .toSeq
+                  if (es.isEmpty) None
+                  else Some(b -> es.map(v =>
+                    org.apache.spark.sql.graftshim.shim.column(
+                      org.apache.spark.sql.catalyst.expressions.Literal
+                        .create(v, tieType))))
+                }
+              }.toMap
+          }
         // refined counts only when a block actually split — and only
         // over the split blocks' rows (every other bucket's count is
         // already in `stat`; re-aggregating the whole relation for
         // them would be a pure waste)
         val c: Seq[(Int, Long)] =
-          if (splitsNum.isEmpty && splitsStr.isEmpty && splitsBin.isEmpty)
+          if (splitsNum.isEmpty && splitsStr.isEmpty &&
+              splitsBin.isEmpty && splitsCx.isEmpty)
             stat.map(t => (t._1 * 128, t._2)).toSeq
           else {
-            val sub = subSplitExpr(bktE, splitsNum, splitsStr, splitsBin)
+            val sub = subSplitExpr(bktE, splitsNum, splitsStr,
+              splitsBin, splitsCx)
             val splitKeys = (splitsNum.keySet ++ splitsStr.keySet ++
-              splitsBin.keySet).toSeq
+              splitsBin.keySet ++ splitsCx.keySet).toSeq
             val splitCounts = valid
               .filter(bktE.isin(splitKeys: _*))
               .groupBy((bktE * lit(128) + sub).as("__b2"))
@@ -1299,17 +1367,18 @@ object Classifier {
               .collect().map(r => (r.getInt(0), r.getLong(1)))
             val kept = stat.iterator
               .filterNot(t => splitsNum.contains(t._1) ||
-                splitsStr.contains(t._1) || splitsBin.contains(t._1))
+                splitsStr.contains(t._1) || splitsBin.contains(t._1) ||
+                splitsCx.contains(t._1))
               .map(t => (t._1 * 128, t._2))
             (kept ++ splitCounts).toSeq.sortBy(_._1)
           }
-        (e, (splitsNum, splitsStr, splitsBin), c)
+        (e, (splitsNum, splitsStr, splitsBin, splitsCx), c)
       } finally { valid.unpersist(): Unit }
     val bkt =
       if (edges.isEmpty) lit(0)
       else size(filter(typedLit(edges), e => col("__s") > e))
     val subExpr = subSplitExpr(bkt, tieSplits._1, tieSplits._2,
-      tieSplits._3)
+      tieSplits._3, tieSplits._4)
     // composite bucket id: (score bucket, tie sub-bucket), sub < 64,
     // lexicographic in the (__s, __t) total order by construction
     val tagged = valid.withColumn("__b", bkt * lit(128) + subExpr)

@@ -781,6 +781,54 @@ class ClassifierSpec extends AnyFunSuite {
       replay(withNulls, "hash").collect().toSeq)
   }
 
+  test("calibrationCurve: STRUCT and ARRAY tie keys sub-split a " +
+    "dominant tie block on Spark-sorted sampled boundaries — exact " +
+    "NTILE parity, >1 sub-bucket in the plan") {
+    import org.apache.spark.sql.expressions.Window
+    def replay(df: org.apache.spark.sql.DataFrame, tie: String) = df
+      .withColumn("bin", ntile(10).over(
+        Window.orderBy(col("score").asc, col(tie).asc)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), avg(col("score")).as("mean_score"),
+        avg(when(col("label"), 1.0).otherwise(0.0)).as("pos_rate"))
+      .orderBy(col("bin"))
+    // ALL-TIED frame keyed by a (group, seq) STRUCT — the composite-
+    // key scoring shape. Field-by-field struct ordering must drive the
+    // sub-split: group alone is 5-way ambiguous, so a split ignoring
+    // the second field would split ties and break ranks.
+    val structTied = (0 until 1500).map { i =>
+      ((s"g${i % 5}", (i * 7919) % 1500), 2.5, i % 3 == 0)
+    }.toDF("k", "score", "label")
+    val gotS = Classifier.calibrationCurve(structTied, "score", "label",
+      "k", bins = 10)
+    // sampled struct boundaries are plan literals — their presence IS
+    // the >1-sub-bucket proof (no-split tags sub = 0 with no literal)
+    assert(gotS.queryExecution.analyzed.toString.contains("[g"),
+      "struct tie block was not sub-split:\n" +
+        gotS.queryExecution.analyzed.toString.take(2000))
+    assert(gotS.collect().toSeq == replay(structTied, "k").collect().toSeq)
+    // ARRAY tie key (element-wise order, shorter-prefix-first), with
+    // varying lengths so the prefix rule is exercised, plus nulls
+    val arrTied = (0 until 1400).map { i =>
+      val k = if (i % 83 == 0) null
+        else Seq.tabulate(1 + i % 3)(j => ((i * 31 + j) % 997).toLong)
+      (k, 1.0, i % 2 == 0)
+    }.toDF("k", "score", "label")
+    val gotA = Classifier.calibrationCurve(arrTied, "score", "label",
+      "k", bins = 10)
+    assert(gotA.collect().toSeq == replay(arrTied, "k").collect().toSeq)
+    // a MIXED frame (dominant struct tie block + spread scores) stays
+    // exact end to end
+    val rnd = new scala.util.Random(13)
+    val mixed = (0 until 1600).map { i =>
+      val sc = if (i % 25 == 0) rnd.nextInt(3) + 1.0 else 0.5
+      ((i % 11, s"s${"%04d".format(i)}"), sc, i % 3 == 0)
+    }.toDF("k", "score", "label")
+    val gotM = Classifier.calibrationCurve(mixed, "score", "label",
+      "k", bins = 10)
+    assert(gotM.collect().toSeq == replay(mixed, "k").collect().toSeq)
+  }
+
   test("sparse scorers fail loudly on an index outside the model dim " +
     "— a dim-mismatched featurizer cannot silently score as dropped " +
     "features") {
