@@ -1522,6 +1522,73 @@ object Classifier {
     } else fitHistogramCalibration(valid, "__s", "__y", edges)
   }
 
+  /** Class `c`'s one-vs-rest decision margin off a logits ARRAY
+    * column: `logit_c − max(other logits)` — positive iff class c wins
+    * the argmax STRICTLY. The scoring face of
+    * [[fitSoftmaxCalibration]]; a pure projection, so the calibrated
+    * router serves as the same codegen'd literal chain the binary
+    * pipeline does. */
+  def softmaxClassMargin(logits: Column, c: Int,
+                         numClasses: Int): Column = {
+    require(c >= 0 && c < numClasses, s"class $c outside [0, $numClasses)")
+    val mine = element_at(logits, c + 1)
+    val others = (0 until numClasses).filter(_ != c)
+      .map(o => element_at(logits, o + 1))
+    mine - others.reduce(greatest(_, _))
+  }
+
+  /** Per-class one-vs-rest histogram calibration for a MULTICLASS
+    * router's OOF logits — the q_doc_classifier_pipeline calibration
+    * step on the softmax lifecycle (the round-14 gap: the binary
+    * classifier deployed calibrated, the router deployed raw argmax
+    * scores). Class c's score is [[softmaxClassMargin]]; its label is
+    * the one-vs-rest `label == c`; binning is the same strict-`> edge`
+    * convention as [[fitHistogramCalibration]]. ONE keyed aggregate
+    * over the exploded (class, bin) pairs — the collect is bounded by
+    * `numClasses · (edges + 1)` rows, so the fit costs a single pass
+    * however many classes. Null/NaN margins and null labels are
+    * excluded per class; an empty bin inherits that class's prior.
+    * Returns one [[CalibrationModel]] per class, servable with
+    * [[calibratedExpr]] over the same margin expression. */
+  def fitSoftmaxCalibration(df: DataFrame, logitsCol: String,
+                            labelCol: String, numClasses: Int,
+                            edges: Seq[Double]): Seq[CalibrationModel] = {
+    require(numClasses >= 2, "need at least 2 classes")
+    require(edges.nonEmpty && edges == edges.distinct.sorted,
+      "edges must be non-empty and strictly increasing")
+    val perClass = explode(array((0 until numClasses).map { c =>
+      struct(lit(c).as("cls"),
+        softmaxClassMargin(col(logitsCol), c, numClasses).as("m"),
+        (col(labelCol).cast("int") === c).as("y"))
+    }: _*))
+    val bin = size(filter(typedLit(edges), e => col("m") > e))
+    val rows = df.select(perClass.as("e"))
+      .select(col("e.cls").as("cls"), col("e.m").as("m"),
+        col("e.y").as("y"))
+      .filter(col("m").isNotNull && !isnan(col("m")) &&
+        col("y").isNotNull)
+      .groupBy(col("cls"), bin.as("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("__np"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    (0 until numClasses).map { c =>
+      val mine = rows.filter(_._1 == c)
+      val n = mine.map(_._3).sum
+      val np = mine.map(_._4).sum
+      require(n > 0, s"cannot calibrate class $c on an empty frame")
+      val prior = np.toDouble / n
+      val byBin = mine.map(t => t._2 -> (t._3, t._4)).toMap
+      val rates = (0 to edges.length).map { b =>
+        byBin.get(b) match {
+          case Some((bn, bp)) => bp.toDouble / bn
+          case None => prior // empty bin: the documented prior fallback
+        }
+      }
+      CalibrationModel(edges, rates, prior)
+    }
+  }
+
   /** The calibrated probability of a score — a codegen'd literal
     * array lookup (edge-count bucketing into the rate table), zero
     * shuffle, streams in append mode. A NaN score fails loudly: under

@@ -542,6 +542,22 @@ object Tokenize {
     * thousand-deep `replace` nest. */
   private val rematerializeEvery = 16
 
+  /** Lineage truncation for the trainer's iterative frames (the
+    * GraphX/ALS discipline): a persisted frame's LOGICAL plan still
+    * embeds its full construction history, so folding a delta into the
+    * pair table every round would grow the analyzed plan by one
+    * delta-subtree per round — O(rounds²) analysis and plan-string
+    * cost (AQE's explain rendering OOM'd at 512 merges before this).
+    * `checkpoint()` when the session has a reliable checkpoint dir
+    * (the cluster deployment shape — survives executor loss);
+    * `localCheckpoint()` otherwise (executor-local blocks: right for
+    * single-JVM runs, and an executor loss aborts training loudly
+    * instead of recomputing through lost state). Both are eager. */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   /** The `(w, freq)` pre-token histogram of a corpus — the ONE
     * corpus-sized pass every tokenizer operation shares (merge
     * training, post-merge vocabulary mass, compression curves).
@@ -594,13 +610,14 @@ object Tokenize {
     *
     * A naive distributed loop runs one vocabulary-sized Spark job per
     * merge — at a production 32k-merge vocabulary that is ~32k jobs of
-    * pure scheduler overhead. Each round here instead computes the pair
-    * table ONCE, pulls the top `batchTopM + 1` rows to the driver (a
-    * bounded collect), and accepts the longest SAFE PREFIX of the
-    * sequential (count desc, left, right) order, so one round commits
-    * many merges with two jobs. Safety is proved, not assumed — the
-    * accepted batch reproduces the one-at-a-time greedy trainer's
-    * output EXACTLY (spec-pinned at 512+ merges against [[trainBpe]]):
+    * pure scheduler overhead. Each round here instead reads the top
+    * `batchTopM + 1` rows of the MAINTAINED pair table (a bounded
+    * collect), and accepts the longest SAFE PREFIX of the sequential
+    * (count desc, left, right) order, so one round commits many merges
+    * with two cheap jobs. Safety is proved, not assumed — the accepted
+    * batch reproduces the one-at-a-time greedy trainer's output
+    * EXACTLY (spec-pinned at 512+ merges against [[trainBpe]] and at
+    * 4k+ merges against [[greedyMerges]]):
     *
     * Let rows be the eligible pairs in sequential order and `B` the
     * count of the first row NOT accepted (first AFFECTED row, the
@@ -646,8 +663,40 @@ object Tokenize {
     * application boosts the pairs the first mint created, up to
     * 2·bound ([[acceptBatch]], ADVICE r14).
     *
-    * Job count: ~1 job per round + one per [[rematerializeEvery]]
-    * merges, against one per merge before — on natural text the batch
+    * == Incremental pair-table maintenance (round 15) ==
+    *
+    * Through round 14 every round re-AGGREGATED the full adjacent-pair
+    * table from the word frame (explode every word into its pairs →
+    * shuffle → sum): with mean batch width ~2 at 512 merges, a 32k
+    * vocabulary still paid ~16k vocabulary-sized explode-aggregations.
+    * The pair table is now MAINTAINED: a merge of (l, r) changes the
+    * pair multiset of exactly the words whose PRE-ROUND wrapped form
+    * contains `" l  r "` (textual containment is complete for the
+    * whole batch — a site for a later batch merge can only be created
+    * by an earlier one if some accepted concat equals an accepted
+    * symbol, and both concat-collision classes truncate the batch; a
+    * site destroyed by an earlier merge needs `l ∈ rights` or
+    * `r ∈ lefts`, which affectedness already excludes). Each round
+    * therefore:
+    *   - filters the word frame to batch-affected rows (a narrow
+    *     codegen'd `contains` scan, no shuffle),
+    *   - explodes ONLY those rows twice — pairs after the batch
+    *     replaces with `+freq`, pairs before with `-freq` — and sums
+    *     the delta (a merge-frequency-sized shuffle),
+    *   - folds the delta into the persisted pair frame (union →
+    *     re-sum → drop zeros, one light pair-table-sized shuffle of
+    *     cached (str, str, long) rows; a negative maintained count is
+    *     an in-plan raise_error — exactness is guarded, not hoped).
+    * The ONLY vocabulary-sized explode-aggregation left is the initial
+    * pair-table build. Per-round work now tracks the accepted merges'
+    * occurrence frequency plus a narrow scan, not vocabulary size
+    * (GRAFT_SCALEUP entry records the per-round wall curve at 4k
+    * merges).
+    *
+    * Job count: ~2 cheap jobs per round (bounded top-k read + delta
+    * fold) + one word-frame rematerialization per
+    * [[rematerializeEvery]] merges, against one vocabulary-sized
+    * aggregation per merge before batching — on natural text the batch
     * width grows as counts spread out, and the spec's round gate pins
     * rounds well under merges. */
   def trainBpeFromHistogram(hist: DataFrame, numMerges: Int,
@@ -687,42 +736,87 @@ object Tokenize {
       }
       base.select(symExpr.as("sym"), col("freq"))
     }
+    // adjacent pairs of a symbol ARRAY, as (l, r) structs. Callers must
+    // pass a leaf column reference: Column expressions are trees, not
+    // DAGs, so `s` is inlined four times — a deep replace chain here
+    // would quadruple the plan (and its rendered string exploded the
+    // heap at 256-wide batches before the staged selects below)
+    def pairStructs(s: Column): Column =
+      zip_with(
+        slice(s, lit(1), size(s) - 1),
+        slice(s, lit(2), size(s) - 1),
+        (l, r) => struct(l.as("l"), r.as("r")))
+    // the maintained pair table — built ONCE from the full word frame
+    // (the only vocabulary-sized explode-aggregation of the run), then
+    // folded forward per round from batch-affected rows only. Lineage
+    // is TRUNCATED at every fold (see truncateLineage); superseded
+    // rounds' blocks are reclaimed by the ContextCleaner once
+    // unreferenced
+    var pairTab = truncateLineage(hist0
+      .select(unwrapSymbols(col("sym")).as("s"), col("freq"))
+      .select(explode(pairStructs(col("s"))).as("p"), col("freq"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("freq").as("cnt")))
     try {
       var exhausted = false
       while (merges.length < numMerges && !exhausted) {
-        val syms = unwrapSymbols(col("sym"))
-        val pairs = current
-          .select(syms.as("s"), col("freq"))
-          .select(explode(zip_with(
-            slice(col("s"), lit(1), size(col("s")) - 1),
-            slice(col("s"), lit(2), size(col("s")) - 1),
-            (l, r) => struct(l.as("l"), r.as("r")))).as("p"), col("freq"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum("freq").as("cnt"))
+        val want = math.min(batchTopM, numMerges - merges.length)
+        val top = pairTab
           .where(col("cnt") >= minPairCount)
-        val batch = {
-          val want = math.min(batchTopM, numMerges - merges.length)
-          val top = pairs
-            .orderBy(col("cnt").desc, col("l"), col("r"))
-            .limit(want + 1).collect()
-            .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-          if (top.isEmpty) { exhausted = true; Nil }
-          else acceptBatch(top.toSeq, want, minPairCount, universe)
-        }
-        if (batch.nonEmpty) {
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(want + 1).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        if (top.isEmpty) exhausted = true
+        else {
+          val batch = acceptBatch(top.toSeq, want, minPairCount, universe)
           rounds += 1
           onRound(rounds, batch.length)
+          // DELTA before committing: `current` is the pre-batch word
+          // frame; only rows containing an accepted " l  r " pattern
+          // can change (see the maintenance note in the scaladoc)
+          val affected = batch.map { case (l, r) =>
+            col("sym").contains(s" $l  $r ") }.reduce(_ || _)
+          val after = batch.foldLeft(col("sym")) {
+            case (c, (l, r)) => mergeOnce(c, l, r)
+          }
+          // staged selects keep the (possibly batch-deep) replace chain
+          // and each unwrapped array as ONE named column per level —
+          // pairStructs references its input four times
+          val delta = current.where(affected)
+            .select(unwrapSymbols(col("sym")).as("bs"),
+              unwrapSymbols(after).as("af"), col("freq"))
+            .select(explode(concat(
+              transform(pairStructs(col("af")), p =>
+                struct(p("l").as("l"), p("r").as("r"),
+                  col("freq").as("d"))),
+              transform(pairStructs(col("bs")), p =>
+                struct(p("l").as("l"), p("r").as("r"),
+                  (-col("freq")).as("d"))))).as("e"))
+            .groupBy(col("e.l").as("l"), col("e.r").as("r"))
+            .agg(sum("e.d").as("cnt"))
+          // the fold materializes eagerly inside truncateLineage while
+          // both parents (old pair table, word frame) are still live
+          pairTab = truncateLineage(pairTab.unionByName(delta)
+            .groupBy(col("l"), col("r"))
+            .agg(sum("cnt").as("cnt"))
+            .where(col("cnt") =!= 0L)
+            .select(col("l"), col("r"),
+              when(col("cnt") < 0L, raise_error(concat(
+                lit("BPE pair maintenance drove ("), col("l"),
+                lit(", "), col("r"),
+                lit(") negative — delta accounting bug, not an input " +
+                  "problem; please report"))))
+                .otherwise(col("cnt")).as("cnt")))
           merges ++= batch
           universe ++= batch.map { case (l, r) => l + r }
           pending = batch.reverse.toList ::: pending
           if (pending.length >= rematerializeEvery) {
-            val next = current.persist()
-            // materialize before dropping the old lineage; a failed job
-            // must release the fresh persist, not leak a cached
-            // vocab-sized frame (the finally below only knows `base`)
-            try next.count()
-            catch { case t: Throwable => next.unpersist(); throw t }
-            base.unpersist()
+            // truncateLineage, not a bare persist: a persisted frame's
+            // logical plan still nests every earlier rematerialization,
+            // so a 32k-merge run would carry a 32k-deep replace plan
+            // into every analysis pass
+            val next = truncateLineage(current)
+            base.unpersist() // no-op past the first remat (checkpointed)
             base = next
             pending = Nil
           }
@@ -730,6 +824,9 @@ object Tokenize {
       }
       merges.toSeq
     } finally {
+      // the persisted input frame releases deterministically; the
+      // checkpointed iterates are reclaimed by the ContextCleaner as
+      // their references drop
       base.unpersist()
       if (!(base eq hist0)) hist0.unpersist()
     }

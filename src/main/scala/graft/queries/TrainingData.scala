@@ -388,6 +388,80 @@ object TrainingData {
       } finally { feats.unpersist(): Unit }
     }),
 
+    // CALIBRATED deployment for the sparse multiclass router — the
+    // binary pipeline's calibrate-then-serve step on the softmax
+    // lifecycle (round-14 gap: q_doc_classifier_pipeline deployed a
+    // calibrated probability while the router deployed raw argmax
+    // scores). OOF logits come from the honest CV pool; per-class
+    // one-vs-rest histogram binning over the OOF decision margins is
+    // ONE keyed aggregate (fitSoftmaxCalibration); deployment gates
+    // require OOF accuracy 1.0 AND every class's bin rates to be the
+    // exact 0/1 split. The served probability is a codegen'd literal
+    // lookup per class, so with gates green the output is exact
+    // integers and the oracle states the rule itself: p_cal = 1.0 for
+    // the rule-argmax class, 0.0 otherwise, on uniquely-argmaxed docs.
+    "q_doc_domain_router_calibrated" -> ((s, dir) => {
+      val words = Seq("hash", "join", "sort")
+      val dim = 4096
+      val kF = 3
+      val f = Classifier.vocabCountFeatures(Text.tokens(col("text")), words)
+      val c0 = element_at(col("f"), 1); val c1 = element_at(col("f"), 2)
+      val c2 = element_at(col("f"), 3)
+      val feats = docs(s, dir).withColumn("f", f)
+        .withColumn("idx", Classifier.hashedIndices(
+          filter(Text.tokens(col("text")),
+            t => t.isin(words.map(w => w: Any): _*)), dim))
+        .withColumn("label",
+          when(c0 >= c1 && c0 >= c2, 0).when(c1 >= c2, 1).otherwise(2))
+        .withColumn("unique_max",
+          (c0 > c1 && c0 > c2) || (c1 > c0 && c1 > c2) ||
+            (c2 > c0 && c2 > c1))
+      feats.persist()
+      try {
+        val inits = (0 until kF).map { fold =>
+          val comp = feats.filter(
+            Classifier.foldExpr(col("doc_id"), kF) =!= fold)
+          val dense = Classifier.trainSoftmax(comp, "f", "label",
+            dim = words.size, numClasses = 3)
+          fold -> distillDense(s, dense, words, dim)
+        }.toMap
+        val oof = Classifier.crossValidateSoftmaxSparse(feats, "idx",
+          "label", "doc_id", dim, numClasses = 3, k = kF, iters = 30,
+          lr = 0.5, init = fold => Some(inits(fold)))
+        val uniq = feats.filter(col("unique_max"))
+          .select(col("doc_id"), col("label"))
+          .join(oof.select(col("doc_id"), col("logits"),
+            col("predicted")), "doc_id")
+        uniq.persist()
+        try {
+          val acc = uniq.select(avg(when(
+            col("predicted") === col("label"), 1.0).otherwise(0.0)))
+            .head().getDouble(0)
+          require(acc == 1.0,
+            "router gate: OOF accuracy " + acc + " < 1 on " +
+              "uniquely-argmaxed docs — do not deploy this router")
+          val cals = Classifier.fitSoftmaxCalibration(uniq, "logits",
+            "label", numClasses = 3, edges = Seq(0.0))
+          cals.zipWithIndex.foreach { case (cal, c) =>
+            require(cal.rates.toSet == Set(0.0, 1.0),
+              s"router gate: class $c calibrated rates ${cal.rates} " +
+                "are not the gated 0/1 split — gates and calibration " +
+                "disagree")
+          }
+          uniq.select(col("doc_id"),
+            explode(array((0 until 3).map { c =>
+              struct(lit(c).as("cls"),
+                Classifier.calibratedExpr(
+                  Classifier.softmaxClassMargin(col("logits"), c, 3),
+                  cals(c)).as("p_cal"))
+            }: _*)).as("e"))
+            .select(col("doc_id"), col("e.cls").as("cls"),
+              col("e.p_cal").as("p_cal"))
+            .orderBy(col("doc_id"), col("cls"))
+        } finally { uniq.unpersist(): Unit }
+      } finally { feats.unpersist(): Unit }
+    }),
+
     // STREAMING domain routing: the batch-trained softmax rides the
     // stream as a codegen'd argmax chain — stateless projection, no
     // state store, the multiclass twin of q_stream_classifier; gate
@@ -3444,6 +3518,33 @@ object TrainingData {
         |WHERE (c0 > c1 AND c0 > c2) OR (c1 > c0 AND c1 > c2)
         |   OR (c2 > c0 AND c2 > c1)
         |ORDER BY doc_id""".stripMargin,
+
+    // calibrated router deployment: the gates pin every class's bin
+    // rates to exact 0/1, so the served probability IS the rule —
+    // p_cal = 1.0 for the rule-argmax class, 0.0 otherwise
+    "q_doc_domain_router_calibrated" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'hash')) AS c0,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'join')) AS c1,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      t -> t = 'sort')) AS c2
+        |  FROM documents
+        |), u AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(CASE WHEN c0 >= c1 AND c0 >= c2 THEN 0
+        |              WHEN c1 >= c2 THEN 1 ELSE 2 END AS INT) AS pred
+        |  FROM c
+        |  WHERE (c0 > c1 AND c0 > c2) OR (c1 > c0 AND c1 > c2)
+        |     OR (c2 > c0 AND c2 > c1)
+        |)
+        |SELECT u.doc_id, CAST(k.cls AS INT) AS cls,
+        |  CAST(CASE WHEN k.cls = u.pred THEN 1 ELSE 0 END AS DOUBLE)
+        |    AS p_cal
+        |FROM u CROSS JOIN (SELECT unnest(range(0, 3)) AS cls) k
+        |ORDER BY doc_id, cls""".stripMargin,
 
     // the ONLINE-refreshed router must land on the same rule (the
     // query fails loudly otherwise) — the shared argmax oracle
