@@ -75,6 +75,18 @@ object TokenizerDemo {
     val vocab = Tokenize.bpeVocabFromHistogram(hist, merges)
     println(s"  vocab: ${vocab.length} tokens " +
       s"(alphabet ${vocab.length - merges.length} + ${merges.length} merges)")
+
+    println("== fit-once survives the process: save + load round-trip ==")
+    // the published GPT-2 interchange format (merges.txt + vocab.json,
+    // byte-level encoded) — a later driver process loads tables
+    // bit-equal to the fit instead of retraining
+    val tokDir = java.nio.file.Files
+      .createTempDirectory("graft-demo-tok-").toString
+    Tokenize.saveTrained(merges, vocab, tokDir)
+    val loaded = Tokenize.loadTrained(tokDir)
+    println(s"  round-trip exact: merges=" +
+      s"${loaded.merges == merges} vocab=${loaded.vocab == vocab}")
+    graft.core.Fs.delete(tokDir)
     val packed = graft.ops.Packing.packSequences(docs, maxTokens = 512,
       tokens = Some(Tokenize.bpeCountExpr(col("text"), merges)))
     packed.agg(count(lit(1)).as("bins"),
