@@ -1083,23 +1083,97 @@ object Classifier {
     * feature vectors) split on sampled boundary VALUES compared with
     * Spark's own nested ordering — the sample is sorted by Spark and
     * re-injected as typed literals, so the sub-split cannot drift
-    * from the window's sort. Only genuinely unorderable tie types
-    * (maps, and nests containing them) are out of scope — those
-    * already fail loudly at the rank window's orderBy.
+    * from the window's sort. MAP tie keys (and nests containing them)
+    * have no native Spark ordering at all (the rank window's orderBy
+    * would throw), so the op DEFINES their tie order: maps are imaged
+    * through sorted-entries arrays (`array_sort(map_entries(m))`,
+    * nested maps imaged recursively). The image is injective (a map's
+    * entry set determines it), every imaged type is orderable, and the
+    * SAME image drives both the rank window and the sub-split — so the
+    * exact-NTILE contract holds against the entry-sorted lexicographic
+    * order. Any deterministic total order satisfies the tie key's role
+    * (making bands reproducible); entry-sorted lexicographic is the
+    * canonical one.
     *
     * Contract: the input must be deterministic across executions (the
     * engine-wide reproducibility assumption — same as every
     * hash-ordered selection op): the offsets are collected once and
     * re-applied to a lazy plan, so a score column derived from `rand`
     * or an unstable shuffle is out of contract. */
+  private def containsMapType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case st: org.apache.spark.sql.types.StructType =>
+      st.fields.exists(f => containsMapType(f.dataType))
+    case org.apache.spark.sql.types.ArrayType(et, _) => containsMapType(et)
+    case _ => false
+  }
+
+  /** Type of [[mapOrderableImage]]'s output: every MapType node becomes
+    * an array of (key, value) structs (keys are non-null by Spark's map
+    * contract), everything else keeps its shape. */
+  private def mapImageType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case org.apache.spark.sql.types.MapType(kt, vt, vn) =>
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("key", mapImageType(kt),
+            nullable = false),
+          org.apache.spark.sql.types.StructField("value", mapImageType(vt),
+            nullable = vn))),
+        containsNull = false)
+    case st: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(
+        st.fields.map(f => f.copy(dataType = mapImageType(f.dataType))))
+    case org.apache.spark.sql.types.ArrayType(et, n) =>
+      org.apache.spark.sql.types.ArrayType(mapImageType(et), n)
+    case other => other
+  }
+
+  /** Orderable image of a map-bearing column: each map node becomes its
+    * entries sorted ascending by key (`array_sort(map_entries(m))`) with
+    * nested maps imaged recursively. Injective — a map IS its entry set
+    * — and null-preserving at every node (a null struct is re-wrapped
+    * through a typed null, because `struct(f.getField(...))` of a null
+    * struct would otherwise yield a non-null struct of nulls and corrupt
+    * the order). Non-map-bearing subtrees pass through untouched. */
+  private def mapOrderableImage(c: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+      val entries =
+        if (containsMapType(kt) || containsMapType(vt))
+          transform(map_entries(c), e => struct(
+            mapOrderableImage(e.getField("key"), kt).as("key"),
+            mapOrderableImage(e.getField("value"), vt).as("value")))
+        else map_entries(c)
+      array_sort(entries)
+    case st: org.apache.spark.sql.types.StructType if containsMapType(st) =>
+      when(c.isNull, lit(null).cast(mapImageType(st)))
+        .otherwise(struct(st.fields.map(f =>
+          mapOrderableImage(c.getField(f.name), f.dataType).as(f.name)): _*))
+    case org.apache.spark.sql.types.ArrayType(et, _) if containsMapType(et) =>
+      transform(c, x => mapOrderableImage(x, et))
+    case _ => c
+  }
+
   def calibrationCurve(df: DataFrame, scoreCol: String, labelCol: String,
                        tieCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 1, "bins must be positive")
     val spark = df.sparkSession
     val s = col(scoreCol).cast("double")
     val y = col(labelCol).cast("boolean")
-    val valid = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
+    val valid0 = df.filter(s.isNotNull && !isnan(s) && y.isNotNull)
       .select(s.as("__s"), y.as("__y"), col(tieCol).as("__t"))
+    // MAP-bearing tie keys are imaged to sorted-entries arrays ONCE,
+    // here — every downstream consumer (the rank window's orderBy, the
+    // complex sub-split's Spark-sorted sample, the type dispatch below)
+    // then sees one orderable column and cannot disagree on the order
+    val valid = {
+      val dt = valid0.schema("__t").dataType
+      if (containsMapType(dt))
+        valid0.withColumn("__t", mapOrderableImage(col("__t"), dt))
+      else valid0
+    }
     // a monotone tie key: a NUMERIC-family tie column sub-splits a tie
     // block via its double cast (order-preserving; a string of digits
     // would not be — "10" < "9" as strings); a STRING tie column
@@ -1132,9 +1206,9 @@ object Classifier {
     // literals. A canonical-encode-to-bytes scheme would have to be
     // ORDER-preserving to be exact — a content-hash encoding is not —
     // so native comparison is the only construction that cannot drift
-    // from the window's sort. Only genuinely unorderable tie types
-    // (maps, and nests containing them) remain out of scope — those
-    // already fail at the rank window's orderBy, loudly.
+    // from the window's sort. MAP-bearing tie keys were already imaged
+    // to sorted-entries arrays above, so they dispatch through this
+    // path like any other orderable nested type.
     val tieComplex = (valid.schema("__t").dataType match {
       case _: org.apache.spark.sql.types.StructType |
           _: org.apache.spark.sql.types.ArrayType => true

@@ -47,6 +47,32 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
   }
 
+  /** Recall@k of an approximate neighbor result against the exact
+    * brute-force ground truth on the SAME query set — the deployment
+    * gate every served ANN index needs (an index whose recall silently
+    * decayed — drifted corpus, stale centroids, too-coarse buckets —
+    * poisons every downstream near-dup / contamination decision that
+    * consumes it). Inputs are two `(query_id, vec_id, …)` frames as
+    * produced by [[bruteForceTopK]] / [[lshTopK]] / [[ivfTopKBatch]];
+    * output is one row per query:
+    * `(query_id, n_exact, n_hit, recall)` with
+    * `recall = |approx ∩ exact| / |exact|` (`n_exact` < k only when the
+    * corpus minus self has fewer than k rows).
+    *
+    * Scale shape: the expensive side is the GROUND TRUTH, which is why
+    * a production gate runs on a SAMPLED query set (the caller picks
+    * the sample — [[bruteForceTopK]] is one corpus scan against
+    * broadcast queries, no corpus shuffle). The comparison itself is
+    * one equi-join on (query_id, vec_id) over two |queries|·k-row
+    * frames plus a keyed aggregate — never corpus-sized. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("vec_id"))
+      .join(broadcast(approx.select(col("query_id"), col("vec_id"),
+        lit(1L).as("__hit"))), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+
   /** Deterministic pseudo-random hyperplanes (fixed seed): component
     * (p, i) = fmix64(seed + p*dim + i) mapped to a uniform in [-1, 1).
     * The top 53 bits over 2^53 is a dyadic rational, so the double is

@@ -2432,6 +2432,20 @@ object TrainingData {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // the ANN deployment gate: recall@5 of the served IVF path against
+    // the exact brute-force top-5 on the same sampled query set (every
+    // 10th vector — the q_embed_ivf_batch sample). Both sides are
+    // deterministic (same cosine arithmetic, same score-desc/id
+    // tiebreak), so per-query recall is oracle-replayable exactly
+    "q_embed_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 10 === 7)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(e, q, k = 5),
+        Similarity.ivfTopKBatch(e, q, k = 5, targetTrain = 16000L))
+        .orderBy(col("query_id"))
+    }),
+
     // prototypicality pruning: cluster with the IVF quantizer, keep the
     // 10 LEAST prototypical (hardest) vectors per cluster — the
     // diversity-preserving data-pruning selection
@@ -3129,6 +3143,15 @@ object TrainingData {
 
   private def ivfProbeRankSql(queryPred: String, nprobe: Int,
                               k: Int): String =
+    ivfProbeChainSql(queryPred, nprobe) + s"""
+        |SELECT query_id, vec_id, floor(raw * 1e4) / 1e4 AS score,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= $k
+        |ORDER BY query_id, rank""".stripMargin
+
+  // the probe -> candidate -> exact-rerank chain up through the `ranked`
+  // CTE, shared between the top-k selects and the recall gate
+  private def ivfProbeChainSql(queryPred: String, nprobe: Int): String =
       s"""
         |, probes AS (
         |  SELECT query_id, cid FROM (
@@ -3165,11 +3188,47 @@ object TrainingData {
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |                       ORDER BY raw DESC, vec_id) AS rank
         |  FROM scored
+        |)""".stripMargin
+
+  /** Recall@k gate oracle: the IVF chain's `ranked` CTE supplies the
+    * approximate side; the exact side is a brute-force window over the
+    * same sampled query set with the same cosine arithmetic and the
+    * same (score DESC, vec_id) tiebreak the Spark path ranks by. */
+  private def ivfRecallSql(queryPred: String, nprobe: Int,
+                           k: Int): String =
+    ivfProbeChainSql(queryPred, nprobe) + s"""
+        |, approx AS (
+        |  SELECT query_id, vec_id FROM ranked WHERE rank <= $k
+        |), escored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 65), j ->
+        |      CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) *
+        |      CAST(q.embedding[CAST(j AS INT)] AS DOUBLE))),
+        |      (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_prepend(0.0,
+        |        list_transform(range(1, 65), j ->
+        |          CAST(e.embedding[CAST(j AS INT)] AS DOUBLE) *
+        |          CAST(e.embedding[CAST(j AS INT)] AS DOUBLE))),
+        |        (acc, x) -> acc + x))
+        |     * sqrt(list_reduce(list_prepend(0.0,
+        |        list_transform(range(1, 65), j ->
+        |          CAST(q.embedding[CAST(j AS INT)] AS DOUBLE) *
+        |          CAST(q.embedding[CAST(j AS INT)] AS DOUBLE))),
+        |        (acc, x) -> acc + x))) AS raw
+        |  FROM embeddings e CROSS JOIN embeddings q
+        |  WHERE ($queryPred) AND e.vec_id <> q.vec_id
+        |), exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |                         ORDER BY raw DESC, vec_id) AS rn
+        |    FROM escored) WHERE rn <= $k
         |)
-        |SELECT query_id, vec_id, floor(raw * 1e4) / 1e4 AS score,
-        |  CAST(rank AS BIGINT) AS rank
-        |FROM ranked WHERE rank <= $k
-        |ORDER BY query_id, rank""".stripMargin
+        |SELECT x.query_id, COUNT(*) AS n_exact, COUNT(a.vec_id) AS n_hit,
+        |  CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS recall
+        |FROM exact x LEFT JOIN approx a
+        |  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Shared by q_doc_bm25 (map-side scorer) and q_doc_bm25_index
     * (persisted inverted index over the same accumulated corpus). */
@@ -5764,6 +5823,8 @@ object TrainingData {
     // rule, a query TABLE (every 10th vector) instead of a probe set
     "q_embed_ivf_batch" ->
       (ivfCentroidCtes + ivfProbeRankSql("q.vec_id % 10 = 7", 2, 5)),
+    "q_embed_recall" ->
+      (ivfCentroidCtes + ivfRecallSql("q.vec_id % 10 = 7", 2, 5)),
 
     // prototypicality-prune replay: the shared centroid/assignment CTE
     // chain, then proto = exact left-to-right dot fold over the member

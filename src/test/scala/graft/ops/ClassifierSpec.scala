@@ -829,6 +829,70 @@ class ClassifierSpec extends AnyFunSuite {
     assert(gotM.collect().toSeq == replay(mixed, "k").collect().toSeq)
   }
 
+  test("calibrationCurve: MAP tie keys ride the sorted-entries image — " +
+    "exact NTILE parity against the defined order, >1 sub-bucket, " +
+    "insertion-order-insensitive") {
+    import org.apache.spark.sql.expressions.Window
+    // maps have no native Spark ordering (a plain orderBy on the map
+    // column throws), so the op images them to array_sort(map_entries)
+    // and the replay must order by the SAME image — that IS the
+    // defined-order contract
+    def img(c: org.apache.spark.sql.Column) = array_sort(map_entries(c))
+    def replay(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("bin", ntile(10).over(
+        Window.orderBy(col("score").asc, img(col("k")).asc)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), avg(col("score")).as("mean_score"),
+        avg(when(col("label"), 1.0).otherwise(0.0)).as("pos_rate"))
+      .orderBy(col("bin"))
+    // ALL-TIED frame keyed by map<string,bigint>: one pure tie block
+    // holds everything. Unique keys (entry b -> i) keep the total order
+    // strict; insertion order is deliberately scrambled so the test
+    // fails if the image ever depends on it.
+    val mapTied = (0 until 1500).map { i =>
+      val m = if (i % 2 == 0)
+        Map("a" -> ((i * 7919) % 1500).toLong, "b" -> i.toLong)
+      else Map("b" -> i.toLong, "a" -> ((i * 7919) % 1500).toLong)
+      (m, 2.5, i % 3 == 0)
+    }.toDF("k", "score", "label")
+    val gotM = Classifier.calibrationCurve(mapTied, "score", "label",
+      "k", bins = 10)
+    val plan = gotM.queryExecution.analyzed.toString
+    assert(plan.contains("map_entries"), "map tie key was not imaged")
+    // sampled boundaries are array<struct> literals — their presence IS
+    // the >1-sub-bucket proof (no-split tags sub = 0 with no literal)
+    assert(plan.contains("[[a,") || plan.contains("[[a "),
+      "map tie block was not sub-split:\n" + plan.take(2000))
+    assert(gotM.collect().toSeq == replay(mapTied).collect().toSeq)
+    // two insertion orders of the SAME entries are the same tie key
+    // under the image (entry-sorted): both orders collapse to one value
+    val twoOrders = Seq(
+      Map("x" -> 1L, "y" -> 2L), Map("y" -> 2L, "x" -> 1L))
+      .toDF("k")
+    assert(twoOrders.select(img(col("k"))).distinct().count() == 1L)
+    // NESTED map (map inside a struct) rides the recursive image, and
+    // null structs stay null (not struct-of-nulls) through the rebuild
+    val nested = (0 until 1200).map { i =>
+      val k = if (i % 89 == 0) null
+        else (s"g${i % 7}", Map("n" -> i.toLong))
+      (k, 1.0, i % 2 == 0)
+    }.toDF("k", "score", "label")
+    val gotN = Classifier.calibrationCurve(nested, "score", "label",
+      "k", bins = 10)
+    def imgNested(c: org.apache.spark.sql.Column) =
+      when(c.isNull, lit(null))
+        .otherwise(struct(c.getField("_1").as("_1"),
+          array_sort(map_entries(c.getField("_2"))).as("_2")))
+    val repN = nested
+      .withColumn("bin", ntile(10).over(
+        Window.orderBy(col("score").asc, imgNested(col("k")).asc)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), avg(col("score")).as("mean_score"),
+        avg(when(col("label"), 1.0).otherwise(0.0)).as("pos_rate"))
+      .orderBy(col("bin"))
+    assert(gotN.collect().toSeq == repN.collect().toSeq)
+  }
+
   test("sparse scorers fail loudly on an index outside the model dim " +
     "— a dim-mismatched featurizer cannot silently score as dropped " +
     "features") {

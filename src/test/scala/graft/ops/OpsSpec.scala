@@ -797,6 +797,44 @@ class OpsSpec extends AnyFunSuite {
     assert(g.getMessage.contains("maxQueries"))
   }
 
+  test("recallAtK: exact per-query recall, identity = 1.0, misses counted") {
+    val q = emb.filter(col("vec_id") % 10 === 7)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+    // identity: an index that returns the ground truth scores recall 1.0
+    // on every query, with n_exact = k on this corpus (500 >> k)
+    val self = Similarity.recallAtK(exact, exact).collect()
+    assert(self.length == q.count())
+    assert(self.forall(_.getAs[Double]("recall") == 1.0))
+    assert(self.forall(_.getAs[Long]("n_exact") == 5L))
+    // the served path: recallAtK must equal the driver-computed set
+    // intersection of the same two frames, query by query
+    val approx = Similarity.ivfTopKBatch(emb, q, k = 5,
+      targetTrain = 16000L)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (es, as) = (sets(exact), sets(approx))
+    val got = Similarity.recallAtK(exact, approx).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toMap
+    assert(got.keySet == es.keySet)
+    es.foreach { case (qid, ex) =>
+      val hits = ex.intersect(as.getOrElse(qid, Set.empty)).size
+      assert(got(qid) == (hits.toLong, hits.toDouble / ex.size),
+        s"query $qid")
+    }
+    // a deliberately-degraded index (one neighbor dropped for one query)
+    // scores exactly (k-1)/k there and 1.0 elsewhere
+    val qid0 = self.head.getLong(0)
+    val crippled = exact.filter(!(col("query_id") === qid0 &&
+      col("rank") === 1))
+    val cr = Similarity.recallAtK(exact, crippled).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("recall")).toMap
+    assert(cr(qid0) == 0.8)
+    assert(cr.filterNot(_._1 == qid0).values.forall(_ == 1.0))
+  }
+
   test("ivfTopKBatch: row-for-row agreement with driver-probe ivfTopK " +
       "on small and table-sized query sets; no maxQueries bound") {
     // same corpus, same quantizer config — the distributed map-side
