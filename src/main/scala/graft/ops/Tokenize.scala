@@ -970,16 +970,8 @@ object Tokenize {
                             merges: Seq[(String, String)],
                             specials: Seq[String] = Nil)
       : Seq[(String, Int)] = {
-    require(hist.columns.contains("w"),
-      s"histogram must have column w, got ${hist.columns.mkString(",")}")
-    val alpha = hist
-      .select(explode(unwrapSymbols(wrapSymbols(col("w")))).as("s"))
-      .distinct().collect().map(_.getString(0))
-    val sorted = alpha.sortWith { (a, b) =>
-      java.util.Arrays.compareUnsigned(
-        a.getBytes("UTF-8"), b.getBytes("UTF-8")) < 0
-    }
-    val toks = specials ++ sorted.toSeq ++ merges.map { case (l, r) => l + r }
+    val sorted = alphabetFromHistogram(hist)
+    val toks = specials ++ sorted ++ merges.map { case (l, r) => l + r }
     val dups = toks.groupBy(identity).filter(_._2.length > 1).keys
     require(dups.isEmpty,
       s"duplicate token strings in derived vocab: " +
@@ -988,6 +980,45 @@ object Tokenize {
         "token collide; an id table with ambiguous strings cannot decode " +
         "(and a mintable special is an injection hole)")
     toks.zipWithIndex
+  }
+
+  /** The trained tokenizer's base char alphabet: the training
+    * histogram's distinct single code points, UTF-8 sorted (the binary
+    * collation Spark and DuckDB string sorts share). Charset-bounded
+    * collect — distinct symbols, never words. This is both the id-0
+    * block of [[bpeVocabFromHistogram]] and the reference set the
+    * serving coverage monitor ([[oovChars]]) probes against. */
+  def alphabetFromHistogram(hist: DataFrame): Seq[String] = {
+    require(hist.columns.contains("w"),
+      s"histogram must have column w, got ${hist.columns.mkString(",")}")
+    val alpha = hist
+      .select(explode(unwrapSymbols(wrapSymbols(col("w")))).as("s"))
+      .distinct().collect().map(_.getString(0))
+    alpha.sortWith { (a, b) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8")) < 0
+    }.toSeq
+  }
+
+  /** Code points of `text` OUTSIDE a trained alphabet, as an array —
+    * the serving coverage monitor for a persisted native table.
+    * [[bpeIdsExpr]] raises in-plan on the first unseen symbol (correct
+    * for sequence building: silent nulls would corrupt packed ids), so
+    * a pipeline serving a months-old tokenizer measures impending
+    * coverage loss on each NEW corpus slice with this — aggregate
+    * `size(oovChars(...))` per source and gate/alert on the rate —
+    * BEFORE routing the slice into the encoder. Callers should pass
+    * pre-token text (the characters the tokenizer actually consumes);
+    * raw text would count whitespace, which no pre-token alphabet
+    * contains, as spurious OOV. Pure projection: one code-point split
+    * (`(?s).` — the DOTALL discipline of [[wrapSymbols]]) and one
+    * literal-map probe per code point; charset-bounded literal, no
+    * join. Null text yields null. */
+  def oovChars(text: Column, alphabet: Seq[String]): Column = {
+    require(alphabet.nonEmpty, "alphabet is empty")
+    val m = typedLit(alphabet.map(_ -> 1).toMap)
+    filter(regexp_extract_all(text, lit("(?s)."), lit(0)),
+      s => element_at(m, s).isNull)
   }
 
   /** Token IDS of `text` under a trained merge table and a derived

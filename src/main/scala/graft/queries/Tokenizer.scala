@@ -87,6 +87,15 @@ object Tokenizer {
       Tokenize.bpeVocabFromHistogram(hist(s, dir), merges(s, dir),
         specials = Seq("<eos>")))
 
+  /** Trained base alphabet per sf dir (the coverage monitor's
+    * reference set — fit-once like the merges). */
+  private val alphaTables = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[String]]
+
+  private def alphabet(s: SparkSession, dir: String): Seq[String] =
+    alphaTables.getOrElseUpdate(dir,
+      Tokenize.alphabetFromHistogram(hist(s, dir)))
+
   /** Unique memory-sink names for repeated streaming runs in-process. */
   private val streamQueryId = new java.util.concurrent.atomic.AtomicLong(0L)
 
@@ -211,6 +220,31 @@ object Tokenizer {
         .select(col("doc_id"), col("n_tok"), col("seq_id"),
           col("seq_off"), col("tok_first"))
         .orderBy("doc_id")
+    }),
+
+    // The serving coverage monitor: per-source OOV-character rate of a
+    // NEW corpus slice against the TRAINED alphabet — the retrain
+    // trigger a months-old persisted tokenizer needs, measured before
+    // the slice reaches the raising encoder (bpeIdsExpr). Drift is
+    // injected (every 7th doc carries Greek letters the training
+    // histogram never saw); coverage counts PRE-TOKEN code points (the
+    // characters the tokenizer actually consumes — raw text would
+    // count whitespace as spurious OOV).
+    "q_doc_tok_coverage" -> ((s, dir) => {
+      val a = alphabet(s, dir)
+      val drifted = docs(s, dir).withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" αβ")))
+          .otherwise(col("text")))
+      val pre = array_join(regexp_extract_all(col("text"),
+        lit(graft.ops.Text.bpeTokenPattern), lit(0)), "")
+      drifted
+        .select(col("source"), length(pre).cast("long").as("nc"),
+          size(Tokenize.oovChars(pre, a)).cast("long").as("no"))
+        .groupBy(col("source"))
+        .agg(sum(col("nc")).as("n_chars"), sum(col("no")).as("n_oov"),
+          (sum(col("no")).cast("double") / sum(col("nc")))
+            .as("oov_rate"))
+        .orderBy(col("source"))
     }),
 
     // Post-merge vocabulary mass: the top-20 subword tokens by corpus
@@ -365,6 +399,34 @@ object Tokenizer {
              s"CAST(t AS DOUBLE) / nw AS tokens_per_word " +
              s"FROM tot_$k, nw").mkString(" UNION ALL ")}
       |) ORDER BY n_merges""".stripMargin),
+
+    // coverage replay: alphabet = distinct pre-token code points of
+    // the UNDRIFTED corpus (the training histogram side); the drifted
+    // slice's pre-token code points LEFT JOIN it, a miss is an OOV.
+    // RE2 needs the same (?s) DOTALL the Spark splitter uses: U+2028-
+    // class pre-token chars must split identically on both sides
+    "q_doc_tok_coverage" -> s"""
+      |WITH drifted AS (
+      |  SELECT source,
+      |    array_to_string(regexp_extract_all(
+      |      CASE WHEN doc_id % 7 = 0 THEN text || ' αβ' ELSE text END,
+      |      '$pat'), '') AS p
+      |  FROM documents
+      |), alpha AS (
+      |  SELECT DISTINCT unnest(regexp_extract_all(w, '(?s).')) AS s
+      |  FROM (SELECT unnest(regexp_extract_all(text, '$pat')) AS w
+      |        FROM documents)
+      |), chars AS (
+      |  SELECT d.source, u.ch
+      |  FROM drifted d, UNNEST(regexp_extract_all(d.p, '(?s).')) AS u(ch)
+      |)
+      |SELECT c.source, COUNT(*) AS n_chars,
+      |  CAST(SUM(CASE WHEN a.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  CAST(SUM(CASE WHEN a.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS oov_rate
+      |FROM chars c LEFT JOIN alpha a ON c.ch = a.s
+      |GROUP BY c.source ORDER BY c.source""".stripMargin,
 
     // id assignment is pure rank arithmetic: base alphabet =
     // ROW_NUMBER over the distinct words_0 symbols in binary collation

@@ -183,4 +183,31 @@ class TokenizeSpec extends AnyFunSuite {
       Tokenize.saveTrained(Seq(("a", "b")), Seq(("a", 0), ("b", 1)),
         dir + "-bad"))
   }
+
+  test("alphabetFromHistogram + oovChars: the coverage monitor counts " +
+    "exactly the code points outside the trained alphabet") {
+    val d = Seq((0L, "abab cd"), (1L, "ab x")).toDF("doc_id", "text")
+    val h = Tokenize.wordHistogram(d)
+    val alpha = Tokenize.alphabetFromHistogram(h)
+    assert(alpha == Seq("a", "b", "c", "d", "x"))
+    // the alphabet IS the id-0 block of the derived vocab
+    val v = Tokenize.bpeVocabFromHistogram(h,
+      Tokenize.trainBpeFromHistogram(h, numMerges = 2))
+    assert(v.take(alpha.length).map(_._1) == alpha)
+    def oov(text: String): Seq[String] = Seq((0L, text))
+      .toDF("doc_id", "text")
+      .select(Tokenize.oovChars(col("text"), alpha))
+      .head().getSeq[String](0)
+    // fully-covered text: empty; unseen chars counted per occurrence
+    assert(oov("abcdx").isEmpty)
+    assert(oov("abz yz") == Seq("z", " ", "y", "z"))
+    // a supplementary character is ONE unseen code point, never two
+    // lone surrogates (the code-point seam discipline)
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(oov(s"ab$emoji") == Seq(emoji))
+    // null text yields null, matching the tokenizer expressions
+    val n = Seq((0L, null: String)).toDF("doc_id", "text")
+      .select(Tokenize.oovChars(col("text"), alpha)).head()
+    assert(n.isNullAt(0))
+  }
 }
