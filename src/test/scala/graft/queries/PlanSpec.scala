@@ -53,6 +53,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_orderkey"), readSchema)
   }
 
+  test("q_embed_recall: top-k pushed below the exchange, both joins " +
+    "broadcast, no corpus-sized shuffle") {
+    val p = plan("q_embed_recall")
+    // the brute-force ground truth must not shuffle the scored cross
+    // product: WindowGroupLimit forwards at most k rows per query per
+    // partition ahead of the rank exchange
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    // the approx side joins in broadcast; nothing sort-merges
+    assert(p.contains("BroadcastHashJoin LeftOuter"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
+  test("q_doc_tok_coverage: no join, pruned scan, partial agg before " +
+    "the single per-source exchange") {
+    val p = plan("q_doc_tok_coverage")
+    // the alphabet probe is a literal-map lookup in a Project — the
+    // monitor must never join or explode the corpus per code point
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("Generate"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      readSchema.contains("source") && !readSchema.contains("lang") &&
+      !readSchema.contains("n_chars"), readSchema)
+  }
+
   test("q_join_stars: dimension joins are broadcast, no shuffle join") {
     val p = plan("q_join_stars")
     // three dimension joins, all broadcast, none shuffle-based
