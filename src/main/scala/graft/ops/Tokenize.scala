@@ -1021,6 +1021,25 @@ object Tokenize {
       s => element_at(m, s).isNull)
   }
 
+  /** The base char alphabet recovered from a trained VOCAB alone — the
+    * serving shape of [[alphabetFromHistogram]]: a pipeline that
+    * [[loadTrained]]s a months-old tokenizer has no training histogram,
+    * only the tables, yet still needs the [[oovChars]] reference set.
+    * Merge outputs always span >= 2 code points (each side is >= 1),
+    * so the single-code-point vocab strings are exactly the base
+    * alphabet. A caller-reserved single-char SPECIAL would join it —
+    * harmless for coverage (the monitor treats that char as covered,
+    * which it is: the encoder has an id for it). UTF-8 sorted like
+    * [[alphabetFromHistogram]], so the two derivations are comparable
+    * directly. */
+  def alphabetOf(vocab: Seq[(String, Int)]): Seq[String] =
+    vocab.iterator.map(_._1)
+      .filter(s => codePointSyms(s).length == 1)
+      .toSeq.sortWith { (a, b) =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes("UTF-8"), b.getBytes("UTF-8")) < 0
+      }
+
   /** Token IDS of `text` under a trained merge table and a derived
     * vocab ([[bpeVocabFromHistogram]]), as a pure Column: the token
     * strings of [[bpeTokensExpr]] mapped through one literal map (a

@@ -209,5 +209,20 @@ class TokenizeSpec extends AnyFunSuite {
     val n = Seq((0L, null: String)).toDF("doc_id", "text")
       .select(Tokenize.oovChars(col("text"), alpha)).head()
     assert(n.isNullAt(0))
+    // the SERVING shape: the same alphabet recovers from a persisted
+    // tokenizer's vocab alone (no histogram) — merge outputs span >= 2
+    // code points, so single-code-point vocab strings ARE the alphabet
+    assert(Tokenize.alphabetOf(v) == alpha)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tok-alpha-").toString
+    try {
+      Tokenize.saveTrained(
+        Tokenize.trainBpeFromHistogram(h, numMerges = 2), v, dir)
+      assert(Tokenize.alphabetOf(Tokenize.loadTrained(dir).vocab) == alpha)
+    } finally graft.core.Fs.delete(dir)
+    // a supplementary-char alphabet symbol stays ONE symbol in the
+    // recovered set (codePointSyms, not code units)
+    val emojiVocab = Seq((emoji, 0), ("a", 1), (emoji + "a", 2))
+    assert(Tokenize.alphabetOf(emojiVocab) == Seq("a", emoji))
   }
 }
