@@ -122,6 +122,37 @@ object Tokenizer {
         .orderBy(col("doc_id"))
     }),
 
+    // Coverage-at-ingest: the OOV probe rides the STREAM's plan as the
+    // same literal-map projection (stateless, append mode, constant
+    // memory) — the monitor half of the offline-train / online-serve
+    // split: per-doc (nc, no) flows to the sink, per-source rates
+    // aggregate over the drained output. Oracle = the batch coverage
+    // replay, identical output.
+    "q_stream_tok_coverage" -> ((s, dir) => {
+      val a = alphabet(s, dir)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val pre = array_join(regexp_extract_all(col("text"),
+        lit(graft.ops.Text.bpeTokenPattern), lit(0)), "")
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("source"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" αβ")))
+            .otherwise(col("text")).as("text"))
+        .select(col("source"), length(pre).cast("long").as("nc"),
+          size(Tokenize.oovChars(pre, a)).cast("long").as("no"))
+      val name = s"graft_stream_cov_${streamQueryId.incrementAndGet()}"
+      val q = stream.writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).groupBy(col("source"))
+        .agg(sum(col("nc")).as("n_chars"), sum(col("no")).as("n_oov"),
+          (sum(col("no")).cast("double") / sum(col("nc")))
+            .as("oov_rate"))
+        .orderBy(col("source"))
+    }),
+
     // The trained merge table itself — the distributed loop's output
     // checked merge by merge (rank order, tie-breaks, greedy
     // application all have to agree for later ranks to match).
@@ -331,6 +362,36 @@ object Tokenizer {
       |FROM documents doc LEFT JOIN tok_counts t USING (doc_id)
       |GROUP BY doc.doc_id ORDER BY doc.doc_id""".stripMargin
 
+  /** Coverage replay, shared by the batch and streaming monitors (the
+    * stream is a stateless projection over the same table): alphabet =
+    * distinct pre-token code points of the UNDRIFTED corpus (the
+    * training histogram side); the drifted slice's pre-token code
+    * points LEFT JOIN it, a miss is an OOV. RE2 needs the same (?s)
+    * DOTALL the Spark splitter uses: U+2028-class pre-token chars must
+    * split identically on both sides. */
+  private val coverageOracleSql: String = s"""
+      |WITH drifted AS (
+      |  SELECT source,
+      |    array_to_string(regexp_extract_all(
+      |      CASE WHEN doc_id % 7 = 0 THEN text || ' αβ' ELSE text END,
+      |      '$pat'), '') AS p
+      |  FROM documents
+      |), alpha AS (
+      |  SELECT DISTINCT unnest(regexp_extract_all(w, '(?s).')) AS s
+      |  FROM (SELECT unnest(regexp_extract_all(text, '$pat')) AS w
+      |        FROM documents)
+      |), chars AS (
+      |  SELECT d.source, u.ch
+      |  FROM drifted d, UNNEST(regexp_extract_all(d.p, '(?s).')) AS u(ch)
+      |)
+      |SELECT c.source, COUNT(*) AS n_chars,
+      |  CAST(SUM(CASE WHEN a.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  CAST(SUM(CASE WHEN a.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS oov_rate
+      |FROM chars c LEFT JOIN alpha a ON c.ch = a.s
+      |GROUP BY c.source ORDER BY c.source""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q_doc_bpe_merges" -> (mergeCtes(nMerges) + s"""
       |SELECT * FROM (
@@ -400,33 +461,10 @@ object Tokenizer {
              s"FROM tot_$k, nw").mkString(" UNION ALL ")}
       |) ORDER BY n_merges""".stripMargin),
 
-    // coverage replay: alphabet = distinct pre-token code points of
-    // the UNDRIFTED corpus (the training histogram side); the drifted
-    // slice's pre-token code points LEFT JOIN it, a miss is an OOV.
-    // RE2 needs the same (?s) DOTALL the Spark splitter uses: U+2028-
-    // class pre-token chars must split identically on both sides
-    "q_doc_tok_coverage" -> s"""
-      |WITH drifted AS (
-      |  SELECT source,
-      |    array_to_string(regexp_extract_all(
-      |      CASE WHEN doc_id % 7 = 0 THEN text || ' αβ' ELSE text END,
-      |      '$pat'), '') AS p
-      |  FROM documents
-      |), alpha AS (
-      |  SELECT DISTINCT unnest(regexp_extract_all(w, '(?s).')) AS s
-      |  FROM (SELECT unnest(regexp_extract_all(text, '$pat')) AS w
-      |        FROM documents)
-      |), chars AS (
-      |  SELECT d.source, u.ch
-      |  FROM drifted d, UNNEST(regexp_extract_all(d.p, '(?s).')) AS u(ch)
-      |)
-      |SELECT c.source, COUNT(*) AS n_chars,
-      |  CAST(SUM(CASE WHEN a.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS n_oov,
-      |  CAST(SUM(CASE WHEN a.s IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / COUNT(*) AS oov_rate
-      |FROM chars c LEFT JOIN alpha a ON c.ch = a.s
-      |GROUP BY c.source ORDER BY c.source""".stripMargin,
+    // coverage replay (shared batch/stream — the stream is a stateless
+    // projection over the same table): see coverageOracleSql
+    "q_doc_tok_coverage" -> coverageOracleSql,
+    "q_stream_tok_coverage" -> coverageOracleSql,
 
     // id assignment is pure rank arithmetic: base alphabet =
     // ROW_NUMBER over the distinct words_0 symbols in binary collation
