@@ -1060,6 +1060,33 @@ object Tokenize {
         .otherwise(element_at(m, t)))
   }
 
+  /** Token strings back from ids — the DECODE half of the id surface
+    * ([[bpeIdsExpr]] is the encode half), as a pure Column: one
+    * INVERSE MapType literal probed per id. An id the vocab never
+    * assigned raises in-plan (symmetric with the encode side's
+    * unseen-token raise: silent nulls would corrupt reconstructed
+    * text); null input yields null. [[bpeVocabFromHistogram]] already
+    * guarantees the forward map is injective, so the inverse is total
+    * on the id range and `array_join(bpeDecodeExpr(bpeIdsExpr(text)))`
+    * reconstructs the pre-token concatenation EXACTLY — merges only
+    * regroup characters within a pre-token, never alter or cross
+    * them. That identity is what q_doc_bpe_roundtrip pins against an
+    * oracle that derives the expected output from the raw text alone,
+    * so an id-table or merge-application bug anywhere in the
+    * encode/decode pair surfaces as a string diff, not a silent
+    * corruption in a packed sequence. */
+  def bpeDecodeExpr(ids: Column, vocab: Seq[(String, Int)]): Column = {
+    require(vocab.nonEmpty, "vocab is empty")
+    val inv = typedLit(vocab.map { case (t, i) => i -> t }.toMap)
+    transform(ids, i =>
+      when(element_at(inv, i).isNull, raise_error(concat(
+        lit("id not in derived vocab: "), i.cast("string"),
+        lit(" — decode saw an id the vocab never assigned; the id " +
+          "stream and the vocab are from different tokenizers")))
+        .cast("string"))
+        .otherwise(element_at(inv, i)))
+  }
+
   /** The NATIVELY-trained tokenizer on the [[BatchTokenizer]] seam:
     * a merge table from [[trainBpe]]/[[trainBpeDistributed]] plus its
     * derived id table ([[bpeVocabFromHistogram]]), serving counts AND

@@ -63,6 +63,15 @@ object Tokenizer {
 
   private val nMerges = 8
 
+  /** Retrain-gate thresholds, shared verbatim with the oracle replay:
+    * an OOV rate above [[covThreshold]] means the encoder is about to
+    * start raising on real traffic (alphabet drift — retrain,
+    * whatever else holds); a tokens-per-char ratio off the fit-time
+    * reference by more than [[driftThreshold]] means budgets and
+    * packing are mis-costed (compression drift). */
+  private val covThreshold = 5e-4
+  private val driftThreshold = 0.02
+
   private def merges(s: SparkSession, dir: String): Seq[(String, String)] =
     mergeTables.getOrElseUpdate(dir,
       Tokenize.trainBpeFromHistogram(hist(s, dir), nMerges))
@@ -95,6 +104,21 @@ object Tokenizer {
   private def alphabet(s: SparkSession, dir: String): Seq[String] =
     alphaTables.getOrElseUpdate(dir,
       Tokenize.alphabetFromHistogram(hist(s, dir)))
+
+  /** Fit-time tokens-per-char reference (the drift monitor's anchor):
+    * ONE vocab-sized aggregate over the histogram under the trained
+    * chain — a driver scalar, cached per sf dir like the merges. */
+  private val refTpcs = scala.collection.concurrent.TrieMap
+    .empty[String, Double]
+
+  private def refTpc(s: SparkSession, dir: String): Double =
+    refTpcs.getOrElseUpdate(dir, {
+      val m = merges(s, dir)
+      val row = hist(s, dir).agg(
+        sum(col("freq") * Tokenize.bpeCountExpr(col("w"), m)).as("t"),
+        sum(col("freq") * length(col("w"))).as("c")).head()
+      row.getAs[Long]("t").toDouble / row.getAs[Long]("c")
+    })
 
   /** Unique memory-sink names for repeated streaming runs in-process. */
   private val streamQueryId = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -150,6 +174,112 @@ object Tokenizer {
         .agg(sum(col("nc")).as("n_chars"), sum(col("no")).as("n_oov"),
           (sum(col("no")).cast("double") / sum(col("nc")))
             .as("oov_rate"))
+        .orderBy(col("source"))
+    }),
+
+    // Compression-drift monitor: the coverage probe's complement — OOV
+    // catches alphabet drift; tokens-per-char drift catches
+    // distribution shift WITHIN the alphabet (a source whose text
+    // compresses worse under the trained merges than the training
+    // corpus did has drifted even at 0% OOV — the second retrain
+    // trigger a months-old persisted tokenizer needs). Per-source
+    // tokens/char on the serving slice against the fit-time reference
+    // (a driver scalar from ONE vocab-sized histogram aggregate,
+    // injected as a literal); the slice side is the same codegen'd
+    // replace chain as q_doc_bpe_encode — one pruned 2-column pass,
+    // map-side combine down to |sources| rows at any scale.
+    "q_doc_tok_drift" -> ((s, dir) => {
+      val m = merges(s, dir)
+      val ref = refTpc(s, dir)
+      docs(s, dir)
+        .select(col("source"),
+          Tokenize.bpeCountExpr(col("text"), m).as("nt"),
+          length(array_join(regexp_extract_all(col("text"),
+            lit(graft.ops.Text.bpeTokenPattern), lit(0)), ""))
+            .cast("long").as("nc"))
+        .groupBy(col("source"))
+        .agg(sum(col("nc")).as("n_chars"), sum(col("nt")).as("n_tok"),
+          (sum(col("nt")).cast("double") / sum(col("nc"))).as("tpc"))
+        .withColumn("ref_tpc", lit(ref))
+        .withColumn("drift", col("tpc") / lit(ref))
+        .orderBy(col("source"))
+    }),
+
+    // Drift-at-ingest: the same stateless per-doc projection rides the
+    // ingest stream (append mode, no state store), per-source rates
+    // aggregate over the drained sink — the streaming twin, sharing
+    // the batch replay like the coverage pair.
+    "q_stream_tok_drift" -> ((s, dir) => {
+      val m = merges(s, dir)
+      val ref = refTpc(s, dir)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("source"),
+          Tokenize.bpeCountExpr(col("text"), m).as("nt"),
+          length(array_join(regexp_extract_all(col("text"),
+            lit(graft.ops.Text.bpeTokenPattern), lit(0)), ""))
+            .cast("long").as("nc"))
+      val name = s"graft_stream_tpc_${streamQueryId.incrementAndGet()}"
+      val q = stream.writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).groupBy(col("source"))
+        .agg(sum(col("nc")).as("n_chars"), sum(col("nt")).as("n_tok"),
+          (sum(col("nt")).cast("double") / sum(col("nc"))).as("tpc"))
+        .withColumn("ref_tpc", lit(ref))
+        .withColumn("drift", col("tpc") / lit(ref))
+        .orderBy(col("source"))
+    }),
+
+    // The retrain-decision gate the two monitors feed: per source,
+    // coverage (OOV rate under an alphabet-drift probe) and
+    // compression (tokens-per-char vs the fit-time reference under a
+    // distribution-drift probe) in ONE fused pass — a single 3-column
+    // scan, both probe variants computed per row in the same Project,
+    // one per-source aggregate, then the action taxonomy: alphabet
+    // drift forces a retrain (the encoder will start raising),
+    // compression drift alone degrades budgets/packing (retrain when
+    // material), else keep serving. Drift is SYNTHESIZED
+    // source-conditioned (suffix arithmetic both engines replay) so
+    // all three actions appear and the thresholds separate real
+    // signal, not noise.
+    "q_doc_tok_retrain" -> ((s, dir) => {
+      val a = alphabet(s, dir)
+      val m = merges(s, dir)
+      val ref = refTpc(s, dir)
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val covText = when(srcNum % 4 === 1 && col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" αβ"))).otherwise(col("text"))
+      // spam of heavily-merged corpus words (merge/order/row/line
+      // tokenize at ~0.65 tokens/char vs the ~0.93 reference), so the
+      // injected sources drift well past the threshold while natural
+      // variation (<=0.011 at sf0.01) stays under half of it
+      val driftText = when(srcNum % 3 === 0,
+        concat(col("text"),
+          lit(" merge merge order order row row line line" * 2)))
+        .otherwise(col("text"))
+      def pre(t: org.apache.spark.sql.Column) = array_join(
+        regexp_extract_all(t, lit(graft.ops.Text.bpeTokenPattern),
+          lit(0)), "")
+      val oovRate = sum(col("co")).cast("double") / sum(col("cc"))
+      val drift = (sum(col("nt")).cast("double") / sum(col("nc"))) /
+        lit(ref)
+      docs(s, dir)
+        .select(col("source"),
+          length(pre(covText)).cast("long").as("cc"),
+          size(Tokenize.oovChars(pre(covText), a)).cast("long")
+            .as("co"),
+          Tokenize.bpeCountExpr(driftText, m).as("nt"),
+          length(pre(driftText)).cast("long").as("nc"))
+        .groupBy(col("source"))
+        .agg(oovRate.as("oov_rate"), drift.as("drift"),
+          when(oovRate > covThreshold, "retrain_alphabet")
+            .when(abs(drift - 1.0d) > driftThreshold,
+              "retrain_compression")
+            .otherwise("serve").as("action"))
         .orderBy(col("source"))
     }),
 
@@ -226,6 +356,27 @@ object Tokenizer {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").cast("long").as("tok_id"))
         .orderBy("doc_id", "pos")
+    }),
+
+    // The decode half, gated end to end: text -> ids (literal chain +
+    // map literal) -> strings (inverse map literal) -> re-joined, per
+    // doc. The oracle derives the expected reconstruction from the RAW
+    // text alone (pre-token concat — decode must invert encode
+    // exactly), so a bug anywhere in the merge application, the id
+    // assignment, or the inverse map shows up as a string diff. Still
+    // one pure projection: no join, no explode.
+    "q_doc_bpe_roundtrip" -> ((s, dir) => {
+      val m = merges(s, dir)
+      val v = vocab(s, dir)
+      docs(s, dir)
+        .select(col("doc_id"),
+          array_join(Tokenize.bpeDecodeExpr(
+            Tokenize.bpeIdsExpr(col("text"), m, v), v), "")
+            .as("decoded"))
+        .select(col("doc_id"),
+          substring(col("decoded"), 1, 60).as("prefix"),
+          length(col("decoded")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
     }),
 
     // Sequence building for the LM dataloader: documents in epoch-1
@@ -392,7 +543,112 @@ object Tokenizer {
       |FROM chars c LEFT JOIN alpha a ON c.ch = a.s
       |GROUP BY c.source ORDER BY c.source""".stripMargin
 
+  /** Drift replay, shared by the batch and streaming monitors: replay
+    * the merge chain (words_N carries each word's merged symbol
+    * string), token count = symbol count per word, chars = code points
+    * per word; the fit-time reference is the same ratio aggregated
+    * over the histogram itself. Integer sums stay < 2^53, so the
+    * double divisions are exact-operand IEEE ops in both engines and
+    * the ratios hash-match bitwise. */
+  private val driftOracleSql: String = mergeCtes(nMerges) + s"""
+      |, doc_toks AS MATERIALIZED (
+      |  SELECT source, unnest(regexp_extract_all(text, '$pat')) AS w
+      |  FROM documents
+      |), tok AS MATERIALIZED (
+      |  SELECT d.source,
+      |    len(string_split(trim(v.sym, ' '), '  ')) AS n,
+      |    length(d.w) AS c
+      |  FROM doc_toks d JOIN words_$nMerges v USING (w)
+      |), ref AS (
+      |  SELECT
+      |    CAST(SUM(freq * len(string_split(trim(sym, ' '), '  ')))
+      |      AS DOUBLE) / SUM(freq * length(w)) AS ref_tpc
+      |  FROM words_$nMerges
+      |)
+      |SELECT t.source, CAST(SUM(t.c) AS BIGINT) AS n_chars,
+      |  CAST(SUM(t.n) AS BIGINT) AS n_tok,
+      |  CAST(SUM(t.n) AS DOUBLE) / SUM(t.c) AS tpc,
+      |  r.ref_tpc AS ref_tpc,
+      |  (CAST(SUM(t.n) AS DOUBLE) / SUM(t.c)) / r.ref_tpc AS drift
+      |FROM tok t CROSS JOIN ref r
+      |GROUP BY t.source, r.ref_tpc ORDER BY t.source""".stripMargin
+
+  /** Retrain-gate replay: both probe variants re-synthesized from the
+    * source-suffix/doc_id arithmetic, coverage via the per-char
+    * LEFT JOIN, compression via the merged-symbol counts of the
+    * drift-variant words (all of which exist in words_N — the spam
+    * phrase is corpus vocabulary, deliberately), thresholds inlined
+    * from the same constants the Spark gate uses. */
+  private val retrainOracleSql: String = mergeCtes(nMerges) + s"""
+      |, alpha AS (
+      |  SELECT DISTINCT unnest(regexp_extract_all(w, '(?s).')) AS sym
+      |  FROM words_0
+      |), gc AS (
+      |  SELECT source,
+      |    array_to_string(regexp_extract_all(
+      |      CASE WHEN CAST(substr(source, 4) AS INT) % 4 = 1
+      |                AND doc_id % 3 = 0
+      |           THEN text || ' αβ' ELSE text END, '$pat'), '') AS p
+      |  FROM documents
+      |), gchars AS (
+      |  SELECT g.source, u.ch
+      |  FROM gc g, UNNEST(regexp_extract_all(g.p, '(?s).')) AS u(ch)
+      |), cov AS (
+      |  SELECT c.source, COUNT(*) AS cc,
+      |    SUM(CASE WHEN a.sym IS NULL THEN 1 ELSE 0 END) AS co
+      |  FROM gchars c LEFT JOIN alpha a ON c.ch = a.sym
+      |  GROUP BY c.source
+      |), gw AS MATERIALIZED (
+      |  SELECT source, unnest(regexp_extract_all(
+      |    CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0
+      |         THEN text ||
+      |           repeat(' merge merge order order row row line line', 2)
+      |         ELSE text END, '$pat')) AS w
+      |  FROM documents
+      |), drf AS (
+      |  SELECT g.source,
+      |    SUM(len(string_split(trim(v.sym, ' '), '  '))) AS nt,
+      |    SUM(length(g.w)) AS nc
+      |  FROM gw g JOIN words_$nMerges v USING (w)
+      |  GROUP BY g.source
+      |), ref AS (
+      |  SELECT
+      |    CAST(SUM(freq * len(string_split(trim(sym, ' '), '  ')))
+      |      AS DOUBLE) / SUM(freq * length(w)) AS ref_tpc
+      |  FROM words_$nMerges
+      |)
+      |SELECT c.source,
+      |  CAST(c.co AS DOUBLE) / c.cc AS oov_rate,
+      |  (CAST(d.nt AS DOUBLE) / d.nc) / r.ref_tpc AS drift,
+      |  CASE WHEN CAST(c.co AS DOUBLE) / c.cc > $covThreshold
+      |       THEN 'retrain_alphabet'
+      |       WHEN ABS((CAST(d.nt AS DOUBLE) / d.nc) / r.ref_tpc - 1.0)
+      |            > $driftThreshold
+      |       THEN 'retrain_compression'
+      |       ELSE 'serve' END AS action
+      |FROM cov c JOIN drf d USING (source) CROSS JOIN ref r
+      |ORDER BY c.source""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    // drift replay (shared batch/stream — the stream is a stateless
+    // projection over the same table): see driftOracleSql
+    "q_doc_tok_drift" -> driftOracleSql,
+    "q_stream_tok_drift" -> driftOracleSql,
+
+    // the gate both monitors feed: see retrainOracleSql
+    "q_doc_tok_retrain" -> retrainOracleSql,
+
+    // roundtrip: the expected decode output derived from RAW text —
+    // decode(encode(text)) must equal the pre-token concatenation,
+    // independent of every engine-side table
+    "q_doc_bpe_roundtrip" -> s"""
+      |SELECT doc_id,
+      |  substr(array_to_string(regexp_extract_all(text, '$pat'), ''),
+      |         1, 60) AS prefix,
+      |  CAST(length(array_to_string(regexp_extract_all(text, '$pat'),
+      |       '')) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_doc_bpe_merges" -> (mergeCtes(nMerges) + s"""
       |SELECT * FROM (
       |  ${(0 until nMerges).map(k =>

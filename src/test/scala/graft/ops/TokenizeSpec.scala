@@ -225,4 +225,33 @@ class TokenizeSpec extends AnyFunSuite {
     val emojiVocab = Seq((emoji, 0), ("a", 1), (emoji + "a", 2))
     assert(Tokenize.alphabetOf(emojiVocab) == Seq("a", emoji))
   }
+
+  test("bpeDecodeExpr: decode inverts encode to the pre-token concat; " +
+    "an unassigned id raises; null stays null") {
+    val emoji = new String(Character.toChars(0x1F600))
+    // multi-byte, supplementary, and merged symbols all in play
+    val d = Seq((0L, s"abab café $emoji"), (1L, "ab abab"),
+      (2L, null: String)).toDF("doc_id", "text")
+    val h = Tokenize.wordHistogram(d)
+    val fm = Tokenize.trainBpeFromHistogram(h, numMerges = 3)
+    assert(fm.nonEmpty)
+    val v = Tokenize.bpeVocabFromHistogram(h, fm)
+    val got = d.select(col("doc_id"),
+      array_join(Tokenize.bpeDecodeExpr(
+        Tokenize.bpeIdsExpr(col("text"), fm, v), v), "").as("dec"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    // decode(encode(text)) == the pre-token concatenation, exactly
+    assert(got(0L) == s"ababcafé$emoji" && got(1L) == "ababab")
+    assert(got(2L) == null) // null text -> null ids -> null decode
+    // an id outside the vocab raises in-plan, never a silent null
+    val bad = Seq(Seq(0, v.length + 7)).toDF("ids")
+    val e = intercept[Exception] {
+      bad.select(Tokenize.bpeDecodeExpr(col("ids"), v)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("id not in derived vocab")))
+  }
 }

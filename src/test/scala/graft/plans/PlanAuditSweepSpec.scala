@@ -45,7 +45,10 @@ class PlanAuditSweepSpec extends AnyFunSuite {
     "q_embed_pq" -> "query-vector set x PQ codes (ADC baseline)",
     "q_embed_pq_index" -> "query-vector set x persisted PQ index",
     "q_embed_contamination" -> "benchmark-vector set x corpus",
-    "q_doc_rrf_batch" -> "query batch rows x corpus (dense arm)"
+    "q_doc_rrf_batch" -> "query batch rows x corpus (dense arm)",
+    "q_embed_recall" -> ("sampled query-vector set x corpus — the " +
+      "brute-force ground truth the recall gate inherently needs; " +
+      "PlanSpec pins WindowGroupLimit below the exchange on it")
   )
 
   test("every batch registry query audits clean of loop-join shapes " +

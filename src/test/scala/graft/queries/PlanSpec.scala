@@ -79,6 +79,44 @@ class PlanSpec extends AnyFunSuite {
       !readSchema.contains("n_chars"), readSchema)
   }
 
+  test("q_doc_tok_drift: no join, 2-column pruned scan, partial agg " +
+    "before the single per-source exchange") {
+    val p = plan("q_doc_tok_drift")
+    // the trained chain and the fit-time reference are literals in a
+    // Project — the monitor must never join the corpus against the
+    // vocab or explode it per token
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("Generate"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(readSchema.contains("text") && readSchema.contains("source") &&
+      !readSchema.contains("doc_id") && !readSchema.contains("lang"),
+      readSchema)
+  }
+
+  test("q_doc_tok_retrain: the fused gate is one pass — no join, no " +
+    "explode, both probes in the same Project, one per-source " +
+    "aggregate pair") {
+    val p = plan("q_doc_tok_retrain")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("Generate"), p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      readSchema.contains("source") && !readSchema.contains("lang"),
+      readSchema)
+  }
+
+  test("q_doc_bpe_roundtrip: encode->decode is a pure projection — " +
+    "no join, no explode, 2-column pruned scan") {
+    val p = plan("q_doc_bpe_roundtrip")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("Generate"), p.take(1500))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).get
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("source"), readSchema)
+  }
+
   test("q_join_stars: dimension joins are broadcast, no shuffle join") {
     val p = plan("q_join_stars")
     // three dimension joins, all broadcast, none shuffle-based
