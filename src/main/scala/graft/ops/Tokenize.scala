@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Pluggable real-tokenizer seam for token-budget operators.
   *
@@ -46,6 +46,15 @@ object Tokenize {
     * [[TrainedBpeTokenizer]]'s counter implement it. */
   trait TokenEncoder extends TokenCounter {
     def encode(text: String): Seq[Int]
+
+    /** Inverse of [[encode]] up to the tokenizer's pre-tokenization:
+      * a byte-level tokenizer ([[Gpt2Counter]]) reconstructs the text
+      * EXACTLY (whitespace rides the byte mapping as Ġ/Ċ symbols); a
+      * native pre-token tokenizer ([[TrainedBpeTokenizer]])
+      * reconstructs the pre-token concatenation, matching
+      * [[bpeDecodeExpr]]'s expr path. An id the vocab never assigned
+      * fails loudly — silent nulls would corrupt reconstructed text. */
+    def decode(ids: Seq[Int]): String
   }
 
   /** Append `outCol` = the tokenizer's token count of `textCol` (null
@@ -104,6 +113,42 @@ object Tokenize {
           if (r.isNullAt(idx)) Seq.empty[Int]
           else encoder.encode(r.getString(idx))
         Row.fromSeq(r.toSeq :+ ids)
+      }
+    }
+  }
+
+  /** Append `outCol` = the tokenizer's DECODED text of the id array in
+    * `idsCol` — the inspection/debugging face for packed sequences and
+    * id-only shards (a null or empty array decodes to the empty
+    * string, mirroring the encode seam's empty-ids-for-null). Decode
+    * semantics are the tokenizer's ([[TokenEncoder.decode]]):
+    * byte-level reconstructs exactly, native pre-token reconstructs
+    * the pre-token concatenation. One `mapPartitions` pass; the
+    * tokenizer's `init()` must return a [[TokenEncoder]], failing
+    * loudly otherwise like [[withTokenIds]]. */
+  def withDecodedText(df: DataFrame, tokenizer: BatchTokenizer,
+                      idsCol: String = "token_ids",
+                      outCol: String = "decoded_text"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column $outCol already exists")
+    val idx = df.schema.fieldIndex(idsCol)
+    val outSchema = df.schema.add(outCol, StringType, nullable = false)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      val counter = tokenizer.init() // once per partition
+      val encoder = counter match {
+        case e: TokenEncoder => e
+        case other => throw new IllegalArgumentException(
+          s"withDecodedText needs a TokenEncoder (decode requires a " +
+            s"vocab); ${other.getClass.getName} only counts — use a " +
+            "tokenizer with an id table (TrainedBpeTokenizer, " +
+            "Gpt2BpeTokenizer)")
+      }
+      it.map { r =>
+        val text =
+          if (r.isNullAt(idx)) ""
+          else encoder.decode(r.getSeq[Int](idx))
+        Row.fromSeq(r.toSeq :+ text)
       }
     }
   }
@@ -463,6 +508,23 @@ object Tokenize {
         throw new IllegalArgumentException(
           s"token '$t' not in vocab — vocab.json and merges.txt do not " +
             "form a matching pair for this input"))
+    }
+
+    // loadGpt2 validates injectivity, so the inverse is total on ids
+    private lazy val inv: Map[Int, String] = vocab.map(_.swap)
+
+    /** Exact inverse of [[encode]]: token strings back through the
+      * byte table — whitespace and multi-byte characters reconstruct
+      * bit-for-bit because byte-level pre-tokenization never drops a
+      * byte. */
+    def decode(ids: Seq[Int]): String = {
+      val sb = new java.lang.StringBuilder()
+      ids.foreach { i =>
+        sb.append(inv.getOrElse(i, throw new IllegalArgumentException(
+          s"id $i not in vocab — the id stream and vocab.json are " +
+            "from different tokenizers")))
+      }
+      fromByteLevel(sb.toString)
     }
 
     private def tokens(text: String): Seq[String] = {
@@ -1124,6 +1186,25 @@ object Tokenize {
                 "histogram or pre-filter"))
         }
         out.toSeq
+      }
+
+      // bpeVocabFromHistogram rejects duplicate strings, so the
+      // inverse is total on the id range
+      private lazy val inv: Map[Int, String] =
+        vocab.map { case (t, i) => i -> t }.toMap
+
+      /** Inverse of [[encode]] up to pre-tokenization: the pre-token
+        * concatenation, bit-equal to the expr path's
+        * `array_join(bpeDecodeExpr(...), "")`. */
+      def decode(tokenIds: Seq[Int]): String = {
+        val sb = new java.lang.StringBuilder()
+        tokenIds.foreach { i =>
+          sb.append(inv.getOrElse(i, throw new IllegalArgumentException(
+            s"id $i not in derived vocab — decode saw an id the vocab " +
+              "never assigned; the id stream and the vocab are from " +
+              "different tokenizers")))
+        }
+        sb.toString
       }
 
       // symbols seed per CODE POINT, matching the expr path's `(?s).`

@@ -283,6 +283,51 @@ object Tokenizer {
         .orderBy(col("source"))
     }),
 
+    // The gate at ingest: the fused per-row probes (both variants'
+    // char/OOV/token counts) ride the stream as one stateless Project;
+    // the per-source aggregate and the action CASE evaluate over the
+    // drained sink. Same replay as the batch gate.
+    "q_stream_tok_retrain" -> ((s, dir) => {
+      val a = alphabet(s, dir)
+      val m = merges(s, dir)
+      val ref = refTpc(s, dir)
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val covText = when(srcNum % 4 === 1 && col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" αβ"))).otherwise(col("text"))
+      val driftText = when(srcNum % 3 === 0,
+        concat(col("text"),
+          lit(" merge merge order order row row line line" * 2)))
+        .otherwise(col("text"))
+      def pre(t: org.apache.spark.sql.Column) = array_join(
+        regexp_extract_all(t, lit(graft.ops.Text.bpeTokenPattern),
+          lit(0)), "")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("source"),
+          length(pre(covText)).cast("long").as("cc"),
+          size(Tokenize.oovChars(pre(covText), a)).cast("long")
+            .as("co"),
+          Tokenize.bpeCountExpr(driftText, m).as("nt"),
+          length(pre(driftText)).cast("long").as("nc"))
+      val name = s"graft_stream_gate_${streamQueryId.incrementAndGet()}"
+      val q = stream.writeStream
+        .outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val oovRate = sum(col("co")).cast("double") / sum(col("cc"))
+      val drift = (sum(col("nt")).cast("double") / sum(col("nc"))) /
+        lit(ref)
+      s.table(name).groupBy(col("source"))
+        .agg(oovRate.as("oov_rate"), drift.as("drift"),
+          when(oovRate > covThreshold, "retrain_alphabet")
+            .when(abs(drift - 1.0d) > driftThreshold,
+              "retrain_compression")
+            .otherwise("serve").as("action"))
+        .orderBy(col("source"))
+    }),
+
     // The trained merge table itself — the distributed loop's output
     // checked merge by merge (rank order, tie-breaks, greedy
     // application all have to agree for later ranks to match).
@@ -635,8 +680,10 @@ object Tokenizer {
     "q_doc_tok_drift" -> driftOracleSql,
     "q_stream_tok_drift" -> driftOracleSql,
 
-    // the gate both monitors feed: see retrainOracleSql
+    // the gate both monitors feed (shared batch/stream — the stream
+    // computes the same stateless per-row probes): see retrainOracleSql
     "q_doc_tok_retrain" -> retrainOracleSql,
+    "q_stream_tok_retrain" -> retrainOracleSql,
 
     // roundtrip: the expected decode output derived from RAW text —
     // decode(encode(text)) must equal the pre-token concatenation,

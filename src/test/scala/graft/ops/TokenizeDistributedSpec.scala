@@ -577,6 +577,43 @@ class TokenizeDistributedSpec extends AnyFunSuite {
     assert(msgs(ex).exists(m => m != null && m.contains("TokenEncoder")))
   }
 
+  test("withDecodedText: the seam's decode face — rehydrated ids " +
+    "reconstruct the pre-token concat, bit-equal to the expr path; " +
+    "counters without a vocab are loud") {
+    val h = Seq(("low", 4L), ("lower", 2L), ("new", 3L)).toDF("w", "freq")
+    val fm = Tokenize.trainBpeFromHistogram(h, numMerges = 5)
+    val v = Tokenize.bpeVocabFromHistogram(h, fm)
+    val d = Seq((0L, "lower new"), (1L, "low low"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val tok = Tokenize.TrainedBpeTokenizer(fm, v)
+    // encode -> decode through the seam == the pre-token concat
+    val viaSeam = Tokenize.withDecodedText(
+      Tokenize.withTokenIds(d, tok), tok).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("decoded_text")).toMap
+    assert(viaSeam == Map(0L -> "lowernew", 1L -> "lowlow", 2L -> ""))
+    // ... and bit-equal to the expr decode path on the same ids
+    val viaExpr = d.where(col("text").isNotNull)
+      .select(col("doc_id"), array_join(Tokenize.bpeDecodeExpr(
+        Tokenize.bpeIdsExpr(col("text"), fm, v), v), "").as("dec"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaExpr == viaSeam.removed(2L))
+    // seam decode of a foreign id is loud, not mangled
+    val bad = Seq((0L, Seq(0, v.length + 9))).toDF("doc_id", "token_ids")
+    val ex = intercept[Exception](
+      Tokenize.withDecodedText(bad, tok).collect())
+    def dmsgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: dmsgs(e.getCause))
+    assert(dmsgs(ex).exists(m =>
+      m != null && m.contains("not in derived vocab")))
+    // a counter with no vocab cannot decode — same loud contract as
+    // the id face
+    val ex2 = intercept[Exception](
+      Tokenize.withDecodedText(bad, Tokenize.ToyBpeTokenizer(fm))
+        .collect())
+    assert(dmsgs(ex2).exists(m => m != null && m.contains("TokenEncoder")))
+  }
+
   test("supplementary characters: driver trainer, seam count/encode and " +
     "expr path agree per CODE POINT (ADVICE r14)") {
     // an emoji is a single pre-token under bpeTokenPattern's

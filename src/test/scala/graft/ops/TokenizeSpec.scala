@@ -46,6 +46,21 @@ class TokenizeSpec extends AnyFunSuite {
     assert(c.count("") == 0L)
   }
 
+  test("Gpt2Counter.decode inverts encode EXACTLY — whitespace and " +
+    "multi-byte characters reconstruct bit-for-bit; a foreign id is " +
+    "loud") {
+    val c = load()
+    val enc = c.init() match { case e: Tokenize.TokenEncoder => e }
+    // byte-level pre-tokenization never drops a byte, so decode is a
+    // true inverse, spaces (Ġ), runs of spaces, and é's two bytes
+    // included
+    for (t <- Seq("hello world", "hello  world", "hello hello",
+        "héllo", "hello123", ""))
+      assert(enc.decode(enc.encode(t)) == t, t)
+    val ex = intercept[IllegalArgumentException](enc.decode(Seq(9999)))
+    assert(ex.getMessage.contains("not in vocab"))
+  }
+
   test("byte-to-unicode table matches the published GPT-2 mapping: " +
     "golden-pinned bytes, 68 remaps, order preserved") {
     val t = Tokenize.byteToUnicode
