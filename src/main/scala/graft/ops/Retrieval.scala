@@ -445,13 +445,24 @@ object Retrieval {
     * stats table is one row per batch — a driver-side collect here is
     * bounded by append count, not corpus size. */
   private def seenBatchIds(spark: org.apache.spark.sql.SparkSession,
-                           path: String): Set[String] =
-    try {
+                           path: String): Set[String] = {
+    // existence pre-check, not a catch (the Database.readOpt
+    // discipline): resolving a missing stats path throws
+    // AnalysisException only after FileStreamSink probes it and logs a
+    // full FileNotFoundException WARN stack — every first append paid
+    // that resolution attempt and spammed the log; checking first does
+    // neither, and stops depending on which exception type the
+    // analyzer of the day surfaces for a missing path
+    val p = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else {
       val stats = spark.read.parquet(s"$path/stats")
       if (!stats.columns.contains("batch_id")) Set.empty
       else stats.select(col("batch_id")).na.drop()
         .collect().map(_.getString(0)).toSet
-    } catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
+    }
+  }
 
   /** Okapi BM25 top-k over the persisted index — [[bm25TopK]]'s exact
     * formula (same idf, same 1e-6 floor rounding, same (score desc,

@@ -631,6 +631,31 @@ object Tokenize {
       lit(Text.bpeTokenPattern), lit(0))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
 
+  /** Fold word histograms: the INCREMENTAL maintenance path for the one
+    * corpus-sized pass the tokenizer family shares. Word counts are
+    * associative, so the histogram of a grown corpus is the fold of the
+    * persisted base histogram with the NEW slice's histogram — a
+    * slice-sized scan plus a vocabulary-sized aggregate, never a
+    * re-scan of the base corpus. At 100 TB with daily ingest this is
+    * the difference between a daily slice-cost refresh and a daily
+    * corpus-cost rebuild; the folded frame drops back into every
+    * consumer ([[trainBpeFromHistogram]], [[bpeVocabFromHistogram]],
+    * [[alphabetFromHistogram]], the compression reference) unchanged,
+    * and a caller persisting through [[Stats.cachedArtifact]] writes it
+    * under the grown corpus's own fingerprint. Fold-equals-rebuild is
+    * spec-pinned (randomized splits), which makes incremental training
+    * exactly equal to full-corpus training — not approximately. */
+  def foldWordHistograms(histograms: Seq[DataFrame]): DataFrame = {
+    require(histograms.nonEmpty, "no histograms to fold")
+    histograms.foreach(h => require(
+      h.columns.contains("w") && h.columns.contains("freq"),
+      s"histogram must have columns (w, freq), got " +
+        s"${h.columns.mkString(",")}"))
+    histograms.map(_.select(col("w"), col("freq")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("w")).agg(sum(col("freq")).as("freq"))
+  }
+
   /** [[trainBpe]] without the driver histogram: the `(pre-token, count)`
     * histogram STAYS a DataFrame, and each merge iteration is one
     * vocabulary-sized aggregation (adjacent-pair explode → sum → top-1,

@@ -339,6 +339,26 @@ object Tokenizer {
         .orderBy("rank")
     }),
 
+    // Incremental training: the corpus arrives as two slices (the
+    // daily-ingest shape), each histogrammed separately, FOLDED
+    // (slice-sized scans + one vocab-sized aggregate — the base slice
+    // is never re-scanned with the new one), then trained. Word counts
+    // are associative, so the merge table is EXACTLY the full-corpus
+    // table — the oracle is q_doc_bpe_merges' full-corpus replay
+    // verbatim, which is the strongest possible statement of
+    // fold-equals-rebuild.
+    "q_doc_bpe_merges_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val folded = Tokenize.foldWordHistograms(Seq(
+        Tokenize.wordHistogram(d.where(col("doc_id") % 2 === 0)),
+        Tokenize.wordHistogram(d.where(col("doc_id") % 2 =!= 0))))
+      Tokenize.trainBpeFromHistogram(folded, nMerges).zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "left", "right")
+        .orderBy("rank")
+    }),
+
     // Serve the trained table as a pure expression: per-document token
     // counts from the literal replace chain — whole-stage codegen, no
     // join and no mapPartitions in the scoring plan.
@@ -697,6 +717,15 @@ object Tokenizer {
       |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_doc_bpe_merges" -> (mergeCtes(nMerges) + s"""
+      |SELECT * FROM (
+      |  ${(0 until nMerges).map(k =>
+           s"SELECT $k AS rank, l AS \"left\", r AS \"right\" FROM merge_$k")
+           .mkString(" UNION ALL ")}
+      |) ORDER BY rank""".stripMargin),
+
+    // fold-equals-rebuild: incremental training replays against the
+    // SAME full-corpus merge derivation — equality is the claim
+    "q_doc_bpe_merges_incremental" -> (mergeCtes(nMerges) + s"""
       |SELECT * FROM (
       |  ${(0 until nMerges).map(k =>
            s"SELECT $k AS rank, l AS \"left\", r AS \"right\" FROM merge_$k")

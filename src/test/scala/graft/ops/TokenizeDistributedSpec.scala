@@ -577,6 +577,36 @@ class TokenizeDistributedSpec extends AnyFunSuite {
     assert(msgs(ex).exists(m => m != null && m.contains("TokenEncoder")))
   }
 
+  test("foldWordHistograms: fold of slice histograms equals the full " +
+    "rebuild on a randomized corpus — incremental training is exact") {
+    val rnd = new scala.util.Random(41)
+    val vocabPool = Seq("low", "lower", "new", "newer", "wide", "er",
+      "deep", "deeper", "x", "1", "!", "café")
+    val docs = (0L until 60L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(12))(
+        vocabPool(rnd.nextInt(vocabPool.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def histMap(h: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      h.collect().map(r =>
+        r.getAs[String]("w") -> r.getAs[Long]("freq")).toMap
+    val full = Tokenize.wordHistogram(docs)
+    // three uneven slices, histogrammed independently, folded
+    val folded = Tokenize.foldWordHistograms(
+      Seq(0, 1, 2).map(k =>
+        Tokenize.wordHistogram(docs.where(col("doc_id") % 3 === k))))
+    assert(histMap(folded) == histMap(full))
+    // the fold drops into the trainer unchanged and yields the exact
+    // full-corpus merge table (counts are associative, so this is
+    // equality, not approximation)
+    assert(Tokenize.trainBpeFromHistogram(folded, numMerges = 6) ==
+      Tokenize.trainBpeFromHistogram(full, numMerges = 6))
+    // a frame without the histogram shape is loud
+    assertThrows[IllegalArgumentException](
+      Tokenize.foldWordHistograms(Seq(docs)))
+    assertThrows[IllegalArgumentException](
+      Tokenize.foldWordHistograms(Nil))
+  }
+
   test("withDecodedText: the seam's decode face — rehydrated ids " +
     "reconstruct the pre-token concat, bit-equal to the expr path; " +
     "counters without a vocab are loud") {
