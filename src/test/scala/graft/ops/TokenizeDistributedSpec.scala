@@ -577,6 +577,31 @@ class TokenizeDistributedSpec extends AnyFunSuite {
     assert(msgs(ex).exists(m => m != null && m.contains("TokenEncoder")))
   }
 
+  test("packed sequences decode back: a bin's token_ids through the " +
+    "seam decoder reconstruct each doc's pre-token concat with <eos> " +
+    "boundaries — the LM-dataloader round trip") {
+    val h = Seq(("low", 4L), ("lower", 2L), ("new", 3L)).toDF("w", "freq")
+    val fm = Tokenize.trainBpeFromHistogram(h, numMerges = 3)
+    val v = Tokenize.bpeVocabFromHistogram(h, fm, specials = Seq("<eos>"))
+    val d = Seq((0L, "lower new"), (1L, "low low"), (2L, "new"))
+      .toDF("doc_id", "text")
+    val packed = Packing.packSequences(d, maxTokens = 100,
+      numPartitions = 1,
+      ids = Some(Tokenize.bpeIdsExpr(col("text"), fm, v)),
+      sepId = Some(0))
+    val enc = Tokenize.TrainedBpeTokenizer(fm, v).init()
+    val pre = Map(0L -> "lowernew", 1L -> "lowlow", 2L -> "new")
+    val bins = packed.collect()
+    assert(bins.nonEmpty)
+    bins.foreach { b =>
+      val decoded = enc.decode(b.getSeq[Int](b.fieldIndex("token_ids")))
+      val docIds = b.getSeq[Long](b.fieldIndex("doc_ids"))
+      // decode maps the reserved id 0 to its literal "<eos>" — the
+      // boundaries survive the round trip alongside the content
+      assert(decoded == docIds.map(id => pre(id) + "<eos>").mkString)
+    }
+  }
+
   test("foldWordHistograms: fold of slice histograms equals the full " +
     "rebuild on a randomized corpus — incremental training is exact") {
     val rnd = new scala.util.Random(41)
