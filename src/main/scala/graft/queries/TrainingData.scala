@@ -2446,6 +2446,34 @@ object TrainingData {
         .orderBy(col("query_id"))
     }),
 
+    // The nprobe tuning curve the recall gate feeds: micro-averaged
+    // recall@5 (SUM hits / SUM exact — integer sums, so the double is
+    // order-independent and replayable) at nprobe 1/2/4/8 over the
+    // same sampled query set. Ground truth is computed ONCE and cached
+    // (it is the expensive side — one corpus scan); each sweep point
+    // re-probes the same deterministic quantizer. This is the
+    // operational question the gate raises ("0.53 at nprobe=2 — at
+    // what probe cost does the index meet its recall bar?") answered
+    // as one 4-row artifact.
+    "q_embed_recall_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 10 === 7)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5).cache()
+      try {
+        Seq(1, 2, 4, 8).map { np =>
+          val r = Similarity.recallAtK(exact,
+            Similarity.ivfTopKBatch(e, q, k = 5, nprobe = np,
+              targetTrain = 16000L))
+            .agg(sum(col("n_hit")).as("h"), sum(col("n_exact")).as("x"))
+            .head()
+          val (h, x) = (r.getAs[Long]("h"), r.getAs[Long]("x"))
+          (np, h, x, h.toDouble / x)
+        }.toDF("nprobe", "n_hit", "n_exact", "recall")
+          .orderBy("nprobe")
+      } finally exact.unpersist()
+    }),
+
     // prototypicality pruning: cluster with the IVF quantizer, keep the
     // 10 LEAST prototypical (hardest) vectors per cluster — the
     // diversity-preserving data-pruning selection
@@ -5825,6 +5853,21 @@ object TrainingData {
       (ivfCentroidCtes + ivfProbeRankSql("q.vec_id % 10 = 7", 2, 5)),
     "q_embed_recall" ->
       (ivfCentroidCtes + ivfRecallSql("q.vec_id % 10 = 7", 2, 5)),
+
+    // the nprobe sweep: each point is the full recall replay nested as
+    // a derived table (DuckDB scopes each point's CTE chain to its
+    // subquery, so the four chains do not collide), micro-averaged
+    "q_embed_recall_sweep" -> s"""
+      |SELECT * FROM (
+      |  ${Seq(1, 2, 4, 8).map(np =>
+           s"""SELECT $np AS nprobe,
+           |  CAST(SUM(n_hit) AS BIGINT) AS n_hit,
+           |  CAST(SUM(n_exact) AS BIGINT) AS n_exact,
+           |  CAST(SUM(n_hit) AS DOUBLE) / SUM(n_exact) AS recall
+           |FROM (${ivfCentroidCtes +
+                ivfRecallSql("q.vec_id % 10 = 7", np, 5)})""".stripMargin)
+           .mkString("\n  UNION ALL\n  ")}
+      |) ORDER BY nprobe""".stripMargin,
 
     // prototypicality-prune replay: the shared centroid/assignment CTE
     // chain, then proto = exact left-to-right dot fold over the member
