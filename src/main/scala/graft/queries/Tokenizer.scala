@@ -328,6 +328,44 @@ object Tokenizer {
         .orderBy(col("source"))
     }),
 
+    // What retraining would change — the impact analysis behind a
+    // fired gate: retrain on the drifted corpus and diff rank by rank
+    // against the served table. Two scenarios ride one artifact: the
+    // GATE's own drift level (x2 spam — where the table comes back
+    // UNCHANGED: compression drift re-costs budgets without vocabulary
+    // churn, so "retrain" there means re-fitting the reference, not
+    // re-issuing ids) and an ESCALATED level (x6 — where the spam
+    // words earn their own merges and half the table churns: every
+    // downstream id shifts, the expensive retrain). Both trainings are
+    // the deterministic distributed loop; the oracle replays all three
+    // merge chains side by side (prefixed CTEs) and joins on rank.
+    "q_doc_tok_retrain_impact" -> ((s, dir) => {
+      import s.implicits._
+      val base = merges(s, dir)
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val rows = Seq(("gate", 2), ("escalated", 6)).flatMap {
+        case (scenario, rep) =>
+          val drifted = docs(s, dir).select(
+            when(srcNum % 3 === 0,
+              concat(col("text"),
+                lit(" merge merge order order row row line line" * rep)))
+              .otherwise(col("text")).as("text"))
+          val next = Tokenize.trainBpeFromHistogram(
+            Tokenize.wordHistogram(drifted), nMerges)
+          require(next.length == base.length,
+            s"drifted training stopped early: ${next.length} vs " +
+              s"${base.length} merges — the rank join would silently " +
+              "drop the tail")
+          base.zip(next).zipWithIndex.map {
+            case (((bl, br), (nl, nr)), i) =>
+              (scenario, i, bl, br, nl, nr, bl != nl || br != nr)
+          }
+      }
+      rows.toDF("scenario", "rank", "base_left", "base_right",
+        "new_left", "new_right", "changed")
+        .orderBy("scenario", "rank")
+    }),
+
     // The trained merge table itself — the distributed loop's output
     // checked merge by merge (rank order, tie-breaks, greedy
     // application all have to agree for later ranks to match).
@@ -529,8 +567,25 @@ object Tokenizer {
     * (never hit on this corpus, where q_doc_bpe_merges' row-count
     * compare would also flag it, but the encode/vocab/compression
     * replays must not depend on that). */
-  private def mergeCtes(n: Int): String = {
-    val base = s"""WITH words_0 AS MATERIALIZED (
+  private def mergeCtes(n: Int): String = mergeCtes(n, "documents", "")
+
+  /** The retrain-impact drift variants as derived tables — the SAME
+    * source-conditioned spam the gate synthesizes, at a caller-chosen
+    * repeat level. */
+  private def driftedDocsSql(rep: Int): String =
+    "(SELECT CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 " +
+      "THEN text || repeat(' merge merge order order row row " +
+      s"line line', $rep) ELSE text END AS text FROM documents)"
+
+  /** `src` is any relation/derived table exposing a `text` column;
+    * `pfx` prefixes every CTE name so two chains (e.g. base corpus vs
+    * drifted corpus in the retrain-impact replay) coexist in one
+    * statement. The no-arg form keeps every existing oracle verbatim
+    * (empty prefix, `documents`). Emits WITH only for the unprefixed
+    * chain — a prefixed chain is always appended to an existing one. */
+  private def mergeCtes(n: Int, src: String, pfx: String): String = {
+    val lead = if (pfx.isEmpty) "WITH " else ""
+    val base = s"""$lead${pfx}words_0 AS MATERIALIZED (
       |  SELECT w,
       |    ' ' || array_to_string(regexp_extract_all(w, '.'), '  ') || ' '
       |      AS sym,
@@ -538,25 +593,25 @@ object Tokenizer {
       |  FROM (
       |    SELECT w, COUNT(*) AS freq FROM (
       |      SELECT unnest(regexp_extract_all(text, '$pat')) AS w
-      |      FROM documents) GROUP BY w)
+      |      FROM $src) GROUP BY w)
       |)""".stripMargin
     val layers = (0 until n).map { k =>
       s""",
-      |pairs_$k AS MATERIALIZED (
+      |${pfx}pairs_$k AS MATERIALIZED (
       |  SELECT s.syms[u.i] AS l, s.syms[u.i + 1] AS r, SUM(s.freq) AS cnt
       |  FROM (SELECT string_split(trim(sym, ' '), '  ') AS syms, freq
-      |        FROM words_$k) s,
+      |        FROM ${pfx}words_$k) s,
       |       UNNEST(range(1, len(s.syms))) AS u(i)
       |  GROUP BY 1, 2
-      |), merge_$k AS MATERIALIZED (
-      |  SELECT l, r FROM pairs_$k WHERE cnt >= 2
+      |), ${pfx}merge_$k AS MATERIALIZED (
+      |  SELECT l, r FROM ${pfx}pairs_$k WHERE cnt >= 2
       |  ORDER BY cnt DESC, l, r LIMIT 1
-      |), words_${k + 1} AS MATERIALIZED (
+      |), ${pfx}words_${k + 1} AS MATERIALIZED (
       |  SELECT w.w,
       |    COALESCE(replace(w.sym, ' ' || m.l || '  ' || m.r || ' ',
       |                     ' ' || m.l || m.r || ' '), w.sym) AS sym,
       |    w.freq
-      |  FROM words_$k w LEFT JOIN merge_$k m ON TRUE
+      |  FROM ${pfx}words_$k w LEFT JOIN ${pfx}merge_$k m ON TRUE
       |)""".stripMargin
     }.mkString
     base + layers
@@ -722,6 +777,30 @@ object Tokenizer {
            s"SELECT $k AS rank, l AS \"left\", r AS \"right\" FROM merge_$k")
            .mkString(" UNION ALL ")}
       |) ORDER BY rank""".stripMargin),
+
+    // retrain impact: all three chains replayed side by side — the
+    // base corpus unprefixed, the gate-level drift under g_, the
+    // escalated drift under e_ — joined rank by rank per scenario
+    "q_doc_tok_retrain_impact" -> (mergeCtes(nMerges) + ",\n" +
+      mergeCtes(nMerges, driftedDocsSql(2), "g_") + ",\n" +
+      mergeCtes(nMerges, driftedDocsSql(6), "e_") + s"""
+      |SELECT s.scenario, b.rank, b.l AS base_left, b.r AS base_right,
+      |  s.l AS new_left, s.r AS new_right,
+      |  (b.l <> s.l OR b.r <> s.r) AS changed
+      |FROM (
+      |  ${(0 until nMerges).map(k =>
+           s"SELECT $k AS rank, l, r FROM merge_$k")
+           .mkString(" UNION ALL ")}
+      |) b JOIN (
+      |  ${(0 until nMerges).map(k =>
+           s"SELECT 'gate' AS scenario, $k AS rank, l, r " +
+             s"FROM g_merge_$k").mkString(" UNION ALL ")}
+      |  UNION ALL
+      |  ${(0 until nMerges).map(k =>
+           s"SELECT 'escalated' AS scenario, $k AS rank, l, r " +
+             s"FROM e_merge_$k").mkString(" UNION ALL ")}
+      |) s ON b.rank = s.rank
+      |ORDER BY s.scenario, b.rank""".stripMargin),
 
     // fold-equals-rebuild: incremental training replays against the
     // SAME full-corpus merge derivation — equality is the claim
