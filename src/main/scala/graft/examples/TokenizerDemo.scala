@@ -86,6 +86,16 @@ object TokenizerDemo {
     val loaded = Tokenize.loadTrained(tokDir)
     println(s"  round-trip exact: merges=" +
       s"${loaded.merges == merges} vocab=${loaded.vocab == vocab}")
+    // the serving statistics ride a sidecar (the GPT-2 pair stays
+    // pristine): a later process monitors drift without the histogram
+    val refRow = hist.agg(
+      sum(col("freq") * Tokenize.bpeCountExpr(col("w"), merges)).as("t"),
+      sum(col("freq") * length(col("w"))).as("c")).head()
+    val refTpc = refRow.getAs[Long]("t").toDouble / refRow.getAs[Long]("c")
+    Tokenize.saveTrainedStats(tokDir, refTpc)
+    println(s"  drift reference survives: " +
+      s"${Tokenize.loadTrainedStats(tokDir).contains(refTpc)} " +
+      s"(ref_tokens_per_char = $refTpc)")
     graft.core.Fs.delete(tokDir)
     val packed = graft.ops.Packing.packSequences(docs, maxTokens = 512,
       tokens = Some(Tokenize.bpeCountExpr(col("text"), merges)))

@@ -478,6 +478,49 @@ object Tokenize {
         .sortBy(_._2))
   }
 
+  /** Persist the fit-time SERVING STATISTICS beside a trained pair —
+    * the tokens-per-char reference the compression-drift monitor
+    * anchors on. [[saveTrained]] makes the TABLES survive the process;
+    * without this sidecar the drift reference does not (it is a
+    * corpus statistic — unrecoverable from merges.txt/vocab.json), so
+    * a pipeline serving a months-old tokenizer could encode but not
+    * monitor. The sidecar is a separate `stats.json`; the GPT-2 pair
+    * stays byte-identical to the published format and foreign loaders
+    * simply ignore the extra file. `Double.toString` is the shortest
+    * round-tripping decimal, so save → load is bit-exact. */
+  def saveTrainedStats(dir: String, refTokensPerChar: Double): Unit = {
+    require(java.lang.Double.isFinite(refTokensPerChar) &&
+      refTokensPerChar > 0.0,
+      s"ref_tokens_per_char must be a positive finite double, got " +
+        s"$refTokensPerChar")
+    graft.core.Fs.writeString(s"$dir/stats.json",
+      s"""{"ref_tokens_per_char": $refTokensPerChar}""" + "\n")
+  }
+
+  /** Inverse of [[saveTrainedStats]]: None when no sidecar exists (a
+    * bare interchange pair — the caller re-fits the reference or
+    * serves without the drift monitor); a PRESENT but malformed
+    * sidecar is loud, never a silent monitor-less fallback. */
+  def loadTrainedStats(dir: String): Option[Double] = {
+    val p = java.nio.file.Paths.get(dir, "stats.json")
+    if (!java.nio.file.Files.isRegularFile(p)) None
+    else {
+      val s = graft.core.Fs.readString(p.toString)
+      val m = java.util.regex.Pattern
+        .compile("\"ref_tokens_per_char\"\\s*:\\s*([-+0-9.eE]+)")
+        .matcher(s)
+      require(m.find(),
+        s"stats.json at $dir exists but carries no " +
+          "ref_tokens_per_char — a corrupt sidecar must not silently " +
+          "disable the drift monitor")
+      val v = m.group(1).toDouble
+      require(java.lang.Double.isFinite(v) && v > 0.0,
+        s"stats.json at $dir carries a non-positive or non-finite " +
+          s"ref_tokens_per_char: ${m.group(1)}")
+      Some(v)
+    }
+  }
+
   /** The published GPT-2 pre-tokenizer pattern (contractions, space-
     * prefixed letter/digit/punct runs, trailing/other whitespace). */
   private[ops] val gpt2Pattern: String =

@@ -602,6 +602,51 @@ class TokenizeDistributedSpec extends AnyFunSuite {
     }
   }
 
+  test("scale-up: histogram fold costs slice-scan + vocab-aggregate, " +
+    "not a corpus re-scan — fold wall vs rebuild wall at sf0.1 " +
+    "(GRAFT_SCALEUP opt-in)") {
+    assume(sys.env.contains("GRAFT_SCALEUP"),
+      "slow: opt in with GRAFT_SCALEUP=1 sbt test")
+    // the daily-ingest shape at a size where scan volume dominates
+    // fixed job overhead: the accumulated base is 30 copies of sf0.1
+    // (already histogrammed and MATERIALIZED — the persisted
+    // artifact), today's slice is 1 more copy (1/30 of the base)
+    val one = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    def copies(ks: Range) = ks.map(i =>
+      one.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    val base = copies(0 until 30)
+    val slice = copies(30 until 31)
+    val baseDir = graft.SparkSpec.tmpDir("graft-foldhist-") + "/hist"
+    Tokenize.wordHistogram(base).write.parquet(baseDir)
+    def wall[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm the page cache symmetrically (both paths re-read the same
+    // single parquet dir)
+    Tokenize.wordHistogram(one).count()
+    val (nFull, wRebuild) = wall(
+      Tokenize.wordHistogram(copies(0 until 31)).count())
+    val (nFold, wFold) = wall(
+      Tokenize.foldWordHistograms(Seq(
+        spark.read.parquet(baseDir),
+        Tokenize.wordHistogram(slice))).count())
+    info(f"rebuild (31 copies scanned): $wRebuild%.2fs ($nFull words); " +
+      f"fold (1 copy + vocab frame): $wFold%.2fs ($nFold words)")
+    // correctness first: the fold serves the identical vocabulary
+    assert(nFold == nFull)
+    // the scale claim: the fold re-scans ~1/31 of the corpus, so even
+    // with the ~0.45s fixed job-overhead floor both paths share it
+    // must clearly undercut the rebuild (measured ~5x; asserted at
+    // 2x to stay flake-proof)
+    assert(wFold <= wRebuild * 0.5,
+      f"fold ($wFold%.2fs) should clearly undercut rebuild " +
+        f"($wRebuild%.2fs)")
+  }
+
   test("foldWordHistograms: fold of slice histograms equals the full " +
     "rebuild on a randomized corpus — incremental training is exact") {
     val rnd = new scala.util.Random(41)

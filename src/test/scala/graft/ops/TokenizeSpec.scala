@@ -241,6 +241,45 @@ class TokenizeSpec extends AnyFunSuite {
     assert(Tokenize.alphabetOf(emojiVocab) == Seq("a", emoji))
   }
 
+  test("saveTrainedStats/loadTrainedStats: the drift reference " +
+    "survives the process bit-exactly; absence is None, corruption " +
+    "is loud") {
+    val d = Seq((0L, "abab abab low lower"), (1L, "ab low"))
+      .toDF("doc_id", "text")
+    val h = Tokenize.wordHistogram(d)
+    val fm = Tokenize.trainBpeFromHistogram(h, numMerges = 3)
+    val v = Tokenize.bpeVocabFromHistogram(h, fm)
+    // the fit-time reference: freq-weighted tokens per char over the
+    // histogram under the trained chain (the monitor's anchor)
+    val row = h.agg(
+      sum(col("freq") * Tokenize.bpeCountExpr(col("w"), fm)).as("t"),
+      sum(col("freq") * length(col("w"))).as("c")).head()
+    val ref = row.getAs[Long]("t").toDouble / row.getAs[Long]("c")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tok-stats-").toString
+    try {
+      Tokenize.saveTrained(fm, v, dir)
+      // a bare interchange pair has no reference — None, not a guess
+      assert(Tokenize.loadTrainedStats(dir).isEmpty)
+      Tokenize.saveTrainedStats(dir, ref)
+      // bit-exact round trip: a fresh process can serve the monitor
+      // without the training histogram
+      assert(Tokenize.loadTrainedStats(dir).contains(ref))
+      // the GPT-2 pair itself is untouched by the sidecar
+      assert(Tokenize.loadTrained(dir).merges == fm)
+      // a present-but-corrupt sidecar is loud, never a silent
+      // monitor-less fallback
+      graft.core.Fs.writeString(s"$dir/stats.json", "{\"other\": 1}")
+      assertThrows[IllegalArgumentException](
+        Tokenize.loadTrainedStats(dir))
+      // non-positive references are rejected at save time too
+      assertThrows[IllegalArgumentException](
+        Tokenize.saveTrainedStats(dir, 0.0))
+      assertThrows[IllegalArgumentException](
+        Tokenize.saveTrainedStats(dir, Double.NaN))
+    } finally graft.core.Fs.delete(dir)
+  }
+
   test("bpeDecodeExpr: decode inverts encode to the pre-token concat; " +
     "an unassigned id raises; null stays null") {
     val emoji = new String(Character.toChars(0x1F600))
