@@ -452,7 +452,13 @@ object Retrieval {
     // full FileNotFoundException WARN stack — every first append paid
     // that resolution attempt and spammed the log; checking first does
     // neither, and stops depending on which exception type the
-    // analyzer of the day surfaces for a missing path
+    // analyzer of the day surfaces for a missing path. A stats dir
+    // that EXISTS but is unreadable (e.g. only _temporary from an
+    // interrupted write) now fails loudly where the old catch
+    // returned Set.empty — deliberate: that state means postings may
+    // carry batches the stats table lost, and treating it as "no
+    // batches seen" would double-append exactly the batch whose
+    // marker vanished. A corrupt index needs an operator, not a guess.
     val p = new org.apache.hadoop.fs.Path(s"$path/stats")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Set.empty

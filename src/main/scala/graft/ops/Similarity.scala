@@ -294,9 +294,18 @@ object Similarity {
     * cell assignment. One definition so the driver-probe and
     * distributed-probe variants can never diverge on training or
     * assignment semantics. */
-  private def ivfQuantize(corpus: DataFrame, numCentroids: Int,
-                          iters: Int, idCol: String, vecCol: String,
-                          trainFraction: Double, targetTrain: Long)
+  /** Fit the IVF coarse quantizer once: deterministic k-means
+    * centroids plus the corpus bucketed by nearest centroid
+    * (`(vec_id, v, cid)`). Public because fit-once/probe-many is the
+    * production shape — an nprobe sweep ([[ivfProbeTopK]]), a tuning
+    * loop, or repeated query batches re-probe ONE fitted quantizer
+    * instead of re-running k-means per call; [[ivfTopKBatch]] is the
+    * fit-and-probe convenience over this. */
+  def ivfQuantize(corpus: DataFrame, numCentroids: Int = 8,
+                  iters: Int = 3, idCol: String = "vec_id",
+                  vecCol: String = "embedding",
+                  trainFraction: Double = 0.0,
+                  targetTrain: Long = 100000L)
       : (Array[Array[Double]], DataFrame) = {
     require(trainFraction >= 0.0 && trainFraction <= 1.0,
       "trainFraction in [0,1] (0 = derive from corpus size)")
@@ -354,10 +363,22 @@ object Similarity {
                    vecCol: String = "embedding",
                    trainFraction: Double = 0.0,
                    targetTrain: Long = 100000L): DataFrame = {
-    require(k > 0, "k must be positive")
-    require(nprobe > 0, "nprobe must be positive")
     val (centroids, bucketed) = ivfQuantize(corpus, numCentroids, iters,
       idCol, vecCol, trainFraction, targetTrain)
+    ivfProbeTopK(centroids, bucketed, queries, k, nprobe, idCol, vecCol)
+  }
+
+  /** The probe-and-rank half of [[ivfTopKBatch]] over a PREBUILT
+    * quantizer ([[ivfQuantize]]'s pair): per-call cost is probe-cell
+    * selection + the cid join + the constant-limit rank — no k-means,
+    * no assignment pass. Identical results to [[ivfTopKBatch]] with
+    * the same parameters (it delegates here). */
+  def ivfProbeTopK(centroids: Array[Array[Double]], bucketed: DataFrame,
+                   queries: DataFrame, k: Int, nprobe: Int = 2,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nprobe > 0, "nprobe must be positive")
     // probe-cell selection: same two physical forms as assignCentroid —
     // the K-term literal sort_array up to the ceiling (existing plans
     // unchanged), one matrix expression above it (spec-pinned identical

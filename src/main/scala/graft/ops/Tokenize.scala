@@ -370,6 +370,17 @@ object Tokenize {
         s"merge output '${l + r}' missing from $vocabPath — the files " +
           "are not a matching vocab/merges pair")
     }
+    // ids must be injective or DECODE is ambiguous: the inverse maps
+    // (Gpt2Counter.decode, bpeDecodeExpr via loadTrained) would keep
+    // an arbitrary winner and mis-reconstruct text silently — the one
+    // failure mode the decode contract forbids. (JSON keys are unique,
+    // so token-side duplicates cannot occur; id-side ones can.)
+    val ids = vocab.values.toSeq
+    require(ids.distinct.length == ids.length, {
+      val dup = ids.groupBy(identity).filter(_._2.length > 1).keys
+      s"duplicate ids in $vocabPath (${dup.take(5).mkString(", ")}) — " +
+        "an id mapped to two tokens cannot decode"
+    })
     Gpt2BpeTokenizer(merges, vocab)
   }
 
@@ -502,10 +513,13 @@ object Tokenize {
     * serves without the drift monitor); a PRESENT but malformed
     * sidecar is loud, never a silent monitor-less fallback. */
   def loadTrainedStats(dir: String): Option[Double] = {
-    val p = java.nio.file.Paths.get(dir, "stats.json")
-    if (!java.nio.file.Files.isRegularFile(p)) None
+    // existence through the same Fs layer the writer uses — a
+    // java.nio check is local-FS-only and would silently ignore a
+    // present sidecar on an HDFS/object-store tokenizer dir
+    val path = s"$dir/stats.json"
+    if (!graft.core.Fs.exists(path)) None
     else {
-      val s = graft.core.Fs.readString(p.toString)
+      val s = graft.core.Fs.readString(path)
       val m = java.util.regex.Pattern
         .compile("\"ref_tokens_per_char\"\\s*:\\s*([-+0-9.eE]+)")
         .matcher(s)

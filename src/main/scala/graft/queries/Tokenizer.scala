@@ -72,6 +72,16 @@ object Tokenizer {
   private val covThreshold = 5e-4
   private val driftThreshold = 0.02
 
+  /** The synthetic drift probes, defined ONCE and shared verbatim
+    * between every Spark query and every oracle replay (the threshold
+    * discipline): editing a probe in one place edits it everywhere a
+    * hash match depends on it. The spam phrase is corpus vocabulary
+    * of heavily-merged words (~0.65 tokens/char vs the ~0.93
+    * reference) and contains no quote characters, so it interpolates
+    * into SQL string literals unescaped. */
+  private val driftSpam = " merge merge order order row row line line"
+  private val covProbe = " αβ"
+
   private def merges(s: SparkSession, dir: String): Seq[(String, String)] =
     mergeTables.getOrElseUpdate(dir,
       Tokenize.trainBpeFromHistogram(hist(s, dir), nMerges))
@@ -160,7 +170,7 @@ object Tokenizer {
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .select(col("source"),
-          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" αβ")))
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(covProbe)))
             .otherwise(col("text")).as("text"))
         .select(col("source"), length(pre).cast("long").as("nc"),
           size(Tokenize.oovChars(pre, a)).cast("long").as("no"))
@@ -252,14 +262,14 @@ object Tokenizer {
       val ref = refTpc(s, dir)
       val srcNum = substring(col("source"), 4, 10).cast("int")
       val covText = when(srcNum % 4 === 1 && col("doc_id") % 3 === 0,
-        concat(col("text"), lit(" αβ"))).otherwise(col("text"))
+        concat(col("text"), lit(covProbe))).otherwise(col("text"))
       // spam of heavily-merged corpus words (merge/order/row/line
       // tokenize at ~0.65 tokens/char vs the ~0.93 reference), so the
       // injected sources drift well past the threshold while natural
       // variation (<=0.011 at sf0.01) stays under half of it
       val driftText = when(srcNum % 3 === 0,
         concat(col("text"),
-          lit(" merge merge order order row row line line" * 2)))
+          lit(driftSpam * 2)))
         .otherwise(col("text"))
       def pre(t: org.apache.spark.sql.Column) = array_join(
         regexp_extract_all(t, lit(graft.ops.Text.bpeTokenPattern),
@@ -293,10 +303,10 @@ object Tokenizer {
       val ref = refTpc(s, dir)
       val srcNum = substring(col("source"), 4, 10).cast("int")
       val covText = when(srcNum % 4 === 1 && col("doc_id") % 3 === 0,
-        concat(col("text"), lit(" αβ"))).otherwise(col("text"))
+        concat(col("text"), lit(covProbe))).otherwise(col("text"))
       val driftText = when(srcNum % 3 === 0,
         concat(col("text"),
-          lit(" merge merge order order row row line line" * 2)))
+          lit(driftSpam * 2)))
         .otherwise(col("text"))
       def pre(t: org.apache.spark.sql.Column) = array_join(
         regexp_extract_all(t, lit(graft.ops.Text.bpeTokenPattern),
@@ -348,7 +358,7 @@ object Tokenizer {
           val drifted = docs(s, dir).select(
             when(srcNum % 3 === 0,
               concat(col("text"),
-                lit(" merge merge order order row row line line" * rep)))
+                lit(driftSpam * rep)))
               .otherwise(col("text")).as("text"))
           val next = Tokenize.trainBpeFromHistogram(
             Tokenize.wordHistogram(drifted), nMerges)
@@ -518,7 +528,7 @@ object Tokenizer {
     "q_doc_tok_coverage" -> ((s, dir) => {
       val a = alphabet(s, dir)
       val drifted = docs(s, dir).withColumn("text",
-        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" αβ")))
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(covProbe)))
           .otherwise(col("text")))
       val pre = array_join(regexp_extract_all(col("text"),
         lit(graft.ops.Text.bpeTokenPattern), lit(0)), "")
@@ -574,8 +584,8 @@ object Tokenizer {
     * repeat level. */
   private def driftedDocsSql(rep: Int): String =
     "(SELECT CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 " +
-      "THEN text || repeat(' merge merge order order row row " +
-      s"line line', $rep) ELSE text END AS text FROM documents)"
+      s"THEN text || repeat('$driftSpam', $rep) " +
+      "ELSE text END AS text FROM documents)"
 
   /** `src` is any relation/derived table exposing a `text` column;
     * `pfx` prefixes every CTE name so two chains (e.g. base corpus vs
@@ -644,7 +654,7 @@ object Tokenizer {
       |WITH drifted AS (
       |  SELECT source,
       |    array_to_string(regexp_extract_all(
-      |      CASE WHEN doc_id % 7 = 0 THEN text || ' αβ' ELSE text END,
+      |      CASE WHEN doc_id % 7 = 0 THEN text || '$covProbe' ELSE text END,
       |      '$pat'), '') AS p
       |  FROM documents
       |), alpha AS (
@@ -708,7 +718,7 @@ object Tokenizer {
       |    array_to_string(regexp_extract_all(
       |      CASE WHEN CAST(substr(source, 4) AS INT) % 4 = 1
       |                AND doc_id % 3 = 0
-      |           THEN text || ' αβ' ELSE text END, '$pat'), '') AS p
+      |           THEN text || '$covProbe' ELSE text END, '$pat'), '') AS p
       |  FROM documents
       |), gchars AS (
       |  SELECT g.source, u.ch
@@ -721,8 +731,7 @@ object Tokenizer {
       |), gw AS MATERIALIZED (
       |  SELECT source, unnest(regexp_extract_all(
       |    CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0
-      |         THEN text ||
-      |           repeat(' merge merge order order row row line line', 2)
+      |         THEN text || repeat('$driftSpam', 2)
       |         ELSE text END, '$pat')) AS w
       |  FROM documents
       |), drf AS (

@@ -2460,11 +2460,15 @@ object TrainingData {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") % 10 === 7)
       val exact = Similarity.bruteForceTopK(e, q, k = 5).cache()
+      // fit ONCE, probe four times — the quantizer is deterministic,
+      // so re-fitting per point would repeat identical k-means work
+      val (centroids, bucketed) =
+        Similarity.ivfQuantize(e, targetTrain = 16000L)
       try {
         Seq(1, 2, 4, 8).map { np =>
           val r = Similarity.recallAtK(exact,
-            Similarity.ivfTopKBatch(e, q, k = 5, nprobe = np,
-              targetTrain = 16000L))
+            Similarity.ivfProbeTopK(centroids, bucketed, q, k = 5,
+              nprobe = np))
             .agg(sum(col("n_hit")).as("h"), sum(col("n_exact")).as("x"))
             .head()
           val (h, x) = (r.getAs[Long]("h"), r.getAs[Long]("x"))
