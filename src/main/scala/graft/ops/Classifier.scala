@@ -95,6 +95,70 @@ object Classifier {
   // training
   // ---------------------------------------------------------------- //
 
+  /** Decode a trainer's input projection ONCE and cache it as plain
+    * JVM rows, spread over a SCALE-ADAPTIVE partition count.
+    *
+    * Two costs the iterative trainers used to pay per ITERATION now
+    * happen once:
+    *   - row decode — a cached Dataset stores Tungsten rows, so every
+    *     `mapPartitions` pass re-deserialized the whole frame (and
+    *     boxed each sparse index through a `Seq[Int]`); caching the
+    *     RDD keeps primitive-array tuples the gradient loop reads
+    *     directly;
+    *   - near-empty tasks — the old "spread a narrow input" rule
+    *     repartitioned ANY input below `defaultParallelism` up to it,
+    *     a constant tuned to the cluster, so a 30k-row frame ran 32
+    *     scheduler round-trips per iteration with microseconds of
+    *     compute each (x iterations x concurrent CV folds). The
+    *     partition count now derives from the DATA and the trainer's
+    *     per-row cost (`ceil(rows * unitsPerRow /
+    *     spark.graft.train.taskWorkUnits)`, default 2^23 multiply-adds
+    *     ≈ a few ms of compute per task, capped at
+    *     `defaultParallelism`): tiny frames train in one task per
+    *     iteration, a dense-Hessian trainer with its O(d²) row cost
+    *     spreads sooner than a sparse-gradient one, corpus-scale
+    *     frames still spread across every core, and inputs that
+    *     arrive over-partitioned for their row count (a micro-batch,
+    *     a filtered fold) coalesce down instead of scheduling
+    *     mostly-empty tasks. Inputs already wider than the work
+    *     justifies (the 100 TB scan) are left alone — this floor only
+    *     ever ADDS spread, never shrinks real data.
+    *
+    * Reshaping moves float-summation order, so model weights may move
+    * by ulps vs the previous constant-spread layout — never decisions
+    * at sane margins (the documented [[Classifier]] determinism
+    * contract; every gated query's output is pinned to the rule, and
+    * retrain-bit-identity within one layout still holds because the
+    * derivation is deterministic). Caller must `unpersist()` the
+    * returned RDD. */
+  private def cacheTrainRows[T: scala.reflect.ClassTag](
+      ds: org.apache.spark.sql.Dataset[T], unitsPerRow: Long)
+      : org.apache.spark.rdd.RDD[T] = {
+    require(unitsPerRow > 0, "unitsPerRow must be > 0")
+    val sc = ds.sparkSession.sparkContext
+    val taskWorkUnits = ds.sparkSession.conf
+      .get("spark.graft.train.taskWorkUnits", (1L << 23).toString).toLong
+    require(taskWorkUnits > 0, "spark.graft.train.taskWorkUnits must be > 0")
+    val rowsPerTask = math.max(1L, taskWorkUnits / unitsPerRow)
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val raw = ds.rdd.persist(level)
+    val n = raw.count() // materializes the cache; rows drive the spread
+    val want = math.max(1L, (n + rowsPerTask - 1) / rowsPerTask)
+    val target = math.min(want, sc.defaultParallelism.toLong).toInt
+    val reshaped =
+      if (raw.getNumPartitions < target) Some(raw.repartition(target))
+      else if (want < raw.getNumPartitions) Some(raw.coalesce(target))
+      else None
+    reshaped match {
+      case None => raw
+      case Some(r) =>
+        val cached = r.persist(level)
+        cached.count() // materialize BEFORE dropping the parent cache
+        raw.unpersist(blocking = false)
+        cached
+    }
+  }
+
   /** Train by IRLS (Newton) with L2 ridge `l2 > 0` over the WEIGHTS
     * only — the intercept is never penalized, the sklearn/reference-
     * solver convention shared by every trainer in this file (a
@@ -126,17 +190,13 @@ object Classifier {
     // dropped row would be indistinguishable from converged training).
     val wexpr = weightCol.map(c => col(c).cast("double"))
       .getOrElse(lit(1.0))
-    val data0 = df.select(col(labelCol).cast("double"),
+    // decoded once, cached as primitive-array rows, scale-adaptive
+    // partition count — see cacheTrainRows (per-row cost: the d² /2
+    // Hessian upper triangle dominates)
+    val data = cacheTrainRows(df.select(col(labelCol).cast("double"),
       col(featuresCol).cast("array<double>"), wexpr)
-      .as[(Double, Seq[Double], Double)]
-    // a narrow input (a single parquet file, a one-partition micro-
-    // batch) would run every iteration's partial on one thread — spread
-    // it across the cluster once, before the cache (round-robin
-    // repartition is sort-stabilized, so determinism holds)
-    val par = spark.sparkContext.defaultParallelism
-    val data = if (data0.rdd.getNumPartitions < par)
-      data0.repartition(par) else data0
-    data.persist()
+      .as[(Double, Array[Double], Double)],
+      unitsPerRow = d.toLong * (d + 3) / 2)
     try {
       var w = init.map(m => m.weights :+ m.bias)
         .getOrElse(new Array[Double](d))
@@ -238,13 +298,12 @@ object Classifier {
     // per-row importance weight — see trainLogistic
     val wexpr = weightCol.map(c => col(c).cast("double"))
       .getOrElse(lit(1.0))
-    val data0 = df.select(col(labelCol).cast("double"), col(idxCol), wexpr)
-      .as[(Double, Seq[Int], Double)]
-    // same narrow-input spread as trainLogistic
-    val par = spark.sparkContext.defaultParallelism
-    val data = if (data0.rdd.getNumPartitions < par)
-      data0.repartition(par) else data0
-    data.persist()
+    // decoded once, cached as primitive-array rows, scale-adaptive
+    // partition count — see cacheTrainRows (per-row cost ~ the sparse
+    // index length; 16 is a conservative stand-in, read without a pass)
+    val data = cacheTrainRows(
+      df.select(col(labelCol).cast("double"), col(idxCol), wexpr)
+        .as[(Double, Array[Int], Double)], unitsPerRow = 16L)
     try {
       var w = init.map(m => m.weights :+ m.bias)
         .getOrElse(new Array[Double](d))
@@ -258,12 +317,15 @@ object Classifier {
             require(rw > 0.0 && !rw.isNaN && !rw.isInfinite,
               s"row weight must be finite positive, got $rw")
             var m = wv(d - 1)
-            idx.foreach { i =>
+            var k = 0
+            while (k < idx.length) {
+              val i = idx(k)
               require(i >= 0 && i < dim, s"index $i outside [0, $dim)")
-              m += wv(i)
+              m += wv(i); k += 1
             }
             val r = rw * (1.0 / (1.0 + math.exp(-m)) - y)
-            idx.foreach(i => g(i) += r)
+            k = 0
+            while (k < idx.length) { g(idx(k)) += r; k += 1 }
             g(d - 1) += r
             n += rw
           }
@@ -435,13 +497,12 @@ object Classifier {
     import spark.implicits._
     val wexpr = weightCol.map(c => col(c).cast("double"))
       .getOrElse(lit(1.0))
-    val data0 = df.select(col(labelCol).cast("int"),
+    // decoded once, cached as primitive-array rows, scale-adaptive
+    // partition count — see cacheTrainRows (per-row cost: the m²
+    // block Hessian dominates)
+    val data = cacheTrainRows(df.select(col(labelCol).cast("int"),
       col(featuresCol).cast("array<double>"), wexpr)
-      .as[(Int, Seq[Double], Double)]
-    val par = spark.sparkContext.defaultParallelism
-    val data = if (data0.rdd.getNumPartitions < par)
-      data0.repartition(par) else data0
-    data.persist()
+      .as[(Int, Array[Double], Double)], unitsPerRow = m.toLong * m)
     try {
       val C = numClasses
       var w = new Array[Double](m) // class-major: c*d + i
@@ -578,13 +639,13 @@ object Classifier {
     import spark.implicits._
     val wexpr = weightCol.map(c => col(c).cast("double"))
       .getOrElse(lit(1.0))
-    val data0 = df.select(col(labelCol).cast("int"), col(idxCol), wexpr)
-      .as[(Int, Seq[Int], Double)]
-    // same narrow-input spread as trainLogistic
-    val par = spark.sparkContext.defaultParallelism
-    val data = if (data0.rdd.getNumPartitions < par)
-      data0.repartition(par) else data0
-    data.persist()
+    // decoded once, cached as primitive-array rows, scale-adaptive
+    // partition count — see cacheTrainRows (per-row cost ~ (C−1) ×
+    // sparse index length; 16 stands in for the unknown length)
+    val data = cacheTrainRows(
+      df.select(col(labelCol).cast("int"), col(idxCol), wexpr)
+        .as[(Int, Array[Int], Double)],
+      unitsPerRow = 16L * (numClasses - 1))
     try {
       val C = numClasses
       var w = init.map(_.weights.flatten.toArray)
@@ -601,12 +662,17 @@ object Classifier {
             require(y >= 0 && y < C, s"label $y outside [0, $C)")
             require(rw > 0.0 && !rw.isNaN && !rw.isInfinite,
               s"row weight must be finite positive, got $rw")
-            idx.foreach(i =>
-              require(i >= 0 && i < dim, s"index $i outside [0, $dim)"))
+            var k = 0
+            while (k < idx.length) {
+              val i = idx(k)
+              require(i >= 0 && i < dim, s"index $i outside [0, $dim)")
+              k += 1
+            }
             var c = 0; var mx = 0.0
             while (c < C - 1) {
               var s = wv(c * d + dim) // bias
-              idx.foreach(i => s += wv(c * d + i))
+              k = 0
+              while (k < idx.length) { s += wv(c * d + idx(k)); k += 1 }
               logits(c) = s
               if (s > mx) mx = s
               c += 1
@@ -621,7 +687,8 @@ object Classifier {
             var a = 0
             while (a < C - 1) {
               val ra = rw * (p(a) - (if (y == a) 1.0 else 0.0))
-              idx.foreach(i => g(a * d + i) += ra)
+              k = 0
+              while (k < idx.length) { g(a * d + idx(k)) += ra; k += 1 }
               g(a * d + dim) += ra
               a += 1
             }
