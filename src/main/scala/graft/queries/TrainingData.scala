@@ -365,16 +365,20 @@ object TrainingData {
       // shared by k complement Newton trainings + the CV pool's passes
       feats.persist()
       try {
-        val inits = (0 until kF).map { fold =>
-          val comp = feats.filter(
-            Classifier.foldExpr(col("doc_id"), kF) =!= fold)
-          val dense = Classifier.trainSoftmax(comp, "f", "label",
-            dim = words.size, numClasses = 3)
-          fold -> distillDense(s, dense, words, dim)
-        }.toMap
+        // the dense warm-start is built LAZILY inside init(fold), so
+        // each fold's Newton training runs on that fold's CV-pool
+        // thread — the three 20-iteration trainings overlap instead of
+        // running as a sequential prologue (the pool already proves
+        // fold-concurrency moves no bit; wall-clock tracks one
+        // training, not three)
         val oof = Classifier.crossValidateSoftmaxSparse(feats, "idx",
           "label", "doc_id", dim, numClasses = 3, k = kF, iters = 30,
-          lr = 0.5, init = fold => Some(inits(fold)))
+          lr = 0.5, init = fold => {
+            val comp = feats.filter(
+              Classifier.foldExpr(col("doc_id"), kF) =!= fold)
+            Some(distillDense(s, Classifier.trainSoftmax(comp, "f",
+              "label", dim = words.size, numClasses = 3), words, dim))
+          })
         val out = feats.filter(col("unique_max"))
           .select(col("doc_id"), col("label"))
           .join(oof.select(col("doc_id"), col("predicted")), "doc_id")
@@ -418,47 +422,83 @@ object TrainingData {
             (c2 > c0 && c2 > c1))
       feats.persist()
       try {
-        val inits = (0 until kF).map { fold =>
-          val comp = feats.filter(
-            Classifier.foldExpr(col("doc_id"), kF) =!= fold)
-          val dense = Classifier.trainSoftmax(comp, "f", "label",
-            dim = words.size, numClasses = 3)
-          fold -> distillDense(s, dense, words, dim)
-        }.toMap
+        // lazy per-fold dense warm-start — trains inside the CV pool's
+        // fold threads (see q_doc_domain_router_cv)
         val oof = Classifier.crossValidateSoftmaxSparse(feats, "idx",
           "label", "doc_id", dim, numClasses = 3, k = kF, iters = 30,
-          lr = 0.5, init = fold => Some(inits(fold)))
+          lr = 0.5, init = fold => {
+            val comp = feats.filter(
+              Classifier.foldExpr(col("doc_id"), kF) =!= fold)
+            Some(distillDense(s, Classifier.trainSoftmax(comp, "f",
+              "label", dim = words.size, numClasses = 3), words, dim))
+          })
         val uniq = feats.filter(col("unique_max"))
           .select(col("doc_id"), col("label"))
           .join(oof.select(col("doc_id"), col("logits"),
             col("predicted")), "doc_id")
-        uniq.persist()
-        try {
-          val acc = uniq.select(avg(when(
-            col("predicted") === col("label"), 1.0).otherwise(0.0)))
-            .head().getDouble(0)
-          require(acc == 1.0,
-            "router gate: OOF accuracy " + acc + " < 1 on " +
-              "uniquely-argmaxed docs — do not deploy this router")
-          val cals = Classifier.fitSoftmaxCalibration(uniq, "logits",
-            "label", numClasses = 3, edges = Seq(0.0))
-          cals.zipWithIndex.foreach { case (cal, c) =>
-            require(cal.rates.toSet == Set(0.0, 1.0),
-              s"router gate: class $c calibrated rates ${cal.rates} " +
-                "are not the gated 0/1 split — gates and calibration " +
-                "disagree")
+        // gate + per-class calibration counts FUSED into one aggregate
+        // over one pass of uniq (the q_doc_classifier_pipeline
+        // discipline): the old shape paid an accuracy head() plus
+        // fitSoftmaxCalibration's grouped collect — two scheduler
+        // round-trips over a persisted frame. The fused row carries the
+        // same integers fitSoftmaxCalibration(edges=Seq(0.0)) would
+        // aggregate (per class: n above the 0-edge, positives above,
+        // positives overall), so the rebuilt CalibrationModels are
+        // value-identical; null/NaN margins surface as a loud count
+        // (the fit's per-class filter, preserved as a witness).
+        val margins = (0 until 3).map(c =>
+          Classifier.softmaxClassMargin(col("logits"), c, 3))
+        val aggs =
+          avg(when(col("predicted") === col("label"), 1.0)
+            .otherwise(0.0)).as("acc") +:
+          count(lit(1)).as("n") +:
+          (0 until 3).flatMap { c =>
+            val m = margins(c)
+            Seq(
+              sum(when(m > 0.0, 1L).otherwise(0L)).as(s"n_hi_$c"),
+              sum(when(m > 0.0 && col("label") === c, 1L)
+                .otherwise(0L)).as(s"np_hi_$c"),
+              sum(when(col("label") === c, 1L).otherwise(0L))
+                .as(s"np_$c"),
+              sum(when(m.isNull || isnan(m), 1L).otherwise(0L))
+                .as(s"bad_$c"))
           }
-          uniq.select(col("doc_id"),
-            explode(array((0 until 3).map { c =>
-              struct(lit(c).as("cls"),
-                Classifier.calibratedExpr(
-                  Classifier.softmaxClassMargin(col("logits"), c, 3),
-                  cals(c)).as("p_cal"))
-            }: _*)).as("e"))
-            .select(col("doc_id"), col("e.cls").as("cls"),
-              col("e.p_cal").as("p_cal"))
-            .orderBy(col("doc_id"), col("cls"))
-        } finally { uniq.unpersist(): Unit }
+        val g = uniq.agg(aggs.head, aggs.tail: _*).head()
+        require(g.getAs[Double]("acc") == 1.0,
+          "router gate: OOF accuracy " + g.getAs[Double]("acc") +
+            " < 1 on uniquely-argmaxed docs — do not deploy this router")
+        val n = g.getAs[Long]("n")
+        val cals = (0 until 3).map { c =>
+          require(g.getAs[Long](s"bad_$c") == 0L,
+            s"router gate: class $c has null/NaN OOF margins — repair " +
+              "the feature chain before calibrating")
+          require(n > 0, s"cannot calibrate class $c on an empty frame")
+          val nHi = g.getAs[Long](s"n_hi_$c")
+          val npHi = g.getAs[Long](s"np_hi_$c")
+          val np = g.getAs[Long](s"np_$c")
+          val prior = np.toDouble / n
+          val rateLo =
+            if (n - nHi > 0) (np - npHi).toDouble / (n - nHi) else prior
+          val rateHi = if (nHi > 0) npHi.toDouble / nHi else prior
+          Classifier.CalibrationModel(Seq(0.0), Seq(rateLo, rateHi),
+            prior)
+        }
+        cals.zipWithIndex.foreach { case (cal, c) =>
+          require(cal.rates.toSet == Set(0.0, 1.0),
+            s"router gate: class $c calibrated rates ${cal.rates} " +
+              "are not the gated 0/1 split — gates and calibration " +
+              "disagree")
+        }
+        uniq.select(col("doc_id"),
+          explode(array((0 until 3).map { c =>
+            struct(lit(c).as("cls"),
+              Classifier.calibratedExpr(
+                Classifier.softmaxClassMargin(col("logits"), c, 3),
+                cals(c)).as("p_cal"))
+          }: _*)).as("e"))
+          .select(col("doc_id"), col("e.cls").as("cls"),
+            col("e.p_cal").as("p_cal"))
+          .orderBy(col("doc_id"), col("cls"))
       } finally { feats.unpersist(): Unit }
     }),
 
@@ -2456,26 +2496,33 @@ object TrainingData {
     // what probe cost does the index meet its recall bar?") answered
     // as one 4-row artifact.
     "q_embed_recall_sweep" -> ((s, dir) => {
-      import s.implicits._
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") % 10 === 7)
-      val exact = Similarity.bruteForceTopK(e, q, k = 5).cache()
+      // ground truth computed once (it is the expensive side — one
+      // corpus scan) and pinned: the four union branches below all read
+      // the |queries|*k checkpointed rows instead of re-scanning
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+        .localCheckpoint(true)
       // fit ONCE, probe four times — the quantizer is deterministic,
-      // so re-fitting per point would repeat identical k-means work
+      // so re-fitting per point would repeat identical k-means work.
+      // The four sweep points UNION into one frame so the whole curve
+      // is ONE driver action (the r13 gate-fusion discipline): the old
+      // shape collected each point with its own agg().head(), paying
+      // four sequential scheduler round-trips where the union's
+      // branches schedule together. Micro-averaged recall stays
+      // h.toDouble / x — integer sums then one IEEE division, computed
+      // in-plan now, value-identical and order-independent.
       val (centroids, bucketed) =
         Similarity.ivfQuantize(e, targetTrain = 16000L)
-      try {
-        Seq(1, 2, 4, 8).map { np =>
-          val r = Similarity.recallAtK(exact,
-            Similarity.ivfProbeTopK(centroids, bucketed, q, k = 5,
-              nprobe = np))
-            .agg(sum(col("n_hit")).as("h"), sum(col("n_exact")).as("x"))
-            .head()
-          val (h, x) = (r.getAs[Long]("h"), r.getAs[Long]("x"))
-          (np, h, x, h.toDouble / x)
-        }.toDF("nprobe", "n_hit", "n_exact", "recall")
-          .orderBy("nprobe")
-      } finally exact.unpersist()
+      Seq(1, 2, 4, 8).map { np =>
+        Similarity.recallAtK(exact,
+          Similarity.ivfProbeTopK(centroids, bucketed, q, k = 5,
+            nprobe = np))
+          .agg(sum(col("n_hit")).as("n_hit"),
+            sum(col("n_exact")).as("n_exact"))
+          .select(lit(np).as("nprobe"), col("n_hit"), col("n_exact"),
+            (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      }.reduce(_ unionByName _).orderBy("nprobe")
     }),
 
     // prototypicality pruning: cluster with the IVF quantizer, keep the
