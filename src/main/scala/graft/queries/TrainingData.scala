@@ -284,9 +284,13 @@ object TrainingData {
       val model = softmaxModels.getOrElseUpdate(dir,
         Classifier.trainSoftmax(feats, "f", "label", dim = words.size,
           numClasses = 3))
+      // pinned: the gate forces evaluation; the returned projection
+      // reads the checkpointed rows instead of re-tokenizing the
+      // corpus through the literal argmax chain (per-invocation)
       val out = feats.filter(col("unique_max"))
         .select(col("doc_id"), col("label"),
           Classifier.softmaxPredictExpr(col("f"), model).as("predicted"))
+        .localCheckpoint(true)
       val acc = out.select(avg(when(col("predicted") === col("label"),
         1.0).otherwise(0.0))).head().getDouble(0)
       require(acc == 1.0,
@@ -379,9 +383,15 @@ object TrainingData {
             Some(distillDense(s, Classifier.trainSoftmax(comp, "f",
               "label", dim = words.size, numClasses = 3), words, dim))
           })
+        // pinned while feats is still cached: the gate below already
+        // forces evaluation, and the lazily-returned plan would re-run
+        // the scoring join uncached at every downstream action (the
+        // q_doc_classifier_pipeline report discipline; per-invocation,
+        // nothing crosses runs)
         val out = feats.filter(col("unique_max"))
           .select(col("doc_id"), col("label"))
           .join(oof.select(col("doc_id"), col("predicted")), "doc_id")
+          .localCheckpoint(true)
         val acc = out.select(avg(when(col("predicted") === col("label"),
           1.0).otherwise(0.0))).head().getDouble(0)
         require(acc == 1.0,
@@ -432,10 +442,15 @@ object TrainingData {
             Some(distillDense(s, Classifier.trainSoftmax(comp, "f",
               "label", dim = words.size, numClasses = 3), words, dim))
           })
+        // pinned while feats is still cached (the router_cv/pipeline
+        // discipline): the fused gate forces evaluation anyway, and
+        // both it and the returned projection read the checkpointed
+        // rows instead of re-running the scoring join
         val uniq = feats.filter(col("unique_max"))
           .select(col("doc_id"), col("label"))
           .join(oof.select(col("doc_id"), col("logits"),
             col("predicted")), "doc_id")
+          .localCheckpoint(true)
         // gate + per-class calibration counts FUSED into one aggregate
         // over one pass of uniq (the q_doc_classifier_pipeline
         // discipline): the old shape paid an accuracy head() plus
@@ -672,10 +687,14 @@ object TrainingData {
       // third, and 1e-2 shrinkage misplaces unit-margin edge docs
       val oof = Classifier.crossValidate(feats, "f", "label", "doc_id",
         dim = vocab.size, k = 3, iters = 16, l2 = 1e-3)
+      // pinned: the gate forces evaluation, so the returned projection
+      // reads the checkpointed rows instead of re-running the OOF
+      // scoring join (per-invocation — the router_cv discipline)
       val out = feats.select(col("doc_id"), col("label"))
         .join(oof, "doc_id")
         .select(col("doc_id"), col("label"), (col("margin") > 0)
           .as("predicted"))
+        .localCheckpoint(true)
       val acc = out.select(avg(when(col("predicted") === col("label"),
         1.0).otherwise(0.0))).head().getDouble(0)
       require(acc == 1.0, s"out-of-fold under-generalization: acc=$acc")
@@ -865,11 +884,20 @@ object TrainingData {
             col("source"), col("doc_id"), col("tok"), col("q"),
             Map("src0" -> 400L, "src1" -> 300L, "src2" -> 200L),
             qMin = 0.0, qMax = 1.0)
-          // stage 5: the mixture report
+          // stage 5: the mixture report — PINNED while proj is still
+          // cached: the gates already forced the whole pipeline to run
+          // eagerly, and the lazily-returned plan used to re-run the
+          // scoring + selection chain from scratch (uncached, ~2x the
+          // whole query) at every downstream action. localCheckpoint is
+          // per-invocation — each bench/verify run re-executes this
+          // closure from the parquet inputs — so nothing is reused
+          // across runs; the 3-row report is just not computed twice
+          // WITHIN one.
           sel.groupBy(col("source"))
             .agg(count(lit(1)).as("n_docs"),
               sum(col("tok")).as("n_tokens"))
             .orderBy(col("source"))
+            .localCheckpoint(true)
         } finally { proj.unpersist(): Unit }
       report
     }),

@@ -38,7 +38,15 @@ object ProfileQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(): Unit = { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
+    def run(): Unit = {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val t1 = System.nanoTime()
+      df.count()
+      val t2 = System.nanoTime()
+      println(f"[profile] construct ${(t1 - t0) / 1e9}%.2f s, " +
+        f"count ${(t2 - t1) / 1e9}%.2f s")
+    }
     run() // warmup, unprofiled
 
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
