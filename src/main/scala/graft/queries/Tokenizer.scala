@@ -353,23 +353,39 @@ object Tokenizer {
       import s.implicits._
       val base = merges(s, dir)
       val srcNum = substring(col("source"), 4, 10).cast("int")
-      val rows = Seq(("gate", 2), ("escalated", 6)).flatMap {
-        case (scenario, rep) =>
-          val drifted = docs(s, dir).select(
-            when(srcNum % 3 === 0,
-              concat(col("text"),
-                lit(driftSpam * rep)))
-              .otherwise(col("text")).as("text"))
-          val next = Tokenize.trainBpeFromHistogram(
-            Tokenize.wordHistogram(drifted), nMerges)
-          require(next.length == base.length,
-            s"drifted training stopped early: ${next.length} vs " +
-              s"${base.length} merges — the rank join would silently " +
-              "drop the tail")
-          base.zip(next).zipWithIndex.map {
-            case (((bl, br), (nl, nr)), i) =>
-              (scenario, i, bl, br, nl, nr, bl != nl || br != nr)
-          }
+      // the two scenario trainings are INDEPENDENT deterministic
+      // histogram+merge loops, so they run as two concurrent driver
+      // threads (the crossValidate pool discipline — each training is
+      // a pure function of its own drifted corpus, so concurrency
+      // cannot move a bit; wall-clock tracks one training, not two)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val trained =
+        try {
+          import scala.concurrent.{Await, Future}
+          Await.result(
+            Future.sequence(Seq(("gate", 2), ("escalated", 6)).map {
+              case (scenario, rep) => Future {
+                val drifted = docs(s, dir).select(
+                  when(srcNum % 3 === 0,
+                    concat(col("text"),
+                      lit(driftSpam * rep)))
+                    .otherwise(col("text")).as("text"))
+                scenario -> Tokenize.trainBpeFromHistogram(
+                  Tokenize.wordHistogram(drifted), nMerges)
+              }(ec)
+            })(scala.collection.BuildFrom.buildFromIterableOps, ec),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
+      val rows = trained.flatMap { case (scenario, next) =>
+        require(next.length == base.length,
+          s"drifted training stopped early: ${next.length} vs " +
+            s"${base.length} merges — the rank join would silently " +
+            "drop the tail")
+        base.zip(next).zipWithIndex.map {
+          case (((bl, br), (nl, nr)), i) =>
+            (scenario, i, bl, br, nl, nr, bl != nl || br != nr)
+        }
       }
       rows.toDF("scenario", "rank", "base_left", "base_right",
         "new_left", "new_right", "changed")
