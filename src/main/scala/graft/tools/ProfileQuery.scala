@@ -49,11 +49,23 @@ object ProfileQuery {
     }
     run() // warmup, unprofiled
 
+    val execDesc = new java.util.concurrent.ConcurrentHashMap[Long, String]()
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
     val listener = new SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execDesc.put(s.executionId, s.description): Unit
+        case _ =>
+      }
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+        val exec = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.root.id"))
+            .orElse(Option(p.getProperty("spark.sql.execution.id"))))
+          .flatMap(id => Option(execDesc.get(id.toLong)))
+        val site = exec.getOrElse(
+          js.stageInfos.lastOption.map(_.name).getOrElse("?"))
         starts.put(js.jobId, (js.time, site)): Unit
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
