@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes straight through to this process's
+// stdout/stderr instead of sbt's logger: the logger prefixes every line
+// with "[info] ", which made the bench's one-line JSON unparseable to
+// any consumer that expects a line starting with '{' (the round-15
+// verdict's finding: the driver's bench parse has failed every round).
+// Timing and semantics are untouched — this only changes how the forked
+// process's bytes reach the console.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

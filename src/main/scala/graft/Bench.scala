@@ -374,6 +374,42 @@ object Bench {
       case e: java.io.IOException =>
         System.err.println(s"[bench] could not write $outPath: $e")
     }
+    // Driver-readable COMPACT line, printed LAST (round-16 harness fix,
+    // VERDICT r15 item 2 — additions-only, timing untouched): the driver
+    // keeps only the final ~2000 chars of captured output and parses a
+    // JSON line from them, so the full line above (~8 KB for 218
+    // queries) has never been machine-readable to it — its per-query
+    // perf ground truth has been empty since ~r12. This line carries the
+    // same metric/value/unit/sf and calibration fields, plus as many
+    // per-query seconds as fit the tail budget: the stable headline set
+    // first, then the most expensive remaining queries. `queries_omitted`
+    // counts what the budget cut; the FULL artifact (every query, spread,
+    // pair) is the line above and the SPARK_GRAFT_BENCH_OUT file —
+    // nothing is dropped from either.
+    val tailBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_BUDGET", "1850").toInt
+    val resMap = results.toMap
+    val compactOrder = headline.filter(resMap.contains) ++
+      results.map(_._1).filterNot(headline.contains)
+        .sortBy(n => (-resMap(n), n))
+    val fixedPre = f"""{"metric":"total","value":$total%.4f,"unit":"sec","passes":$passes,"total_stream":$totalStream%.4f,"total_batch":$totalBatch%.4f,"pair_total_ratio":$pairTotalRatio%.4f,"calib_s":$calib%.4f,"drift":$drift%.4f,"drift_mt":$driftMt%.4f,"calib_io_pre":$calibIoPre%.4f,"total_norm":${total / driftMt}%.4f,"n_queries":${results.size},"errors":$errJson,"sf":"$sfDir","queries":{"""
+    // queries_omitted is emitted after the dict; reserve its worst-case
+    // width before filling the budget with per-query entries
+    val fixedPost = s"""},"queries_omitted":${results.size}}"""
+    val entries = compactOrder.map { n =>
+      "\"" + n + f"""\":${resMap(n)}%.4f"""
+    }
+    var used = fixedPre.length + fixedPost.length
+    val taken = entries.takeWhile { e =>
+      val fits = used + e.length + 1 <= tailBudget
+      if (fits) used += e.length + 1
+      fits
+    }
+    val compact = fixedPre + taken.mkString(",") +
+      s"""},"queries_omitted":${results.size - taken.size}}"""
+    spark.sparkContext.setLogLevel("ERROR") // keep stop() quiet below it
+    println(compact)
+    System.out.flush()
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

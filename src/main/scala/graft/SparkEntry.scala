@@ -26,6 +26,28 @@ object SparkEntry {
     * cluster-sized constant for kilobytes of state. Only the eager
     * drain inside the closure is affected; the returned frame executes
     * under the session's normal configuration. */
+  /** The table each q_stream query actually drains, for
+    * [[graft.streaming.Monitor.drainPartitions]] sizing (ADVICE r15:
+    * sizing from the whole sf dir counted every table, not the one
+    * being streamed). Zero behavioral change at the bench SFs — every
+    * table there is under one 32 MB sizing unit, so the derived count
+    * is the floor either way — but at scale the derivation must follow
+    * the real input. Queries that stream a scratch REWRITE of a table
+    * (q_stream_neardedup, q_stream_simdedup_index write the documents
+    * split to a temp dir first) size from that table — same bytes,
+    * honest proxy. q_stream_run_tail drains a history db built inside
+    * its own closure, so it re-derives from the db path itself
+    * (nested [[graft.streaming.Monitor.withDrainPartitions]] — the
+    * inner, input-accurate count wins for the drain). */
+  private val streamedTable: Map[String, String] = {
+    val events = Seq("q_stream_sessionize", "q_stream_sessionize_native",
+      "q_stream_windowed", "q_stream_windowed_quantiles",
+      "q_stream_windowed_quantiles_append", "q_stream_attribution",
+      "q_stream_attribution_hourly").map(_ -> "events.parquet")
+    val embeddings = Seq("q_stream_semantic").map(_ -> "embeddings.parquet")
+    (events ++ embeddings).toMap // every other q_stream drains documents
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val all = graft.queries.Relational.queries ++
       graft.queries.Core.queries ++
@@ -33,8 +55,9 @@ object SparkEntry {
       graft.queries.Tokenizer.queries
     all.map {
       case (name, fn) if name.startsWith("q_stream") =>
+        val table = streamedTable.getOrElse(name, "documents.parquet")
         name -> ((s: SparkSession, dir: String) =>
-          graft.streaming.Monitor.withDrainPartitions(s, dir) {
+          graft.streaming.Monitor.withDrainPartitions(s, s"$dir/$table") {
             fn(s, dir)
           })
       case other => other

@@ -111,7 +111,7 @@ object Classifier {
     *     scheduler round-trips per iteration with microseconds of
     *     compute each (x iterations x concurrent CV folds). The
     *     partition count now derives from the DATA and the trainer's
-    *     per-row cost (`ceil(rows * unitsPerRow /
+    *     per-row cost (`ceil(sum(unitsOf(row)) /
     *     spark.graft.train.taskWorkUnits)`, default 2^23 multiply-adds
     *     ≈ a few ms of compute per task, capped at
     *     `defaultParallelism`): tiny frames train in one task per
@@ -129,21 +129,41 @@ object Classifier {
     * at sane margins (the documented [[Classifier]] determinism
     * contract; every gated query's output is pinned to the rule, and
     * retrain-bit-identity within one layout still holds because the
-    * derivation is deterministic). Caller must `unpersist()` the
-    * returned RDD. */
+    * derivation is deterministic). Retry caveat (ADVICE r15):
+    * `RDD.repartition` here lacks Dataset.repartition's
+    * sort-stabilized round-robin, so under block eviction + task retry
+    * the row-to-partition assignment can differ between two
+    * materializations — weights then differ by the same ulp-level
+    * reshaping noise already inside the contract (decisions pinned to
+    * rules, never to a particular float). Sort-stabilizing would mean
+    * re-decoding through a Dataset, un-doing the decode-once win; the
+    * weaker guarantee is the documented trade. Caller must
+    * `unpersist()` the returned RDD.
+    *
+    * `unitsOf` gives each row's work units (multiply-adds per
+    * iteration). Dense trainers pass a constant; the SPARSE trainers
+    * pass the row's actual index length (ADVICE r15: the old constant
+    * 16 under-spread corpora with long documents — hundreds of token
+    * indices per row could put per-task work orders of magnitude above
+    * the 2^23 target with no spread). The units total is summed in the
+    * same pass that materializes the cache, so deriving from data
+    * costs no extra action. */
   private def cacheTrainRows[T: scala.reflect.ClassTag](
-      ds: org.apache.spark.sql.Dataset[T], unitsPerRow: Long)
+      ds: org.apache.spark.sql.Dataset[T])(unitsOf: T => Long)
       : org.apache.spark.rdd.RDD[T] = {
-    require(unitsPerRow > 0, "unitsPerRow must be > 0")
     val sc = ds.sparkSession.sparkContext
     val taskWorkUnits = ds.sparkSession.conf
       .get("spark.graft.train.taskWorkUnits", (1L << 23).toString).toLong
     require(taskWorkUnits > 0, "spark.graft.train.taskWorkUnits must be > 0")
-    val rowsPerTask = math.max(1L, taskWorkUnits / unitsPerRow)
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val raw = ds.rdd.persist(level)
-    val n = raw.count() // materializes the cache; rows drive the spread
-    val want = math.max(1L, (n + rowsPerTask - 1) / rowsPerTask)
+    // materializes the cache; the units total drives the spread
+    val units = raw.mapPartitions { it =>
+      var u = 0L
+      it.foreach { t => u += math.max(1L, unitsOf(t)) }
+      Iterator.single(u)
+    }.fold(0L)(_ + _)
+    val want = math.max(1L, (units + taskWorkUnits - 1) / taskWorkUnits)
     val target = math.min(want, sc.defaultParallelism.toLong).toInt
     val reshaped =
       if (raw.getNumPartitions < target) Some(raw.repartition(target))
@@ -195,8 +215,8 @@ object Classifier {
     // Hessian upper triangle dominates)
     val data = cacheTrainRows(df.select(col(labelCol).cast("double"),
       col(featuresCol).cast("array<double>"), wexpr)
-      .as[(Double, Array[Double], Double)],
-      unitsPerRow = d.toLong * (d + 3) / 2)
+      .as[(Double, Array[Double], Double)])(
+      _ => d.toLong * (d + 3) / 2)
     try {
       var w = init.map(m => m.weights :+ m.bias)
         .getOrElse(new Array[Double](d))
@@ -299,11 +319,14 @@ object Classifier {
     val wexpr = weightCol.map(c => col(c).cast("double"))
       .getOrElse(lit(1.0))
     // decoded once, cached as primitive-array rows, scale-adaptive
-    // partition count — see cacheTrainRows (per-row cost ~ the sparse
-    // index length; 16 is a conservative stand-in, read without a pass)
+    // partition count — see cacheTrainRows (per-row cost = the row's
+    // ACTUAL sparse index length, summed in the cache-materialization
+    // pass — a corpus of long documents spreads as its work demands,
+    // where the old constant 16 serialized it on a handful of tasks)
     val data = cacheTrainRows(
       df.select(col(labelCol).cast("double"), col(idxCol), wexpr)
-        .as[(Double, Array[Int], Double)], unitsPerRow = 16L)
+        .as[(Double, Array[Int], Double)])(
+      t => 8L + t._2.length)
     try {
       var w = init.map(m => m.weights :+ m.bias)
         .getOrElse(new Array[Double](d))
@@ -502,7 +525,7 @@ object Classifier {
     // block Hessian dominates)
     val data = cacheTrainRows(df.select(col(labelCol).cast("int"),
       col(featuresCol).cast("array<double>"), wexpr)
-      .as[(Int, Array[Double], Double)], unitsPerRow = m.toLong * m)
+      .as[(Int, Array[Double], Double)])(_ => m.toLong * m)
     try {
       val C = numClasses
       var w = new Array[Double](m) // class-major: c*d + i
@@ -640,12 +663,13 @@ object Classifier {
     val wexpr = weightCol.map(c => col(c).cast("double"))
       .getOrElse(lit(1.0))
     // decoded once, cached as primitive-array rows, scale-adaptive
-    // partition count — see cacheTrainRows (per-row cost ~ (C−1) ×
-    // sparse index length; 16 stands in for the unknown length)
+    // partition count — see cacheTrainRows (per-row cost = (C−1) ×
+    // the row's ACTUAL sparse index length, summed in the
+    // cache-materialization pass)
     val data = cacheTrainRows(
       df.select(col(labelCol).cast("int"), col(idxCol), wexpr)
-        .as[(Int, Array[Int], Double)],
-      unitsPerRow = 16L * (numClasses - 1))
+        .as[(Int, Array[Int], Double)])(
+      t => (8L + t._2.length) * (numClasses - 1))
     try {
       val C = numClasses
       var w = init.map(_.weights.flatten.toArray)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.shim
 import org.apache.spark.sql.types.{DataType, LongType, StringType, ArrayType}
+import graft.core.Pin.PinOps
 
 /** Deduplication operators for training-data pipelines, each designed as a
   * shuffle-conscious distributed plan:
@@ -150,7 +151,7 @@ object Dedup {
     // anti-join everything away (self-referential read-append)
     val survivors = newVsIndex
       .join(keep, Seq("__fp", idCol), "left_semi")
-      .localCheckpoint(true)
+      .pinned()
     sinkFirst(survivors.drop("__fp"))
     survivors.select(col("__fp").as("fp")).distinct()
       .write.mode("append").parquet(indexPath)
@@ -231,7 +232,7 @@ object Dedup {
       .select(col(idCol).as("id"), md5(col(textCol)).as("__ck"))
       .withColumn("rep", min(col("id")).over(w))
       .withColumn("sz", count(lit(1)).over(w))
-      .localCheckpoint(true)
+      .pinned()
     // representatives by ANTI-join against the duplicate EXTRAS (one row
     // per non-representative member) — sized by duplication, not by the
     // corpus, so a lightly-duplicated corpus broadcasts it and never
@@ -324,7 +325,7 @@ object Dedup {
         // as the shuffle this index feeds anyway) for 3 corpus passes —
         // sizing and the recompute opt-out are documented on the method.
         val ex0 =
-          if (materializeIndex) ex0raw.localCheckpoint(true) else ex0raw
+          if (materializeIndex) ex0raw.pinned() else ex0raw
         // the HOT set (freq > cap) is by construction tiny — at most
         // |index|/cap distinct values, in practice a handful of
         // boilerplate shingles — so the index is filtered with an
@@ -387,7 +388,7 @@ object Dedup {
             col("nhot").as("h1")), Seq("id1"))
           .join(cnt.select(col("id").as("id2"), col("nsh").as("n2"),
             col("nhot").as("h2")), Seq("id2"))
-        val scored = scored0.localCheckpoint(true)
+        val scored = scored0.pinned()
         // pairs of docs with NO hot shingles at all: the capped index
         // holds their full shingle sets, so interc is already the exact
         // intersection — score directly, no re-shingle pass (on typical
@@ -515,26 +516,58 @@ object Dedup {
       minhashSignatures(docs, n, numHashes, textCol, idCol),
       n, numHashes, bands, threshold, textCol, idCol)
 
+  /** LSH band self-join candidate pairs (id1 < id2) over a signature
+    * table, pinned: every verify strategy reads the candidate set
+    * three times (two broadcast id sets + the join spine), and each
+    * lazy read would otherwise re-run the signature aggregation over
+    * the whole corpus. The set itself is pair-cardinality-small. */
+  private def bandCandidates(sig: DataFrame, numHashes: Int,
+                             bands: Int): DataFrame = {
+    val buckets = bandTable(sig, numHashes, bands)
+    buckets.alias("l")
+      .join(buckets.alias("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+      .pinned()
+  }
+
   /** The band-join + exact-verify core over a PRECOMPUTED signature
     * table — so a caller that already built (and checkpointed) the
     * signatures ([[incrementalMinhashDedup]]) doesn't pay a second
     * corpus shingle + 64-aggregate pass for its in-batch mining. */
   private def minhashLshPairsFromSig(
       docs: DataFrame, sig: DataFrame, n: Int, numHashes: Int, bands: Int,
-      threshold: Double, textCol: String, idCol: String): DataFrame = {
-    val buckets = bandTable(sig, numHashes, bands)
-    // materialized once: verifyJaccard reads the candidate set three
-    // times (two broadcast id sets + the join spine), and each lazy read
-    // would otherwise re-run the signature aggregation over the whole
-    // corpus. The set itself is pair-cardinality-small.
-    val candIds = buckets.alias("l")
-      .join(buckets.alias("r"),
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id1"), col("r.id").as("id2"))
-      .dropDuplicates("id1", "id2")
-      .localCheckpoint(true)
-    verifyJaccard(docs, candIds, n, threshold, textCol, idCol)
+      threshold: Double, textCol: String, idCol: String): DataFrame =
+    verifyJaccard(docs, bandCandidates(sig, numHashes, bands), n,
+      threshold, textCol, idCol)
+
+  /** Exact-Jaccard verification from PRECOMPUTED distinct shingle-hash
+    * sets (`sets` = (id, sh)): the stored-sh twin of [[verifyJaccard]],
+    * for callers that already carry each doc's sorted distinct
+    * xxhash64 shingle set (the [[incrementalMinhashDedup]] stored-sh
+    * checkpoint) — re-shingling candidate TEXT there paid a second
+    * pass over exactly the bytes the sets already summarize. Set
+    * intersections/sizes over the 64-bit hashes equal the string-set
+    * ones modulo xxhash64 collisions (~2^-64 per distinct shingle
+    * pair), the same premise the stored-sh CROSS-batch verify has
+    * always carried — in-batch and cross-batch decisions now share
+    * one measure (OpsSpec pins parity with the re-shingling path). */
+  private def verifyJaccardFromSets(sets: DataFrame, candIds: DataFrame,
+                                    threshold: Double): DataFrame = {
+    def shFor(side: String): DataFrame =
+      sets.join(broadcast(candIds.select(col(side).as("id")).distinct()),
+        Seq("id"), "left_semi")
+        .select(col("id").as(side), col("sh").as(s"sh_$side"))
+    candIds
+      .join(shFor("id1"), Seq("id1"))
+      .join(shFor("id2"), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("sh_id1"), col("sh_id2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_id1")) + size(col("sh_id2")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   /** MinHash signature table (id, mh0..mh{numHashes-1}): one groupBy(id)
@@ -673,7 +706,7 @@ object Dedup {
       val shSets = batch.select(col(idCol).as("id"),
         shSet(col(textCol)).as("sh"))
       sigBase.join(shSets, Seq("id"))
-    } else sigBase).localCheckpoint(true)
+    } else sigBase).pinned()
     val mhCols = (0 until numHashes).map(i => s"mh$i")
     val dupOfIndex: DataFrame = {
       val existing =
@@ -712,7 +745,7 @@ object Dedup {
             // scanned map-side, pruned to candidate ids before any
             // exchange (the same candidate-bounded discipline as the
             // rereadFrom branch)
-            val cand = cand0.localCheckpoint(true)
+            val cand = cand0.pinned()
             val bSh = sig.select(col("id").as("bid"), col("sh").as("b_sh"))
             val iSh = idx.select(col("id").as("iid"), col("sh").as("i_sh"))
               .join(broadcast(cand.select(col("iid")).distinct()),
@@ -727,36 +760,49 @@ object Dedup {
               .select(col("bid").as("id")).distinct()
           } else if (doExact) {
             // compact exact mode: candidates are pair-bounded — pin them
-            // once (they feed two semi-joins and the verify join below)
-            val cand = cand0.localCheckpoint(true)
+            // once (they feed the iid semi-prune broadcast, the bid
+            // semi-prune broadcast, and the verify join spine below)
+            val cand = cand0.pinned()
             val corpus = rereadFrom.get.select(col(idCol), col(textCol))
             // ONE map-side corpus scan (broadcast semi on candidate
-            // ids), pinned; both the missing-id fail-fast and the
-            // candidate shingle rebuild read the candidate-bounded
-            // checkpoint — an anti-join against the raw corpus would
-            // scan it a second time per batch, and on a long ingest the
+            // ids): an anti-join against the raw corpus would scan it
+            // a second time per batch, and on a long ingest the
             // accumulated corpus dominates batch cost
-            val candI = cand.select(col("iid")).distinct()
-              .localCheckpoint(true)
             val iShAll = corpus
               .select(col(idCol).as("iid"), col(textCol).as("__t"))
-              .join(broadcast(candI), Seq("iid"), "left_semi")
-              .localCheckpoint(true)
-            val missing = candI
-              .join(iShAll.select(col("iid")), Seq("iid"), "left_anti")
-              .limit(1).collect()
-            require(missing.isEmpty,
-              s"rereadFrom is missing indexed doc id " +
-                s"${missing.head.get(0)} — it must contain every id this " +
-                s"index ever kept (silently skipping the candidate would " +
-                "KEEP a possible duplicate)")
+              .join(broadcast(cand.select(col("iid")).distinct()),
+                Seq("iid"), "left_semi")
             val bSh = batch.join(
               broadcast(cand.select(col("bid").as(idCol)).distinct()),
               Seq(idCol), "left_semi")
               .select(col(idCol).as("bid"), shSet(col(textCol)).as("b_sh"))
             val iSh = iShAll
               .select(col("iid"), shSet(col("__t")).as("i_sh"))
-            cand.join(bSh, Seq("bid")).join(iSh, Seq("iid"))
+            // missing-id fail-fast FUSED into the verify join (r16,
+            // VERDICT r15 item 1: the standalone anti-join probe cost a
+            // collect plus two pins per batch): the index side joins
+            // LEFT, so a candidate id the corpus lost surfaces as a
+            // null shingle set and the raise_error branch aborts with
+            // the probe's remedy — silently skipping it would KEEP a
+            // possible duplicate. The checked column is load-bearing
+            // inside the jaccard arithmetic, so it cannot be pruned.
+            // STRICTER than before on one broken input: a corpus row
+            // whose id matches an indexed candidate but whose text is
+            // null used to slip through the probe and silently KEEP
+            // the candidate (null jaccard filtered away); it now fails
+            // loudly too — an indexed id always had shingles, so null
+            // text there is corpus corruption, not data.
+            val iShChecked = when(col("i_sh").isNull,
+              raise_error(concat(
+                lit("rereadFrom is missing indexed doc id "),
+                col("iid").cast("string"),
+                lit(" (or carries it with null/shingle-less text) — it " +
+                  "must contain every id this index ever kept; " +
+                  "silently skipping the candidate would KEEP a " +
+                  "possible duplicate"))))
+              .otherwise(col("i_sh"))
+            cand.join(bSh, Seq("bid")).join(iSh, Seq("iid"), "left")
+              .withColumn("i_sh", iShChecked)
               .withColumn("inter",
                 size(array_intersect(col("b_sh"), col("i_sh"))))
               .withColumn("uni",
@@ -767,7 +813,7 @@ object Dedup {
           } else {
             // pinned for the same two uses as the stored-sh branch; the
             // index signature fetch is map-side pruned to candidates
-            val cand = cand0.localCheckpoint(true)
+            val cand = cand0.pinned()
             val bSig = sig.select((col("id").as("bid") +:
               mhCols.map(c => col(c).as(s"b_$c"))): _*)
             val iSig = idx.select((col("id").as("iid") +:
@@ -793,10 +839,21 @@ object Dedup {
     val freshSig = sig
       .join(fresh.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .select(col("id") +: mhCols.map(col): _*)
-    val kept = keepClusterCanonical(fresh,
-      minhashLshPairsFromSig(fresh, freshSig, n, numHashes, bands,
-        threshold, textCol, idCol),
-      idCol).localCheckpoint(true)
+    // stored-sh mode: the checkpoint already carries each doc's
+    // distinct shingle-hash set, so the in-batch verify reads THOSE
+    // instead of re-shingling candidate text (r16, VERDICT r15 item 1;
+    // decisions equal modulo the mode's existing 2^-64 collision
+    // premise — the cross-batch verify has always used these sets)
+    val inBatchPairs =
+      if (storeSh)
+        verifyJaccardFromSets(
+          sig.join(fresh.select(col(idCol).as("id")), Seq("id"),
+            "left_semi").select(col("id"), col("sh")),
+          bandCandidates(freshSig, numHashes, bands), threshold)
+      else
+        minhashLshPairsFromSig(fresh, freshSig, n, numHashes, bands,
+          threshold, textCol, idCol)
+    val kept = keepClusterCanonical(fresh, inBatchPairs, idCol).pinned()
     // durable output BEFORE the index append (the incrementalExactDedup
     // sinkFirst contract): once these signatures are indexed, a retried
     // batch keeps nothing — output-first makes the crash failure mode
@@ -804,7 +861,7 @@ object Dedup {
     sinkFirst(kept)
     val keptSig = sig.join(
       kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .localCheckpoint(true) // cut lineage before the self-referential append
+      .pinned() // cut lineage before the self-referential append
     keptSig.write.mode("append").parquet(indexPath)
     kept
   }
@@ -940,7 +997,7 @@ object Dedup {
     // final membership pass below is far cheaper than storing the rows
     val fps = batch.select(col(idCol).as("id"), sigExpr.as("f"))
       .filter(col("f").isNotNull)
-      .localCheckpoint(true)
+      .pinned()
     val existing: Option[DataFrame] =
       if (graft.core.Fs.exists(indexPath) &&
         graft.core.Fs.listNames(indexPath).nonEmpty) {
@@ -987,7 +1044,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("id"))
     val keptFps = fresh.join(dropIds, Seq("id"), "left_anti")
-      .localCheckpoint(true)
+      .pinned()
     // ONE membership pass over the CALLER's frame (no index in the
     // lineage — both markers come off checkpointed frames, so no
     // self-referential read and NO recompute of the signature (hashing
@@ -1050,10 +1107,10 @@ object Dedup {
       s"maxHamming must be in [0, 3] for 4-chunk banding, got $maxHamming")
     // (id, f) is 16 bytes/row and feeds three plan branches — cut the
     // upstream hashing (tokenize/payload scan) once, not per branch
-    val members = fp.localCheckpoint(true)
+    val members = fp.pinned()
     val groups = members.groupBy(col("f"))
       .agg(min(col("id")).as("rep"), count(lit(1)).as("sz"))
-      .localCheckpoint(true) // one row per DISTINCT hash
+      .pinned() // one row per DISTINCT hash
     val chunks = groups.select(col("f"), col("rep"), explode(array(
       (0 until 4).map(i => struct(lit(i).as("c"),
         shiftrightunsigned(col("f"), i * 16).bitwiseAND(lit(0xFFFFL)).as("v"))): _*))
@@ -1153,7 +1210,7 @@ object Dedup {
     // edge directions AFTER the checkpoint — the previous
     // `select.union(select)` shape evaluated the pair-mining plan twice
     // (one per union branch), doubling the most expensive stage
-    val p = pairs.select(col("id1"), col("id2")).localCheckpoint(true)
+    val p = pairs.select(col("id1"), col("id2")).pinned()
     val longIds = p.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     // count is served from the checkpointed blocks — no recompute
@@ -1173,7 +1230,7 @@ object Dedup {
       .agg(min(col("dst")).as("nbr"))
       .select(col("src").as("id"),
         least(col("src"), col("nbr")).as("label"))
-      .localCheckpoint(true)
+      .pinned()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
@@ -1184,7 +1241,7 @@ object Dedup {
       val upd = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
-        .localCheckpoint(true)
+        .pinned()
       changed = upd.filter(col("next") < col("label")).count()
       labels = upd.select(col("id"), col("next").as("label"))
       if (changed > 0 && iter + 1 >= pointerJumpAfter) {
@@ -1203,7 +1260,7 @@ object Dedup {
         labels = labels.join(par, col("label") === col("__pid"), "left")
           .select(col("id"),
             coalesce(col("__plabel"), col("label")).as("label"))
-          .localCheckpoint(true)
+          .pinned()
       }
       iter += 1
     }

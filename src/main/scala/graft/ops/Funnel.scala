@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Pin.PinOps
 
 /** Ordered event-sequence (funnel) matching: which users performed
   * step 1, then step 2 strictly later, then step 3 strictly later
@@ -61,7 +62,7 @@ object Funnel {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct == steps, "funnel steps must be distinct")
     def cut(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint(true) else df
+      if (checkpoint) df.pinned() else df
     val first = cut(events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol))
       .agg(min(col(tsCol)).as("t1")))

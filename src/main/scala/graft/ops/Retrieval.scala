@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Pin.PinOps
 
 /** Sparse retrieval over a document corpus — BM25 scoring for
   * training-data curation (find documents matching a probe query,
@@ -148,7 +149,7 @@ object Retrieval {
     // inspection / storage-constrained clusters) at the price of
     // re-running the explode for each consumer
     val postings =
-      if (checkpointPostings) postings0.localCheckpoint(eager = true)
+      if (checkpointPostings) graft.core.Pin.pin(postings0)
       else postings0
     val dl = docs.select(col(idCol).as("id"),
       size(Text.tokens(col(textCol))).cast("double").as("dl"))
@@ -221,7 +222,7 @@ object Retrieval {
     // below reuses the same materialization for free
     val pinned = lists.map(df =>
       df.select(col(idCol).as("id"), col(rankCol).cast("double").as("__r"))
-        .localCheckpoint(true))
+        .pinned())
     pinned.zipWithIndex.foreach { case (df, i) =>
       // bounded probe: counts at most maxListSize+1 rows of the pinned
       // top-k output, never the upstream frame
@@ -392,7 +393,7 @@ object Retrieval {
     val base = batch.select(col(idCol).as("id"),
       Text.tokens(col(textCol)).as("t"))
       .withColumn("dl", size(col("t")).cast("long"))
-      .localCheckpoint(true) // one tokenize pass serves both writes
+      .pinned() // one tokenize pass serves both writes
     // empty batch: nothing to append, and the auto-derived digest would
     // degenerate ("keys:null:0" — bit_xor over zero rows is NULL), so
     // every empty batch would collide with the first one; short-circuit

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Pin.PinOps
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -551,7 +552,7 @@ object Similarity {
       .select(col("id"), col("v"), bestCid.as("cid"),
         acos(least(lit(1.0), greatest(lit(-1.0),
           bestScore / norm))).as("ang"))
-      .localCheckpoint(true)
+      .pinned()
     // per-cell angular radius + population: `cells` rows to the driver
     val cellStats = assigned.groupBy(col("cid"))
       .agg(max(col("ang")).as("r"), count(lit(1)).as("n"))
@@ -1150,7 +1151,7 @@ object Similarity {
         VectorExprs.dot(col(vecCol), col(vecCol)) > 0)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         lshSignature(col(vecCol), hp).as("sig"))
-      .localCheckpoint(true)
+      .pinned()
     val existing: Option[DataFrame] =
       if (graft.core.Fs.exists(indexPath) &&
         graft.core.Fs.listNames(indexPath).nonEmpty) {
@@ -1190,7 +1191,7 @@ object Similarity {
       .select(col("ida").as("id1"), col("idb").as("id2"))
     val keptIdx = Dedup.keepClusterCanonical(
       fresh.select(col("id"), col("sig"), col("v")), pairs, "id")
-      .localCheckpoint(true) // cut lineage before the self-referential append
+      .pinned() // cut lineage before the self-referential append
     keptIdx.write.mode("append").parquet(indexPath)
     // ONE membership pass over the caller's frame off checkpointed
     // markers: kept ids survive; rows that never produced a signature

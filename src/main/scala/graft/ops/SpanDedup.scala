@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Pin.PinOps
 
 /** Exact-substring (passage-level) deduplication in the style of Lee et
   * al. 2022, "Deduplicating Training Data Makes Language Models Better"
@@ -156,7 +157,7 @@ object SpanDedup {
     // re-tokenizing the batch for the append
     val batchCounts = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .pinned()
     val seen =
       if (Fs.exists(indexPath) && Fs.listNames(indexPath).nonEmpty) {
         // scale shape: only fingerprints PRESENT IN THE BATCH can mark
@@ -186,7 +187,7 @@ object SpanDedup {
     val marked = grams.join(dupH, Seq("h"), "left_semi")
       .select(col("id"), col("pos").cast("long").as("__s"),
         (col("pos") + lit(k.toLong)).as("__e"))
-    val spans = mergeIntervals(marked, idCol).localCheckpoint()
+    val spans = mergeIntervals(marked, idCol).pinned()
     // output-first: durable spans before the index append (duplicate
     // rows on retry, never loss), then counts, then the journal record
     sinkFirst(spans)

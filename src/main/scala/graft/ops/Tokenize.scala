@@ -667,15 +667,11 @@ object Tokenize {
     * pair table every round would grow the analyzed plan by one
     * delta-subtree per round — O(rounds²) analysis and plan-string
     * cost (AQE's explain rendering OOM'd at 512 merges before this).
-    * `checkpoint()` when the session has a reliable checkpoint dir
-    * (the cluster deployment shape — survives executor loss);
-    * `localCheckpoint()` otherwise (executor-local blocks: right for
-    * single-JVM runs, and an executor loss aborts training loudly
-    * instead of recomputing through lost state). Both are eager. */
+    * Mode selection (reliable `checkpoint()` vs executor-local
+    * `localCheckpoint()`) now lives in [[graft.core.Pin]] — this rule
+    * was the prototype, promoted engine-wide in round 16. */
   private def truncateLineage(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
+    graft.core.Pin.pin(df)
 
   /** The `(w, freq)` pre-token histogram of a corpus — the ONE
     * corpus-sized pass every tokenizer operation shares (merge

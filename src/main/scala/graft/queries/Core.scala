@@ -211,13 +211,19 @@ object Core {
     "q_stream_run_tail" -> ((s, _) => {
       val db = historyDb(s)
       val name = s"graft_run_tail_${tailQueryId.incrementAndGet()}"
-      val q = graft.streaming.Monitor.tailDatabase(db)
-        .select(col("a"), col("result_"), col("_run_seq"))
-        .writeStream
-        .outputMode("append").format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // re-derive the drain's state partitions from the ACTUAL drained
+      // input — the history db built here — instead of the sf dir the
+      // generic SparkEntry wrapper sized from (ADVICE r15: this query
+      // ignores `dir` entirely); the inner wrapper wins for the drain
+      graft.streaming.Monitor.withDrainPartitions(s, db.dbPath) {
+        val q = graft.streaming.Monitor.tailDatabase(db)
+          .select(col("a"), col("result_"), col("_run_seq"))
+          .writeStream
+          .outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name).orderBy(col("a"))
     }),
 

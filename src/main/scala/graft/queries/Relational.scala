@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Database
+import graft.core.Pin.PinOps
 
 /** The delegated relational surface (SURVEY §2 rows marked [delegated]):
   * the filtering / projection / join / aggregation / set-op / window /
@@ -826,7 +827,7 @@ object Relational {
           .groupBy(col("event_id"))
           .agg(count(lit(1)).as("n_clicks"))
           .orderBy(col("event_id"))
-          .localCheckpoint(true)
+          .pinned()
       } finally {
         s.conf.unset(graft.plans.IntervalJoinRewrite.binWidthConf)
         s.experimental.extraOptimizations = prevOpts

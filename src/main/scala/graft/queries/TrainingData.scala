@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Classifier, Dedup, Dsir, Freq, Multimodal, Profile, Quantile, Retrieval, Similarity, Sketch, Text}
+import graft.core.Pin.PinOps
 
 /** The training-data pipeline operators (dedup / similarity / multimodal /
   * text analysis) exposed as driver-verifiable queries over the documents
@@ -290,7 +291,7 @@ object TrainingData {
       val out = feats.filter(col("unique_max"))
         .select(col("doc_id"), col("label"),
           Classifier.softmaxPredictExpr(col("f"), model).as("predicted"))
-        .localCheckpoint(true)
+        .pinned()
       val acc = out.select(avg(when(col("predicted") === col("label"),
         1.0).otherwise(0.0))).head().getDouble(0)
       require(acc == 1.0,
@@ -391,7 +392,7 @@ object TrainingData {
         val out = feats.filter(col("unique_max"))
           .select(col("doc_id"), col("label"))
           .join(oof.select(col("doc_id"), col("predicted")), "doc_id")
-          .localCheckpoint(true)
+          .pinned()
         val acc = out.select(avg(when(col("predicted") === col("label"),
           1.0).otherwise(0.0))).head().getDouble(0)
         require(acc == 1.0,
@@ -450,7 +451,7 @@ object TrainingData {
           .select(col("doc_id"), col("label"))
           .join(oof.select(col("doc_id"), col("logits"),
             col("predicted")), "doc_id")
-          .localCheckpoint(true)
+          .pinned()
         // gate + per-class calibration counts FUSED into one aggregate
         // over one pass of uniq (the q_doc_classifier_pipeline
         // discipline): the old shape paid an accuracy head() plus
@@ -461,6 +462,13 @@ object TrainingData {
         // positives overall), so the rebuilt CalibrationModels are
         // value-identical; null/NaN margins surface as a loud count
         // (the fit's per-class filter, preserved as a witness).
+        // Contract STRICTER than fitSoftmaxCalibration by design
+        // (ADVICE r15): the fit silently EXCLUDED null/NaN-margin rows
+        // per class; here any such row aborts via bad_c. Labels are
+        // non-null by construction (the when/otherwise chain is
+        // total), so the fit's null-label exclusion has no analog to
+        // mirror. A corpus that produces bad margins needs repair, not
+        // silent exclusion, before a deploy gate.
         val margins = (0 until 3).map(c =>
           Classifier.softmaxClassMargin(col("logits"), c, 3))
         val aggs =
@@ -694,7 +702,7 @@ object TrainingData {
         .join(oof, "doc_id")
         .select(col("doc_id"), col("label"), (col("margin") > 0)
           .as("predicted"))
-        .localCheckpoint(true)
+        .pinned()
       val acc = out.select(avg(when(col("predicted") === col("label"),
         1.0).otherwise(0.0))).head().getDouble(0)
       require(acc == 1.0, s"out-of-fold under-generalization: acc=$acc")
@@ -897,7 +905,7 @@ object TrainingData {
             .agg(count(lit(1)).as("n_docs"),
               sum(col("tok")).as("n_tokens"))
             .orderBy(col("source"))
-            .localCheckpoint(true)
+            .pinned()
         } finally { proj.unpersist(): Unit }
       report
     }),
@@ -1432,7 +1440,7 @@ object TrainingData {
         (3L, "spark")).toDF("query_id", "term")
       val retrieved = Retrieval
         .bm25TopKBatch(docs(s, dir), queries, k = 8)
-        .localCheckpoint(true)
+        .pinned()
       val positives = retrieved.filter(col("id") % 3 === 0)
         .select(col("query_id"), col("id"))
       Retrieval.hardNegatives(retrieved, positives, m = 4)
@@ -2040,7 +2048,7 @@ object TrainingData {
       val b2 = d.filter(col("doc_id") % 2 === 1).unionByName(dups)
       val idx = scratchDir("graft-mhcdx-") + "/idx"
       val s1 = Dedup.incrementalMinhashDedup(b1, idx,
-        rereadFrom = Some(d.limit(0))).localCheckpoint(true)
+        rereadFrom = Some(d.limit(0))).pinned()
       Dedup.compactIndex(s, idx)
       val s2 = Dedup.incrementalMinhashDedup(b2, idx,
         rereadFrom = Some(s1))
@@ -2211,7 +2219,7 @@ object TrainingData {
       val (bloomBytes, refSh) = graft.ops.Contamination.buildReferenceBloom(
         d.filter(col("doc_id") < 40), n = 3, expectedItems = 500000L)
       // pin the shingle table so batches re-verify, not re-derive
-      val pinned = refSh.localCheckpoint(true)
+      val pinned = refSh.pinned()
       val stream = s.readStream.schema(d.schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(col("doc_id") >= 40)
@@ -2530,7 +2538,7 @@ object TrainingData {
       // corpus scan) and pinned: the four union branches below all read
       // the |queries|*k checkpointed rows instead of re-scanning
       val exact = Similarity.bruteForceTopK(e, q, k = 5)
-        .localCheckpoint(true)
+        .pinned()
       // fit ONCE, probe four times — the quantizer is deterministic,
       // so re-fitting per point would repeat identical k-means work.
       // The four sweep points UNION into one frame so the whole curve

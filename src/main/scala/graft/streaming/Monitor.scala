@@ -23,10 +23,11 @@ object Monitor {
 
   /** Scale-adaptive shuffle/state partition count for a BOUNDED stream
     * drain, derived from the drained input's on-disk size: one
-    * partition per ~32 MB, floor 1, capped at the session's configured
-    * `spark.sql.shuffle.partitions` so a corpus-scale drain keeps full
-    * cluster parallelism. Override with
-    * `spark.graft.stream.statePartitions` (> 0 wins outright; 0 = the
+    * partition per ~32 MB, floor 2 (see the inline note), capped at the
+    * session's configured `spark.sql.shuffle.partitions` so a
+    * corpus-scale drain keeps full cluster parallelism. Override with
+    * `spark.graft.stream.statePartitions` (> 0 wins outright —
+    * UNCAPPED, an operator's explicit sizing is trusted; 0 = the
     * default, derive).
     *
     * Why this exists: a stateful streaming query materializes ONE
@@ -46,7 +47,7 @@ object Monitor {
     val explicit = spark.conf
       .get("spark.graft.stream.statePartitions", "0").toInt
     val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    if (explicit > 0) math.min(explicit, math.max(cap, 1))
+    if (explicit > 0) explicit
     else {
       val hconf = spark.sparkContext.hadoopConfiguration
       val bytes = inputPaths.map { p =>

@@ -462,14 +462,22 @@ class OpsSpec extends AnyFunSuite {
     // compact schema, and must not throw
     Dedup.incrementalMinhashDedup(docs.limit(0).toDF(), idxRr,
       rereadFrom = Some(corpus))
-    // a kept id missing from the corpus fails fast, never silently keeps
+    // a kept id missing from the corpus fails fast, never silently
+    // keeps — since r16 the check is FUSED into the verify join
+    // (raise_error on a null index-side shingle set; the standalone
+    // anti-join probe cost a collect + two pins per batch), so the
+    // abort surfaces as a SparkException whose cause chain carries the
+    // same remedy
     val holed = corpus.filter(col("doc_id") =!= corpus
       .orderBy("doc_id").select("doc_id").first().getLong(0))
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[org.apache.spark.SparkException] {
       Dedup.incrementalMinhashDedup(
         docs.filter(col("doc_id") < 100), idxRr, rereadFrom = Some(holed))
     }
-    assert(e.getMessage.contains("missing indexed doc id"))
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(chain.contains("missing indexed doc id"))
   }
 
   test("incrementalSimhashDedup: batch-1 survivors match the spanning " +
