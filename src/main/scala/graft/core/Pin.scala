@@ -41,7 +41,23 @@ object Pin {
     val spark = ds.sparkSession
     val mode = spark.conf.get("spark.graft.pin.reliable", "auto")
     val hasDir = spark.sparkContext.getCheckpointDir.isDefined
-    mode match {
+    // label the eager materialization job with the CALLER's site — the
+    // helper would otherwise collapse every pin in the engine onto one
+    // "localCheckpoint at Pin.scala" line in the UI and the job-level
+    // profiler, losing exactly the attribution the optimization guide
+    // says to keep (§1.5)
+    val site = Thread.currentThread().getStackTrace
+      .find { e =>
+        val c = e.getClassName
+        !c.startsWith("graft.core.Pin") && !c.startsWith("java.") &&
+          !c.startsWith("jdk.") && !c.startsWith("scala.")
+      }
+      .map(e => s"${e.getFileName}:${e.getLineNumber}")
+      .getOrElse("unknown")
+    val sc = spark.sparkContext
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"pin at $site")
+    try mode match {
       case "true" =>
         require(hasDir,
           "spark.graft.pin.reliable=true needs a checkpoint dir — call " +
@@ -54,7 +70,7 @@ object Pin {
         if (hasDir) ds.checkpoint(eager = true) else ds.localCheckpoint(true)
       case other => throw new IllegalArgumentException(
         s"spark.graft.pin.reliable must be auto|true|false, got '$other'")
-    }
+    } finally sc.setJobDescription(prevDesc)
   }
 
   /** Syntax: `df.pinned()` — so pin sites read like the

@@ -859,10 +859,13 @@ object Dedup {
     // batch keeps nothing — output-first makes the crash failure mode
     // duplicate output rows, never silent loss
     sinkFirst(kept)
-    val keptSig = sig.join(
-      kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .pinned() // cut lineage before the self-referential append
-    keptSig.write.mode("append").parquet(indexPath)
+    // no lineage cut needed before this append (r16): both parents are
+    // already pinned — `sig` at construction, `kept` above — so the
+    // semi-join's plan reads materialized blocks, never `indexPath`;
+    // the extra checkpoint here was one more eager job per batch for a
+    // frame consumed exactly once
+    sig.join(kept.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .write.mode("append").parquet(indexPath)
     kept
   }
 

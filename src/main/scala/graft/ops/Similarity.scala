@@ -658,6 +658,62 @@ object Similarity {
     cents
   }
 
+  /** ALL `m` PQ sub-codebooks trained in ONE Lloyd loop (r16, guide
+    * §1.2 — fewer driver actions): the per-subspace
+    * [[kmeansCentroidsL2]] runs were independent loops over the SAME
+    * train sample, costing `m × (1 seed collect + iters aggregate
+    * jobs)` of sequential scheduler round trips; every subspace's
+    * assignment and per-dimension mean now computes in one pass per
+    * iteration (`m` structs exploded per row, grouped by (sub, cid,
+    * pos)), so the whole training is `1 + iters` jobs regardless of
+    * `m`. Value-identical to the per-subspace runs: seeds are the same
+    * k lowest-id rows (one collect, sliced client-side — slicing moves
+    * no bits), each subspace's assignment chain is the same expression
+    * over the same slice, and each (sub, cid, pos) group's `avg`
+    * accumulates the same values in the same partition-major order the
+    * separate aggregates used (the subspaces only interleave BETWEEN
+    * groups). OpsSpec's PQ parity/recall pins and the
+    * q_embed_pq/ivfpq oracles hold bit-for-bit. */
+  private[ops] def kmeansCentroidsL2Multi(
+      corpus: DataFrame, m: Int, sub: Int, k: Int, iters: Int,
+      idCol: String, vecCol: String): IndexedSeq[Array[Array[Double]]] = {
+    def round(c: Array[Double]) = c.map(x => math.floor(x * 1e6) / 1e6)
+    val seedRows = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+    var cents: IndexedSeq[Array[Array[Double]]] = (0 until m).map { s =>
+      seedRows.map(r => round(rowVec(r, 0).slice(s * sub, (s + 1) * sub)))
+    }
+    (0 until iters).foreach { _ =>
+      val perSub = (0 until m).map { s =>
+        val sv = slice(col(vecCol), s * sub + 1, sub)
+        struct(lit(s).as("sub"), assignCentroidL2(sv, cents(s)).as("cid"),
+          sv.as("v"))
+      }
+      val dims = corpus
+        .select(explode(array(perSub: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cid").as("cid"),
+          posexplode(col("e.v")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mn"))
+        .collect()
+      val bySub = dims.groupBy(_.getInt(0))
+      cents = (0 until m).map { s =>
+        val byCid = bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getInt(1))
+        cents(s).indices.map { i =>
+          byCid.get(i) match {
+            case Some(rows) =>
+              val c = new Array[Double](sub)
+              rows.foreach(r => c(r.getInt(2)) = r.getDouble(3))
+              round(c)
+            case None => cents(s)(i) // empty cluster keeps its codeword
+          }
+        }.toArray
+      }
+    }
+    cents
+  }
+
   /** Nearest codeword by minimum L2: argmax of `dot(v, c) - ||c||^2/2`
     * (`||v||^2` is constant across codewords), ties to the higher cid
     * like [[assignCentroid]]. PQ codebooks are tiny by design
@@ -720,12 +776,9 @@ object Similarity {
     val trainSet =
       if (frac >= 1.0) corpus
       else Sampling.hashSample(corpus, col(idCol), frac)
-    val books: IndexedSeq[Array[Array[Double]]] = (0 until m).map { s =>
-      kmeansCentroidsL2(
-        trainSet.select(col(idCol),
-          slice(col(vecCol), s * sub + 1, sub).as("__sv")),
-        codewords, iters, idCol, "__sv")
-    }
+    val books: IndexedSeq[Array[Array[Double]]] =
+      kmeansCentroidsL2Multi(trainSet, m, sub, codewords, iters,
+        idCol, vecCol)
     // the m-byte code table — at scale this is the persisted index and
     // the ONLY thing stage 1 scans
     val codes = pqEncode(corpus, books, sub, idCol, vecCol)
@@ -820,12 +873,8 @@ object Similarity {
     val trainSet =
       if (frac >= 1.0) corpus
       else Sampling.hashSample(corpus, col(idCol), frac)
-    val books = (0 until m).map { s =>
-      kmeansCentroidsL2(
-        trainSet.select(col(idCol),
-          slice(col(vecCol), s * sub + 1, sub).as("__sv")),
-        codewords, iters, idCol, "__sv")
-    }
+    val books = kmeansCentroidsL2Multi(trainSet, m, sub, codewords,
+      iters, idCol, vecCol)
     // the cell-partitioned code table: (vec_id, cid, __c0..__c{m-1})
     val codeCols = books.indices.map(s =>
       assignCentroidL2(slice(col("v"), s * sub + 1, sub), books(s))
@@ -903,12 +952,8 @@ object Similarity {
     val trainSet =
       if (frac >= 1.0) corpus
       else Sampling.hashSample(corpus, col(idCol), frac)
-    val books = (0 until m).map { s =>
-      kmeansCentroidsL2(
-        trainSet.select(col(idCol),
-          slice(col(vecCol), s * sub + 1, sub).as("__sv")),
-        codewords, iters, idCol, "__sv")
-    }
+    val books = kmeansCentroidsL2Multi(trainSet, m, sub, codewords,
+      iters, idCol, vecCol)
     import corpus.sparkSession.implicits._
     books.zipWithIndex
       .flatMap { case (b, s) =>
